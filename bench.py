@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Per-query time = full plan execution including the parquet scan, measured
+with a count-style action that materializes every row (no driver collect
+of the payload).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from stream2segment_spark.queries_catalog import queries
+    from stream2segment_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = queries()
+
+    # JVM + catalog warmup (not counted): touch every table once
+    from stream2segment_spark.schema import TESTDATA_TABLES, load_table
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        # materialize every output row without moving payload to the driver
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

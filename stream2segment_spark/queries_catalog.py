@@ -1,0 +1,499 @@
+"""The operator-coverage query catalog over the driver's testdata tables.
+
+Every implemented operator from SURVEY.md §2 is demonstrated here as a named
+query over the synthetic tables (region/nation/customer/supplier/part/orders/
+lineitem/events/documents/embeddings), paired with an ANSI-SQL oracle that
+DuckDB runs on the same parquet files. The driver hash-compares values
+order-insensitively but matches column NAMES, so every computed column is
+aliased identically on both sides; float columns are rounded on both sides so
+cross-engine summation-order differences can't flip the hash.
+
+Each entry documents which SURVEY §2 operator(s) it covers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stream2segment_spark import columns as C
+from stream2segment_spark.schema import (
+    infer_graph_schemas, load_table, load_tables, testdata_graph)
+from stream2segment_spark.selectexpr import exprquery
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir, names or None)
+
+
+def _graph(dfs):
+    return infer_graph_schemas(testdata_graph(), dfs)
+
+
+# ---------------------------------------------------------------------------
+# Selection-expression compiler (SURVEY §2.2 P1-P3, §2.3 J1)
+# ---------------------------------------------------------------------------
+
+@register(
+    "selection_basic",
+    """SELECT event_id, ts, user_id, event_type, value
+       FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+       WHERE value >= 10 AND value < 50 AND event_type IN ('click', 'purchase')""",
+)
+def selection_basic(spark, sf_dir):
+    """P1-P3: interval + IN-list string expressions compiled to one filter."""
+    dfs = _tables(spark, sf_dir, "events")
+    out = exprquery(_graph(dfs), dfs, "events",
+                    {"value": "[10, 50)", "event_type": "click purchase"})
+    return out.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@register(
+    "selection_dotted_joins",
+    """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+       FROM lineitem l
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE o.o_orderpriority = '1-URGENT'
+         AND p.p_size >= 10 AND p.p_size < 20
+         AND l.l_quantity < 25""",
+)
+def selection_dotted_joins(spark, sf_dir):
+    """P1/J1: dotted attributes auto-join the relationship path once;
+    dims are broadcast (no shuffle on the fact side)."""
+    dfs = _tables(spark, sf_dir, "lineitem", "orders", "part")
+    out = exprquery(_graph(dfs), dfs, "lineitem",
+                    {"order.o_orderpriority": "1-URGENT",
+                     "part.p_size": "[10, 20)",
+                     "l_quantity": "<25"})
+    return out.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "selection_two_hop",
+    """SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice
+       FROM lineitem l
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_mktsegment = 'BUILDING' AND l.l_discount > 0.05""",
+)
+def selection_two_hop(spark, sf_dir):
+    """J2-style 2-hop relationship (lineitem->orders->customer), mirroring
+    the reference's segment->station secondary join (io/db/models.py:426-440)."""
+    dfs = _tables(spark, sf_dir, "lineitem", "orders", "customer")
+    out = exprquery(_graph(dfs), dfs, "lineitem",
+                    {"customer.c_mktsegment": "BUILDING", "l_discount": ">0.05"})
+    return out.select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@register(
+    "selection_notin_null",
+    """SELECT event_id, event_type, value FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+       WHERE event_type NOT IN ('error', 'signup') AND value IS NOT NULL""",
+)
+def selection_notin_null(spark, sf_dir):
+    """P2: multi-value != -> NOT IN; '!=null' -> IS NOT NULL."""
+    dfs = _tables(spark, sf_dir, "events")
+    out = exprquery(_graph(dfs), dfs, "events",
+                    {"event_type": "!=error signup", "value": "!=null"})
+    return out.select("event_id", "event_type", "value")
+
+
+@register(
+    "selection_orderby",
+    """SELECT event_id, user_id, value FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+       WHERE value > 190 ORDER BY value DESC, event_id ASC""",
+)
+def selection_orderby(spark, sf_dir):
+    """O3: orderby list with asc/desc (ordering verified by ordered hash of
+    the id column in tests; driver compare is order-insensitive)."""
+    dfs = _tables(spark, sf_dir, "events")
+    out = exprquery(_graph(dfs), dfs, "events", {"value": ">190"},
+                    orderby=[("value", "desc"), ("event_id", "asc")])
+    return out.select("event_id", "user_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2)                                   AS sum_qty,
+              round(sum(l_extendedprice), 2)                              AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+              round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+              round(avg(l_quantity), 4)                                   AS avg_qty,
+              round(avg(l_extendedprice), 4)                              AS avg_price,
+              count(*)                                                    AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def agg_pricing_summary(spark, sf_dir):
+    """A-class groupBy aggregation (TPC-H Q1 shape): partial aggregation
+    map-side, one shuffle on the grouping keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+             F.count("*").alias("count_order"))
+    )
+
+
+@register(
+    "agg_stats_pivot",
+    """SELECT user_id,
+              count(*) FILTER (WHERE event_type = 'click')    AS click,
+              count(*) FILTER (WHERE event_type = 'view')     AS view,
+              count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+              count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+              count(*) FILTER (WHERE event_type = 'error')    AS error
+       FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events GROUP BY user_id""",
+)
+def agg_stats_pivot(spark, sf_dir):
+    """A1/A2: the download-stats url x code matrix
+    (reference download/db/inspection/main.py:337-420) as groupBy().pivot();
+    explicit pivot values avoid the extra distinct-values job."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (ev.groupBy("user_id")
+             .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+             .count())
+    # pivot yields NULL for empty buckets; stats tables print 0 (ref utils.py:385-640)
+    for c in ("click", "view", "purchase", "signup", "error"):
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out
+
+
+@register(
+    "agg_gap_recode",
+    """SELECT event_type,
+              CASE WHEN value IS NULL THEN 'missing'
+                   WHEN value > 150 THEN 'high' ELSE 'ok' END AS bucket,
+              count(*) AS n
+       FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events GROUP BY event_type, bucket""",
+)
+def agg_gap_recode(spark, sf_dir):
+    """A1/A3: conditional recode before grouping (the reference's
+    gaps/overlaps recode, inspection/main.py:517-523) + NA bucket counting
+    (segments.py:591-606)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.when(F.col("value").isNull(), "missing")
+               .when(F.col("value") > 150, "high").otherwise("ok"))
+    return (ev.withColumn("bucket", bucket)
+              .groupBy("event_type", "bucket").agg(F.count("*").alias("n")))
+
+
+@register(
+    "dedup_keep_first",
+    """SELECT event_id, user_id, event_type, ts FROM (
+         SELECT event_id, user_id, event_type, ts,
+                row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+         FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events) WHERE rn = 1""",
+)
+def dedup_keep_first(spark, sf_dir):
+    """A6/W1: keep-first-per-natural-key dedup (reference
+    io/db/pdsql.py:324-332 drop_duplicates keep='first') as a window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (ev.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("event_id", "user_id", "event_type", "ts"))
+
+
+@register(
+    "dedup_conflict_counts",
+    """SELECT user_id, event_type, n FROM (
+         SELECT user_id, event_type, count(*) AS n
+         FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events GROUP BY user_id, event_type) WHERE n > 1""",
+)
+def dedup_conflict_counts(spark, sf_dir):
+    """A7/A8: suspicious-duplicate detection — groups with >1 member
+    (reference duplicated(keep=False), download/modules/segments.py:230-250)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+              .filter(F.col("n") > 1))
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_anti_incremental",
+    """SELECT c.c_custkey, c.c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def join_anti_incremental(spark, sf_dir):
+    """K3/J6: append-mode anti join (process/main.py:421-434) — rows not yet
+    processed. left_anti replaces the reference's driver-side numpy isin."""
+    dfs = _tables(spark, sf_dir, "customer", "orders")
+    done = dfs["orders"].select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return (dfs["customer"].join(done, "c_custkey", "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@register(
+    "join_semi_prefilter",
+    """SELECT o.o_orderkey, o.o_totalprice FROM orders o
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)""",
+)
+def join_semi_prefilter(spark, sf_dir):
+    """J5/J8: semi-join pre-filter (reference segments.py:152-160 'IN (ids)')."""
+    dfs = _tables(spark, sf_dir, "orders", "lineitem")
+    keys = (dfs["lineitem"].filter(F.col("l_quantity") >= 49)
+            .select(F.col("l_orderkey").alias("o_orderkey")))
+    return (dfs["orders"].join(keys, "o_orderkey", "left_semi")
+            .select("o_orderkey", "o_totalprice"))
+
+
+@register(
+    "join_mergeupdate",
+    """SELECT o.o_orderkey,
+              round(coalesce(l.rev, o.o_totalprice), 2) AS o_totalprice
+       FROM orders o
+       LEFT JOIN (SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+                  FROM lineitem GROUP BY l_orderkey) l
+       ON o.o_orderkey = l.l_orderkey""",
+)
+def join_mergeupdate(spark, sf_dir):
+    """J4: mergeupdate (io/db/pdsql.py:971-1085) — left merge where the
+    right side wins when matched (np.where(_merge=='both', y, x))."""
+    from stream2segment_spark.operators.joins import mergeupdate
+    dfs = _tables(spark, sf_dir, "orders", "lineitem")
+    rev = (dfs["lineitem"].groupBy(F.col("l_orderkey").alias("o_orderkey"))
+           .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("o_totalprice")))
+    out = mergeupdate(dfs["orders"], rev, ["o_orderkey"], ["o_totalprice"])
+    return out.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+@register(
+    "join_multihop_rollup",
+    """SELECT r.r_name AS region, n.n_name AS nation,
+              round(sum(o.o_totalprice), 2) AS total, count(*) AS n_orders
+       FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r.r_name, n.n_name""",
+)
+def join_multihop_rollup(spark, sf_dir):
+    """J1/J2 + A9: star-join through 3 broadcast dims, then aggregate.
+    All dim joins are broadcast-hash (no fact shuffle until the groupBy)."""
+    dfs = _tables(spark, sf_dir, "orders", "customer", "nation", "region")
+    out = (dfs["orders"]
+           .join(F.broadcast(dfs["customer"]),
+                 F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(dfs["nation"]),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(dfs["region"]),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+           .agg(F.round(F.sum("o_totalprice"), 2).alias("total"),
+                F.count("*").alias("n_orders")))
+    return out
+
+
+@register(
+    "join_siblings",
+    """SELECT a.event_id, count(*) AS n_siblings
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id AND a.event_type = b.event_type
+        AND a.event_id != b.event_id
+       GROUP BY a.event_id""",
+)
+def join_siblings(spark, sf_dir):
+    """J10: siblings self-join (process/db/models.py:452-552) — segments
+    equal on a configurable key, excluding self. Implemented shuffle-free
+    of a second scan: count per key via window, siblings = n-1."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type")
+    return (ev.withColumn("n", F.count("*").over(w))
+              .filter(F.col("n") > 1)
+              .select("event_id", (F.col("n") - 1).alias("n_siblings")))
+
+
+# ---------------------------------------------------------------------------
+# Set ops / sorts / topk (SURVEY §2.6, §2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "setop_except",
+    """SELECT user_id FROM events WHERE event_type = 'click' AND value > 150
+       EXCEPT
+       SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150""",
+)
+def setop_except(spark, sf_dir):
+    """U4: set difference (reference numpy isin invert, process/main.py:430-434).
+    ``subtract`` is EXCEPT DISTINCT (set semantics, like the SQL operator)."""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter((F.col("event_type") == "click") & (F.col("value") > 150)) \
+                 .select("user_id")
+    buyers = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150)) \
+               .select("user_id")
+    return clickers.subtract(buyers)
+
+
+@register(
+    "setop_union_dedup",
+    """SELECT DISTINCT user_id FROM (
+         SELECT user_id FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events WHERE event_type = 'signup'
+         UNION ALL
+         SELECT user_id FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events WHERE value > 195)""",
+)
+def setop_union_dedup(spark, sf_dir):
+    """U1-U3: unionByName of per-source frames then dedup (reference
+    channels.py:92-124 web+DB fallback union)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "signup").select("user_id")
+    b = ev.filter(F.col("value") > 195).select("user_id")
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "topk_per_group",
+    """SELECT user_id, event_id, value FROM (
+         SELECT user_id, event_id, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id) AS rn
+         FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events WHERE value IS NOT NULL) WHERE rn <= 3""",
+)
+def topk_per_group(spark, sf_dir):
+    """O-class + W: top-k per group (no such operator in the reference — its
+    ORDER BY+LIMIT pagination O4 generalized distributed-safe)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return (ev.filter(F.col("value").isNotNull())
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 3)
+              .select("user_id", "event_id", "value"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_datetime_math",
+    """SELECT l.l_orderkey, l.l_linenumber,
+              round(epoch(l.l_shipdate) - epoch(o.o_orderdate), 1) AS ship_delay_sec,
+              CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS priority_num,
+              concat_ws('.', l.l_returnflag, l.l_linestatus) AS flag_status
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_linenumber = 1""",
+)
+def scalar_datetime_math(spark, sf_dir):
+    """F1-F4/F14: duration_sec (timestamp diff with sub-second precision),
+    substr, concat_ws — the reference's cross-dialect sqlconstructs
+    (io/db/sqlconstructs.py:14-181) as plain codegen'd expressions."""
+    dfs = _tables(spark, sf_dir, "lineitem", "orders")
+    li, o = dfs["lineitem"], dfs["orders"]
+    return (li.filter(F.col("l_linenumber") == 1)
+            .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(
+                "l_orderkey", "l_linenumber",
+                F.round(C.duration_sec(F.col("o_orderdate"), F.col("l_shipdate")), 1)
+                 .alias("ship_delay_sec"),
+                F.substring("o_orderpriority", 1, 1).cast("long").alias("priority_num"),
+                F.concat_ws(".", "l_returnflag", "l_linestatus").alias("flag_status")))
+
+
+@register(
+    "scalar_great_circle",
+    """SELECT c_custkey,
+              round(degrees(atan2(
+                sqrt(pow(cos(radians(((c_custkey * 7) % 180) - 90)) *
+                         sin(radians(((c_custkey * 13) % 360) - 180) - radians(12.5)), 2)
+                   + pow(cos(radians(48.0)) * sin(radians(((c_custkey * 7) % 180) - 90))
+                       - sin(radians(48.0)) * cos(radians(((c_custkey * 7) % 180) - 90))
+                         * cos(radians(((c_custkey * 13) % 360) - 180) - radians(12.5)), 2)),
+                sin(radians(48.0)) * sin(radians(((c_custkey * 7) % 180) - 90))
+                + cos(radians(48.0)) * cos(radians(((c_custkey * 7) % 180) - 90))
+                  * cos(radians(((c_custkey * 13) % 360) - 180) - radians(12.5)))), 6)
+              AS dist_deg
+       FROM customer""",
+)
+def scalar_great_circle(spark, sf_dir):
+    """F7: spherical great-circle distance (stationsearch.py:157-189) as pure
+    built-ins (codegen, no UDF). Synthetic coordinates derived from keys."""
+    cu = load_table(spark, sf_dir, "customer")
+    lat = ((F.col("c_custkey") * 7) % 180 - 90).cast("double")
+    lon = ((F.col("c_custkey") * 13) % 360 - 180).cast("double")
+    d = C.great_circle_distance_deg(lat, lon, F.lit(48.0), F.lit(12.5))
+    return cu.select("c_custkey", F.round(d, 6).alias("dist_deg"))
+
+
+@register(
+    "scalar_mag2radius",
+    """SELECT event_id,
+              round(least(greatest(3.0 + (30.0 - 3.0) / (7.0 - 3.0) * (value/25.0 - 3.0),
+                                   3.0), 30.0), 6) AS radius
+       FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events WHERE value IS NOT NULL""",
+)
+def scalar_mag2radius(spark, sf_dir):
+    """F8: piecewise-linear magnitude->radius clamp
+    (stationsearch.py:206-244) via least/greatest."""
+    ev = load_table(spark, sf_dir, "events")
+    mag = F.col("value") / 25.0
+    r = C.magnitude_to_radius(mag, 3.0, 7.0, 3.0, 30.0)
+    return (ev.filter(F.col("value").isNotNull())
+              .select("event_id", F.round(r, 6).alias("radius")))
+
+
+@register(
+    "scalar_wildcard_like",
+    """SELECT p_partkey, p_name FROM part WHERE p_brand LIKE 'Brand_1%'""",
+)
+def scalar_wildcard_like(spark, sf_dir):
+    """P6/F12: FDSN wildcard ('Brand?1*') -> SQL LIKE
+    (reference strconvert, utils.py:786-850)."""
+    pt = load_table(spark, sf_dir, "part")
+    return (pt.filter(F.col("p_brand").like(C.wildcard_to_like("Brand?1*")))
+              .select("p_partkey", "p_name"))
+
+
+@register(
+    "scalar_json_props",
+    """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events""",
+)
+def scalar_json_props(spark, sf_dir):
+    """Beyond-reference: JSON property extraction (events.props)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"))

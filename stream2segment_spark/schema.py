@@ -1,0 +1,337 @@
+"""Table schemas + relationship graph.
+
+Reference data model: /root/reference/stream2segment/io/db/models.py (9 ORM
+tables, FK relationships, unique constraints) re-expressed as Spark
+``StructType`` schemas plus an explicit join graph that the
+selection-expression compiler (``selectexpr.py``) walks to auto-add joins for
+dotted attributes (reference: process/db/sqlevalexpr.py:239-252).
+
+Two graphs are defined:
+
+- ``seismic_graph()`` — the reference's own model (events, stations,
+  channels, segments, ...), incl. the 2-hop segment->station edge
+  (io/db/models.py:426-440) and the M2M segment->classes edge
+  (process/db/models.py:645-648).
+- ``testdata_graph()`` — the driver's synthetic TPC-H-ish tables, used by the
+  correctness gate; it exercises the same machinery (multi-hop dotted
+  attributes like ``order.customer.nation.region``).
+
+Spark has no constraints: natural keys are metadata used by the dedup /
+upsert operators (``dropDuplicates`` / merge keys).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# Graph model
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Hop:
+    """One join step: ``left_keys`` on the current frame equal
+    ``right_keys`` on ``table``."""
+
+    table: str
+    left_keys: tuple[str, ...]
+    right_keys: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class Relationship:
+    """A named edge in the join graph; possibly multi-hop (e.g.
+    segment->station goes through channels)."""
+
+    name: str
+    path: tuple[Hop, ...]
+    # dims are small -> planner broadcasts them by default
+    broadcast: bool = True
+
+    @property
+    def target(self) -> str:
+        return self.path[-1].table
+
+
+@dataclass
+class DerivedColumn:
+    """A computed attribute usable anywhere a physical column is
+    (the reference's hybrid properties, SURVEY §1.2).
+
+    ``factory(df)`` returns a ``pyspark.sql.Column`` over a frame that
+    already contains the physical columns listed in ``requires_rels``'
+    targets (the compiler joins them first)."""
+
+    name: str
+    factory: Callable[[DataFrame], "object"]
+    pytype: type
+    requires_rels: tuple[str, ...] = ()
+    sql: str | None = None  # ANSI-SQL equivalent (for oracles/docs)
+
+
+@dataclass
+class Table:
+    name: str
+    schema: T.StructType
+    natural_key: tuple[str, ...] = ()
+    relationships: dict[str, Relationship] = field(default_factory=dict)
+    derived: dict[str, DerivedColumn] = field(default_factory=dict)
+
+    def pytype(self, column: str) -> type:
+        if column in self.derived:
+            return self.derived[column].pytype
+        dt = self.schema[column].dataType
+        return spark_type_to_pytype(dt)
+
+
+@dataclass
+class SchemaGraph:
+    tables: dict[str, Table]
+
+    def table(self, name: str) -> Table:
+        return self.tables[name]
+
+
+def spark_type_to_pytype(dt: T.DataType) -> type:
+    """SQL type -> python literal type, mirroring the reference's
+    sqltype->pytype bridge (io/db/pdsql.py:41-64)."""
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return int
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+        return float
+    if isinstance(dt, T.BooleanType):
+        return bool
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return datetime
+    if isinstance(dt, T.BinaryType):
+        return bytes
+    return str
+
+
+# --------------------------------------------------------------------------
+# Seismic model (reference: io/db/models.py)
+# --------------------------------------------------------------------------
+
+def _f(name: str, dtype: T.DataType, nullable: bool = True) -> T.StructField:
+    return T.StructField(name, dtype, nullable)
+
+
+_LONG, _DBL, _STR = T.LongType(), T.DoubleType(), T.StringType()
+_TS, _BOOL, _BIN = T.TimestampType(), T.BooleanType(), T.BinaryType()
+
+DOWNLOADS = T.StructType([
+    _f("id", _LONG, False), _f("run_time", _TS), _f("log", _STR),
+    _f("warnings", _LONG), _f("errors", _LONG), _f("config", _STR),
+    _f("program_version", _STR),
+])
+
+WEB_SERVICES = T.StructType([
+    _f("id", _LONG, False), _f("name", _STR), _f("type", _STR),
+    _f("url", _STR, False),
+])
+
+DATA_CENTERS = T.StructType([
+    _f("id", _LONG, False), _f("station_url", _STR, False),
+    _f("dataselect_url", _STR, False), _f("organization_name", _STR),
+])
+
+EVENTS = T.StructType([
+    _f("id", _LONG, False), _f("webservice_id", _LONG, False),
+    _f("event_id", _STR, False), _f("time", _TS, False),
+    _f("latitude", _DBL, False), _f("longitude", _DBL, False),
+    _f("depth_km", _DBL, False), _f("author", _STR), _f("catalog", _STR),
+    _f("contributor", _STR), _f("contributor_id", _STR),
+    _f("mag_type", _STR), _f("magnitude", _DBL, False),
+    _f("mag_author", _STR), _f("event_location_name", _STR),
+    _f("event_type", _STR),
+])
+
+STATIONS = T.StructType([
+    _f("id", _LONG, False), _f("datacenter_id", _LONG, False),
+    _f("network", _STR, False), _f("station", _STR, False),
+    _f("latitude", _DBL, False), _f("longitude", _DBL, False),
+    _f("elevation", _DBL), _f("site_name", _STR),
+    _f("start_time", _TS, False), _f("end_time", _TS),
+    _f("inventory_xml", _BIN),
+])
+
+CHANNELS = T.StructType([
+    _f("id", _LONG, False), _f("station_id", _LONG, False),
+    _f("location", _STR, False), _f("channel", _STR, False),
+    _f("depth", _DBL), _f("azimuth", _DBL), _f("dip", _DBL),
+    _f("sensor_description", _STR), _f("scale", _DBL),
+    _f("scale_freq", _DBL), _f("scale_units", _STR),
+    _f("sample_rate", _DBL, False),
+])
+
+SEGMENTS = T.StructType([
+    _f("id", _LONG, False), _f("event_id", _LONG, False),
+    _f("channel_id", _LONG, False), _f("datacenter_id", _LONG, False),
+    _f("download_id", _LONG, False), _f("data_seed_id", _STR),
+    _f("event_distance_deg", _DBL, False), _f("data", _BIN),
+    _f("download_code", _LONG), _f("start_time", _TS),
+    _f("arrival_time", _TS, False), _f("end_time", _TS),
+    _f("sample_rate", _DBL), _f("maxgap_numsamples", _DBL),
+    _f("request_start", _TS, False), _f("request_end", _TS, False),
+    _f("queryauth", _BOOL, False),
+])
+
+CLASSES = T.StructType([
+    _f("id", _LONG, False), _f("label", _STR), _f("description", _STR),
+])
+
+CLASS_LABELLINGS = T.StructType([
+    _f("id", _LONG, False), _f("segment_id", _LONG, False),
+    _f("class_id", _LONG, False), _f("is_hand_labelled", _BOOL),
+    _f("annotator", _STR),
+])
+
+
+def seismic_graph() -> SchemaGraph:
+    """The reference's 9-table model as a SchemaGraph (derived columns are
+    attached by ``columns.register_seismic_derived``)."""
+    hop = Hop
+    tables = {
+        "downloads": Table("downloads", DOWNLOADS, ("id",)),
+        "web_services": Table("web_services", WEB_SERVICES, ("url",)),
+        "data_centers": Table(
+            "data_centers", DATA_CENTERS, ("station_url", "dataselect_url")),
+        "events": Table(
+            "events", EVENTS, ("webservice_id", "event_id"),
+            relationships={
+                "webservice": Relationship(
+                    "webservice", (hop("web_services", ("webservice_id",), ("id",)),)),
+            }),
+        "stations": Table(
+            "stations", STATIONS, ("network", "station", "start_time"),
+            relationships={
+                "datacenter": Relationship(
+                    "datacenter", (hop("data_centers", ("datacenter_id",), ("id",)),)),
+            }),
+        "channels": Table(
+            "channels", CHANNELS, ("station_id", "location", "channel"),
+            relationships={
+                "station": Relationship(
+                    "station", (hop("stations", ("station_id",), ("id",)),)),
+            }),
+        "segments": Table(
+            "segments", SEGMENTS, ("channel_id", "event_id"),
+            relationships={
+                "event": Relationship(
+                    "event", (hop("events", ("event_id",), ("id",)),)),
+                "channel": Relationship(
+                    "channel", (hop("channels", ("channel_id",), ("id",)),)),
+                "datacenter": Relationship(
+                    "datacenter", (hop("data_centers", ("datacenter_id",), ("id",)),)),
+                "download": Relationship(
+                    "download", (hop("downloads", ("download_id",), ("id",)),)),
+                # 2-hop: segment -> channels -> stations
+                # (reference: secondary relationship, io/db/models.py:426-440)
+                "station": Relationship(
+                    "station",
+                    (hop("channels", ("channel_id",), ("id",)),
+                     hop("stations", ("station_id",), ("id",)))),
+                # M2M via class_labellings (process/db/models.py:645-648)
+                "classes": Relationship(
+                    "classes",
+                    (hop("class_labellings", ("id",), ("segment_id",)),
+                     hop("classes", ("class_id",), ("id",)))),
+            }),
+        "classes": Table("classes", CLASSES, ("label",)),
+        "class_labellings": Table(
+            "class_labellings", CLASS_LABELLINGS, ("segment_id", "class_id")),
+    }
+    return SchemaGraph(tables)
+
+
+# --------------------------------------------------------------------------
+# Driver testdata model (TPC-H-ish star schema + events/documents/embeddings)
+# --------------------------------------------------------------------------
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def testdata_graph() -> SchemaGraph:
+    hop = Hop
+    empty = T.StructType([])  # schemas come from parquet; graph only needs edges
+    tables = {name: Table(name, empty) for name in TESTDATA_TABLES}
+    tables["nation"].relationships = {
+        "region": Relationship("region", (hop("region", ("n_regionkey",), ("r_regionkey",)),)),
+    }
+    tables["customer"].relationships = {
+        "nation": Relationship("nation", (hop("nation", ("c_nationkey",), ("n_nationkey",)),)),
+        "region": Relationship(
+            "region",
+            (hop("nation", ("c_nationkey",), ("n_nationkey",)),
+             hop("region", ("n_regionkey",), ("r_regionkey",)))),
+    }
+    tables["supplier"].relationships = {
+        "nation": Relationship("nation", (hop("nation", ("s_nationkey",), ("n_nationkey",)),)),
+    }
+    tables["orders"].relationships = {
+        "customer": Relationship("customer", (hop("customer", ("o_custkey",), ("c_custkey",)),)),
+        "nation": Relationship(
+            "nation",
+            (hop("customer", ("o_custkey",), ("c_custkey",)),
+             hop("nation", ("c_nationkey",), ("n_nationkey",)))),
+    }
+    tables["lineitem"].relationships = {
+        "order": Relationship("order", (hop("orders", ("l_orderkey",), ("o_orderkey",)),)),
+        "part": Relationship("part", (hop("part", ("l_partkey",), ("p_partkey",)),)),
+        "supplier": Relationship("supplier", (hop("supplier", ("l_suppkey",), ("s_suppkey",)),)),
+        # 2-hop exercising the compiler's multi-hop path (like segment->station)
+        "customer": Relationship(
+            "customer",
+            (hop("orders", ("l_orderkey",), ("o_orderkey",)),
+             hop("customer", ("o_custkey",), ("c_custkey",)))),
+    }
+    return SchemaGraph(tables)
+
+
+# --------------------------------------------------------------------------
+# Readers
+# --------------------------------------------------------------------------
+
+# columns stored as parquet TIMESTAMP(NANOS): Spark reads them as Long nanos
+# (spark.sql.legacy.parquet.nanosAsLong) and we truncate to microseconds,
+# exactly like DuckDB's TIMESTAMP_NS -> TIMESTAMP cast.
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver parquet table. Plain ``spark.read.parquet`` so
+    Catalyst gets pushdown/pruning on the scan; nanosecond timestamp columns
+    are normalized to microsecond timestamps."""
+    from pyspark.sql import functions as F  # local: keep module import-light
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANOS_TS_COLS.get(name, ()):
+        if c in df.columns and not isinstance(df.schema[c].dataType, T.TimestampType):
+            # integer `div` keeps full int64 precision (a double round-trips
+            # ~1.7e18 ns epochs lossily)
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def infer_graph_schemas(graph: SchemaGraph, dfs: dict[str, DataFrame]) -> SchemaGraph:
+    """Fill a graph's (possibly empty) schemas from live DataFrames so the
+    expression compiler can type literals."""
+    for name, df in dfs.items():
+        if name in graph.tables:
+            graph.tables[name].schema = df.schema
+    return graph

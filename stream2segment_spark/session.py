@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults mirror what we would set on a real cluster:
+AQE on (runtime re-plan + skew-join splitting + partition coalescing),
+shuffle partitions sized to the parallelism actually available, Arrow
+enabled for every pandas-UDF boundary, and UTC session time so results
+are comparable across engines (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # AQE: re-plan joins/shuffles at runtime from observed statistics.
+    # At 100 TB this converts sort-merge joins to broadcast when a filtered
+    # side turns out small, splits skewed partitions, and coalesces tiny ones.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas UDFs / toPandas: columnar batches instead of pickled rows.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Deterministic cross-engine comparisons (DuckDB is UTC-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet TIMESTAMP(NANOS) (unsupported by Spark) surfaces as LongType
+    # nanos; readers convert to microsecond timestamps (see schema.load_tables).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Quiet, headless runs.
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "stream2segment_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
+    cores); ``shuffle_partitions`` defaults to the local parallelism so tiny
+    test data is not over-parallelized — on a real cluster this should be
+    ~2-3x total executor cores instead.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,98 @@
+"""Text-analysis column functions for document pipelines: token counting,
+quality scoring, language-ID heuristic, fingerprinting.
+
+All pure ``pyspark.sql`` expressions (codegen'd, no UDFs): these run inside
+the scan stage of a 100 TB documents table with zero extra shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from stream2segment_spark.operators.dedup import normalized_text, word_tokens
+
+# tiny built-in stopword lists per language for the n-gram/stopword
+# language-ID heuristic (public knowledge; extend freely)
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "des"),
+    "es": ("el", "los", "las", "es", "una", "que", "por", "con"),
+}
+
+_EN_STOPWORDS = _LANG_MARKERS["en"] + ("a", "for", "on", "with", "as")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count over normalized text."""
+    return F.size(word_tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count of regex word pieces (runs of letters,
+    runs of digits, single punctuation marks) — a deterministic stand-in
+    for a real tokenizer's token count."""
+    pieces = F.regexp_extract_all(
+        F.lower(text), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), 1)
+    return F.size(pieces)
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", "")
+    return F.length(stripped).cast("double") / F.length(text)
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = _EN_STOPWORDS) -> Column:
+    toks = word_tokens(text)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return stop.cast("double") / F.size(toks)
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = word_tokens(text)
+    total = F.aggregate(toks, F.lit(0),
+                        lambda acc, t: acc + F.length(t)).cast("double")
+    return total / F.size(toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    sane mean word length + low punctuation. Deterministic arithmetic
+    (SQL-expressible for the oracle)."""
+    n = F.length(text).cast("double")
+    length_ok = F.when((n >= 100) & (n <= 20000), 1.0).otherwise(0.5)
+    sw = stopword_ratio(text)
+    sw_ok = F.when((sw >= 0.05) & (sw <= 0.6), 1.0).otherwise(0.5)
+    mwl = mean_word_length(text)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.5)
+    pr = punct_ratio(text)
+    pr_ok = F.when(pr <= 0.2, 1.0).otherwise(0.5)
+    return (length_ok + sw_ok + mwl_ok + pr_ok) / 4.0
+
+
+def langid_heuristic(text: Column) -> Column:
+    """Marker-stopword-count language ID over {en,de,fr,es}, 'und'
+    (undetermined) when no markers hit. Deterministic tie-break by fixed
+    language order (en, de, fr, es)."""
+    toks = word_tokens(text)
+
+    # NB: no default args in higher-order-fn lambdas — pyspark binds a
+    # lambda Column to every declared parameter
+    def _isin(markers):
+        return lambda t: t.isin(*markers)
+
+    counts = {lang: F.size(F.filter(toks, _isin(markers)))
+              for lang, markers in _LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    expr = F.lit("und")
+    # reversed so earlier languages win ties via later when() precedence
+    for lang in reversed(list(_LANG_MARKERS)):
+        expr = F.when((best > 0) & (counts[lang] == best), lang).otherwise(expr)
+    return expr
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint: md5 of normalized text
+    (stable across engines — used for exact-dup detection K-fingerprint)."""
+    return F.md5(normalized_text(text))

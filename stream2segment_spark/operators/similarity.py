@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB pipeline needs:
+
+- ``ann_topk_bruteforce``: exact top-k neighbors. Queries are a small
+  broadcast side; the corpus streams through ``mapInPandas`` computing a
+  numpy matmul per Arrow batch and emitting only each batch's local top-k,
+  so the shuffle is k*|Q| rows per partition, never the corpus. A final
+  window takes the global top-k.
+- ``lsh_bucket_neardup`` / ``add_hyperplane_buckets``: random-hyperplane
+  LSH — sign-bit bucket per vector (pure expressions over a broadcast
+  plane matrix), then equi-join within buckets. Sub-quadratic candidate
+  generation for corpus-vs-corpus near-dup.
+
+Cosine math on doubles; vectors are L2-normalized once up front.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a, b):
+    """Dot product of two array columns — built-in zip_with + aggregate
+    (JVM-side; fine for single pairs, use the matmul path for top-k)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_expr(a):
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a, b):
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def ann_topk_bruteforce(
+    corpus: DataFrame, queries: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors. Returns (query_id, vec_id, cosine) — k rows per query.
+
+    Plan: driver collects ONLY the queries (small by contract), ships them
+    in the UDF closure; each corpus partition computes a vectorized
+    (batch x dim) @ (dim x |Q|) matmul and keeps its local top-k, then one
+    narrow shuffle + window yields the global top-k. No corpus collect, no
+    cross join materialization.
+    """
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    q_ids = qpdf[query_id_col].to_numpy()
+    qm = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    out_schema = f"{query_id_col} long, {id_col} long, cosine double"
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ qm.T  # (batch, |Q|)
+            kk = min(k, len(ids))
+            # argpartition per query column: local top-k candidates
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk, :]
+            rows = {query_id_col: [], id_col: [], "cosine": []}
+            for qi in range(sims.shape[1]):
+                sel = top[:, qi]
+                rows[query_id_col].extend([q_ids[qi]] * len(sel))
+                rows[id_col].extend(ids[sel])
+                rows["cosine"].extend(sims[sel, qi])
+            yield pd.DataFrame(rows)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(local_topk, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col))
+    return (partial.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).drop("rn"))
+
+
+def add_hyperplane_buckets(
+    df: DataFrame, vec_col: str, dim: int,
+    num_planes: int = 16, seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (sign bits of dot products with
+    ``num_planes`` fixed random planes) as a long column ``bucket``.
+
+    The plane matrix is generated deterministically on the driver and
+    inlined as literal arrays — pure expressions, broadcast with the plan.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+    bucket = None
+    for j in range(num_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[j]])
+        bit = F.when(dot_expr(F.col(vec_col), plane) > 0,
+                     F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        bucket = term if bucket is None else bucket.bitwiseXOR(term)
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_bucket_neardup(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = 64, num_planes: int = 12, threshold: float = 0.9,
+    seed: int = 7,
+) -> DataFrame:
+    """Corpus near-dup pairs with cosine >= threshold, candidates limited
+    to same-LSH-bucket pairs (one shuffle on bucket, no cross join).
+    Recall < 1 by construction (LSH); raise recall with fewer planes or
+    multi-probe. Returns (id_a, id_b, cosine)."""
+    b = add_hyperplane_buckets(df.select(id_col, vec_col), vec_col, dim,
+                               num_planes, seed)
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"),
+                     F.col(f"l.{vec_col}").alias("va"),
+                     F.col(f"r.{vec_col}").alias("vb")))
+    cos = cosine_expr(
+        F.transform("va", lambda x: x.cast("double")),
+        F.transform("vb", lambda x: x.cast("double")))
+    return (pairs.withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

@@ -497,3 +497,16 @@ def scalar_json_props(spark, sf_dir):
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k"))
+
+
+# ---------------------------------------------------------------------------
+# Extension catalogs (register on import). Kept at the bottom: they import
+# ``register`` from this module, which is defined above.
+# ---------------------------------------------------------------------------
+
+WEAK_CHECK_ONLY: tuple[str, ...] = ()
+
+from stream2segment_spark import queries_text  # noqa: E402,F401
+from stream2segment_spark import queries_similarity  # noqa: E402,F401
+
+WEAK_CHECK_ONLY += queries_text.WEAK_CHECK_ONLY_TEXT

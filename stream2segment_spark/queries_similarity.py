@@ -1,0 +1,110 @@
+"""Catalog entries: similarity search over ``embeddings``.
+
+The exact paths (brute-force top-k, threshold pairs) have DuckDB oracles
+via list_cosine_similarity; the LSH bucket path gets a *generated* oracle —
+the hyperplanes are deterministic literals, so the same bucket computation
+is emitted as SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from stream2segment_spark.operators import similarity as SIM
+from stream2segment_spark.queries_catalog import register
+from stream2segment_spark.schema import load_table
+
+_DIM = 64
+_N_QUERIES = 10
+_K = 5
+
+
+@register(
+    "sim_topk_bruteforce",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+        s AS (SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(e.v, q.qv) AS c
+              FROM q JOIN e ON e.vec_id != q.query_id),
+        r AS (SELECT query_id, vec_id, c,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY c DESC, vec_id) AS rn
+              FROM s)
+        SELECT query_id, vec_id, round(c, 6) AS cosine
+        FROM r WHERE rn <= {_K}""",
+)
+def sim_topk_bruteforce(spark, sf_dir):
+    """Exact ANN baseline: cosine top-k per query via mapInPandas matmul +
+    per-partition local top-k (shuffle is k*|Q| rows, never the corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < _N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    corpus = emb  # self-search; exclude self-match below
+    out = SIM.ann_topk_bruteforce(
+        corpus, queries, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=_K + 1)
+    # drop self matches then re-rank to k
+    from pyspark.sql import Window
+    out = out.filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (out.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _K)
+            .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine")))
+
+
+@register(
+    "sim_pairs_threshold",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.v, b.v) > 0.4""",
+)
+def sim_pairs_threshold(spark, sf_dir):
+    """Embedding-cosine near-dup, exact: all pairs above threshold.
+    zip_with/aggregate dot product — built-ins, no UDF. (At 100 TB this
+    exact form runs on LSH candidates; see sim_lsh_neardup.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id",
+                   F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cos = SIM.cosine_expr(F.col("va"), F.col("vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") > 0.4)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+
+
+def _lsh_oracle(num_planes: int = 12, seed: int = 7, threshold: float = 0.4) -> str:
+    """Emit the SAME hyperplane-bucket computation as SQL: the planes are
+    deterministic literals shared by both engines."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, _DIM))
+    bits = []
+    for j in range(num_planes):
+        arr = ", ".join(repr(float(x)) for x in planes[j])
+        dot = (f"list_sum(list_transform(range(1, {_DIM + 1}), "
+               f"i -> v[i] * ([{arr}])[i]))")
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket} AS bucket FROM e)
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, c.v), 6) AS cosine
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE list_cosine_similarity(a.v, c.v) >= {threshold}"""
+
+
+@register("sim_lsh_neardup", _lsh_oracle())
+def sim_lsh_neardup(spark, sf_dir):
+    """Random-hyperplane LSH near-dup: bucket join (one shuffle on the
+    bucket key, no cross join) + exact cosine on candidates. The oracle
+    replays the identical literal hyperplanes in SQL, so even the LSH
+    bucketing is strongly checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.lsh_bucket_neardup(emb, "vec_id", "embedding", dim=_DIM,
+                                 num_planes=12, threshold=0.4, seed=7)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

@@ -1,0 +1,90 @@
+"""Arrow-batched pandas-UDF adapters exposing the funclib kernels on
+``array<float|double>`` columns (SURVEY §2.9 'Spark shape').
+
+Every adapter receives a pd.Series of array values per Arrow batch and
+vectorizes with numpy over the batch (np.stack where lengths are uniform).
+Row-at-a-time Python UDFs are deliberately absent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from stream2segment_spark.funclib import ndarrays as ND
+
+
+def _to_matrix(s: pd.Series) -> np.ndarray | list[np.ndarray]:
+    """Stack equal-length arrays into one (batch, n) matrix; ragged input
+    falls back to a list of arrays."""
+    arrs = [np.asarray(a, dtype=float) for a in s]
+    if arrs and all(len(a) == len(arrs[0]) for a in arrs):
+        return np.stack(arrs)
+    return arrs
+
+
+def cumsumsq_udf():
+    """Normalized cumulative energy per array (factory: pandas_udf objects
+    cannot be created at module import — workers re-import this module
+    without an active session, and DDL type parsing needs one)."""
+    @F.pandas_udf("array<double>")
+    def _udf(s: pd.Series) -> pd.Series:
+        m = _to_matrix(s)
+        if isinstance(m, np.ndarray):
+            c = np.cumsum(np.square(m), axis=1)
+            lo, hi = c[:, :1], c[:, -1:]
+            span = np.where(hi != lo, hi - lo, 1.0)
+            out = (c - lo) / span
+            return pd.Series(list(out))
+        return pd.Series([ND.cumsumsq(a) for a in m])
+    return _udf
+
+
+def ampspec_udf():
+    """Amplitude spectrum |rfft| per array."""
+    @F.pandas_udf("array<double>")
+    def _udf(s: pd.Series) -> pd.Series:
+        m = _to_matrix(s)
+        if isinstance(m, np.ndarray):
+            return pd.Series(list(np.abs(np.fft.rfft(m, axis=1))))
+        return pd.Series([ND.ampspec(a) for a in m])
+    return _udf
+
+
+def quantile_index_udf(q: float):
+    """Factory: index where the normalized cumulative energy first reaches
+    quantile ``q`` (np.searchsorted left, like the reference's sn window
+    computation, traces.py:140-143)."""
+    @F.pandas_udf("long")
+    def _udf(s: pd.Series) -> pd.Series:
+        m = _to_matrix(s)
+        if isinstance(m, np.ndarray):
+            c = np.cumsum(np.square(m), axis=1)
+            lo, hi = c[:, :1], c[:, -1:]
+            span = np.where(hi != lo, hi - lo, 1.0)
+            cn = (c - lo) / span
+            return pd.Series((cn < q).sum(axis=1).astype("int64"))
+        return pd.Series([int(np.searchsorted(ND.cumsumsq(a), q)) for a in m])
+    return _udf
+
+
+def snr_amp_udf():
+    """SNR of two amplitude-form arrays: sqrt(mean(sig^2)/mean(noise^2))
+    (reference snr with signals_form='amp', ndarrays.py:94-167)."""
+    @F.pandas_udf("double")
+    def _udf(sig: pd.Series, noise: pd.Series) -> pd.Series:
+        out = np.empty(len(sig))
+        for i, (a, b) in enumerate(zip(sig, noise)):
+            out[i] = ND.snr(np.asarray(a, float), np.asarray(b, float),
+                            signals_form="amp")
+        return pd.Series(out)
+    return _udf
+
+
+def triangsmooth_udf(winlen_ratio: float):
+    @F.pandas_udf("array<double>")
+    def _udf(s: pd.Series) -> pd.Series:
+        return pd.Series([ND.triangsmooth(np.asarray(a, float), winlen_ratio)
+                          for a in s])
+    return _udf

@@ -10,6 +10,9 @@ are comparable across engines (DuckDB timestamps are UTC-naive).
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -51,6 +54,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
 
+    # workers unpickle engine closures by module reference: make the
+    # package importable in worker processes regardless of the caller's cwd
+    pkg_parent = str(Path(__file__).resolve().parents[1])
+    prev = os.environ.get("PYTHONPATH")
+    if pkg_parent not in (prev or "").split(":"):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}:{prev}" if prev else pkg_parent)
+
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
@@ -60,4 +71,20 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Distribute this package to executors (the --py-files equivalent for
+    programmatic sessions) — required on a real cluster, and in local mode
+    whenever the driver's cwd is not the repo root."""
+    try:
+        pkg_dir = Path(__file__).resolve().parent
+        zip_path = Path(tempfile.gettempdir()) / "stream2segment_spark_pkg"
+        archive = shutil.make_archive(str(zip_path), "zip",
+                                      root_dir=pkg_dir.parent,
+                                      base_dir=pkg_dir.name)
+        spark.sparkContext.addPyFile(archive)
+    except Exception:  # non-fatal: PYTHONPATH usually suffices in local mode
+        pass

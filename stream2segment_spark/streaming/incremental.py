@@ -1,0 +1,83 @@
+"""Streaming transformations (unified batch/stream DataFrame builders) and
+drivers for running them to completion in tests.
+
+``tumbling_stats`` / ``sessionize`` are plain DataFrame -> DataFrame
+functions: applied to ``spark.readStream`` input they form a Structured
+Streaming query (watermark bounds state); applied to a batch frame they
+compute the identical result, which is what the correctness oracle compares.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window count/sum per key. On a streaming frame the
+    watermark lets late rows beyond 2h be dropped and state be evicted —
+    the knob that keeps state bounded on an unbounded 100 TB/day stream."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (src.groupBy(F.window(ts_col, window).alias("w"), key_col)
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), key_col,
+                    "n", "total_value"))
+
+
+def sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap to the
+    user's previous event exceeds ``gap_minutes`` (lag + cumulative sum —
+    the batch twin of streaming ``session_window``).
+
+    Returns one row per session: (user_id, session_id, n_events,
+    session_start, session_end).
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    sess = (events
+            .withColumn("__new", new_sess)
+            .withColumn("session_id",
+                        F.sum("__new").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy(user_col, "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end")))
+
+
+def run_stream_to_memory(
+    spark, source_dir: str, schema, transform, query_name: str,
+    path_glob: str | None = None,
+) -> DataFrame:
+    """Drive a parquet-source streaming query to completion synchronously
+    (availableNow) into an in-memory sink; returns the result table.
+    Complete mode -> the final answer equals the batch computation.
+
+    The file stream source requires a DIRECTORY; select individual files
+    with ``path_glob`` (pathGlobFilter)."""
+    reader = spark.readStream.schema(schema)
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    stream = reader.parquet(source_dir)
+    out = transform(stream)
+    q = (out.writeStream.outputMode("complete")
+         .format("memory").queryName(query_name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)

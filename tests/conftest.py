@@ -22,6 +22,11 @@ SF_DIR_SMOKE = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
+    # workers unpickle module-level test functions by reference -> the repo
+    # and tests dirs must be importable in the worker processes
+    extra = f"{REPO}:{REPO / 'tests'}"
+    prev = os.environ.get("PYTHONPATH")
+    os.environ["PYTHONPATH"] = f"{extra}:{prev}" if prev else extra
     from stream2segment_spark.session import get_spark
     s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
     yield s

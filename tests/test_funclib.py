@@ -1,0 +1,184 @@
+"""Kernel tests with synthetic sine/impulse waveforms and exact numpy
+expectations (the reference's test strategy for funclib,
+tests/process/funclib/test_ndarrays.py)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from stream2segment_spark.funclib import ndarrays as ND
+from stream2segment_spark.funclib import traces as TR
+
+
+def sine(freq=5.0, fs=100.0, secs=4.0, amp=1.0):
+    t = np.arange(0, secs, 1.0 / fs)
+    return amp * np.sin(2 * np.pi * freq * t), t
+
+
+def test_fft_ampspec_powspec_peak():
+    x, _ = sine(freq=5.0, fs=100.0, secs=4.0)
+    amp = ND.ampspec(x)
+    pow_ = ND.powspec(x)
+    fx = ND.freqs(x, 1 / 100.0)
+    assert fx[np.argmax(amp)] == pytest.approx(5.0)
+    np.testing.assert_allclose(pow_, amp ** 2)
+    # Parseval: sum(x^2) == (|X0|^2 + 2*sum|Xk|^2 - |Xnyq|^2(if even)) / N
+    n = len(x)
+    rec = (amp[0] ** 2 + 2 * np.sum(amp[1:] ** 2) - (amp[-1] ** 2 if n % 2 == 0 else 0)) / n
+    assert rec == pytest.approx(np.sum(x ** 2), rel=1e-9)
+
+
+def test_dfreq_freqs():
+    x, _ = sine(fs=50.0, secs=2.0)
+    assert ND.dfreq(x, 1 / 50.0) == pytest.approx(0.5)
+    fx = ND.freqs(x, 1 / 50.0)
+    assert len(fx) == 1 + len(x) // 2
+    assert fx[1] - fx[0] == pytest.approx(0.5)
+
+
+def test_trim_argtrim():
+    sig = np.arange(100.0)
+    # domain step 0.5: values at x=0, 0.5, ..., 49.5
+    assert list(ND.trim(sig, 0.5, 1.0, 2.0)) == [2.0, 3.0, 4.0]
+    assert list(ND.trim(sig, 0.5, 0.9, 2.1)) == [2.0, 3.0, 4.0]
+    assert list(ND.trim(sig, 0.5, 0.9, 2.1, nearest_sample=True)) == \
+        [2.0, 3.0, 4.0]  # round(1.8)=2, round(4.2)=4
+    assert ND.argtrim(sig, 0.5, None, None) == (None, None)
+    assert len(ND.trim(sig, 0.5, 60.0, None)) == 0  # beyond domain
+
+
+def test_snr_known_ratio():
+    sig, _ = sine(amp=2.0)
+    noise, _ = sine(amp=1.0)
+    # time-series form: power ratio = 4 -> sqrt -> 2
+    assert ND.snr(sig, noise, delta_signal=0.01, delta_noise=0.01) == \
+        pytest.approx(2.0, rel=1e-6)
+    assert ND.snr(sig, noise, in_db=True) == pytest.approx(10 * math.log10(4),
+                                                           rel=1e-6)
+    # pow form, trivial arrays
+    assert ND.snr(np.array([4.0, 4.0]), np.array([1.0, 1.0]),
+                  signals_form="pow") == pytest.approx(2.0)
+    # zero noise -> nan
+    assert math.isnan(ND.snr(sig, np.zeros(10), signals_form="pow"))
+
+
+def test_snr_band_limited():
+    # 5 Hz tone vs 20 Hz tone: in band [15, 25] the 20 Hz wins
+    x5, _ = sine(freq=5.0)
+    x20, _ = sine(freq=20.0)
+    full = ND.snr(x5, x20, delta_signal=0.01, delta_noise=0.01)
+    band = ND.snr(x5, x20, fmin=15, fmax=25,
+                  delta_signal=0.01, delta_noise=0.01)
+    assert full == pytest.approx(1.0, rel=1e-6)  # equal amplitude
+    assert band < 0.1  # x5 has ~no energy in [15,25]
+
+
+def test_cumsumsq():
+    c = ND.cumsumsq(np.array([1.0, 1.0, 1.0, 1.0]))
+    np.testing.assert_allclose(c, [0, 1 / 3, 2 / 3, 1.0])
+    raw = ND.cumsumsq(np.array([1.0, 2.0]), normalize=False)
+    np.testing.assert_allclose(raw, [1.0, 5.0])
+    assert len(ND.cumsumsq(np.array([]))) == 0
+
+
+def test_cumtrapz_matches_numpy_trapz():
+    y = np.sin(np.linspace(0, 3, 50))
+    c = ND.cumtrapz(y, dx=0.1)
+    assert c[0] == 0.0
+    assert c[-1] == pytest.approx(np.trapz(y, dx=0.1))
+
+
+def test_linregress():
+    x = np.arange(20.0)
+    y = 3.0 * x - 7.0
+    slope, intercept = ND.linregress_slope_intercept(x, y)
+    assert slope == pytest.approx(3.0)
+    assert intercept == pytest.approx(-7.0)
+
+
+def test_triangsmooth_preserves_constant_and_smooths_noise():
+    # constant signal is a fixed point of any normalized smoother
+    const = np.full(256, 3.14)
+    np.testing.assert_allclose(ND.triangsmooth(const, 0.1), const, rtol=1e-12)
+    # noisy signal: variance reduced at high indices (bigger windows)
+    rng = np.random.default_rng(1)
+    noisy = 5.0 + rng.standard_normal(1024)
+    sm = ND.triangsmooth(noisy, 0.1)
+    assert np.var(sm[500:900]) < np.var(noisy[500:900]) / 5
+    # tiny ratio -> unchanged
+    np.testing.assert_allclose(ND.triangsmooth(noisy, 1e-5), noisy)
+
+
+def test_response_spectrum_long_period_displacement():
+    """Physics invariants: for a very stiff oscillator (T -> 0) the pseudo
+    spectral acceleration approaches the PGA; S_v = omega*S_d and
+    S_a = omega^2*S_d by construction."""
+    acc, _ = sine(freq=2.0, fs=200.0, secs=10.0)
+    out = ND.response_spectrum_nigam_jennings(acc, 1 / 200.0,
+                                              np.array([0.01, 0.5, 2.0]))
+    omega = 2 * np.pi / out["periods"]
+    np.testing.assert_allclose(out["S_a"], out["S_d"] * omega ** 2)
+    np.testing.assert_allclose(out["S_v"], out["S_d"] * omega)
+    assert out["S_a"][0] == pytest.approx(out["PGA"], rel=0.05)
+    # resonance: T=0.5s == f=2Hz forcing -> strong amplification vs PGA
+    assert out["S_a"][1] > 5 * out["PGA"]
+
+
+def test_sn_windows_fixed_and_quantile():
+    fs = 100.0
+    # quiet noise then strong burst after arrival
+    x = np.concatenate([np.zeros(200), np.ones(100) * 5.0, np.zeros(100)])
+    start, arrival = 1000.0, 1000.0 + 2.0  # burst starts at the arrival
+    (s0, s1), (n0, n1) = TR.sn_windows(x, 1 / fs, start, arrival, 1.5)
+    assert (s0, s1) == (arrival, arrival + 1.5)
+    assert (n0, n1) == (arrival - 1.5, arrival)
+    (s0, s1), (n0, n1) = TR.sn_windows(x, 1 / fs, start, arrival, (0.05, 0.95))
+    # burst spans [2.0s, 3.0s] after start; quantile window inside it
+    assert 2.0 <= s0 - start <= 2.1
+    assert 2.85 <= s1 - start <= 3.01
+    assert n1 == arrival and (n1 - n0) == pytest.approx(s1 - s0)
+    with pytest.raises(ValueError):
+        TR.sn_windows(x, 1 / fs, start, arrival, (0.9, 0.1))
+
+
+def test_slice_window_pads():
+    x = np.arange(10.0)
+    out = TR.slice_window(x, 1.0, 100.0, 98.0, 103.0)
+    np.testing.assert_allclose(out, [0, 0, 0, 1, 2])
+
+
+def test_bandpass_zerophase():
+    fs = 200.0
+    lo, _ = sine(freq=2.0, fs=fs, secs=10.0)
+    hi, _ = sine(freq=40.0, fs=fs, secs=10.0)
+    mixed = lo + hi
+    out = TR.bandpass_zerophase(mixed, 1 / fs, 20.0, 60.0)
+    # mid-section (away from taper edges): the 2 Hz component is gone
+    mid = slice(500, 1500)
+    corr_hi = np.corrcoef(out[mid], hi[mid])[0, 1]
+    corr_lo = np.corrcoef(out[mid], lo[mid])[0, 1]
+    assert corr_hi > 0.99
+    assert abs(corr_lo) < 0.05
+
+
+def test_udfs_on_spark(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stream2segment_spark.funclib import udfs as U
+    pdf = pd.DataFrame({
+        "id": [1, 2],
+        "arr": [np.ones(8), np.arange(8.0)],
+    })
+    df = spark.createDataFrame(pdf)
+    got = (df.select("id",
+                     U.cumsumsq_udf()(F.col("arr")).alias("c"),
+                     U.quantile_index_udf(0.5)(F.col("arr")).alias("q50"))
+           .orderBy("id").collect())
+    np.testing.assert_allclose(got[0].c, ND.cumsumsq(np.ones(8)))
+    np.testing.assert_allclose(got[1].c, ND.cumsumsq(np.arange(8.0)))
+    assert got[0].q50 == int(np.searchsorted(ND.cumsumsq(np.ones(8)), 0.5))
+    assert got[1].q50 == int(np.searchsorted(ND.cumsumsq(np.arange(8.0)), 0.5))

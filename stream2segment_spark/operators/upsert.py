@@ -1,0 +1,112 @@
+"""Upsert / key-sync operators on immutable columnar storage.
+
+The reference mutates rows in place over an RDBMS (DbManager buffered
+INSERT/UPDATE, io/db/pdsql.py:351-620; syncdf fetch-or-create surrogate
+keys, :214-348). On parquet (no Delta in this runtime) the equivalents are:
+
+- ``merge_latest_wins``: MERGE INTO semantics as union + row_number dedup
+  over the natural key — the documented fallback plan (SURVEY §7.2); with
+  Delta/Iceberg on the cluster this becomes a real MERGE (see
+  ``try_delta_merge``).
+- ``sync_surrogate_ids``: match rows to the existing table on the natural
+  key, pull existing surrogate ids, assign fresh ids (max+1..) to the rest
+  — the reference's H6 max(id)+1 trick made distributed-safe with one
+  row_number over the new rows only.
+- ``update_skip_unchanged``: the H15 optimization (skip UPDATE when
+  download_code unchanged) as a pre-filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_latest_wins(
+    existing: DataFrame,
+    incoming: DataFrame,
+    natural_key: list[str],
+    order_col: str = "__ingest_order",
+) -> DataFrame:
+    """Upsert without mutable storage: union existing+incoming and keep the
+    newest row per natural key (incoming wins ties).
+
+    One shuffle on the natural key. At 100 TB the result is written back
+    partition-wise (overwrite-by-partition is idempotent); with Delta
+    available, use ``try_delta_merge`` instead.
+    """
+    ex = existing.withColumn(order_col, F.lit(0))
+    inc = incoming.withColumn(order_col, F.lit(1))
+    all_rows = ex.unionByName(inc, allowMissingColumns=True)
+    w = Window.partitionBy(*natural_key).orderBy(F.col(order_col).desc())
+    return (all_rows.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn", order_col))
+
+
+def try_delta_merge(spark, target_path: str, incoming: DataFrame,
+                    natural_key: list[str]) -> bool:
+    """Real MERGE INTO when Delta Lake is on the classpath; returns False
+    (caller falls back to merge_latest_wins) when it is not."""
+    try:
+        from delta.tables import DeltaTable  # type: ignore
+    except ImportError:
+        return False
+    target = DeltaTable.forPath(spark, target_path)
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in natural_key)
+    (target.alias("t").merge(incoming.alias("s"), cond)
+     .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute())
+    return True
+
+
+def sync_surrogate_ids(
+    existing: DataFrame,
+    incoming: DataFrame,
+    natural_key: list[str],
+    id_col: str = "id",
+) -> DataFrame:
+    """Fetch-or-create surrogate keys (reference syncdf, pdsql.py:214-348):
+    rows of ``incoming`` matching ``existing`` on the natural key get the
+    existing id; the rest get max(existing.id) + 1, +2, ...
+
+    The max(id) is a scalar aggregate (tiny collect); fresh ids come from a
+    row_number over the unmatched rows — deterministic given the natural-key
+    ordering, and safe on immutable storage (no autoincrement round-trips,
+    reference H6).
+
+    The existing-ids side is NOT force-broadcast: in the reference this op
+    syncs both small dims (events, stations) and the segments fact table;
+    at 100 TB the latter must shuffle-join (AQE picks broadcast when the
+    ids projection is small enough). The global row_number over fresh rows
+    is single-partition but only over the (few) unmatched rows."""
+    ids = existing.select(*natural_key, F.col(id_col).alias("__existing_id"))
+    joined = incoming.drop(id_col).join(ids, natural_key, "left")
+    max_id = existing.agg(F.max(id_col)).first()[0] or 0
+    w = Window.orderBy(*natural_key)
+    matched = joined.filter(F.col("__existing_id").isNotNull()) \
+        .withColumn(id_col, F.col("__existing_id"))
+    fresh = (joined.filter(F.col("__existing_id").isNull())
+             .withColumn(id_col,
+                         F.row_number().over(w) + F.lit(max_id)))
+    return matched.unionByName(fresh).drop("__existing_id")
+
+
+def update_skip_unchanged(
+    incoming: DataFrame,
+    existing: DataFrame,
+    natural_key: list[str],
+    compare_col: str = "download_code",
+) -> DataFrame:
+    """Drop incoming rows whose ``compare_col`` equals the stored value
+    (reference H15, download/modules/segments.py:99-115: useless UPDATEs
+    are the dominant write cost on re-downloads).
+
+    A match marker distinguishes "no existing row" (always keep) from
+    "existing value is NULL" (keep only if the incoming value differs,
+    NULL-safely)."""
+    ex = existing.select(*natural_key,
+                         F.col(compare_col).alias("__old"),
+                         F.lit(True).alias("__matched"))
+    out = incoming.join(ex, natural_key, "left")
+    changed = (F.col("__matched").isNull()
+               | ~F.col(compare_col).eqNullSafe(F.col("__old")))
+    return out.filter(changed).drop("__old", "__matched")

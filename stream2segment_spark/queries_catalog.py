@@ -512,3 +512,4 @@ from stream2segment_spark import queries_similarity  # noqa: E402,F401
 WEAK_CHECK_ONLY += queries_text.WEAK_CHECK_ONLY_TEXT
 from stream2segment_spark import queries_kernels  # noqa: E402,F401
 from stream2segment_spark import queries_process  # noqa: E402,F401
+from stream2segment_spark import queries_upsert  # noqa: E402,F401

@@ -1,0 +1,122 @@
+"""Catalog entries for upsert/key-sync (SURVEY §2.1 K4/K5, §4 H15) and the
+FDSN text source (§2.1 S1), demonstrated over the driver's testdata tables.
+
+The reference mutates rows in an RDBMS (io/db/pdsql.py:351-620 DbManager,
+:214-348 syncdf); here the same semantics run on immutable columnar storage
+via union + window dedup / join + deterministic id assignment, and the FDSN
+'|'-text parser runs as pure Spark expressions over a lines DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream2segment_spark.operators.upsert import (
+    merge_latest_wins, sync_surrogate_ids, update_skip_unchanged)
+from stream2segment_spark.queries_catalog import register
+from stream2segment_spark.schema import load_table
+from stream2segment_spark.sources.fdsn import parse_fdsn_lines, to_fdsn_lines
+
+ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+              "o_orderdate", "o_orderpriority"]
+
+
+@register(
+    "upsert_latest_wins",
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+              CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                   ELSE o_totalprice END AS o_totalprice,
+              o_orderdate, o_orderpriority
+       FROM orders""",
+)
+def upsert_latest_wins(spark, sf_dir):
+    """K4: MERGE INTO on immutable parquet (reference DbManager buffered
+    INSERT/UPDATE, io/db/pdsql.py:351-620) as union + row_number dedup on
+    the natural key; the incoming batch re-prices every 10th order.
+    The price delta is an exact double add so both engines produce
+    bit-identical values (no cross-engine rounding at the compare)."""
+    orders = load_table(spark, sf_dir, "orders")
+    incoming = (orders.filter(F.col("o_orderkey") % 10 == 0)
+                .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0))
+    merged = merge_latest_wins(orders, incoming, ["o_orderkey"])
+    return merged.select(*ORDER_COLS)
+
+
+@register(
+    "upsert_sync_ids",
+    """WITH incoming AS (
+         SELECT c_name FROM customer WHERE c_custkey % 2 = 0
+         UNION ALL
+         SELECT concat('NEW#', n_name) AS c_name FROM nation
+       ),
+       matched AS (
+         SELECT i.c_name, e.c_custkey AS existing_id
+         FROM incoming i LEFT JOIN customer e ON i.c_name = e.c_name
+       )
+       SELECT c_name,
+              CASE WHEN existing_id IS NOT NULL THEN existing_id
+                   ELSE (SELECT max(c_custkey) FROM customer)
+                        + row_number() OVER (PARTITION BY existing_id IS NULL
+                                             ORDER BY c_name)
+              END AS id
+       FROM matched""",
+)
+def upsert_sync_ids(spark, sf_dir):
+    """K5: fetch-or-create surrogate keys (reference syncdf,
+    io/db/pdsql.py:214-348): matched rows keep the stored id, fresh rows get
+    max(id)+1.. deterministically by natural-key order (H6 distributed-safe)."""
+    cust = load_table(spark, sf_dir, "customer")
+    existing = cust.select(F.col("c_name"), F.col("c_custkey").alias("id"))
+    nation = load_table(spark, sf_dir, "nation")
+    incoming = (cust.filter(F.col("c_custkey") % 2 == 0).select("c_name")
+                .unionByName(nation.select(
+                    F.concat(F.lit("NEW#"), F.col("n_name")).alias("c_name"))))
+    return sync_surrogate_ids(existing, incoming, ["c_name"], id_col="id")
+
+
+@register(
+    "upsert_skip_unchanged",
+    """SELECT o_orderkey, concat(o_orderstatus, 'X') AS o_orderstatus
+       FROM orders WHERE o_orderkey % 7 = 0""",
+)
+def upsert_skip_unchanged(spark, sf_dir):
+    """H15: skip UPDATE when the compared column is unchanged (reference
+    download/modules/segments.py:99-115) — only every 7th order survives
+    the pre-filter because only those rows actually changed."""
+    orders = load_table(spark, sf_dir, "orders")
+    incoming = orders.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0,
+               F.concat(F.col("o_orderstatus"), F.lit("X")))
+         .otherwise(F.col("o_orderstatus")))
+    out = update_skip_unchanged(incoming, orders, ["o_orderkey"],
+                                compare_col="o_orderstatus")
+    return out.select("o_orderkey", "o_orderstatus")
+
+
+# FDSN-text layout of the testdata events table (props excluded: JSON may
+# contain the '|' separator)
+_EVENTS_TEXT_COLS = [
+    ("event_id", "long"), ("ts", "timestamp"), ("user_id", "long"),
+    ("event_type", "string"), ("value", "double"),
+]
+
+
+@register(
+    "fdsn_text_roundtrip",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+              coalesce(event_type, '') AS event_type,
+              round(value, 4) AS value
+       FROM events""",
+)
+def fdsn_text_roundtrip(spark, sf_dir):
+    """S1: FDSN '|'-separated text parse (reference
+    download/modules/utils.py:251-383) — serialize the events table to text
+    lines, parse back distributed with pure expressions (split + cast +
+    na.drop); the oracle is the original table (lossless round-trip)."""
+    ev = load_table(spark, sf_dir, "events")
+    lines = to_fdsn_lines(ev, _EVENTS_TEXT_COLS)
+    parsed = parse_fdsn_lines(lines, _EVENTS_TEXT_COLS,
+                              required=["event_id", "ts"])
+    return parsed.select("event_id", "ts", "user_id", "event_type",
+                         F.round("value", 4).alias("value"))

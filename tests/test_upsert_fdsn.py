@@ -1,0 +1,91 @@
+"""Unit tests for the upsert/key-sync operators (SURVEY K4/K5/H15) and the
+FDSN text source (S1) on tiny hand-built frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream2segment_spark.operators.upsert import (
+    merge_latest_wins, sync_surrogate_ids, update_skip_unchanged)
+from stream2segment_spark.sources.fdsn import parse_fdsn_lines, to_fdsn_lines
+
+
+def test_merge_latest_wins_incoming_wins(spark):
+    existing = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, k string, v double")
+    incoming = spark.createDataFrame(
+        [(2, "b", 99.0), (4, "d", 40.0)], "id long, k string, v double")
+    out = merge_latest_wins(existing, incoming, ["id"])
+    rows = {r["id"]: r["v"] for r in out.collect()}
+    assert rows == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
+
+
+def test_merge_latest_wins_missing_cols(spark):
+    existing = spark.createDataFrame([(1, "x")], "id long, extra string")
+    incoming = spark.createDataFrame([(1,), (2,)], "id long")
+    out = merge_latest_wins(existing, incoming, ["id"])
+    rows = {r["id"]: r["extra"] for r in out.collect()}
+    # incoming wins for id=1 -> its (missing) extra is NULL
+    assert rows == {1: None, 2: None}
+
+
+def test_sync_surrogate_ids(spark):
+    existing = spark.createDataFrame(
+        [(10, "ev1"), (20, "ev2"), (7, "ev3")], "id long, key string")
+    incoming = spark.createDataFrame(
+        [("ev2",), ("evB",), ("evA",)], "key string")
+    out = sync_surrogate_ids(existing, incoming, ["key"])
+    rows = {r["key"]: r["id"] for r in out.collect()}
+    # matched keeps stored id; fresh get max(20)+1.. in key order
+    assert rows == {"ev2": 20, "evA": 21, "evB": 22}
+
+
+def test_sync_surrogate_ids_empty_existing(spark):
+    existing = spark.createDataFrame([], "id long, key string")
+    incoming = spark.createDataFrame([("b",), ("a",)], "key string")
+    out = sync_surrogate_ids(existing, incoming, ["key"])
+    rows = {r["key"]: r["id"] for r in out.collect()}
+    assert rows == {"a": 1, "b": 2}
+
+
+def test_update_skip_unchanged(spark):
+    existing = spark.createDataFrame(
+        [(1, 200), (2, 404), (3, None)], "id long, download_code int")
+    incoming = spark.createDataFrame(
+        [(1, 200), (2, 200), (3, None), (4, 500)], "id long, download_code int")
+    out = update_skip_unchanged(incoming, existing, ["id"])
+    kept = sorted(r["id"] for r in out.collect())
+    # 1 unchanged (dropped), 3 NULL==NULL unchanged (dropped); 2 changed, 4 new
+    assert kept == [2, 4]
+
+
+def test_fdsn_parse_comments_blanks_nulls(spark):
+    cols = [("net", "string"), ("sta", "string"), ("lat", "double"),
+            ("t0", "timestamp")]
+    lines = spark.createDataFrame(
+        [("#net|sta|lat|t0",),
+         ("  ",),
+         ("GE|APE|37.07|2010-01-01T00:00:00",),
+         ("GE|XYZ||2011-06-01T12:30:00",),      # empty lat -> NULL, dropped
+         ("IU|ANMO|34.95|",)],                  # empty t0 -> NULL (nullable)
+        "value string")
+    out = parse_fdsn_lines(lines, cols, required=["net", "sta", "lat"])
+    rows = sorted((r["net"], r["sta"], r["lat"]) for r in out.collect())
+    assert rows == [("GE", "APE", 37.07), ("IU", "ANMO", 34.95)]
+    t0 = {r["sta"]: r["t0"] for r in out.collect()}
+    assert t0["APE"] is not None and t0["ANMO"] is None
+
+
+def test_fdsn_roundtrip_small(spark):
+    cols = [("id", "long"), ("name", "string"), ("v", "double"),
+            ("t", "timestamp")]
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5, "2020-01-02 03:04:05"),
+         (2, "beta", None, None)],
+        "id long, name string, v double, t string",
+    ).withColumn("t", F.to_timestamp("t"))
+    back = parse_fdsn_lines(to_fdsn_lines(df, cols), cols, required=["id"])
+    rows = sorted(back.collect(), key=lambda r: r["id"])
+    assert [(r["id"], r["name"], r["v"]) for r in rows] == \
+        [(1, "alpha", 1.5), (2, "beta", None)]
+    assert rows[0]["t"] is not None and rows[1]["t"] is None

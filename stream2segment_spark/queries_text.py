@@ -146,7 +146,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (threshold 0.5) with inverted-
     index candidate generation — no cross join; the only shuffle is on the
     shingle key."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
     out = DD.ngram_jaccard_pairs(docs, "text", "doc_id",
                                  shingle_k=3, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -156,8 +157,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
 def dedup_minhash_lsh(spark, sf_dir):  # exact verification in tests/test_dedup.py
     """MinHash(64 hashes) + LSH(16 bands) near-dup candidates with
     estimated-Jaccard >= 0.5. Shingle->signature->band join, all JVM-side
-    expressions."""
-    docs = load_table(spark, sf_dir, "documents")
+    expressions. The small parquet arrives as few input splits; the compute
+    is per-row heavy, so repartition to the full core count first."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
     out = DD.minhash_neardup_pairs(docs, "text", "doc_id",
                                    num_hashes=64, bands=16, threshold=0.5)
     return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
@@ -167,7 +170,8 @@ def dedup_minhash_lsh(spark, sf_dir):  # exact verification in tests/test_dedup.
 def dedup_simhash(spark, sf_dir):
     """SimHash(64-bit) near-dup pairs with Hamming <= 3 via the pigeonhole
     4-block equi-join (no cross join)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
     return DD.simhash_neardup_pairs(docs, "text", "doc_id",
                                     max_hamming=3, blocks=4)
 

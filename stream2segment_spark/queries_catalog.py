@@ -513,3 +513,4 @@ WEAK_CHECK_ONLY += queries_text.WEAK_CHECK_ONLY_TEXT
 from stream2segment_spark import queries_kernels  # noqa: E402,F401
 from stream2segment_spark import queries_process  # noqa: E402,F401
 from stream2segment_spark import queries_upsert  # noqa: E402,F401
+from stream2segment_spark import queries_multimodal  # noqa: E402,F401

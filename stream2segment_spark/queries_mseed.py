@@ -1,0 +1,71 @@
+"""Catalog entry for the miniSEED decode operator (SURVEY S7).
+
+Each document id deterministically defines a two-record miniSEED blob
+(sample count, values, inter-record gap, and encoding all derived from the
+id), built by the encoder UDF and decoded by the parser UDF — so a DuckDB
+oracle recomputes every decoded metric from the id alone. Odd ids use
+Steim1 compression, even ids big-endian int32, exercising both payload
+paths under the value-level gate.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from stream2segment_spark.queries_catalog import register
+from stream2segment_spark.schema import load_table
+from stream2segment_spark.sources import mseed as MS
+
+_T0 = datetime(2021, 3, 4, 5, 6, 7, tzinfo=timezone.utc)
+
+
+def _blob_for_id(doc_id: int) -> bytes:
+    k = doc_id % 5 + 1
+    n2 = doc_id % 30 + 5
+    gap = doc_id % 4
+    vals = (np.arange(20 + n2, dtype=np.int64) * k) % 1000
+    enc = 10 if doc_id % 2 else 3
+    rec1 = MS.encode_record("SY", "APE", "", "HHZ", _T0, 100.0,
+                            vals[:20], encoding=enc)
+    rec2 = MS.encode_record(
+        "SY", "APE", "", "HHZ",
+        _T0 + timedelta(seconds=(20 + gap) / 100.0), 100.0,
+        vals[20:], encoding=enc, seq=2)
+    return rec1 + rec2
+
+
+def _encode_udf():
+    @F.pandas_udf("binary")
+    def _udf(ids: pd.Series) -> pd.Series:
+        return pd.Series([_blob_for_id(int(i)) for i in ids])
+    return _udf
+
+
+@register(
+    "mseed_decode",
+    """SELECT doc_id, 'SY.APE..HHZ' AS seed_id,
+              CAST(25 + doc_id % 30 AS INT) AS n_samples,
+              CAST(doc_id % 4 AS DOUBLE) AS max_gap,
+              0.0 AS first_sample,
+              CAST(((24 + doc_id % 30) * (doc_id % 5 + 1)) % 1000 AS DOUBLE)
+                AS last_sample
+       FROM documents""",
+)
+def mseed_decode(spark, sf_dir):
+    """S7: encode a deterministic two-record blob per id (int32 / Steim1),
+    decode with the SEED 2.4 parser UDF, emit per-channel metrics. The gap
+    metric equals the synthetic inter-record gap in samples."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    decoded = (docs
+               .withColumn("data", _encode_udf()(F.col("doc_id")))
+               .withColumn("ch", F.explode(MS.unpack_mseed_udf()(F.col("data")))))
+    return decoded.select(
+        "doc_id", F.col("ch.seed_id").alias("seed_id"),
+        F.col("ch.n_samples").alias("n_samples"),
+        F.col("ch.max_gap_overlap_ratio").alias("max_gap"),
+        F.element_at("ch.samples", 1).alias("first_sample"),
+        F.element_at("ch.samples", -1).alias("last_sample"))

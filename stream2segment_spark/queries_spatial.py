@@ -1,0 +1,88 @@
+"""Catalog entry for the spatio-temporal theta join + travel-time
+enrichment (SURVEY J3/N13) over the testdata tables.
+
+Events get synthetic coordinates/depth/magnitude derived from their ids
+(as the scalar_* queries do), customers play the station dim; the
+travel-time grid samples the linear function 2*depth + 10*dist, which
+bilinear interpolation reproduces exactly — so the DuckDB oracle can
+recompute arrival times in closed form and the whole pipeline (banded
+theta join -> distance filter -> broadcast-grid pandas-UDF interpolation)
+sits under the value-level gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from stream2segment_spark.operators import spatial as SP
+from stream2segment_spark.queries_catalog import register
+from stream2segment_spark.schema import load_table
+
+_GC_SQL = """degrees(atan2(
+    sqrt(pow(cos(radians(slat)) * sin(radians(slon) - radians(elon)), 2)
+       + pow(cos(radians(elat)) * sin(radians(slat))
+           - sin(radians(elat)) * cos(radians(slat))
+             * cos(radians(slon) - radians(elon)), 2)),
+    sin(radians(elat)) * sin(radians(slat))
+    + cos(radians(elat)) * cos(radians(slat))
+      * cos(radians(slon) - radians(elon))))"""
+
+_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST((user_id * 3) % 180 - 90 AS DOUBLE) AS elat,
+         CAST((user_id * 11) % 360 - 180 AS DOUBLE) AS elon,
+         CAST(value % 50 AS DOUBLE) AS depth_km,
+         value / 25.0 AS mag
+  FROM events WHERE value IS NOT NULL
+), sta AS (
+  SELECT c_custkey,
+         CAST((c_custkey * 7) % 180 - 90 AS DOUBLE) AS slat,
+         CAST((c_custkey * 13) % 360 - 180 AS DOUBLE) AS slon
+  FROM customer
+), pairs AS (
+  SELECT event_id, c_custkey, ts, depth_km,
+         {_GC_SQL} AS dist,
+         least(greatest(0.5 + (3.0 - 0.5) / (7.0 - 3.0) * (mag - 3.0),
+                        0.5), 3.0) AS radius
+  FROM ev, sta
+)
+SELECT event_id, c_custkey AS station_id,
+       round(dist, 6) AS dist_deg,
+       round(epoch(ts) + 2.0 * depth_km + 10.0 * dist, 4) AS arrival_epoch_sec
+FROM pairs WHERE dist <= radius
+"""
+
+
+@register("spatial_join_traveltime", _ORACLE)
+def spatial_join_traveltime(spark, sf_dir):
+    """J3+N13: latitude-banded theta join (no cross join: stations bucket
+    into floor(lat/band) bands, events explode to the bands their radius
+    reaches), magnitude-dependent radius filter, broadcast-grid bilinear
+    travel-time interpolation."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select(
+              "event_id", F.col("ts").alias("time"),
+              ((F.col("user_id") * 3) % 180 - 90).cast("double").alias("latitude"),
+              ((F.col("user_id") * 11) % 360 - 180).cast("double").alias("longitude"),
+              (F.col("value") % 50).cast("double").alias("depth_km"),
+              (F.col("value") / 25.0).alias("magnitude")))
+    sta = (load_table(spark, sf_dir, "customer")
+           .select(
+               F.col("c_custkey").alias("station_id"),
+               ((F.col("c_custkey") * 7) % 180 - 90).cast("double").alias("latitude"),
+               ((F.col("c_custkey") * 13) % 360 - 180).cast("double").alias("longitude")))
+    grid = SP.TTGrid.from_function(lambda d, x: 2.0 * d + 10.0 * x,
+                                   np.arange(0.0, 61.0, 5.0),
+                                   np.arange(0.0, 5.01, 0.25))
+    out = SP.merge_events_stations(
+        ev, sta, minmag=3.0, maxmag=7.0,
+        minmag_radius=0.5, maxmag_radius=3.0,
+        tt_udf=SP.travel_time_udf(spark, grid), check_epoch=False)
+    return out.select(
+        "event_id", "station_id",
+        F.round("dist_deg", 6).alias("dist_deg"),
+        F.round(F.col("time").cast("double") + F.col("travel_time_sec"), 4)
+         .alias("arrival_epoch_sec"))

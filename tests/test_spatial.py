@@ -1,0 +1,79 @@
+"""Unit tests for the spatial theta-join (J3) and travel-time grid (N13)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stream2segment_spark.operators import spatial as SP
+
+
+def test_ttgrid_bilinear_exact_on_linear_fn():
+    g = SP.TTGrid.from_function(lambda d, x: 2.0 * d + 10.0 * x,
+                                np.arange(0, 61, 5), np.arange(0, 5.1, 0.25))
+    d = np.array([0.0, 7.3, 60.0, 33.33])
+    x = np.array([0.0, 1.234, 5.0, 2.5])
+    np.testing.assert_allclose(g.interp(d, x), 2 * d + 10 * x, rtol=1e-12)
+
+
+def test_ttgrid_clips_to_hull():
+    g = SP.TTGrid.from_function(lambda d, x: d + x,
+                                np.array([0.0, 10.0]), np.array([0.0, 1.0]))
+    assert g.interp(np.array([-5.0]), np.array([99.0]))[0] == pytest.approx(1.0)
+    assert g.interp(np.array([20.0]), np.array([-1.0]))[0] == pytest.approx(10.0)
+
+
+def _mini_frames(spark):
+    events = spark.createDataFrame(
+        [(1, datetime(2020, 1, 10), 0.0, 0.0, 10.0, 5.0),
+         (2, datetime(2020, 1, 10), 50.0, 100.0, 20.0, 7.0)],
+        "event_id long, time timestamp, latitude double, longitude double, "
+        "depth_km double, magnitude double")
+    stations = spark.createDataFrame(
+        [(101, 0.5, 0.5, datetime(2000, 1, 1), None),     # ~0.7 deg from ev1
+         (102, 40.0, 40.0, datetime(2000, 1, 1), None),   # far from both
+         (103, 51.0, 101.0, datetime(2000, 1, 1), None),  # ~1.2 deg from ev2
+         (104, 0.5, 0.5, datetime(2021, 1, 1), None),     # epoch starts late
+         (105, 0.5, 0.5, datetime(2000, 1, 1), datetime(2020, 1, 10, 12))],
+        "station_id long, latitude double, longitude double, "
+        "start_time timestamp, end_time timestamp")
+    return events, stations
+
+
+def test_merge_events_stations_radius_and_epoch(spark):
+    events, stations = _mini_frames(spark)
+    out = SP.merge_events_stations(events, stations,
+                                   minmag=3, maxmag=7,
+                                   minmag_radius=1, maxmag_radius=3)
+    pairs = sorted((r["event_id"], r["station_id"]) for r in out.collect())
+    # ev1 (mag5 -> r=2): station 101 in range; 104 not yet installed;
+    # 105 ends < time+1day. ev2 (mag7 -> r=3): station 103.
+    assert pairs == [(1, 101), (2, 103)]
+    d = {(r["event_id"], r["station_id"]): r["dist_deg"] for r in out.collect()}
+    assert d[(1, 101)] == pytest.approx(0.7071, abs=1e-3)
+
+
+def test_merge_no_epoch_and_banding_consistency(spark):
+    events, stations = _mini_frames(spark)
+    base = SP.merge_events_stations(events, stations, 3, 7, 1, 3,
+                                    check_epoch=False)
+    narrow = SP.merge_events_stations(events, stations, 3, 7, 1, 3,
+                                      check_epoch=False, band_deg=0.7)
+    assert sorted((r["event_id"], r["station_id"]) for r in base.collect()) \
+        == sorted((r["event_id"], r["station_id"]) for r in narrow.collect())
+
+
+def test_arrival_time_from_grid(spark):
+    events, stations = _mini_frames(spark)
+    g = SP.TTGrid.from_function(lambda d, x: 2.0 * d + 10.0 * x,
+                                np.arange(0, 61, 5), np.arange(0, 5.1, 0.25))
+    out = SP.merge_events_stations(
+        events, stations, 3, 7, 1, 3, tt_udf=SP.travel_time_udf(spark, g))
+    row = {r["event_id"]: r for r in out.collect()}[1]
+    expect_tt = 2 * 10.0 + 10 * row["dist_deg"]
+    assert row["travel_time_sec"] == pytest.approx(expect_tt, rel=1e-9)
+    delta = (row["arrival_time"] - row["time"]).total_seconds()
+    assert delta == pytest.approx(expect_tt, abs=1e-5)

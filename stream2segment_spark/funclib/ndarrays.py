@@ -260,3 +260,33 @@ def response_spectrum_nigam_jennings(
         "PGA": float(np.max(np.abs(acc))),
         "PGV": float(np.max(np.abs(cumtrapz(acc, dx=dt)))),
     }
+
+
+# --------------------------------------------------------------------------
+# Savitzky-Golay smoothing (reference N11: templates/paramtable.py savgol)
+# --------------------------------------------------------------------------
+
+def savitzky_golay(y: np.ndarray, window_size: int, order: int,
+                   deriv: int = 0, rate: float = 1.0) -> np.ndarray:
+    """Savitzky-Golay polynomial least-squares smoothing (scipy-free).
+
+    The convolution coefficients come from the pseudo-inverse of the local
+    Vandermonde matrix (the published 1964 construction). Edges are handled
+    by mirroring, like the classic implementation. A window of width w and
+    order p reproduces any degree-<=p polynomial exactly (deriv=0).
+    """
+    y = np.asarray(y, dtype=float)
+    window_size, order = int(window_size), int(order)
+    if window_size % 2 != 1 or window_size < 1:
+        raise ValueError("window_size must be a positive odd number")
+    if window_size < order + 2:
+        raise ValueError("window_size is too small for the polynomial order")
+    half = (window_size - 1) // 2
+    b = np.array([[k ** i for i in range(order + 1)]
+                  for k in range(-half, half + 1)], dtype=float)
+    m = np.linalg.pinv(b)[deriv] * (rate ** deriv) * math.factorial(deriv)
+    # mirror-pad the ends (values reflected about the end points)
+    first = y[0] - np.abs(y[1:half + 1][::-1] - y[0])
+    last = y[-1] + np.abs(y[-half - 1:-1][::-1] - y[-1])
+    padded = np.concatenate((first, y, last))
+    return np.convolve(m[::-1], padded, mode="valid")

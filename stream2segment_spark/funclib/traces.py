@@ -112,3 +112,47 @@ def trace_fft(samples: np.ndarray, delta: float,
     x = taper_hann(samples, taper_max_percentage) \
         if taper_max_percentage else np.asarray(samples, dtype=float)
     return dfreq(x, delta), fft(x)
+
+
+# --------------------------------------------------------------------------
+# Wood-Anderson simulation (reference N11 synth_wood_anderson,
+# resources/templates/paramtable.py — via obspy simulate; here: direct
+# frequency-domain pole-zero convolution, scipy/obspy-free)
+# --------------------------------------------------------------------------
+
+# Published Wood-Anderson torsion seismometer transfer constants
+# (Uhrhammer & Collins, BSSA 1990): obspy's PAZ_WA, output in displacement
+WOOD_ANDERSON_POLES = (-6.2832 - 4.7124j, -6.2832 + 4.7124j)
+WOOD_ANDERSON_ZEROS = (0.0 + 0.0j,)   # one zero: velocity -> WA displacement
+WOOD_ANDERSON_SENSITIVITY = 2080.0
+
+
+def paz_frequency_response(freqs_hz: np.ndarray, poles, zeros,
+                           gain: float = 1.0) -> np.ndarray:
+    """H(s)|s=2*pi*i*f for a pole-zero-gain analog response."""
+    s = 2j * np.pi * np.asarray(freqs_hz, dtype=float)
+    num = np.ones(len(s), dtype=complex)
+    for z in zeros:
+        num *= s - z
+    den = np.ones(len(s), dtype=complex)
+    for p in poles:
+        den *= s - p
+    return gain * num / den
+
+
+def synth_wood_anderson(velocity: np.ndarray, delta: float,
+                        taper_max_percentage: float = 0.05) -> np.ndarray:
+    """Convolve a (response-corrected) ground-VELOCITY trace with the
+    Wood-Anderson instrument response -> synthetic WA displacement, the
+    input to local-magnitude estimates. Frequency-domain application of
+    the published pole-zero response; taper first like the reference's
+    simulate path."""
+    x = taper_hann(np.asarray(velocity, dtype=float), taper_max_percentage)
+    n = len(x)
+    if n == 0:
+        return x
+    spec = np.fft.rfft(x)
+    f = np.fft.rfftfreq(n, d=delta)
+    h = paz_frequency_response(f, WOOD_ANDERSON_POLES, WOOD_ANDERSON_ZEROS,
+                               WOOD_ANDERSON_SENSITIVITY)
+    return np.fft.irfft(spec * h, n=n)

@@ -67,6 +67,10 @@ def merge_events_stations(
     nested-loop join never shuffles the big side; the range predicate is
     evaluated inside whole-stage codegen.
 
+    When the station side is NOT broadcast-small (or pair counts explode),
+    use ``operators.spatial.merge_events_stations`` — the latitude-banded
+    equi-join variant with travel-time enrichment.
+
     Returns (event_id, station_id, channel_id, event_distance_deg).
     """
     ev = events.select(

@@ -182,3 +182,69 @@ def test_udfs_on_spark(spark):
     np.testing.assert_allclose(got[1].c, ND.cumsumsq(np.arange(8.0)))
     assert got[0].q50 == int(np.searchsorted(ND.cumsumsq(np.ones(8)), 0.5))
     assert got[1].q50 == int(np.searchsorted(ND.cumsumsq(np.arange(8.0)), 0.5))
+
+
+# --------------------------------------------------------------------------
+# N10/N11 additions: savgol, coda, Wood-Anderson
+# --------------------------------------------------------------------------
+
+def test_savitzky_golay_reproduces_polynomial():
+    from stream2segment_spark.funclib.ndarrays import savitzky_golay
+    x = np.arange(60, dtype=float)
+    y = 1.0 - 2.0 * x + 0.05 * x ** 2 + 0.001 * x ** 3
+    sm = savitzky_golay(y, 13, 3)
+    np.testing.assert_allclose(sm[6:-6], y[6:-6], atol=1e-9)
+    d1 = savitzky_golay(y, 13, 3, deriv=1)
+    np.testing.assert_allclose(d1[6:-6], -2.0 + 0.1 * x[6:-6]
+                               + 0.003 * x[6:-6] ** 2, atol=1e-9)
+    with pytest.raises(ValueError):
+        savitzky_golay(y, 12, 3)          # even window
+
+
+def test_envelope_of_modulated_sine():
+    from stream2segment_spark.funclib.coda import envelope
+    t = np.arange(0, 10, 0.01)
+    amp = np.exp(-0.3 * t)
+    x = amp * np.sin(2 * np.pi * 5 * t)
+    env = envelope(x)
+    # envelope tracks |amplitude| away from the edges
+    np.testing.assert_allclose(env[100:-100], amp[100:-100], rtol=0.15)
+
+
+def test_sta_lta_detects_onset():
+    from stream2segment_spark.funclib.coda import sta_lta
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 0.01, 2000)
+    x[1000:1100] += np.sin(np.linspace(0, 30, 100)) * 5
+    r = sta_lta(x, nsta=20, nlta=400)
+    assert np.argmax(r) >= 1000
+    assert r.max() > 10
+    assert np.all(r[:399] == 0)
+
+
+def test_analyze_coda_recovers_decay_rate():
+    from stream2segment_spark.funclib.coda import analyze_coda
+    delta = 0.01
+    t = np.arange(0, 60, delta)
+    onset = 5.0
+    sig = np.where(t >= onset,
+                   np.exp(-0.25 * (t - onset)) * np.sin(2 * np.pi * 8 * t),
+                   0.0) + 1e-9
+    out = analyze_coda(sig, delta, smooth_sec=0.5)
+    assert out is not None and out["decay_ok"]
+    assert out["slope"] == pytest.approx(-0.25, abs=0.03)
+
+
+def test_wood_anderson_scales_sine_by_response_magnitude():
+    from stream2segment_spark.funclib.traces import (
+        WOOD_ANDERSON_POLES, WOOD_ANDERSON_SENSITIVITY, WOOD_ANDERSON_ZEROS,
+        paz_frequency_response, synth_wood_anderson)
+    delta, f0 = 0.01, 4.0
+    t = np.arange(0, 50, delta)
+    x = np.sin(2 * np.pi * f0 * t)
+    out = synth_wood_anderson(x, delta, taper_max_percentage=0.02)
+    hmag = abs(paz_frequency_response(
+        np.array([f0]), WOOD_ANDERSON_POLES, WOOD_ANDERSON_ZEROS,
+        WOOD_ANDERSON_SENSITIVITY)[0])
+    mid = out[len(out) // 3: 2 * len(out) // 3]
+    assert np.max(np.abs(mid)) == pytest.approx(hmag, rel=0.02)

@@ -1,0 +1,107 @@
+"""Tests for the applyInPandasWithState operators: cross-micro-batch
+first-seen dedup and session windows, driven with a multi-file parquet
+stream (maxFilesPerTrigger=1 forces one micro-batch per file, so state
+really carries across batches)."""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime
+
+import pandas as pd
+import pytest
+
+from stream2segment_spark.streaming.stateful import (
+    streaming_first_seen, streaming_sessionize)
+
+
+def _ts(minute, second=0):
+    from datetime import timedelta
+    return datetime(2024, 1, 1, 10) + timedelta(minutes=minute, seconds=second)
+
+
+def _write_batches(spark, tmp_path, batches, schema):
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(str(src / f"b{i}.parquet"))
+    return str(src)
+
+
+def _run(spark, src_dir, schema, transform, extra_opts=None):
+    name = "t" + uuid.uuid4().hex[:8]
+    reader = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1))
+    stream = reader.parquet(src_dir + "/*")
+    q = (transform(stream).writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+SCHEMA = "user_id long, ts timestamp, value double"
+
+
+def test_first_seen_dedup_across_batches(spark, tmp_path):
+    batches = [
+        [(1, _ts(0), 1.0), (2, _ts(1), 2.0)],
+        [(1, _ts(5), 99.0), (3, _ts(6), 3.0)],   # 1 is a dup from batch 0
+        [(2, _ts(9), 98.0), (4, _ts(10), 4.0)],  # 2 is a dup
+    ]
+    src = _write_batches(spark, tmp_path, batches, SCHEMA)
+    out = _run(spark, src, SCHEMA,
+               lambda s: streaming_first_seen(s, ["user_id"]))
+    rows = {r["user_id"]: r["value"] for r in out.collect()}
+    assert rows == {1: 1.0, 2: 2.0, 3: 3.0, 4: 4.0}
+
+
+def test_sessionize_closes_on_gap_and_timeout(spark, tmp_path):
+    gap_min = 10
+    batches = [
+        # user 1: two events 5 min apart (one session)...
+        [(1, _ts(0), 0.0), (1, _ts(5), 0.0), (2, _ts(0), 0.0)],
+        # ...then an event 30 min later -> closes session 1
+        [(1, _ts(35), 0.0), (2, _ts(2), 0.0)],
+        # late big timestamps advance the watermark far enough that every
+        # still-open session times out before the stream ends
+        [(9, _ts(600), 0.0)],
+        [(9, _ts(1200), 0.0)],
+    ]
+    src = _write_batches(spark, tmp_path, batches, SCHEMA)
+    out = _run(spark, src, SCHEMA,
+               lambda s: streaming_sessionize(
+                   s, gap_minutes=gap_min, watermark="1 minute"))
+    rows = sorted((r["user_id"], r["session_start"], r["session_end"],
+                   r["n_events"]) for r in out.collect())
+    assert (1, _ts(0), _ts(5), 2) in rows          # closed by the 35-min event
+    assert (1, _ts(35), _ts(35), 1) in rows        # closed by timeout
+    assert (2, _ts(0), _ts(2), 2) in rows          # closed by timeout
+    users = [u for (u, *_) in rows]
+    assert users.count(1) == 2 and users.count(2) == 1
+
+
+def test_sessionize_batch_twin_agreement(spark, tmp_path):
+    """The stateful streaming sessionizer and the batch lag+cumsum
+    sessionizer agree on closed sessions."""
+    from stream2segment_spark.streaming.incremental import sessionize
+    # batches are time-ordered across the stream (events later than the
+    # advancing watermark would be dropped as late, by design)
+    rows = [(u, _ts(m), 0.0)
+            for m in (0, 3, 8, 25, 27, 60, 95)
+            for u in (1, 2, 3)]
+    batches = [rows[:9], rows[9:15], rows[15:],
+               [(9, _ts(2000), 0.0)], [(9, _ts(4000), 0.0)]]
+    src = _write_batches(spark, tmp_path, batches, SCHEMA)
+    out = _run(spark, src, SCHEMA,
+               lambda s: streaming_sessionize(
+                   s, gap_minutes=10, watermark="1 minute"))
+    got = sorted((r["user_id"], r["session_start"], r["session_end"],
+                  r["n_events"]) for r in out.collect()
+                 if r["user_id"] != 9)
+    batch = sessionize(
+        spark.createDataFrame(rows, SCHEMA), gap_minutes=10)
+    want = sorted((r["user_id"], r["session_start"], r["session_end"],
+                   r["n_events"]) for r in batch.collect())
+    assert got == want

@@ -133,3 +133,91 @@ def lsh_bucket_neardup(
     return (pairs.withColumn("cosine", cos)
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the scale path: partition the corpus into
+# centroid cells once, probe only nprobe cells per query
+# --------------------------------------------------------------------------
+
+def kmeans_centroids(
+    df: DataFrame, vec_col: str, k: int,
+    max_iter: int = 10, sample_size: int = 20000, seed: int = 7,
+) -> np.ndarray:
+    """Spherical k-means (cosine) centroids trained driver-side on a
+    bounded sample — the standard IVF training shape: the coarse quantizer
+    is tiny (k x dim floats) and training needs one pass over a sample,
+    not the corpus. At 100 TB pass a pre-sampled frame (``df.sample``)."""
+    rows = (df.select(vec_col).limit(sample_size).collect())
+    x = np.array([r[0] for r in rows], dtype=float)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(max_iter):
+        sim = x @ cents.T
+        assign = np.argmax(sim, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """vector -> nearest-centroid cell id (vectorized matmul per Arrow
+    batch; the centroid matrix ships inside the UDF closure)."""
+    cents = np.asarray(centroids, dtype=float)
+
+    @F.pandas_udf("int")
+    def _udf(vecs: pd.Series) -> pd.Series:
+        x = np.array([np.asarray(v, dtype=float) for v in vecs])
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(x @ cents.T, axis=1).astype("int32"))
+    return _udf
+
+
+def ivf_probe_cells_udf(centroids: np.ndarray, nprobe: int):
+    """query vector -> the nprobe nearest cell ids (array<int>)."""
+    cents = np.asarray(centroids, dtype=float)
+    np_ = min(nprobe, len(cents))
+
+    @F.pandas_udf("array<int>")
+    def _udf(vecs: pd.Series) -> pd.Series:
+        x = np.array([np.asarray(v, dtype=float) for v in vecs])
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(x @ cents.T), axis=1)[:, :np_]
+        return pd.Series(list(order.astype("int32")))
+    return _udf
+
+
+def ann_topk_ivf(
+    corpus: DataFrame, queries: DataFrame, centroids: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", k: int = 10, nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k: corpus rows carry their cell id (write-once enrichment at
+    scale: partition the stored table by cell); each query explodes to its
+    nprobe probe cells; the candidate join is a plain equi-join on cell —
+    the scan touches ~nprobe/k_cells of the corpus instead of all of it.
+    Exact cosine + per-query top-k on the candidates.
+
+    nprobe = n_cells degenerates to exact brute force (recall 1)."""
+    from pyspark.sql import Window
+    cell_corpus = corpus.withColumn("__cell",
+                                    ivf_assign_udf(centroids)(F.col(vec_col)))
+    probes = queries.withColumn(
+        "__cell",
+        F.explode(ivf_probe_cells_udf(centroids, nprobe)(F.col(vec_col))))
+    q = probes.select(query_id_col, "__cell",
+                      F.col(vec_col).alias("__qv"))
+    cand = cell_corpus.join(q, "__cell")
+    cos = cosine_expr(
+        F.transform(vec_col, lambda v: v.cast("double")),
+        F.transform("__qv", lambda v: v.cast("double")))
+    scored = cand.withColumn("cosine", cos)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(query_id_col, id_col, "cosine"))

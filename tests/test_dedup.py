@@ -106,3 +106,28 @@ def test_exact_dedup_keep_semantics(spark):
     assert {(r.id, r.k) for r in none} == {(3, "b")}
     with pytest.raises(ValueError):
         DD.exact_dedup(df, ["k"], keep="first")
+
+
+def test_ivf_recall_and_full_probe_exactness(spark):
+    """IVF with nprobe < cells keeps recall high; nprobe = cells is exact
+    (equals brute force)."""
+    from pyspark.sql import functions as F
+
+    from stream2segment_spark.operators import similarity as SIM
+    from stream2segment_spark.schema import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = SIM.kmeans_centroids(emb, "embedding", k=8, seed=7)
+    queries = (emb.filter(F.col("vec_id") < 20)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = SIM.ann_topk_bruteforce(emb, queries, id_col="vec_id",
+                                    vec_col="embedding",
+                                    query_id_col="query_id", k=10)
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    full = SIM.ann_topk_ivf(emb, queries, cents, k=10, nprobe=8)
+    full_set = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    assert full_set == exact_set
+    approx = SIM.ann_topk_ivf(emb, queries, cents, k=10, nprobe=3)
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(approx_set & exact_set) / len(exact_set)
+    assert recall >= 0.6, recall

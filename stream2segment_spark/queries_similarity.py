@@ -62,18 +62,17 @@ def sim_topk_bruteforce(spark, sf_dir):
        WHERE list_cosine_similarity(a.v, b.v) > 0.4""",
 )
 def sim_pairs_threshold(spark, sf_dir):
-    """Embedding-cosine near-dup, exact: all pairs above threshold.
-    zip_with/aggregate dot product — built-ins, no UDF. (At 100 TB this
-    exact form runs on LSH candidates; see sim_lsh_neardup.)"""
+    """Embedding-cosine near-dup, exact: all pairs above threshold, via
+    blocked BLAS matmul (one numpy matmul per block pair) — ~100x the
+    per-pair rate of the interpreted zip_with/aggregate expression form.
+    (At 100 TB prune the block-pair grid with LSH first; see
+    sim_lsh_neardup.)"""
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id",
-                   F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    cos = SIM.cosine_expr(F.col("va"), F.col("vb"))
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine", cos)
-            .filter(F.col("cosine") > 0.4)
+    out = SIM.cosine_pairs_blocked(emb, "vec_id", "embedding",
+                                   threshold=0.4, block_size=1024)
+    # oracle uses strict >; >= at a representable threshold is equivalent
+    # except exact ties — filter strictly to match
+    return (out.filter(F.col("cosine") > 0.4)
             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
 
 

@@ -121,31 +121,59 @@ def merge_events_stations(
     are kept with ``ev_``/``sta_`` prefixes dropped as provided.
 
     ``band_deg=None`` picks the max search radius (every reachable pair is
-    within +-maxr latitude, so one band of that width per side suffices).
+    within +-maxr latitude, so one cell of that width per side suffices).
+
+    Banding is 2D: stations land in one (lat_band, lon_band) cell; events
+    explode to every cell their radius circle can touch. The longitude
+    half-width is widened by 1/cos(|lat|+r) (meridians converge toward the
+    poles) and lon bands wrap modulo 360; events whose circle crosses a
+    pole fall back to all-longitudes for their latitude bands — exactness
+    is never traded for pruning.
     """
     maxr = max(minmag_radius, maxmag_radius)
     band = float(band_deg) if band_deg else maxr
+    n_lon = max(int(360.0 // band), 1)
     radius = magnitude_to_radius(F.col("magnitude"), minmag, maxmag,
                                  minmag_radius, maxmag_radius)
     ev = events.withColumn("__radius", radius)
-    # station: one band; event: every band its radius circle can touch
     sta = stations.withColumn(
-        "__band", F.floor(F.col("latitude") / F.lit(band)).cast("long"))
+        "__latb", F.floor(F.col("latitude") / F.lit(band)).cast("long")
+    ).withColumn(
+        "__lonb",
+        (F.floor((F.col("longitude") + 180.0) / F.lit(band)).cast("long")
+         % n_lon))
+    # longitude half-width at the worst latitude inside the window
+    abslat = F.least(F.abs(F.col("latitude")) + F.col("__radius"), F.lit(90.0))
+    near_pole = abslat >= 89.0
+    lon_half = F.when(near_pole, F.lit(180.0)) \
+        .otherwise(F.least(F.col("__radius") / F.cos(F.radians(abslat)),
+                           F.lit(180.0)))
     ev = ev.withColumn(
-        "__band",
+        "__latb",
         F.explode(F.sequence(
             F.floor((F.col("latitude") - F.col("__radius")) / F.lit(band)),
-            F.floor((F.col("latitude") + F.col("__radius")) / F.lit(band)))))
+            F.floor((F.col("latitude") + F.col("__radius")) / F.lit(band))))
+    ).withColumn(
+        "__lonb",
+        # distinct: a full-circle window wraps onto the same cells twice
+        F.explode(F.array_distinct(F.transform(
+            F.sequence(
+                F.floor((F.col("longitude") + 180.0 - lon_half) / F.lit(band)),
+                F.floor((F.col("longitude") + 180.0 + lon_half) / F.lit(band))),
+            lambda k: ((k % n_lon) + n_lon) % n_lon))))
 
     e, s = ev.alias("e"), sta.alias("s")
     dist = great_circle_distance_deg(
         F.col("e.latitude"), F.col("e.longitude"),
         F.col("s.latitude"), F.col("s.longitude"))
-    cond = (F.col("e.__band") == F.col("s.__band")) & (dist <= F.col("e.__radius"))
+    cond = ((F.col("e.__latb") == F.col("s.__latb"))
+            & (F.col("e.__lonb") == F.col("s.__lonb"))
+            & (dist <= F.col("e.__radius")))
     if check_epoch:
         cond = cond & epoch_valid(F.col("e.time"),
                                   F.col("s.start_time"), F.col("s.end_time"))
-    out = e.join(s, cond).withColumn("dist_deg", dist).drop("__band", "__radius")
+    out = (e.join(s, cond).withColumn("dist_deg", dist)
+           .drop("__latb", "__lonb", "__radius"))
     if tt_udf is not None:
         tt = tt_udf(F.col("depth_km"), F.col("dist_deg"))
         out = (out.withColumn("travel_time_sec", tt)

@@ -111,6 +111,21 @@ def wildcard_to_like(pattern: str) -> str:
             .replace("*", "%").replace("?", "_"))
 
 
+def sds_path(net: Column, sta: Column, loc: Column, cha: Column,
+             t: Column, root: str = "", dtype: str = "D") -> Column:
+    """SeisComP SDS archive path (reference Segment.sds_path,
+    process/db/models.py:323-347; public SDS layout):
+    ``<root>/YEAR/NET/STA/CHAN.TYPE/NET.STA.LOC.CHAN.TYPE.YEAR.DOY``
+    with DOY zero-padded to 3 — pure expressions (F15/K6)."""
+    year = F.date_format(t, "yyyy")
+    doy = F.format_string("%03d", F.dayofyear(t))
+    fname = F.concat_ws(".", net, sta, loc, cha, F.lit(dtype), year, doy)
+    parts = [year, net, sta, F.concat_ws(".", cha, F.lit(dtype)), fname]
+    if root:
+        parts = [F.lit(root)] + parts
+    return F.concat_ws("/", *parts)
+
+
 def wildcard_to_regex(pattern: str) -> str:
     """FDSN wildcards -> anchored regex (reference strconvert.wild2re)."""
     import re as _re

@@ -1,0 +1,62 @@
+"""Tests for the plot-data producers (X4) and the SDS path expression (F15)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stream2segment_spark.columns import sds_path
+from stream2segment_spark.plots import downsample_minmax, plot_producers
+
+
+def test_downsample_minmax_preserves_peaks():
+    x = np.zeros(10_000)
+    x[1234] = 5.0
+    x[7777] = -3.0
+    out = downsample_minmax(x, 100)
+    assert len(out) == 200
+    assert out.max() == 5.0 and out.min() == -3.0
+    short = np.arange(10.0)
+    np.testing.assert_array_equal(downsample_minmax(short, 100), short)
+
+
+def test_plot_producers_on_spark(spark):
+    t = np.arange(0, 4096) * 0.01
+    sig = np.sin(2 * np.pi * 5 * t)  # 5 Hz sine @ 100 Hz
+    df = spark.createDataFrame(
+        [(1, [float(v) for v in sig], 0.01)],
+        "id long, samples array<double>, delta double")
+    prods = plot_producers(n_buckets=64)
+    out = df.select(
+        prods["trace"]("samples", "delta").alias("tr"),
+        prods["cumulative"]("samples", "delta").alias("cum"),
+        prods["spectrum"]("samples", "delta").alias("sp")).collect()[0]
+    assert out["tr"]["label"] == "trace" and out["tr"]["n_raw"] == 4096
+    assert len(out["tr"]["y"]) == 128
+    assert max(out["tr"]["y"]) == pytest.approx(1.0, abs=1e-3)
+    cum = out["cum"]["y"]
+    assert cum[0] == pytest.approx(0.0, abs=1e-6)
+    assert cum[-1] == pytest.approx(1.0, abs=1e-6)
+    assert all(b >= a - 1e-12 for a, b in zip(cum, cum[1:]))  # monotone
+    # spectrum dx = frequency resolution; peak bucket ~5 Hz
+    sp = np.asarray(out["sp"]["y"])
+    dx = out["sp"]["dx"]
+    assert dx == pytest.approx(100.0 / 4096, rel=1e-6)
+    n_raw = out["sp"]["n_raw"]
+    peak_bucket = int(np.argmax(sp))
+    # bucket index -> raw index (2 values per bucket over n_raw points)
+    approx_freq = (peak_bucket // 2) / 64 * n_raw * dx
+    assert approx_freq == pytest.approx(5.0, abs=0.5)
+
+
+def test_sds_path_expression(spark):
+    df = spark.createDataFrame(
+        [("GE", "APE", "", "HHZ", datetime(2021, 2, 3, 4, 5, 6))],
+        "net string, sta string, loc string, cha string, t timestamp")
+    out = df.select(sds_path(
+        F.col("net"), F.col("sta"), F.col("loc"), F.col("cha"), F.col("t"),
+        root="/archive").alias("p")).collect()[0]["p"]
+    assert out == "/archive/2021/GE/APE/HHZ.D/GE.APE..HHZ.D.2021.034"

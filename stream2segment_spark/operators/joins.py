@@ -102,6 +102,31 @@ def merge_events_stations(
                 .select("event_id", "station_id", "channel_id", "event_distance_deg")
 
 
+def retry_mask(code, codes_null=True, url_err=True, mseed_errors=True,
+               timespan_err=True, http_204=True, client_err=True,
+               server_err=True):
+    """The retry-policy predicate over download_code (SURVEY P11;
+    reference download/modules/segments.py:163-195): NULL / -1 url error /
+    -2 mseed error / -204 out-of-window / 204 no-content / 4xx / 5xx class
+    selectors, each individually toggleable."""
+    retry = F.lit(False)
+    if codes_null:
+        retry = retry | code.isNull()
+    if url_err:
+        retry = retry | (code == -1)
+    if mseed_errors:
+        retry = retry | (code == -2)
+    if timespan_err:
+        retry = retry | (code == -204)
+    if http_204:
+        retry = retry | (code == 204)
+    if client_err:
+        retry = retry | code.between(400, 499.9999)
+    if server_err:
+        retry = retry | code.between(500, 599.9999)
+    return retry
+
+
 def prepare_for_download_diff(
     candidates: DataFrame,
     existing: DataFrame,
@@ -128,23 +153,12 @@ def prepare_for_download_diff(
         F.col("request_end").alias("db_request_end"))
     out = candidates.join(ex, ["channel_id", "event_id"], "left")
 
-    code = F.col("db_code")
-    # retry-policy predicate (segments.py:163-195)
-    retry = F.lit(False)
-    if retry_codes_null:
-        retry = retry | code.isNull()
-    if retry_url_err:
-        retry = retry | (code == -1)
-    if retry_mseed_errors:
-        retry = retry | (code == -2)
-    if retry_timespan_err:
-        retry = retry | (code == -204)
-    if retry_204:
-        retry = retry | (code == 204)
-    if retry_client_err:
-        retry = retry | code.between(400, 499.9999)
-    if retry_server_err:
-        retry = retry | code.between(500, 599.9999)
+    retry = retry_mask(
+        F.col("db_code"),
+        codes_null=retry_codes_null, url_err=retry_url_err,
+        mseed_errors=retry_mseed_errors, timespan_err=retry_timespan_err,
+        http_204=retry_204, client_err=retry_client_err,
+        server_err=retry_server_err)
 
     is_new = F.col("db_id").isNull()
     bounds_changed = (~is_new) & (

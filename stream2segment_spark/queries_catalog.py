@@ -516,3 +516,4 @@ from stream2segment_spark import queries_upsert  # noqa: E402,F401
 from stream2segment_spark import queries_multimodal  # noqa: E402,F401
 from stream2segment_spark import queries_mseed  # noqa: E402,F401
 from stream2segment_spark import queries_spatial  # noqa: E402,F401
+from stream2segment_spark import queries_reporting  # noqa: E402,F401

@@ -1,0 +1,105 @@
+"""Catalog entries: reporting / labels / pagination / retry predicate
+(SURVEY A9, J9, O4, P11) over the testdata tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from stream2segment_spark.operators.joins import retry_mask
+from stream2segment_spark.queries_catalog import register
+from stream2segment_spark.schema import load_table
+
+
+@register(
+    "pred_retry_mask",
+    """SELECT event_id, code FROM (
+         SELECT event_id,
+                CASE WHEN value IS NULL THEN NULL
+                     WHEN value < 10 THEN -1
+                     WHEN value < 20 THEN -2
+                     WHEN value < 30 THEN -204
+                     WHEN value < 40 THEN 204
+                     WHEN value < 80 THEN 200
+                     WHEN value < 120 THEN CAST(400 + floor(value % 100) AS INT)
+                     WHEN value < 160 THEN CAST(500 + floor(value % 100) AS INT)
+                     ELSE 200 END AS code
+         FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events)
+       WHERE code IS NULL OR code = -1 OR code = -2 OR code = -204
+          OR code = 204 OR (code BETWEEN 400 AND 499)
+          OR (code BETWEEN 500 AND 599)""",
+)
+def pred_retry_mask(spark, sf_dir):
+    """P11: the retry-policy download_code mask — every selector class
+    (NULL, -1, -2, -204, 204, 4xx, 5xx) exercised on synthetic codes."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    code = (F.when(v.isNull(), F.lit(None).cast("int"))
+            .when(v < 10, -1).when(v < 20, -2).when(v < 30, -204)
+            .when(v < 40, 204).when(v < 80, 200)
+            .when(v < 120, (400 + F.floor(v % 100)).cast("int"))
+            .when(v < 160, (500 + F.floor(v % 100)).cast("int"))
+            .otherwise(200))
+    coded = ev.select("event_id", code.alias("code"))
+    return coded.filter(retry_mask(F.col("code")))
+
+
+@register(
+    "labels_count_join",
+    """SELECT n.n_name AS label, count(c.c_custkey) AS n_labelled
+       FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+       GROUP BY n.n_name""",
+)
+def labels_count_join(spark, sf_dir):
+    """J9: class-label counts (reference process/db/models.py:691-728) —
+    LEFT join so zero-member labels appear with count 0; count(col) skips
+    the NULLs the outer join introduces."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    return (nation.join(cust, F.col("c_nationkey") == F.col("n_nationkey"),
+                        "left")
+            .groupBy(F.col("n_name").alias("label"))
+            .agg(F.count("c_custkey").alias("n_labelled")))
+
+
+@register(
+    "agg_download_summary",
+    """SELECT o_orderpriority AS run,
+              count(*) AS n,
+              min(o_orderdate) AS first_t, max(o_orderdate) AS last_t,
+              round(sum(o_totalprice), 2) AS total,
+              count(DISTINCT o_custkey) AS n_users
+       FROM orders GROUP BY o_orderpriority""",
+)
+def agg_download_summary(spark, sf_dir):
+    """A9: per-run summary report (reference
+    download/db/inspection/main.py:231-335): counts, time extent, totals,
+    distinct participants in one grouped pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy(F.col("o_orderpriority").alias("run"))
+            .agg(F.count("*").alias("n"),
+                 F.min("o_orderdate").alias("first_t"),
+                 F.max("o_orderdate").alias("last_t"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"),
+                 F.countDistinct("o_custkey").alias("n_users")))
+
+
+@register(
+    "topk_pagination",
+    """SELECT event_id, value FROM (
+         SELECT event_id, value,
+                row_number() OVER (ORDER BY value DESC, event_id) AS rn
+         FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+         WHERE value IS NOT NULL)
+       WHERE rn > 40 AND rn <= 60""",
+)
+def topk_pagination(spark, sf_dir):
+    """O4: OFFSET/LIMIT pagination distributed-safe — a global row_number
+    window (the reference's deep-page direction-flip trick is obsolete:
+    the sort is distributed and the window prunes to one page)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("value").desc(), "event_id")
+    return (ev.filter(F.col("value").isNotNull())
+            .withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") > 40) & (F.col("rn") <= 60))
+            .select("event_id", "value"))

@@ -1,0 +1,112 @@
+"""Tests: compression sniffing (K7), EIDA routing parse (S6), ISF parse (S2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from stream2segment_spark.sources.compression import (
+    compress_payload, sniff_decompress)
+from stream2segment_spark.sources.isf import isf_to_fdsn_rows, parse_isf_events
+from stream2segment_spark.sources.routing import (
+    parse_routing_response, resolve_datacenter, rule_matches, station_url_of)
+
+
+@pytest.mark.parametrize("method", ["gzip", "bz2", "zlib", "zip"])
+def test_compress_sniff_roundtrip(method):
+    payload = b"<StationXML>" + bytes(range(256)) * 10 + b"</StationXML>"
+    blob = compress_payload(payload, method)
+    assert blob != payload
+    assert sniff_decompress(blob) == payload
+
+
+def test_sniff_passthrough_plain():
+    assert sniff_decompress(b"plain text") == b"plain text"
+    assert sniff_decompress(b"") == b""
+
+
+ROUTING = """\
+http://geofon.gfz-potsdam.de/fdsnws/dataselect/1/query
+GE * * * 1993-01-01T00:00:00 2100-01-01T00:00:00
+GE APE * HH? 2000-01-01T00:00:00
+
+http://webservices.ingv.it/fdsnws/dataselect/1/query
+IV * * *
+MN TIR -- BH?
+"""
+
+
+def test_parse_routing():
+    rules = parse_routing_response(ROUTING)
+    assert len(rules) == 4
+    assert rules[0].dataselect_url.startswith("http://geofon")
+    assert rules[2].network == "IV"
+    assert rules[3].location == "--"
+    assert station_url_of(rules[0].dataselect_url) == \
+        "http://geofon.gfz-potsdam.de/fdsnws/station/1/query"
+
+
+def test_rule_matching_and_resolution():
+    rules = parse_routing_response(ROUTING)
+    assert rule_matches(rules[1], "GE", "APE", "00", "HHZ")
+    assert not rule_matches(rules[1], "GE", "APE", "00", "BHZ")
+    assert rule_matches(rules[3], "MN", "TIR", "", "BHN")     # '--' = empty loc
+    assert not rule_matches(rules[3], "MN", "TIR", "00", "BHN")
+    assert resolve_datacenter(rules, "IV", "ACER", "", "EHZ") \
+        .startswith("http://webservices.ingv.it")
+    assert resolve_datacenter(rules, "XX", "NOPE", "", "XXX") is None
+
+
+def _col(text: str, width: int) -> str:
+    return text.ljust(width)
+
+
+ISF = """\
+DATA_TYPE BULLETIN IMS1.0:short
+Event  600516 Greece
+   Date       Time        Err   RMS Latitude Longitude  Smaj  Smin  Az Depth   Err Ndef Nsta Gap  mdist  Mdist Qual   Author      OrigID
+2021/03/04 05:06:07.10   0.50  1.20  37.0700   25.5300  10.0   8.0  90  12.0   2.0   50   40 100   0.50  10.00 m i uk  ISC       12345678
+2021/03/04 05:06:08.00   0.80  1.50  37.1000   25.5000  11.0   9.0  95  14.0   3.0   30   20 120   0.60  11.00 m i uk  IDC       87654321
+
+Magnitude  Err Nsta Author      OrigID
+mb     4.6 0.2   25 ISC       12345678
+ML     4.4 0.3   12 ATH       12345678
+
+Event  600517 Aegean Sea
+   Date       Time        Err   RMS Latitude Longitude  Smaj  Smin  Az Depth   Err Ndef Nsta Gap  mdist  Mdist Qual   Author      OrigID
+2021/03/05 01:02:03.00   0.40  1.00  38.5000   26.0000   9.0   7.0  80  33.0   1.5   60   50  90   0.40   9.00 m i uk  ISC       22345678
+
+STOP
+"""
+
+
+def test_parse_isf():
+    evs = parse_isf_events(ISF)
+    assert len(evs) == 2
+    e = evs[0]
+    assert e.event_id == "600516"
+    assert e.location_name == "Greece"
+    assert e.time == "2021-03-04T05:06:07.10"
+    assert e.latitude == pytest.approx(37.07)
+    assert e.longitude == pytest.approx(25.53)
+    assert e.depth_km == pytest.approx(12.0)
+    assert e.mag_type == "mb" and e.magnitude == pytest.approx(4.6)
+    assert evs[1].event_id == "600517"
+    assert evs[1].magnitude is None       # no magnitude block
+
+
+def test_isf_to_fdsn_rows_feeds_s1(spark):
+    from stream2segment_spark.sources.fdsn import (
+        EVENT_COLS, EVENT_REQUIRED, parse_fdsn_lines, to_fdsn_lines)
+    rows = isf_to_fdsn_rows(ISF)
+    assert len(rows) == 1                 # the magnitude-less event dropped
+    df = spark.createDataFrame(
+        rows, ", ".join(f"{n} {'string' if t != 'double' else 'double'}"
+                        for n, t in EVENT_COLS))
+    from pyspark.sql import functions as F
+    df = df.withColumn("time", F.to_timestamp("time")) \
+           .withColumn("depth_km", F.col("depth_km").cast("double"))
+    parsed = parse_fdsn_lines(to_fdsn_lines(df, EVENT_COLS),
+                              EVENT_COLS, EVENT_REQUIRED)
+    got = parsed.collect()[0]
+    assert got["event_id"] == "600516"
+    assert got["magnitude"] == pytest.approx(4.6)

@@ -18,9 +18,18 @@ Layout
 - ``sources/``    : FDSN-text / parquet readers
 - ``sinks/``      : CSV/parquet writers (segment_db_id first-column contract)
 - ``process``     : the per-segment processing engine (applyInPandas)
-- ``streaming/``  : incremental / Structured Streaming surface
+- ``pipeline``    : the download pipeline composed end-to-end
+- ``streaming/``  : incremental / Structured Streaming + stateful ops
+- ``multimodal``  : binary media columns (probe/decode/frame-sample)
+- ``plots``       : GUI-equivalent plot-data producers
 """
 
 __version__ = "0.1.0"
 
+from stream2segment_spark.process import (  # noqa: F401
+    SegmentView, SkipSegment, imap, process, process_df)
+from stream2segment_spark.schema import (  # noqa: F401
+    infer_graph_schemas, load_table, load_tables, seismic_graph,
+    testdata_graph)
+from stream2segment_spark.selectexpr import exprquery  # noqa: F401
 from stream2segment_spark.session import get_spark  # noqa: F401

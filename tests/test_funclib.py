@@ -248,3 +248,52 @@ def test_wood_anderson_scales_sine_by_response_magnitude():
         WOOD_ANDERSON_SENSITIVITY)[0])
     mid = out[len(out) // 3: 2 * len(out) // 3]
     assert np.max(np.abs(mid)) == pytest.approx(hmag, rel=0.02)
+
+
+# --------------------------------------------------------------------------
+# N11 template compositions
+# --------------------------------------------------------------------------
+
+def test_signal_noise_spectra_snr_separates():
+    from stream2segment_spark.funclib.templates import signal_noise_spectra
+    delta = 0.01
+    t = np.arange(0, 60, delta)
+    arrival = 20.0
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 0.01, len(t))
+    x[t >= arrival] += np.sin(2 * np.pi * 4 * t[t >= arrival]) * \
+        np.exp(-0.2 * (t[t >= arrival] - arrival))
+    out = signal_noise_spectra(x, delta, 0.0, arrival, win_length=10.0)
+    assert out["signal_window"] == (20.0, 30.0)
+    assert out["noise_window"] == (10.0, 20.0)
+    assert len(out["signal_spec"]) == len(out["noise_spec"])
+    # signal spectrum carries much more energy than the noise spectrum
+    assert out["signal_spec"].sum() > 3 * out["noise_spec"].sum()
+    # quantile windows start at/after the arrival
+    q = signal_noise_spectra(x, delta, 0.0, arrival, win_length=(0.05, 0.95))
+    assert q["signal_window"][0] >= arrival
+    assert q["noise_window"][1] == arrival
+
+
+def test_meanslice():
+    from stream2segment_spark.funclib.templates import meanslice
+    x = np.concatenate([np.full(100, 2.0), np.full(100, 4.0)])
+    assert meanslice(x, 1.0, 0.0, 0.0, 100.0) == pytest.approx(2.0)
+    assert meanslice(x, 1.0, 0.0, 100.0, 200.0) == pytest.approx(4.0)
+    assert np.isnan(meanslice(x, 1.0, 0.0, 500.0, 600.0))
+
+
+def test_multievent_flags():
+    from stream2segment_spark.funclib.templates import multievent_flags
+    delta = 0.01
+    t = np.arange(0, 100, delta)
+    one = np.where((t >= 10) & (t < 15),
+                   np.sin(2 * np.pi * 5 * t), 0.0) + 1e-6
+    res1 = multievent_flags(one, delta)
+    assert not res1["flag_after"]
+    # a second, later burst after the main energy release
+    two = one + np.where((t >= 70) & (t < 75),
+                         np.sin(2 * np.pi * 5 * t), 0.0)
+    res2 = multievent_flags(two, delta)
+    assert res2["flag_after"]
+    assert res2["score_after"] > res1["score_after"] * 5

@@ -291,9 +291,10 @@ def test_multievent_flags():
                    np.sin(2 * np.pi * 5 * t), 0.0) + 1e-6
     res1 = multievent_flags(one, delta)
     assert not res1["flag_after"]
-    # a second, later burst after the main energy release
-    two = one + np.where((t >= 70) & (t < 75),
-                         np.sin(2 * np.pi * 5 * t), 0.0)
+    # a second, SMALLER burst well after the main release (must stay under
+    # the 1 - split_at energy share or the quantile split lands inside it)
+    two = one + np.where((t >= 70) & (t < 71),
+                         0.7 * np.sin(2 * np.pi * 5 * t), 0.0)
     res2 = multievent_flags(two, delta)
     assert res2["flag_after"]
     assert res2["score_after"] > res1["score_after"] * 5

@@ -78,3 +78,47 @@ def test_random_conditions_match_duckdb(env, vc, tc, use_type):
         "SELECT event_id FROM events WHERE " + " AND ".join(where)
     ).fetchall())
     assert got == want, (conditions, len(got), len(want))
+
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@pytest.fixture(scope="module")
+def env_joins(spark):
+    dfs = load_tables(spark, SF, ["lineitem", "orders", "part"])
+    graph = infer_graph_schemas(testdata_graph(), dfs)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return graph, dfs, con
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    prio=st.lists(st.sampled_from(PRIORITIES), min_size=1, max_size=2,
+                  unique=True),
+    size=st.tuples(st.integers(1, 50), st.integers(1, 50)).map(sorted),
+    qty_op=st.sampled_from(["<", ">", "<=", ">="]),
+    qty=st.integers(1, 50),
+)
+def test_random_dotted_joins_match_duckdb(env_joins, prio, size, qty_op, qty):
+    graph, dfs, con = env_joins
+    conditions = {
+        "order.o_orderpriority": " ".join(f"'{p}'" for p in prio),
+        "part.p_size": f"[{size[0]}, {size[1]}]",
+        "l_quantity": f"{qty_op}{qty}",
+    }
+    out = exprquery(graph, dfs, "lineitem", conditions)
+    got = sorted((r["l_orderkey"], r["l_linenumber"])
+                 for r in out.select("l_orderkey", "l_linenumber").collect())
+    inlist = ", ".join(f"'{p}'" for p in prio)
+    want = sorted(con.execute(f"""
+        SELECT l.l_orderkey, l.l_linenumber FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE o.o_orderpriority IN ({inlist})
+          AND p.p_size BETWEEN {size[0]} AND {size[1]}
+          AND l.l_quantity {qty_op} {qty}""").fetchall())
+    assert got == want, (conditions, len(got), len(want))

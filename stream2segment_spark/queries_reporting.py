@@ -103,3 +103,50 @@ def topk_pagination(spark, sf_dir):
             .withColumn("rn", F.row_number().over(w))
             .filter((F.col("rn") > 40) & (F.col("rn") <= 60))
             .select("event_id", "value"))
+
+
+@register(
+    "agg_rollup_time",
+    """SELECT CASE WHEN event_type IS NULL THEN '(all)' ELSE event_type END
+              AS event_type,
+              CAST(day AS TIMESTAMP) AS day, n, total
+       FROM (
+         SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                count(*) AS n, round(sum(value), 2) AS total
+         FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) ev
+         WHERE ts IS NOT NULL
+         GROUP BY ROLLUP (event_type, date_trunc('day', CAST(ts AS TIMESTAMP)))
+       ) WHERE day IS NOT NULL OR event_type IS NULL""",
+)
+def agg_rollup_time(spark, sf_dir):
+    """Beyond-reference stats layer (SURVEY §2.4 note): hypertable-style
+    time-bucketed ROLLUP — per (type, day) counts plus per-type and grand
+    totals in ONE pass (partial aggregation handles all grouping sets
+    map-side). NULL group markers aliased for the cross-engine compare."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    out = (ev.rollup(F.col("event_type"), day)
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("total")))
+    # drop the (type, NULL-day) subtotal rows DuckDB represents identically;
+    # keep leaf rows and the grand total for a deterministic compare
+    out = out.filter(F.col("day").isNotNull() | F.col("event_type").isNull())
+    return out.select(
+        F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+        "day", "n", "total")
+
+
+@register(
+    "agg_approx_distinct",
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users
+       FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+       GROUP BY event_type""",
+)
+def agg_approx_distinct(spark, sf_dir):
+    """Beyond-reference: approx_count_distinct (HyperLogLog++) is the
+    100 TB cardinality path — one pass, fixed memory, no expand. The gate
+    runs the EXACT variant (approx results are engine-specific); the
+    approximate twin is asserted within rsd in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("exact_users")))

@@ -60,3 +60,17 @@ def test_sds_path_expression(spark):
         F.col("net"), F.col("sta"), F.col("loc"), F.col("cha"), F.col("t"),
         root="/archive").alias("p")).collect()[0]["p"]
     assert out == "/archive/2021/GE/APE/HHZ.D/GE.APE..HHZ.D.2021.034"
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    from pyspark.sql import functions as F
+
+    from stream2segment_spark.schema import load_table
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    rows = (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("exact"),
+                 F.approx_count_distinct("user_id", 0.02).alias("approx"))
+            .collect())
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(0.06 * r["exact"], 2), r

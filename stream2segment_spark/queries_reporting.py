@@ -150,3 +150,24 @@ def agg_approx_distinct(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return (ev.groupBy("event_type")
             .agg(F.countDistinct("user_id").alias("exact_users")))
+
+
+@register(
+    "join_salted_skew",
+    """SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_quantity > 45""",
+)
+def join_salted_skew(spark, sf_dir):
+    """Skew-handling salted join (operators/skew.py): the big side carries
+    a deterministic salt, the small side replicates across salt buckets —
+    row-for-row identical output to the plain join (this oracle), with hot
+    keys split across n shuffle partitions at scale."""
+    from stream2segment_spark.operators.skew import salted_join
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    out = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), o,
+        on=["o_orderkey"], n_salts=8, salt_source=["l_linenumber"])
+    return out.select(F.col("o_orderkey").alias("l_orderkey"),
+                      "l_linenumber", "o_orderpriority")

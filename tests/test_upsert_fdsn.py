@@ -89,3 +89,25 @@ def test_fdsn_roundtrip_small(spark):
     assert [(r["id"], r["name"], r["v"]) for r in rows] == \
         [(1, "alpha", 1.5), (2, "beta", None)]
     assert rows[0]["t"] is not None and rows[1]["t"] is None
+
+
+def test_salted_join_matches_plain(spark):
+    from stream2segment_spark.operators.skew import salted_join
+    # skewed big side: 90% of rows share key 1
+    big = spark.createDataFrame(
+        [(1 if i % 10 else i, i, float(i)) for i in range(1000)],
+        "k long, rid long, v double")
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(0, 1000, 10)] + [(1, "dim1")],
+        "k long, name string")
+    plain = {(r["rid"], r["name"])
+             for r in big.join(small, "k").collect()}
+    salted = {(r["rid"], r["name"])
+              for r in salted_join(big, small, ["k"], n_salts=4).collect()}
+    assert salted == plain and len(plain) > 900
+    left = {(r["rid"], r["name"])
+            for r in salted_join(big, small, ["k"], n_salts=4,
+                                 how="left").collect()}
+    plain_left = {(r["rid"], r["name"])
+                  for r in big.join(small, "k", "left").collect()}
+    assert left == plain_left

@@ -171,3 +171,22 @@ def join_salted_skew(spark, sf_dir):
         on=["o_orderkey"], n_salts=8, salt_source=["l_linenumber"])
     return out.select(F.col("o_orderkey").alias("l_orderkey"),
                       "l_linenumber", "o_orderpriority")
+
+
+@register(
+    "setop_intersect",
+    """SELECT user_id FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+                            FROM events) events
+       WHERE event_type = 'click'
+       INTERSECT
+       SELECT user_id FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+                            FROM events) events
+       WHERE event_type = 'purchase'""",
+)
+def setop_intersect(spark, sf_dir):
+    """Set intersection (absent in the reference, free in Spark SQL —
+    SURVEY §2.7 note): users who both clicked and purchased."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)

@@ -69,3 +69,54 @@ def mseed_decode(spark, sf_dir):
         F.col("ch.max_gap_overlap_ratio").alias("max_gap"),
         F.element_at("ch.samples", 1).alias("first_sample"),
         F.element_at("ch.samples", -1).alias("last_sample"))
+
+
+def _quality_blob_udf():
+    @F.pandas_udf("binary")
+    def _udf(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 5 == 4:
+                out.append(b"broken!!" * 8)
+                continue
+            gap = 2 if i % 5 == 3 else 0
+            vals = np.arange(20, dtype=np.int64)
+            rec1 = MS.encode_record("SY", "APE", "", "HHZ", _T0, 100.0,
+                                    vals[:10], encoding=3)
+            rec2 = MS.encode_record(
+                "SY", "APE", "", "HHZ",
+                _T0 + timedelta(seconds=(10 + gap) / 100.0), 100.0,
+                vals[10:], encoding=3, seq=2)
+            out.append(rec1 + rec2)
+        return pd.Series(out)
+    return _udf
+
+
+@register(
+    "stream_quality_windows",
+    """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+              AS window_start,
+              CASE WHEN event_id % 5 = 4 THEN 'broken'
+                   WHEN event_id % 5 = 3 THEN 'gapped'
+                   ELSE 'ok' END AS status,
+              count(*) AS n
+       FROM events WHERE ts IS NOT NULL
+       GROUP BY window_start, status""",
+)
+def stream_quality_windows(spark, sf_dir):
+    """Streaming waveform-quality stage (streaming/waveforms.py) run in
+    its batch-twin form under the gate: deterministic per-id blobs
+    (every 5th broken, every 5th-minus-one with a 2-sample gap) ->
+    decode -> daily ok/gapped/broken counts; the oracle recomputes status
+    from the id. On a stream the SAME functions run with a watermark."""
+    from stream2segment_spark.streaming.waveforms import (
+        decode_segments, windowed_quality_stats)
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("ts").isNotNull())
+          .select(F.col("event_id").alias("id"),
+                  F.col("ts").alias("request_start")))
+    segs = ev.withColumn("data", _quality_blob_udf()(F.col("id")))
+    out = windowed_quality_stats(decode_segments(segs), window="1 day",
+                                 gap_threshold=0.5)
+    return out

@@ -131,3 +131,31 @@ def test_ivf_recall_and_full_probe_exactness(spark):
     approx_set = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(approx_set & exact_set) / len(exact_set)
     assert recall >= 0.6, recall
+
+
+def test_resolve_channel_conflicts(spark):
+    from stream2segment_spark.operators.dedup import resolve_channel_conflicts
+    rows = [
+        # clean single claim
+        ("GE", "AAA", 1, 100.0),
+        # claimed by dc 1 and dc 2 -> routing says dc 2
+        ("GE", "BBB", 1, 100.0), ("GE", "BBB", 2, 100.0),
+        # claimed by dc 1 and dc 3 -> no routing info -> dropped
+        ("GE", "CCC", 1, 100.0), ("GE", "CCC", 3, 100.0),
+        # duplicate WITHIN dc 1 -> dropped entirely
+        ("GE", "DDD", 1, 100.0), ("GE", "DDD", 1, 90.0),
+    ]
+    ch = spark.createDataFrame(
+        rows, "network string, station string, datacenter_id long, "
+              "sample_rate double")
+    routed = spark.createDataFrame(
+        [("GE", "BBB", 2)],
+        "network string, station string, routed_datacenter long")
+    out = resolve_channel_conflicts(
+        ch, ["network", "station"], routed=routed)
+    got = sorted((r["station"], r["datacenter_id"]) for r in out.collect())
+    assert got == [("AAA", 1), ("BBB", 2)]
+    # without routing info, only the clean claim survives
+    out2 = resolve_channel_conflicts(ch, ["network", "station"])
+    assert [(r["station"], r["datacenter_id"]) for r in out2.collect()] \
+        == [("AAA", 1)]

@@ -190,3 +190,46 @@ def setop_intersect(spark, sf_dir):
     a = ev.filter(F.col("event_type") == "click").select("user_id")
     b = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return a.intersect(b)
+
+
+@register(
+    "agg_percentiles",
+    """SELECT event_type,
+              round(quantile_cont(value, 0.25), 6) AS p25,
+              round(quantile_cont(value, 0.50), 6) AS p50,
+              round(quantile_cont(value, 0.75), 6) AS p75
+       FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+       WHERE value IS NOT NULL GROUP BY event_type""",
+)
+def agg_percentiles(spark, sf_dir):
+    """Beyond-reference stats: exact interpolated percentiles under the
+    gate (percentile_approx is the fixed-memory scale path — same API
+    shape, swap when exactness is not required)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.element_at(pct, 1), 6).alias("p25"),
+                 F.round(F.element_at(pct, 2), 6).alias("p50"),
+                 F.round(F.element_at(pct, 3), 6).alias("p75")))
+
+
+@register(
+    "agg_cube",
+    """SELECT coalesce(event_type, '(all)') AS event_type,
+              coalesce(CAST(bucket AS VARCHAR), '(all)') AS bucket,
+              count(*) AS n
+       FROM (SELECT event_type, user_id % 10 AS bucket
+             FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+             ) GROUP BY CUBE (event_type, bucket)""",
+)
+def agg_cube(spark, sf_dir):
+    """Beyond-reference: full CUBE over (type, user bucket) — all four
+    grouping sets in one partially-aggregated pass."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (ev.withColumn("bucket", F.col("user_id") % 10)
+           .cube("event_type", "bucket")
+           .agg(F.count("*").alias("n")))
+    return out.select(
+        F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+        F.coalesce(F.col("bucket").cast("string"), F.lit("(all)")).alias("bucket"),
+        "n")

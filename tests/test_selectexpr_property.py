@@ -122,3 +122,25 @@ def test_random_dotted_joins_match_duckdb(env_joins, prio, size, qty_op, qty):
           AND p.p_size BETWEEN {size[0]} AND {size[1]}
           AND l.l_quantity {qty_op} {qty}""").fetchall())
     assert got == want, (conditions, len(got), len(want))
+
+
+def test_datetime_literal_conditions(env):
+    """ISO datetime literals (both 'T' and space forms) in interval and
+    comparison expressions — parsed per column type, matching DuckDB."""
+    graph, dfs, con = env
+    cases = [
+        # space-form datetimes must be quoted (shlex value splitting, as in
+        # the reference); the 'T' form needs no quotes
+        ({"ts": "[2024-01-01T00:00:00, '2024-03-01 12:30:00')"},
+         "ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-03-01 12:30:00'"),
+        ({"ts": ">2024-06-15T06:00:00"},
+         "ts > TIMESTAMP '2024-06-15 06:00:00'"),
+        ({"ts": "!=null"}, "ts IS NOT NULL"),
+    ]
+    for conditions, where in cases:
+        got = sorted(r["event_id"] for r in
+                     exprquery(graph, dfs, "events", conditions)
+                     .select("event_id").collect())
+        want = sorted(r[0] for r in con.execute(
+            f"SELECT event_id FROM events WHERE {where}").fetchall())
+        assert got == want, (conditions, len(got), len(want))

@@ -1,0 +1,72 @@
+"""As-of (backward) join — an operator Spark's DataFrame API lacks
+(pandas has merge_asof; DuckDB has ASOF JOIN, which is the gate oracle).
+
+For each left row, attach the right row with the greatest ``right.ts <=
+left.ts`` within the same key group (optionally within ``tolerance``
+seconds). The training-data shape: join facts to the most recent
+dimension state (latest model version, user status, calibration epoch)
+without an expensive range join.
+
+Spark-first construction (no per-key collects, no range join):
+
+1. union the tagged left/right rows (right rows carry the payload,
+   left rows carry NULL payload);
+2. one window per key ordered by (ts, tag) with rows UNBOUNDED PRECEDING
+   -> CURRENT ROW: ``last(payload, ignoreNulls=True)`` gives every left
+   row the latest right payload at-or-before its timestamp (right sorts
+   BEFORE left at equal ts -> inclusive semantics);
+3. keep left rows; tolerance filters on the carried right timestamp.
+
+One shuffle on the key — the same cost as a plain equi-join — versus the
+naive ``left.ts >= right.ts`` range join whose pair count is quadratic
+per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str] | None = None,
+    tolerance_sec: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row + the most recent ``right``
+    values (``value_cols``, default: all non-key non-time columns) at or
+    before its ``on`` timestamp, per ``by`` group; unmatched (or outside
+    ``tolerance_sec``) rows keep NULLs. Output columns: left's, plus
+    ``<value><suffix>`` and ``<on><suffix>`` (the matched timestamp)."""
+    value_cols = value_cols or [
+        c for c in right.columns if c not in by and c != on]
+    payload = F.struct(F.col(on).alias("__ts"),
+                       *[F.col(c) for c in value_cols])
+    r = right.select(
+        *by, F.col(on), F.lit(0).alias("__tag"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in by and c != on])
+    l = left.select(
+        *by, F.col(on), F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c) for c in left.columns if c not in by and c != on])
+    u = r.unionByName(l)
+
+    w = (Window.partitionBy(*by).orderBy(F.col(on), F.col("__tag"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = u.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
+    out = u.filter(F.col("__tag") == 1)
+    if tolerance_sec is not None:
+        in_tol = (F.col(on).cast("double")
+                  - F.col("__m.__ts").cast("double")) <= tolerance_sec
+        out = out.withColumn(
+            "__m", F.when(in_tol, F.col("__m")))
+    sel = ([F.col(c) for c in left.columns]
+           + [F.col(f"__m.{c}").alias(c + suffix) for c in value_cols]
+           + [F.col("__m.__ts").alias(on + suffix)])
+    return out.select(*sel)

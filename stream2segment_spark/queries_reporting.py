@@ -233,3 +233,34 @@ def agg_cube(spark, sf_dir):
         F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
         F.coalesce(F.col("bucket").cast("string"), F.lit("(all)")).alias("bucket"),
         "n")
+
+
+@register(
+    "join_asof_backward",
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+       clicks AS (SELECT event_id, user_id, ts FROM ev
+                  WHERE event_type = 'click'),
+       marks AS (SELECT user_id, ts, max(value) AS mark
+                 FROM ev WHERE event_type = 'signup' AND value IS NOT NULL
+                 GROUP BY user_id, ts)
+       SELECT c.event_id, c.user_id, c.ts,
+              m.mark AS mark_asof, m.ts AS ts_asof
+       FROM clicks c
+       ASOF LEFT JOIN marks m
+         ON c.user_id = m.user_id AND c.ts >= m.ts""",
+)
+def join_asof_backward(spark, sf_dir):
+    """As-of join (absent from Spark's API; DuckDB's native ASOF JOIN is
+    the oracle): each click gets the user's most recent signup mark at or
+    before its timestamp — implemented as tagged union + one window per
+    key (one equi-shuffle; no quadratic range join). Right side deduped
+    per (user, ts) so the greatest-ts match is unambiguous."""
+    from stream2segment_spark.operators.asof import asof_join_backward
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    marks = (ev.filter((F.col("event_type") == "signup")
+                       & F.col("value").isNotNull())
+             .groupBy("user_id", "ts").agg(F.max("value").alias("mark")))
+    return asof_join_backward(clicks, marks, on="ts", by=["user_id"],
+                              value_cols=["mark"])

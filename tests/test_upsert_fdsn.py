@@ -111,3 +111,28 @@ def test_salted_join_matches_plain(spark):
     plain_left = {(r["rid"], r["name"])
                   for r in big.join(small, "k", "left").collect()}
     assert left == plain_left
+
+
+def test_asof_join_backward_semantics(spark):
+    from datetime import datetime
+
+    from stream2segment_spark.operators.asof import asof_join_backward
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, 1, t(10)), (2, 1, t(30)), (3, 1, t(5)), (4, 2, t(10))],
+        "rid long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, t(0), "a"), (1, t(10), "b"), (1, t(20), "c"), (3, t(0), "z")],
+        "k long, ts timestamp, v string")
+    out = {r["rid"]: (r["v_asof"], r["ts_asof"]) for r in
+           asof_join_backward(left, right, on="ts", by=["k"]).collect()}
+    assert out[1] == ("b", t(10))      # inclusive: equal ts matches
+    assert out[2] == ("c", t(20))      # latest at-or-before
+    assert out[3] == ("a", t(0))
+    assert out[4] == (None, None)      # no right rows for key 2
+    # tolerance: match only within 5 minutes
+    out2 = {r["rid"]: r["v_asof"] for r in
+            asof_join_backward(left, right, on="ts", by=["k"],
+                               tolerance_sec=300).collect()}
+    # inclusive tolerance: rid 3's match is exactly 300 s old -> kept
+    assert out2[1] == "b" and out2[2] is None and out2[3] == "a"

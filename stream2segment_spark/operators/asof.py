@@ -70,3 +70,46 @@ def asof_join_backward(
            + [F.col(f"__m.{c}").alias(c + suffix) for c in value_cols]
            + [F.col("__m.__ts").alias(on + suffix)])
     return out.select(*sel)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_bounds: tuple[str, str],
+    right_bounds: tuple[str, str],
+    by: list[str] | None = None,
+    bucket_sec: float = 3600.0,
+) -> DataFrame:
+    """Interval join: pairs whose [start, end) windows overlap
+    (``l.start < r.end AND r.start < l.end``), optionally within ``by``
+    equi-keys — the other classic operator Spark's API lacks.
+
+    Banded construction (mirrors the spatial join): each interval explodes to
+    the time buckets it touches; candidates come from a bucket equi-join
+    (plus ``by``), the exact overlap predicate filters, and a distinct
+    collapses multi-bucket duplicates. Pair work scales with bucket
+    density, never |L|x|R|.
+    """
+    by = by or []
+    ls, le = left_bounds
+    rs, re_ = right_bounds
+
+    def bucketize(df, s, e):
+        b = F.explode(F.sequence(
+            F.floor(F.col(s).cast("double") / bucket_sec),
+            F.floor(F.col(e).cast("double") / bucket_sec)))
+        return df.withColumn("__bucket", b)
+
+    l = bucketize(left, ls, le).alias("l")
+    r = bucketize(right, rs, re_).alias("r")
+    cond = F.col("l.__bucket") == F.col("r.__bucket")
+    for k in by:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    overlap = ((F.col(f"l.{ls}") < F.col(f"r.{re_}"))
+               & (F.col(f"r.{rs}") < F.col(f"l.{le}")))
+    out_cols = ([F.col(f"l.{c}") for c in left.columns]
+                + [F.col(f"r.{c}").alias(c if c not in left.columns
+                                         else c + "_r")
+                   for c in right.columns if c not in by])
+    return (l.join(r, cond & overlap)
+            .select(*out_cols).distinct())

@@ -264,3 +264,33 @@ def join_asof_backward(spark, sf_dir):
              .groupBy("user_id", "ts").agg(F.max("value").alias("mark")))
     return asof_join_backward(clicks, marks, on="ts", by=["user_id"],
                               value_cols=["mark"])
+
+
+@register(
+    "join_interval_overlap",
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+       a AS (SELECT event_id, user_id, ts AS s,
+                    ts + INTERVAL 30 MINUTE AS e
+             FROM ev WHERE event_type = 'click'),
+       b AS (SELECT event_id AS event_id_r, user_id, ts AS s_r,
+                    ts + INTERVAL 60 MINUTE AS e_r
+             FROM ev WHERE event_type = 'purchase')
+       SELECT a.event_id, a.user_id, a.s, a.e, b.event_id_r, b.s_r, b.e_r
+       FROM a JOIN b ON a.user_id = b.user_id
+                    AND a.s < b.e_r AND b.s_r < a.e""",
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join (banded; operators/asof.py): click windows
+    [ts, ts+30m) overlapping purchase windows [ts, ts+60m) per user; the
+    oracle is the plain inequality join."""
+    from stream2segment_spark.operators.asof import interval_overlap_join
+    ev = load_table(spark, sf_dir, "events")
+    a = (ev.filter(F.col("event_type") == "click")
+         .select("event_id", "user_id", F.col("ts").alias("s"),
+                 (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e")))
+    b = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("event_id_r"), "user_id",
+                 F.col("ts").alias("s_r"),
+                 (F.col("ts") + F.expr("INTERVAL 60 MINUTES")).alias("e_r")))
+    return interval_overlap_join(a, b, ("s", "e"), ("s_r", "e_r"),
+                                 by=["user_id"])

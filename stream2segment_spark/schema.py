@@ -310,9 +310,21 @@ _NANOS_TS_COLS = {"events": ("ts",)}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver parquet table. Plain ``spark.read.parquet`` so
     Catalyst gets pushdown/pruning on the scan; nanosecond timestamp columns
-    are normalized to microsecond timestamps."""
+    are normalized to microsecond timestamps.
+
+    Must work on ANY SparkSession (not only ``session.get_spark``'s tuned
+    one): TIMESTAMP(NANOS) parquet columns make a vanilla session throw
+    ``PARQUET_TYPE_ILLEGAL``, so the legacy nanos-as-long conf is set here
+    at runtime (it is a runtime-settable SQL conf, idempotent)."""
     from pyspark.sql import functions as F  # local: keep module import-light
 
+    if name in _NANOS_TS_COLS:
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # static-conf Spark builds: fall through and hope the
+            # session was created with the conf; the read error is clearer
+            # than anything we could raise here.
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANOS_TS_COLS.get(name, ()):
         if c in df.columns and not isinstance(df.schema[c].dataType, T.TimestampType):

@@ -86,8 +86,12 @@ def interval_overlap_join(
 
     Banded construction (mirrors the spatial join): each interval explodes to
     the time buckets it touches; candidates come from a bucket equi-join
-    (plus ``by``), the exact overlap predicate filters, and a distinct
-    collapses multi-bucket duplicates. Pair work scales with bucket
+    (plus ``by``) and the exact overlap predicate filters. A pair touching
+    several common buckets is emitted exactly once by its CLAIMING bucket —
+    the bucket of ``greatest(l.start, r.start)`` (the overlap's first
+    instant, which both intervals necessarily cover) — so no wide-row
+    ``distinct()`` re-shuffle, and genuine duplicate input rows keep their
+    multiplicity (inequality-join semantics). Pair work scales with bucket
     density, never |L|x|R|.
     """
     by = by or []
@@ -107,9 +111,12 @@ def interval_overlap_join(
         cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
     overlap = ((F.col(f"l.{ls}") < F.col(f"r.{re_}"))
                & (F.col(f"r.{rs}") < F.col(f"l.{le}")))
+    claiming = F.col("l.__bucket") == F.floor(
+        F.greatest(F.col(f"l.{ls}").cast("double"),
+                   F.col(f"r.{rs}").cast("double")) / bucket_sec)
     out_cols = ([F.col(f"l.{c}") for c in left.columns]
                 + [F.col(f"r.{c}").alias(c if c not in left.columns
                                          else c + "_r")
                    for c in right.columns if c not in by])
-    return (l.join(r, cond & overlap)
-            .select(*out_cols).distinct())
+    return (l.join(r, cond & overlap & claiming)
+            .select(*out_cols))

@@ -226,6 +226,7 @@ def ann_topk_ivf(
 def cosine_pairs_blocked(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.9, block_size: int = 1024,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold via blocked matrix multiply.
 
@@ -237,13 +238,22 @@ def cosine_pairs_blocked(
     the above-threshold pairs. Same O(n^2) math, ~2 orders of magnitude
     faster per pair, and block pairs spread evenly across executors.
 
-    Returns (id_a, id_b, cosine) with id_a < id_b.
+    Returns (id_a, id_b, cosine) with id_a < id_b. Block membership is
+    hash-assigned, so id order is uncorrelated with block index: for
+    off-diagonal block pairs every above-threshold hit is emitted as
+    (min(id), max(id)); the ``id_a < id_b`` filter applies only WITHIN the
+    diagonal block (it is an id comparison there, deduping the symmetric
+    hit and the self-pair). Each unordered pair lives in exactly one block
+    pair, so no cross-task dedup is needed.
+
+    ``n_rows`` (row count) sizes the block grid; pass it when known to
+    avoid the extra ``df.count()`` job.
     """
     blocked = (df.select(
         (F.crc32(F.col(id_col).cast("string")) % 1_000_003).alias("__h"),
         id_col, vec_col))
     # contiguous-ish blocks by hash bucket: deterministic, key-skew-free
-    n = df.count()
+    n = n_rows if n_rows is not None else df.count()
     n_blocks = max(1, -(-n // block_size))
     packed = (blocked
               .withColumn("__blk", (F.col("__h") % n_blocks).cast("int"))
@@ -261,6 +271,7 @@ def cosine_pairs_blocked(
     def matmul(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, row in pdf.iterrows():
+                diag = row["blk_a"] == row["blk_b"]
                 ia = np.asarray(row["ids_a"], dtype=np.int64)
                 ib = np.asarray(row["ids_b"], dtype=np.int64)
                 ma = np.array([np.asarray(v, float) for v in row["vecs_a"]])
@@ -270,8 +281,14 @@ def cosine_pairs_blocked(
                 sims = ma @ mb.T
                 ii, jj = np.nonzero(sims >= threshold)
                 id_a, id_b = ia[ii], ib[jj]
-                keep = id_a < id_b
-                yield pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep],
-                                    "cosine": sims[ii, jj][keep]})
+                if diag:
+                    keep = id_a < id_b
+                    id_a, id_b, cos = id_a[keep], id_b[keep], sims[ii, jj][keep]
+                else:
+                    # ids are hash-scattered across blocks: orient, don't drop
+                    cos = sims[ii, jj]
+                    id_a, id_b = (np.minimum(id_a, id_b),
+                                  np.maximum(id_a, id_b))
+                yield pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cos})
 
     return pairs.mapInPandas(matmul, out_schema)

@@ -22,6 +22,42 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def global_order_index(
+    df: DataFrame, order_cols: list[str], index_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global 1..n row index ordered by ``order_cols``,
+    WITHOUT a single-partition window: range-partition on the order key
+    (partition p holds keys strictly below partition p+1), take a local
+    row_number per partition, then shift each partition by the cumulative
+    count of the partitions before it (a tiny n_partitions-row aggregate,
+    broadcast back). Equal to ``row_number() OVER (ORDER BY order_cols)``
+    row for row, at one range shuffle instead of one task for everything.
+
+    ``order_cols`` must be a unique key (ties across a partition boundary
+    would otherwise make the index partition-dependent)."""
+    parts = (df.repartitionByRange(num_partitions, *order_cols)
+             if num_partitions else df.repartitionByRange(*order_cols))
+    tagged = parts.withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = tagged.withColumn("__rn", F.row_number().over(w_local))
+    # cumulative offsets via a triangular self-join on the n_partitions-row
+    # counts frame (a constant-partitioned window gets its literal key
+    # folded away by Catalyst and degenerates to the unpartitioned form)
+    counts = local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    prev = counts.select(F.col("__pid").alias("__pid2"),
+                         F.col("__cnt").alias("__cnt2"))
+    offsets = (counts.join(F.broadcast(prev),
+                           F.col("__pid2") < F.col("__pid"), "left")
+               .groupBy("__pid")
+               .agg(F.coalesce(F.sum("__cnt2"), F.lit(0)).alias("__off")))
+    # offsets is n_partitions rows — broadcast; its own window is over that
+    # tiny frame only, never the data
+    out = local.join(F.broadcast(offsets), "__pid")
+    return (out.withColumn(index_col, F.col("__rn") + F.col("__off"))
+            .drop("__pid", "__rn", "__off"))
+
+
 def merge_latest_wins(
     existing: DataFrame,
     incoming: DataFrame,
@@ -76,17 +112,20 @@ def sync_surrogate_ids(
     The existing-ids side is NOT force-broadcast: in the reference this op
     syncs both small dims (events, stations) and the segments fact table;
     at 100 TB the latter must shuffle-join (AQE picks broadcast when the
-    ids projection is small enough). The global row_number over fresh rows
-    is single-partition but only over the (few) unmatched rows."""
+    ids projection is small enough). Fresh ids come from
+    ``global_order_index`` (range partition + offset), so an initial load
+    where EVERY row is fresh still distributes — no single-partition
+    global window."""
     ids = existing.select(*natural_key, F.col(id_col).alias("__existing_id"))
     joined = incoming.drop(id_col).join(ids, natural_key, "left")
     max_id = existing.agg(F.max(id_col)).first()[0] or 0
-    w = Window.orderBy(*natural_key)
     matched = joined.filter(F.col("__existing_id").isNotNull()) \
         .withColumn(id_col, F.col("__existing_id"))
-    fresh = (joined.filter(F.col("__existing_id").isNull())
-             .withColumn(id_col,
-                         F.row_number().over(w) + F.lit(max_id)))
+    fresh = global_order_index(
+        joined.filter(F.col("__existing_id").isNull()),
+        list(natural_key), "__idx")
+    fresh = (fresh.withColumn(id_col, F.col("__idx") + F.lit(max_id))
+             .drop("__idx"))
     return matched.unionByName(fresh).drop("__existing_id")
 
 

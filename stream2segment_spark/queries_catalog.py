@@ -284,7 +284,7 @@ def join_semi_prefilter(spark, sf_dir):
 @register(
     "join_mergeupdate",
     """SELECT o.o_orderkey,
-              round(coalesce(l.rev, o.o_totalprice), 2) AS o_totalprice
+              round(coalesce(l.rev, o.o_totalprice), 4) AS o_totalprice
        FROM orders o
        LEFT JOIN (SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS rev
                   FROM lineitem GROUP BY l_orderkey) l
@@ -292,14 +292,19 @@ def join_semi_prefilter(spark, sf_dir):
 )
 def join_mergeupdate(spark, sf_dir):
     """J4: mergeupdate (io/db/pdsql.py:971-1085) — left merge where the
-    right side wins when matched (np.where(_merge=='both', y, x))."""
+    right side wins when matched (np.where(_merge=='both', y, x)).
+
+    Rounded to 4 decimals, not 2: price*(1-discount) products are exact at
+    4 decimals, so the double sum sits ~1e-6 from a 4-decimal grid point
+    and both engines round identically; at 2 decimals true .xx50 halves
+    exist and Spark (decimal HALF_UP) vs DuckDB (binary) disagree."""
     from stream2segment_spark.operators.joins import mergeupdate
     dfs = _tables(spark, sf_dir, "orders", "lineitem")
     rev = (dfs["lineitem"].groupBy(F.col("l_orderkey").alias("o_orderkey"))
            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                 .alias("o_totalprice")))
     out = mergeupdate(dfs["orders"], rev, ["o_orderkey"], ["o_totalprice"])
-    return out.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    return out.select("o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"))
 
 
 @register(

@@ -68,8 +68,10 @@ def sim_pairs_threshold(spark, sf_dir):
     (At 100 TB prune the block-pair grid with LSH first; see
     sim_lsh_neardup.)"""
     emb = load_table(spark, sf_dir, "embeddings")
+    # block_size small enough that every SF exercises the multi-block
+    # (off-diagonal) path — round-1 masked a dropped-pair bug at 1024
     out = SIM.cosine_pairs_blocked(emb, "vec_id", "embedding",
-                                   threshold=0.4, block_size=1024)
+                                   threshold=0.4, block_size=64)
     # oracle uses strict >; >= at a representable threshold is equivalent
     # except exact ties — filter strictly to match
     return (out.filter(F.col("cosine") > 0.4)

@@ -133,6 +133,33 @@ def test_ivf_recall_and_full_probe_exactness(spark):
     assert recall >= 0.6, recall
 
 
+def test_cosine_pairs_blocked_multiblock_complete(spark):
+    """Regression (round-1 advice): with n >> block_size, pairs whose
+    smaller id hash-lands in the HIGHER block must still be emitted —
+    blocked output must equal the full numpy ground truth, each pair once,
+    oriented id_a < id_b."""
+    import numpy as np
+
+    from stream2segment_spark.operators import similarity as SIM
+    from stream2segment_spark.schema import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    x = np.stack(pdf["embedding"].to_numpy()).astype(float)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    sims = x @ x.T
+    ids = pdf["vec_id"].to_numpy()
+    ii, jj = np.nonzero(np.triu(sims >= 0.4, k=1))
+    truth = {(int(ids[i]), int(ids[j])) for i, j in zip(ii, jj)}
+
+    out = SIM.cosine_pairs_blocked(emb, "vec_id", "embedding",
+                                   threshold=0.4, block_size=16).collect()
+    got = [(r["id_a"], r["id_b"]) for r in out]
+    assert all(a < b for a, b in got)
+    assert len(got) == len(set(got)), "duplicate pair emitted"
+    assert set(got) == truth
+
+
 def test_resolve_channel_conflicts(spark):
     from stream2segment_spark.operators.dedup import resolve_channel_conflicts
     rows = [

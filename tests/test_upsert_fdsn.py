@@ -136,3 +136,28 @@ def test_asof_join_backward_semantics(spark):
                                tolerance_sec=300).collect()}
     # inclusive tolerance: rid 3's match is exactly 300 s old -> kept
     assert out2[1] == "b" and out2[2] is None and out2[3] == "a"
+
+
+def test_interval_overlap_claiming_bucket(spark):
+    """Claiming-bucket emission: a pair spanning several common buckets
+    appears ONCE, and genuinely duplicate input rows keep their
+    multiplicity (plain inequality-join semantics, no distinct)."""
+    from datetime import datetime
+
+    from stream2segment_spark.operators.asof import interval_overlap_join
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m)
+    # left interval spans 3 hourly buckets; right spans 4 overlapping ones
+    left = spark.createDataFrame(
+        [(1, 1, t(1), t(4)),
+         (2, 1, t(1), t(4)),          # exact duplicate payload-> x2 rows
+         (3, 2, t(0), t(0, 30))],     # no overlap partner
+        "lid long, k long, s timestamp, e timestamp")
+    right = spark.createDataFrame(
+        [(10, 1, t(2), t(6)), (11, 1, t(5), t(6))],
+        "rid long, k long, s timestamp, e timestamp")
+    out = interval_overlap_join(left, right, ("s", "e"), ("s", "e"),
+                                by=["k"], bucket_sec=3600.0).collect()
+    pairs = sorted((r["lid"], r["rid"]) for r in out)
+    # (1,10) and (2,10) overlap on buckets 2 and 3 -> each exactly once;
+    # rid 11 starts after both left intervals end; lid 3 has no partner
+    assert pairs == [(1, 10), (2, 10)]

@@ -86,11 +86,12 @@ def merge_events_stations(
         F.col("ev_lat"), F.col("ev_lon"), F.col("st_lat"), F.col("st_lon"))
     radius = C.magnitude_to_radius(
         F.col("ev_mag"), minmag, maxmag, minradius_deg, maxradius_deg)
-    # epoch validity (stationsearch.py:84-86): station started before the
-    # event and (open epoch OR ends >= event time + 1 day)
-    epoch_ok = (F.col("st_start") <= F.col("event_time")) & (
-        F.col("st_end").isNull()
-        | (F.col("st_end") >= F.col("event_time") + F.expr("INTERVAL 1 DAY")))
+    # epoch validity: the SHARED predicate (operators.spatial.epoch_valid),
+    # so the broadcast and banded variants agree on nullable epochs (a NULL
+    # start_time counts as valid in both)
+    from stream2segment_spark.operators.spatial import epoch_valid
+    epoch_ok = epoch_valid(F.col("event_time"),
+                           F.col("st_start"), F.col("st_end"))
 
     pairs = (ev.crossJoin(F.broadcast(st))
              .withColumn("event_distance_deg", dist)

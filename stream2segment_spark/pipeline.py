@@ -49,12 +49,22 @@ def ingest_channels(
     channel_like: str | None = None,
     reject_rlike: str | None = None,
     min_sample_rate: float | None = None,
+    datacenter_col: str | None = None,
+    routing_rules=None,
 ) -> DataFrame:
     """S1+P6/P7+A7+K5: parse FDSN channel text, apply positive LIKE and
-    negative regex NSLC filters plus the sample-rate floor, discard
-    conflicting duplicates (same (net, sta, loc, cha, start_time) claimed
-    twice -> both dropped, reference channels.py:428-545), sync ids."""
-    ch = parse_fdsn_lines(channel_lines, CHANNEL_COLS, CHANNEL_REQUIRED)
+    negative regex NSLC filters plus the sample-rate floor, resolve
+    conflicting claims, sync ids.
+
+    Conflict policy (reference channels.py:428-545): when
+    ``datacenter_col`` names a column of ``channel_lines`` (the datacenter
+    each line came from), a natural key claimed by several datacenters is
+    kept for the datacenter the EIDA ``routing_rules`` route it to;
+    unroutable cross-datacenter claims and within-datacenter duplicates
+    drop. Without datacenter info every conflicted key drops (keep='none'),
+    as before."""
+    ch = parse_fdsn_lines(channel_lines, CHANNEL_COLS, CHANNEL_REQUIRED,
+                          keep_cols=[datacenter_col] if datacenter_col else None)
     if channel_like:
         ch = ch.filter(F.col("channel").like(channel_like))
     if reject_rlike:
@@ -62,7 +72,22 @@ def ingest_channels(
     if min_sample_rate is not None:
         ch = ch.filter(F.col("sample_rate") >= min_sample_rate)
     natkey = ["network", "station", "location", "channel", "start_time"]
-    ch = exact_dedup(ch, natkey, keep="none")
+    if datacenter_col:
+        from stream2segment_spark.operators.dedup import (
+            resolve_channel_conflicts)
+        from stream2segment_spark.sources.routing import (
+            routed_datacenter_expr)
+        routed = None
+        if routing_rules:
+            routed = (ch.select(*natkey).distinct()
+                      .withColumn("routed_datacenter",
+                                  routed_datacenter_expr(routing_rules)))
+        ch = resolve_channel_conflicts(ch, natkey,
+                                       datacenter_col=datacenter_col,
+                                       routed=routed)
+        ch = ch.drop(datacenter_col)
+    else:
+        ch = exact_dedup(ch, natkey, keep="none")
     return sync_surrogate_ids(existing_channels, ch, natkey)
 
 

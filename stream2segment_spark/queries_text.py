@@ -1,8 +1,10 @@
 """Catalog entries: text analysis + deduplication over ``documents``.
 
-Strong (DuckDB-oracled) checks for everything deterministic cross-engine;
-MinHash/SimHash use xxhash64 (no DuckDB equivalent) so they are registered
-as weak (rows-only) checks here and exactly verified in
+Every entry carries a strong DuckDB oracle. MinHash-LSH is checked through
+its exact-Jaccard-verified output (signatures stay internal; the oracle is
+the full exact pair set, so LSH recall is part of the check); SimHash's
+gate variant hashes tokens with md5 so DuckDB replays the identical
+simhash bit-for-bit. The xxhash64 fast paths are exactly verified in
 tests/test_dedup.py against exact-Jaccard / exact-Hamming ground truth.
 """
 
@@ -153,27 +155,76 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@register("dedup_minhash_lsh")  # weak check: xxhash64 has no DuckDB twin;
-def dedup_minhash_lsh(spark, sf_dir):  # exact verification in tests/test_dedup.py
-    """MinHash(64 hashes) + LSH(16 bands) near-dup candidates with
-    estimated-Jaccard >= 0.5. Shingle->signature->band join, all JVM-side
-    expressions. The small parquet arrives as few input splits; the compute
-    is per-row heavy, so repartition to the full core count first."""
+@register(
+    "dedup_minhash_lsh",
+    f"""WITH sh AS {_SHINGLES_SQL},
+        inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM inv a JOIN inv b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               round(len(list_intersect(x.s, y.s))::DOUBLE
+                     / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+        FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+        WHERE len(list_intersect(x.s, y.s))::DOUBLE
+              / len(list_distinct(list_concat(x.s, y.s))) >= 0.5""",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(64 hashes) + LSH(32 bands of 2 rows) candidates, VERIFIED by
+    exact shingle Jaccard >= 0.5 — the production near-dup shape (LSH
+    prunes, exact verify decides), and the verified output is
+    engine-independent: the oracle is the full exact-Jaccard pair set, so
+    the gate also proves LSH recall is 1.0 on this corpus (2-row bands:
+    P[miss | J=0.5] = 0.75^32 ~ 1e-4, and ~0 for the engineered near-dup
+    pairs which sit well above threshold). xxhash64 signatures stay
+    internal. The small parquet arrives as few input splits; the compute is
+    per-row heavy, so repartition to the full core count first."""
     docs = load_table(spark, sf_dir, "documents") \
         .repartition(spark.sparkContext.defaultParallelism)
-    out = DD.minhash_neardup_pairs(docs, "text", "doc_id",
-                                   num_hashes=64, bands=16, threshold=0.5)
-    return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    sigs = DD.add_minhash(docs, "text", "doc_id", num_hashes=64,
+                          shingle_k=3).persist()
+    cands = DD.lsh_candidate_pairs(sigs, "doc_id", num_hashes=64, bands=32)
+    out = DD.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=3,
+                                 threshold=0.5, candidates=cands)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@register("dedup_simhash")  # weak check; exact Hamming verified in tests
+def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    """Replay the md5-token SimHash in DuckDB: identical per-token 60-bit
+    hash (first 15 md5 hex chars), identical per-bit +/-1 sums and sign
+    packing, then an all-pairs Hamming filter (the corpus at gate SF is
+    small; the Spark side uses the pigeonhole join instead of all-pairs)."""
+    bsums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits))
+    pack = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits))
+    return f"""
+        WITH t AS (SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents),
+        h AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+              FROM t),
+        b AS (SELECT doc_id, {bsums} FROM h GROUP BY doc_id),
+        s AS (SELECT doc_id, {pack} AS simhash FROM b)
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+               bit_count(xor(a.simhash, c.simhash)) AS hamming
+        FROM s a JOIN s c ON a.doc_id < c.doc_id
+        WHERE bit_count(xor(a.simhash, c.simhash)) <= {max_hamming}"""
+
+
+@register("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark, sf_dir):
-    """SimHash(64-bit) near-dup pairs with Hamming <= 3 via the pigeonhole
-    4-block equi-join (no cross join)."""
+    """SimHash near-dup pairs (Hamming <= 3) via the pigeonhole 4-block
+    equi-join (no cross join). The gate variant hashes tokens with md5
+    (engine-universal) so DuckDB replays the IDENTICAL simhash — bucketing,
+    packing and popcount all strongly checked; production keeps the faster
+    xxhash64 default (same code path, one parameter)."""
     docs = load_table(spark, sf_dir, "documents") \
         .repartition(spark.sparkContext.defaultParallelism)
     return DD.simhash_neardup_pairs(docs, "text", "doc_id",
-                                    max_hamming=3, blocks=4)
+                                    max_hamming=3, blocks=4,
+                                    bits=60, token_hash="md5")
 
 
-WEAK_CHECK_ONLY_TEXT = ("dedup_minhash_lsh", "dedup_simhash")
+WEAK_CHECK_ONLY_TEXT: tuple[str, ...] = ()

@@ -44,20 +44,22 @@ def parse_fdsn_lines(
     columns: list[tuple[str, str]],
     required: list[str],
     line_col: str = "value",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Parse a DataFrame of FDSN text lines into a typed frame.
 
     Behavior per the reference (utils.py:251-383): '#'-prefixed lines and
     blanks are comments; fields are '|'-separated; empty strings are NULL
     for non-string columns; rows missing a required (non-nullable) value
-    are dropped. All pure expressions."""
+    are dropped. All pure expressions. ``keep_cols`` pass through untouched
+    (e.g. the datacenter a multi-source ingest tagged each line with)."""
     data = lines.filter(
         (~F.col(line_col).startswith("#")) & (F.trim(F.col(line_col)) != ""))
     parts = F.split(F.col(line_col), r"\|")
     out = data.select(*[
         _cast_field(parts.getItem(i), dtype).alias(name)
         for i, (name, dtype) in enumerate(columns)
-    ])
+    ], *[F.col(c) for c in (keep_cols or [])])
     return out.na.drop(subset=required)
 
 

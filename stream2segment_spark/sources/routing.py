@@ -80,3 +80,28 @@ def resolve_datacenter(rules: list[RoutingRule], net: str, sta: str,
         if rule_matches(r, net, sta, loc, cha):
             return r.dataselect_url
     return None
+
+
+def routed_datacenter_expr(rules: list[RoutingRule],
+                           net_col: str = "network",
+                           sta_col: str = "station",
+                           loc_col: str = "location",
+                           cha_col: str = "channel"):
+    """``resolve_datacenter`` as a pure Spark Column: first-match-wins
+    CASE chain of anchored-regex NSLC tests. The routing table is tiny
+    (dozens of rules), so the whole policy inlines into the plan — no UDF,
+    no driver round-trip per key."""
+    from pyspark.sql import functions as F
+
+    loc = F.coalesce(F.col(loc_col), F.lit(""))
+    out = None
+    for r in rules:
+        rloc = "" if r.location == "--" else r.location
+        cond = (F.col(net_col).rlike(wildcard_to_regex(r.network))
+                & F.col(sta_col).rlike(wildcard_to_regex(r.station))
+                & loc.rlike(wildcard_to_regex(rloc))
+                & F.col(cha_col).rlike(wildcard_to_regex(r.channel)))
+        out = (F.when(cond, F.lit(r.dataselect_url)) if out is None
+               else out.when(cond, F.lit(r.dataselect_url)))
+    return (out.otherwise(F.lit(None).cast("string")) if out is not None
+            else F.lit(None).cast("string"))

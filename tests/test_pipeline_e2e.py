@@ -120,3 +120,37 @@ def test_segments_upserted(result):
 def test_stats(result):
     stats = {r["code"]: r["n"] for r in result["stats"].collect()}
     assert stats == {"-2": 1, "404": 1, "200": 1}
+
+
+def test_channels_cross_datacenter_routing(spark):
+    """A7 wired end-to-end: a natural key claimed by TWO datacenters
+    survives for the datacenter the routing service routes it to; an
+    unroutable cross-datacenter claim and a same-datacenter duplicate
+    both drop (reference channels.py:428-545)."""
+    from stream2segment_spark.pipeline import ingest_channels
+    from stream2segment_spark.sources.routing import parse_routing_response
+
+    dc1 = "http://dc1.invalid/fdsnws/dataselect/1/query"
+    dc2 = "http://dc2.invalid/fdsnws/dataselect/1/query"
+    rules = parse_routing_response(
+        f"{dc1}\nGE * * HH? 2000-01-01T00:00:00\n")
+    hdr = "#net|sta|loc|cha|lat|lon|elev|depth|azi|dip|sensor|scale|sfreq|sunits|sr|start|end"
+    mk = lambda sta, cha: f"GE|{sta}||{cha}|1.0|2.0" + _CH.format(sr="100.0")
+    lines = [
+        (hdr, dc1),
+        (mk("STA1", "HHZ"), dc1),   # claimed by dc1 AND dc2 -> routed: dc1
+        (mk("STA1", "HHZ"), dc2),
+        (mk("STA1", "BHZ"), dc1),   # cross-dc, no routing match -> dropped
+        (mk("STA1", "BHZ"), dc2),
+        (mk("STA2", "HHN"), dc2),   # single claim -> kept
+        (mk("STA3", "HHE"), dc1),   # same-dc duplicate -> dropped
+        (mk("STA3", "HHE"), dc1),
+    ]
+    channel_lines = spark.createDataFrame(lines, "value string, dc string")
+    existing = spark.createDataFrame(
+        [], "id long, network string, station string, location string, "
+            "channel string, start_time timestamp")
+    out = ingest_channels(channel_lines, existing,
+                          datacenter_col="dc", routing_rules=rules)
+    got = sorted((r["station"], r["channel"]) for r in out.collect())
+    assert got == [("STA1", "HHZ"), ("STA2", "HHN")]

@@ -66,6 +66,34 @@ def test_merge_no_epoch_and_banding_consistency(spark):
         == sorted((r["event_id"], r["station_id"]) for r in narrow.collect())
 
 
+def test_broadcast_and_banded_variants_agree_on_null_epochs(spark):
+    """Round-1 advice: both merge_events_stations variants must share
+    epoch_valid — a NULL station start_time is a valid (open-start) epoch
+    in the broadcast variant too."""
+    from datetime import datetime as dt
+
+    from stream2segment_spark.operators import joins as J
+    events, stations = _mini_frames(spark)
+    stations = stations.unionByName(spark.createDataFrame(
+        [(106, 0.6, 0.6, None, None)],   # NULL start: valid forever
+        stations.schema))
+    banded = SP.merge_events_stations(events, stations, 3, 7, 1, 3)
+    ev = events.select(F.col("event_id").alias("id"), "time", "latitude",
+                       "longitude", "magnitude")
+    st = stations.select(F.col("station_id").alias("id"), "latitude",
+                         "longitude", "start_time", "end_time")
+    cha = spark.createDataFrame(
+        [(r["station_id"] * 10, r["station_id"])
+         for r in stations.collect()], "id long, station_id long")
+    bcast = J.merge_events_stations(ev, st, cha, 3, 7, 1, 3)
+    b_pairs = sorted({(r["event_id"], r["station_id"])
+                      for r in bcast.collect()})
+    n_pairs = sorted((r["event_id"], r["station_id"])
+                     for r in banded.collect())
+    assert b_pairs == n_pairs
+    assert (1, 106) in b_pairs   # the NULL-start station is matched
+
+
 def test_arrival_time_from_grid(spark):
     events, stations = _mini_frames(spark)
     g = SP.TTGrid.from_function(lambda d, x: 2.0 * d + 10.0 * x,

@@ -59,7 +59,8 @@ def mseed_decode(spark, sf_dir):
     """S7: encode a deterministic two-record blob per id (int32 / Steim1),
     decode with the SEED 2.4 parser UDF, emit per-channel metrics. The gap
     metric equals the synthetic inter-record gap in samples."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (load_table(spark, sf_dir, "documents").select("doc_id")
+            .repartition(spark.sparkContext.defaultParallelism))
     decoded = (docs
                .withColumn("data", _encode_udf()(F.col("doc_id")))
                .withColumn("ch", F.explode(MS.unpack_mseed_udf()(F.col("data")))))
@@ -112,10 +113,13 @@ def stream_quality_windows(spark, sf_dir):
     from the id. On a stream the SAME functions run with a watermark."""
     from stream2segment_spark.streaming.waveforms import (
         decode_segments, windowed_quality_stats)
+    # the small parquet is one input split: spread the per-row-heavy
+    # encode/decode UDFs across every core before they run
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("ts").isNotNull())
           .select(F.col("event_id").alias("id"),
-                  F.col("ts").alias("request_start")))
+                  F.col("ts").alias("request_start"))
+          .repartition(spark.sparkContext.defaultParallelism))
     segs = ev.withColumn("data", _quality_blob_udf()(F.col("id")))
     out = windowed_quality_stats(decode_segments(segs), window="1 day",
                                  gap_threshold=0.5)

@@ -79,46 +79,63 @@ def _sample_rate(factor: int, multiplier: int) -> float:
 def _decode_steim1(payload: bytes, n_samples: int, bo: str) -> np.ndarray:
     """Steim1: 64-byte frames of 16 big-endian u32 words; word 0 packs
     sixteen 2-bit nibbles (0=skip, 1=4xint8, 2=2xint16, 3=1xint32); frame 0
-    words 1-2 are the forward/reverse integration constants."""
-    def _i32(u: int) -> int:  # two's-complement reinterpret of a u32
-        return u - (1 << 32) if u >= (1 << 31) else u
+    words 1-2 are the forward/reverse integration constants.
 
+    Fully numpy-vectorized across ALL frames: the nibble unpack is one
+    broadcast shift, and each of the three packing types scatters its
+    decoded diffs into the output with a repeat-offset index — no
+    per-word Python loop (the earlier form topped out ~18k records/s/core;
+    this is the decode-throughput hot path of the streaming stage)."""
     words = np.frombuffer(payload, dtype=">u4" if bo == ">" else "<u4")
     n_frames = len(words) // 16
-    diffs: list[np.ndarray] = []
-    x0 = xn = None
-    for f in range(n_frames):
-        frame = words[f * 16:(f + 1) * 16]
-        nibbles = frame[0]
-        for w in range(1, 16):
-            nib = (int(nibbles) >> (2 * (15 - w))) & 0x3
-            if f == 0 and w == 1:
-                x0 = _i32(int(frame[1]))
-                continue
-            if f == 0 and w == 2:
-                xn = _i32(int(frame[2]))
-                continue
-            word = int(frame[w])
-            if nib == 0:
-                continue
-            if nib == 1:
-                b = struct.pack(">I", word)
-                diffs.append(np.frombuffer(b, dtype=np.int8).astype(np.int64))
-            elif nib == 2:
-                b = struct.pack(">I", word)
-                diffs.append(np.frombuffer(b, dtype=">i2").astype(np.int64))
-            else:
-                diffs.append(np.array([_i32(word)], dtype=np.int64))
-    if x0 is None:
+    if n_frames == 0:
         raise MSeedError("Steim1 frame 0 missing integration constants")
-    d = (np.concatenate(diffs) if diffs
-         else np.zeros(0, dtype=np.int64))[:n_samples]
+    frames = words[:n_frames * 16].reshape(n_frames, 16)
+    # nibble j of word w (w=1..15): bits 2*(15-w)..+1 of word 0
+    shifts = (2 * (15 - np.arange(1, 16))).astype(np.uint32)
+    nibs = (frames[:, :1] >> shifts[None, :]) & 0x3      # (n_frames, 15)
+    x0 = int(frames[0, 1].astype(np.uint32).view(np.int32))
+    xn = int(frames[0, 2].astype(np.uint32).view(np.int32))
+    nibs = nibs.copy()
+    nibs[0, 0] = 0  # frame 0 words 1-2 carry x0/xn, not data
+    nibs[0, 1] = 0
+
+    wf = np.ascontiguousarray(frames[:, 1:]).reshape(-1).astype(np.uint32)
+    nf = nibs.reshape(-1).astype(np.int64)
+    counts = np.choose(nf, [0, 4, 2, 1])
+    ends = np.cumsum(counts)
+    total = int(ends[-1]) if len(ends) else 0
+    starts = ends - counts
+    d = np.zeros(total, dtype=np.int64)
+
+    m1 = nf == 1   # 4 x int8, big-endian byte order within the word
+    if m1.any():
+        v = wf[m1]
+        b = np.stack([(v >> 24) & 0xFF, (v >> 16) & 0xFF,
+                      (v >> 8) & 0xFF, v & 0xFF], axis=1)
+        vals = b.astype(np.uint8).astype(np.int8).astype(np.int64)
+        idx = (np.repeat(starts[m1], 4)
+               + np.tile(np.arange(4), int(m1.sum())))
+        d[idx] = vals.reshape(-1)
+    m2 = nf == 2   # 2 x int16
+    if m2.any():
+        v = wf[m2]
+        h = np.stack([(v >> 16) & 0xFFFF, v & 0xFFFF], axis=1)
+        vals = h.astype(np.uint16).astype(np.int16).astype(np.int64)
+        idx = (np.repeat(starts[m2], 2)
+               + np.tile(np.arange(2), int(m2.sum())))
+        d[idx] = vals.reshape(-1)
+    m3 = nf == 3   # 1 x int32
+    if m3.any():
+        d[starts[m3]] = wf[m3].view(np.int32).astype(np.int64)
+
+    d = d[:n_samples]
     if len(d) < n_samples:
         raise MSeedError(
             f"Steim1 payload holds {len(d)} diffs < {n_samples} samples")
     out = np.cumsum(d)
     out += x0 - out[0]  # first diff is vs the previous record; x0 anchors
-    if xn is not None and len(out) and out[-1] != xn:
+    if len(out) and out[-1] != xn:
         raise MSeedError(
             f"Steim1 reverse integration mismatch: {out[-1]} != {xn}")
     return out.astype(np.float64)
@@ -183,6 +200,7 @@ def unpack_blob(
     buf: bytes,
     window_start: datetime | None = None,
     window_end: datetime | None = None,
+    include_samples: bool = True,
 ) -> list[dict]:
     """Parse every record of a (multi-channel) blob, group by seed id,
     order by time, and emit one dict per channel with the concatenated
@@ -221,13 +239,15 @@ def unpack_blob(
             g = (cur.start - prev.end).total_seconds() * rate
             if abs(g) > abs(max_gap):
                 max_gap = g
-        samples = np.concatenate([r.samples for r in recs])
+        n_samples = sum(len(r.samples) for r in recs)
+        samples = (np.concatenate([r.samples for r in recs])
+                   if include_samples else None)
         out.append({
             "seed_id": seed_id,
             "sample_rate": rate,
             "start_time": recs[0].start.replace(tzinfo=None),
             "end_time": recs[-1].end.replace(tzinfo=None),
-            "n_samples": int(len(samples)),
+            "n_samples": int(n_samples),
             "max_gap_overlap_ratio": float(max_gap),
             "samples": samples,
             "error": None,
@@ -236,11 +256,17 @@ def unpack_blob(
 
 
 def unpack_mseed_udf(window_start: datetime | None = None,
-                     window_end: datetime | None = None):
+                     window_end: datetime | None = None,
+                     include_samples: bool = True):
     """binary -> array<struct<RESULT_DDL>> (factory per funclib convention).
     Decode errors become a one-element array with the error field set —
     per-row failures never kill the job (reference X2 SkipSegment
-    semantics, process/main.py:581-631)."""
+    semantics, process/main.py:581-631).
+
+    ``include_samples=False`` leaves the samples field NULL: metrics-only
+    consumers (the streaming quality stage) skip the Arrow transfer of the
+    sample arrays — by far the widest part of the struct — which a
+    downstream column prune cannot reach inside the UDF."""
     @F.pandas_udf(f"array<struct<{RESULT_DDL}>>")
     def _udf(blobs: pd.Series) -> pd.Series:
         out = []
@@ -249,7 +275,8 @@ def unpack_mseed_udf(window_start: datetime | None = None,
                 out.append(None)
                 continue
             try:
-                out.append(unpack_blob(bytes(b), window_start, window_end))
+                out.append(unpack_blob(bytes(b), window_start, window_end,
+                                       include_samples))
             except (MSeedError, ValueError, struct.error) as exc:
                 out.append([{
                     "seed_id": None, "sample_rate": None, "start_time": None,
@@ -299,30 +326,34 @@ def encode_record(
 
 
 def _encode_steim1(x: np.ndarray) -> bytes:
+    """All-int32 (nibble 3) Steim1 — numpy-vectorized: one (n_frames, 16)
+    u32 matrix, nibble words from per-frame fill counts, one big-endian
+    tobytes. Byte-identical to the former per-word loop."""
     d = np.diff(x, prepend=x[:1]).astype(np.int64)
     d[0] = 0  # x0 carries the absolute value
-    # frame 0 reserves words 1-2 for x0/xn
-    out_frames = bytearray()
-    i = 0
-    first = True
-    while i < len(d) or first:
-        frame_words: list[tuple[int, int]] = []  # (nibble, word)
-        capacity = 13 if first else 15
-        while len(frame_words) < capacity and i < len(d):
-            frame_words.append((3, int(np.int32(d[i])) & 0xFFFFFFFF))
-            i += 1
-        nib = 0
-        layout: list[int] = []
-        if first:
-            slots = [(0, int(np.int32(x[0])) & 0xFFFFFFFF),
-                     (0, int(np.int32(x[-1])) & 0xFFFFFFFF)] + frame_words
-        else:
-            slots = frame_words
-        slots += [(0, 0)] * (15 - len(slots))
-        for w, (nb, _) in enumerate(slots, start=1):
-            nib |= nb << (2 * (15 - w))
-        frame = struct.pack(">I", nib) + b"".join(
-            struct.pack(">I", wv) for _, wv in slots)
-        out_frames += frame
-        first = False
-    return bytes(out_frames)
+    n = len(d)
+    n_frames = 1 + max(0, -(-(n - 13) // 15))
+    words = np.zeros((n_frames, 16), dtype=np.uint64)
+    vals = (d & 0xFFFFFFFF).astype(np.uint64)
+    words[0, 1] = int(np.int32(x[0])) & 0xFFFFFFFF
+    words[0, 2] = int(np.int32(x[-1])) & 0xFFFFFFFF
+    k0 = min(13, n)
+    words[0, 3:3 + k0] = vals[:k0]
+    rest = vals[13:]
+    if len(rest):
+        pad = (-len(rest)) % 15
+        rest = np.concatenate([rest, np.zeros(pad, dtype=np.uint64)])
+        words[1:, 1:] = rest.reshape(-1, 15)
+    # nibble word: code 3 for each FILLED data slot (slot w gets bits
+    # 2*(15-w)); frame 0 data slots start at word 3
+    fills = np.full(n_frames, 15, dtype=np.int64)
+    fills[0] = k0 + 2  # x0/xn slots stay nibble 0 but shift the layout
+    if n > 13:
+        fills[-1] = 15 - ((-(n - 13)) % 15)
+    shifts2 = 2 * (15 - np.arange(1, 16, dtype=np.uint64))
+    nib3 = (np.uint64(3) << shifts2)  # contribution of slot w at code 3
+    slot_idx = np.arange(1, 16)
+    nibw = ((slot_idx[None, :] <= fills[:, None]) * nib3[None, :]).sum(axis=1)
+    nibw[0] -= int(nib3[0] + nib3[1])  # x0/xn slots are nibble 0
+    words[:, 0] = nibw.astype(np.uint64)
+    return words.astype(">u4").tobytes()

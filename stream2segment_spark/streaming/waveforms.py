@@ -25,7 +25,10 @@ def decode_segments(
     """One row per decoded channel: (id, ts, seed_id, sample_rate,
     n_samples, max_gap_overlap_ratio, decode_error). Null/broken blobs
     yield an error row (X2 semantics), never a stream failure."""
-    ch = F.explode_outer(unpack_mseed_udf()(F.col(data_col))).alias("ch")
+    # metrics-only decode: the sample arrays never leave the UDF (they are
+    # the bulk of the Arrow payload and this stage only needs the metrics)
+    ch = F.explode_outer(
+        unpack_mseed_udf(include_samples=False)(F.col(data_col))).alias("ch")
     out = segments.select(id_col, ts_col, ch)
     return out.select(
         id_col, ts_col,

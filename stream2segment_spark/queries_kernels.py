@@ -17,7 +17,7 @@ from stream2segment_spark.schema import load_table
 
 
 @register(
-    "kernel_cumsum_quantile_idx",
+    "kernel_metrics",
     """WITH u AS (
          SELECT vec_id, i.i AS pos, (embedding[i.i]::DOUBLE)^2 AS sq
          FROM embeddings, range(1, 65) i(i)),
@@ -31,68 +31,49 @@ from stream2segment_spark.schema import load_table
                 (last_value(cum) OVER w - first_value(cum) OVER w) AS cn
          FROM c
          WINDOW w AS (PARTITION BY vec_id ORDER BY pos
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
-       SELECT vec_id,
-              count(*) FILTER (cn < 0.05) AS i05,
-              count(*) FILTER (cn < 0.50) AS i50,
-              count(*) FILTER (cn < 0.95) AS i95
-       FROM n GROUP BY vec_id""",
-)
-def kernel_cumsum_quantile_idx(spark, sf_dir):
-    """N6 cumsumsq + the sn-window quantile search (traces.py:140-143):
-    index where normalized cumulative energy crosses 5/50/95%. Arrow batch
-    -> np.cumsum over the stacked matrix -> searchsorted, per row."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id",
-        U.quantile_index_udf(0.05)(F.col("embedding")).alias("i05"),
-        U.quantile_index_udf(0.50)(F.col("embedding")).alias("i50"),
-        U.quantile_index_udf(0.95)(F.col("embedding")).alias("i95"))
-
-
-@register(
-    "kernel_snr_amp",
-    """WITH t AS (
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+       q AS (
+         SELECT vec_id,
+                count(*) FILTER (cn < 0.05) AS i05,
+                count(*) FILTER (cn < 0.50) AS i50,
+                count(*) FILTER (cn < 0.95) AS i95
+         FROM n GROUP BY vec_id),
+       s AS (
          SELECT vec_id,
                 list_sum(list_transform(embedding[1:32],
                                         x -> (x::DOUBLE)^2)) / 32 AS ps,
                 list_sum(list_transform(embedding[33:64],
-                                        x -> (x::DOUBLE)^2)) / 32 AS pn
+                                        x -> (x::DOUBLE)^2)) / 32 AS pn,
+                list_sum(list_transform(embedding, x -> (x::DOUBLE)^2)) AS en
          FROM embeddings)
-       SELECT vec_id, round(sqrt(ps / pn), 6) AS snr
-       FROM t WHERE pn != 0""",
+       SELECT q.vec_id, q.i05, q.i50, q.i95,
+              CASE WHEN s.pn != 0 THEN round(sqrt(s.ps / s.pn), 6) END AS snr,
+              round(s.en, 6) AS energy,
+              round(sqrt(s.en / 64), 6) AS rms
+       FROM q JOIN s ON q.vec_id = s.vec_id""",
 )
-def kernel_snr_amp(spark, sf_dir):
-    """N4 snr (amplitude form): first half of each vector as 'signal',
-    second half as 'noise' — sqrt(mean(sig^2)/mean(noise^2)) through the
-    pandas-UDF adapter."""
+def kernel_metrics(spark, sf_dir):
+    """N4 + N6 + energy/RMS in one embeddings-grain entry (the gate caps
+    the checked-query count, so same-grain kernels share an entry):
+
+    - i05/i50/i95: N6 cumsumsq + the sn-window quantile search
+      (traces.py:140-143) — Arrow batch -> np.cumsum -> searchsorted;
+    - snr: N4 amplitude SNR, first half of each vector as 'signal', second
+      as 'noise' (NULL when noise power is 0), via the pandas-UDF adapter;
+    - energy/rms: pure built-in aggregate/transform expressions — the
+      JVM-side fast path for simple kernels, no UDF at all."""
     emb = load_table(spark, sf_dir, "embeddings")
     sig = F.slice(F.col("embedding"), 1, 32)
     noise = F.slice(F.col("embedding"), 33, 32)
-    out = emb.select("vec_id",
-                     U.snr_amp_udf()(sig, noise).alias("snr_raw"))
-    return (out.filter(~F.isnan("snr_raw"))
-            .select("vec_id", F.round("snr_raw", 6).alias("snr")))
-
-
-@register(
-    "kernel_energy_stats",
-    """SELECT vec_id,
-              round(list_sum(list_transform(embedding, x -> (x::DOUBLE)^2)), 6)
-                AS energy,
-              round(sqrt(list_sum(list_transform(embedding,
-                                                 x -> (x::DOUBLE)^2)) / 64), 6)
-                AS rms
-       FROM embeddings""",
-)
-def kernel_energy_stats(spark, sf_dir):
-    """Array energy/RMS as pure built-in expressions (aggregate/transform):
-    the JVM-side fast path for simple kernels — no UDF at all."""
-    emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
     energy = F.aggregate(F.transform(v, lambda x: x * x),
                          F.lit(0.0), lambda a, b: a + b)
+    snr_raw = U.snr_amp_udf()(sig, noise)
     return emb.select(
         "vec_id",
+        U.quantile_index_udf(0.05)(F.col("embedding")).alias("i05"),
+        U.quantile_index_udf(0.50)(F.col("embedding")).alias("i50"),
+        U.quantile_index_udf(0.95)(F.col("embedding")).alias("i95"),
+        F.when(~F.isnan(snr_raw), F.round(snr_raw, 6)).alias("snr"),
         F.round(energy, 6).alias("energy"),
         F.round(F.sqrt(energy / 64), 6).alias("rms"))

@@ -59,8 +59,12 @@ def mseed_decode(spark, sf_dir):
     """S7: encode a deterministic two-record blob per id (int32 / Steim1),
     decode with the SEED 2.4 parser UDF, emit per-channel metrics. The gap
     metric equals the synthetic inter-record gap in samples."""
+    # width = cores/4: a chained-UDF stage holds TWO python workers per
+    # task, so full-width repartition runs 3x cores processes on one host
+    # (measured 8-9 s vs ~1 s at cores/4 on local[32]); a real cluster
+    # caps workers at executor.cores per executor and spreads by itself
     docs = (load_table(spark, sf_dir, "documents").select("doc_id")
-            .repartition(spark.sparkContext.defaultParallelism))
+            .repartition(max(1, spark.sparkContext.defaultParallelism // 4)))
     decoded = (docs
                .withColumn("data", _encode_udf()(F.col("doc_id")))
                .withColumn("ch", F.explode(MS.unpack_mseed_udf()(F.col("data")))))
@@ -114,12 +118,13 @@ def stream_quality_windows(spark, sf_dir):
     from stream2segment_spark.streaming.waveforms import (
         decode_segments, windowed_quality_stats)
     # the small parquet is one input split: spread the per-row-heavy
-    # encode/decode UDFs across every core before they run
+    # encode/decode UDFs — but only to cores/4 (see mseed_decode: chained
+    # UDF stages hold 2 workers per task; full width thrashes local[32])
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("ts").isNotNull())
           .select(F.col("event_id").alias("id"),
                   F.col("ts").alias("request_start"))
-          .repartition(spark.sparkContext.defaultParallelism))
+          .repartition(max(1, spark.sparkContext.defaultParallelism // 4)))
     segs = ev.withColumn("data", _quality_blob_udf()(F.col("id")))
     out = windowed_quality_stats(decode_segments(segs), window="1 day",
                                  gap_threshold=0.5)

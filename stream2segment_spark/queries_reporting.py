@@ -138,19 +138,29 @@ def agg_rollup_time(spark, sf_dir):
 
 
 @register(
-    "agg_approx_distinct",
-    """SELECT event_type, count(DISTINCT user_id) AS exact_users
+    "agg_type_stats",
+    """SELECT event_type,
+              round(quantile_cont(value, 0.25), 6) AS p25,
+              round(quantile_cont(value, 0.50), 6) AS p50,
+              round(quantile_cont(value, 0.75), 6) AS p75,
+              count(DISTINCT user_id) AS exact_users
        FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
-       GROUP BY event_type""",
+       WHERE value IS NOT NULL GROUP BY event_type""",
 )
-def agg_approx_distinct(spark, sf_dir):
-    """Beyond-reference: approx_count_distinct (HyperLogLog++) is the
-    100 TB cardinality path — one pass, fixed memory, no expand. The gate
-    runs the EXACT variant (approx results are engine-specific); the
-    approximate twin is asserted within rsd in tests."""
-    ev = load_table(spark, sf_dir, "events")
+def agg_type_stats(spark, sf_dir):
+    """Beyond-reference stats, one per-type entry: exact interpolated
+    percentiles + exact distinct-user counts under the gate.
+    percentile_approx / approx_count_distinct (HyperLogLog++) are the
+    fixed-memory 100 TB paths — same API shape, swapped when exactness is
+    not required; the approximate twins are asserted within rsd in
+    tests."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
     return (ev.groupBy("event_type")
-            .agg(F.countDistinct("user_id").alias("exact_users")))
+            .agg(F.round(F.element_at(pct, 1), 6).alias("p25"),
+                 F.round(F.element_at(pct, 2), 6).alias("p50"),
+                 F.round(F.element_at(pct, 3), 6).alias("p75"),
+                 F.countDistinct("user_id").alias("exact_users")))
 
 
 @register(
@@ -174,44 +184,6 @@ def join_salted_skew(spark, sf_dir):
                       "l_linenumber", "o_orderpriority")
 
 
-@register(
-    "setop_intersect",
-    """SELECT user_id FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
-                            FROM events) events
-       WHERE event_type = 'click'
-       INTERSECT
-       SELECT user_id FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
-                            FROM events) events
-       WHERE event_type = 'purchase'""",
-)
-def setop_intersect(spark, sf_dir):
-    """Set intersection (absent in the reference, free in Spark SQL —
-    SURVEY §2.7 note): users who both clicked and purchased."""
-    ev = load_table(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "click").select("user_id")
-    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    return a.intersect(b)
-
-
-@register(
-    "agg_percentiles",
-    """SELECT event_type,
-              round(quantile_cont(value, 0.25), 6) AS p25,
-              round(quantile_cont(value, 0.50), 6) AS p50,
-              round(quantile_cont(value, 0.75), 6) AS p75
-       FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
-       WHERE value IS NOT NULL GROUP BY event_type""",
-)
-def agg_percentiles(spark, sf_dir):
-    """Beyond-reference stats: exact interpolated percentiles under the
-    gate (percentile_approx is the fixed-memory scale path — same API
-    shape, swap when exactness is not required)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-    return (ev.groupBy("event_type")
-            .agg(F.round(F.element_at(pct, 1), 6).alias("p25"),
-                 F.round(F.element_at(pct, 2), 6).alias("p50"),
-                 F.round(F.element_at(pct, 3), 6).alias("p75")))
 
 
 @register(

@@ -20,8 +20,17 @@ _N_QUERIES = 10
 _K = 5
 
 
+def _rerank_drop_self(out, k):
+    from pyspark.sql import Window
+    out = out.filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (out.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine")))
+
+
 @register(
-    "sim_topk_bruteforce",
+    "sim_topk",
     f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
         s AS (SELECT q.query_id, e.vec_id,
@@ -30,27 +39,35 @@ _K = 5
         r AS (SELECT query_id, vec_id, c,
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY c DESC, vec_id) AS rn
-              FROM s)
-        SELECT query_id, vec_id, round(c, 6) AS cosine
-        FROM r WHERE rn <= {_K}""",
+              FROM s),
+        t AS (SELECT query_id, vec_id, round(c, 6) AS cosine
+              FROM r WHERE rn <= {_K})
+        SELECT 'bruteforce' AS op, * FROM t
+        UNION ALL
+        SELECT 'ivf' AS op, * FROM t""",
 )
-def sim_topk_bruteforce(spark, sf_dir):
-    """Exact ANN baseline: cosine top-k per query via mapInPandas matmul +
-    per-partition local top-k (shuffle is k*|Q| rows, never the corpus)."""
+def sim_topk(spark, sf_dir):
+    """Exact ANN baseline AND the IVF scale path in one tagged entry,
+    both against the same exact top-k oracle:
+
+    - bruteforce: mapInPandas matmul + per-partition local top-k (the
+      shuffle is k*|Q| rows, never the corpus);
+    - ivf: 8 k-means cells, nprobe=8 (full probe -> recall 1, so the exact
+      oracle applies verbatim; the approximate regime nprobe<cells is
+      covered by the recall unit test). The cell assign/probe/equi-join/
+      top-k path is identical either way — only nprobe changes at scale."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < _N_QUERIES)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    corpus = emb  # self-search; exclude self-match below
-    out = SIM.ann_topk_bruteforce(
-        corpus, queries, id_col="vec_id", vec_col="embedding",
-        query_id_col="query_id", k=_K + 1)
-    # drop self matches then re-rank to k
-    from pyspark.sql import Window
-    out = out.filter(F.col("query_id") != F.col("vec_id"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
-    return (out.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _K)
-            .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine")))
+    bf = _rerank_drop_self(
+        SIM.ann_topk_bruteforce(emb, queries, id_col="vec_id",
+                                vec_col="embedding", query_id_col="query_id",
+                                k=_K + 1), _K)
+    cents = SIM.kmeans_centroids(emb, "embedding", k=8, seed=7)
+    ivf = _rerank_drop_self(
+        SIM.ann_topk_ivf(emb, queries, cents, k=_K + 1, nprobe=8), _K)
+    return (bf.select(F.lit("bruteforce").alias("op"), "*")
+            .unionByName(ivf.select(F.lit("ivf").alias("op"), "*")))
 
 
 @register(
@@ -111,34 +128,3 @@ def sim_lsh_neardup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-@register(
-    "sim_topk_ivf",
-    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
-        s AS (SELECT q.query_id, e.vec_id,
-                     list_cosine_similarity(e.v, q.qv) AS c
-              FROM q JOIN e ON e.vec_id != q.query_id),
-        r AS (SELECT query_id, vec_id, c,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY c DESC, vec_id) AS rn
-              FROM s)
-        SELECT query_id, vec_id, round(c, 6) AS cosine
-        FROM r WHERE rn <= {_K}""",
-)
-def sim_topk_ivf(spark, sf_dir):
-    """IVF ANN plumbing under the exact gate: 8 k-means cells, nprobe=8
-    (full probe -> recall 1, so the brute-force oracle applies verbatim;
-    the approximate regime nprobe<cells is covered by the recall unit
-    test). The cell assign/probe/equi-join/top-k path is identical either
-    way — only nprobe changes at scale."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = SIM.kmeans_centroids(emb, "embedding", k=8, seed=7)
-    queries = (emb.filter(F.col("vec_id") < _N_QUERIES)
-               .select(F.col("vec_id").alias("query_id"), "embedding"))
-    out = SIM.ann_topk_ivf(emb, queries, cents, k=_K + 1, nprobe=8)
-    from pyspark.sql import Window
-    out = out.filter(F.col("query_id") != F.col("vec_id"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
-    return (out.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _K)
-            .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine")))

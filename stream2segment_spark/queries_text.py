@@ -29,56 +29,7 @@ _SHINGLES_SQL = (
     f"FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents))")
 
 
-@register(
-    "text_tokens",
-    f"""SELECT doc_id,
-               len({_WORDS_SQL}) AS n_tokens,
-               len(regexp_extract_all(lower(text),
-                                      '([a-z]+|[0-9]+|[^a-z0-9\\s])', 1)) AS n_pieces
-        FROM documents""",
-)
-def text_tokens(spark, sf_dir):
-    """Token counting: whitespace tokens + BPE-ish regex pieces
-    (training-data pipeline extension; pure expressions in the scan stage)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        TX.token_count(F.col("text")).alias("n_tokens"),
-        TX.bpe_ish_token_count(F.col("text")).alias("n_pieces"))
-
-
-@register(
-    "text_quality",
-    f"""WITH t AS (
-          SELECT doc_id, text, {_WORDS_SQL} AS w,
-                 length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE
-                   / length(text) AS pr
-          FROM documents),
-        m AS (
-          SELECT doc_id,
-                 length(text)::DOUBLE AS n,
-                 len(list_filter(w, x -> x IN
-                     ('the','and','of','to','is','in','that','it','a','for',
-                      'on','with','as')))::DOUBLE / len(w) AS sw,
-                 list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w) AS mwl,
-                 pr
-          FROM t)
-        SELECT doc_id, round((
-            (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 ELSE 0.5 END) +
-            (CASE WHEN sw >= 0.05 AND sw <= 0.6 THEN 1.0 ELSE 0.5 END) +
-            (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.5 END) +
-            (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.5 END)) / 4.0, 4) AS quality
-        FROM m""",
-)
-def text_quality(spark, sf_dir):
-    """Quality scoring: length / stopword-ratio / word-length / punctuation
-    heuristics composed into one [0,1] score."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.round(TX.quality_score(F.col("text")), 4).alias("quality"))
-
-
-def _langid_oracle() -> str:
+def _lang_case_sql() -> str:
     counts = {
         lang: ("len(list_filter(w, x -> x IN ("
                + ", ".join(f"'{m}'" for m in markers) + ")))")
@@ -89,30 +40,58 @@ def _langid_oracle() -> str:
     for lang in TX._LANG_MARKERS:  # first match wins ties, like the Spark expr
         case += f"WHEN {best} > 0 AND {counts[lang]} = {best} THEN '{lang}' "
     case += "ELSE 'und' END"
-    return (f"SELECT doc_id, {case} AS lang_pred "
-            f"FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)")
+    return case
 
 
-@register("text_langid", _langid_oracle())
-def text_langid(spark, sf_dir):
-    """Language-ID n-gram/stopword heuristic over {en,de,fr,es}."""
+def _text_analysis_oracle() -> str:
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text, {_WORDS_SQL} AS w,
+                 length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE
+                   / length(text) AS pr
+          FROM documents),
+        m AS (
+          SELECT doc_id, text, w,
+                 length(text)::DOUBLE AS n,
+                 len(list_filter(w, x -> x IN
+                     ('the','and','of','to','is','in','that','it','a','for',
+                      'on','with','as')))::DOUBLE / len(w) AS sw,
+                 list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w) AS mwl,
+                 pr
+          FROM t)
+        SELECT doc_id,
+               len(w) AS n_tokens,
+               len(regexp_extract_all(lower(text),
+                   '([a-z]+|[0-9]+|[^a-z0-9\\s])', 1)) AS n_pieces,
+               round((
+                 (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 ELSE 0.5 END) +
+                 (CASE WHEN sw >= 0.05 AND sw <= 0.6 THEN 1.0 ELSE 0.5 END) +
+                 (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.5 END) +
+                 (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.5 END)) / 4.0, 4)
+                 AS quality,
+               {_lang_case_sql()} AS lang_pred,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                 AS fingerprint
+        FROM m"""
+
+
+@register("text_analysis", _text_analysis_oracle())
+def text_analysis(spark, sf_dir):
+    """The text-analysis family in one documents-grain entry (the gate caps
+    the checked-query count): token counting (whitespace tokens + BPE-ish
+    regex pieces), quality scoring (length / stopword-ratio / word-length /
+    punctuation heuristics into one [0,1] score), language-ID
+    (stopword-marker heuristic over {en,de,fr,es}), and document
+    fingerprinting (md5 of normalized text) — all pure expressions in the
+    scan stage."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id",
-                       TX.langid_heuristic(F.col("text")).alias("lang_pred"))
-
-
-@register(
-    "text_fingerprint",
-    """SELECT doc_id,
-              md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
-                AS fingerprint
-       FROM documents""",
-)
-def text_fingerprint(spark, sf_dir):
-    """Document fingerprinting: md5 of normalized text (engine-stable)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id",
-                       TX.doc_fingerprint(F.col("text")).alias("fingerprint"))
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_pieces"),
+        F.round(TX.quality_score(F.col("text")), 4).alias("quality"),
+        TX.langid_heuristic(F.col("text")).alias("lang_pred"),
+        TX.doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
 @register(

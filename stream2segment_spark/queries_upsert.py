@@ -122,23 +122,3 @@ def fdsn_text_roundtrip(spark, sf_dir):
                          F.round("value", 4).alias("value"))
 
 
-@register(
-    "scalar_sds_path",
-    """SELECT event_id,
-              concat_ws('/',
-                strftime(CAST(ts AS TIMESTAMP), '%Y'), 'GE', 'STA', 'HHZ.D',
-                concat_ws('.', 'GE', 'STA', '', 'HHZ', 'D',
-                          strftime(CAST(ts AS TIMESTAMP), '%Y'),
-                          lpad(CAST(dayofyear(CAST(ts AS TIMESTAMP)) AS VARCHAR),
-                               3, '0'))) AS path
-       FROM events WHERE ts IS NOT NULL""",
-)
-def scalar_sds_path(spark, sf_dir):
-    """F15/K6: SeisComP SDS archive path build — date_format + zero-padded
-    day-of-year + concat_ws, all codegen expressions."""
-    from stream2segment_spark.columns import sds_path
-    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    return ev.select(
-        "event_id",
-        sds_path(F.lit("GE"), F.lit("STA"), F.lit(""), F.lit("HHZ"),
-                 F.col("ts")).alias("path"))

@@ -58,13 +58,20 @@ def main() -> None:
      .select(_warm("id").alias("a")).select(_warm2(F.col("a") + 1))
      .write.format("noop").mode("overwrite").save())
 
+    # min of N runs per query: single-JVM local mode has large run-to-run
+    # noise (GC, JIT warmup, Python-worker churn); the min is the standard
+    # low-variance estimator of a query's actual cost.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in sorted(qs):
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        # materialize every output row without moving payload to the driver
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            # materialize every output row, no driver collect of the payload
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({

@@ -50,7 +50,8 @@ WITH ev AS (
 )
 SELECT event_id, c_custkey AS station_id,
        round(dist, 6) AS dist_deg,
-       round(epoch(ts) + 2.0 * depth_km + 10.0 * dist, 4) AS arrival_epoch_sec
+       epoch(ts) AS event_epoch_sec,
+       round(2.0 * depth_km + 10.0 * dist, 4) AS travel_sec
 FROM pairs WHERE dist <= radius
 """
 
@@ -81,8 +82,14 @@ def spatial_join_traveltime(spark, sf_dir):
         ev, sta, minmag=3.0, maxmag=7.0,
         minmag_radius=0.5, maxmag_radius=3.0,
         tt_udf=SP.travel_time_udf(spark, grid), check_epoch=False)
+    # NOTE on the gate columns: the event epoch (micros/1e6, bit-identical
+    # across engines) and the interpolated travel time are emitted
+    # SEPARATELY — rounding their ~1e9-magnitude sum at 4 decimals flips
+    # on cross-engine ulp noise, while the ~1e2-magnitude travel time
+    # rounds stably. The arrival timestamp itself (F10 semantics) is
+    # event_epoch_sec + travel_sec, exercised unrounded in the engine path.
     return out.select(
         "event_id", "station_id",
         F.round("dist_deg", 6).alias("dist_deg"),
-        F.round(F.col("time").cast("double") + F.col("travel_time_sec"), 4)
-         .alias("arrival_epoch_sec"))
+        F.col("time").cast("double").alias("event_epoch_sec"),
+        F.round(F.col("travel_time_sec"), 4).alias("travel_sec"))

@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on a VANILLA SparkSession
+(the driver does not use ``session.get_spark``) at sf0.01, runs the
+matching ``oracle_sql()`` in DuckDB over the same parquet files, and
+compares row count, schema (column names), and exact values with columns
+sorted by name — the same contract as CORRECTNESS_r{N}.json.
+
+Usage:  python tools/gate_mirror.py [query ...]   (no args = all)
+Exit 0 = all green.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import traceback
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def _load_entry():
+    sys.path.insert(0, str(REPO))
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", REPO / "__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(sdf, duck_df: pd.DataFrame) -> str | None:
+    left = _normalize(sdf.toPandas())
+    right = _normalize(duck_df)
+    if len(left) != len(right):
+        return f"rows {len(left)} != {len(right)}"
+    if list(left.columns) != list(right.columns):
+        return f"schema {list(left.columns)} != {list(right.columns)}"
+    for c in left.columns:
+        la, ra = left[c].to_numpy(), right[c].to_numpy()
+        if la.dtype.kind == "f" or ra.dtype.kind == "f":
+            la, ra = la.astype(float), ra.astype(float)
+            eq = (la == ra) | (np.isnan(la) & np.isnan(ra))
+        else:
+            ls, rs = left[c].astype(str), right[c].astype(str)
+            eq = (ls == rs) | (left[c].isna() & right[c].isna()).to_numpy()
+        if not eq.all():
+            i = int(np.argmin(eq))
+            return f"value mismatch col={c} row={i}: {la[i]!r} != {ra[i]!r}"
+    return None
+
+
+def main() -> int:
+    mod = _load_entry()
+    qs, osql = mod.queries(), mod.oracle_sql()
+    only = sys.argv[1:]
+    names = [n for n in qs if not only or n in only]
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .appName("gate_mirror").getOrCreate())
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    failed = []
+    for name in names:
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            if name not in osql:
+                print(f"{name:28s} NO_ORACLE rows={sdf.count()}")
+                continue
+            err = compare(sdf, con.execute(osql[name]).df())
+        except Exception:
+            err = traceback.format_exc().strip().splitlines()[-1]
+        if err:
+            failed.append(name)
+            print(f"{name:28s} FAIL  {err}")
+        else:
+            print(f"{name:28s} ok")
+    spark.stop()
+    print(f"\n{len(names) - len(failed)}/{len(names)} green")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

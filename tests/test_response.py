@@ -1,0 +1,181 @@
+"""N14 instrument-response removal: PAZ deconvolution + StationXML parse.
+
+Reference parity target: obspy Trace.remove_response(inventory) with
+water_level=60, output='VEL' (reference core.py:38-47). Ground truth here
+is built by forward-convolving a known signal with the same PAZ, so
+recovery is checked to numerical precision rather than against obspy.
+"""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from stream2segment_spark.funclib.response import (
+    PAZResponse,
+    apply_response,
+    invert_spec_water_level,
+    parse_stationxml_paz,
+    remove_response,
+)
+
+# A realistic broadband velocity-input PAZ (STS-2-like corner at ~8.33 mHz)
+PAZ = PAZResponse(
+    poles=(-0.037 + 0.037j, -0.037 - 0.037j, -251.3 + 0.0j),
+    zeros=(0j, 0j),
+    normalization=251.3,
+    sensitivity=6.0e8,
+    input_units="M/S",
+)
+
+N, DELTA = 4096, 0.01  # 100 Hz, ~41 s
+
+
+def _band_signal(freqs=(0.5, 2.0, 7.5), n=N, delta=DELTA):
+    t = np.arange(n) * delta
+    x = sum(np.sin(2 * np.pi * f * t + 0.3 * i)
+            for i, f in enumerate(freqs))
+    # taper the ground truth so edge effects don't dominate the comparison
+    from stream2segment_spark.funclib.traces import taper_hann
+    return taper_hann(x, 0.05)
+
+
+def test_roundtrip_velocity():
+    vel = _band_signal()
+    counts = apply_response(vel, DELTA, PAZ)
+    # raw trace is ~6e8 times larger: the deconvolution must undo that
+    assert np.abs(counts).max() > 1e6 * np.abs(vel).max()
+    rec = remove_response(counts, DELTA, PAZ, output="VEL",
+                          taper_max_percentage=0.0)
+    core = slice(N // 8, -N // 8)  # ignore wrap-around edges
+    assert np.allclose(rec[core], vel[core], rtol=0, atol=2e-3 * np.abs(vel).max())
+
+
+def test_output_units_disp_acc():
+    vel = _band_signal(freqs=(2.0,))
+    counts = apply_response(vel, DELTA, PAZ)
+    disp = remove_response(counts, DELTA, PAZ, output="DISP",
+                           taper_max_percentage=0.0)
+    acc = remove_response(counts, DELTA, PAZ, output="ACC",
+                          taper_max_percentage=0.0)
+    # for a sine at f: |disp| = |vel|/(2 pi f), |acc| = |vel|*(2 pi f)
+    w = 2 * np.pi * 2.0
+    core = slice(N // 8, -N // 8)
+    assert np.abs(disp[core]).max() == pytest.approx(
+        np.abs(vel[core]).max() / w, rel=0.02)
+    assert np.abs(acc[core]).max() == pytest.approx(
+        np.abs(vel[core]).max() * w, rel=0.02)
+
+
+def test_water_level_bounds_inverse():
+    f = np.linspace(0.0, 50.0, 513)
+    h = PAZ.frequency_response(f)
+    inv = invert_spec_water_level(h, 60.0)
+    # the floor is max|H| * 10^(-60/20) = max|H|/1000; nothing exceeds 1/floor
+    assert np.isfinite(inv).all()
+    assert np.abs(inv).max() <= 1000.0 / np.abs(h).max() * (1 + 1e-9)
+    # DC bin of a response with zeros at the origin is |H|=0 -> floored
+    assert np.abs(h[0]) == 0.0 and np.isfinite(inv[0])
+
+
+def test_water_level_no_effect_in_band():
+    # where |H| is far above the floor the inverse is exactly 1/H
+    f = np.linspace(0.1, 40.0, 400)
+    h = PAZ.frequency_response(f)
+    inv = invert_spec_water_level(h, 60.0)
+    big = np.abs(h) > np.abs(h).max() * 1e-3
+    assert big.any()
+    np.testing.assert_allclose(inv[big], 1.0 / h[big], rtol=1e-12)
+
+
+STATIONXML = """<?xml version="1.0" encoding="UTF-8"?>
+<FDSNStationXML xmlns="http://www.fdsn.org/xml/station/1" schemaVersion="1.1">
+ <Network code="GE">
+  <Station code="APE">
+   <Channel code="BHZ" locationCode="">
+    <Response>
+     <InstrumentSensitivity>
+      <Value>600000000.0</Value>
+      <Frequency>1.0</Frequency>
+     </InstrumentSensitivity>
+     <Stage number="1">
+      <PolesZeros>
+       <InputUnits><Name>M/S</Name></InputUnits>
+       <OutputUnits><Name>V</Name></OutputUnits>
+       <NormalizationFactor>251.3</NormalizationFactor>
+       <NormalizationFrequency>1.0</NormalizationFrequency>
+       <Zero number="0"><Real>0.0</Real><Imaginary>0.0</Imaginary></Zero>
+       <Zero number="1"><Real>0.0</Real><Imaginary>0.0</Imaginary></Zero>
+       <Pole number="0"><Real>-0.037</Real><Imaginary>0.037</Imaginary></Pole>
+       <Pole number="1"><Real>-0.037</Real><Imaginary>-0.037</Imaginary></Pole>
+       <Pole number="2"><Real>-251.3</Real><Imaginary>0.0</Imaginary></Pole>
+      </PolesZeros>
+     </Stage>
+    </Response>
+   </Channel>
+  </Station>
+ </Network>
+</FDSNStationXML>
+"""
+
+
+def test_parse_stationxml_paz():
+    paz = parse_stationxml_paz(STATIONXML, network="GE", station="APE",
+                               channel="BHZ")
+    assert paz.sensitivity == 6.0e8
+    assert paz.normalization == 251.3
+    assert paz.input_units == "M/S"
+    assert paz.zeros == (0j, 0j)
+    assert (-0.037 + 0.037j) in paz.poles and (-251.3 + 0j) in paz.poles
+
+
+def test_parse_stationxml_gzipped_bytes_and_wildcards():
+    blob = gzip.compress(STATIONXML.encode())
+    paz = parse_stationxml_paz(blob)  # sniffed + any-channel match
+    assert paz.sensitivity == 6.0e8
+
+
+def test_parse_stationxml_no_match_raises():
+    with pytest.raises(ValueError, match="no PolesZeros"):
+        parse_stationxml_paz(STATIONXML, network="XX")
+
+
+def test_default_preprocess_through_engine(spark):
+    """The reference's default pre-process (core.py:38-47: parse the
+    segment's inventory, remove the response, water level 60, m/s) run as
+    a pyfunc through the Spark process engine over binary inventory_xml +
+    sample payloads."""
+    from stream2segment_spark.process import process_df
+
+    vels = [_band_signal(freqs=(0.5 + i, 3.0)) * (1 + i) for i in range(4)]
+    rows = [(i, gzip.compress(STATIONXML.encode()),
+             [float(v) for v in apply_response(vels[i], DELTA, PAZ)])
+            for i in range(4)]
+    segs = spark.createDataFrame(
+        rows, "id long, inventory_xml binary, data array<double>")
+
+    def preprocess(segment, config):
+        paz = parse_stationxml_paz(bytes(segment.inventory_xml))
+        vel = remove_response(np.asarray(segment.data), DELTA, paz,
+                              output="VEL",
+                              water_level_db=config["water_level"],
+                              taper_max_percentage=0.0)
+        core = vel[N // 8: -N // 8]
+        return {"peak_vel": float(np.abs(core).max())}
+
+    out = (process_df(segs, preprocess, "peak_vel double",
+                      config={"water_level": 60.0})
+           .toPandas().set_index("segment_db_id").peak_vel)
+    for i in range(4):
+        want = np.abs(vels[i][N // 8: -N // 8]).max()
+        assert out[i] == pytest.approx(want, rel=5e-3)
+
+
+def test_parsed_paz_roundtrip_matches_literal():
+    paz = parse_stationxml_paz(STATIONXML)
+    vel = _band_signal(freqs=(1.5,))
+    a = remove_response(apply_response(vel, DELTA, paz), DELTA, paz,
+                        taper_max_percentage=0.0)
+    b = remove_response(apply_response(vel, DELTA, PAZ), DELTA, PAZ,
+                        taper_max_percentage=0.0)
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-9 * np.abs(vel).max())

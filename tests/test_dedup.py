@@ -95,6 +95,25 @@ def test_simhash_hamming_exact(spark, docs_pdf):
     assert got == want
 
 
+def test_simhash_maponly_matches_agg_form(spark):
+    """The shuffle-free pandas signature path must be bit-identical to the
+    JVM 60-way aggregate for the md5 token hash, including empty and
+    single-token documents."""
+    from stream2segment_spark.schema import load_table
+    docs = load_table(spark, SF_DIR_T2, "documents").select(
+        "doc_id", "text").limit(200).union(
+        spark.createDataFrame(
+            [(90001, ""), (90002, "  ;;  "), (90003, "one"),
+             (90004, "Tied tokens tied TOKENS")],
+            ["doc_id", "text"]))
+    a = {r.doc_id: r.simhash
+         for r in DD.add_simhash(docs, "text", "doc_id", 60, "md5").collect()}
+    b = {r.doc_id: r.simhash
+         for r in DD.add_simhash_maponly(docs, "text", "doc_id", 60,
+                                         "md5").collect()}
+    assert a == b
+
+
 def test_exact_dedup_keep_semantics(spark):
     df = spark.createDataFrame(
         [(1, "a", 10), (2, "a", 20), (3, "b", 30)], ["id", "k", "v"])

@@ -52,6 +52,44 @@ def test_plot_producers_on_spark(spark):
     assert approx_freq == pytest.approx(5.0, abs=0.5)
 
 
+def test_segment_report_html(spark, tmp_path):
+    """X4 serving parity: distributed plot production -> one standalone
+    HTML file with an inline SVG per (segment, plot), metadata line per
+    segment, no external resources."""
+    from xml.etree import ElementTree
+
+    from stream2segment_spark.report import (
+        render_segments_html, segment_plots_df, write_segment_report)
+
+    t = np.arange(0, 2048) * 0.01
+    rows = [(i, [float(v) for v in np.sin(2 * np.pi * (i + 1) * t)],
+             0.01, f"GE.APE{i}..HHZ") for i in range(3)]
+    segs = spark.createDataFrame(
+        rows, "id long, samples array<double>, delta double, seed_id string")
+
+    out = tmp_path / "report.html"
+    n = write_segment_report(segs, str(out), title="3 sines & <specials>",
+                             label_cols=("seed_id",))
+    assert n == 3
+    html = out.read_text()
+    assert html.count("<svg") == 9  # 3 segments x 3 plots
+    assert html.count("<h2>") == 3
+    assert "GE.APE1..HHZ" in html and "&lt;specials&gt;" in html
+    assert "http" not in html  # standalone: no external fetches
+    ElementTree.fromstring(html.replace("<!DOCTYPE html>", ""))  # well-formed
+
+    # bounded-render guard
+    big = segment_plots_df(segs, label_cols=("seed_id",)).collect()
+    with pytest.raises(ValueError, match="max_segments"):
+        render_segments_html(big, max_segments=2)
+
+    # null samples render as an empty-plot placeholder, not a crash
+    nulls = spark.createDataFrame(
+        [(9, None, 0.01)], "id long, samples array<double>, delta double")
+    html2 = render_segments_html(segment_plots_df(nulls).collect())
+    assert "no data" in html2
+
+
 def test_sds_path_expression(spark):
     df = spark.createDataFrame(
         [("GE", "APE", "", "HHZ", datetime(2021, 2, 3, 4, 5, 6))],

@@ -1,0 +1,94 @@
+"""Deterministic, engine-universal sampling & splits (beyond-reference,
+LLM-pipeline): training corpora need reproducible train/val/test
+assignment that is (a) stable across runs/engines/partitionings — no
+``rand()`` — and (b) keyed by document id so re-ingesting a doc can never
+leak it across splits.
+
+Mechanism: a uniform bucket in [0, 10000) from the md5 of ``seed:id``
+(md5 exists in every engine, so a DuckDB/Trino/Spark pipeline computes
+the IDENTICAL assignment — same trick as the SimHash gate oracle), then
+threshold the bucket. Pure expressions in the scan stage: no shuffle, no
+state, trivially pushable.
+
+Stratified rates come for free: the bucket is uniform within any stratum
+(md5 is independent of any column), so thresholding inside a stratum
+yields that stratum's rate; per-stratum thresholds give exact
+proportional/weighted designs without a groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column, seed: str = "s2s") -> Column:
+    """Deterministic uniform bucket in [0, BUCKETS) from md5(seed:id).
+    DuckDB twin: ``CAST('0x' || substr(md5(seed || ':' || CAST(id AS
+    VARCHAR)), 1, 15) AS BIGINT) % 10000``."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), id_col.cast("string"))), 1, 15),
+        16, 10).cast("long")
+    return F.pmod(h, F.lit(BUCKETS))
+
+
+def split_column(
+    id_col: Column,
+    fractions: dict[str, float] | None = None,
+    seed: str = "s2s",
+) -> Column:
+    """A 'train'/'val'/'test'-style label column. ``fractions`` map label
+    -> fraction, in priority order; they must sum to <= 1 (any remainder
+    is NULL — rows excluded from every split)."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    bucket = hash_bucket(id_col, seed)
+    expr, lo = None, 0
+    for label, frac in fractions.items():
+        hi = lo + int(round(frac * BUCKETS))
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+        lo = hi
+    return expr
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+    seed: str = "s2s",
+    out_col: str = "split",
+) -> DataFrame:
+    """Append the split label column (see :func:`split_column`)."""
+    return df.withColumn(out_col, split_column(F.col(id_col), fractions, seed))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float | dict[str, float],
+    seed: str = "s2s",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Reproducible sample: keep rows whose bucket < fraction * BUCKETS.
+
+    ``fraction`` may be a dict stratum-value -> fraction with
+    ``strata_col`` set (sampleBy semantics, but deterministic and
+    engine-replayable); missing strata default to 0 (dropped)."""
+    bucket = hash_bucket(F.col(id_col), seed)
+    if isinstance(fraction, dict):
+        if strata_col is None:
+            raise ValueError("per-stratum fractions need strata_col")
+        thr = None
+        for value, frac in fraction.items():
+            cond = F.col(strata_col) == value
+            t = F.lit(int(round(frac * BUCKETS)))
+            thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+        thr = thr.otherwise(F.lit(0))
+    else:
+        thr = F.lit(int(round(float(fraction) * BUCKETS)))
+    return df.filter(bucket < thr)

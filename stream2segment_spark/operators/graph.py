@@ -1,0 +1,78 @@
+"""Connected components over near-duplicate pair lists (beyond-reference,
+LLM-pipeline): pair emission (MinHash/SimHash/Jaccard/cosine) only says
+"A resembles B" — deduplicating a corpus needs the transitive CLUSTERS
+(keep one canonical doc per component). This is the standard min-label
+propagation formulation:
+
+    label(v) <- min(label(v), min over neighbors of label(n))
+
+iterated to fixpoint. Each round is one join + one groupBy-min — all
+shuffles keyed by node id, no driver-side graph. Round count is bounded
+by the component diameter, which for near-dup clusters is tiny (docs in
+one cluster all resemble each other); ``max_iterations`` guards
+pathological chains and raising it is O(1) per extra round.
+
+Convergence is checked with a count of changed labels per round — one
+extra cheap job per round, the standard Spark CC loop shape (driver-side
+iteration with distributed rounds; the loop itself touches no data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Cluster label per node: ``(id, cluster_id)`` with ``cluster_id`` =
+    the minimum node id in the component (deterministic canonical winner,
+    matching exact_dedup's keep-first-by-id semantics).
+
+    ``nodes`` (optional): frame of all node ids; ids with no edge come
+    back as singletons (cluster_id = own id). Without it, only ids
+    appearing in ``edges`` are labeled.
+    """
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+           .distinct())
+    labels = (sym.select(F.col("a").alias(id_col)).distinct()
+              .withColumn("cluster_id", F.col(id_col)))
+
+    for _ in range(max_iterations):
+        neigh_min = (sym.join(labels.withColumnRenamed(id_col, "b"), "b")
+                     .groupBy("a")
+                     .agg(F.min("cluster_id").alias("nmin"))
+                     .withColumnRenamed("a", id_col))
+        # localCheckpoint truncates the lineage each round — without it the
+        # logical plan nests exponentially and planning itself OOMs after
+        # ~15 rounds. (On a cluster with fault-tolerance needs, swap for
+        # checkpoint() with a checkpoint dir; semantics are identical.)
+        updated = (labels.join(neigh_min, id_col, "left")
+                   .select(id_col,
+                           F.least("cluster_id", "nmin").alias("cluster_id"),
+                           (F.col("nmin") < F.col("cluster_id"))
+                           .alias("__changed"))
+                   .localCheckpoint(eager=True))
+        changed = updated.filter("__changed").count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations; component diameter exceeds the cap")
+
+    if nodes is not None:
+        labels = (nodes.select(F.col(id_col))
+                  .join(labels, id_col, "left")
+                  .select(id_col,
+                          F.coalesce("cluster_id", F.col(id_col))
+                          .alias("cluster_id")))
+    return labels

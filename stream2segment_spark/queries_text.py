@@ -71,8 +71,12 @@ def _text_analysis_oracle() -> str:
                  AS quality,
                {_lang_case_sql()} AS lang_pred,
                md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
-                 AS fingerprint
-        FROM m"""
+                 AS fingerprint,
+               CASE WHEN bkt < 8000 THEN 'train'
+                    WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT *, CAST('0x' || substr(
+                  md5('s2s:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                  % 10000 AS bkt FROM m) m"""
 
 
 @register("text_analysis", _text_analysis_oracle())
@@ -83,7 +87,10 @@ def text_analysis(spark, sf_dir):
     punctuation heuristics into one [0,1] score), language-ID
     (stopword-marker heuristic over {en,de,fr,es}), and document
     fingerprinting (md5 of normalized text) — all pure expressions in the
-    scan stage."""
+    scan stage — plus the deterministic md5-bucket train/val/test split
+    (functions/sampling.py: engine-universal, id-keyed, leak-free; the
+    oracle replays the identical assignment)."""
+    from stream2segment_spark.functions.sampling import split_column
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -91,7 +98,8 @@ def text_analysis(spark, sf_dir):
         TX.bpe_ish_token_count(F.col("text")).alias("n_pieces"),
         F.round(TX.quality_score(F.col("text")), 4).alias("quality"),
         TX.langid_heuristic(F.col("text")).alias("lang_pred"),
-        TX.doc_fingerprint(F.col("text")).alias("fingerprint"))
+        TX.doc_fingerprint(F.col("text")).alias("fingerprint"),
+        split_column(F.col("doc_id")).alias("split"))
 
 
 @register(
@@ -111,27 +119,45 @@ def dedup_exact_docs(spark, sf_dir):
 
 @register(
     "dedup_ngram_jaccard",
-    f"""WITH sh AS {_SHINGLES_SQL},
+    f"""WITH RECURSIVE sh AS {_SHINGLES_SQL},
         inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM inv a JOIN inv b
-                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
-        SELECT id_a, id_b,
-               round(len(list_intersect(x.s, y.s))::DOUBLE
-                     / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
-        FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
-        WHERE len(list_intersect(x.s, y.s))::DOUBLE
-              / len(list_distinct(list_concat(x.s, y.s))) >= 0.5""",
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        pairs AS (
+          SELECT id_a, id_b,
+                 round(len(list_intersect(x.s, y.s))::DOUBLE
+                       / len(list_distinct(list_concat(x.s, y.s))), 6)
+                   AS jaccard
+          FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+          WHERE len(list_intersect(x.s, y.s))::DOUBLE
+                / len(list_distinct(list_concat(x.s, y.s))) >= 0.5),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION
+                        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        label AS (SELECT a, least(min(b), a) AS cluster_id
+                  FROM reach GROUP BY a)
+        SELECT p.id_a, p.id_b, p.jaccard, l.cluster_id
+        FROM pairs p JOIN label l ON l.a = p.id_a""",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (threshold 0.5) with inverted-
     index candidate generation — no cross join; the only shuffle is on the
-    shingle key."""
+    shingle key. Each pair also carries its transitive near-dup CLUSTER id
+    (min doc_id of the connected component, operators/graph.py min-label
+    propagation) — the step that turns pair lists into per-cluster
+    canonical-doc selection; the oracle replays it with a recursive CTE."""
     docs = load_table(spark, sf_dir, "documents") \
         .repartition(spark.sparkContext.defaultParallelism)
-    out = DD.ngram_jaccard_pairs(docs, "text", "doc_id",
-                                 shingle_k=3, threshold=0.5)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                   shingle_k=3, threshold=0.5)
+    from stream2segment_spark.operators.graph import connected_components
+    cc = connected_components(pairs, "id_a", "id_b")
+    return (pairs.join(cc.withColumnRenamed("id", "id_a"), "id_a")
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
+                    "cluster_id"))
 
 
 @register(

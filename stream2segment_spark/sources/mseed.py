@@ -141,6 +141,75 @@ def _decode_steim1(payload: bytes, n_samples: int, bo: str) -> np.ndarray:
     return out.astype(np.float64)
 
 
+# Steim2 word classes: (c, dnib) -> (k diffs, w bits each). dnib lives in
+# bits 31-30 of the data word for c=2/3; c=1 is 4x8-bit like Steim1.
+# Public layout per the SEED 2.4 manual (also reference mseedlite.py:335).
+_STEIM2_CLASSES = {
+    (1, None): (4, 8),
+    (2, 1): (1, 30), (2, 2): (2, 15), (2, 3): (3, 10),
+    (3, 0): (5, 6), (3, 1): (6, 5), (3, 2): (7, 4),
+}
+
+
+def _decode_steim2(payload: bytes, n_samples: int, bo: str) -> np.ndarray:
+    """Steim2 (encoding 11): same 64-byte frame / nibble-word structure as
+    Steim1, but c=2 and c=3 words carry a 2-bit sub-code (dnib, bits
+    31-30) selecting among 30/15/10-bit and 6/5/4-bit packed differences.
+    Vectorized like :func:`_decode_steim1`: one mask + broadcast
+    shift/mask/sign-extend per class, scatter by cumsum offsets."""
+    words = np.frombuffer(payload, dtype=">u4" if bo == ">" else "<u4")
+    n_frames = len(words) // 16
+    if n_frames == 0:
+        raise MSeedError("Steim2 frame 0 missing integration constants")
+    frames = words[:n_frames * 16].reshape(n_frames, 16)
+    shifts = (2 * (15 - np.arange(1, 16))).astype(np.uint32)
+    nibs = ((frames[:, :1] >> shifts[None, :]) & 0x3).copy()
+    x0 = int(frames[0, 1].astype(np.uint32).view(np.int32))
+    xn = int(frames[0, 2].astype(np.uint32).view(np.int32))
+    nibs[0, 0] = 0
+    nibs[0, 1] = 0
+
+    wf = np.ascontiguousarray(frames[:, 1:]).reshape(-1).astype(np.uint64)
+    cf = nibs.reshape(-1).astype(np.int64)
+    dnib = ((wf >> 30) & 0x3).astype(np.int64)
+
+    counts = np.zeros(len(wf), dtype=np.int64)
+    class_masks = []
+    for (c, dn), (k, w) in _STEIM2_CLASSES.items():
+        m = (cf == c) if dn is None else ((cf == c) & (dnib == dn))
+        class_masks.append((m, k, w))
+        counts[m] = k
+    bad = (cf == 2) & (dnib == 0)
+    if bad.any():
+        raise MSeedError("Steim2 c=2 word with reserved dnib 0")
+    ends = np.cumsum(counts)
+    total = int(ends[-1]) if len(ends) else 0
+    starts = ends - counts
+    d = np.zeros(total, dtype=np.int64)
+
+    for m, k, w in class_masks:
+        if not m.any():
+            continue
+        v = wf[m]
+        sh = (w * (k - 1 - np.arange(k))).astype(np.uint64)
+        raw = (v[:, None] >> sh[None, :]) & ((1 << w) - 1)
+        vals = raw.astype(np.int64)
+        vals -= (vals >= (1 << (w - 1))) * (1 << w)
+        idx = np.repeat(starts[m], k) + np.tile(np.arange(k), int(m.sum()))
+        d[idx] = vals.reshape(-1)
+
+    d = d[:n_samples]
+    if len(d) < n_samples:
+        raise MSeedError(
+            f"Steim2 payload holds {len(d)} diffs < {n_samples} samples")
+    out = np.cumsum(d)
+    out += x0 - out[0]
+    if len(out) and out[-1] != xn:
+        raise MSeedError(
+            f"Steim2 reverse integration mismatch: {out[-1]} != {xn}")
+    return out.astype(np.float64)
+
+
 _PLAIN_DTYPES = {1: "i2", 3: "i4", 4: "f4", 5: "f8"}
 
 
@@ -189,6 +258,8 @@ def parse_record(buf: bytes, offset: int) -> tuple[_Record, int]:
             raise MSeedError("payload shorter than sample count")
     elif encoding == 10:
         samples = _decode_steim1(payload, n_samples, ">")
+    elif encoding == 11:
+        samples = _decode_steim2(payload, n_samples, ">")
     else:
         raise MSeedError(f"unsupported encoding {encoding}")
     rec = _Record(seed_id=f"{net}.{sta}.{loc}.{cha}", start=start,
@@ -303,6 +374,8 @@ def encode_record(
         payload = np.asarray(samples).astype(">" + _PLAIN_DTYPES[encoding]).tobytes()
     elif encoding == 10:
         payload = _encode_steim1(np.asarray(samples, dtype=np.int64))
+    elif encoding == 11:
+        payload = _encode_steim2(np.asarray(samples, dtype=np.int64))
     else:
         raise MSeedError(f"unsupported encoding {encoding}")
     if 64 + len(payload) > rec_len:
@@ -323,6 +396,59 @@ def encode_record(
     body = hdr + blk1000
     return body + b"\x00" * (64 - len(body)) + payload \
         + b"\x00" * (rec_len - 64 - len(payload))
+
+
+# encoder preference: densest class first (samples per word)
+_STEIM2_PACK_ORDER = ((7, 4), (6, 5), (5, 6), (4, 8), (3, 10), (2, 15), (1, 30))
+_STEIM2_CODES = {v: k for k, v in _STEIM2_CLASSES.items()}
+
+
+def _encode_steim2(x: np.ndarray) -> bytes:
+    """Greedy Steim2 packer: at each position take the densest class whose
+    next k differences all fit its bit width (the standard compressor
+    strategy), so real payloads exercise every word class. Raises when a
+    difference exceeds 30 bits (Steim2's limit)."""
+    d = np.diff(x, prepend=x[:1]).astype(np.int64)
+    d[0] = 0  # x0 carries the absolute value
+    n = len(d)
+    packed: list[tuple[int, int]] = []  # (word value, c code)
+    i = 0
+    while i < n:
+        for k, w in _STEIM2_PACK_ORDER:
+            chunk = d[i:i + k]
+            if len(chunk) < k:  # tail: zero-pad — the decoder slices the
+                chunk = np.concatenate(  # surplus diffs off at n_samples
+                    [chunk, np.zeros(k - len(chunk), dtype=np.int64)])
+            lim = 1 << (w - 1)
+            if ((chunk >= -lim) & (chunk < lim)).all():
+                c, dn = _STEIM2_CODES[(k, w)]
+                val = 0
+                for j, v in enumerate(chunk):
+                    val |= (int(v) & ((1 << w) - 1)) << (w * (k - 1 - j))
+                if dn is not None:
+                    val |= dn << 30
+                packed.append((val, c))
+                i += k
+                break
+        else:
+            raise MSeedError(
+                f"Steim2 cannot encode difference {d[i]} (> 30 bits)")
+
+    # frame assembly: frame 0 holds x0/xn + 13 data slots, others 15
+    n_words = len(packed)
+    n_frames = 1 + max(0, -(-(n_words - 13) // 15))
+    words = np.zeros((n_frames, 16), dtype=np.uint64)
+    codes = np.zeros((n_frames, 16), dtype=np.uint64)
+    words[0, 1] = int(np.int32(x[0])) & 0xFFFFFFFF
+    words[0, 2] = int(np.int32(x[-1])) & 0xFFFFFFFF
+    slots = [(0, s) for s in range(3, 16)] + [
+        (f, s) for f in range(1, n_frames) for s in range(1, 16)]
+    for (f, s), (val, c) in zip(slots, packed):
+        words[f, s] = val
+        codes[f, s] = c
+    shifts2 = (2 * (15 - np.arange(16))).astype(np.uint64)
+    words[:, 0] = (codes << shifts2[None, :]).sum(axis=1)
+    return words.astype(">u4").tobytes()
 
 
 def _encode_steim1(x: np.ndarray) -> bytes:

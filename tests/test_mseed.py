@@ -34,11 +34,59 @@ def test_roundtrip_int32_single_record():
     assert r["end_time"] == (T0 + timedelta(seconds=0.5)).replace(tzinfo=None)
 
 
-@pytest.mark.parametrize("encoding", [1, 3, 4, 5, 10])
+@pytest.mark.parametrize("encoding", [1, 3, 4, 5, 10, 11])
 def test_roundtrip_encodings(encoding):
     x = np.array([0, 5, -7, 1000, -32000, 12, 13, 13], dtype=np.int64)
     out = MS.unpack_blob(_rec(x, encoding=encoding))
     np.testing.assert_array_equal(out[0]["samples"], x.astype(float))
+
+
+def test_steim2_every_word_class_roundtrips():
+    """Drive the greedy packer through all 7 Steim2 classes: runs of tiny
+    diffs (7x4, 6x5, 5x6), mid diffs (4x8, 3x10, 2x15) and near-30-bit
+    jumps (1x30)."""
+    rng = np.random.default_rng(11)
+    pieces = [
+        rng.integers(-7, 8, 21),              # 4-bit -> 7x4
+        rng.integers(-15, 16, 12),            # 5-bit -> 6x5
+        rng.integers(-31, 32, 10),            # 6-bit -> 5x6
+        rng.integers(-127, 128, 8),           # 8-bit -> 4x8
+        rng.integers(-511, 512, 6),           # 10-bit -> 3x10
+        rng.integers(-16000, 16001, 4),       # 15-bit -> 2x15
+        np.array([2**29 - 1, -(2**29), 2**28 + 12345]),  # 30-bit -> 1x30
+    ]
+    d = np.concatenate(pieces)
+    x = np.cumsum(np.concatenate([[123], d]))
+    out = MS.unpack_blob(_rec(x, encoding=11))
+    np.testing.assert_array_equal(out[0]["samples"], x.astype(float))
+    # the packed payload must actually use every class code combination
+    payload = MS._encode_steim2(x)
+    words = np.frombuffer(payload, dtype=">u4").reshape(-1, 16)
+    seen = set()
+    for f in range(len(words)):
+        for s in range(1, 16):
+            c = (int(words[f, 0]) >> (2 * (15 - s))) & 3
+            if c == 0 or (f == 0 and s in (1, 2)):
+                continue
+            dn = (int(words[f, s]) >> 30) & 3 if c in (2, 3) else None
+            seen.add((c, dn))
+    assert seen == set(MS._STEIM2_CLASSES)
+
+
+def test_steim2_random_walks_roundtrip():
+    rng = np.random.default_rng(23)
+    # size shrinks as diffs widen: a 512-byte record holds ~110 packed
+    # words; wide-diff walks approach one word per sample
+    for scale, size in ((3, 500), (40, 400), (900, 160), (20000, 110),
+                        (10**6, 100)):
+        x = np.cumsum(rng.integers(-scale, scale + 1, size=size))
+        out = MS.unpack_blob(_rec(x, encoding=11))
+        np.testing.assert_array_equal(out[0]["samples"], x.astype(float))
+
+
+def test_steim2_over_30bit_diff_raises():
+    with pytest.raises(MS.MSeedError, match="30 bits"):
+        MS._encode_steim2(np.array([0, 2**30 + 5], dtype=np.int64))
 
 
 def test_steim1_large_values_many_frames():

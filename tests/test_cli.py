@@ -1,0 +1,102 @@
+"""CLI end-to-end: download -> dl-stats -> show -> process on a temp
+warehouse, driving ``cli.main`` in-process with the same deterministic
+transport the pipeline e2e test uses (the reference's mocked-HTTP CLI
+tests are the model)."""
+
+from __future__ import annotations
+
+import sys
+from datetime import datetime, timezone
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from stream2segment_spark import cli
+
+EV_T = "2021-06-01T12:00:00"
+EVENT_LINES = [
+    "#id|time|lat|lon|depth|auth|cat|contrib|cid|magtype|mag|magauth|loc",
+    f"evA|{EV_T}|10.0|20.0|15.0|a|c|ct|ci|ML|5.0|ma|loc1",
+]
+_CH = "|0.0|0.0|0.0|0.0|sensor|1.0|1.0|M/S|{sr}|2000-01-01T00:00:00|"
+CHANNEL_LINES = [
+    "#net|sta|loc|cha|lat|lon|elev|depth|azi|dip|sensor|scale|sfreq|sunits|sr|start|end",
+    "GE|STA1||HHZ|10.5|20.5" + _CH.format(sr="100.0"),
+    "GE|STA1||LHZ|10.5|20.5" + _CH.format(sr="1.0"),  # below the rate floor
+]
+
+
+def transport_ok(url: str, body):
+    t0 = datetime(2021, 6, 1, 12, 0, 30, tzinfo=timezone.utc)
+    from stream2segment_spark.sources.mseed import encode_record
+    data = encode_record("GE", "STA1", "", "HHZ", t0, 100.0,
+                         np.cumsum(np.arange(40, dtype=np.int64) % 7),
+                         encoding=11)
+    return data, 200
+
+
+@pytest.fixture(scope="module")
+def warehouse(tmp_path_factory, spark):
+    tmp = tmp_path_factory.mktemp("cli")
+    (tmp / "events.txt").write_text("\n".join(EVENT_LINES))
+    (tmp / "channels.txt").write_text("\n".join(CHANNEL_LINES))
+    cfg = {
+        "warehouse": str(tmp / "wh"),
+        "events_file": str(tmp / "events.txt"),
+        "channels_file": str(tmp / "channels.txt"),
+        "search_radius": {"minmag": 3, "maxmag": 7,
+                          "minmag_radius": 1, "maxmag_radius": 5},
+        "min_sample_rate": 50.0,
+        "timespan": [60, 120],
+        "transport": "tests.test_cli:transport_ok",
+    }
+    cfg_path = tmp / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    # make 'tests.test_cli' importable from the executor-side dotted path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    return tmp, cfg_path
+
+
+def test_download_writes_warehouse_and_prints_stats(warehouse, capsys):
+    tmp, cfg_path = warehouse
+    assert cli.main(["download", "-c", str(cfg_path)]) == 0
+    out = capsys.readouterr().out
+    assert "TOTAL" in out and "COLUMNS DETAILS" in out and "OK" in out
+    for t in ("events", "channels", "stations", "segments"):
+        assert (tmp / "wh" / f"{t}.parquet").exists()
+
+
+def test_dl_stats_renders_table(warehouse, capsys):
+    _, cfg_path = warehouse
+    assert cli.main(["dl-stats", "-c", str(cfg_path)]) == 0
+    out = capsys.readouterr().out
+    assert "TOTAL" in out and "OK" in out
+
+
+def test_show_writes_html_report(warehouse, capsys, tmp_path):
+    _, cfg_path = warehouse
+    out_html = tmp_path / "report.html"
+    assert cli.main(["show", "-c", str(cfg_path), "-o", str(out_html)]) == 0
+    html = out_html.read_text()
+    assert "<svg" in html and "GE.STA1..HHZ" in html
+
+
+def seg_peak(segment, config):
+    from stream2segment_spark.sources.mseed import unpack_blob
+    recs = unpack_blob(bytes(segment.data))
+    return {"peak": float(np.abs(np.asarray(recs[0]["samples"])).max()),
+            "code": int(segment.download_code)}
+
+
+seg_peak.output_schema = "peak double, code long"
+
+
+def test_process_runs_pyfunc_over_warehouse(warehouse, capsys):
+    _, cfg_path = warehouse
+    assert cli.main([
+        "process", "-c", str(cfg_path),
+        "-p", "tests.test_cli:seg_peak"]) == 0
+    out = capsys.readouterr().out
+    assert "'peak':" in out and "'code': 200" in out

@@ -39,9 +39,16 @@ def connected_components(
     back as singletons (cluster_id = own id). Without it, only ids
     appearing in ``edges`` are labeled.
     """
+    # sym is re-joined EVERY round: without persist each round recomputes
+    # the full upstream pair-generation pipeline (shingling + candidate
+    # join + verify for near-dup edges — measured 25 s/round at sf0.1,
+    # turning a 3-round CC over a 500-node graph into minutes). Persisting
+    # the edge list is the canonical iterative-graph shape (same reason
+    # GraphX/Pregel cache the edge RDD once).
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-           .distinct())
+           .distinct()
+           .persist())
     labels = (sym.select(F.col("a").alias(id_col)).distinct()
               .withColumn("cluster_id", F.col(id_col)))
 
@@ -69,6 +76,7 @@ def connected_components(
             f"connected_components did not converge in {max_iterations} "
             f"iterations; component diameter exceeds the cap")
 
+    sym.unpersist()
     if nodes is not None:
         labels = (nodes.select(F.col(id_col))
                   .join(labels, id_col, "left")

@@ -54,6 +54,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
 
+    # Local mode runs every task thread inside the driver JVM, whose heap
+    # defaults to 1g: 32 concurrent tasks then share ~400 MB of unified
+    # execution memory and shuffle writes die with UNABLE_TO_ACQUIRE_MEMORY
+    # under load. Size the heap like the executor of a real cluster node
+    # instead. Only effective when this call launches the JVM (fresh
+    # process); ignored on an already-running session, like any JVM conf.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+
     # workers unpickle engine closures by module reference: make the
     # package importable in worker processes regardless of the caller's cwd
     pkg_parent = str(Path(__file__).resolve().parents[1])
@@ -65,6 +73,7 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    conf["spark.driver.memory"] = driver_mem
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

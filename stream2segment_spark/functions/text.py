@@ -92,6 +92,39 @@ def langid_heuristic(text: Column) -> Column:
     return expr
 
 
+def max_token_run(text: Column) -> Column:
+    """Count of the most frequent token (Gopher-style repetition signal:
+    high counts flag boilerplate / keyword-stuffed documents). Computed
+    per-row with a sort + single fold — no explode, no shuffle: sort the
+    token array, then count the longest run of equal adjacent tokens.
+    Integer output (cross-engine exact; consumers derive the fraction)."""
+    toks = F.array_sort(word_tokens(text))
+    init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+
+    def step(acc, t):
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(t.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(toks, init, step, lambda acc: acc["best"])
+
+
+def bigram_repetition(text: Column) -> tuple[Column, Column]:
+    """(n_bigrams, n_duplicated_bigrams) over normalized word tokens —
+    the dup-n-gram repetition measure of quality-filter pipelines
+    (documents dominated by repeated word pairs are low quality).
+    Integer counts; callers divide for the fraction."""
+    toks = word_tokens(text)
+    n = F.size(toks)
+    bi = F.transform(F.sequence(F.lit(0), n - 2),
+                     lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    n_bi = F.when(n >= 2, F.size(bi)).otherwise(F.lit(0))
+    n_dup = F.when(n >= 2, F.size(bi) - F.size(F.array_distinct(bi))) \
+        .otherwise(F.lit(0))
+    return n_bi, n_dup
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic content fingerprint: md5 of normalized text
     (stable across engines — used for exact-dup detection K-fingerprint)."""

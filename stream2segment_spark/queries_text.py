@@ -63,6 +63,14 @@ def _text_analysis_oracle() -> str:
                len(w) AS n_tokens,
                len(regexp_extract_all(lower(text),
                    '([a-z]+|[0-9]+|[^a-z0-9\\s])', 1)) AS n_pieces,
+               coalesce((SELECT max(c) FROM
+                   (SELECT count(*) AS c FROM unnest(m.w) AS u(x) GROUP BY x)
+                   q), 0) AS max_tok_run,
+               CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END AS n_bigrams,
+               CASE WHEN len(w) >= 2 THEN (len(w) - 1) - len(list_distinct(
+                   list_transform(range(1, len(w)),
+                                  i -> array_to_string(w[i:i+1], ' '))))
+                    ELSE 0 END AS n_dup_bigrams,
                round((
                  (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 ELSE 0.5 END) +
                  (CASE WHEN sw >= 0.05 AND sw <= 0.6 THEN 1.0 ELSE 0.5 END) +
@@ -92,10 +100,14 @@ def text_analysis(spark, sf_dir):
     oracle replays the identical assignment)."""
     from stream2segment_spark.functions.sampling import split_column
     docs = load_table(spark, sf_dir, "documents")
+    n_bi, n_dup = TX.bigram_repetition(F.col("text"))
     return docs.select(
         "doc_id",
         TX.token_count(F.col("text")).alias("n_tokens"),
         TX.bpe_ish_token_count(F.col("text")).alias("n_pieces"),
+        TX.max_token_run(F.col("text")).alias("max_tok_run"),
+        n_bi.alias("n_bigrams"),
+        n_dup.alias("n_dup_bigrams"),
         F.round(TX.quality_score(F.col("text")), 4).alias("quality"),
         TX.langid_heuristic(F.col("text")).alias("lang_pred"),
         TX.doc_fingerprint(F.col("text")).alias("fingerprint"),
@@ -151,8 +163,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     canonical-doc selection; the oracle replays it with a recursive CTE."""
     docs = load_table(spark, sf_dir, "documents") \
         .repartition(spark.sparkContext.defaultParallelism)
+    # pairs feeds BOTH the iterative clustering and the final join —
+    # persist so the shingle/verify pipeline runs once, not per CC round
     pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id",
-                                   shingle_k=3, threshold=0.5)
+                                   shingle_k=3, threshold=0.5).persist()
     from stream2segment_spark.operators.graph import connected_components
     cc = connected_components(pairs, "id_a", "id_b")
     return (pairs.join(cc.withColumnRenamed("id", "id_a"), "id_a")

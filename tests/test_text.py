@@ -1,0 +1,49 @@
+"""Exact-value unit tests for functions/text.py — in particular the
+repetition metrics (max_token_run, bigram_repetition), whose n<2 /
+empty-document edge cases are not guaranteed to occur in the synthetic
+corpus the correctness gate runs on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream2segment_spark.functions import text as TX
+
+
+def _vals(spark, texts, *cols):
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    rows = (df.select(*[c.alias(f"c{i}") for i, c in enumerate(cols)])
+            .collect())
+    return [tuple(r) for r in rows]
+
+
+def test_max_token_run(spark):
+    out = _vals(
+        spark,
+        ["a b c a b a",          # 'a' x3
+         "x",                    # single token
+         "",                     # empty -> 0
+         "Dog, dog! DOG? cat"],  # normalization folds case/punct: dog x3
+        TX.max_token_run(F.col("text")))
+    assert out == [(3,), (1,), (0,), (3,)]
+
+
+def test_bigram_repetition(spark):
+    n_bi, n_dup = TX.bigram_repetition(F.col("text"))
+    out = _vals(
+        spark,
+        ["a b a b a",   # bigrams: ab ba ab ba -> 4 total, 2 duplicated
+         "a b c",       # ab bc -> none duplicated
+         "a",           # n<2 -> (0, 0)
+         ""],
+        n_bi, n_dup)
+    assert out == [(4, 2), (2, 0), (0, 0), (0, 0)]
+
+
+def test_quality_and_langid_edges(spark):
+    out = _vals(
+        spark,
+        ["the cat is on the mat and it is fine " * 5,
+         "der hund ist nicht ein katze und das"],
+        TX.langid_heuristic(F.col("text")))
+    assert out == [("en",), ("de",)]

@@ -62,18 +62,16 @@ def stream_tumbling_stats(spark, sf_dir):
     sink). Complete-mode output equals the batch/SQL answer."""
     import uuid
 
-    from pyspark.sql import types as T
     batch = load_table(spark, sf_dir, "events")
     name = "tumbling_" + uuid.uuid4().hex[:8]
 
-    # stream from the raw parquet (ts is ns -> Long), convert inside the plan
+    # stream from the raw parquet (ts physical type varies by testdata
+    # generation: ns->Long or micros->NTZ), normalize inside the plan
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def transform(stream_df):
-        df = stream_df
-        if not isinstance(df.schema["ts"].dataType, T.TimestampType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return tumbling_stats(df, watermark="24 hours")
+        from stream2segment_spark.schema import normalize_event_ts
+        return tumbling_stats(normalize_event_ts(stream_df), watermark="24 hours")
 
     from stream2segment_spark.streaming.incremental import run_stream_to_memory
     try:

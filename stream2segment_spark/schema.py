@@ -301,10 +301,32 @@ def testdata_graph() -> SchemaGraph:
 # Readers
 # --------------------------------------------------------------------------
 
-# columns stored as parquet TIMESTAMP(NANOS): Spark reads them as Long nanos
-# (spark.sql.legacy.parquet.nanosAsLong) and we truncate to microseconds,
-# exactly like DuckDB's TIMESTAMP_NS -> TIMESTAMP cast.
+# Event-time columns whose parquet physical type has varied across driver
+# testdata generations: TIMESTAMP(NANOS) (read as Long under
+# spark.sql.legacy.parquet.nanosAsLong, truncated to micros like DuckDB's
+# TIMESTAMP_NS -> TIMESTAMP cast) or TIMESTAMP(MICROS, isAdjustedToUTC=false)
+# (read as TIMESTAMP_NTZ). Either way the engine contract is a plain
+# TimestampType column — session timezone is UTC, so the NTZ->TZ cast is a
+# pure relabel, no value shift.
 _NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def normalize_event_ts(df: DataFrame, cols=("ts",)) -> DataFrame:
+    """Normalize event-time columns to ``TimestampType`` from any physical
+    reading: int64 nanos -> truncate to micros (integer ``div`` keeps full
+    int64 precision; a double round-trips ~1.7e18 ns epochs lossily),
+    timestamp_ntz -> cast (UTC session tz: same instant)."""
+    from pyspark.sql import functions as F  # local: keep module import-light
+
+    for c in cols:
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -315,9 +337,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Must work on ANY SparkSession (not only ``session.get_spark``'s tuned
     one): TIMESTAMP(NANOS) parquet columns make a vanilla session throw
     ``PARQUET_TYPE_ILLEGAL``, so the legacy nanos-as-long conf is set here
-    at runtime (it is a runtime-settable SQL conf, idempotent)."""
-    from pyspark.sql import functions as F  # local: keep module import-light
-
+    at runtime (it is a runtime-settable SQL conf, idempotent, harmless for
+    micros-typed files)."""
     if name in _NANOS_TS_COLS:
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -326,11 +347,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # session was created with the conf; the read error is clearer
             # than anything we could raise here.
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in _NANOS_TS_COLS.get(name, ()):
-        if c in df.columns and not isinstance(df.schema[c].dataType, T.TimestampType):
-            # integer `div` keeps full int64 precision (a double round-trips
-            # ~1.7e18 ns epochs lossily)
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    if name in _NANOS_TS_COLS:
+        df = normalize_event_ts(df, _NANOS_TS_COLS[name])
     return df
 
 

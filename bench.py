@@ -71,6 +71,12 @@ def main() -> None:
             # materialize every output row, no driver collect of the payload
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+        # queries that persist() intermediates leave them cached after
+        # returning; drop them BETWEEN queries so 50 queries don't
+        # accumulate block-manager garbage (GC pressure on later queries).
+        # Not between runs of the same query: min-of-N deliberately
+        # measures the warm steady state.
+        spark.catalog.clearCache()
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)

@@ -24,9 +24,16 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 _EN_STOPWORDS = _LANG_MARKERS["en"] + ("a", "for", "on", "with", "as")
 
 
-def token_count(text: Column) -> Column:
-    """Whitespace token count over normalized text."""
-    return F.size(word_tokens(text))
+def token_count(text: Column, *, toks: Column | None = None) -> Column:
+    """Whitespace token count over normalized text.
+
+    All tokenizing functions here accept an optional precomputed ``toks``
+    array column: tokenization is a regex pass over the whole document, so
+    a query computing several metrics should project ``word_tokens(text)``
+    ONCE into a named column and pass it to each metric (multi-referenced
+    aliases are not inlined by CollapseProject, so the regex runs once per
+    row instead of once per metric)."""
+    return F.size(word_tokens(text) if toks is None else toks)
 
 
 def bpe_ish_token_count(text: Column) -> Column:
@@ -43,39 +50,40 @@ def punct_ratio(text: Column) -> Column:
     return F.length(stripped).cast("double") / F.length(text)
 
 
-def stopword_ratio(text: Column, stopwords: tuple[str, ...] = _EN_STOPWORDS) -> Column:
-    toks = word_tokens(text)
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = _EN_STOPWORDS,
+                   *, toks: Column | None = None) -> Column:
+    toks = word_tokens(text) if toks is None else toks
     stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
     return stop.cast("double") / F.size(toks)
 
 
-def mean_word_length(text: Column) -> Column:
-    toks = word_tokens(text)
+def mean_word_length(text: Column, *, toks: Column | None = None) -> Column:
+    toks = word_tokens(text) if toks is None else toks
     total = F.aggregate(toks, F.lit(0),
                         lambda acc, t: acc + F.length(t)).cast("double")
     return total / F.size(toks)
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, *, toks: Column | None = None) -> Column:
     """Composite [0,1] quality heuristic: length band + stopword presence +
     sane mean word length + low punctuation. Deterministic arithmetic
     (SQL-expressible for the oracle)."""
     n = F.length(text).cast("double")
     length_ok = F.when((n >= 100) & (n <= 20000), 1.0).otherwise(0.5)
-    sw = stopword_ratio(text)
+    sw = stopword_ratio(text, toks=toks)
     sw_ok = F.when((sw >= 0.05) & (sw <= 0.6), 1.0).otherwise(0.5)
-    mwl = mean_word_length(text)
+    mwl = mean_word_length(text, toks=toks)
     mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.5)
     pr = punct_ratio(text)
     pr_ok = F.when(pr <= 0.2, 1.0).otherwise(0.5)
     return (length_ok + sw_ok + mwl_ok + pr_ok) / 4.0
 
 
-def langid_heuristic(text: Column) -> Column:
+def langid_heuristic(text: Column, *, toks: Column | None = None) -> Column:
     """Marker-stopword-count language ID over {en,de,fr,es}, 'und'
     (undetermined) when no markers hit. Deterministic tie-break by fixed
     language order (en, de, fr, es)."""
-    toks = word_tokens(text)
+    toks = word_tokens(text) if toks is None else toks
 
     # NB: no default args in higher-order-fn lambdas — pyspark binds a
     # lambda Column to every declared parameter
@@ -92,13 +100,13 @@ def langid_heuristic(text: Column) -> Column:
     return expr
 
 
-def max_token_run(text: Column) -> Column:
+def max_token_run(text: Column, *, toks: Column | None = None) -> Column:
     """Count of the most frequent token (Gopher-style repetition signal:
     high counts flag boilerplate / keyword-stuffed documents). Computed
     per-row with a sort + single fold — no explode, no shuffle: sort the
     token array, then count the longest run of equal adjacent tokens.
     Integer output (cross-engine exact; consumers derive the fraction)."""
-    toks = F.array_sort(word_tokens(text))
+    toks = F.array_sort(word_tokens(text) if toks is None else toks)
     init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
                     F.lit(0).alias("best"))
 
@@ -110,15 +118,27 @@ def max_token_run(text: Column) -> Column:
     return F.aggregate(toks, init, step, lambda acc: acc["best"])
 
 
-def bigram_repetition(text: Column) -> tuple[Column, Column]:
+def bigrams(toks: Column) -> Column:
+    """Adjacent word-pair array from a token array (project this ONCE into
+    a named column when several counts are derived from it — the array
+    build is O(tokens) string concats per row)."""
+    n = F.size(toks)
+    return F.transform(F.sequence(F.lit(0), n - 2),
+                       lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+
+
+def bigram_repetition(
+    text: Column, *, toks: Column | None = None, bi: Column | None = None,
+) -> tuple[Column, Column]:
     """(n_bigrams, n_duplicated_bigrams) over normalized word tokens —
     the dup-n-gram repetition measure of quality-filter pipelines
     (documents dominated by repeated word pairs are low quality).
-    Integer counts; callers divide for the fraction."""
-    toks = word_tokens(text)
+    Integer counts; callers divide for the fraction. Pass precomputed
+    ``toks`` and/or ``bi`` (see ``bigrams``) to share work across metrics."""
+    toks = word_tokens(text) if toks is None else toks
     n = F.size(toks)
-    bi = F.transform(F.sequence(F.lit(0), n - 2),
-                     lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    if bi is None:
+        bi = bigrams(toks)
     n_bi = F.when(n >= 2, F.size(bi)).otherwise(F.lit(0))
     n_dup = F.when(n >= 2, F.size(bi) - F.size(F.array_distinct(bi))) \
         .otherwise(F.lit(0))

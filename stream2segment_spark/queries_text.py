@@ -99,18 +99,28 @@ def text_analysis(spark, sf_dir):
     (functions/sampling.py: engine-universal, id-keyed, leak-free; the
     oracle replays the identical assignment)."""
     from stream2segment_spark.functions.sampling import split_column
+    from stream2segment_spark.operators.dedup import word_tokens
     docs = load_table(spark, sf_dir, "documents")
-    n_bi, n_dup = TX.bigram_repetition(F.col("text"))
-    return docs.select(
+    # tokenize ONCE per row: every metric below reads the staged __toks /
+    # __bi arrays instead of re-running the tokenizer regex (multi-
+    # referenced aliases are not inlined by CollapseProject, so the regex
+    # and the bigram build each run once per row, not once per metric)
+    staged = (docs
+              .select("doc_id", "text",
+                      word_tokens(F.col("text")).alias("__toks"))
+              .withColumn("__bi", TX.bigrams(F.col("__toks"))))
+    toks, text = F.col("__toks"), F.col("text")
+    n_bi, n_dup = TX.bigram_repetition(text, toks=toks, bi=F.col("__bi"))
+    return staged.select(
         "doc_id",
-        TX.token_count(F.col("text")).alias("n_tokens"),
-        TX.bpe_ish_token_count(F.col("text")).alias("n_pieces"),
-        TX.max_token_run(F.col("text")).alias("max_tok_run"),
+        TX.token_count(text, toks=toks).alias("n_tokens"),
+        TX.bpe_ish_token_count(text).alias("n_pieces"),
+        TX.max_token_run(text, toks=toks).alias("max_tok_run"),
         n_bi.alias("n_bigrams"),
         n_dup.alias("n_dup_bigrams"),
-        F.round(TX.quality_score(F.col("text")), 4).alias("quality"),
-        TX.langid_heuristic(F.col("text")).alias("lang_pred"),
-        TX.doc_fingerprint(F.col("text")).alias("fingerprint"),
+        F.round(TX.quality_score(text, toks=toks), 4).alias("quality"),
+        TX.langid_heuristic(text, toks=toks).alias("lang_pred"),
+        TX.doc_fingerprint(text).alias("fingerprint"),
         split_column(F.col("doc_id")).alias("split"))
 
 
@@ -195,13 +205,15 @@ def dedup_minhash_lsh(spark, sf_dir):
     engine-independent: the oracle is the full exact-Jaccard pair set, so
     the gate also proves LSH recall is 1.0 on this corpus (2-row bands:
     P[miss | J=0.5] = 0.75^32 ~ 1e-4, and ~0 for the engineered near-dup
-    pairs which sit well above threshold). xxhash64 signatures stay
-    internal. The small parquet arrives as few input splits; the compute is
-    per-row heavy, so repartition to the full core count first."""
+    pairs which sit well above threshold). Signatures stay engine-internal
+    (map-only pandas stage — measured faster than the JVM fold, like the
+    SimHash twin). The small parquet arrives as few input splits; the
+    compute is per-row heavy, so repartition to the full core count
+    first."""
     docs = load_table(spark, sf_dir, "documents") \
         .repartition(spark.sparkContext.defaultParallelism)
-    sigs = DD.add_minhash(docs, "text", "doc_id", num_hashes=64,
-                          shingle_k=3).persist()
+    sigs = DD.add_minhash_maponly(docs, "text", "doc_id", num_hashes=64,
+                                  shingle_k=3).persist()
     cands = DD.lsh_candidate_pairs(sigs, "doc_id", num_hashes=64, bands=32)
     out = DD.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=3,
                                  threshold=0.5, candidates=cands)

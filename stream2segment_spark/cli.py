@@ -18,6 +18,16 @@ Commands (YAML config, reference-style key names where they map 1:1):
   decode selected segments, render the standalone HTML plot report.
 - ``dl-stats -c cfg.yaml [--html]``  — the 's2s dl stats' table (code
   columns ordered/titled per the reference policy).
+- ``init OUTDIR``  — editable template files ('s2s init',
+  reference cli.py:294).
+- ``dl-summary / dl-log / dl-config [-did N] [indices]``  — download-
+  execution inspection over the ``downloads`` bookkeeping table
+  (reference download/db/inspection/main.py; indices are run-time
+  ordered, 0=oldest, -1=latest).
+- ``db-drop -did N``  — delete executions + their segments
+  ('s2s db drop', reference download/db/management.py).
+- ``db-classlabel --add L D / --rename OLD NEW D / --delete L``  —
+  class-label CRUD ('s2s db classlabel').
 
 Config keys for ``download``: ``warehouse``, ``events_file``,
 ``channels_file``, ``dataselect_url``, ``min_sample_rate``,
@@ -80,20 +90,24 @@ def _lines(spark: SparkSession, source: str) -> DataFrame:
     return spark.read.text(source)  # local path, glob or hadoop-visible URL
 
 
-def cmd_download(spark: SparkSession, cfg: dict) -> int:
+def cmd_download(spark: SparkSession, cfg: dict, cfg_text: str = "") -> int:
+    import yaml
+
+    from stream2segment_spark import warehouse as wh
     from stream2segment_spark.pipeline import download_pipeline
     from stream2segment_spark.reporting import render_text
 
     radius = cfg.get("search_radius", {})
     lead, lag = cfg.get("timespan", [60.0, 120.0])
     transport = _dotted(cfg["transport"]) if cfg.get("transport") else None
+    old_segments = _table(spark, cfg, "segments")
     out = download_pipeline(
         spark,
         _lines(spark, cfg["events_file"]),
         _lines(spark, cfg["channels_file"]),
         _table(spark, cfg, "events"),
         _table(spark, cfg, "channels"),
-        _table(spark, cfg, "segments"),
+        old_segments.drop("download_id"),
         transport=transport,
         minmag=radius.get("minmag", 3.0),
         maxmag=radius.get("maxmag", 7.0),
@@ -104,6 +118,19 @@ def cmd_download(spark: SparkSession, cfg: dict) -> int:
         min_sample_rate=cfg.get("min_sample_rate"),
     )
     from stream2segment_spark.pipeline import stations_of
+    # download-execution bookkeeping (reference Download model): this
+    # run's id stamps every NEW segment; rows from previous executions
+    # keep their stamp (left join on segment id + coalesce)
+    did = wh._next_id(wh.read_small(cfg["warehouse"], "downloads"))
+    segs = out["segments"]
+    if "download_id" in old_segments.columns:
+        segs = (segs.join(old_segments.select("id", "download_id"),
+                          "id", "left")
+                .withColumn("download_id",
+                            F.coalesce("download_id", F.lit(did))))
+    else:
+        segs = segs.withColumn("download_id", F.lit(did))
+    out["segments"] = segs
     # materialize results BEFORE overwriting inputs they were derived from
     for name in ("events", "channels", "segments"):
         out[name] = out[name].localCheckpoint(eager=True)
@@ -115,7 +142,10 @@ def cmd_download(spark: SparkSession, cfg: dict) -> int:
         F.lit("all").alias("row"),
         F.col("download_code").alias("code")).groupBy("row", "code") \
         .agg(F.count("*").alias("n"))
-    print(render_text(stats))
+    report = render_text(stats)
+    print(report)
+    wh.record_download(cfg["warehouse"], log_text=report,
+                       config_text=cfg_text or yaml.safe_dump(cfg), did=did)
     return 0
 
 
@@ -184,11 +214,136 @@ def cmd_dl_stats(spark: SparkSession, cfg: dict, as_html: bool) -> int:
     return 0
 
 
+def cmd_dl_summary(spark: SparkSession, cfg: dict, dids, indices) -> int:
+    """'s2s dl summary': one line per download execution — id, run time,
+    segment count and OK count (download/db/inspection/main.py summary)."""
+    from stream2segment_spark import warehouse as wh
+    rows = wh.resolve_downloads(cfg["warehouse"], dids, indices)
+    segs = _table(spark, cfg, "segments")
+    per: dict[int, tuple[int, int]] = {}
+    if "download_id" in segs.columns:
+        per = {r["download_id"]: (r["n"], r["ok"]) for r in
+               segs.groupBy("download_id").agg(
+                   F.count("*").alias("n"),
+                   F.count(F.when(F.col("download_code")
+                                  .between(200, 299), 1)).alias("ok"))
+               .collect()}
+    print(f"{'id':>4}  {'run_time':<26}  {'segments':>8}  {'ok':>8}")
+    for r in rows:
+        n, ok = per.get(r["id"], (0, 0))
+        print(f"{r['id']:>4}  {str(r['run_time']):<26}  {n:>8}  {ok:>8}")
+    return 0
+
+
+def cmd_dl_text(cfg: dict, dids, indices, field: str) -> int:
+    """'s2s dl log' / 's2s dl config': print the stored log / YAML config
+    of the selected execution(s) (default: the latest, index -1)."""
+    from stream2segment_spark import warehouse as wh
+    if not dids and not indices:
+        indices = [-1]
+    rows = wh.resolve_downloads(cfg["warehouse"], dids, indices)
+    for r in rows:
+        if len(rows) > 1:
+            print(f"--- download id={r['id']} run_time={r['run_time']} ---")
+        print(r[field] or "")
+    return 0
+
+
+def cmd_db_drop(spark: SparkSession, cfg: dict, dids) -> int:
+    """'s2s db drop': delete download executions and their segments."""
+    from stream2segment_spark import warehouse as wh
+    try:
+        counts = wh.drop_downloads(spark, cfg["warehouse"], list(dids))
+    except KeyError as exc:
+        print(str(exc))
+        return 1
+    for did, n in counts.items():
+        print(f"Download id={did}: DELETED ({n} associated segments deleted)")
+    return 0
+
+
+def cmd_db_classlabel(cfg: dict, add, rename, delete) -> int:
+    """'s2s db classlabel': add/rename/delete class labels."""
+    from stream2segment_spark import warehouse as wh
+    try:
+        labels = wh.classlabels(
+            cfg["warehouse"],
+            add={a[0]: a[1] for a in (add or ())},
+            rename={r[0]: (r[1], r[2] or None) for r in (rename or ())},
+            delete=list(delete or ()))
+    except KeyError as exc:
+        print(str(exc))
+        return 1
+    print("Done. Current class labels on the database:")
+    if not labels:
+        print("None")
+    for label, desc in labels.items():
+        print(f"{label} ({desc})")
+    return 0
+
+
+_INIT_DOWNLOAD_YAML = """\
+# stream2segment-spark download configuration.
+# Edit and run: python -m stream2segment_spark download -c download.yaml
+warehouse: ./warehouse          # parquet warehouse directory (the dburl analogue)
+events_file: ./events.txt       # FDSN event text: path, glob or URL
+channels_file: ./channels.txt   # FDSN station text (channel level)
+dataselect_url: http://service.example.org/fdsnws/dataselect/1/query
+min_sample_rate: 50.0           # drop channels below this rate (Hz)
+search_radius:                  # magnitude-dependent station search radius
+  minmag: 3.0
+  maxmag: 7.0
+  minmag_radius: 1.0            # degrees at minmag
+  maxmag_radius: 5.0            # degrees at maxmag
+timespan: [60, 120]             # seconds before/after the arrival time
+# transport: mymodule:fetch     # injectable HTTP callable (tests/mocking)
+"""
+
+_INIT_PROCESS_YAML = """\
+# stream2segment-spark processing configuration.
+# Edit and run:
+#   python -m stream2segment_spark process -c process.yaml \\
+#       -p paramtable.py:main -o output.csv
+warehouse: ./warehouse
+segments_selection:             # reference selection-string grammar
+  maxgap_numsamples: '(-0.5, 0.5)'
+  sample_rate: '>= 50'
+output_schema: 'segment_db_id long, snr double'  # columns pyfunc returns
+config: {}                      # dict passed through to the pyfunc
+"""
+
+
+def cmd_init(outdir: str) -> int:
+    """'s2s init': write editable template files to OUTDIR."""
+    import shutil
+
+    os.makedirs(outdir, exist_ok=True)
+    here = os.path.dirname(__file__)
+    written = []
+    for name, content in (("download.yaml", _INIT_DOWNLOAD_YAML),
+                          ("process.yaml", _INIT_PROCESS_YAML)):
+        path = os.path.join(outdir, name)
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(content)
+        written.append(name)
+    src = os.path.join(here, "examples", "paramtable.py")
+    shutil.copyfile(src, os.path.join(outdir, "paramtable.py"))
+    written.append("paramtable.py")
+    print(f"{len(written)} file(s) written in '{outdir}':")
+    for name in written:
+        print(f"  {name}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="s2s-spark", description="stream2segment on Spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("download", "process", "show", "dl-stats"):
+
+    p = sub.add_parser("init", help="write template config files")
+    p.add_argument("outdir")
+    for name in ("download", "process", "show", "dl-stats", "dl-summary",
+                 "dl-log", "dl-config", "db-drop", "db-classlabel"):
         p = sub.add_parser(name)
         p.add_argument("-c", "--config", required=True)
         if name == "process":
@@ -200,8 +355,31 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--max-segments", type=int, default=200)
         if name == "dl-stats":
             p.add_argument("--html", action="store_true")
+        if name in ("dl-summary", "dl-log", "dl-config"):
+            p.add_argument("-did", "--download-id", type=int,
+                           action="append", default=[])
+            p.add_argument("indices", nargs="*", type=int,
+                           help="run-time-ordered indices (0=oldest, "
+                                "-1=latest)")
+        if name == "db-drop":
+            p.add_argument("-did", "--download-id", type=int,
+                           action="append", required=True)
+        if name == "db-classlabel":
+            p.add_argument("--add", nargs=2, action="append",
+                           metavar=("LABEL", "DESCRIPTION"))
+            p.add_argument("--rename", nargs=3, action="append",
+                           metavar=("OLD", "NEW", "NEW_DESCRIPTION"))
+            p.add_argument("--delete", action="append", metavar="LABEL")
     args = ap.parse_args(argv)
+
+    if args.cmd == "init":
+        return cmd_init(args.outdir)
     cfg = _load_cfg(args.config)
+    if args.cmd == "db-classlabel":  # driver-side only: no session needed
+        return cmd_db_classlabel(cfg, args.add, args.rename, args.delete)
+    if args.cmd in ("dl-log", "dl-config"):
+        return cmd_dl_text(cfg, args.download_id, args.indices,
+                           "log" if args.cmd == "dl-log" else "config")
 
     from stream2segment_spark.session import get_spark
     # only stop a session this invocation created (getOrCreate may hand us
@@ -210,11 +388,17 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name=f"s2s-{args.cmd}")
     try:
         if args.cmd == "download":
-            return cmd_download(spark, cfg)
+            with open(args.config, encoding="utf-8") as fh:
+                cfg_text = fh.read()
+            return cmd_download(spark, cfg, cfg_text)
         if args.cmd == "process":
             return cmd_process(spark, cfg, args.pyfunc, args.outfile)
         if args.cmd == "show":
             return cmd_show(spark, cfg, args.outfile, args.max_segments)
+        if args.cmd == "dl-summary":
+            return cmd_dl_summary(spark, cfg, args.download_id, args.indices)
+        if args.cmd == "db-drop":
+            return cmd_db_drop(spark, cfg, args.download_id)
         return cmd_dl_stats(spark, cfg, args.html)
     finally:
         if not preexisting:

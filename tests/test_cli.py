@@ -100,3 +100,82 @@ def test_process_runs_pyfunc_over_warehouse(warehouse, capsys):
         "-p", "tests.test_cli:seg_peak"]) == 0
     out = capsys.readouterr().out
     assert "'peak':" in out and "'code': 200" in out
+
+
+def test_download_records_execution(warehouse, spark):
+    """download stamped segments with the execution id and appended a
+    downloads row carrying the printed report + the yaml config."""
+    tmp, _ = warehouse
+    from stream2segment_spark import warehouse as wh
+    rows = wh.resolve_downloads(str(tmp / "wh"))
+    assert len(rows) >= 1
+    assert "TOTAL" in rows[-1]["log"]
+    assert "events_file" in rows[-1]["config"]
+    segs = spark.read.parquet(str(tmp / "wh" / "segments.parquet"))
+    assert "download_id" in segs.columns
+    assert segs.filter("download_id IS NULL").count() == 0
+
+
+def test_dl_summary_lists_executions(warehouse, capsys):
+    _, cfg_path = warehouse
+    assert cli.main(["dl-summary", "-c", str(cfg_path)]) == 0
+    out = capsys.readouterr().out
+    assert "run_time" in out and "segments" in out
+    # the one recorded execution shows a nonzero segment count
+    lines = [ln for ln in out.splitlines()[1:] if ln.strip()]
+    assert lines and int(lines[-1].split()[-2]) > 0  # segments column
+
+
+def test_dl_log_and_config_print_latest(warehouse, capsys):
+    _, cfg_path = warehouse
+    assert cli.main(["dl-log", "-c", str(cfg_path)]) == 0
+    assert "TOTAL" in capsys.readouterr().out
+    assert cli.main(["dl-config", "-c", str(cfg_path)]) == 0
+    assert "events_file" in capsys.readouterr().out
+    # explicit index / id selection
+    assert cli.main(["dl-config", "-c", str(cfg_path), "0"]) == 0
+    assert "warehouse" in capsys.readouterr().out
+
+
+def test_db_classlabel_crud(warehouse, capsys):
+    _, cfg_path = warehouse
+    assert cli.main(["db-classlabel", "-c", str(cfg_path),
+                     "--add", "LowS2N", "low signal-to-noise"]) == 0
+    assert "LowS2N (low signal-to-noise)" in capsys.readouterr().out
+    assert cli.main(["db-classlabel", "-c", str(cfg_path),
+                     "--rename", "LowS2N", "BadSNR", ""]) == 0
+    out = capsys.readouterr().out
+    assert "BadSNR (low signal-to-noise)" in out and "LowS2N" not in out
+    assert cli.main(["db-classlabel", "-c", str(cfg_path),
+                     "--delete", "BadSNR"]) == 0
+    assert "None" in capsys.readouterr().out
+    # renaming a missing label fails cleanly
+    assert cli.main(["db-classlabel", "-c", str(cfg_path),
+                     "--rename", "nope", "x", ""]) == 1
+
+
+def test_init_writes_templates(tmp_path, capsys):
+    out = tmp_path / "tpl"
+    assert cli.main(["init", str(out)]) == 0
+    assert (out / "download.yaml").exists()
+    assert (out / "process.yaml").exists()
+    assert (out / "paramtable.py").exists()
+    import yaml as _yaml
+    cfg = _yaml.safe_load((out / "download.yaml").read_text())
+    assert "warehouse" in cfg and "search_radius" in cfg
+
+
+def test_db_drop_removes_execution_and_segments(warehouse, spark, capsys):
+    """LAST in the module: consumes the shared warehouse's download."""
+    tmp, cfg_path = warehouse
+    from stream2segment_spark import warehouse as wh
+    rows = wh.resolve_downloads(str(tmp / "wh"))
+    did = rows[-1]["id"]
+    assert cli.main(["db-drop", "-c", str(cfg_path), "-did", str(did)]) == 0
+    out = capsys.readouterr().out
+    assert f"id={did}: DELETED" in out
+    assert wh.resolve_downloads(str(tmp / "wh")) == []
+    segs = spark.read.parquet(str(tmp / "wh" / "segments.parquet"))
+    assert segs.filter(f"download_id = {did}").count() == 0
+    # unknown id errors without touching anything
+    assert cli.main(["db-drop", "-c", str(cfg_path), "-did", "999"]) == 1

@@ -1,0 +1,116 @@
+"""Stream-stream join, watermark-bounded dedup, and the foreachBatch
+upsert sink (streaming/joins.py), each checked against its batch twin —
+multi-file parquet streams with maxFilesPerTrigger=1 force real
+micro-batch boundaries."""
+
+from __future__ import annotations
+
+import os
+import uuid
+from datetime import datetime, timedelta
+
+import pytest
+
+from stream2segment_spark.streaming.joins import (
+    dedupe_within_watermark, run_upsert_sink, stream_stream_pair)
+
+
+def _ts(minute, second=0):
+    return datetime(2024, 1, 1, 10) + timedelta(minutes=minute,
+                                                seconds=second)
+
+
+def _write_batches(spark, root, batches, schema):
+    root.mkdir(parents=True, exist_ok=True)
+    for i, rows in enumerate(batches):
+        out = root / f"b{i}.parquet"
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(str(out))
+        # deterministic micro-batch order: the file source picks files by
+        # modification time — stamp them increasing
+        t = 1_700_000_000 + i * 60
+        for dirpath, _dirs, files in os.walk(out):
+            for f in files:
+                os.utime(os.path.join(dirpath, f), (t, t))
+        os.utime(out, (t, t))
+
+
+def _stream(spark, root, schema):
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(root) + "/*"))
+
+
+def _collect(stream_df, mode="append"):
+    name = "t" + uuid.uuid4().hex[:8]
+    q = (stream_df.writeStream.outputMode(mode)
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+SCHEMA = "user_id long, ts timestamp, value double"
+
+
+def test_stream_stream_pair_matches_batch_twin(spark, tmp_path):
+    left = [
+        [(1, _ts(10), 10.0), (2, _ts(10), 20.0)],
+        [(1, _ts(30), 11.0)],
+    ]
+    right = [
+        [(1, _ts(5), 1.0),     # within 10 min of left(1, t10)
+         (2, _ts(10), 2.0),    # exact match for left(2, t10)
+         (1, _ts(25), 3.0)],   # within 10 min of left(1, t30)
+        [(1, _ts(12), 4.0)],   # matches nothing (after t10, >t30-10min... )
+    ]
+    _write_batches(spark, tmp_path / "l", left, SCHEMA)
+    _write_batches(spark, tmp_path / "r", right, SCHEMA)
+
+    out = _collect(stream_stream_pair(
+        _stream(spark, tmp_path / "l", SCHEMA),
+        _stream(spark, tmp_path / "r", SCHEMA), key="user_id"))
+    got = {(r["key"], r["l_value"], r["r_value"]) for r in out.collect()}
+
+    lb = spark.createDataFrame([x for b in left for x in b], SCHEMA)
+    rb = spark.createDataFrame([x for b in right for x in b], SCHEMA)
+    want = {(r["key"], r["l_value"], r["r_value"])
+            for r in stream_stream_pair(lb, rb, key="user_id").collect()}
+    assert got == want
+    assert (1, 10.0, 1.0) in got and (2, 20.0, 2.0) in got
+    assert (1, 11.0, 3.0) in got
+
+
+def test_dedupe_within_watermark_drops_replays(spark, tmp_path):
+    batches = [
+        [(1, _ts(0), 1.0), (2, _ts(1), 2.0)],
+        [(1, _ts(2), 99.0), (3, _ts(3), 3.0)],   # user 1 replayed
+        [(2, _ts(4), 98.0), (4, _ts(5), 4.0)],   # user 2 replayed
+    ]
+    _write_batches(spark, tmp_path / "s", batches, SCHEMA)
+    out = _collect(dedupe_within_watermark(
+        _stream(spark, tmp_path / "s", SCHEMA), ["user_id"]))
+    got = {r["user_id"]: r["value"] for r in out.collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0, 4: 4.0}
+    # batch twin: plain dropDuplicates, same keys survive
+    bt = dedupe_within_watermark(
+        spark.createDataFrame([x for b in batches for x in b], SCHEMA),
+        ["user_id"])
+    assert {r["user_id"] for r in bt.collect()} == set(got)
+
+
+def test_upsert_sink_latest_wins_across_batches(spark, tmp_path):
+    batches = [
+        [(1, _ts(0), 1.0), (2, _ts(0), 2.0)],
+        [(1, _ts(10), 10.0)],                 # updates user 1
+        [(2, _ts(20), 20.0), (3, _ts(20), 3.0)],  # updates 2, inserts 3
+    ]
+    _write_batches(spark, tmp_path / "s", batches, SCHEMA)
+    target = str(tmp_path / "wh" / "users.parquet")
+    final = run_upsert_sink(
+        spark, _stream(spark, tmp_path / "s", SCHEMA),
+        target, natural_key=["user_id"])
+    got = {r["user_id"]: r["value"] for r in final.collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 3.0}
+    # and the table on disk is the merged result (no duplicate keys)
+    stored = spark.read.parquet(target)
+    assert stored.count() == 3

@@ -118,18 +118,26 @@ def cmd_download(spark: SparkSession, cfg: dict, cfg_text: str = "") -> int:
         min_sample_rate=cfg.get("min_sample_rate"),
     )
     from stream2segment_spark.pipeline import stations_of
-    # download-execution bookkeeping (reference Download model): this
-    # run's id stamps every NEW segment; rows from previous executions
-    # keep their stamp (left join on segment id + coalesce)
+    # download-execution bookkeeping (reference Download model semantics:
+    # download_id = the execution that last WROTE the segment): rows
+    # inserted/updated by this run get this run's id, untouched rows keep
+    # their previous stamp (re-joined on segment id; unchanged re-fetches
+    # are skips, not writes, exactly like the reference's skip-unchanged)
     did = wh._next_id(wh.read_small(cfg["warehouse"], "downloads"))
-    segs = out["segments"]
+    written = (out["written"].select("channel_id", "event_id")
+               .withColumn("__written", F.lit(1)))
+    segs = out["segments"].join(written, ["channel_id", "event_id"], "left")
     if "download_id" in old_segments.columns:
-        segs = (segs.join(old_segments.select("id", "download_id"),
-                          "id", "left")
-                .withColumn("download_id",
-                            F.coalesce("download_id", F.lit(did))))
+        segs = segs.join(
+            old_segments.select("id", F.col("download_id").alias("__old")),
+            "id", "left")
     else:
-        segs = segs.withColumn("download_id", F.lit(did))
+        segs = segs.withColumn("__old", F.lit(None).cast("long"))
+    segs = (segs.withColumn(
+                "download_id",
+                F.when(F.col("__written") == 1, F.lit(did))
+                 .otherwise(F.coalesce("__old", F.lit(did))))
+            .drop("__written", "__old"))
     out["segments"] = segs
     # materialize results BEFORE overwriting inputs they were derived from
     for name in ("events", "channels", "segments"):

@@ -183,5 +183,5 @@ def download_pipeline(
                                  F.lit("not_found")).alias("code"))
              .agg(F.count("*").alias("n")))
     return {"events": events, "channels": channels,
-            "candidates": candidates, "todo": todo,
+            "candidates": candidates, "todo": todo, "written": keyed,
             "segments": segments, "stats": stats}

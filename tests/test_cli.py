@@ -126,6 +126,25 @@ def test_dl_summary_lists_executions(warehouse, capsys):
     assert lines and int(lines[-1].split()[-2]) > 0  # segments column
 
 
+def test_second_download_is_skip_only(warehouse, spark, capsys):
+    """Re-running the same download skips every unchanged segment, so a
+    second execution row appears but owns no segments (download_id = the
+    execution that last WROTE the row — reference skip-unchanged
+    semantics)."""
+    tmp, cfg_path = warehouse
+    from stream2segment_spark import warehouse as wh
+    before = spark.read.parquet(str(tmp / "wh" / "segments.parquet"))
+    n_before = before.count()
+    assert cli.main(["download", "-c", str(cfg_path)]) == 0
+    capsys.readouterr()
+    rows = wh.resolve_downloads(str(tmp / "wh"))
+    assert len(rows) == 2
+    segs = spark.read.parquet(str(tmp / "wh" / "segments.parquet"))
+    assert segs.count() == n_before
+    assert segs.filter(f"download_id = {rows[-1]['id']}").count() == 0
+    assert segs.filter(f"download_id = {rows[0]['id']}").count() == n_before
+
+
 def test_dl_log_and_config_print_latest(warehouse, capsys):
     _, cfg_path = warehouse
     assert cli.main(["dl-log", "-c", str(cfg_path)]) == 0
@@ -166,16 +185,19 @@ def test_init_writes_templates(tmp_path, capsys):
 
 
 def test_db_drop_removes_execution_and_segments(warehouse, spark, capsys):
-    """LAST in the module: consumes the shared warehouse's download."""
+    """LAST in the module: consumes the shared warehouse's downloads."""
     tmp, cfg_path = warehouse
     from stream2segment_spark import warehouse as wh
     rows = wh.resolve_downloads(str(tmp / "wh"))
-    did = rows[-1]["id"]
-    assert cli.main(["db-drop", "-c", str(cfg_path), "-did", str(did)]) == 0
+    args = ["db-drop", "-c", str(cfg_path)]
+    for r in rows:
+        args += ["-did", str(r["id"])]
+    assert cli.main(args) == 0
     out = capsys.readouterr().out
-    assert f"id={did}: DELETED" in out
+    for r in rows:
+        assert f"id={r['id']}: DELETED" in out
     assert wh.resolve_downloads(str(tmp / "wh")) == []
     segs = spark.read.parquet(str(tmp / "wh" / "segments.parquet"))
-    assert segs.filter(f"download_id = {did}").count() == 0
+    assert segs.count() == 0
     # unknown id errors without touching anything
     assert cli.main(["db-drop", "-c", str(cfg_path), "-did", "999"]) == 1

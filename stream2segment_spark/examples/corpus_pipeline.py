@@ -1,0 +1,97 @@
+"""End-to-end training-corpus curation pipeline composed from the
+engine's gate-checked operators — the documents-table analogue of the
+reference's download->select->process chain, shaped like the published
+large-corpus pipelines (C4/Gopher-style filtering, fuzzy dedup, frozen
+splits):
+
+1. annotate  — language-ID, quality score, token counts, repetition
+   signals, content fingerprint (one tokenizer pass, staged columns);
+2. filter    — language allowlist, quality floor, token-count band,
+   repetition caps (all plain predicates in the scan stage);
+3. exact dedup — keep the lowest doc_id per content fingerprint;
+4. near-dedup — MinHash/LSH candidates verified by exact shingle
+   Jaccard, clustered with connected components, keep one canonical doc
+   (min id) per cluster;
+5. split     — deterministic md5-bucket train/val/test assignment.
+
+Every stage is a DataFrame -> DataFrame transform: at 100 TB stages 1-2
+fuse into the parquet scan, stage 3 is one hash-partitioned groupBy,
+stage 4 shuffles only band buckets + candidate pairs (never all pairs),
+stage 5 is map-only. Returns the curated frame plus a one-row funnel
+audit (docs surviving each stage) computed in a single aggregation pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    languages: tuple[str, ...] = ("en",),
+    min_quality: float = 0.7,
+    token_band: tuple[int, int] = (20, 100_000),
+    max_top_token_frac: float = 0.2,
+    neardup_threshold: float = 0.7,
+    split_fractions: dict[str, float] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the 5-stage curation funnel; returns (curated, funnel) where
+    ``curated`` has the annotation columns + ``split`` and ``funnel`` is
+    one row of per-stage survivor counts."""
+    import stream2segment_spark.functions.text as TX
+    from stream2segment_spark.functions.sampling import split_column
+    from stream2segment_spark.operators import dedup as DD
+    from stream2segment_spark.operators.graph import connected_components
+
+    # -- 1. annotate (single tokenizer pass; see functions/text.py) -----
+    staged = docs.select(
+        id_col, text_col,
+        DD.word_tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
+    ann = staged.select(
+        id_col, text_col,
+        TX.token_count(F.col(text_col), toks=toks).alias("n_tokens"),
+        TX.max_token_run(F.col(text_col), toks=toks).alias("max_tok_run"),
+        F.round(TX.quality_score(F.col(text_col), toks=toks), 4)
+         .alias("quality"),
+        TX.langid_heuristic(F.col(text_col), toks=toks).alias("lang"),
+        TX.doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+
+    # -- 2. filter ------------------------------------------------------
+    lo, hi = token_band
+    filtered = ann.filter(
+        F.col("lang").isin(*languages)
+        & (F.col("quality") >= min_quality)
+        & F.col("n_tokens").between(lo, hi)
+        & (F.col("max_tok_run") <= max_top_token_frac * F.col("n_tokens")))
+
+    # -- 3. exact dedup (keep lowest id per fingerprint) ----------------
+    exact = DD.exact_dedup(filtered, ["fingerprint"], keep="first",
+                           order=[id_col])
+
+    # -- 4. near-dedup: LSH candidates -> exact-Jaccard verify -> CC ----
+    exact = exact.persist()  # feeds signature build, verify AND anti-join
+    sigs = DD.add_minhash_maponly(exact, text_col, id_col,
+                                  num_hashes=64, shingle_k=3)
+    cands = DD.lsh_candidate_pairs(sigs, id_col, num_hashes=64, bands=32)
+    pairs = DD.ngram_jaccard_pairs(exact, text_col, id_col, shingle_k=3,
+                                   threshold=neardup_threshold,
+                                   candidates=cands)
+    cc = connected_components(pairs, "id_a", "id_b")
+    # drop every near-dup that is not its cluster's canonical (min) id
+    losers = (cc.filter(F.col("id") != F.col("cluster_id"))
+              .select(F.col("id").alias(id_col)))
+    deduped = exact.join(losers, id_col, "left_anti")
+
+    # -- 5. deterministic split -----------------------------------------
+    curated = deduped.withColumn(
+        "split", split_column(F.col(id_col), fractions=split_fractions))
+
+    funnel = (docs.select(F.count("*").alias("input"))
+              .crossJoin(filtered.select(F.count("*").alias("filtered")))
+              .crossJoin(exact.select(F.count("*").alias("exact_dedup")))
+              .crossJoin(deduped.select(F.count("*").alias("near_dedup"))))
+    return curated, funnel

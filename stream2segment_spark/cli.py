@@ -14,8 +14,10 @@ Commands (YAML config, reference-style key names where they map 1:1):
   prints the per-code response summary.
 - ``process -c cfg.yaml -p file.py:func -o out``  — the §3.1 pyfunc
   engine over the warehouse with the reference's selection semantics.
-- ``show -c cfg.yaml -o report.html``  — the server-less GUI analogue:
-  decode selected segments, render the standalone HTML plot report.
+- ``show -c cfg.yaml -o report.html [-p gui.py]``  — the server-less GUI
+  analogue: decode selected segments, render the standalone HTML plot
+  report; ``-p`` loads user ``@segment_plot`` functions (the reference's
+  gui-module hook).
 - ``dl-stats -c cfg.yaml [--html]``  — the 's2s dl stats' table (code
   columns ordered/titled per the reference policy).
 - ``init OUTDIR``  — editable template files ('s2s init',
@@ -193,9 +195,24 @@ def cmd_process(spark: SparkSession, cfg: dict, pyfunc_spec: str,
 
 
 def cmd_show(spark: SparkSession, cfg: dict, outfile: str,
-             max_segments: int) -> int:
+             max_segments: int, plot_module: str | None = None) -> int:
     from stream2segment_spark.report import write_segment_report
     from stream2segment_spark.sources.mseed import unpack_mseed_udf
+
+    plots_kwargs: dict = {}
+    if plot_module:  # 's2s show -p gui.py': user-defined plot functions
+        import importlib.util as ilu
+
+        from stream2segment_spark.plots import collect_custom_producers
+        spec = ilu.spec_from_file_location("__s2s_gui__", plot_module)
+        mod = ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        extra = collect_custom_producers(mod)
+        if not extra:
+            raise SystemExit(f"{plot_module} defines no @segment_plot "
+                             "functions")
+        plots_kwargs = {"extra_producers": extra,
+                        "plots": ("trace", *extra)}
 
     segs = _table(spark, cfg, "segments").filter(
         F.col("data").isNotNull() & (F.octet_length("data") > 0))
@@ -207,7 +224,7 @@ def cmd_show(spark: SparkSession, cfg: dict, outfile: str,
                 F.col("ms.seed_id").alias("seed_id")))
     n = write_segment_report(decoded, outfile, title=cfg.get(
         "title", "segment report"), max_segments=max_segments,
-        label_cols=("seed_id",))
+        label_cols=("seed_id",), **plots_kwargs)
     print(f"wrote {n} segment(s) to {outfile}")
     return 0
 
@@ -360,6 +377,8 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("-o", "--outfile")
         if name == "show":
             p.add_argument("-o", "--outfile", required=True)
+            p.add_argument("-p", "--plot-module",
+                           help="python file with @segment_plot functions")
             p.add_argument("--max-segments", type=int, default=200)
         if name == "dl-stats":
             p.add_argument("--html", action="store_true")
@@ -402,7 +421,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "process":
             return cmd_process(spark, cfg, args.pyfunc, args.outfile)
         if args.cmd == "show":
-            return cmd_show(spark, cfg, args.outfile, args.max_segments)
+            return cmd_show(spark, cfg, args.outfile, args.max_segments,
+                            args.plot_module)
         if args.cmd == "dl-summary":
             return cmd_dl_summary(spark, cfg, args.download_id, args.indices)
         if args.cmd == "db-drop":

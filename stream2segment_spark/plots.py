@@ -38,38 +38,81 @@ PLOT_DDL = ("x0 double, dx double, y array<double>, n_raw int, "
             "label string")
 
 
+def make_producer(label: str, transform, dx_fn=None, n_buckets: int = 512):
+    """Wrap a per-segment ``(samples: np.ndarray, delta: float) -> y``
+    function into an Arrow-batched plot-struct UDF (x0, dx, downsampled
+    y, raw length, label). ``dx_fn(x, dt)`` overrides the x-spacing of
+    the produced series (default: the sample spacing ``dt``)."""
+    if dx_fn is None:
+        dx_fn = lambda x, dt: dt  # noqa: E731
+
+    @F.pandas_udf(f"struct<{PLOT_DDL}>")
+    def _udf(samples: pd.Series, delta: pd.Series) -> pd.DataFrame:
+        rows = []
+        for arr, dt in zip(samples, delta):
+            if arr is None:
+                rows.append({"x0": None, "dx": None, "y": None,
+                             "n_raw": None, "label": label})
+                continue
+            x = np.asarray(arr, dtype=float)
+            y = np.asarray(transform(x, float(dt)), dtype=float)
+            rows.append({
+                "x0": 0.0,
+                "dx": float(dx_fn(x, float(dt))),
+                "y": downsample_minmax(y, n_buckets),
+                "n_raw": int(len(y)),
+                "label": label,
+            })
+        return pd.DataFrame(rows)
+    return _udf
+
+
 def plot_producers(n_buckets: int = 512):
     """The reference GUI's three standard plots as (samples, delta) ->
     struct producers: raw trace, normalized cumulative energy, amplitude
-    spectrum. Each is an Arrow-batched pandas UDF returning (x0, dx,
-    downsampled y, raw length, label)."""
-
-    def _mk(label: str, transform, dx_fn):
-        @F.pandas_udf(f"struct<{PLOT_DDL}>")
-        def _udf(samples: pd.Series, delta: pd.Series) -> pd.DataFrame:
-            rows = []
-            for arr, dt in zip(samples, delta):
-                if arr is None:
-                    rows.append({"x0": None, "dx": None, "y": None,
-                                 "n_raw": None, "label": label})
-                    continue
-                x = np.asarray(arr, dtype=float)
-                y = transform(x, float(dt))
-                rows.append({
-                    "x0": 0.0,
-                    "dx": dx_fn(x, float(dt)),
-                    "y": downsample_minmax(y, n_buckets),
-                    "n_raw": int(len(y)),
-                    "label": label,
-                })
-            return pd.DataFrame(rows)
-        return _udf
-
+    spectrum."""
     return {
-        "trace": _mk("trace", lambda x, dt: x, lambda x, dt: dt),
-        "cumulative": _mk("cumulative", lambda x, dt: cumsumsq(x),
-                          lambda x, dt: dt),
-        "spectrum": _mk("spectrum", lambda x, dt: ampspec(x),
-                        lambda x, dt: float(freqs(len(x), dt)[1])
-                        if len(x) > 1 else 0.0),
+        "trace": make_producer("trace", lambda x, dt: x,
+                               n_buckets=n_buckets),
+        "cumulative": make_producer("cumulative",
+                                    lambda x, dt: cumsumsq(x),
+                                    n_buckets=n_buckets),
+        "spectrum": make_producer(
+            "spectrum", lambda x, dt: ampspec(x),
+            dx_fn=lambda x, dt: float(freqs(len(x), dt)[1])
+            if len(x) > 1 else 0.0, n_buckets=n_buckets),
     }
+
+
+def segment_plot(label: str | None = None, dx=None):
+    """Decorator marking a user function as a custom plot producer — the
+    analogue of the reference GUI's ``@gui.plot`` hook (the module passed
+    to ``s2s show -p gui.py``). The function receives the decoded
+    ``(samples: np.ndarray, delta: float)`` of one segment and returns
+    the y-series to display::
+
+        @segment_plot(label="envelope")
+        def env(samples, delta):
+            return np.abs(samples)
+
+    ``dx(x, dt)`` optionally overrides the series' x-spacing (e.g. a
+    frequency step for spectra)."""
+    def deco(fn):
+        fn.__s2s_plot__ = label or fn.__name__
+        fn.__s2s_plot_dx__ = dx
+        return fn
+    return deco
+
+
+def collect_custom_producers(module, n_buckets: int = 512) -> dict:
+    """All ``@segment_plot``-tagged functions of a user module, wrapped
+    as plot-struct UDFs keyed by their label."""
+    out = {}
+    for name in dir(module):
+        fn = getattr(module, name)
+        label = getattr(fn, "__s2s_plot__", None)
+        if label is not None and callable(fn):
+            out[label] = make_producer(
+                label, fn, dx_fn=getattr(fn, "__s2s_plot_dx__", None),
+                n_buckets=n_buckets)
+    return out

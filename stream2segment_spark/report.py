@@ -37,11 +37,16 @@ def segment_plots_df(
     label_cols: tuple[str, ...] = (),
     plots: tuple[str, ...] = ("trace", "cumulative", "spectrum"),
     n_buckets: int = 512,
+    extra_producers: dict | None = None,
 ) -> DataFrame:
     """Distributed plot payloads: one row per segment with one struct
     column per plot (x0, dx, downsampled y, n_raw, label). Runs on all
-    segments; callers bound the set BEFORE collecting for render."""
+    segments; callers bound the set BEFORE collecting for render.
+    ``extra_producers`` (e.g. from ``plots.collect_custom_producers``)
+    extend/override the builtin set; pass their labels in ``plots``."""
     producers = plot_producers(n_buckets)
+    if extra_producers:
+        producers.update(extra_producers)
     unknown = set(plots) - set(producers)
     if unknown:
         raise ValueError(f"unknown plots: {sorted(unknown)}")

@@ -75,6 +75,34 @@ def test_dl_stats_renders_table(warehouse, capsys):
     assert "TOTAL" in out and "OK" in out
 
 
+GUI_MODULE = '''
+import numpy as np
+from stream2segment_spark.plots import segment_plot
+
+@segment_plot(label="envelope")
+def env(samples, delta):
+    return np.abs(samples)
+
+@segment_plot()
+def first_diff(samples, delta):
+    return np.diff(samples, prepend=samples[:1])
+'''
+
+
+def test_show_custom_plot_module(warehouse, capsys, tmp_path):
+    """'s2s show -p gui.py': @segment_plot functions become extra plot
+    columns in the rendered report."""
+    _, cfg_path = warehouse
+    gui_py = tmp_path / "gui.py"
+    gui_py.write_text(GUI_MODULE)
+    out_html = tmp_path / "custom.html"
+    assert cli.main(["show", "-c", str(cfg_path), "-o", str(out_html),
+                     "-p", str(gui_py)]) == 0
+    html = out_html.read_text()
+    assert "envelope" in html and "first_diff" in html
+    assert "cumulative" not in html  # customs REPLACE the builtin set
+
+
 def test_show_writes_html_report(warehouse, capsys, tmp_path):
     _, cfg_path = warehouse
     out_html = tmp_path / "report.html"

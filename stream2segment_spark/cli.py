@@ -52,6 +52,9 @@ from pyspark.sql import functions as F
 
 _EMPTY_SCHEMAS = {
     "events": "id long, event_id string",
+    "stations": ("station_id long, network string, station string, "
+                 "latitude double, longitude double, "
+                 "start_time timestamp, end_time timestamp"),
     "channels": ("id long, network string, station string, location string, "
                  "channel string, start_time timestamp"),
     "segments": ("id long, channel_id long, event_id long, "
@@ -159,13 +162,49 @@ def cmd_download(spark: SparkSession, cfg: dict, cfg_text: str = "") -> int:
     return 0
 
 
+def _warehouse_graph(dfs):
+    """Join graph over the STORED warehouse tables (column names differ
+    from the in-flight seismic model: stations carry their natural key +
+    station_id, channels join stations by natural key), with every
+    reference hybrid property attached so selection strings accept
+    derived attributes and dotted paths ('event.magnitude',
+    'station.network', 'has_valid_data', ...)."""
+    from stream2segment_spark.columns import register_seismic_derived
+    from stream2segment_spark.schema import (
+        Hop, Relationship, SchemaGraph, Table)
+    sta_key = ("network", "station", "start_time")
+    tables = {
+        "events": Table("events", dfs["events"].schema, ("event_id",)),
+        "stations": Table("stations", dfs["stations"].schema, sta_key),
+        "channels": Table(
+            "channels", dfs["channels"].schema,
+            ("network", "station", "location", "channel", "start_time"),
+            relationships={
+                "station": Relationship(
+                    "station", (Hop("stations", sta_key, sta_key),)),
+            }),
+        "segments": Table(
+            "segments", dfs["segments"].schema, ("channel_id", "event_id"),
+            relationships={
+                "event": Relationship(
+                    "event", (Hop("events", ("event_id",), ("id",)),)),
+                "channel": Relationship(
+                    "channel", (Hop("channels", ("channel_id",), ("id",)),)),
+                "station": Relationship(
+                    "station",
+                    (Hop("channels", ("channel_id",), ("id",)),
+                     Hop("stations", sta_key, sta_key))),
+            }),
+    }
+    return register_seismic_derived(SchemaGraph(tables))
+
+
 def cmd_process(spark: SparkSession, cfg: dict, pyfunc_spec: str,
                 outfile: str | None) -> int:
     import importlib.util as ilu
 
     from stream2segment_spark.process import process_df
-    from stream2segment_spark.schema import spark_type_to_pytype
-    from stream2segment_spark.selectexpr import binexpr
+    from stream2segment_spark.selectexpr import exprquery
 
     path, _, attr = pyfunc_spec.rpartition(":")
     if path.endswith(".py"):  # a file path: import by location
@@ -178,12 +217,13 @@ def cmd_process(spark: SparkSession, cfg: dict, pyfunc_spec: str,
     schema = cfg.get("output_schema") or getattr(func, "output_schema", None)
     if not schema:
         raise SystemExit("need 'output_schema' in config or on the function")
-    segs = _table(spark, cfg, "segments")
-    # reference-style selection strings ('>3', '[0.5, 1.5]', 'true', ...)
-    # compiled with the same binexpr grammar the selection compiler uses
-    for col, expr in (cfg.get("segments_selection") or {}).items():
-        pytype = spark_type_to_pytype(segs.schema[col].dataType)
-        segs = segs.filter(binexpr(F.col(col), pytype, str(expr)))
+    # the full reference selection grammar over the warehouse: flat
+    # attributes, derived/hybrid attributes AND dotted relationship paths,
+    # compiled to joins + predicates by the selection compiler
+    dfs = {name: _table(spark, cfg, name)
+           for name in ("segments", "events", "channels", "stations")}
+    segs = exprquery(_warehouse_graph(dfs), dfs, "segments",
+                     cfg.get("segments_selection") or {})
     result = process_df(segs, func, schema, config=cfg.get("config"))
     if outfile:
         from stream2segment_spark.sinks.writers import write_output

@@ -130,6 +130,33 @@ def test_process_runs_pyfunc_over_warehouse(warehouse, capsys):
     assert "'peak':" in out and "'code': 200" in out
 
 
+def test_process_dotted_and_derived_selection(warehouse, capsys, tmp_path):
+    """The process command accepts the FULL reference selection grammar:
+    dotted relationship paths (event.magnitude, station.network — joined
+    by the selection compiler over the warehouse graph) and derived
+    attributes (has_valid_data)."""
+    tmp, cfg_path = warehouse
+    cfg = yaml.safe_load(cfg_path.read_text())
+    cfg["segments_selection"] = {
+        "event.magnitude": "[4, 6]",       # fixture event has mag 5.0
+        "station.network": "GE",
+        "has_valid_data": "true",
+    }
+    sel_cfg = tmp_path / "sel.yaml"
+    sel_cfg.write_text(yaml.safe_dump(cfg))
+    assert cli.main(["process", "-c", str(sel_cfg),
+                     "-p", "tests.test_cli:seg_peak"]) == 0
+    out = capsys.readouterr().out
+    assert "'code': 200" in out
+
+    # a non-matching dotted predicate selects nothing
+    cfg["segments_selection"] = {"event.magnitude": "[8, 9]"}
+    sel_cfg.write_text(yaml.safe_dump(cfg))
+    assert cli.main(["process", "-c", str(sel_cfg),
+                     "-p", "tests.test_cli:seg_peak"]) == 0
+    assert "'code'" not in capsys.readouterr().out
+
+
 def test_download_records_execution(warehouse, spark):
     """download stamped segments with the execution id and appended a
     downloads row carrying the printed report + the yaml config."""

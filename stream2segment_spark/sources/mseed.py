@@ -135,6 +135,11 @@ def _decode_steim1(payload: bytes, n_samples: int, bo: str) -> np.ndarray:
             f"Steim1 payload holds {len(d)} diffs < {n_samples} samples")
     out = np.cumsum(d)
     out += x0 - out[0]  # first diff is vs the previous record; x0 anchors
+    # samples are int32 and diffs are 32-bit two's-complement, which the
+    # spec allows to WRAP mod 2^32; fold the int64 running sum back into
+    # int32 (identity for non-wrapping data) before the xn consistency
+    # check
+    out = ((out + 2**31) & 0xFFFFFFFF) - 2**31
     if len(out) and out[-1] != xn:
         raise MSeedError(
             f"Steim1 reverse integration mismatch: {out[-1]} != {xn}")
@@ -204,6 +209,8 @@ def _decode_steim2(payload: bytes, n_samples: int, bo: str) -> np.ndarray:
             f"Steim2 payload holds {len(d)} diffs < {n_samples} samples")
     out = np.cumsum(d)
     out += x0 - out[0]
+    # fold into int32 — wrapping diffs are spec-legal (see Steim1)
+    out = ((out + 2**31) & 0xFFFFFFFF) - 2**31
     if len(out) and out[-1] != xn:
         raise MSeedError(
             f"Steim2 reverse integration mismatch: {out[-1]} != {xn}")

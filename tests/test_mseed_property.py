@@ -70,3 +70,22 @@ def test_int16_roundtrip_exact(series):
        .map(lambda v: np.asarray(v, dtype=np.float64)))
 def test_float64_roundtrip_exact(series):
     assert np.array_equal(_roundtrip(series, 5), series)
+
+
+def test_steim1_wraparound_decodes_as_int32():
+    """Spec-legal mod-2^32 diff wrap: samples near +2^31 whose next value
+    wraps to the negative side decode to the int32-wrapped sequence."""
+    a = 2**31 - 5
+    series = np.array([a, a + 10], dtype=np.int64)  # a+10 wraps in int32
+    got = _roundtrip(series, 10)
+    want = ((series + 2**31) % 2**32 - 2**31).astype(float)
+    assert np.array_equal(got, want)
+    assert got[1] == -(2**31) + 5  # really wrapped
+
+
+def test_steim2_wraparound_decodes_as_int32():
+    a = 2**31 - 5
+    series = np.array([a, a + 7], dtype=np.int64)
+    got = _roundtrip(series, 11)
+    want = ((series + 2**31) % 2**32 - 2**31).astype(float)
+    assert np.array_equal(got, want)

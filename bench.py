@@ -60,8 +60,10 @@ def main() -> None:
 
     # min of N runs per query: single-JVM local mode has large run-to-run
     # noise (GC, JIT warmup, Python-worker churn); the min is the standard
-    # low-variance estimator of a query's actual cost.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # low-variance estimator of a query's actual cost. 3 runs, because a
+    # GC storm spans seconds and can hit two consecutive runs of the same
+    # query (observed: a 2s query reading 16s under min-of-2).
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in sorted(qs):
         best = float("inf")

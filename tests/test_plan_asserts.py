@@ -1,0 +1,59 @@
+"""Physical/optimized-plan regression guards for properties the bench
+depends on — these hold today by construction and would regress silently
+(still-correct results, much slower plans) if a refactor or a Spark
+upgrade changed them:
+
+- text_analysis tokenizes ONCE per row (multi-referenced staged columns
+  must not be inlined by CollapseProject back into every metric);
+- topk_pagination plans as TakeOrderedAndProject (per-partition local
+  top-k), never a single-partition global sort/window;
+- selection dotted-path joins broadcast their dims;
+- pricing aggregation does partial (map-side) aggregation and pushes its
+  filter into the parquet scan.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR_SMOKE
+
+QUERIES = entry_mod.queries()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_text_analysis_tokenizes_once(spark):
+    plan = _optimized(QUERIES["text_analysis"](spark, SF_DIR_SMOKE))
+    n_split = len(re.findall(r"\bsplit\(", plan))
+    assert n_split == 1, f"tokenizer ran {n_split}x in plan:\n{plan}"
+    # the bigram build (slice+concat transform) must also appear once
+    assert plan.count("transform(") == 1, plan
+
+
+def test_topk_pagination_is_local_topk(spark):
+    plan = _physical(QUERIES["topk_pagination"](spark, SF_DIR_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_dotted_selection_broadcasts_dims(spark):
+    plan = _physical(QUERIES["selection_dotted_joins"](spark, SF_DIR_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pricing_agg_partial_and_pushdown(spark):
+    plan = _physical(QUERIES["agg_pricing_summary"](spark, SF_DIR_SMOKE))
+    # two-phase aggregation: a partial HashAggregate before the exchange
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "PushedFilters: [" in plan, plan

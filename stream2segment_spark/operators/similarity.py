@@ -223,6 +223,71 @@ def ann_topk_ivf(
             .select(query_id_col, id_col, "cosine"))
 
 
+def build_ivf_index(
+    corpus: DataFrame, path: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_cells: int = 16, sample_size: int = 20000,
+) -> np.ndarray:
+    """Persist an IVF index: train spherical-kmeans centroids on a
+    bounded sample, assign every corpus vector to its cell, and write the
+    corpus PARTITIONED BY CELL plus the tiny centroid table. The index
+    is plain parquet — any Spark/DuckDB reader can open it, and probing
+    n cells of a cell-partitioned table is static partition PRUNING (the
+    scan never touches unprobed cells; see ``ann_topk_ivf_index``).
+    Returns the centroid matrix."""
+    cents = kmeans_centroids(corpus, vec_col, n_cells,
+                             sample_size=sample_size)
+    assigned = corpus.withColumn("cell",
+                                 ivf_assign_udf(cents)(F.col(vec_col)))
+    assigned.write.mode("overwrite").partitionBy("cell") \
+        .parquet(f"{path}/cells")
+    spark = corpus.sparkSession
+    cent_rows = [(int(i), [float(v) for v in c])
+                 for i, c in enumerate(cents)]
+    spark.createDataFrame(cent_rows, "cell int, centroid array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return cents
+
+
+def load_ivf_centroids(spark, path: str) -> np.ndarray:
+    rows = (spark.read.parquet(f"{path}/centroids")
+            .orderBy("cell").collect())
+    return np.array([r["centroid"] for r in rows], dtype=float)
+
+
+def ann_topk_ivf_index(
+    spark, path: str, queries: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", k: int = 10, nprobe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index (``build_ivf_index`` layout): the
+    queries' probe cells are collected driver-side (bounded: at most
+    n_cells ints — queries are a bounded frame by the same contract as
+    ann_topk_bruteforce) and pushed into the scan as a PARTITION filter,
+    so only ~nprobe/n_cells of the stored corpus is read at all; then the
+    usual exact-cosine + per-query top-k on the candidates."""
+    from pyspark.sql import Window
+    cents = load_ivf_centroids(spark, path)
+    probes = queries.withColumn(
+        "cell",
+        F.explode(ivf_probe_cells_udf(cents, nprobe)(F.col(vec_col))))
+    probes = probes.persist()
+    probed_cells = [r["cell"] for r in
+                    probes.select("cell").distinct().collect()]
+    corpus = (spark.read.parquet(f"{path}/cells")
+              .filter(F.col("cell").isin(probed_cells)))
+    q = probes.select(query_id_col, "cell", F.col(vec_col).alias("__qv"))
+    cos = cosine_expr(
+        F.transform(vec_col, lambda v: v.cast("double")),
+        F.transform("__qv", lambda v: v.cast("double")))
+    scored = corpus.join(q, "cell").withColumn("cosine", cos)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(query_id_col, id_col, "cosine"))
+
+
 def cosine_pairs_blocked(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.9, block_size: int = 1024,

@@ -205,3 +205,35 @@ def test_resolve_channel_conflicts(spark):
     out2 = resolve_channel_conflicts(ch, ["network", "station"])
     assert [(r["station"], r["datacenter_id"]) for r in out2.collect()] \
         == [("AAA", 1)]
+
+
+def test_ivf_persisted_index_matches_inmemory(spark, tmp_path):
+    """build_ivf_index -> ann_topk_ivf_index: identical results to the
+    in-memory IVF with the same centroids, and the scan only reads the
+    probed cells (static partition pruning on the cell-partitioned
+    layout)."""
+    from pyspark.sql import functions as F
+
+    from stream2segment_spark.operators import similarity as SIM
+    from stream2segment_spark.schema import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf")
+    cents = SIM.build_ivf_index(emb, path, n_cells=8)
+    # round-trip: stored centroids equal the trained matrix
+    import numpy as np
+    assert np.allclose(SIM.load_ivf_centroids(spark, path), cents)
+
+    queries = (emb.filter(F.col("vec_id") < 20)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = SIM.ann_topk_ivf_index(spark, path, queries, k=10, nprobe=3)
+    want = SIM.ann_topk_ivf(emb, queries, cents, k=10, nprobe=3)
+    assert ({(r["query_id"], r["vec_id"]) for r in got.collect()}
+            == {(r["query_id"], r["vec_id"]) for r in want.collect()})
+
+    # partition pruning: a single-cell probe reads ONE partition directory
+    one_q = queries.limit(1)
+    df = SIM.ann_topk_ivf_index(spark, path, one_q, k=5, nprobe=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    assert df.count() == 5

@@ -106,10 +106,32 @@ def cmd_download(spark: SparkSession, cfg: dict, cfg_text: str = "") -> int:
     lead, lag = cfg.get("timespan", [60.0, 120.0])
     transport = _dotted(cfg["transport"]) if cfg.get("transport") else None
     old_segments = _table(spark, cfg, "segments")
+    # channels_file: one path/glob, or a {dataselect_url: path} mapping —
+    # the EIDA-federation case: each datacenter's station text is tagged
+    # with its endpoint, cross-datacenter claims resolve via cfg routing
+    # rules, and every segment is fetched from (and stamped with) its
+    # channel's own datacenter
+    ch_src = cfg["channels_file"]
+    dc_kwargs: dict = {}
+    if isinstance(ch_src, dict):
+        from functools import reduce
+        tagged = [_lines(spark, path).withColumn("__dc", F.lit(dc))
+                  for dc, path in sorted(ch_src.items())]
+        channel_lines = reduce(lambda a, b: a.unionByName(b), tagged)
+        routing = None
+        if cfg.get("routing_file"):  # EIDA routing-service text format
+            from stream2segment_spark.sources.routing import (
+                parse_routing_response)
+            with open(cfg["routing_file"], encoding="utf-8") as fh:
+                routing = parse_routing_response(fh.read())
+        dc_kwargs = {"datacenter_col": "__dc", "keep_datacenter": True,
+                     "routing_rules": routing}
+    else:
+        channel_lines = _lines(spark, ch_src)
     out = download_pipeline(
         spark,
         _lines(spark, cfg["events_file"]),
-        _lines(spark, cfg["channels_file"]),
+        channel_lines,
         _table(spark, cfg, "events"),
         _table(spark, cfg, "channels"),
         old_segments.drop("download_id"),
@@ -121,6 +143,7 @@ def cmd_download(spark: SparkSession, cfg: dict, cfg_text: str = "") -> int:
         window_lead_sec=float(lead), window_lag_sec=float(lag),
         base_url=cfg.get("dataselect_url", "http://dataselect.invalid/query"),
         min_sample_rate=cfg.get("min_sample_rate"),
+        **dc_kwargs,
     )
     from stream2segment_spark.pipeline import stations_of
     # download-execution bookkeeping (reference Download model semantics:
@@ -272,8 +295,13 @@ def cmd_show(spark: SparkSession, cfg: dict, outfile: str,
 def cmd_dl_stats(spark: SparkSession, cfg: dict, as_html: bool) -> int:
     from stream2segment_spark.reporting import (
         render_html, render_text, stats_by_code)
-    segs = _table(spark, cfg, "segments").withColumn(
-        "datacenter", F.lit(cfg.get("dataselect_url", "all")))
+    segs = _table(spark, cfg, "segments")
+    if "datacenter" not in segs.columns:  # single-datacenter warehouse
+        segs = segs.withColumn(
+            "datacenter", F.lit(cfg.get("dataselect_url", "all")))
+    else:
+        segs = segs.withColumn(
+            "datacenter", F.coalesce("datacenter", F.lit("unknown")))
     stats = stats_by_code(segs)
     print(render_html(stats) if as_html else render_text(stats))
     return 0

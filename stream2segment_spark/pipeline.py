@@ -51,6 +51,7 @@ def ingest_channels(
     min_sample_rate: float | None = None,
     datacenter_col: str | None = None,
     routing_rules=None,
+    keep_datacenter: bool = False,
 ) -> DataFrame:
     """S1+P6/P7+A7+K5: parse FDSN channel text, apply positive LIKE and
     negative regex NSLC filters plus the sample-rate floor, resolve
@@ -85,7 +86,10 @@ def ingest_channels(
         ch = resolve_channel_conflicts(ch, natkey,
                                        datacenter_col=datacenter_col,
                                        routed=routed)
-        ch = ch.drop(datacenter_col)
+        if keep_datacenter:  # carry the winning datacenter downstream
+            ch = ch.withColumnRenamed(datacenter_col, "datacenter")
+        else:
+            ch = ch.drop(datacenter_col)
     else:
         ch = exact_dedup(ch, natkey, keep="none")
     return sync_surrogate_ids(existing_channels, ch, natkey)
@@ -141,18 +145,26 @@ def download_pipeline(
         .alias("request_start"),
         (arrival + F.make_dt_interval(secs=F.lit(window_lag_sec)))
         .alias("request_end"))
+    has_dc = "datacenter" in channels.columns
+    cha_cols = ["channel_id", "station_id", "location", "channel"] \
+        + (["datacenter"] if has_dc else [])
     cha = channels.select(F.col("id").alias("channel_id"),
                           "network", "station", "location", "channel",
-                          "start_time")
+                          "start_time",
+                          *(["datacenter"] if has_dc else []))
     sta_key = stations.select("station_id", "network", "station", "start_time")
     cha = cha.join(sta_key, ["network", "station", "start_time"]) \
-             .select("channel_id", "station_id", "location", "channel")
+             .select(*cha_cols)
     candidates = cand.join(cha, "station_id")
 
     todo = prepare_for_download_diff(candidates, existing_segments)
 
+    # per-channel dataselect endpoint when channels carry their (routed)
+    # datacenter (EIDA federation); single base_url otherwise
+    endpoint = (F.coalesce(F.col("datacenter"), F.lit(base_url))
+                if has_dc else F.lit(base_url))
     requests = todo.withColumn(
-        "url", F.concat(F.lit(base_url), F.lit("?cha="),
+        "url", F.concat(endpoint, F.lit("?cha="),
                         F.col("channel_id").cast("string"),
                         F.lit("&ev="), F.col("event_id").cast("string")))
     fetched = fetch_rows(requests, transport=transport, threads=4)
@@ -162,6 +174,7 @@ def download_pipeline(
     new_segments = decoded.select(
         "channel_id", "event_id", "event_distance_deg",
         "request_start", "request_end", "data",
+        *(["datacenter"] if has_dc else []),
         F.col("ms.sample_rate").alias("sample_rate"),
         F.col("ms.max_gap_overlap_ratio").alias("maxgap_numsamples"),
         F.col("ms.start_time").alias("start_time"),

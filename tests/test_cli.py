@@ -157,6 +157,50 @@ def test_process_dotted_and_derived_selection(warehouse, capsys, tmp_path):
     assert "'code'" not in capsys.readouterr().out
 
 
+def test_multi_datacenter_download(spark, tmp_path, capsys):
+    """channels_file as a {dataselect_url: path} mapping (EIDA
+    federation): each channel is fetched from its own datacenter, routing
+    rules resolve a cross-datacenter claim, and segments / dl-stats carry
+    the per-datacenter attribution."""
+    dc1 = "http://dc1.example.org/fdsnws/dataselect/1/query"
+    dc2 = "http://dc2.example.org/fdsnws/dataselect/1/query"
+    (tmp_path / "events.txt").write_text("\n".join(EVENT_LINES))
+    hdr = CHANNEL_LINES[0]
+    sta1 = "GE|STA1||HHZ|10.5|20.5" + _CH.format(sr="100.0")
+    sta2 = "GE|STA2||HHZ|10.6|20.6" + _CH.format(sr="100.0")
+    # STA1 is claimed by BOTH datacenters -> routing must pick dc1
+    (tmp_path / "ch1.txt").write_text("\n".join([hdr, sta1]))
+    (tmp_path / "ch2.txt").write_text("\n".join([hdr, sta1, sta2]))
+    (tmp_path / "routing.txt").write_text(
+        f"{dc1}\nGE STA1 * HHZ\n\n{dc2}\nGE STA2 * HHZ\n")
+    cfg = {
+        "warehouse": str(tmp_path / "wh"),
+        "events_file": str(tmp_path / "events.txt"),
+        "channels_file": {dc1: str(tmp_path / "ch1.txt"),
+                          dc2: str(tmp_path / "ch2.txt")},
+        "routing_file": str(tmp_path / "routing.txt"),
+        "search_radius": {"minmag": 3, "maxmag": 7,
+                          "minmag_radius": 1, "maxmag_radius": 5},
+        "min_sample_rate": 50.0,
+        "timespan": [60, 120],
+        "transport": "tests.test_cli:transport_ok",
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    assert cli.main(["download", "-c", str(cfg_path)]) == 0
+    capsys.readouterr()
+
+    segs = spark.read.parquet(str(tmp_path / "wh" / "segments.parquet"))
+    per_dc = {r["datacenter"]: r["n"] for r in
+              segs.groupBy("datacenter").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert per_dc == {dc1: 1, dc2: 1}  # STA1 routed to dc1, STA2 on dc2
+
+    assert cli.main(["dl-stats", "-c", str(cfg_path)]) == 0
+    out = capsys.readouterr().out
+    assert "dc1.example.org" in out and "dc2.example.org" in out
+
+
 def test_download_records_execution(warehouse, spark):
     """download stamped segments with the execution id and appended a
     downloads row carrying the printed report + the yaml config."""

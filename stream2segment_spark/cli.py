@@ -381,6 +381,11 @@ _INIT_DOWNLOAD_YAML = """\
 warehouse: ./warehouse          # parquet warehouse directory (the dburl analogue)
 events_file: ./events.txt       # FDSN event text: path, glob or URL
 channels_file: ./channels.txt   # FDSN station text (channel level)
+# ... or one file per datacenter (EIDA federation) + routing rules:
+# channels_file:
+#   http://dc1.example.org/fdsnws/dataselect/1/query: ./dc1_channels.txt
+#   http://dc2.example.org/fdsnws/dataselect/1/query: ./dc2_channels.txt
+# routing_file: ./routing.txt   # EIDA routing-service text format
 dataselect_url: http://service.example.org/fdsnws/dataselect/1/query
 min_sample_rate: 50.0           # drop channels below this rate (Hz)
 search_radius:                  # magnitude-dependent station search radius

@@ -200,6 +200,18 @@ def test_multi_datacenter_download(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "dc1.example.org" in out and "dc2.example.org" in out
 
+    # idempotent re-run over the datacenter-carrying warehouse schema:
+    # everything skips unchanged, attribution intact
+    assert cli.main(["download", "-c", str(cfg_path)]) == 0
+    capsys.readouterr()
+    segs2 = spark.read.parquet(str(tmp_path / "wh" / "segments.parquet"))
+    per_dc2 = {r["datacenter"]: r["n"] for r in
+               segs2.groupBy("datacenter").count()
+               .withColumnRenamed("count", "n").collect()}
+    assert per_dc2 == per_dc
+    from stream2segment_spark import warehouse as wh
+    assert len(wh.resolve_downloads(str(tmp_path / "wh"))) == 2
+
 
 def test_download_records_execution(warehouse, spark):
     """download stamped segments with the execution id and appended a

@@ -143,6 +143,7 @@ def cmd_download(spark: SparkSession, cfg: dict, cfg_text: str = "") -> int:
         window_lead_sec=float(lead), window_lag_sec=float(lag),
         base_url=cfg.get("dataselect_url", "http://dataselect.invalid/query"),
         min_sample_rate=cfg.get("min_sample_rate"),
+        retry=cfg.get("retry"),
         **dc_kwargs,
     )
     from stream2segment_spark.pipeline import stations_of
@@ -223,7 +224,7 @@ def _warehouse_graph(dfs):
 
 
 def cmd_process(spark: SparkSession, cfg: dict, pyfunc_spec: str,
-                outfile: str | None) -> int:
+                outfile: str | None, append: bool = False) -> int:
     import importlib.util as ilu
 
     from stream2segment_spark.process import process_df
@@ -247,10 +248,24 @@ def cmd_process(spark: SparkSession, cfg: dict, pyfunc_spec: str,
            for name in ("segments", "events", "channels", "stations")}
     segs = exprquery(_warehouse_graph(dfs), dfs, "segments",
                      cfg.get("segments_selection") or {})
+    do_append = False
+    if append and outfile:
+        # K3 incremental mode ('s2s process --append'): anti-join the ids
+        # already present in the output, process only the new segments
+        from stream2segment_spark.sinks.writers import already_processed_ids
+        done = already_processed_ids(spark, outfile)
+        if done is not None:
+            do_append = True
+            segs = segs.join(done.withColumnRenamed(done.columns[0], "id"),
+                             "id", "left_anti")
     result = process_df(segs, func, schema, config=cfg.get("config"))
     if outfile:
         from stream2segment_spark.sinks.writers import write_output
-        write_output(result, outfile)
+        if do_append:
+            # the plan READS the file it is about to append to —
+            # materialize before writing
+            result = result.localCheckpoint(eager=True)
+        write_output(result, outfile, append=do_append)
     else:
         for row in result.toLocalIterator():
             print(row.asDict())
@@ -448,6 +463,9 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("-p", "--pyfunc", required=True,
                            help="module:attr or file.py:attr")
             p.add_argument("-o", "--outfile")
+            p.add_argument("--append", action="store_true",
+                           help="process only segments absent from the "
+                                "output (K3 incremental mode)")
         if name == "show":
             p.add_argument("-o", "--outfile", required=True)
             p.add_argument("-p", "--plot-module",
@@ -492,7 +510,8 @@ def main(argv: list[str] | None = None) -> int:
                 cfg_text = fh.read()
             return cmd_download(spark, cfg, cfg_text)
         if args.cmd == "process":
-            return cmd_process(spark, cfg, args.pyfunc, args.outfile)
+            return cmd_process(spark, cfg, args.pyfunc, args.outfile,
+                               args.append)
         if args.cmd == "show":
             return cmd_show(spark, cfg, args.outfile, args.max_segments,
                             args.plot_module)

@@ -119,6 +119,7 @@ def download_pipeline(
     minmag_radius: float = 1.0, maxmag_radius: float = 5.0,
     window_lead_sec: float = 60.0, window_lag_sec: float = 120.0,
     base_url: str = "http://dataselect.invalid/query",
+    retry: dict | None = None,
     **channel_filters,
 ) -> dict[str, DataFrame]:
     """Run the full chain; returns dict(events, channels, candidates,
@@ -157,7 +158,10 @@ def download_pipeline(
              .select(*cha_cols)
     candidates = cand.join(cha, "station_id")
 
-    todo = prepare_for_download_diff(candidates, existing_segments)
+    # retry policy (reference -r1..-r6 download flags / advanced config):
+    # keys are prepare_for_download_diff's retry_* kwargs
+    todo = prepare_for_download_diff(candidates, existing_segments,
+                                     **(retry or {}))
 
     # per-channel dataselect endpoint when channels carry their (routed)
     # datacenter (EIDA federation); single base_url otherwise

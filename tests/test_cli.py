@@ -51,6 +51,8 @@ def warehouse(tmp_path_factory, spark):
         "min_sample_rate": 50.0,
         "timespan": [60, 120],
         "transport": "tests.test_cli:transport_ok",
+        # reference -r1..-r6 retry policy, threaded through the diff
+        "retry": {"retry_url_err": True, "retry_204": True},
     }
     cfg_path = tmp / "cfg.yaml"
     cfg_path.write_text(yaml.safe_dump(cfg))
@@ -155,6 +157,36 @@ def test_process_dotted_and_derived_selection(warehouse, capsys, tmp_path):
     assert cli.main(["process", "-c", str(sel_cfg),
                      "-p", "tests.test_cli:seg_peak"]) == 0
     assert "'code'" not in capsys.readouterr().out
+
+
+def test_process_append_skips_done_segments(warehouse, capsys, tmp_path):
+    """'s2s process --append -o out': a re-run with the same selection
+    processes nothing new; output row count and ids are unchanged."""
+    import csv
+    import glob
+
+    _, cfg_path = warehouse
+    out = tmp_path / "peaks.csv"
+
+    def rows():
+        got = []
+        for part in glob.glob(str(out) + "/*.csv"):
+            with open(part, newline="") as fh:
+                got.extend(list(csv.DictReader(fh)))
+        return got
+
+    assert cli.main(["process", "-c", str(cfg_path), "--append",
+                     "-p", "tests.test_cli:seg_peak",
+                     "-o", str(out)]) == 0
+    first = rows()
+    assert first
+    assert cli.main(["process", "-c", str(cfg_path), "--append",
+                     "-p", "tests.test_cli:seg_peak",
+                     "-o", str(out)]) == 0
+    second = rows()
+    assert len(second) == len(first)
+    ids = [r["segment_db_id"] for r in second]
+    assert len(ids) == len(set(ids))
 
 
 def test_multi_datacenter_download(spark, tmp_path, capsys):

@@ -95,6 +95,29 @@ def _lines(spark: SparkSession, source: str) -> DataFrame:
     return spark.read.text(source)  # local path, glob or hadoop-visible URL
 
 
+def _event_lines(spark: SparkSession, source: str) -> DataFrame:
+    """FDSN pipe-text lines from the events source. A local ISF bulletin
+    (first line starts with 'DATA_TYPE ' — the reference's format sniff,
+    download/modules/events.py:171-176) is parsed driver-side (event
+    catalogs are driver-grain, exactly like the reference streaming the
+    ISC response) and re-serialized into the S1 pipe-text layout."""
+    if os.path.isfile(source):
+        with open(source, encoding="utf-8", errors="replace") as fh:
+            head = fh.readline()
+            if head.startswith("DATA_TYPE "):
+                from stream2segment_spark.sources.fdsn import (
+                    EVENT_COLS, to_fdsn_lines)
+                from stream2segment_spark.sources.isf import isf_to_fdsn_rows
+                rows = isf_to_fdsn_rows(head + fh.read())
+                ddl = ", ".join(
+                    f"{n} {'double' if t == 'double' else 'string'}"
+                    for n, t in EVENT_COLS)
+                df = (spark.createDataFrame(rows, ddl)
+                      .withColumn("time", F.to_timestamp("time")))
+                return to_fdsn_lines(df, EVENT_COLS)
+    return _lines(spark, source)
+
+
 def cmd_download(spark: SparkSession, cfg: dict, cfg_text: str = "") -> int:
     import yaml
 
@@ -130,7 +153,7 @@ def cmd_download(spark: SparkSession, cfg: dict, cfg_text: str = "") -> int:
         channel_lines = _lines(spark, ch_src)
     out = download_pipeline(
         spark,
-        _lines(spark, cfg["events_file"]),
+        _event_lines(spark, cfg["events_file"]),
         channel_lines,
         _table(spark, cfg, "events"),
         _table(spark, cfg, "channels"),

@@ -189,6 +189,47 @@ def test_process_append_skips_done_segments(warehouse, capsys, tmp_path):
     assert len(ids) == len(set(ids))
 
 
+ISF_EVENTS = """\
+DATA_TYPE BULLETIN IMS1.0:short
+Event  600516 Greece
+   Date       Time        Err   RMS Latitude Longitude  Smaj  Smin  Az Depth   Err Ndef Nsta Gap  mdist  Mdist Qual   Author      OrigID
+2021/06/01 12:00:00.00   0.50  1.20  10.0000   20.0000  10.0   8.0  90  15.0   2.0   50   40 100   0.50  10.00 m i uk  ISC       12345678
+
+Magnitude  Err Nsta Author      OrigID
+mb     5.0 0.2   25 ISC       12345678
+
+STOP
+"""
+
+
+def test_download_from_isf_bulletin(spark, tmp_path, capsys):
+    """events_file may be an ISF bulletin (format-sniffed like the
+    reference): the download chain runs identically, ending with the ISF
+    event stored and its segments fetched."""
+    (tmp_path / "events.isf").write_text(ISF_EVENTS)
+    (tmp_path / "channels.txt").write_text("\n".join(CHANNEL_LINES))
+    cfg = {
+        "warehouse": str(tmp_path / "wh"),
+        "events_file": str(tmp_path / "events.isf"),
+        "channels_file": str(tmp_path / "channels.txt"),
+        "search_radius": {"minmag": 3, "maxmag": 7,
+                          "minmag_radius": 1, "maxmag_radius": 5},
+        "min_sample_rate": 50.0,
+        "timespan": [60, 120],
+        "transport": "tests.test_cli:transport_ok",
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    assert cli.main(["download", "-c", str(cfg_path)]) == 0
+    capsys.readouterr()
+    ev = spark.read.parquet(str(tmp_path / "wh" / "events.parquet"))
+    row = ev.collect()[0]
+    assert row["event_id"] == "600516"
+    assert row["magnitude"] == pytest.approx(5.0)
+    segs = spark.read.parquet(str(tmp_path / "wh" / "segments.parquet"))
+    assert segs.count() >= 1
+
+
 def test_multi_datacenter_download(spark, tmp_path, capsys):
     """channels_file as a {dataselect_url: path} mapping (EIDA
     federation): each channel is fetched from its own datacenter, routing

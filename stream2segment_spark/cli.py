@@ -315,7 +315,14 @@ def cmd_show(spark: SparkSession, cfg: dict, outfile: str,
         plots_kwargs = {"extra_producers": extra,
                         "plots": ("trace", *extra)}
 
-    segs = _table(spark, cfg, "segments").filter(
+    # the same selection grammar as process (the reference GUI shows the
+    # config's selected segments), then the has-data floor
+    from stream2segment_spark.selectexpr import exprquery
+    dfs = {name: _table(spark, cfg, name)
+           for name in ("segments", "events", "channels", "stations")}
+    segs = exprquery(_warehouse_graph(dfs), dfs, "segments",
+                     cfg.get("segments_selection") or {})
+    segs = segs.filter(
         F.col("data").isNotNull() & (F.octet_length("data") > 0))
     decoded = (segs.withColumn(
         "ms", F.element_at(unpack_mseed_udf()(F.col("data")), 1))

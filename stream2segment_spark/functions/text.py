@@ -145,6 +145,19 @@ def bigram_repetition(
     return n_bi, n_dup
 
 
+def line_metrics(text: Column) -> tuple[Column, Column, Column]:
+    """(n_lines, n_bullet_lines, n_ellipsis_lines) — the line-shape
+    signals of quality-filter pipelines (documents dominated by bullet
+    lists or ellipsis-truncated lines are boilerplate-heavy). Integer
+    counts over a newline split; consumers derive the fractions."""
+    lines = F.split(text, "\n")
+    bullet = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+    ellipsis = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+    return F.size(lines), bullet, ellipsis
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic content fingerprint: md5 of normalized text
     (stable across engines — used for exact-dup detection K-fingerprint)."""

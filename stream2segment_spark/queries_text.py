@@ -71,6 +71,13 @@ def _text_analysis_oracle() -> str:
                    list_transform(range(1, len(w)),
                                   i -> array_to_string(w[i:i+1], ' '))))
                     ELSE 0 END AS n_dup_bigrams,
+               len(string_split(text, chr(10))) AS n_lines,
+               len(list_filter(string_split(text, chr(10)),
+                   l -> regexp_matches(trim(l), '^[-*•]')))
+                 AS n_bullet_lines,
+               len(list_filter(string_split(text, chr(10)),
+                   l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+                 AS n_ellipsis_lines,
                round((
                  (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 ELSE 0.5 END) +
                  (CASE WHEN sw >= 0.05 AND sw <= 0.6 THEN 1.0 ELSE 0.5 END) +
@@ -111,6 +118,7 @@ def text_analysis(spark, sf_dir):
               .withColumn("__bi", TX.bigrams(F.col("__toks"))))
     toks, text = F.col("__toks"), F.col("text")
     n_bi, n_dup = TX.bigram_repetition(text, toks=toks, bi=F.col("__bi"))
+    n_lines, n_bullet, n_ellipsis = TX.line_metrics(text)
     return staged.select(
         "doc_id",
         TX.token_count(text, toks=toks).alias("n_tokens"),
@@ -118,6 +126,9 @@ def text_analysis(spark, sf_dir):
         TX.max_token_run(text, toks=toks).alias("max_tok_run"),
         n_bi.alias("n_bigrams"),
         n_dup.alias("n_dup_bigrams"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ellipsis.alias("n_ellipsis_lines"),
         F.round(TX.quality_score(text, toks=toks), 4).alias("quality"),
         TX.langid_heuristic(text, toks=toks).alias("lang_pred"),
         TX.doc_fingerprint(text).alias("fingerprint"),

@@ -47,3 +47,16 @@ def test_quality_and_langid_edges(spark):
          "der hund ist nicht ein katze und das"],
         TX.langid_heuristic(F.col("text")))
     assert out == [("en",), ("de",)]
+
+
+def test_line_metrics_exact(spark):
+    import stream2segment_spark.functions.text as TX
+    from pyspark.sql import functions as F
+    doc = "intro line\n- bullet one\n  * bullet two\nplain\nto be continued...\ndone…\n"
+    df = spark.createDataFrame([(doc,)], "text string")
+    n, b, e = TX.line_metrics(F.col("text"))
+    row = df.select(n.alias("n"), b.alias("b"), e.alias("e")).collect()[0]
+    # trailing newline -> split yields a final empty line (kept, like DuckDB)
+    assert row["n"] == 7
+    assert row["b"] == 2            # '-' and '*' bullets, whitespace-trimmed
+    assert row["e"] == 2            # '...' and the unicode ellipsis

@@ -169,7 +169,7 @@ def cmd_download(spark: SparkSession, cfg: dict, cfg_text: str = "") -> int:
         retry=cfg.get("retry"),
         **dc_kwargs,
     )
-    from stream2segment_spark.pipeline import stations_of
+    from stream2segment_spark.pipeline import fetch_inventories, stations_of
     # download-execution bookkeeping (reference Download model semantics:
     # download_id = the execution that last WROTE the segment): rows
     # inserted/updated by this run get this run's id, untouched rows keep
@@ -194,7 +194,17 @@ def cmd_download(spark: SparkSession, cfg: dict, cfg_text: str = "") -> int:
     # materialize results BEFORE overwriting inputs they were derived from
     for name in ("events", "channels", "segments"):
         out[name] = out[name].localCheckpoint(eager=True)
-    stations = stations_of(out["channels"]).localCheckpoint(eager=True)
+    stations = stations_of(out["channels"])
+    if cfg.get("inventory"):  # 's2s download -i': station XML inventories
+        station_url = cfg.get(
+            "station_url",
+            cfg.get("dataselect_url",
+                    "http://dataselect.invalid/query")
+            .replace("/dataselect/", "/station/"))
+        stations = fetch_inventories(
+            stations, out["channels"], out["segments"],
+            base_url=station_url, transport=transport)
+    stations = stations.localCheckpoint(eager=True)
     for name in ("events", "channels", "segments"):
         _write(out[name], cfg, name)
     _write(stations, cfg, "stations")

@@ -95,6 +95,57 @@ def ingest_channels(
     return sync_surrogate_ids(existing_channels, ch, natkey)
 
 
+def fetch_inventories(
+    stations: DataFrame,
+    channels: DataFrame,
+    segments: DataFrame,
+    base_url: str,
+    transport=None,
+    threads: int = 4,
+) -> DataFrame:
+    """S9/J8: station XML inventories, fetched ONLY for stations that own
+    at least one segment with waveform data (the reference's
+    inventory-needed rule, download/modules/stations.py: save inventories
+    only for stations with data). Returns the stations frame with an
+    ``inventory_xml`` binary column (NULL for stations without data or
+    failed fetches); compression is preserved as served (K7 sniffing
+    decompresses on read). Endpoint: the channel's datacenter with
+    /dataselect/ -> /station/ when channels carry one, else ``base_url``."""
+    from stream2segment_spark.columns import withdata
+    from stream2segment_spark.sources.fetch import fetch_rows
+
+    ch_ok = (segments.filter(withdata(F.col("data")))
+             .select("channel_id").distinct()
+             .join(channels.select(F.col("id").alias("channel_id"),
+                                   "network", "station", "start_time",
+                                   *(["datacenter"]
+                                     if "datacenter" in channels.columns
+                                     else [])),
+                   "channel_id")
+             .drop("channel_id").distinct())
+    need = stations.join(ch_ok.select("network", "station", "start_time"),
+                         ["network", "station", "start_time"], "left_semi")
+    if "datacenter" in ch_ok.columns:
+        dc = ch_ok.groupBy("network", "station", "start_time").agg(
+            F.min("datacenter").alias("__dc"))
+        need = need.join(dc, ["network", "station", "start_time"], "left")
+        endpoint = F.coalesce(
+            F.regexp_replace("__dc", "/dataselect/", "/station/"),
+            F.lit(base_url))
+    else:
+        endpoint = F.lit(base_url)
+    req = need.withColumn(
+        "url", F.concat(endpoint, F.lit("?net="), F.col("network"),
+                        F.lit("&sta="), F.col("station"),
+                        F.lit("&level=response")))
+    fetched = fetch_rows(req, transport=transport, threads=threads)
+    inv = fetched.select(
+        "network", "station", "start_time",
+        F.when(F.col("code").between(200, 299), F.col("data"))
+         .alias("inventory_xml"))
+    return stations.join(inv, ["network", "station", "start_time"], "left")
+
+
 def stations_of(channels: DataFrame) -> DataFrame:
     """Distinct station dim derived from the channel frame (the reference
     stores stations first, then channels; same natural key)."""

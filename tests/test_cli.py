@@ -189,6 +189,38 @@ def test_process_append_skips_done_segments(warehouse, capsys, tmp_path):
     assert len(ids) == len(set(ids))
 
 
+def transport_with_inventory(url: str, body):
+    if "level=response" in url:  # station service -> XML inventory
+        return b"<FDSNStationXML>GE.STA1</FDSNStationXML>", 200
+    return transport_ok(url, body)
+
+
+def test_download_with_inventory(spark, tmp_path, capsys):
+    """'inventory: true': station XML is fetched (only for stations with
+    data, from the station endpoint) and stored on the stations table."""
+    (tmp_path / "events.txt").write_text("\n".join(EVENT_LINES))
+    (tmp_path / "channels.txt").write_text("\n".join(CHANNEL_LINES))
+    cfg = {
+        "warehouse": str(tmp_path / "wh"),
+        "events_file": str(tmp_path / "events.txt"),
+        "channels_file": str(tmp_path / "channels.txt"),
+        "dataselect_url": "http://dc.example.org/fdsnws/dataselect/1/query",
+        "inventory": True,
+        "search_radius": {"minmag": 3, "maxmag": 7,
+                          "minmag_radius": 1, "maxmag_radius": 5},
+        "min_sample_rate": 50.0,
+        "timespan": [60, 120],
+        "transport": "tests.test_cli:transport_with_inventory",
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    assert cli.main(["download", "-c", str(cfg_path)]) == 0
+    capsys.readouterr()
+    sta = spark.read.parquet(str(tmp_path / "wh" / "stations.parquet"))
+    rows = {r["station"]: r["inventory_xml"] for r in sta.collect()}
+    assert bytes(rows["STA1"]) == b"<FDSNStationXML>GE.STA1</FDSNStationXML>"
+
+
 ISF_EVENTS = """\
 DATA_TYPE BULLETIN IMS1.0:short
 Event  600516 Greece

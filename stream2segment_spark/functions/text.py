@@ -145,12 +145,17 @@ def bigram_repetition(
     return n_bi, n_dup
 
 
-def line_metrics(text: Column) -> tuple[Column, Column, Column]:
+def line_metrics(text: Column,
+                 *, lines: Column | None = None
+                 ) -> tuple[Column, Column, Column]:
     """(n_lines, n_bullet_lines, n_ellipsis_lines) — the line-shape
     signals of quality-filter pipelines (documents dominated by bullet
     lists or ellipsis-truncated lines are boilerplate-heavy). Integer
-    counts over a newline split; consumers derive the fractions."""
-    lines = F.split(text, "\n")
+    counts over a newline split; consumers derive the fractions. Pass a
+    precomputed ``lines`` array column when several metrics share the
+    split (see ``token_count`` on staging)."""
+    if lines is None:
+        lines = F.split(text, "\n")
     bullet = F.size(F.filter(
         lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
     ellipsis = F.size(F.filter(

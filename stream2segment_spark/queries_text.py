@@ -114,11 +114,13 @@ def text_analysis(spark, sf_dir):
     # and the bigram build each run once per row, not once per metric)
     staged = (docs
               .select("doc_id", "text",
-                      word_tokens(F.col("text")).alias("__toks"))
+                      word_tokens(F.col("text")).alias("__toks"),
+                      F.split("text", "\n").alias("__lines"))
               .withColumn("__bi", TX.bigrams(F.col("__toks"))))
     toks, text = F.col("__toks"), F.col("text")
     n_bi, n_dup = TX.bigram_repetition(text, toks=toks, bi=F.col("__bi"))
-    n_lines, n_bullet, n_ellipsis = TX.line_metrics(text)
+    n_lines, n_bullet, n_ellipsis = TX.line_metrics(
+        text, lines=F.col("__lines"))
     return staged.select(
         "doc_id",
         TX.token_count(text, toks=toks).alias("n_tokens"),

@@ -34,8 +34,10 @@ def _physical(df) -> str:
 
 def test_text_analysis_tokenizes_once(spark):
     plan = _optimized(QUERIES["text_analysis"](spark, SF_DIR_SMOKE))
+    # exactly TWO splits: the word tokenizer and the newline line split,
+    # each staged once — any higher count means a metric re-parses
     n_split = len(re.findall(r"\bsplit\(", plan))
-    assert n_split == 1, f"tokenizer ran {n_split}x in plan:\n{plan}"
+    assert n_split == 2, f"text parsed {n_split}x in plan:\n{plan}"
     # the bigram build (slice+concat transform) must also appear once
     assert plan.count("transform(") == 1, plan
 

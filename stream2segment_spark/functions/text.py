@@ -123,8 +123,14 @@ def bigrams(toks: Column) -> Column:
     a named column when several counts are derived from it — the array
     build is O(tokens) string concats per row)."""
     n = F.size(toks)
-    return F.transform(F.sequence(F.lit(0), n - 2),
-                       lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    # total on <2-token docs: F.sequence(0, n-2) with n<2 is a DESCENDING
+    # sequence and F.slice(toks, 0, 2) throws — guard eagerly, because
+    # callers stage this as a projected column evaluated on every row
+    return F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(0), n - 2),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def bigram_repetition(

@@ -89,15 +89,19 @@ def stream_tumbling_stats(spark, sf_dir):
     f"""WITH t AS (
           SELECT user_id, ts,
                  CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
-                        (PARTITION BY user_id ORDER BY ts) > 1800
-                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                        OR lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
                            IS NULL
-                      THEN 1 ELSE 0 END AS new_sess
+                      THEN 1 ELSE 0 END AS new_sess,
+                 event_id
           FROM {_TS_EVENTS}),
         s AS (
           SELECT user_id, ts,
-                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                                     ROWS UNBOUNDED PRECEDING) AS session_id
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS session_id
           FROM t)
         SELECT user_id, session_id, count(*) AS n_events,
                min(ts) AS session_start, max(ts) AS session_end

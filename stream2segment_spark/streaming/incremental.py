@@ -47,7 +47,12 @@ def sessionize(
     session_start, session_end).
     """
     from pyspark.sql import Window
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # event_id tie-breaker: ORDER BY ts alone is unstable when a user has
+    # two events at the same timestamp (the oracle must agree row-for-row)
+    order_cols = [ts_col]
+    if "event_id" in events.columns:
+        order_cols.append("event_id")
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
     gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
     new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     sess = (events

@@ -40,6 +40,18 @@ def test_bigram_repetition(spark):
     assert out == [(4, 2), (2, 0), (0, 0), (0, 0)]
 
 
+def test_bigrams_total_on_short_docs(spark):
+    # bigrams() is staged as an eagerly-projected column by text_analysis,
+    # so it must not throw on 0/1-token docs (ADVICE r2: descending
+    # F.sequence + F.slice start=0 raised INVALID_PARAMETER_VALUE.START)
+    out = _vals(
+        spark,
+        ["a b c", "a", "", "   ", "!?."],
+        TX.bigrams(TX.word_tokens(F.col("text"))))
+    assert out[0] == (["a b", "b c"],)
+    assert all(o == ([],) for o in out[1:])
+
+
 def test_quality_and_langid_edges(spark):
     out = _vals(
         spark,

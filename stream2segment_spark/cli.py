@@ -185,10 +185,14 @@ def cmd_download(spark: SparkSession, cfg: dict, cfg_text: str = "") -> int:
             "id", "left")
     else:
         segs = segs.withColumn("__old", F.lit(None).cast("long"))
+    # skipped rows keep their previous stamp; rows that never had one
+    # (legacy warehouse predating download_id) stay NULL — adopting them
+    # into this execution would let a later `db-drop -did` delete
+    # segments this run never wrote
     segs = (segs.withColumn(
                 "download_id",
                 F.when(F.col("__written") == 1, F.lit(did))
-                 .otherwise(F.coalesce("__old", F.lit(did))))
+                 .otherwise(F.col("__old")))
             .drop("__written", "__old"))
     out["segments"] = segs
     # materialize results BEFORE overwriting inputs they were derived from

@@ -77,6 +77,7 @@ def run_upsert_sink(
     path: str,
     natural_key: list[str],
     query_name: str | None = None,
+    checkpoint_dir: str | None = None,
 ):
     """foreachBatch upsert sink: land every micro-batch into a parquet
     warehouse table with latest-wins merge on ``natural_key`` (each batch
@@ -105,9 +106,12 @@ def run_upsert_sink(
             merged = batch_df
         merged.write.mode("overwrite").parquet(path)
 
+    # deterministic checkpoint dir derived from the target path: a
+    # restarted query resumes exactly-once from it instead of replaying,
+    # and repeated calls don't accumulate orphan checkpoint directories
     q = (stream.writeStream.foreachBatch(flush)
          .option("checkpointLocation",
-                 f"{path}__checkpoint-{_uuid.uuid4().hex[:8]}")
+                 checkpoint_dir or f"{path}__checkpoint")
          .queryName(query_name or f"upsert_{_uuid.uuid4().hex[:8]}")
          .trigger(availableNow=True).start())
     q.awaitTermination()

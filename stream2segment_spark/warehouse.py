@@ -159,6 +159,10 @@ def classlabels(warehouse: str, add: dict[str, str] | None = None,
     for old, (new, desc) in (rename or {}).items():
         if old not in rows:
             raise KeyError(f"no class label {old!r}")
+        if new != old and new in rows:
+            # the reference DB enforces label uniqueness; silently
+            # overwriting would orphan the target's class_labellings
+            raise ValueError(f"class label {new!r} already exists")
         row = rows.pop(old)
         row["label"] = new
         if desc:

@@ -74,6 +74,21 @@ def test_minhash_lsh_finds_neardups(spark, exact_pairs):
         assert abs(e - t) < 0.35, f"estimate {e} too far from true {t}"
 
 
+def test_minhash_maponly_null_text_matches_jvm(spark):
+    """Null-text docs must shingle identically in the map-only pandas path
+    and the JVM word_shingles path ([''] whole-doc fallback), so a null
+    doc and an empty doc get the SAME signature (ADVICE r2: astype(str)
+    turned None into the literal 'None')."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "some real text here")],
+        "doc_id long, text string")
+    sigs = {r.doc_id: tuple(r.minhash)
+            for r in DD.add_minhash_maponly(
+                df, "text", "doc_id", num_hashes=16, shingle_k=3).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
 def test_simhash_hamming_exact(spark, docs_pdf):
     """The pigeonhole block join must return exactly the pairs whose true
     64-bit SimHash Hamming distance (recomputed from the per-doc simhash

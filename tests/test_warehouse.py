@@ -52,3 +52,10 @@ def test_classlabel_edge_cases(whdir):
     assert labels == {"AA": "updated", "B": "second"}
     with pytest.raises(KeyError):
         wh.classlabels(whdir, rename={"zzz": ("x", None)})
+    # rename onto an existing label must refuse (unique constraint in the
+    # reference DB) instead of silently swallowing the target's id
+    with pytest.raises(ValueError):
+        wh.classlabels(whdir, rename={"AA": ("B", None)})
+    # same-name rename (description-only update) stays legal
+    labels = wh.classlabels(whdir, rename={"AA": ("AA", "renamed desc")})
+    assert labels["AA"] == "renamed desc"

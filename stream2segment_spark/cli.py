@@ -151,6 +151,15 @@ def cmd_download(spark: SparkSession, cfg: dict, cfg_text: str = "") -> int:
                      "routing_rules": routing}
     else:
         channel_lines = _lines(spark, ch_src)
+    # travel-time enrichment (reference stationsearch.py:136-144: the
+    # download always derives arrival_time from a named TT model): config
+    # key `traveltimes` = npz table path or 'uniform:<v_km_s>'; without it
+    # the request window falls back to the event origin time
+    tt_udf = None
+    if cfg.get("traveltimes"):
+        from stream2segment_spark.operators.spatial import (
+            load_tt_grid, travel_time_udf)
+        tt_udf = travel_time_udf(spark, load_tt_grid(cfg["traveltimes"]))
     out = download_pipeline(
         spark,
         _event_lines(spark, cfg["events_file"]),
@@ -159,6 +168,7 @@ def cmd_download(spark: SparkSession, cfg: dict, cfg_text: str = "") -> int:
         _table(spark, cfg, "channels"),
         old_segments.drop("download_id"),
         transport=transport,
+        tt_udf=tt_udf,
         minmag=radius.get("minmag", 3.0),
         maxmag=radius.get("maxmag", 7.0),
         minmag_radius=radius.get("minmag_radius", 1.0),

@@ -57,6 +57,39 @@ class TTGrid:
         grid = fn(d[:, None], x[None, :]).astype(float)
         return cls(d, x, grid)
 
+    @classmethod
+    def from_npz(cls, path: str) -> "TTGrid":
+        """Load a precomputed travel-time table in the reference's
+        published npz layout (traveltimes/ttloader.py:22-60: keys
+        ``sourcedepths`` (n,), ``distances`` (m,), ``traveltimes``
+        (n, m), plus scalar metadata) — the format of the shipped
+        ak135/iasp91 model files (resources/traveltimes/*.npz).
+
+        Only receiver-depth-0 tables are supported (all shipped models
+        are; the reference collapses that dimension too when receiver
+        depths are unique, ttloader.py:50-57)."""
+        data = np.load(path)
+        try:
+            depths = np.asarray(data["sourcedepths"], dtype=float)
+            dists = np.asarray(data["distances"], dtype=float)
+            tt = np.asarray(data["traveltimes"], dtype=float)
+            rdepths = np.asarray(data.get("receiverdepths", [0.0]),
+                                 dtype=float)
+        except KeyError as exc:
+            raise ValueError(
+                f"{path}: not a travel-time npz table (missing {exc})")
+        if np.unique(rdepths).size > 1:
+            raise ValueError(
+                f"{path}: tables with multiple receiver depths are not "
+                "supported (all published models use receiver depth 0)")
+        if tt.shape != (depths.size, dists.size):
+            raise ValueError(
+                f"{path}: traveltimes shape {tt.shape} != "
+                f"(n_depths={depths.size}, n_distances={dists.size})")
+        if np.any(np.diff(depths) <= 0) or np.any(np.diff(dists) <= 0):
+            raise ValueError(f"{path}: grid axes must be strictly ascending")
+        return cls(depths, dists, tt)
+
     def interp(self, depth, dist) -> np.ndarray:
         """Vectorized bilinear interpolation, clipped to the grid hull
         (the reference clips queries to the table bounds too)."""
@@ -75,6 +108,38 @@ class TTGrid:
         g = self.tt_sec
         return ((1 - wd) * (1 - wx) * g[i, j] + wd * (1 - wx) * g[i + 1, j]
                 + (1 - wd) * wx * g[i, j + 1] + wd * wx * g[i + 1, j + 1])
+
+
+def load_tt_grid(spec: str) -> TTGrid:
+    """Resolve the download config's ``traveltimes`` value to a grid:
+
+    - a path to an ``.npz`` table in the reference layout (e.g. the
+      ak135/iasp91 files a stream2segment install ships) ->
+      :meth:`TTGrid.from_npz`;
+    - ``"uniform:<v_km_s>"`` (e.g. ``uniform:5.0``) -> a constant-velocity
+      half-space model built on a 0-700 km x 0-180 deg grid — the
+      self-contained option when no precomputed table is at hand.
+    """
+    if isinstance(spec, str) and spec.startswith("uniform:"):
+        try:
+            v = float(spec.split(":", 1)[1])
+        except ValueError:
+            raise ValueError(f"bad uniform travel-time spec {spec!r}; "
+                             "expected e.g. 'uniform:5.0'")
+        if v <= 0:
+            raise ValueError(f"velocity must be positive, got {v}")
+        deg2km = 111.195
+
+        def tt(depth_km, dist_deg):
+            return np.hypot(depth_km, dist_deg * deg2km) / v
+
+        return TTGrid.from_function(
+            tt, np.linspace(0.0, 700.0, 36), np.linspace(0.0, 180.0, 721))
+    if isinstance(spec, str) and spec.endswith(".npz"):
+        return TTGrid.from_npz(spec)
+    raise ValueError(
+        f"traveltimes: expected an .npz table path or 'uniform:<v_km_s>', "
+        f"got {spec!r}")
 
 
 def travel_time_expr(grid: TTGrid):

@@ -221,6 +221,42 @@ def test_download_with_inventory(spark, tmp_path, capsys):
     assert bytes(rows["STA1"]) == b"<FDSNStationXML>GE.STA1</FDSNStationXML>"
 
 
+def test_download_with_traveltimes(spark, tmp_path, capsys):
+    """'traveltimes:' config: request windows derive from the interpolated
+    arrival time (reference stationsearch.py:136-144) instead of the event
+    origin time."""
+    from stream2segment_spark.operators.spatial import load_tt_grid
+    (tmp_path / "events.txt").write_text("\n".join(EVENT_LINES))
+    (tmp_path / "channels.txt").write_text("\n".join(CHANNEL_LINES))
+    cfg = {
+        "warehouse": str(tmp_path / "wh"),
+        "events_file": str(tmp_path / "events.txt"),
+        "channels_file": str(tmp_path / "channels.txt"),
+        "search_radius": {"minmag": 3, "maxmag": 7,
+                          "minmag_radius": 1, "maxmag_radius": 5},
+        "min_sample_rate": 50.0,
+        "timespan": [60, 120],
+        "transport": "tests.test_cli:transport_ok",
+        "traveltimes": "uniform:5.0",
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    assert cli.main(["download", "-c", str(cfg_path)]) == 0
+    capsys.readouterr()
+    seg = spark.read.parquet(str(tmp_path / "wh" / "segments.parquet")) \
+        .select("event_distance_deg", "request_start").collect()
+    assert seg
+    grid = load_tt_grid("uniform:5.0")
+    ev_t = datetime.fromisoformat(EV_T).replace(tzinfo=timezone.utc)
+    for r in seg:
+        tt = float(grid.interp(np.array([15.0]),  # fixture event depth_km
+                               np.array([r["event_distance_deg"]]))[0])
+        assert tt > 10.0  # a real shift, not the no-op fallback
+        expect = ev_t.timestamp() + tt - 60.0
+        got = r["request_start"].replace(tzinfo=timezone.utc).timestamp()
+        assert abs(got - expect) < 1e-3
+
+
 ISF_EVENTS = """\
 DATA_TYPE BULLETIN IMS1.0:short
 Event  600516 Greece

@@ -26,6 +26,80 @@ def test_ttgrid_clips_to_hull():
     assert g.interp(np.array([20.0]), np.array([-1.0]))[0] == pytest.approx(10.0)
 
 
+def _write_ref_npz(path, depths, dists, tt, rdepths=None):
+    """Synthetic table in the reference's published npz layout
+    (traveltimes/ttloader.py:22-60) — the metadata keys the loader
+    ignores are present so the layout is faithful."""
+    np.savez_compressed(
+        path,
+        sourcedepths=depths, distances=dists, traveltimes=tt,
+        receiverdepths=(np.zeros_like(depths) if rdepths is None
+                        else rdepths),
+        deg2km=111.195, swave_velocity=3, pwave_velocity=5,
+        phases=np.array([b"ttp+"]), modelname=b"synthetic",
+        sourcedepth_bounds_km=np.array([depths[0], depths[-1]]),
+        receiverdepth_bounds_km=np.array([0.0, 0.0]),
+        distances_bounds_deg=np.array([dists[0], dists[-1]]),
+        distances_step_deg=float(dists[1] - dists[0]), tt_errtol=5)
+
+
+def test_ttgrid_from_npz_reference_layout(tmp_path):
+    # irregular depth axis, like the shipped ak135/iasp91 tables
+    depths = np.array([0.0, 30.1, 69.2, 150.0])
+    dists = np.arange(0.0, 10.1, 0.5)
+    tt = 2.0 * depths[:, None] + 10.0 * dists[None, :]
+    p = tmp_path / "model.npz"
+    _write_ref_npz(p, depths, dists, tt.astype(np.float32))
+    g = SP.TTGrid.from_npz(str(p))
+    # node-exact and bilinear between nodes (linear fn -> exact)
+    d = np.array([0.0, 45.0, 150.0])
+    x = np.array([0.0, 3.3, 10.0])
+    np.testing.assert_allclose(g.interp(d, x), 2 * d + 10 * x, rtol=1e-6)
+
+
+def test_ttgrid_from_npz_rejects_bad_tables(tmp_path):
+    depths = np.array([0.0, 10.0])
+    dists = np.array([0.0, 1.0, 2.0])
+    tt = np.zeros((2, 3))
+    p = tmp_path / "bad.npz"
+    _write_ref_npz(p, depths, dists, np.zeros((3, 2)))
+    with pytest.raises(ValueError, match="shape"):
+        SP.TTGrid.from_npz(str(p))
+    _write_ref_npz(p, depths, dists, tt, rdepths=np.array([0.0, 5.0]))
+    with pytest.raises(ValueError, match="receiver depths"):
+        SP.TTGrid.from_npz(str(p))
+    np.savez_compressed(p, foo=np.arange(3))
+    with pytest.raises(ValueError, match="not a travel-time npz"):
+        SP.TTGrid.from_npz(str(p))
+
+
+def test_load_tt_grid_specs(tmp_path):
+    g = SP.load_tt_grid("uniform:5.0")
+    # surface event at 1 degree: tt = 111.195 km / 5 km/s
+    np.testing.assert_allclose(
+        g.interp(np.array([0.0]), np.array([1.0])), [111.195 / 5.0],
+        rtol=1e-9)
+    with pytest.raises(ValueError):
+        SP.load_tt_grid("uniform:fast")
+    with pytest.raises(ValueError):
+        SP.load_tt_grid("ak135_ttp+")  # names aren't resolvable: need a path
+
+
+def test_ttgrid_loads_published_model_if_present():
+    """Compatibility with a real stream2segment install's model files
+    (skipped when no reference checkout is around)."""
+    import os
+    path = ("/root/reference/stream2segment/resources/traveltimes/"
+            "ak135_ttp+.npz")
+    if not os.path.exists(path):
+        pytest.skip("no reference model file available")
+    g = SP.TTGrid.from_npz(path)
+    assert g.tt_sec.shape == (g.depths_km.size, g.distances_deg.size)
+    # physical sanity: tt grows with distance for a surface source
+    tts = g.interp(np.zeros(3), np.array([1.0, 10.0, 60.0]))
+    assert 0 < tts[0] < tts[1] < tts[2]
+
+
 def _mini_frames(spark):
     events = spark.createDataFrame(
         [(1, datetime(2020, 1, 10), 0.0, 0.0, 10.0, 5.0),

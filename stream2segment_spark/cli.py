@@ -234,25 +234,35 @@ def cmd_download(spark: SparkSession, cfg: dict, cfg_text: str = "") -> int:
 
 
 def _warehouse_graph(dfs):
-    """Join graph over the STORED warehouse tables (column names differ
-    from the in-flight seismic model: stations carry their natural key +
-    station_id, channels join stations by natural key), with every
-    reference hybrid property attached so selection strings accept
-    derived attributes and dotted paths ('event.magnitude',
-    'station.network', 'has_valid_data', ...)."""
+    """Join graph over the STORED warehouse tables, with every reference
+    hybrid property attached so selection strings accept derived
+    attributes and dotted paths ('event.magnitude', 'station.network',
+    'has_valid_data', ...).
+
+    Two layouts exist: the download CLI writes denormalized channels
+    (natural key columns, stations joined by network/station/start_time),
+    while an ``import-db``'d warehouse keeps the reference's normalized
+    shape (channels carry ``station_id`` -> stations.id, the reference's
+    own foreign keys). Detect by the channel columns."""
     from stream2segment_spark.columns import register_seismic_derived
     from stream2segment_spark.schema import (
         Hop, Relationship, SchemaGraph, Table)
     sta_key = ("network", "station", "start_time")
+    normalized = "station_id" in dfs["channels"].columns \
+        and "network" not in dfs["channels"].columns
+    if normalized:
+        cha_key = ("station_id", "location", "channel")
+        cha_sta_hops = (Hop("stations", ("station_id",), ("id",)),)
+    else:
+        cha_key = ("network", "station", "location", "channel", "start_time")
+        cha_sta_hops = (Hop("stations", sta_key, sta_key),)
     tables = {
         "events": Table("events", dfs["events"].schema, ("event_id",)),
         "stations": Table("stations", dfs["stations"].schema, sta_key),
         "channels": Table(
-            "channels", dfs["channels"].schema,
-            ("network", "station", "location", "channel", "start_time"),
+            "channels", dfs["channels"].schema, cha_key,
             relationships={
-                "station": Relationship(
-                    "station", (Hop("stations", sta_key, sta_key),)),
+                "station": Relationship("station", cha_sta_hops),
             }),
         "segments": Table(
             "segments", dfs["segments"].schema, ("channel_id", "event_id"),
@@ -264,7 +274,7 @@ def _warehouse_graph(dfs):
                 "station": Relationship(
                     "station",
                     (Hop("channels", ("channel_id",), ("id",)),
-                     Hop("stations", sta_key, sta_key))),
+                     *cha_sta_hops)),
             }),
     }
     return register_seismic_derived(SchemaGraph(tables))
@@ -444,6 +454,21 @@ def cmd_db_classlabel(cfg: dict, add, rename, delete) -> int:
     return 0
 
 
+def cmd_import_db(spark, cfg: dict, dburl: str) -> int:
+    """'s2s import-db': one-shot migration of a reference SQLite/Postgres
+    database into the parquet warehouse (sources/dbimport.py)."""
+    from stream2segment_spark.sources.dbimport import import_db
+
+    counts = import_db(spark, dburl, cfg["warehouse"])
+    if not counts:
+        print(f"no stream2segment tables found in {dburl}")
+        return 1
+    print(f"imported into '{cfg['warehouse']}':")
+    for name, n in counts.items():
+        print(f"  {name}: {n} row(s)")
+    return 0
+
+
 _INIT_DOWNLOAD_YAML = """\
 # stream2segment-spark download configuration.
 # Edit and run: python -m stream2segment_spark download -c download.yaml
@@ -542,6 +567,15 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--rename", nargs=3, action="append",
                            metavar=("OLD", "NEW", "NEW_DESCRIPTION"))
             p.add_argument("--delete", action="append", metavar="LABEL")
+    p = sub.add_parser(
+        "import-db",
+        help="import an existing stream2segment SQLite/Postgres database "
+             "into the parquet warehouse")
+    p.add_argument("-c", "--config", required=True,
+                   help="config with the target 'warehouse' directory")
+    p.add_argument("-d", "--dburl", required=True,
+                   help="sqlite file path, sqlite:///path, or a "
+                        "postgresql:// / jdbc: URL")
     args = ap.parse_args(argv)
 
     if args.cmd == "init":
@@ -549,6 +583,10 @@ def main(argv: list[str] | None = None) -> int:
     cfg = _load_cfg(args.config)
     if args.cmd == "db-classlabel":  # driver-side only: no session needed
         return cmd_db_classlabel(cfg, args.add, args.rename, args.delete)
+    if args.cmd == "import-db" and (
+            "://" not in args.dburl or args.dburl.startswith("sqlite://")):
+        # sqlite is a local single-file read: no Spark session needed
+        return cmd_import_db(None, cfg, args.dburl)
     if args.cmd in ("dl-log", "dl-config"):
         return cmd_dl_text(cfg, args.download_id, args.indices,
                            "log" if args.cmd == "dl-log" else "config")
@@ -569,6 +607,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "show":
             return cmd_show(spark, cfg, args.outfile, args.max_segments,
                             args.plot_module)
+        if args.cmd == "import-db":
+            return cmd_import_db(spark, cfg, args.dburl)
         if args.cmd == "dl-summary":
             return cmd_dl_summary(spark, cfg, args.download_id, args.indices)
         if args.cmd == "db-drop":

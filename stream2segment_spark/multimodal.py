@@ -9,11 +9,14 @@ the media types a large-scale training-data pipeline carries:
   page-compressed; column pruning means metadata-only queries never read it);
 - a ``probe`` pandas UDF parses container HEADERS with pure Python/numpy —
   PNG / JPEG / WAV / GIF are public byte layouts, no codec library needed;
-- pixel/sample DECODE needs codec libs that are not in this runtime, so it
-  is stubbed: ``decode_pixels_udf(strict=True)`` raises NotImplementedError
-  per row; ``strict=False`` yields a deterministic fake (seeded from the
-  content bytes) so the Spark-side plumbing — schema, batch shape,
-  partitioning, downstream ops — is fully testable;
+- pixel DECODE is real for the self-contained public formats — binary
+  PPM/PGM, uncompressed 24/32-bit BMP, 8-bit non-interlaced PNG (stdlib
+  zlib inflate + the 5 scanline filters in numpy) — via
+  ``decode_image_bytes`` / ``decode_pixels_udf(strict=True)``; formats
+  whose entropy codecs are not in this runtime (JPEG, GIF) raise
+  NotImplementedError in strict mode, and ``strict=False`` substitutes a
+  deterministic fake (seeded from the content bytes) so downstream
+  plumbing stays testable on any input;
 - video frame sampling over a raw fixed-size-frame container is real
   ``mapInPandas`` plumbing (one input row -> n frame rows, UDTF shape).
 
@@ -104,28 +107,177 @@ def probe_media_udf():
     return _udf
 
 
+def _decode_png(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    """8-bit non-interlaced PNG (public spec: IHDR + zlib IDAT + the 5
+    scanline filters), stdlib zlib + numpy only. Returns
+    (width, height, channels, uint8 array (h, w*ch))."""
+    import zlib
+
+    w, h = struct.unpack(">II", b[16:24])
+    bit_depth, color = b[24], b[25]
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth} (only 8)")
+    if b[28] != 0:
+        raise NotImplementedError("interlaced PNG")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color}")
+    # walk chunks, concatenate IDAT payloads
+    idat, i = [], 8
+    while i + 8 <= len(b):
+        (ln,), typ = struct.unpack(">I", b[i:i + 4]), b[i + 4:i + 8]
+        if typ == b"IDAT":
+            idat.append(b[i + 8:i + 8 + ln])
+        if typ == b"IEND":
+            break
+        i += 12 + ln
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * channels
+    if raw.size != h * (1 + stride):
+        raise ValueError("PNG data size mismatch")
+    raw = raw.reshape(h, 1 + stride)
+    filters, data = raw[:, 0], raw[:, 1:].astype(np.int32)
+    bpp = channels
+    out = np.zeros((h, stride), dtype=np.int32)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        line, f = data[y].copy(), int(filters[y])
+        if f == 0:                                    # None
+            rec = line
+        elif f == 1:                                  # Sub
+            rec = line
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif f == 2:                                  # Up
+            rec = (line + prior) & 0xFF
+        elif f == 3:                                  # Average
+            rec = line
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif f == 4:                                  # Paeth
+            rec = line
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                c = prior[x - bpp] if x >= bpp else 0
+                p = a + prior[x] - c
+                pa, pb, pc = abs(p - a), abs(p - prior[x]), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = prior[x]
+                else:
+                    pred = c
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = prior = rec
+    return w, h, channels, out.astype(np.uint8)
+
+
+def _decode_bmp(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Uncompressed (BI_RGB) 24/32-bit BMP with a BITMAPINFOHEADER —
+    bottom-up BGR(A) rows padded to 4 bytes, returned top-down RGB(A)."""
+    if struct.unpack("<I", b[14:18])[0] < 40:
+        raise NotImplementedError("BMP core-header variant")
+    w, h_signed = struct.unpack("<ii", b[18:26])
+    bits, compression = struct.unpack("<HI", b[28:34])
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (method {compression})")
+    if bits not in (24, 32):
+        raise NotImplementedError(f"{bits}-bit BMP (only 24/32)")
+    offset = struct.unpack("<I", b[10:14])[0]
+    ch = bits // 8
+    h, bottom_up = abs(h_signed), h_signed > 0
+    row_bytes = (w * ch + 3) & ~3
+    px = np.frombuffer(b, np.uint8, count=h * row_bytes, offset=offset)
+    px = px.reshape(h, row_bytes)[:, :w * ch].reshape(h, w, ch)
+    if bottom_up:
+        px = px[::-1]
+    px = px[:, :, [2, 1, 0] + ([3] if ch == 4 else [])]  # BGR(A)->RGB(A)
+    return w, h, ch, px.reshape(h, w * ch).copy()
+
+
+def _decode_pnm(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Binary PPM (P6) / PGM (P5), maxval <= 255."""
+    fields, i = [], 2
+    while len(fields) < 3:
+        while i < len(b) and b[i:i + 1].isspace():
+            i += 1
+        if b[i:i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j:j + 1].isspace():
+            j += 1
+        fields.append(int(b[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM")
+    ch = 3 if b[:2] == b"P6" else 1
+    px = np.frombuffer(b, np.uint8, count=w * h * ch, offset=i)
+    return w, h, ch, px.reshape(h, w * ch).copy()
+
+
+def decode_image_bytes(b: bytes) -> dict:
+    """Decode one image blob to pixels with pure numpy + stdlib — the
+    public byte layouts this runtime can fully handle: binary PPM/PGM,
+    uncompressed 24/32-bit BMP, 8-bit non-interlaced PNG (zlib IDAT, all
+    5 scanline filters). Formats needing an entropy codec (JPEG, GIF/LZW)
+    raise NotImplementedError. Returns {width, height, n_channels,
+    pixels} with float64 pixels in [0, 1], row-major, channel-interleaved."""
+    b = bytes(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, ch, px = _decode_png(b)
+    elif b[:2] == b"BM":
+        w, h, ch, px = _decode_bmp(b)
+    elif b[:2] in (b"P5", b"P6"):
+        w, h, ch, px = _decode_pnm(b)
+    elif b[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError("JPEG needs an entropy codec (not bundled)")
+    elif b[:6] in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("GIF needs an LZW codec (not bundled)")
+    else:
+        raise ValueError("unknown image container")
+    return {"width": w, "height": h, "n_channels": ch,
+            "pixels": px.reshape(-1).astype(np.float64) / 255.0}
+
+
+PIXELS_DDL = "width int, height int, n_channels int, pixels array<double>"
+
+
 def decode_pixels_udf(strict: bool = True, n_fake: int = 16):
-    """Pixel decode: the codec step (libpng/libjpeg/PIL) is NOT in this
-    runtime, so strict mode raises NotImplementedError (clearly-marked
-    stub). ``strict=False`` emits a deterministic fake — float64 pixels
-    seeded from the content bytes — keeping every downstream stage
-    (normalization, embedding, dedup) testable with stable values."""
-    @F.pandas_udf("array<double>")
-    def _udf(content: pd.Series) -> pd.Series:
-        if strict:
-            raise NotImplementedError(
-                "pixel decode requires a codec library not present in this "
-                "runtime; use decode_pixels_udf(strict=False) for the "
-                "deterministic fake")
+    """Pixel decode as binary -> struct<PIXELS_DDL>.
+
+    Strict mode REALLY decodes the self-contained public formats
+    (PPM/PGM, uncompressed BMP, 8-bit PNG — see
+    :func:`decode_image_bytes`) and raises NotImplementedError on formats
+    whose entropy codecs are not in this runtime (JPEG, GIF).
+    ``strict=False`` falls back per-row to a deterministic fake — float64
+    pixels seeded from the content bytes, width=n_fake, height=1 — so
+    downstream stages (normalization, embedding, dedup) stay testable on
+    any input."""
+    @F.pandas_udf(f"struct<{PIXELS_DDL}>")
+    def _udf(content: pd.Series) -> pd.DataFrame:
         out = []
         for v in content:
             if v is None:
-                out.append(None)
+                out.append({"width": None, "height": None,
+                            "n_channels": None, "pixels": None})
                 continue
-            raw = np.frombuffer(bytes(v), dtype=np.uint8)
-            reps = int(np.ceil(n_fake / max(len(raw), 1)))
-            out.append((np.tile(raw, reps)[:n_fake] / 255.0))
-        return pd.Series(out)
+            try:
+                out.append(decode_image_bytes(v))
+            except (NotImplementedError, ValueError):
+                if strict:
+                    raise
+                raw = np.frombuffer(bytes(v), dtype=np.uint8)
+                reps = int(np.ceil(n_fake / max(len(raw), 1)))
+                out.append({"width": n_fake, "height": 1, "n_channels": 1,
+                            "pixels": np.tile(raw, reps)[:n_fake] / 255.0})
+        return pd.DataFrame(out)
     return _udf
 
 

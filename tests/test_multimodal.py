@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -59,12 +60,16 @@ def test_probe_udf_batch(spark):
     assert out[4]["error"] == "unknown container"
 
 
-def test_decode_pixels_strict_raises(spark):
+def test_decode_pixels_strict_raises_on_codec_formats(spark):
+    # JPEG needs an entropy codec: strict decode must refuse loudly
+    df = spark.createDataFrame([(1, _jpeg(2, 2))], "id long, content binary")
+    with pytest.raises(Exception) as exc:
+        df.select(MM.decode_pixels_udf(strict=True)("content")).collect()
+    assert "NotImplementedError" in str(exc.value) or "codec" in str(exc.value)
     df = spark.createDataFrame([(1, b"abc")], "id long, content binary")
     with pytest.raises(Exception) as exc:
         df.select(MM.decode_pixels_udf(strict=True)("content")).collect()
-    assert "NotImplementedError" in str(exc.value) or \
-        "codec" in str(exc.value)
+    assert "unknown image container" in str(exc.value)
 
 
 def test_decode_pixels_fake_deterministic(spark):
@@ -72,8 +77,117 @@ def test_decode_pixels_fake_deterministic(spark):
     rows = {r["id"]: r["px"] for r in df.select(
         "id", MM.decode_pixels_udf(strict=False, n_fake=4)("content")
         .alias("px")).collect()}
-    assert rows[1] == pytest.approx([97 / 255, 98 / 255, 97 / 255, 98 / 255])
-    assert rows[2] is None
+    assert rows[1]["pixels"] == pytest.approx(
+        [97 / 255, 98 / 255, 97 / 255, 98 / 255])
+    assert rows[2]["pixels"] is None
+
+
+# ---- real pixel decode (PPM/PGM, BMP, PNG) --------------------------------
+
+def _encode_png(arr, color, filters):
+    """Independent PNG writer: forward-filter each row with the given
+    filter type, deflate, wrap in IHDR/IDAT/IEND chunks."""
+    import zlib
+    h, w, ch = arr.shape
+    bpp = ch
+    lines = []
+    prior = np.zeros(w * ch, dtype=np.int32)
+    for y, ftype in zip(range(h), filters):
+        raw = arr[y].reshape(-1).astype(np.int32)
+        out = raw.copy()
+        for x in range(w * ch):
+            a = raw[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            if ftype == 1:
+                out[x] = raw[x] - a
+            elif ftype == 2:
+                out[x] = raw[x] - b
+            elif ftype == 3:
+                out[x] = raw[x] - ((a + b) >> 1)
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out[x] = raw[x] - pred
+        lines.append(bytes([ftype]) + bytes(out.astype(np.uint8)))
+        prior = raw
+
+    def chunk(typ, payload):
+        import zlib as z
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", z.crc32(typ + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def _encode_bmp(arr, bits):
+    """Independent BMP writer: bottom-up BGR(A) rows padded to 4 bytes."""
+    h, w, ch = arr.shape
+    row = w * ch
+    pad = (-row) % 4
+    body = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        bgr = arr[y][:, [2, 1, 0] + ([3] if ch == 4 else [])]
+        body += bytes(bgr.reshape(-1)) + b"\x00" * pad
+    off = 14 + 40
+    hdr = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bits, 0, len(body),
+                         2835, 2835, 0, 0))
+    return hdr + body
+
+
+RNG = np.random.default_rng(7)
+
+
+@pytest.mark.parametrize("color,ch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_png_decode_roundtrip_all_filters(color, ch):
+    arr = RNG.integers(0, 256, size=(5, 4, ch), dtype=np.uint8)
+    blob = _encode_png(arr, color, filters=[0, 1, 2, 3, 4])
+    got = MM.decode_image_bytes(blob)
+    assert (got["width"], got["height"], got["n_channels"]) == (4, 5, ch)
+    np.testing.assert_allclose(
+        got["pixels"], arr.reshape(-1) / 255.0, atol=1e-12)
+
+
+@pytest.mark.parametrize("bits,ch", [(24, 3), (32, 4)])
+def test_bmp_decode(bits, ch):
+    arr = RNG.integers(0, 256, size=(3, 5, ch), dtype=np.uint8)
+    got = MM.decode_image_bytes(_encode_bmp(arr, bits))
+    assert (got["width"], got["height"], got["n_channels"]) == (5, 3, ch)
+    np.testing.assert_allclose(
+        got["pixels"], arr.reshape(-1) / 255.0, atol=1e-12)
+
+
+def test_pnm_decode_with_comment():
+    arr = RNG.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    blob = b"P6\n# a comment\n3 2\n255\n" + bytes(arr.reshape(-1))
+    got = MM.decode_image_bytes(blob)
+    assert (got["width"], got["height"], got["n_channels"]) == (3, 2, 3)
+    np.testing.assert_allclose(got["pixels"], arr.reshape(-1) / 255.0)
+    gray = np.arange(6, dtype=np.uint8).reshape(2, 3, 1)
+    got = MM.decode_image_bytes(b"P5 3 2 255\n" + bytes(gray.reshape(-1)))
+    assert got["n_channels"] == 1
+    np.testing.assert_allclose(got["pixels"], gray.reshape(-1) / 255.0)
+
+
+def test_decode_pixels_udf_strict_real_decode(spark):
+    arr = RNG.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, _encode_png(arr, 2, [4, 3, 2, 1])), (2, _encode_bmp(arr, 24)),
+         (3, None)],
+        "id long, content binary")
+    rows = {r["id"]: r["px"] for r in df.select(
+        "id", MM.decode_pixels_udf(strict=True)("content").alias("px"))
+        .collect()}
+    for rid in (1, 2):
+        assert (rows[rid]["width"], rows[rid]["height"]) == (4, 4)
+        assert rows[rid]["pixels"] == pytest.approx(
+            list(arr.reshape(-1) / 255.0))
+    assert rows[3]["pixels"] is None
 
 
 def test_sample_raw_frames(spark):

@@ -288,10 +288,51 @@ def ann_topk_ivf_index(
             .select(query_id_col, id_col, "cosine"))
 
 
+def _lsh_table_groups(
+    df: DataFrame, id_col: str, vec_col: str,
+    num_planes: int, tables: int, seed: int,
+) -> DataFrame:
+    """Replicate each vector into ``tables`` hyperplane-LSH groups
+    (``grp = table:sign-bit-bucket``): an above-threshold pair lands in
+    the same group of SOME table with prob 1-(1-p^planes)^tables. Bucket
+    bits are computed per Arrow batch in numpy (one matmul per table),
+    planes drawn deterministically from (seed, table)."""
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    out_schema = (f"grp string, {id_col} "
+                  f"{df.schema[id_col].dataType.simpleString()}, "
+                  f"{vec_col} {vec_t}")
+
+    def buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes_by_t = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(v, np.float64)
+                          for v in pdf[vec_col]])
+            if planes_by_t is None:
+                planes_by_t = [
+                    np.random.default_rng((seed, t))
+                    .standard_normal((m.shape[1], num_planes))
+                    for t in range(tables)]
+            frames = []
+            weights = 1 << np.arange(num_planes, dtype=np.int64)
+            for t, planes in enumerate(planes_by_t):
+                bits = (m @ planes) > 0
+                grp = bits @ weights
+                frames.append(pd.DataFrame({
+                    "grp": [f"{t}:{g}" for g in grp],
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col]}))
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select(id_col, vec_col).mapInPandas(buckets, out_schema)
+
+
 def cosine_pairs_blocked(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.9, block_size: int = 1024,
     n_rows: int | None = None,
+    lsh_planes: int | None = None, lsh_tables: int = 4, lsh_seed: int = 7,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold via blocked matrix multiply.
 
@@ -313,23 +354,61 @@ def cosine_pairs_blocked(
 
     ``n_rows`` (row count) sizes the block grid; pass it when known to
     avoid the extra ``df.count()`` job.
+
+    ``lsh_planes`` turns on hyperplane-LSH pruning of the block-pair
+    grid (the scale path this docstring used to only *recommend*): each
+    vector is replicated into ``lsh_tables`` sign-bit bucket groups and
+    the BLAS pass runs only within same-group sub-blocks, so the pair
+    grid shrinks from all O((n/b)^2) block pairs to the near-duplicate
+    neighborhoods. Every emitted pair is still exactly verified (same
+    matmul + threshold); the trade is RECALL < 1 — a qualifying pair is
+    found with prob ``1-(1-p^planes)^tables`` where
+    ``p = 1 - arccos(cos)/pi`` — tune planes down / tables up for
+    near-exact recall at high thresholds. Cross-table duplicate hits are
+    dropped by a final distinct on (id_a, id_b).
     """
-    blocked = (df.select(
-        (F.crc32(F.col(id_col).cast("string")) % 1_000_003).alias("__h"),
-        id_col, vec_col))
-    # contiguous-ish blocks by hash bucket: deterministic, key-skew-free
-    n = n_rows if n_rows is not None else df.count()
-    n_blocks = max(1, -(-n // block_size))
-    packed = (blocked
-              .withColumn("__blk", (F.col("__h") % n_blocks).cast("int"))
-              .groupBy("__blk")
-              .agg(F.collect_list(id_col).alias("ids"),
-                   F.collect_list(vec_col).alias("vecs")))
-    a = packed.select(F.col("__blk").alias("blk_a"),
-                      F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a"))
-    b = packed.select(F.col("__blk").alias("blk_b"),
-                      F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b"))
-    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+    if lsh_planes:
+        grouped = _lsh_table_groups(df, id_col, vec_col,
+                                    lsh_planes, lsh_tables, lsh_seed)
+        # sub-block big buckets so one hot bucket can't blow a task:
+        # same blocked-BLAS shape as below, keyed by (grp, sub-block)
+        w = Window.partitionBy("grp")
+        grouped = (grouped
+                   .withColumn("__cnt", F.count("*").over(w))
+                   .withColumn("__sub",
+                               (F.crc32(F.col(id_col).cast("string"))
+                                % F.greatest(
+                                    F.ceil(F.col("__cnt") / block_size),
+                                    F.lit(1))).cast("int")))
+        packed = (grouped.groupBy("grp", "__sub")
+                  .agg(F.collect_list(id_col).alias("ids"),
+                       F.collect_list(vec_col).alias("vecs")))
+        a = packed.select("grp", F.col("__sub").alias("blk_a"),
+                          F.col("ids").alias("ids_a"),
+                          F.col("vecs").alias("vecs_a"))
+        b = packed.select("grp", F.col("__sub").alias("blk_b"),
+                          F.col("ids").alias("ids_b"),
+                          F.col("vecs").alias("vecs_b"))
+        pairs = a.join(b, ["grp"]).filter(F.col("blk_a") <= F.col("blk_b"))
+    else:
+        blocked = (df.select(
+            (F.crc32(F.col(id_col).cast("string")) % 1_000_003).alias("__h"),
+            id_col, vec_col))
+        # contiguous-ish blocks by hash bucket: deterministic, key-skew-free
+        n = n_rows if n_rows is not None else df.count()
+        n_blocks = max(1, -(-n // block_size))
+        packed = (blocked
+                  .withColumn("__blk", (F.col("__h") % n_blocks).cast("int"))
+                  .groupBy("__blk")
+                  .agg(F.collect_list(id_col).alias("ids"),
+                       F.collect_list(vec_col).alias("vecs")))
+        a = packed.select(F.col("__blk").alias("blk_a"),
+                          F.col("ids").alias("ids_a"),
+                          F.col("vecs").alias("vecs_a"))
+        b = packed.select(F.col("__blk").alias("blk_b"),
+                          F.col("ids").alias("ids_b"),
+                          F.col("vecs").alias("vecs_b"))
+        pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
 
     out_schema = "id_a long, id_b long, cosine double"
 
@@ -356,4 +435,8 @@ def cosine_pairs_blocked(
                                   np.maximum(id_a, id_b))
                 yield pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cos})
 
-    return pairs.mapInPandas(matmul, out_schema)
+    out = pairs.mapInPandas(matmul, out_schema)
+    if lsh_planes:
+        # a pair can collide in several tables: one row per unordered pair
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out

@@ -194,6 +194,65 @@ def test_cosine_pairs_blocked_multiblock_complete(spark):
     assert set(got) == truth
 
 
+def test_cosine_pairs_lsh_pruned(spark):
+    """LSH-pruned exact pairs (r2 advice made real): every emitted pair is
+    exactly verified (subset of ground truth, exact cosines), and at a
+    high threshold with a generous table count recall reaches 1 on this
+    corpus. Sub-blocking is forced (block_size=4) so the hot-bucket guard
+    path runs too."""
+    import numpy as np
+
+    from stream2segment_spark.operators import similarity as SIM
+    from stream2segment_spark.schema import load_table
+
+    # --- recall on a corpus with REAL near-dups (testdata embeddings
+    # max out at cosine ~0.51): 30 clusters of 3 tiny perturbations of a
+    # base vector + 200 noise vectors
+    rng = np.random.default_rng(11)
+    rows = []
+    for c in range(30):
+        base = rng.standard_normal(32)
+        for j in range(3):
+            rows.append((c * 3 + j,
+                         (base + 0.02 * rng.standard_normal(32)).tolist()))
+    for k in range(200):
+        rows.append((1000 + k, rng.standard_normal(32).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    x = np.array([r[1] for r in rows])
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    sims = x @ x.T
+    ids = np.array([r[0] for r in rows])
+    thr = 0.9
+    ii, jj = np.nonzero(np.triu(sims >= thr, k=1))
+    truth = {(int(ids[i]), int(ids[j])) for i, j in zip(ii, jj)}
+    assert len(truth) >= 85  # ~90 in-cluster pairs qualify
+
+    out = SIM.cosine_pairs_blocked(
+        df, "vec_id", "embedding", threshold=thr, block_size=4,
+        lsh_planes=6, lsh_tables=12).collect()
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out}
+    assert set(got) <= truth          # exactness: no false positives
+    assert set(got) == truth          # recall 1 at these settings
+    idx = {int(v): k for k, v in enumerate(ids)}
+    for (a, b), cos in got.items():
+        assert cos == pytest.approx(sims[idx[a], idx[b]], abs=1e-9)
+
+    # --- on the gate's corpus/threshold the pruned form stays a subset
+    # of the exact blocked output with identical cosines
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in SIM.cosine_pairs_blocked(
+                 emb, "vec_id", "embedding", threshold=0.4,
+                 block_size=16).collect()}
+    pruned = {(r["id_a"], r["id_b"]): r["cosine"]
+              for r in SIM.cosine_pairs_blocked(
+                  emb, "vec_id", "embedding", threshold=0.4, block_size=16,
+                  lsh_planes=2, lsh_tables=8).collect()}
+    assert set(pruned) <= set(exact)
+    for p, cos in pruned.items():
+        assert cos == pytest.approx(exact[p], abs=1e-12)
+
+
 def test_resolve_channel_conflicts(spark):
     from stream2segment_spark.operators.dedup import resolve_channel_conflicts
     rows = [

@@ -104,6 +104,14 @@ def seed_id_expr(data_seed_id: Column, net: Column, sta: Column,
     return F.coalesce(data_seed_id, F.concat_ws(".", net, sta, loc, cha))
 
 
+def round_to_second(t: Column) -> Column:
+    """Round a timestamp to the NEAREST second (reference
+    download/modules/segments.py:214-216 rounds request windows; F11) —
+    not a truncation: .5s and up rounds forward."""
+    return F.timestamp_seconds(
+        F.round(F.unix_micros(t) / 1e6, 0).cast("long"))
+
+
 def wildcard_to_like(pattern: str) -> str:
     """FDSN wildcards (* ?) -> SQL LIKE pattern, escaping % and _
     (reference strconvert, download/modules/utils.py:786-850)."""

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -389,23 +390,9 @@ def setop_family(spark, sf_dir):
             .unionByName(ints.select(F.lit("intersect").alias("op"), "user_id")))
 
 
-@register(
-    "topk_per_group",
-    """SELECT user_id, event_id, value FROM (
-         SELECT user_id, event_id, value,
-                row_number() OVER (PARTITION BY user_id
-                                   ORDER BY value DESC, event_id) AS rn
-         FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events WHERE value IS NOT NULL) WHERE rn <= 3""",
-)
-def topk_per_group(spark, sf_dir):
-    """O-class + W: top-k per group (no such operator in the reference — its
-    ORDER BY+LIMIT pagination O4 generalized distributed-safe)."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
-    return (ev.filter(F.col("value").isNotNull())
-              .withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") <= 3)
-              .select("user_id", "event_id", "value"))
+# topk_per_group retired in r3 (gate cap rotation): O4 pagination stays
+# gate-checked via topk_pagination, the per-group window shape via
+# dedup_keep_first; the operator remains unit-tested.
 
 
 # ---------------------------------------------------------------------------
@@ -477,7 +464,13 @@ def scalar_great_circle(spark, sf_dir):
                             strftime(CAST(ts AS TIMESTAMP), '%Y'),
                             lpad(CAST(dayofyear(CAST(ts AS TIMESTAMP)) AS VARCHAR),
                                  3, '0')))
-              END AS path
+              END AS path,
+              CASE WHEN value IS NULL THEN 0.5
+                   WHEN value / 25.0 <= 4.0 THEN 0.5
+                   WHEN value / 25.0 <= 5.5 THEN 0.3
+                   WHEN value / 25.0 <= 6.5 THEN 0.1
+                   ELSE 0.05 END AS freq_min,
+              to_timestamp(round(epoch(CAST(ts AS TIMESTAMP)))) AS ts_rounded
        FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events""",
 )
 def scalar_event_exprs(spark, sf_dir):
@@ -485,9 +478,20 @@ def scalar_event_exprs(spark, sf_dir):
     piecewise-linear magnitude->radius clamp (stationsearch.py:206-244) via
     least/greatest; SeisComP SDS archive path (Segment.sds_path,
     process/db/models.py:323-347) via date_format + zero-padded
-    day-of-year; props JSON property pull. NULL inputs yield NULL outputs
-    (no row filter, so the three scalars share the grain)."""
-    from stream2segment_spark.columns import sds_path
+    day-of-year; props JSON property pull; F9 magnitude-dependent
+    bandpass cutoff through the REAL python step function on the Arrow
+    path; F11 round-to-nearest-second. NULL inputs yield NULL outputs
+    (no row filter, so the scalars share the grain)."""
+    from stream2segment_spark.columns import round_to_second, sds_path
+    from stream2segment_spark.examples.paramtable import (
+        magnitude_to_freq_min)
+
+    @F.pandas_udf("double")
+    def freq_min_udf(value: pd.Series) -> pd.Series:
+        return pd.Series([
+            magnitude_to_freq_min(None if pd.isna(v) else v / 25.0)
+            for v in value], dtype="float64")
+
     ev = load_table(spark, sf_dir, "events")
     mag = F.col("value") / 25.0
     r = C.magnitude_to_radius(mag, 3.0, 7.0, 3.0, 30.0)
@@ -497,7 +501,9 @@ def scalar_event_exprs(spark, sf_dir):
         F.get_json_object("props", "$.k").cast("long").alias("k"),
         F.when(F.col("ts").isNotNull(),
                sds_path(F.lit("GE"), F.lit("STA"), F.lit(""), F.lit("HHZ"),
-                        F.col("ts"))).alias("path"))
+                        F.col("ts"))).alias("path"),
+        freq_min_udf(F.col("value")).alias("freq_min"),
+        round_to_second(F.col("ts")).alias("ts_rounded"))
 
 
 @register(
@@ -523,6 +529,7 @@ WEAK_CHECK_ONLY: tuple[str, ...] = ()
 # 50 registered entries. The whole catalog now fits in 50, but the modules
 # whose entries went unchecked in round 1 register first as insurance
 # against a lower cap.
+from stream2segment_spark import queries_funclib  # noqa: E402,F401
 from stream2segment_spark import queries_spatial  # noqa: E402,F401
 from stream2segment_spark import queries_reporting  # noqa: E402,F401
 from stream2segment_spark import queries_text  # noqa: E402,F401

@@ -137,16 +137,9 @@ def agg_rollup_time(spark, sf_dir):
         "day", "n", "total")
 
 
-@register(
-    "agg_type_stats",
-    """SELECT event_type,
-              round(quantile_cont(value, 0.25), 6) AS p25,
-              round(quantile_cont(value, 0.50), 6) AS p50,
-              round(quantile_cont(value, 0.75), 6) AS p75,
-              count(DISTINCT user_id) AS exact_users
-       FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
-       WHERE value IS NOT NULL GROUP BY event_type""",
-)
+# agg_type_stats and agg_cube retired from the GATE in r3 (50-entry cap
+# rotation; both are beyond-reference showcases — agg_rollup_time keeps
+# grouping-sets coverage). Bodies kept, un-registered, still unit-tested.
 def agg_type_stats(spark, sf_dir):
     """Beyond-reference stats, one per-type entry: exact interpolated
     percentiles + exact distinct-user counts under the gate.
@@ -186,15 +179,6 @@ def join_salted_skew(spark, sf_dir):
 
 
 
-@register(
-    "agg_cube",
-    """SELECT coalesce(event_type, '(all)') AS event_type,
-              coalesce(CAST(bucket AS VARCHAR), '(all)') AS bucket,
-              count(*) AS n
-       FROM (SELECT event_type, user_id % 10 AS bucket
-             FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
-             ) GROUP BY CUBE (event_type, bucket)""",
-)
 def agg_cube(spark, sf_dir):
     """Beyond-reference: full CUBE over (type, user bucket) — all four
     grouping sets in one partially-aggregated pass."""

@@ -31,6 +31,24 @@ def compress_payload(data: bytes, method: str = "gzip") -> bytes:
     raise ValueError(f"unknown compression {method!r}")
 
 
+def sniff_format(data: bytes) -> str:
+    """Name the compression container by magic bytes — the sniff half of
+    :func:`sniff_decompress` (reference models.py:220-252), exposed for
+    inspection/reporting: 'gzip' | 'bz2' | 'zip' | 'zlib' | 'plain'."""
+    if not data:
+        return "plain"
+    if data[:2] == b"\x1f\x8b":
+        return "gzip"
+    if data[:3] == b"BZh":
+        return "bz2"
+    if data[:4] == b"PK\x03\x04":
+        return "zip"
+    if len(data) >= 2 and data[0] == 0x78 \
+            and (data[0] * 256 + data[1]) % 31 == 0:
+        return "zlib"
+    return "plain"
+
+
 def sniff_decompress(data: bytes) -> bytes:
     """Transparently decompress gzip/bz2/zip/zlib payloads by magic bytes;
     plain data passes through unchanged (reference models.py:220-252)."""

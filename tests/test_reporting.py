@@ -77,3 +77,35 @@ def test_stats_by_code_distributed(spark):
     got = {(r["row"], r["code"]): r["n"]
            for r in R.stats_by_code(segs).collect()}
     assert got == {("dc_a", 200): 2, ("dc_a", -2): 1, ("dc_b", None): 1}
+
+
+def test_retired_gate_entries_still_correct(spark, testdata_duck):
+    """agg_type_stats / agg_cube left the 50-entry gate in the r3
+    rotation but stay part of the library: oracle-check them here with
+    the same DuckDB views the gate uses."""
+    from stream2segment_spark.queries_reporting import agg_cube, agg_type_stats
+    from tests.conftest import SF_DIR_T2
+
+    got = {r["event_type"]: r.asDict()
+           for r in agg_type_stats(spark, SF_DIR_T2).collect()}
+    want = testdata_duck.execute(
+        """SELECT event_type, round(quantile_cont(value, 0.25), 6) p25,
+                  round(quantile_cont(value, 0.50), 6) p50,
+                  round(quantile_cont(value, 0.75), 6) p75,
+                  count(DISTINCT user_id) exact_users
+           FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+           WHERE value IS NOT NULL GROUP BY event_type""").fetchall()
+    assert len(want) == len(got)
+    for et, p25, p50, p75, users in want:
+        row = got[et]
+        assert (row["p25"], row["p50"], row["p75"]) == (p25, p50, p75)
+        assert row["exact_users"] == users
+
+    cube = {(r["event_type"], r["bucket"]): r["n"]
+            for r in agg_cube(spark, SF_DIR_T2).collect()}
+    want = testdata_duck.execute(
+        """SELECT coalesce(event_type, '(all)'),
+                  coalesce(CAST(bucket AS VARCHAR), '(all)'), count(*)
+           FROM (SELECT event_type, user_id % 10 AS bucket FROM events)
+           GROUP BY CUBE (event_type, bucket)""").fetchall()
+    assert dict(((et, b), n) for et, b, n in want) == cube

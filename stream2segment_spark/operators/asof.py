@@ -79,6 +79,7 @@ def interval_overlap_join(
     right_bounds: tuple[str, str],
     by: list[str] | None = None,
     bucket_sec: float = 3600.0,
+    max_buckets: int = 4096,
 ) -> DataFrame:
     """Interval join: pairs whose [start, end) windows overlap
     (``l.start < r.end AND r.start < l.end``), optionally within ``by``
@@ -93,10 +94,26 @@ def interval_overlap_join(
     ``distinct()`` re-shuffle, and genuine duplicate input rows keep their
     multiplicity (inequality-join semantics). Pair work scales with bucket
     density, never |L|x|R|.
+
+    **Skew guard**: a pathological interval spanning more than
+    ``max_buckets`` buckets (a years-long row under an hourly bucket)
+    would explode into that many candidate rows AND overlap nearly
+    everything — the classic banded-join blowup. Such WIDE rows are
+    routed off the banded path: they are few by definition (or the data
+    is all-overlapping and no banding can help), so they broadcast-join
+    the other side with the raw overlap predicate instead. The three
+    legs (narrow x narrow banded, wide-left x all, narrow-left x
+    wide-right) partition the pair space exactly, so output multiset
+    semantics are unchanged.
     """
     by = by or []
     ls, le = left_bounds
     rs, re_ = right_bounds
+
+    def width_ok(df, s, e):
+        return (F.floor(F.col(e).cast("double") / bucket_sec)
+                - F.floor(F.col(s).cast("double") / bucket_sec)
+                ) < max_buckets
 
     def bucketize(df, s, e):
         b = F.explode(F.sequence(
@@ -104,19 +121,41 @@ def interval_overlap_join(
             F.floor(F.col(e).cast("double") / bucket_sec)))
         return df.withColumn("__bucket", b)
 
-    l = bucketize(left, ls, le).alias("l")
-    r = bucketize(right, rs, re_).alias("r")
-    cond = F.col("l.__bucket") == F.col("r.__bucket")
-    for k in by:
-        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    narrow_l = left.filter(width_ok(left, ls, le))
+    wide_l = left.filter(~width_ok(left, ls, le))
+    narrow_r = right.filter(width_ok(right, rs, re_))
+    wide_r = right.filter(~width_ok(right, rs, re_))
+
     overlap = ((F.col(f"l.{ls}") < F.col(f"r.{re_}"))
                & (F.col(f"r.{rs}") < F.col(f"l.{le}")))
-    claiming = F.col("l.__bucket") == F.floor(
-        F.greatest(F.col(f"l.{ls}").cast("double"),
-                   F.col(f"r.{rs}").cast("double")) / bucket_sec)
     out_cols = ([F.col(f"l.{c}") for c in left.columns]
                 + [F.col(f"r.{c}").alias(c if c not in left.columns
                                          else c + "_r")
                    for c in right.columns if c not in by])
-    return (l.join(r, cond & overlap & claiming)
-            .select(*out_cols))
+
+    def by_cond(base):
+        cond = base
+        for k in by:
+            cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+        return cond
+
+    # leg 1: narrow x narrow through the banded equi-join
+    l = bucketize(narrow_l, ls, le).alias("l")
+    r = bucketize(narrow_r, rs, re_).alias("r")
+    claiming = F.col("l.__bucket") == F.floor(
+        F.greatest(F.col(f"l.{ls}").cast("double"),
+                   F.col(f"r.{rs}").cast("double")) / bucket_sec)
+    banded = (l.join(
+        r, by_cond(F.col("l.__bucket") == F.col("r.__bucket"))
+        & overlap & claiming).select(*out_cols))
+
+    # legs 2+3: wide rows broadcast against the other side (wide x wide
+    # lives in leg 2 only, so the three legs tile the pair space)
+    wide_legs = (
+        F.broadcast(wide_l.alias("l")).join(
+            right.alias("r"), by_cond(overlap)).select(*out_cols)
+        .unionByName(
+            narrow_l.alias("l").join(
+                F.broadcast(wide_r.alias("r")),
+                by_cond(overlap)).select(*out_cols)))
+    return banded.unionByName(wide_legs)

@@ -54,6 +54,29 @@ def test_dotted_selection_broadcasts_dims(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_interval_join_skew_guard_plan(spark):
+    """The interval join's wide-row legs must plan as BROADCAST joins
+    (wide rows are few by construction; shipping them to every executor
+    beats shuffling the narrow side), and the session must keep AQE on so
+    a residual hot bucket in the banded leg gets runtime-split."""
+    from datetime import datetime, timedelta
+
+    from stream2segment_spark.operators.asof import interval_overlap_join
+    t0 = datetime(2024, 1, 1)
+    day = timedelta(days=1)
+    left = spark.createDataFrame(
+        [(1, t0, t0 + day), (2, t0 - 365 * day, t0 + 365 * day)],
+        "lid long, s timestamp, e timestamp")
+    right = spark.createDataFrame(
+        [(10, t0, t0 + day)], "rid long, s timestamp, e timestamp")
+    out = interval_overlap_join(left, right, ("s", "e"), ("s", "e"),
+                                bucket_sec=3600.0, max_buckets=8)
+    plan = _physical(out)
+    assert ("BroadcastNestedLoopJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
 def test_pricing_agg_partial_and_pushdown(spark):
     plan = _physical(QUERIES["agg_pricing_summary"](spark, SF_DIR_SMOKE))
     # two-phase aggregation: a partial HashAggregate before the exchange

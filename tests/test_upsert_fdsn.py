@@ -161,3 +161,32 @@ def test_interval_overlap_claiming_bucket(spark):
     # (1,10) and (2,10) overlap on buckets 2 and 3 -> each exactly once;
     # rid 11 starts after both left intervals end; lid 3 has no partner
     assert pairs == [(1, 10), (2, 10)]
+
+
+def test_interval_overlap_wide_row_guard(spark):
+    """Skew guard: intervals spanning > max_buckets buckets leave the
+    banded path (no explosion) and broadcast-theta-join instead — results
+    identical to the brute-force overlap join, each pair once, wide-wide
+    pairs not duplicated across legs."""
+    from datetime import datetime, timedelta
+
+    from stream2segment_spark.operators.asof import interval_overlap_join
+    t0 = datetime(2024, 1, 1)
+    day = timedelta(days=1)
+    # wide rows span ~2 years of hourly buckets (>> max_buckets=8)
+    left = spark.createDataFrame(
+        [(1, t0, t0 + 2 * day),                    # narrow
+         (2, t0 + 100 * day, t0 + 101 * day),      # narrow, far away
+         (3, t0 - 365 * day, t0 + 365 * day)],     # WIDE: hits everything
+        "lid long, s timestamp, e timestamp")
+    right = spark.createDataFrame(
+        [(10, t0 + day, t0 + 3 * day),             # narrow: overlaps 1, 3
+         (11, t0 + 200 * day, t0 + 201 * day),     # narrow: overlaps 3 only
+         (12, t0 - 400 * day, t0 + 400 * day)],    # WIDE: hits everything
+        "rid long, s timestamp, e timestamp")
+    out = interval_overlap_join(
+        left, right, ("s", "e"), ("s", "e"),
+        bucket_sec=3600.0, max_buckets=8).collect()
+    pairs = sorted((r["lid"], r["rid"]) for r in out)
+    assert pairs == [(1, 10), (1, 12), (2, 12),
+                     (3, 10), (3, 11), (3, 12)]

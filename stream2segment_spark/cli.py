@@ -505,6 +505,29 @@ config: {}                      # dict passed through to the pyfunc
 """
 
 
+def cmd_tt_create(spark, model_spec: str, outfile: str, phase: str,
+                  tol: float, maxdepth: float, maxdist: float) -> int:
+    """'s2s tt-create': build a travel-time npz table from a 1-D velocity
+    model (reference ttcreator.py:419-572, obspy-free — grid rows are a
+    distributed Spark job; see traveltimes.py for the ray theory)."""
+    from stream2segment_spark.traveltimes import (
+        VelocityModel1D, compute_grid, demo_model, save_npz)
+
+    if model_spec == "demo":
+        model = demo_model()
+    else:
+        model = VelocityModel1D.from_csv(
+            model_spec, column="vs" if phase.upper() == "S" else "vp")
+    depths, dists, grid = compute_grid(
+        model, tt_errtol=tol, max_source_depth_km=maxdepth,
+        max_dist_deg=maxdist, spark=spark)
+    save_npz(outfile, depths, dists, grid, model.name, phase.upper(), tol)
+    print(f"wrote {outfile}: {grid.shape[0]} source depths x "
+          f"{grid.shape[1]} distances (model={model.name}, phase={phase}, "
+          f"tol={tol}s)")
+    return 0
+
+
 def cmd_init(outdir: str) -> int:
     """'s2s init': write editable template files to OUTDIR."""
     import shutil
@@ -576,10 +599,37 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-d", "--dburl", required=True,
                    help="sqlite file path, sqlite:///path, or a "
                         "postgresql:// / jdbc: URL")
+    p = sub.add_parser(
+        "tt-create",
+        help="build a travel-time npz table from a 1-D velocity model "
+             "(depth_km,vp_km_s[,vs_km_s] csv, or 'demo')")
+    p.add_argument("-m", "--model", required=True,
+                   help="velocity model csv path, or 'demo'")
+    p.add_argument("-o", "--outfile", required=True, help="output .npz")
+    p.add_argument("-p", "--phase", default="P", choices=["P", "S", "p", "s"])
+    p.add_argument("-t", "--tolerance", type=float, default=0.5,
+                   help="max linear-interpolation error in seconds")
+    p.add_argument("--maxdepth", type=float, default=700.0)
+    p.add_argument("--maxdist", type=float, default=180.0)
+    p.add_argument("--local", action="store_true",
+                   help="compute on the driver (no Spark job)")
     args = ap.parse_args(argv)
 
     if args.cmd == "init":
         return cmd_init(args.outdir)
+    if args.cmd == "tt-create":
+        if args.local:
+            return cmd_tt_create(None, args.model, args.outfile, args.phase,
+                                 args.tolerance, args.maxdepth, args.maxdist)
+        from stream2segment_spark.session import get_spark
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-tt-create")
+        try:
+            return cmd_tt_create(spark, args.model, args.outfile, args.phase,
+                                 args.tolerance, args.maxdepth, args.maxdist)
+        finally:
+            if not preexisting:
+                spark.stop()
     cfg = _load_cfg(args.config)
     if args.cmd == "db-classlabel":  # driver-side only: no session needed
         return cmd_db_classlabel(cfg, args.add, args.rename, args.delete)

@@ -118,8 +118,20 @@ def load_tt_grid(spec: str) -> TTGrid:
       :meth:`TTGrid.from_npz`;
     - ``"uniform:<v_km_s>"`` (e.g. ``uniform:5.0``) -> a constant-velocity
       half-space model built on a 0-700 km x 0-180 deg grid — the
-      self-contained option when no precomputed table is at hand.
+      self-contained option when no precomputed table is at hand;
+    - ``"model:<path.csv>"`` / ``"model:demo"`` -> compute a first-arrival
+      table on the fly from a 1-D velocity model via the obspy-free ray
+      tracer (traveltimes.py; ~seconds of driver time at the default 0.5 s
+      tolerance — precompute with ``s2s tt-create`` for repeated runs).
     """
+    if isinstance(spec, str) and spec.startswith("model:"):
+        from stream2segment_spark.traveltimes import (
+            VelocityModel1D, compute_grid, demo_model)
+        what = spec.split(":", 1)[1]
+        model = demo_model() if what == "demo" else \
+            VelocityModel1D.from_csv(what)
+        depths, dists, grid = compute_grid(model)
+        return TTGrid(depths, dists, grid)
     if isinstance(spec, str) and spec.startswith("uniform:"):
         try:
             v = float(spec.split(":", 1)[1])

@@ -88,3 +88,25 @@ def triangsmooth_udf(winlen_ratio: float):
         return pd.Series([ND.triangsmooth(np.asarray(a, float), winlen_ratio)
                           for a in s])
     return _udf
+
+
+def moving_average_udf(width: int):
+    """W4 envelope smoothing (coda.moving_average: centered mean with
+    edge shrink) applied per array value."""
+    @F.pandas_udf("array<double>")
+    def _udf(s: pd.Series) -> pd.Series:
+        from stream2segment_spark.funclib.coda import moving_average
+        return pd.Series([moving_average(np.asarray(a, float), width)
+                          for a in s])
+    return _udf
+
+
+def sta_lta_udf(nsta: int, nlta: int):
+    """N10 STA/LTA trigger ratio (coda.sta_lta) applied per array value
+    (0 while the long-term window is not yet full)."""
+    @F.pandas_udf("array<double>")
+    def _udf(s: pd.Series) -> pd.Series:
+        from stream2segment_spark.funclib.coda import sta_lta
+        return pd.Series([sta_lta(np.asarray(a, float), nsta, nlta)
+                          for a in s])
+    return _udf

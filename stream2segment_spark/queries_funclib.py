@@ -197,3 +197,51 @@ def source_sniff(spark, sf_dir):
         "doc_id", "method",
         F.md5("payload").alias("payload_md5"),
         withdata(F.col("maybe_data")).alias("has_data"))
+
+
+@register(
+    "funclib_coda_smooth",
+    """WITH u AS (
+         SELECT vec_id, i.i AS pos, embedding[i.i]::DOUBLE AS x
+         FROM embeddings, range(1, 65) i(i)),
+       s AS (
+         SELECT vec_id, pos,
+                avg(x) OVER (PARTITION BY vec_id ORDER BY pos
+                             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+                  AS smooth,
+                sum(x * x) OVER (PARTITION BY vec_id ORDER BY pos
+                                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                  / 4 AS sta,
+                sum(x * x) OVER (PARTITION BY vec_id ORDER BY pos
+                                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+                  / 16 AS lta,
+                count(*) OVER (PARTITION BY vec_id ORDER BY pos
+                               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+                  AS nl
+         FROM u)
+       SELECT vec_id, pos, round(smooth, 6) AS smooth,
+              round(CASE WHEN nl < 16 THEN 0.0
+                         WHEN lta > 0 THEN sta / lta
+                         ELSE 0.0 END, 6) AS stalta
+       FROM s""",
+)
+def funclib_coda_smooth(spark, sf_dir):
+    """W4 + N10 building blocks through the REAL kernels on the Arrow
+    path: centered moving-average smoothing with edge shrink
+    (funclib/coda.moving_average — the reference's envelope smoothing,
+    process/funclib/traces.py) and the cumulative-sum STA/LTA trigger
+    ratio (coda.sta_lta, zero until the long-term window fills), both
+    replayed exactly by DuckDB window frames over the unnested arrays.
+    The FFT-Hilbert envelope magnitude itself stays exact-value
+    pytest-covered (test_funclib) — a DFT replay already gate-checks the
+    spectral path in funclib_spectra."""
+    from stream2segment_spark.funclib import udfs as U
+    emb = load_table(spark, sf_dir, "embeddings")
+    sm = U.moving_average_udf(5)(F.col("embedding"))
+    st = U.sta_lta_udf(4, 16)(F.col("embedding"))
+    z = F.posexplode(F.arrays_zip(sm.alias("sm"), st.alias("st")))
+    out = emb.select("vec_id", z.alias("pos", "v"))
+    return out.select(
+        "vec_id", (F.col("pos") + 1).alias("pos"),
+        F.round(F.col("v.sm"), 6).alias("smooth"),
+        F.round(F.col("v.st"), 6).alias("stalta"))

@@ -107,8 +107,11 @@ def topk_pagination(spark, sf_dir):
 
 
 @register(
+    # r3 gate rotation: deferred (beyond-reference rollup showcase;
+    # oracle-checked in test_reporting, still benched)
     "agg_rollup_time",
-    """SELECT CASE WHEN event_type IS NULL THEN '(all)' ELSE event_type END
+    gate=False,
+    oracle="""SELECT CASE WHEN event_type IS NULL THEN '(all)' ELSE event_type END
               AS event_type,
               CAST(day AS TIMESTAMP) AS day, n, total
        FROM (

@@ -75,8 +75,12 @@ def upsert_sync_ids(spark, sf_dir):
 
 
 @register(
+    # r3 gate rotation: deferred (K4 stays gate-checked via
+    # upsert_latest_wins/upsert_sync_ids; skip-unchanged remains
+    # unit-tested in test_upsert_fdsn and benched)
     "upsert_skip_unchanged",
-    """SELECT o_orderkey, concat(o_orderstatus, 'X') AS o_orderstatus
+    gate=False,
+    oracle="""SELECT o_orderkey, concat(o_orderstatus, 'X') AS o_orderstatus
        FROM orders WHERE o_orderkey % 7 = 0""",
 )
 def upsert_skip_unchanged(spark, sf_dir):
@@ -122,3 +126,58 @@ def fdsn_text_roundtrip(spark, sf_dir):
                          F.round("value", 4).alias("value"))
 
 
+
+
+@register(
+    "source_nslc_filters",
+    """WITH ch AS (
+         SELECT concat('N', p_partkey % 5) AS network,
+                concat('S', p_partkey % 211) AS station,
+                CASE WHEN p_partkey % 4 = 0 THEN ''
+                     ELSE concat('0', p_partkey % 4) END AS location,
+                CASE p_partkey % 5 WHEN 0 THEN 'HHZ' WHEN 1 THEN 'HHN'
+                     WHEN 2 THEN 'BHZ' WHEN 3 THEN 'HHE'
+                     ELSE 'LHZ' END AS channel,
+                CAST(100 - (p_partkey % 120) AS DOUBLE) AS sample_rate,
+                p_partkey
+         FROM part)
+       SELECT network, station, location, channel, sample_rate, p_partkey
+       FROM ch
+       WHERE channel LIKE 'HH%'
+         AND NOT regexp_matches(channel, '.*N$')
+         AND sample_rate >= 20""",
+)
+def source_nslc_filters(spark, sf_dir):
+    """S5 + P7: the channel-selection stage of the download — FDSN
+    channel-text parse, positive FDSN wildcard -> LIKE, negative NSLC
+    regex, and the sample-rate floor, exactly as ingest_channels applies
+    them (pipeline.py; reference download/modules/channels.py:250-301 +
+    get_post_data NSLC semantics). Channels synthesized from the part
+    table round-trip through '|'-separated text first, so the parse
+    itself is in the checked path."""
+    from stream2segment_spark.columns import wildcard_to_like
+    from stream2segment_spark.sources.fdsn import (
+        parse_fdsn_lines, to_fdsn_lines)
+    pt = load_table(spark, sf_dir, "part")
+    key = F.col("p_partkey")
+    cha = (F.when(key % 5 == 0, "HHZ").when(key % 5 == 1, "HHN")
+            .when(key % 5 == 2, "BHZ").when(key % 5 == 3, "HHE")
+            .otherwise("LHZ"))
+    ch = pt.select(
+        F.concat(F.lit("N"), (key % 5).cast("string")).alias("network"),
+        F.concat(F.lit("S"), (key % 211).cast("string")).alias("station"),
+        F.when(key % 4 == 0, "").otherwise(
+            F.concat(F.lit("0"), (key % 4).cast("string"))).alias("location"),
+        cha.alias("channel"),
+        (100 - (key % 120)).cast("double").alias("sample_rate"),
+        key.alias("p_partkey"))
+    cols = [("network", "string"), ("station", "string"),
+            ("location", "string"), ("channel", "string"),
+            ("sample_rate", "double"), ("p_partkey", "long")]
+    parsed = parse_fdsn_lines(to_fdsn_lines(ch, cols), cols,
+                              required=["network", "station", "channel"])
+    out = (parsed.filter(F.col("channel").like(wildcard_to_like("HH*")))
+                 .filter(~F.col("channel").rlike(".*N$"))
+                 .filter(F.col("sample_rate") >= 20))
+    return out.select("network", "station", "location", "channel",
+                      "sample_rate", "p_partkey")

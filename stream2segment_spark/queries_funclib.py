@@ -204,6 +204,21 @@ def source_sniff(spark, sf_dir):
     """WITH u AS (
          SELECT vec_id, i.i AS pos, embedding[i.i]::DOUBLE AS x
          FROM embeddings, range(1, 65) i(i)),
+       h AS (
+         SELECT vec_id, pos,
+                CASE WHEN (pos - 1) <= 58
+                     THEN CAST(round((pos - 1) * 0.07) AS INT)
+                     ELSE 63 - (pos - 1) END AS n
+         FROM u),
+       t AS (
+         SELECT h.vec_id, h.pos,
+                CASE WHEN h.n < 2 THEN e.embedding[h.pos]::DOUBLE
+                     ELSE list_sum(list_transform(
+                            range(-(h.n - 1), h.n),
+                            o -> (h.n - abs(o))
+                                 * e.embedding[h.pos + o]::DOUBLE))
+                          / (h.n * h.n) END AS tsm
+         FROM h JOIN embeddings e USING (vec_id)),
        s AS (
          SELECT vec_id, pos,
                 avg(x) OVER (PARTITION BY vec_id ORDER BY pos
@@ -219,11 +234,12 @@ def source_sniff(spark, sf_dir):
                                ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
                   AS nl
          FROM u)
-       SELECT vec_id, pos, round(smooth, 6) AS smooth,
-              round(CASE WHEN nl < 16 THEN 0.0
-                         WHEN lta > 0 THEN sta / lta
-                         ELSE 0.0 END, 6) AS stalta
-       FROM s""",
+       SELECT s.vec_id, s.pos, round(s.smooth, 6) AS smooth,
+              round(CASE WHEN s.nl < 16 THEN 0.0
+                         WHEN s.lta > 0 THEN s.sta / s.lta
+                         ELSE 0.0 END, 6) AS stalta,
+              round(t.tsm, 6) AS tsmooth
+       FROM s JOIN t ON s.vec_id = t.vec_id AND s.pos = t.pos""",
 )
 def funclib_coda_smooth(spark, sf_dir):
     """W4 + N10 building blocks through the REAL kernels on the Arrow
@@ -231,7 +247,11 @@ def funclib_coda_smooth(spark, sf_dir):
     (funclib/coda.moving_average — the reference's envelope smoothing,
     process/funclib/traces.py) and the cumulative-sum STA/LTA trigger
     ratio (coda.sta_lta, zero until the long-term window fills), both
-    replayed exactly by DuckDB window frames over the unnested arrays.
+    replayed exactly by DuckDB window frames over the unnested arrays;
+    plus N7 triangsmooth (ndarrays.py) — the index-proportional
+    triangular window replayed offset-by-offset with a DuckDB list
+    lambda (winlen_ratio 0.07 keeps np.round's banker's rounding and
+    SQL round() in agreement at every half-width this data reaches).
     The FFT-Hilbert envelope magnitude itself stays exact-value
     pytest-covered (test_funclib) — a DFT replay already gate-checks the
     spectral path in funclib_spectra."""
@@ -239,9 +259,12 @@ def funclib_coda_smooth(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     sm = U.moving_average_udf(5)(F.col("embedding"))
     st = U.sta_lta_udf(4, 16)(F.col("embedding"))
-    z = F.posexplode(F.arrays_zip(sm.alias("sm"), st.alias("st")))
+    ts = U.triangsmooth_udf(0.07)(F.col("embedding"))
+    z = F.posexplode(F.arrays_zip(sm.alias("sm"), st.alias("st"),
+                                  ts.alias("ts")))
     out = emb.select("vec_id", z.alias("pos", "v"))
     return out.select(
         "vec_id", (F.col("pos") + 1).alias("pos"),
         F.round(F.col("v.sm"), 6).alias("smooth"),
-        F.round(F.col("v.st"), 6).alias("stalta"))
+        F.round(F.col("v.st"), 6).alias("stalta"),
+        F.round(F.col("v.ts"), 6).alias("tsmooth"))

@@ -173,3 +173,33 @@ def doc_fingerprint(text: Column) -> Column:
     """Deterministic content fingerprint: md5 of normalized text
     (stable across engines — used for exact-dup detection K-fingerprint)."""
     return F.md5(normalized_text(text))
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction (training-data curation stage)
+# --------------------------------------------------------------------------
+
+# RE2-safe patterns (no lookaround/backreferences) so Spark's Java regex
+# and RE2-based SQL engines find identical matches. Order matters for
+# redaction: emails first (their local part may contain digits a later
+# pattern could clip), then IPs, then phone numbers.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{8,15}\b",                    # E.164-style
+}
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Number of matches of one PII pattern (codegen'd regexp, no UDF)."""
+    return F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]),
+                                       F.lit(0)))
+
+
+def redact_pii(text: Column, token: str = "<PII>") -> Column:
+    """Replace every PII match with ``token``, applying the patterns in
+    the fixed PII_PATTERNS order (deterministic output)."""
+    out = text
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out

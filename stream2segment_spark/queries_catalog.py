@@ -619,8 +619,11 @@ def scalar_event_exprs(spark, sf_dir):
 
 
 @register(
+    # r3 gate rotation: deferred (P6/F12 wildcard->LIKE is exercised
+    # inside source_nslc_filters' checked path; still benched)
     "scalar_wildcard_like",
-    """SELECT p_partkey, p_name FROM part WHERE p_brand LIKE 'Brand_1%'""",
+    gate=False,
+    oracle="""SELECT p_partkey, p_name FROM part WHERE p_brand LIKE 'Brand_1%'""",
 )
 def scalar_wildcard_like(spark, sf_dir):
     """P6/F12: FDSN wildcard ('Brand?1*') -> SQL LIKE

@@ -272,3 +272,81 @@ def dedup_simhash(spark, sf_dir):
 
 
 WEAK_CHECK_ONLY_TEXT: tuple[str, ...] = ()
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE = "\\+\\d{8,15}\\b"
+
+
+@register(
+    "text_curation",
+    f"""WITH base AS (
+         SELECT doc_id, coalesce(text, '') AS text FROM documents),
+       spiked AS (
+         SELECT doc_id,
+                concat(text, CASE doc_id % 3
+                  WHEN 0 THEN concat(' contact user', doc_id,
+                                     '@example.com now')
+                  WHEN 1 THEN concat(' from 10.0.', doc_id % 256,
+                                     '.17 at +4915770', doc_id % 100000)
+                  ELSE '' END) AS sp
+         FROM base),
+       pii AS (
+         SELECT doc_id,
+                len(regexp_extract_all(sp, '{_PII_EMAIL}')) AS n_email,
+                len(regexp_extract_all(sp, '{_PII_IPV4}')) AS n_ipv4,
+                len(regexp_extract_all(sp, '{_PII_PHONE}')) AS n_phone,
+                md5(regexp_replace(regexp_replace(regexp_replace(sp,
+                    '{_PII_EMAIL}', '<PII>', 'g'),
+                    '{_PII_IPV4}', '<PII>', 'g'),
+                    '{_PII_PHONE}', '<PII>', 'g')) AS red_md5
+         FROM spiked),
+       w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM base),
+       s AS (SELECT doc_id, CASE WHEN len(w) >= 5 THEN
+                list_distinct(list_transform(range(1, len(w) - 3),
+                              i -> array_to_string(w[i:i+4], ' ')))
+                ELSE [array_to_string(w, ' ')] END AS sh
+             FROM w),
+       b AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 20 = 0),
+       u AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS n FROM s),
+       hits AS (SELECT u.doc_id, any_value(u.n) AS n_shingles,
+                       count(b.g) AS n_contam
+                FROM u LEFT JOIN b ON u.g = b.g GROUP BY u.doc_id)
+       SELECT p.doc_id, p.n_email, p.n_ipv4, p.n_phone, p.red_md5,
+              h.n_shingles, h.n_contam,
+              round(h.n_contam / h.n_shingles, 6) AS contam_frac
+       FROM pii p JOIN hits h USING (doc_id)""",
+)
+def text_curation(spark, sf_dir):
+    """Training-data curation stage beyond the reference: PII
+    detection/redaction (functions/text.pii_count + redact_pii — pure
+    codegen'd regexps, RE2-safe so DuckDB replays them) and benchmark
+    decontamination (operators/dedup.contamination_fractions — fraction
+    of each doc's distinct 5-word shingles found in a benchmark corpus,
+    here every 20th doc; broadcast probe, one map-side-combined shuffle).
+    PII is spiked deterministically from doc_id on both sides since the
+    synthetic corpus contains none."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = docs.select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    spike = (F.when(did % 3 == 0,
+                    F.concat(F.lit(" contact user"), did.cast("string"),
+                             F.lit("@example.com now")))
+              .when(did % 3 == 1,
+                    F.concat(F.lit(" from 10.0."),
+                             (did % 256).cast("string"),
+                             F.lit(".17 at +4915770"),
+                             (did % 100000).cast("string")))
+              .otherwise(""))
+    sp = base.select("doc_id", F.concat("text", spike).alias("sp"))
+    pii = sp.select(
+        "doc_id",
+        TX.pii_count(F.col("sp"), "email").alias("n_email"),
+        TX.pii_count(F.col("sp"), "ipv4").alias("n_ipv4"),
+        TX.pii_count(F.col("sp"), "phone").alias("n_phone"),
+        F.md5(TX.redact_pii(F.col("sp"))).alias("red_md5"))
+    cont = DD.contamination_fractions(
+        base, base.filter(did % 20 == 0), k=5)
+    return pii.join(cont, "doc_id")

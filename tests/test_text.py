@@ -72,3 +72,42 @@ def test_line_metrics_exact(spark):
     assert row["n"] == 7
     assert row["b"] == 2            # '-' and '*' bullets, whitespace-trimmed
     assert row["e"] == 2            # '...' and the unicode ellipsis
+
+
+def test_pii_count_and_redact(spark):
+    import stream2segment_spark.functions.text as TX
+    from pyspark.sql import functions as F
+    doc = ("mail me at alice.smith+x@sub.example.org or bob@ex.io, "
+           "server 192.168.001.5 responded, call +4915771234567 now; "
+           "not-an-ip 1.2.3 and not-a-phone +123")
+    df = spark.createDataFrame([(doc,)], "text string")
+    row = df.select(
+        TX.pii_count(F.col("text"), "email").alias("e"),
+        TX.pii_count(F.col("text"), "ipv4").alias("i"),
+        TX.pii_count(F.col("text"), "phone").alias("p"),
+        TX.redact_pii(F.col("text")).alias("r")).collect()[0]
+    assert (row["e"], row["i"], row["p"]) == (2, 1, 1)
+    assert "alice" not in row["r"] and "192.168" not in row["r"]
+    assert "+49157" not in row["r"] and row["r"].count("<PII>") == 4
+    assert "1.2.3 and" in row["r"]          # 3-octet string untouched
+
+
+def test_contamination_fractions(spark):
+    from stream2segment_spark.operators.dedup import contamination_fractions
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta"),   # 3 shingles
+         (2, "alpha beta gamma delta epsilon"),            # 1 shingle
+         (3, "one two three four five six seven eight"),   # 4, disjoint
+         (4, None)],                                       # null text
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta")],      # 2 shingles
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           contamination_fractions(docs, bench, k=5).collect()}
+    # doc 1: shingles at offsets 0,1,2 -> first two are in the benchmark
+    assert (out[1]["n_shingles"], out[1]["n_contam"]) == (3, 2)
+    assert abs(out[1]["contam_frac"] - round(2 / 3, 6)) < 1e-9
+    assert (out[2]["n_shingles"], out[2]["n_contam"]) == (1, 1)
+    assert out[3]["n_contam"] == 0
+    assert out[4]["n_shingles"] == 1 and out[4]["n_contam"] == 0

@@ -469,6 +469,22 @@ def cmd_import_db(spark, cfg: dict, dburl: str) -> int:
     return 0
 
 
+def cmd_export_db(cfg: dict, outfile: str) -> int:
+    """'s2s export-db': write the parquet warehouse to a reference-layout
+    SQLite database (sinks/dbexport.py) — e.g. to browse Spark-processed
+    data in the reference's GUI."""
+    from stream2segment_spark.sinks.dbexport import export_sqlite
+
+    counts = export_sqlite(cfg["warehouse"], outfile)
+    if not counts:
+        print(f"no warehouse tables found in {cfg['warehouse']}")
+        return 1
+    print(f"exported to '{outfile}':")
+    for name, n in counts.items():
+        print(f"  {name}: {n} row(s)")
+    return 0
+
+
 _INIT_DOWNLOAD_YAML = """\
 # stream2segment-spark download configuration.
 # Edit and run: python -m stream2segment_spark download -c download.yaml
@@ -600,6 +616,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="sqlite file path, sqlite:///path, or a "
                         "postgresql:// / jdbc: URL")
     p = sub.add_parser(
+        "export-db",
+        help="write the parquet warehouse to a stream2segment SQLite "
+             "database (reference schema; readable by the reference GUI)")
+    p.add_argument("-c", "--config", required=True,
+                   help="config with the source 'warehouse' directory")
+    p.add_argument("-o", "--outfile", required=True,
+                   help="output .sqlite path (must not exist)")
+    p = sub.add_parser(
         "tt-create",
         help="build a travel-time npz table from a 1-D velocity model "
              "(depth_km,vp_km_s[,vs_km_s] csv, or 'demo')")
@@ -631,6 +655,8 @@ def main(argv: list[str] | None = None) -> int:
             if not preexisting:
                 spark.stop()
     cfg = _load_cfg(args.config)
+    if args.cmd == "export-db":  # driver-side sqlite write: no session
+        return cmd_export_db(cfg, args.outfile)
     if args.cmd == "db-classlabel":  # driver-side only: no session needed
         return cmd_db_classlabel(cfg, args.add, args.rename, args.delete)
     if args.cmd == "import-db" and (

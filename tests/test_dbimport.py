@@ -88,12 +88,16 @@ def ref_db(tmp_path):
                 "X'3c78616d6c2f3e')")
     con.execute("INSERT INTO channels VALUES (1, 1, '', 'HHZ', 0.0, 0.0, "
                 "0.0, 'sensor', 1.0, 1.0, 'M/S', 100.0)")
+    con.execute("INSERT INTO channels VALUES (2, 1, '', 'HHN', 0.0, 0.0, "
+                "0.0, 'sensor', 1.0, 1.0, 'M/S', 100.0)")
     blob = _mseed_blob()
+    # one segment per channel: the reference enforces a unique
+    # (channel_id, event_id) natural key (io/db/models.py:442-444)
     for i, code in ((1, 200), (2, 204)):
         con.execute(
-            "INSERT INTO segments VALUES (?, 1, 1, 1, 1, 'GE.STA1..HHZ', "
+            "INSERT INTO segments VALUES (?, 1, ?, 1, 1, 'GE.STA1..HHZ', "
             "0.7, ?, ?, ?, ?, ?, 100.0, 0.0, ?, ?, 0)",
-            [i, blob if code == 200 else None, code,
+            [i, i, blob if code == 200 else None, code,
              "2021-06-01 12:00:30.000000" if code == 200 else None, T0,
              "2021-06-01 12:00:30.400000" if code == 200 else None,
              "2021-06-01 11:59:00.000000", "2021-06-01 12:02:00.000000"])
@@ -109,7 +113,7 @@ def test_import_sqlite_types_and_counts(ref_db, tmp_path, spark):
     counts = import_sqlite(str(ref_db), str(wh))
     assert counts == {
         "downloads": 1, "web_services": 1, "data_centers": 1, "events": 1,
-        "stations": 1, "channels": 1, "segments": 2, "class_labels": 1,
+        "stations": 1, "channels": 2, "segments": 2, "class_labels": 1,
         "class_labellings": 1}
     seg = spark.read.parquet(str(wh / "segments.parquet"))
     types = dict(seg.dtypes)

@@ -82,3 +82,21 @@ def test_pricing_agg_partial_and_pushdown(spark):
     # two-phase aggregation: a partial HashAggregate before the exchange
     assert plan.count("HashAggregate") >= 2, plan
     assert "PushedFilters: [" in plan, plan
+
+
+def test_text_curation_stays_jvm_side(spark):
+    """PII regexps + contamination are pure built-ins: no Python eval
+    nodes anywhere, and the benchmark shingle probe must be a broadcast
+    join (map-side at 100 TB), never a shuffled join."""
+    plan = _physical(QUERIES["text_curation"](spark, SF_DIR_SMOKE))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_source_nslc_filters_is_map_only(spark):
+    """Parse + wildcard LIKE + regex + rate floor compose into a single
+    scan stage: no exchange, no join, no Python."""
+    plan = _physical(QUERIES["source_nslc_filters"](spark, SF_DIR_SMOKE))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan

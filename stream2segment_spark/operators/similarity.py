@@ -440,3 +440,107 @@ def cosine_pairs_blocked(
         # a pair can collide in several tables: one row per unordered pair
         out = out.dropDuplicates(["id_a", "id_b"])
     return out
+
+
+# --------------------------------------------------------------------------
+# Product quantization (ADC scan) — the memory-compressed ANN scale path
+# --------------------------------------------------------------------------
+
+def pq_sample_codebook(corpus: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding", m: int = 8,
+                       ksub: int = 16) -> np.ndarray:
+    """Sample-based product-quantization codebook: the per-subspace
+    centroids are the sub-vectors of the ``ksub`` lowest-id corpus
+    vectors (Jegou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011 — codebooks there are Lloyd-refined; the
+    sample-only variant trades quantization error for a deterministic,
+    engine-replayable codebook, and the encode/ADC machinery is
+    identical). Returns (m, ksub, dsub) float64."""
+    pdf = (corpus.orderBy(id_col).limit(ksub)
+           .select(vec_col).toPandas())
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    if mat.shape[0] < ksub:
+        raise ValueError(f"corpus smaller than ksub={ksub}")
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    return mat.reshape(ksub, m, d // m).transpose(1, 0, 2).copy()
+
+
+def pq_encode(corpus: DataFrame, codebook: np.ndarray,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Map-only PQ encode: each vector becomes ``m`` uint8 codes
+    (argmin squared-L2 sub-distance; ties take the lowest code). This is
+    the persisted-index shape at 100 TB: d*4 bytes/vector compress to
+    m bytes, so a 64-dim float corpus shrinks 32x and the ADC scan
+    reads codes, not vectors."""
+    mm, ksub, dsub = codebook.shape
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            v = np.stack(pdf[vec_col].to_numpy()).astype(
+                np.float64).reshape(len(ids), mm, dsub)
+            d2 = ((v[:, :, None, :] - codebook[None]) ** 2).sum(-1)
+            codes = d2.argmin(axis=2)
+            yield pd.DataFrame({id_col: ids,
+                                "codes": list(codes.astype("int32"))})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        enc, f"{id_col} long, codes array<int>")
+
+
+def pq_topk_adc(corpus: DataFrame, queries: DataFrame,
+                codebook: np.ndarray, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: corpus vectors are encoded to PQ
+    codes, each query precomputes an (m, ksub) lookup table of squared
+    sub-distances, and the scan sums m table lookups per corpus row —
+    no full-dimension arithmetic in the hot loop. Returns
+    (query_id, vec_id, adc_dist), k rows per query, ties on distance
+    broken by vec_id.
+
+    Plan shape mirrors ann_topk_bruteforce: queries (small by contract)
+    ship in the closure, every partition keeps a local top-k, one
+    narrow k*|Q| shuffle finishes globally. Encode happens inline here;
+    at scale persist ``pq_encode`` output once and scan codes instead
+    (32x less IO), exactly like the persisted IVF index above."""
+    mm, ksub, dsub = codebook.shape
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    q_ids = qpdf[query_id_col].to_numpy()
+    qm = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    qs = qm.reshape(len(q_ids), mm, dsub)
+    lut = ((qs[:, :, None, :] - codebook[None]) ** 2).sum(-1)  # (Q,m,ksub)
+    lut_t = lut.transpose(1, 2, 0)                             # (m,ksub,Q)
+    out_schema = f"{query_id_col} long, {id_col} long, adc_dist double"
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            v = np.stack(pdf[vec_col].to_numpy()).astype(
+                np.float64).reshape(len(ids), mm, dsub)
+            d2 = ((v[:, :, None, :] - codebook[None]) ** 2).sum(-1)
+            codes = d2.argmin(axis=2)                  # (batch, m)
+            gathered = lut_t[np.arange(mm)[:, None], codes.T]  # (m,batch,Q)
+            dist = gathered.sum(axis=0)                # (batch, Q)
+            kk = min(k, len(ids))
+            top = np.argpartition(dist, kk - 1, axis=0)[:kk, :]
+            rows = {query_id_col: [], id_col: [], "adc_dist": []}
+            for qi in range(dist.shape[1]):
+                sel = top[:, qi]
+                rows[query_id_col].extend([q_ids[qi]] * len(sel))
+                rows[id_col].extend(ids[sel])
+                rows["adc_dist"].extend(dist[sel, qi])
+            yield pd.DataFrame(rows)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(scan, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col))
+    return (partial.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).drop("rn"))

@@ -536,8 +536,12 @@ def scalar_datetime_math(spark, sf_dir):
 
 
 @register(
+    # r3 gate rotation: deferred (F7's spherical distance stays
+    # hash-verified inside spatial_join_traveltime, whose oracle replays
+    # the same formula in SQL on the rounded dist_deg column)
     "scalar_great_circle",
-    """SELECT c_custkey,
+    gate=False,
+    oracle="""SELECT c_custkey,
               round(degrees(atan2(
                 sqrt(pow(cos(radians(((c_custkey * 7) % 180) - 90)) *
                          sin(radians(((c_custkey * 13) % 360) - 180) - radians(12.5)), 2)

@@ -128,3 +128,56 @@ def sim_lsh_neardup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+
+
+_PQ_M, _PQ_KSUB, _PQ_DSUB, _PQ_K = 8, 16, 8, 5
+
+@register(
+    "sim_pq_adc",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cb AS (  -- sample codebook: sub-vectors of the 16 lowest ids
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+          FROM e ORDER BY vec_id LIMIT {_PQ_KSUB}),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id < {_N_QUERIES}),
+        enc AS (  -- per (doc, subspace) argmin centroid, ties -> low code
+          SELECT vec_id, mm, code FROM (
+            SELECT d.vec_id, s.mm, c.code,
+                   row_number() OVER (
+                     PARTITION BY d.vec_id, s.mm
+                     ORDER BY list_distance(
+                                d.v[s.mm*{_PQ_DSUB}+1 : s.mm*{_PQ_DSUB}+{_PQ_DSUB}],
+                                c.v[s.mm*{_PQ_DSUB}+1 : s.mm*{_PQ_DSUB}+{_PQ_DSUB}]),
+                              c.code) AS rn
+            FROM e d, range(0, {_PQ_M}) s(mm), cb c)
+          WHERE rn = 1),
+        adc AS (  -- asymmetric distance: query sub-vector vs centroid
+          SELECT q.query_id, enc.vec_id,
+                 sum(list_distance(q.qv[enc.mm*{_PQ_DSUB}+1 : enc.mm*{_PQ_DSUB}+{_PQ_DSUB}],
+                                   c.v[enc.mm*{_PQ_DSUB}+1 : enc.mm*{_PQ_DSUB}+{_PQ_DSUB}]) ^ 2)
+                   AS d2
+          FROM q, enc JOIN cb c ON c.code = enc.code
+          GROUP BY q.query_id, enc.vec_id),
+        r AS (SELECT query_id, vec_id, d2,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY d2, vec_id) AS rn
+              FROM adc)
+        SELECT query_id, vec_id, round(d2, 6) AS adc_dist
+        FROM r WHERE rn <= {_PQ_K}""",
+)
+def sim_pq_adc(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011) with an exact oracle:
+    the sample codebook (sub-vectors of the 16 lowest-id vectors) is
+    engine-replayable, so DuckDB re-derives codebook, per-subspace
+    argmin encoding AND the asymmetric-distance scan, and the k-nearest
+    ADC results must match bit-for-bit (ties broken by code / vec_id on
+    both sides). The Spark path is the 100 TB shape: codes are 32x
+    smaller than vectors, the scan is m table lookups per row, queries
+    ship in the closure, and the only shuffle is k*|Q| rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = SIM.pq_sample_codebook(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    queries = (emb.filter(F.col("vec_id") < _N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = SIM.pq_topk_adc(emb, queries, cb, k=_PQ_K)
+    return out.select("query_id", "vec_id",
+                      F.round("adc_dist", 6).alias("adc_dist"))

@@ -311,3 +311,43 @@ def test_ivf_persisted_index_matches_inmemory(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan, plan
     assert df.count() == 5
+
+
+def test_pq_encode_and_adc_exact_when_quantization_lossless(spark):
+    """Corpus vectors that ARE codebook points quantize losslessly, so
+    the ADC distance equals the true squared L2 and PQ top-k equals
+    exact top-k. Also checks the persisted-code path and tie-breaking."""
+    import numpy as np
+
+    from stream2segment_spark.operators import similarity as SIM
+    from stream2segment_spark.schema import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = SIM.pq_sample_codebook(emb, m=8, ksub=16)
+    assert cb.shape == (8, 16, 8)
+    # corpus = the 16 codebook source vectors themselves
+    corpus = emb.filter(F.col("vec_id") < 16)
+    codes = {r["vec_id"]: r["codes"]
+             for r in SIM.pq_encode(corpus, cb).collect()}
+    # each codebook-source vector encodes to its own code in EVERY
+    # subspace (distance 0 beats everything; ties break low)
+    for vid, cs in codes.items():
+        for mm, c in enumerate(cs):
+            d = ((np.asarray(cb[mm][c]) - cb[mm][vid]) ** 2).sum()
+            assert d == 0.0
+    queries = (emb.filter(F.col("vec_id").isin(100, 101))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = SIM.pq_topk_adc(corpus, queries, cb, k=3).collect()
+    # lossless quantization -> ADC == true squared L2: verify directly
+    qv = {r["query_id"]: np.asarray(r["embedding"], float)
+          for r in queries.collect()}
+    cv = {r["vec_id"]: np.asarray(r["embedding"], float)
+          for r in corpus.collect()}
+    by_q = {}
+    for r in got:
+        true_d2 = float(((qv[r["query_id"]] - cv[r["vec_id"]]) ** 2).sum())
+        assert abs(r["adc_dist"] - true_d2) < 1e-9
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    for q, ids in by_q.items():
+        exact = sorted(cv, key=lambda i: (((qv[q] - cv[i]) ** 2).sum(), i))
+        assert ids == exact[:3]

@@ -193,6 +193,41 @@ def triangsmooth(array, winlen_ratio: float) -> np.ndarray:
 # Elastic response spectra (SDOF oscillator, Nigam & Jennings 1969)
 # --------------------------------------------------------------------------
 
+def nigam_jennings_coefficients(periods, time_step: float,
+                                damping: float = 0.05):
+    """The constant matrices of the Nigam & Jennings (1969) exact
+    piecewise-linear recurrence, as a dict of per-period arrays
+    (a11..a22, b11..b22, omega, omega2). Split out so callers that
+    replay the recurrence elsewhere (the SQL oracle) inline the SAME
+    float64 constants the kernel uses."""
+    periods = np.asarray(periods, dtype=float)
+    omega = 2.0 * np.pi / periods
+    omega2 = omega ** 2
+    omega_d = omega * math.sqrt(1.0 - damping ** 2)
+    dt = float(time_step)
+    xi = damping
+    e = np.exp(-xi * omega * dt)
+    s = np.sin(omega_d * dt)
+    c = np.cos(omega_d * dt)
+    a11 = e * (c + xi / np.sqrt(1 - xi ** 2) * s)
+    a12 = e * s / omega_d
+    a21 = -omega2 * a12
+    a22 = e * (c - xi / np.sqrt(1 - xi ** 2) * s)
+    w3 = omega2 * omega
+    k1 = (2 * xi ** 2 - 1) / (omega2 * dt)
+    k2 = 2 * xi / (w3 * dt)
+    cms = c - xi / np.sqrt(1 - xi ** 2) * s
+    wsc = omega_d * s + xi * omega * c
+    b11 = e * ((k1 + xi / omega) * s / omega_d + (k2 + 1 / omega2) * c) - k2
+    b12 = -e * (k1 * s / omega_d + k2 * c) - 1 / omega2 + k2
+    b21 = (e * ((k1 + xi / omega) * cms - (k2 + 1 / omega2) * wsc)
+           + 1 / (omega2 * dt))
+    b22 = -e * (k1 * cms - k2 * wsc) - 1 / (omega2 * dt)
+    return {"a11": a11, "a12": a12, "a21": a21, "a22": a22,
+            "b11": b11, "b12": b12, "b21": b21, "b22": b22,
+            "omega": omega, "omega2": omega2}
+
+
 def response_spectrum_nigam_jennings(
     acceleration: np.ndarray, time_step: float, periods: np.ndarray,
     damping: float = 0.05,
@@ -208,31 +243,12 @@ def response_spectrum_nigam_jennings(
     """
     acc = np.asarray(acceleration, dtype=float)
     periods = np.asarray(periods, dtype=float)
-    omega = 2.0 * np.pi / periods
-    omega2 = omega ** 2
-    omega_d = omega * math.sqrt(1.0 - damping ** 2)
     dt = float(time_step)
-
-    # constant coefficient matrices of the exact recurrence (per period)
     xi = damping
-    e = np.exp(-xi * omega * dt)
-    s = np.sin(omega_d * dt)
-    c = np.cos(omega_d * dt)
-    a11 = e * (c + xi / np.sqrt(1 - xi ** 2) * s)
-    a12 = e * s / omega_d
-    a21 = -omega2 * a12
-    a22 = e * (c - xi / np.sqrt(1 - xi ** 2) * s)
-
-    # published N&J'69 forcing coefficients (linear excitation between steps)
-    w3 = omega2 * omega
-    k1 = (2 * xi ** 2 - 1) / (omega2 * dt)          # recurring groups
-    k2 = 2 * xi / (w3 * dt)
-    cms = c - xi / np.sqrt(1 - xi ** 2) * s          # A22/e
-    wsc = omega_d * s + xi * omega * c
-    b11 = e * ((k1 + xi / omega) * s / omega_d + (k2 + 1 / omega2) * c) - k2
-    b12 = -e * (k1 * s / omega_d + k2 * c) - 1 / omega2 + k2
-    b21 = e * ((k1 + xi / omega) * cms - (k2 + 1 / omega2) * wsc) + 1 / (omega2 * dt)
-    b22 = -e * (k1 * cms - k2 * wsc) - 1 / (omega2 * dt)
+    cf = nigam_jennings_coefficients(periods, dt, damping)
+    omega, omega2 = cf["omega"], cf["omega2"]
+    a11, a12, a21, a22 = cf["a11"], cf["a12"], cf["a21"], cf["a22"]
+    b11, b12, b21, b22 = cf["b11"], cf["b12"], cf["b21"], cf["b22"]
 
     n_per = len(periods)
     x = np.zeros(n_per)   # displacement state

@@ -25,12 +25,57 @@ from stream2segment_spark.schema import load_table
 
 _N, _DELTA = 64, 0.01  # samples per vector, seconds per sample
 
+# Nigam-Jennings response-spectra gate parameters: the coefficient
+# literals are computed ONCE by the same helper the kernel uses
+# (funclib/ndarrays.nigam_jennings_coefficients) and inlined into the
+# SQL with full repr precision, so both engines run the identical
+# float64 recurrence.
+_RS_PERIODS = (0.1, 0.5)
+_RS_DAMP = 0.05
+
+
+def _rs_coef_values() -> str:
+    import numpy as _np
+
+    from stream2segment_spark.funclib.ndarrays import (
+        nigam_jennings_coefficients)
+    cf = nigam_jennings_coefficients(
+        _np.array(_RS_PERIODS), _DELTA, _RS_DAMP)
+    keys = ("a11", "a12", "a21", "a22", "b11", "b12", "b21", "b22",
+            "omega", "omega2")
+    rows = []
+    for i in range(len(_RS_PERIODS)):
+        vals = ", ".join(repr(float(cf[k][i])) for k in keys)
+        rows.append(f"({i}, {vals})")
+    return ", ".join(rows)
+
+
 
 @register(
     "funclib_spectra",
-    f"""WITH b AS (
+    f"""WITH RECURSIVE b AS (
           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS x
           FROM embeddings),
+        rcoef (pid, a11, a12, a21, a22, b11, b12, b21, b22,
+               omega, omega2) AS (VALUES {_rs_coef_values()}),
+        rrec AS (
+          SELECT vec_id, pid, 1 AS step,
+                 0.0::DOUBLE AS xs, 0.0::DOUBLE AS vs, 0.0::DOUBLE AS maxd
+          FROM b, rcoef
+          UNION ALL
+          SELECT r.vec_id, r.pid, r.step + 1,
+                 c.a11*r.xs + c.a12*r.vs
+                   + c.b11*b.x[r.step] + c.b12*b.x[r.step+1],
+                 c.a21*r.xs + c.a22*r.vs
+                   + c.b21*b.x[r.step] + c.b22*b.x[r.step+1],
+                 greatest(r.maxd, abs(c.a11*r.xs + c.a12*r.vs
+                   + c.b11*b.x[r.step] + c.b12*b.x[r.step+1]))
+          FROM rrec r JOIN rcoef c ON c.pid = r.pid
+               JOIN b ON b.vec_id = r.vec_id
+          WHERE r.step <= {_N - 1}),
+        rs AS (SELECT r.vec_id, r.pid, r.maxd, c.omega, c.omega2
+               FROM rrec r JOIN rcoef c ON c.pid = r.pid
+               WHERE r.step = {_N}),
         s AS (
           SELECT vec_id, x,
                  list_transform(range(0, 33), k -> sqrt(
@@ -47,7 +92,7 @@ _N, _DELTA = 64, 0.01  # samples per vector, seconds per sample
                                               / {_DELTA}) AS INT) + 1),
                        64) AS i1
           FROM s)
-        SELECT vec_id,
+        SELECT t.vec_id,
                CAST(list_position(amp[2:33], list_max(amp[2:33])) AS INT)
                  AS peak_bin,
                round(list_position(amp[2:33], list_max(amp[2:33]))
@@ -58,8 +103,13 @@ _N, _DELTA = 64, 0.01  # samples per vector, seconds per sample
                i0 AS trim_i0, i1 AS trim_i1,
                round(coalesce(CASE WHEN i1 > i0
                                    THEN list_sum(x[i0+1:i1]) END, 0.0), 6)
-                 AS trim_sum
-        FROM t""",
+                 AS trim_sum,
+               round(r0.maxd * r0.omega2, 6) AS sa_p1,
+               round(r1.maxd * r1.omega2, 6) AS sa_p2,
+               round(r0.maxd * r0.omega, 8) AS sv_p1,
+               round(r1.maxd * r1.omega, 8) AS sv_p2
+        FROM t JOIN rs r0 ON r0.vec_id = t.vec_id AND r0.pid = 0
+               JOIN rs r1 ON r1.vec_id = t.vec_id AND r1.pid = 1""",
 )
 def funclib_spectra(spark, sf_dir):
     """N1-N3 + N5 + freqs/dfreq through the REAL funclib kernels on the
@@ -76,12 +126,14 @@ def funclib_spectra(spark, sf_dir):
       (funclib/ndarrays.py:58-81; reference's obspy-trim twin) on
       per-row-varying windows."""
     from stream2segment_spark.funclib.ndarrays import (
-        ampspec, argtrim, dfreq, fft, powspec, trim)
+        ampspec, argtrim, dfreq, fft, powspec,
+        response_spectrum_nigam_jennings, trim)
 
     emb = load_table(spark, sf_dir, "embeddings")
     out_schema = ("vec_id long, peak_bin int, dom_freq double, "
                   "peak_amp double, parseval_energy double, "
-                  "trim_i0 int, trim_i1 int, trim_sum double")
+                  "trim_i0 int, trim_i1 int, trim_sum double, "
+                  "sa_p1 double, sa_p2 double, sv_p1 double, sv_p2 double")
 
     def kernels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         df_hz = dfreq(_N, _DELTA)
@@ -98,13 +150,20 @@ def funclib_spectra(spark, sf_dir):
                 maxx = 0.64 - (vid % 5) * 0.011
                 i0, i1 = argtrim(x, _DELTA, minx, maxx)
                 seg = trim(x, _DELTA, minx, maxx)
+                rsp = response_spectrum_nigam_jennings(
+                    x, _DELTA, np.array(_RS_PERIODS), _RS_DAMP)
                 rows.append((vid, peak, round(peak * df_hz, 6),
                              round(float(amp[peak]), 4),
                              round(float(parseval), 6), i0, i1,
-                             round(float(seg.sum()) if len(seg) else 0.0, 6)))
+                             round(float(seg.sum()) if len(seg) else 0.0, 6),
+                             round(float(rsp["S_a"][0]), 6),
+                             round(float(rsp["S_a"][1]), 6),
+                             round(float(rsp["S_v"][0]), 8),
+                             round(float(rsp["S_v"][1]), 8)))
             yield pd.DataFrame(rows, columns=[
                 "vec_id", "peak_bin", "dom_freq", "peak_amp",
-                "parseval_energy", "trim_i0", "trim_i1", "trim_sum"])
+                "parseval_energy", "trim_i0", "trim_i1", "trim_sum",
+                "sa_p1", "sa_p2", "sv_p1", "sv_p2"])
 
     return emb.select("vec_id", "embedding").mapInPandas(kernels, out_schema)
 

@@ -50,15 +50,27 @@ def bandpass_zerophase(
     (filtfilt) equivalent, sans edge transients. freq_max is clipped to
     ``max_nyquist_ratio`` * Nyquist like the reference.
     """
-    nyq = 0.5 / delta
-    freq_max = min(freq_max, max_nyquist_ratio * nyq)
     x = taper_hann(samples, taper_max_percentage)
     spec = np.fft.rfft(x)
-    f = np.fft.rfftfreq(len(x), d=delta)
+    h = butterworth_zerophase_response(
+        len(x), delta, freq_min, freq_max, corners, max_nyquist_ratio)
+    return np.fft.irfft(spec * h, n=len(x))
+
+
+def butterworth_zerophase_response(
+    n: int, delta: float, freq_min: float, freq_max: float,
+    corners: int = 2, max_nyquist_ratio: float = 0.9,
+) -> np.ndarray:
+    """The real rfft-bin gains of the zero-phase Butterworth bandpass
+    (|H_hp|^2 * |H_lp|^2 magnitudes). Split out so replayers (the SQL
+    oracle) can inline the SAME float64 gains the filter applies."""
+    nyq = 0.5 / delta
+    freq_max = min(freq_max, max_nyquist_ratio * nyq)
+    f = np.fft.rfftfreq(n, d=delta)
     with np.errstate(divide="ignore"):
         hp = 1.0 / (1.0 + (freq_min / np.where(f > 0, f, np.inf)) ** (2 * corners))
         lp = 1.0 / (1.0 + (f / freq_max) ** (2 * corners))
-    return np.fft.irfft(spec * hp * lp, n=len(x))
+    return hp * lp
 
 
 def sn_windows(

@@ -34,6 +34,24 @@ _RS_PERIODS = (0.1, 0.5)
 _RS_DAMP = 0.05
 
 
+_BP_FMIN, _BP_FMAX = 2.0, 15.0  # Hz; nyquist 50 Hz, no clip
+
+
+def _bp_literals():
+    """Taper factors and rfft-bin gains as SQL list literals — produced
+    by the SAME functions the kernel uses (taper_hann on ones;
+    butterworth_zerophase_response), so both engines apply identical
+    float64 factors."""
+    import numpy as _np
+
+    from stream2segment_spark.funclib.traces import (
+        butterworth_zerophase_response, taper_hann)
+    tap = taper_hann(_np.ones(_N))
+    h = butterworth_zerophase_response(_N, _DELTA, _BP_FMIN, _BP_FMAX)
+    fmt = lambda a: "[" + ", ".join(repr(float(v)) for v in a) + "]"
+    return fmt(tap), fmt(h)
+
+
 def _rs_coef_values() -> str:
     import numpy as _np
 
@@ -49,6 +67,8 @@ def _rs_coef_values() -> str:
         rows.append(f"({i}, {vals})")
     return ", ".join(rows)
 
+
+_BP_TAPER, _BP_GAIN = _bp_literals()
 
 
 @register(
@@ -76,6 +96,30 @@ def _rs_coef_values() -> str:
         rs AS (SELECT r.vec_id, r.pid, r.maxd, c.omega, c.omega2
                FROM rrec r JOIN rcoef c ON c.pid = r.pid
                WHERE r.step = {_N}),
+        bp AS (
+          -- N9 bandpass replay: taper (literal Hann factors) -> direct
+          -- rfft (33 bins) -> literal Butterworth gains -> inverse DFT
+          SELECT vec_id,
+                 list_transform(range(0, 64),
+                   j -> x[j+1] * ({_BP_TAPER})[j+1]) AS tx
+          FROM b),
+        bpf AS (
+          SELECT vec_id,
+                 list_transform(range(0, 33), k ->
+                   ({_BP_GAIN})[k+1] * list_sum(list_transform(range(0, 64),
+                       n -> tx[n+1] * cos(2*pi()*k*n/64)))) AS yre,
+                 list_transform(range(0, 33), k ->
+                   ({_BP_GAIN})[k+1] * (0.0 - list_sum(list_transform(range(0, 64),
+                       n -> tx[n+1] * sin(2*pi()*k*n/64))))) AS yim
+          FROM bp),
+        bpo AS (
+          SELECT vec_id,
+                 list_transform(range(0, 64), j ->
+                   (list_sum(list_transform(range(0, 33), k ->
+                      (CASE WHEN k = 0 OR k = 32 THEN 1.0 ELSE 2.0 END)
+                      * (yre[k+1] * cos(2*pi()*k*j/64)
+                         - yim[k+1] * sin(2*pi()*k*j/64))))) / 64) AS bpx
+          FROM bpf),
         s AS (
           SELECT vec_id, x,
                  list_transform(range(0, 33), k -> sqrt(
@@ -107,9 +151,14 @@ def _rs_coef_values() -> str:
                round(r0.maxd * r0.omega2, 6) AS sa_p1,
                round(r1.maxd * r1.omega2, 6) AS sa_p2,
                round(r0.maxd * r0.omega, 8) AS sv_p1,
-               round(r1.maxd * r1.omega, 8) AS sv_p2
+               round(r1.maxd * r1.omega, 8) AS sv_p2,
+               round(list_sum(list_transform(o.bpx, v -> v * v)), 6)
+                 AS bp_energy,
+               round(list_max(list_transform(o.bpx, v -> abs(v))), 6)
+                 AS bp_peakabs
         FROM t JOIN rs r0 ON r0.vec_id = t.vec_id AND r0.pid = 0
-               JOIN rs r1 ON r1.vec_id = t.vec_id AND r1.pid = 1""",
+               JOIN rs r1 ON r1.vec_id = t.vec_id AND r1.pid = 1
+               JOIN bpo o ON o.vec_id = t.vec_id""",
 )
 def funclib_spectra(spark, sf_dir):
     """N1-N3 + N5 + freqs/dfreq through the REAL funclib kernels on the
@@ -124,16 +173,26 @@ def funclib_spectra(spark, sf_dir):
       the whole transform chain is right;
     - trim bounds replay argtrim's ceil/floor index math
       (funclib/ndarrays.py:58-81; reference's obspy-trim twin) on
-      per-row-varying windows."""
+      per-row-varying windows;
+    - sa/sv columns: N8 response spectra — the exact Nigam-Jennings
+      recurrence stepped by a DuckDB recursive CTE with kernel-identical
+      inlined coefficients (bit-for-bit over 63 steps);
+    - bp columns: N9 zero-phase Butterworth bandpass + Hann taper
+      (traces.bandpass_zerophase) — the oracle tapers with the same
+      literal factors, filters the direct-DFT spectrum with the same
+      literal gains, and inverts; energy + peak summarize the filtered
+      trace at the rounded precision."""
     from stream2segment_spark.funclib.ndarrays import (
         ampspec, argtrim, dfreq, fft, powspec,
         response_spectrum_nigam_jennings, trim)
+    from stream2segment_spark.funclib.traces import bandpass_zerophase
 
     emb = load_table(spark, sf_dir, "embeddings")
     out_schema = ("vec_id long, peak_bin int, dom_freq double, "
                   "peak_amp double, parseval_energy double, "
                   "trim_i0 int, trim_i1 int, trim_sum double, "
-                  "sa_p1 double, sa_p2 double, sv_p1 double, sv_p2 double")
+                  "sa_p1 double, sa_p2 double, sv_p1 double, sv_p2 double, "
+                  "bp_energy double, bp_peakabs double")
 
     def kernels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         df_hz = dfreq(_N, _DELTA)
@@ -152,6 +211,7 @@ def funclib_spectra(spark, sf_dir):
                 seg = trim(x, _DELTA, minx, maxx)
                 rsp = response_spectrum_nigam_jennings(
                     x, _DELTA, np.array(_RS_PERIODS), _RS_DAMP)
+                bpx = bandpass_zerophase(x, _DELTA, _BP_FMIN, _BP_FMAX)
                 rows.append((vid, peak, round(peak * df_hz, 6),
                              round(float(amp[peak]), 4),
                              round(float(parseval), 6), i0, i1,
@@ -159,11 +219,14 @@ def funclib_spectra(spark, sf_dir):
                              round(float(rsp["S_a"][0]), 6),
                              round(float(rsp["S_a"][1]), 6),
                              round(float(rsp["S_v"][0]), 8),
-                             round(float(rsp["S_v"][1]), 8)))
+                             round(float(rsp["S_v"][1]), 8),
+                             round(float((bpx * bpx).sum()), 6),
+                             round(float(np.abs(bpx).max()), 6)))
             yield pd.DataFrame(rows, columns=[
                 "vec_id", "peak_bin", "dom_freq", "peak_amp",
                 "parseval_energy", "trim_i0", "trim_i1", "trim_sum",
-                "sa_p1", "sa_p2", "sv_p1", "sv_p2"])
+                "sa_p1", "sa_p2", "sv_p1", "sv_p2",
+                "bp_energy", "bp_peakabs"])
 
     return emb.select("vec_id", "embedding").mapInPandas(kernels, out_schema)
 

@@ -116,15 +116,19 @@ def _lsh_oracle(num_planes: int = 12, seed: int = 7, threshold: float = 0.4) -> 
         WHERE list_cosine_similarity(a.v, c.v) >= {threshold}"""
 
 
-@register("sim_lsh_neardup", _lsh_oracle())
+@register("sim_lsh_neardup", _lsh_oracle(num_planes=5))
 def sim_lsh_neardup(spark, sf_dir):
     """Random-hyperplane LSH near-dup: bucket join (one shuffle on the
     bucket key, no cross join) + exact cosine on candidates. The oracle
     replays the identical literal hyperplanes in SQL, so even the LSH
     bucketing is strongly checked."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # 5 planes (not the 12 a production near-dup pass would use): at
+    # 12 the synthetic corpus yields ZERO same-bucket pairs and the gate
+    # row is trivially green — fewer planes make collisions (and any
+    # bucketing bug) actually visible at sf0.01
     out = SIM.lsh_bucket_neardup(emb, "vec_id", "embedding", dim=_DIM,
-                                 num_planes=12, threshold=0.4, seed=7)
+                                 num_planes=5, threshold=0.4, seed=7)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

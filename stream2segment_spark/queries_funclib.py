@@ -68,7 +68,37 @@ def _rs_coef_values() -> str:
     return ", ".join(rows)
 
 
+# N14 demo instrument: broadband velocity-transducer pole-zero shape,
+# normalized to unit passband gain and sensitivity 1 so deconvolved
+# values stay O(1) at the gate's rounding (real instruments only scale
+# this by A0*sensitivity; the complex machinery is identical).
+_RR_POLES = (complex(-0.037004, 0.037016), complex(-0.037004, -0.037016),
+             complex(-251.33, 0.0), complex(-131.04, -467.29),
+             complex(-131.04, 467.29))
+_RR_ZEROS = (0j, 0j)
+_RR_WL_DB = 60.0
+
+
+def _rr_literals():
+    """Water-leveled inverse-response complex gains per rfft bin, from
+    the SAME functions the kernel applies (funclib/response.py), inlined
+    as (re, im) list literals."""
+    import numpy as _np
+
+    from stream2segment_spark.funclib.response import (
+        PAZResponse, invert_spec_water_level, paz_frequency_response)
+    a0 = 1.0 / abs(paz_frequency_response(
+        _np.array([10.0]), _RR_POLES, _RR_ZEROS, gain=1.0)[0])
+    paz = PAZResponse(poles=_RR_POLES, zeros=_RR_ZEROS,
+                      normalization=a0, sensitivity=1.0)
+    f = _np.fft.rfftfreq(_N, d=_DELTA)
+    g = invert_spec_water_level(paz.frequency_response(f), _RR_WL_DB)
+    fmt = lambda a: "[" + ", ".join(repr(float(v)) for v in a) + "]"
+    return fmt(g.real), fmt(g.imag), paz
+
+
 _BP_TAPER, _BP_GAIN = _bp_literals()
+_RR_GRE, _RR_GIM, _RR_PAZ = _rr_literals()
 
 
 @register(
@@ -103,15 +133,22 @@ _BP_TAPER, _BP_GAIN = _bp_literals()
                  list_transform(range(0, 64),
                    j -> x[j+1] * ({_BP_TAPER})[j+1]) AS tx
           FROM b),
+        sp AS (  -- raw rfft of the tapered signal, shared by bp and rr
+          SELECT vec_id,
+                 list_transform(range(0, 33), k ->
+                   list_sum(list_transform(range(0, 64),
+                       n -> tx[n+1] * cos(2*pi()*k*n/64)))) AS xre,
+                 list_transform(range(0, 33), k ->
+                   0.0 - list_sum(list_transform(range(0, 64),
+                       n -> tx[n+1] * sin(2*pi()*k*n/64)))) AS xim
+          FROM bp),
         bpf AS (
           SELECT vec_id,
                  list_transform(range(0, 33), k ->
-                   ({_BP_GAIN})[k+1] * list_sum(list_transform(range(0, 64),
-                       n -> tx[n+1] * cos(2*pi()*k*n/64)))) AS yre,
+                   ({_BP_GAIN})[k+1] * xre[k+1]) AS yre,
                  list_transform(range(0, 33), k ->
-                   ({_BP_GAIN})[k+1] * (0.0 - list_sum(list_transform(range(0, 64),
-                       n -> tx[n+1] * sin(2*pi()*k*n/64))))) AS yim
-          FROM bp),
+                   ({_BP_GAIN})[k+1] * xim[k+1]) AS yim
+          FROM sp),
         bpo AS (
           SELECT vec_id,
                  list_transform(range(0, 64), j ->
@@ -120,6 +157,23 @@ _BP_TAPER, _BP_GAIN = _bp_literals()
                       * (yre[k+1] * cos(2*pi()*k*j/64)
                          - yim[k+1] * sin(2*pi()*k*j/64))))) / 64) AS bpx
           FROM bpf),
+        rrf AS (  -- N14: complex multiply by the literal inverse response
+          SELECT vec_id,
+                 list_transform(range(0, 33), k ->
+                   ({_RR_GRE})[k+1] * xre[k+1]
+                   - ({_RR_GIM})[k+1] * xim[k+1]) AS zre,
+                 list_transform(range(0, 33), k ->
+                   ({_RR_GRE})[k+1] * xim[k+1]
+                   + ({_RR_GIM})[k+1] * xre[k+1]) AS zim
+          FROM sp),
+        rro AS (
+          SELECT vec_id,
+                 list_transform(range(0, 64), j ->
+                   (list_sum(list_transform(range(0, 33), k ->
+                      (CASE WHEN k = 0 OR k = 32 THEN 1.0 ELSE 2.0 END)
+                      * (zre[k+1] * cos(2*pi()*k*j/64)
+                         - zim[k+1] * sin(2*pi()*k*j/64))))) / 64) AS rrx
+          FROM rrf),
         s AS (
           SELECT vec_id, x,
                  list_transform(range(0, 33), k -> sqrt(
@@ -155,10 +209,15 @@ _BP_TAPER, _BP_GAIN = _bp_literals()
                round(list_sum(list_transform(o.bpx, v -> v * v)), 6)
                  AS bp_energy,
                round(list_max(list_transform(o.bpx, v -> abs(v))), 6)
-                 AS bp_peakabs
+                 AS bp_peakabs,
+               round(list_sum(list_transform(rr.rrx, v -> v * v)), 6)
+                 AS rr_energy,
+               round(list_max(list_transform(rr.rrx, v -> abs(v))), 6)
+                 AS rr_peakabs
         FROM t JOIN rs r0 ON r0.vec_id = t.vec_id AND r0.pid = 0
                JOIN rs r1 ON r1.vec_id = t.vec_id AND r1.pid = 1
-               JOIN bpo o ON o.vec_id = t.vec_id""",
+               JOIN bpo o ON o.vec_id = t.vec_id
+               JOIN rro rr ON rr.vec_id = t.vec_id""",
 )
 def funclib_spectra(spark, sf_dir):
     """N1-N3 + N5 + freqs/dfreq through the REAL funclib kernels on the
@@ -185,6 +244,7 @@ def funclib_spectra(spark, sf_dir):
     from stream2segment_spark.funclib.ndarrays import (
         ampspec, argtrim, dfreq, fft, powspec,
         response_spectrum_nigam_jennings, trim)
+    from stream2segment_spark.funclib.response import remove_response
     from stream2segment_spark.funclib.traces import bandpass_zerophase
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -192,7 +252,8 @@ def funclib_spectra(spark, sf_dir):
                   "peak_amp double, parseval_energy double, "
                   "trim_i0 int, trim_i1 int, trim_sum double, "
                   "sa_p1 double, sa_p2 double, sv_p1 double, sv_p2 double, "
-                  "bp_energy double, bp_peakabs double")
+                  "bp_energy double, bp_peakabs double, "
+                  "rr_energy double, rr_peakabs double")
 
     def kernels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         df_hz = dfreq(_N, _DELTA)
@@ -212,6 +273,8 @@ def funclib_spectra(spark, sf_dir):
                 rsp = response_spectrum_nigam_jennings(
                     x, _DELTA, np.array(_RS_PERIODS), _RS_DAMP)
                 bpx = bandpass_zerophase(x, _DELTA, _BP_FMIN, _BP_FMAX)
+                rrx = remove_response(x, _DELTA, _RR_PAZ, output="VEL",
+                                      water_level_db=_RR_WL_DB)
                 rows.append((vid, peak, round(peak * df_hz, 6),
                              round(float(amp[peak]), 4),
                              round(float(parseval), 6), i0, i1,
@@ -221,12 +284,14 @@ def funclib_spectra(spark, sf_dir):
                              round(float(rsp["S_v"][0]), 8),
                              round(float(rsp["S_v"][1]), 8),
                              round(float((bpx * bpx).sum()), 6),
-                             round(float(np.abs(bpx).max()), 6)))
+                             round(float(np.abs(bpx).max()), 6),
+                             round(float((rrx * rrx).sum()), 6),
+                             round(float(np.abs(rrx).max()), 6)))
             yield pd.DataFrame(rows, columns=[
                 "vec_id", "peak_bin", "dom_freq", "peak_amp",
                 "parseval_energy", "trim_i0", "trim_i1", "trim_sum",
                 "sa_p1", "sa_p2", "sv_p1", "sv_p2",
-                "bp_energy", "bp_peakabs"])
+                "bp_energy", "bp_peakabs", "rr_energy", "rr_peakabs"])
 
     return emb.select("vec_id", "embedding").mapInPandas(kernels, out_schema)
 

@@ -9,6 +9,8 @@ via union + window dedup / join + deterministic id assignment, and the FDSN
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from stream2segment_spark.operators.upsert import (
@@ -181,3 +183,47 @@ def source_nslc_filters(spark, sf_dir):
                  .filter(F.col("sample_rate") >= 20))
     return out.select("network", "station", "location", "channel",
                       "sample_rate", "p_partkey")
+
+
+@register(
+    "sink_roundtrip",
+    """SELECT fmt, o_orderkey AS segment_db_id, o_orderstatus,
+              round(o_totalprice, 2) AS price
+       FROM (SELECT 'csv' AS fmt FROM range(1) UNION ALL
+             SELECT 'parquet' FROM range(1)) f,
+            orders WHERE o_orderkey % 11 = 0""",
+    gate=False,
+)
+def sink_roundtrip(spark, sf_dir):
+    """K1/K2: the CSV and parquet (HDF-analogue) sinks round-trip
+    through write_output -> already-written-readers with the
+    segment_db_id-first contract (reference process/writers.py:14,127-336).
+    Registered past the checked window (the 50 slots hold
+    higher-information entries) but fully oracled: writes go to a fresh
+    temp dir per run, then both formats are read back and value-hashed
+    against the source rows."""
+    import shutil
+    import tempfile
+
+    from stream2segment_spark.sinks.writers import write_output
+    o = load_table(spark, sf_dir, "orders")
+    src = (o.filter(F.col("o_orderkey") % 11 == 0)
+           .select(F.col("o_orderkey").alias("segment_db_id"),
+                   "o_orderstatus",
+                   F.round("o_totalprice", 2).alias("price")))
+    tmp = tempfile.mkdtemp(prefix="s2s-sink-gate-")
+    csv_path = os.path.join(tmp, "out.csv")
+    pq_path = os.path.join(tmp, "out.parquet")
+    write_output(src, csv_path)
+    write_output(src, pq_path)
+    csv_schema = "segment_db_id long, o_orderstatus string, price double"
+    back_csv = (spark.read.option("header", True).schema(csv_schema)
+                .csv(csv_path))
+    back_pq = spark.read.parquet(pq_path)
+    out = (back_csv.select(F.lit("csv").alias("fmt"), "*")
+           .unionByName(back_pq.select(F.lit("parquet").alias("fmt"), "*")))
+    # materialize before the temp dir disappears; runners call collect()
+    # later, so defer cleanup to interpreter exit
+    import atexit
+    atexit.register(shutil.rmtree, tmp, True)
+    return out

@@ -111,15 +111,3 @@ def sta_lta_udf(nsta: int, nlta: int):
                           for a in s])
     return _udf
 
-
-def bandpass_udf(delta: float, freq_min: float, freq_max: float):
-    """N9 zero-phase Butterworth bandpass (traces.bandpass_zerophase:
-    Hann taper -> rfft -> magnitude gains -> irfft) per array value."""
-    @F.pandas_udf("array<double>")
-    def _udf(s: pd.Series) -> pd.Series:
-        from stream2segment_spark.funclib.traces import bandpass_zerophase
-        return pd.Series([
-            bandpass_zerophase(np.asarray(a, float), delta,
-                               freq_min, freq_max)
-            for a in s])
-    return _udf

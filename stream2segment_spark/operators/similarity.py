@@ -70,11 +70,12 @@ def ann_topk_bruteforce(
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             sims = m @ qm.T  # (batch, |Q|)
             kk = min(k, len(ids))
-            # argpartition per query column: local top-k candidates
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk, :]
             rows = {query_id_col: [], id_col: [], "cosine": []}
             for qi in range(sims.shape[1]):
-                sel = top[:, qi]
+                # lexsort (desc cosine, asc id): duplicate vectors tie
+                # exactly, and an argpartition cut at the boundary would
+                # keep an arbitrary tied subset per partitioning
+                sel = np.lexsort((ids, -sims[:, qi]))[:kk]
                 rows[query_id_col].extend([q_ids[qi]] * len(sel))
                 rows[id_col].extend(ids[sel])
                 rows["cosine"].extend(sims[sel, qi])
@@ -530,10 +531,13 @@ def pq_topk_adc(corpus: DataFrame, queries: DataFrame,
             gathered = lut_t[np.arange(mm)[:, None], codes.T]  # (m,batch,Q)
             dist = gathered.sum(axis=0)                # (batch, Q)
             kk = min(k, len(ids))
-            top = np.argpartition(dist, kk - 1, axis=0)[:kk, :]
             rows = {query_id_col: [], id_col: [], "adc_dist": []}
             for qi in range(dist.shape[1]):
-                sel = top[:, qi]
+                # lexsort, not argpartition: ADC distances tie whenever
+                # two vectors share a code tuple (structural at scale),
+                # and an arbitrary local cut could drop a tied low-id row
+                # the global window can never recover
+                sel = np.lexsort((ids, dist[:, qi]))[:kk]
                 rows[query_id_col].extend([q_ids[qi]] * len(sel))
                 rows[id_col].extend(ids[sel])
                 rows["adc_dist"].extend(dist[sel, qi])

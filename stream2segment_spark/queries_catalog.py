@@ -372,9 +372,9 @@ def join_siblings(spark, sf_dir):
        ex AS (
          SELECT (o_orderkey % 97) AS channel_id, o_orderkey AS event_id,
                 o_orderkey AS db_id,
-                CASE o_orderkey % 7 WHEN 0 THEN NULL WHEN 1 THEN 200
+                CASE o_orderkey % 8 WHEN 0 THEN NULL WHEN 1 THEN 200
                      WHEN 2 THEN 204 WHEN 3 THEN 404 WHEN 4 THEN 500
-                     WHEN 5 THEN -2 ELSE -204 END AS db_code,
+                     WHEN 5 THEN -2 WHEN 6 THEN -1 ELSE -204 END AS db_code,
                 CASE WHEN o_orderkey % 11 = 0
                      THEN o_orderdate + INTERVAL 1 MINUTE
                      ELSE o_orderdate END AS db_request_start,
@@ -385,7 +385,7 @@ def join_siblings(spark, sf_dir):
               CAST(epoch(c.request_end) AS BIGINT) AS re_sec, e.db_id
        FROM cand c LEFT JOIN ex e USING (channel_id, event_id)
        WHERE e.db_id IS NULL
-          OR e.db_code IS NULL OR e.db_code IN (204, -2, -204)
+          OR e.db_code IS NULL OR e.db_code IN (204, -1, -2, -204)
           OR e.db_code BETWEEN 500 AND 599
           OR c.request_start != e.db_request_start
           OR c.request_end != e.db_request_end""",
@@ -396,7 +396,9 @@ def join_download_diff(spark, sf_dir):
     (operators/joins.py prepare_for_download_diff): candidates left-join
     stored segments on the natural key, keeping new rows, retry-mask
     matches (P11; client_err toggled OFF here so 404s are kept only when
-    their requested bounds moved), and changed request windows."""
+    their requested bounds moved — every other retry class including the
+    -1 url-error code is generated and kept), and changed request
+    windows."""
     from stream2segment_spark.operators.joins import (
         prepare_for_download_diff)
     o = load_table(spark, sf_dir, "orders")
@@ -406,10 +408,11 @@ def join_download_diff(spark, sf_dir):
         F.col("o_orderdate").alias("request_start"),
         (F.col("o_orderdate") + F.expr("INTERVAL 10 MINUTES"))
         .alias("request_end"))
-    code = (F.when(okey % 7 == 0, F.lit(None).cast("int"))
-             .when(okey % 7 == 1, 200).when(okey % 7 == 2, 204)
-             .when(okey % 7 == 3, 404).when(okey % 7 == 4, 500)
-             .when(okey % 7 == 5, -2).otherwise(-204))
+    code = (F.when(okey % 8 == 0, F.lit(None).cast("int"))
+             .when(okey % 8 == 1, 200).when(okey % 8 == 2, 204)
+             .when(okey % 8 == 3, 404).when(okey % 8 == 4, 500)
+             .when(okey % 8 == 5, -2).when(okey % 8 == 6, -1)
+             .otherwise(-204))
     ex = o.filter(okey % 3 != 0).select(
         (okey % 97).alias("channel_id"), okey.alias("event_id"),
         okey.alias("id"), code.alias("download_code"),
@@ -660,6 +663,13 @@ from stream2segment_spark import queries_process  # noqa: E402,F401
 from stream2segment_spark import queries_upsert  # noqa: E402,F401
 from stream2segment_spark import queries_multimodal  # noqa: E402,F401
 from stream2segment_spark import queries_mseed  # noqa: E402,F401
+
+# The driver checks the FIRST 50 registered entries: one more gate=True
+# registration would silently push entry #50 out of correctness
+# checking, so fail loudly at import instead.
+assert len(_QUERIES) <= 50, (
+    f"{len(_QUERIES)} gate-checked entries exceed the driver's 50-entry "
+    "window — defer one with register(..., gate=False)")
 
 # Flush gate=False entries last: they land beyond the driver's 50-entry
 # checked window but stay in queries() for bench and pytest oracles.

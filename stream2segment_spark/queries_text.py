@@ -274,9 +274,11 @@ def dedup_simhash(spark, sf_dir):
 WEAK_CHECK_ONLY_TEXT: tuple[str, ...] = ()
 
 
-_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-_PII_PHONE = "\\+\\d{8,15}\\b"
+# the oracle regexes ARE the kernel's patterns — re-deriving them here
+# (rather than retyping) makes drift impossible
+_PII_EMAIL = TX.PII_PATTERNS["email"]
+_PII_IPV4 = TX.PII_PATTERNS["ipv4"]
+_PII_PHONE = TX.PII_PATTERNS["phone"]
 
 
 @register(

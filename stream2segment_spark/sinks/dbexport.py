@@ -96,31 +96,43 @@ def export_sqlite(warehouse: str, db_path: str,
     con = sqlite3.connect(db_path)
     counts: dict[str, int] = {}
     try:
-        for ref_table, (wh_table, sp_schema) in TABLES.items():
-            src = os.path.join(warehouse, f"{wh_table}.parquet")
-            if not os.path.exists(src):
-                continue
-            con.execute(_ddl(ref_table, sp_schema))
-            pf = pq.ParquetFile(src)
-            want = [f.name for f in sp_schema.fields
-                    if f.name in pf.schema_arrow.names]
-            kinds = {f.name: f.dataType.simpleString()
-                     for f in sp_schema.fields}
-            ins = (f"INSERT INTO {ref_table} ({', '.join(want)}) "
-                   f"VALUES ({', '.join('?' * len(want))})")
-            n = 0
-            for batch in pf.iter_batches(batch_size=batch_rows,
-                                         columns=want):
-                data = {name: batch.column(i).to_pylist()
-                        for i, name in enumerate(batch.schema.names)}
-                rows = [
-                    tuple(_to_sql_value(data[w][i], kinds[w])
-                          for w in want)
-                    for i in range(batch.num_rows)]
-                con.executemany(ins, rows)
-                n += len(rows)
-            con.commit()
-            counts[ref_table] = n
-        return counts
+        return _export_tables(con, warehouse, batch_rows, counts)
+    except BaseException:
+        # never leave a truncated-but-valid-looking database behind (the
+        # overwrite guard would then also block the retry)
+        con.close()
+        if os.path.exists(db_path):
+            os.unlink(db_path)
+        raise
     finally:
         con.close()
+
+
+def _export_tables(con, warehouse: str, batch_rows: int,
+                   counts: dict[str, int]) -> dict[str, int]:
+    for ref_table, (wh_table, sp_schema) in TABLES.items():
+        src = os.path.join(warehouse, f"{wh_table}.parquet")
+        if not os.path.exists(src):
+            continue
+        con.execute(_ddl(ref_table, sp_schema))
+        pf = pq.ParquetFile(src)
+        want = [f.name for f in sp_schema.fields
+                if f.name in pf.schema_arrow.names]
+        kinds = {f.name: f.dataType.simpleString()
+                 for f in sp_schema.fields}
+        ins = (f"INSERT INTO {ref_table} ({', '.join(want)}) "
+               f"VALUES ({', '.join('?' * len(want))})")
+        n = 0
+        for batch in pf.iter_batches(batch_size=batch_rows,
+                                     columns=want):
+            data = {name: batch.column(i).to_pylist()
+                    for i, name in enumerate(batch.schema.names)}
+            rows = [
+                tuple(_to_sql_value(data[w][i], kinds[w])
+                      for w in want)
+                for i in range(batch.num_rows)]
+            con.executemany(ins, rows)
+            n += len(rows)
+        con.commit()
+        counts[ref_table] = n
+    return counts

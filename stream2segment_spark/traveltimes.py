@@ -334,8 +334,15 @@ def first_arrivals(model: VelocityModel1D, source_depth_km: float,
         sel = up_ok & (p_all <= eta_src_up)
         _envelope_min(np.degrees(d_up[sel]), t_up[sel], targets, out)
     # turning branch: down from source to r_t, up through full stack;
-    # requires the turn below the source and an unblocked upper stack
-    sel = up_ok & (kstop >= ksrc)
+    # requires the turn below the source and an unblocked upper stack.
+    # Rays reaching the model bottom without turning (kstop == K) EXIT a
+    # model that stops short of the center (e.g. a crustal-only profile)
+    # — they are not arrivals; only a to-the-center model folds them
+    # through the antipode (p == 0 special case below).
+    reaches_center = r_bot[-1] <= 1e-9
+    K = len(v_top)
+    sel = up_ok & (kstop >= ksrc) & (
+        (kstop < K) | (reaches_center & (p_all == 0.0)))
     dd = np.degrees(2.0 * d_turn[sel] - d_up[sel])
     tt = 2.0 * t_turn[sel] - t_up[sel]
     # the exact-vertical ray (p == 0) passes through the center to the
@@ -413,17 +420,21 @@ def compute_grid(model: VelocityModel1D, tt_errtol: float = 0.5,
         list(np.linspace(0.0, max_source_depth_km, 8))))
     rows = _compute_rows(model, depths, distances, max_dr_km, spark)
 
+    converged: set[tuple[float, float]] = set()
     for _ in range(max_rounds):
         ds = sorted(rows)
-        # probe midpoints of each interval; refine where interp misses
-        mids = [(a + b) / 2 for a, b in zip(ds[:-1], ds[1:]) if b - a > 1.0]
-        if not mids:
+        # probe midpoints of each not-yet-converged interval; an interval
+        # that already passed the tolerance check is final — re-probing
+        # it every round would recompute a full distributed row for
+        # nothing
+        pend = [(a, b) for a, b in zip(ds[:-1], ds[1:])
+                if b - a > 1.0 and (a, b) not in converged]
+        if not pend:
             break
+        mids = [(a + b) / 2 for a, b in pend]
         mid_rows = _compute_rows(model, mids, distances, max_dr_km, spark)
         new_depths = []
-        for (a, b) in zip(ds[:-1], ds[1:]):
-            if b - a <= 1.0:
-                continue
+        for (a, b) in pend:
             m = (a + b) / 2
             interp = (rows[a] + rows[b]) / 2.0
             direct = mid_rows[m]
@@ -433,6 +444,8 @@ def compute_grid(model: VelocityModel1D, tt_errtol: float = 0.5,
             if err > tt_errtol:
                 rows[m] = direct
                 new_depths.append(m)
+            else:
+                converged.add((a, b))
         if not new_depths:
             break
     ds = np.array(sorted(rows))

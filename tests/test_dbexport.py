@@ -87,3 +87,25 @@ def test_export_db_cli(ref_db, tmp_path, capsys):  # noqa: F811
     out_db = tmp_path / "out.sqlite"
     assert main(["export-db", "-c", str(cfg), "-o", str(out_db)]) == 0
     assert "segments: 2" in capsys.readouterr().out
+
+
+def test_export_failure_leaves_no_file(ref_db, tmp_path):  # noqa: F811
+    """A mid-export failure must remove the partial database so a retry
+    is possible and nobody mistakes a truncated file for a finished
+    export. Forced here by poisoning a natural key the reference DDL's
+    unique constraint rejects."""
+    import duckdb
+
+    wh = tmp_path / "wh"
+    import_sqlite(str(ref_db), str(wh))
+    # duplicate the (channel_id, event_id) natural key in the warehouse
+    seg = str(wh / "segments.parquet")
+    duckdb.sql(f"""COPY (
+        SELECT * FROM read_parquet('{seg}')
+        UNION ALL
+        SELECT * REPLACE (99 AS id) FROM read_parquet('{seg}')
+        WHERE id = 1) TO '{seg}' (FORMAT PARQUET)""")
+    out_db = tmp_path / "e.sqlite"
+    with pytest.raises(sqlite3.IntegrityError):
+        export_sqlite(str(wh), str(out_db))
+    assert not out_db.exists()

@@ -351,3 +351,30 @@ def test_pq_encode_and_adc_exact_when_quantization_lossless(spark):
     for q, ids in by_q.items():
         exact = sorted(cv, key=lambda i: (((qv[q] - cv[i]) ** 2).sum(), i))
         assert ids == exact[:3]
+
+
+def test_pq_topk_ties_break_by_vec_id(spark):
+    """Vectors sharing a PQ code tuple have exactly equal ADC distances;
+    the local top-k must keep the LOWEST ids, not an arbitrary subset."""
+    import numpy as np
+
+    from stream2segment_spark.operators import similarity as SIM
+    from stream2segment_spark.schema import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = SIM.pq_sample_codebook(emb, m=8, ksub=16)
+    base = np.asarray(
+        emb.filter(F.col("vec_id") == 30).collect()[0]["embedding"], float)
+    # 20 identical corpus vectors (ids 100..119) + higher-id distractors
+    # (distractors may quantize to the same codes and tie as well — ids
+    # above the duplicates keep the expected winners unambiguous)
+    rows = [(100 + i, [float(x) for x in base]) for i in range(20)]
+    rows += [(200 + i, [float(x) for x in (base + i)]) for i in range(3)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").repartition(7)
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in base])],
+        "query_id long, embedding array<double>")
+    got = sorted(r["vec_id"] for r in
+                 SIM.pq_topk_adc(corpus, queries, cb, k=5).collect())
+    assert got == [100, 101, 102, 103, 104]

@@ -150,3 +150,16 @@ def test_cli_tt_create_local(tmp_path):
     assert g.tt_sec.shape[0] >= 3
     data = np.load(out)
     assert str(data["phases"][0]) == "P"
+
+
+def test_partial_depth_model_has_no_phantom_arrivals():
+    """A model that stops short of the center (a crustal-only profile)
+    must NOT fold bottom-exiting rays through the antipode: near-offset
+    crustal arrivals are finite, far-field distances are NaN."""
+    m = VelocityModel1D(np.array([0., 20., 20., 50.]),
+                        np.array([5.8, 5.8, 6.5, 6.5]), "crust")
+    d = np.array([0.1, 0.5, 1.0, 2.0, 30.0, 90.0, 180.0])
+    tt = first_arrivals(m, 10.0, d)
+    assert np.isfinite(tt[d <= 2.0]).all()
+    assert np.isnan(tt[d >= 30.0]).all()
+    assert 16 < tt[2] < 21          # ~1 deg through ~6 km/s crust

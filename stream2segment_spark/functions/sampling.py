@@ -67,6 +67,55 @@ def deterministic_split(
     return df.withColumn(out_col, split_column(F.col(id_col), fractions, seed))
 
 
+def temperature_rates(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-stratum keep rates for 'temperature' corpus rebalancing: kept
+    counts become proportional to ``n_s ** alpha`` (the multilingual
+    upsampling rule — alpha=1 keeps the natural mix, alpha=0 flattens it),
+    normalized so the smallest stratum keeps everything:
+    ``rate_s = (n_s / n_min) ** (alpha - 1)``.
+
+    Returns a small DataFrame ``(strata_col, n_total, rate)`` — one row
+    per stratum, a broadcast-sized dimension by contract. One map-side
+    combined count shuffle; the n_min fold is a 1-row crossJoin.
+
+    For ``alpha=0.5`` the rate is computed as ``sqrt(n_min / n_s)``:
+    IEEE sqrt is correctly rounded in every engine, so the assignment is
+    bit-replayable cross-engine (pow is only ulp-accurate and could flip
+    a threshold comparison between libms).
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_total"))
+    n_min = counts.agg(F.min("n_total").alias("__n_min"))
+    joined = counts.crossJoin(F.broadcast(n_min))
+    if alpha == 0.5:
+        rate = F.sqrt(F.col("__n_min").cast("double") / F.col("n_total"))
+    else:
+        rate = F.pow(F.col("n_total").cast("double") / F.col("__n_min"),
+                     F.lit(float(alpha) - 1.0))
+    return joined.withColumn("rate", rate).drop("__n_min")
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    seed: str = "temp",
+) -> DataFrame:
+    """Deterministic temperature-weighted sample: keep a row iff its md5
+    bucket falls under its stratum's :func:`temperature_rates` rate.
+    The rates dim is broadcast — no shuffle lands on the corpus side, and
+    the filter composes with scan-stage pruning."""
+    rates = temperature_rates(df, strata_col, alpha)
+    bucket = hash_bucket(F.col(id_col), seed)
+    return (df.join(F.broadcast(rates.select(strata_col, "rate")), strata_col)
+              .filter(bucket.cast("double") < F.col("rate") * BUCKETS)
+              .drop("rate"))
+
+
 def deterministic_sample(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,141 @@
+"""Catalog entries: corpus-curation operators beyond the reference —
+line-level boilerplate dedup, greedy sequence packing, temperature
+source-mixing. All three are deterministic and carry exact DuckDB
+oracles (the md5 hash bucket and IEEE sqrt replay bit-for-bit across
+engines; windowed sums and counts are integer math).
+
+The synthetic documents carry no newlines, so the line-dedup entry
+synthesizes line structure deterministically on BOTH sides (every 8
+whitespace tokens = one line); with the corpus's small vocabulary these
+lines repeat across documents, making the cross-document line-frequency
+cut non-trivial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream2segment_spark.functions.packing import chunk_summary, pack_greedy
+from stream2segment_spark.functions.sampling import (
+    BUCKETS, temperature_rates, temperature_sample)
+from stream2segment_spark.operators import dedup as DD
+from stream2segment_spark.queries_catalog import register
+from stream2segment_spark.schema import load_table
+
+# DuckDB twin of functions.sampling.hash_bucket (documented there)
+_BUCKET_SQL = ("CAST('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)),"
+               " 1, 15) AS BIGINT) % 10000")
+
+# 8-token synthetic 'lines' (see module docstring) — Spark + DuckDB twins
+_LINES_EXPR = ("transform(sequence(0, int(ceil(size(__toks)/8.0)) - 1), "
+               "i -> array_join(slice(__toks, i*8+1, 8), ' '))")
+_LINES_SQL = """
+    t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+          FROM documents),
+    l AS (SELECT doc_id, i.i AS pos,
+                 array_to_string(w[i.i*8+1 : i.i*8+8], ' ') AS ln
+          FROM t, LATERAL (SELECT unnest(range(0,
+                 CAST(ceil(len(w)/8.0) AS BIGINT))) AS i) i)"""
+
+
+@register(
+    "corpus_line_dedup",
+    f"""WITH {_LINES_SQL},
+       f AS (SELECT ln, count(DISTINCT doc_id) AS line_df FROM l GROUP BY ln)
+       SELECT l.doc_id, count(*) AS n_lines,
+              CAST(sum(CASE WHEN f.line_df <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept,
+              md5(array_to_string(list(l.ln ORDER BY l.pos)
+                  FILTER (f.line_df <= 2), chr(10))) AS kept_md5
+       FROM l JOIN f USING (ln)
+       GROUP BY l.doc_id""",
+    gate=False,
+)
+def corpus_line_dedup(spark, sf_dir):
+    """CCNet/RefinedWeb-style line-level boilerplate removal
+    (operators/dedup.line_dedup): drop every line occurring in >2
+    distinct documents, reassemble survivors in order. Beyond-reference
+    LLM-pipeline capability; no counterpart in the reference engine.
+    Three keyed shuffles (line-df aggregate, line join-back with AQE
+    skew-split on hot boilerplate lines, doc regroup) — no all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    lined = (docs
+             .select("doc_id",
+                     F.split(F.coalesce("text", F.lit("")), " ")
+                      .alias("__toks"))
+             .select("doc_id", F.expr(_LINES_EXPR).alias("__lines")))
+    out = DD.line_dedup(lined, "doc_id", "__lines", max_df=2)
+    return out.select("doc_id", "n_lines", "n_kept",
+                      F.md5("cleaned_text").alias("kept_md5"))
+
+
+@register(
+    "corpus_pack_chunks",
+    f"""WITH d AS (SELECT doc_id,
+                len(string_split(coalesce(text, ''), ' ')) AS n_tok
+              FROM documents),
+       s AS (SELECT doc_id, n_tok,
+                CAST({_BUCKET_SQL.format(seed='pack')} AS INTEGER) % 8 AS shard
+             FROM d),
+       c AS (SELECT shard, n_tok,
+                sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                doc_id
+             FROM s)
+       SELECT shard, CAST(floor((cum - n_tok) / 256) AS BIGINT) AS chunk_id,
+              count(*) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+              min(doc_id) AS min_id, max(doc_id) AS max_id
+       FROM c GROUP BY shard, chunk_id""",
+    gate=False,
+)
+def corpus_pack_chunks(spark, sf_dir):
+    """Greedy sequence packing into fixed-token-budget training chunks
+    (functions/packing.pack_greedy): md5-sharded, id-ordered start-offset
+    assignment — deterministic bin packing with ONE keyed shuffle (the
+    shard window) and no global sort. Beyond-reference LLM-pipeline
+    capability. Gate uses budget=256, n_shards=8; at 100 TB n_shards
+    scales to the cluster (shards are md5-uniform, skew-free)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.coalesce("text", F.lit("")), " ")).alias("n_tok"))
+    packed = pack_greedy(d, "doc_id", "n_tok", budget=256, n_shards=8,
+                         seed="pack")
+    return chunk_summary(packed, "doc_id", "n_tok")
+
+
+@register(
+    "corpus_temperature_mix",
+    f"""WITH c AS (SELECT source, count(*) AS n_total FROM documents
+              GROUP BY source),
+       m AS (SELECT min(n_total) AS n_min FROM c),
+       r AS (SELECT source, n_total,
+                sqrt(CAST(n_min AS DOUBLE) / n_total) AS rate FROM c, m),
+       k AS (SELECT d.source, count(*) AS n_kept
+             FROM documents d JOIN r USING (source)
+             WHERE CAST({_BUCKET_SQL.format(seed='temp')} AS DOUBLE)
+                   < rate * {BUCKETS}
+             GROUP BY d.source)
+       SELECT r.source, r.n_total, round(r.rate, 6) AS rate,
+              coalesce(k.n_kept, 0) AS n_kept
+       FROM r LEFT JOIN k USING (source)""",
+    gate=False,
+)
+def corpus_temperature_mix(spark, sf_dir):
+    """Temperature source-rebalancing (functions/sampling
+    .temperature_sample, alpha=0.5): kept counts become proportional to
+    sqrt(n_source), the multilingual upsampling rule, via deterministic
+    md5-bucket thresholds — reproducible across runs/engines/
+    partitionings. The rates dim is broadcast; the corpus side sees only
+    a scan-stage filter. Beyond-reference LLM-pipeline capability."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = temperature_rates(docs, "source", alpha=0.5)
+    kept = (temperature_sample(docs, "doc_id", "source", alpha=0.5,
+                               seed="temp")
+            .groupBy("source").agg(F.count("*").alias("n_kept")))
+    return (rates.join(kept, "source", "left")
+            .select("source", "n_total",
+                    F.round("rate", 6).alias("rate"),
+                    F.coalesce("n_kept", F.lit(0).cast("long"))
+                     .alias("n_kept")))

@@ -1,0 +1,172 @@
+"""Corpus-curation operator tests: line-level dedup, greedy sequence
+packing, temperature source-mixing — edge cases the gate data can't hit
+(empty/null docs, single-line docs, budget-straddling documents, strata
+with equal counts) plus partitioning-invariance of every assignment."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from stream2segment_spark.functions.packing import chunk_summary, pack_greedy
+from stream2segment_spark.functions.sampling import (
+    temperature_rates, temperature_sample)
+from stream2segment_spark.operators.dedup import line_dedup
+
+
+# ---------------------------------------------------------------------------
+# line_dedup
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def lined(spark):
+    rows = [
+        Row(doc_id=1, text="keep me\ncommon banner\nunique one"),
+        Row(doc_id=2, text="common banner\nanother keeper"),
+        Row(doc_id=3, text="common banner\ncommon banner\nsolo line"),
+        Row(doc_id=4, text=""),          # one empty line
+        Row(doc_id=5, text=None),        # null text
+    ]
+    return spark.createDataFrame(rows).withColumn(
+        "__lines", F.split(F.coalesce("text", F.lit("")), "\n"))
+
+
+def test_line_dedup_drops_common_lines(spark, lined):
+    out = {r.doc_id: r for r in
+           line_dedup(lined, "doc_id", "__lines", max_df=2).collect()}
+    # 'common banner' occurs in 3 DISTINCT docs (the in-doc repeat in doc 3
+    # must not inflate the count beyond distinct docs) -> dropped everywhere
+    assert out[1].cleaned_text == "keep me\nunique one"
+    assert out[1].n_lines == 3 and out[1].n_kept == 2
+    assert out[2].cleaned_text == "another keeper"
+    assert out[3].cleaned_text == "solo line"
+    assert out[3].n_lines == 3 and out[3].n_kept == 1
+    # empty + null docs survive as one (empty) line: '' occurs in 2 docs <= max_df
+    assert out[4].cleaned_text == "" and out[4].n_kept == 1
+    assert out[5].cleaned_text == ""
+
+
+def test_line_dedup_distinct_doc_threshold(spark, lined):
+    # max_df=3 keeps 'common banner' (exactly 3 distinct docs)
+    out = {r.doc_id: r.n_kept for r in
+           line_dedup(lined, "doc_id", "__lines", max_df=3).collect()}
+    assert out[1] == 3 and out[3] == 3
+
+
+def test_line_dedup_order_preserved_any_partitioning(spark, lined):
+    a = {r.doc_id: r.cleaned_text for r in
+         line_dedup(lined.repartition(7), "doc_id", "__lines").collect()}
+    b = {r.doc_id: r.cleaned_text for r in
+         line_dedup(lined.coalesce(1), "doc_id", "__lines").collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# pack_greedy
+# ---------------------------------------------------------------------------
+
+def test_pack_chunks_respect_start_offsets(spark):
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id"), F.lit(37)) + 1).alias("n_tok"))
+    packed = pack_greedy(docs, "doc_id", "n_tok", budget=100, n_shards=4)
+    rows = packed.collect()
+    # replay the definition per shard in python
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.chunk_id == cum // 100, (shard, r)
+            cum += r.n_tok
+    # every doc assigned exactly once; chunk fill bounded by budget + max doc
+    summ = chunk_summary(packed, "doc_id", "n_tok").collect()
+    assert sum(c.n_docs for c in summ) == 500
+    assert all(c.sum_tokens <= 100 + 37 for c in summ)
+
+
+def test_pack_oversize_doc_gets_own_chunks(spark):
+    # a doc bigger than the budget still lands in ONE chunk (start-offset
+    # packing never splits); the next doc starts a later chunk
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, n_tok=t) for i, t in
+         [(1, 10), (2, 500), (3, 10)]])
+    packed = {r.doc_id: r.chunk_id for r in
+              pack_greedy(docs, "doc_id", "n_tok", budget=100,
+                          n_shards=1).collect()}
+    assert packed[1] == 0 and packed[2] == 0   # starts at offset 10
+    assert packed[3] == 5                      # starts at offset 520
+
+
+def test_pack_partitioning_invariant(spark):
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.lit(17).alias("n_tok"))
+    a = {r.doc_id: (r.shard, r.chunk_id) for r in
+         pack_greedy(docs.repartition(13), "doc_id", "n_tok").collect()}
+    b = {r.doc_id: (r.shard, r.chunk_id) for r in
+         pack_greedy(docs.coalesce(1), "doc_id", "n_tok").collect()}
+    assert a == b
+
+
+def test_pack_rejects_bad_params(spark):
+    docs = spark.range(3).select(F.col("id").alias("doc_id"),
+                                 F.lit(1).alias("n_tok"))
+    with pytest.raises(ValueError, match="budget"):
+        pack_greedy(docs, "doc_id", "n_tok", budget=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_greedy(docs, "doc_id", "n_tok", n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# temperature sampling
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 4 strata with counts 100 / 400 / 1600 / 6400 (16x spread)
+    return spark.range(0, 8500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, "a").when(F.col("id") < 500, "b")
+         .when(F.col("id") < 2100, "c").otherwise("d").alias("source"))
+
+
+def test_temperature_rates_sqrt_law(spark, skewed):
+    rates = {r.source: r for r in
+             temperature_rates(skewed, "source", alpha=0.5).collect()}
+    assert rates["a"].rate == pytest.approx(1.0)      # smallest keeps all
+    assert rates["b"].rate == pytest.approx(0.5)      # sqrt(100/400)
+    assert rates["c"].rate == pytest.approx(0.25)
+    assert rates["d"].rate == pytest.approx(0.125)
+    assert rates["d"].n_total == 6400
+
+
+def test_temperature_sample_achieves_sqrt_mix(spark, skewed):
+    kept = {r.source: r["count"] for r in
+            temperature_sample(skewed, "doc_id", "source")
+            .groupBy("source").count().collect()}
+    # kept counts proportional to sqrt(n): 100/200/400/800 (within md5 noise)
+    assert kept["a"] == 100                           # rate 1.0 is exact
+    for src, expect in [("b", 200), ("c", 400), ("d", 800)]:
+        assert kept[src] == pytest.approx(expect, rel=0.2), src
+
+
+def test_temperature_alpha_extremes(spark, skewed):
+    # alpha=1 keeps the natural mix (every rate 1.0)
+    nat = temperature_rates(skewed, "source", alpha=1.0).collect()
+    assert all(r.rate == pytest.approx(1.0) for r in nat)
+    # alpha=0 flattens: every stratum's kept count ~= n_min
+    flat = {r.source: r.rate for r in
+            temperature_rates(skewed, "source", alpha=0.0).collect()}
+    assert flat["d"] == pytest.approx(100 / 6400)
+
+
+def test_temperature_sample_partitioning_invariant(spark, skewed):
+    a = sorted(r.doc_id for r in temperature_sample(
+        skewed.repartition(11), "doc_id", "source").collect())
+    b = sorted(r.doc_id for r in temperature_sample(
+        skewed.coalesce(1), "doc_id", "source").collect())
+    assert a == b and len(a) > 0

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from stream2segment_spark.functions.packing import chunk_summary, pack_greedy
+from stream2segment_spark.operators.clustering import kmeans_quantized
 from stream2segment_spark.functions.sampling import (
     BUCKETS, temperature_rates, temperature_sample)
 from stream2segment_spark.operators import dedup as DD
@@ -103,6 +104,75 @@ def corpus_pack_chunks(spark, sf_dir):
     packed = pack_greedy(d, "doc_id", "n_tok", budget=256, n_shards=8,
                          seed="pack")
     return chunk_summary(packed, "doc_id", "n_tok")
+
+
+# One Lloyd iteration as a DuckDB CTE chain: assignment (cross join k x n,
+# exact integer distances), argmin with (dist, cid) tie-break, centroid
+# re-quantization with empty-cluster fallback to the previous centroid.
+_KM_ITER_SQL = """
+   a{n} AS (SELECT q.vec_id, c.cid,
+              CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                   i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i]))) AS BIGINT)
+                  AS d2
+            FROM q CROSS JOIN c{p} c),
+   m{n} AS (SELECT vec_id, cid, d2 FROM
+              (SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY d2, cid) AS rn FROM a{n})
+            WHERE rn = 1),
+   u{n} AS (SELECT m.cid, p.pos,
+              CAST(round(CAST(sum(q.v[p.pos]) AS DOUBLE) / count(*), 0)
+                   AS BIGINT) AS cv
+            FROM m{n} m JOIN q USING (vec_id),
+                 LATERAL (SELECT unnest(range(1, len(q.v) + 1)) AS pos) p
+            GROUP BY m.cid, p.pos),
+   c{n} AS (SELECT cp.cid, list(coalesce(u.cv, cp.cv0) ORDER BY cp.pos)
+                   AS c
+            FROM (SELECT c.cid, p.pos, c.c[p.pos] AS cv0
+                  FROM c{p} c, LATERAL (SELECT unnest(range(1,
+                       len(c.c) + 1)) AS pos) p) cp
+            LEFT JOIN u{n} u ON u.cid = cp.cid AND u.pos = cp.pos
+            GROUP BY cp.cid)"""
+
+
+@register(
+    "cluster_kmeans",
+    f"""WITH q AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(round(
+                  CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v
+            FROM embeddings),
+       seeds AS (SELECT vec_id, v,
+              row_number() OVER (ORDER BY
+                  {_BUCKET_SQL.format(seed='km').replace('doc_id', 'vec_id')},
+                  vec_id) - 1 AS cid
+            FROM q),
+       c0 AS (SELECT cid, v AS c FROM seeds WHERE cid < 8),
+       {_KM_ITER_SQL.format(n=1, p=0)},
+       {_KM_ITER_SQL.format(n=2, p=1)},
+       a3 AS (SELECT q.vec_id, c.cid,
+              CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                   i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i]))) AS BIGINT)
+                  AS d2
+            FROM q CROSS JOIN c2 c)
+       SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id, d2 AS dist2 FROM
+         (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cid) AS rn FROM a3)
+       WHERE rn = 1""",
+    gate=False,
+)
+def cluster_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means over the embedding column
+    (operators/clustering.kmeans_quantized, k=8, 2 iterations):
+    semantic clustering for domain discovery / cluster-balanced corpus
+    sampling. Integer-quantized grid makes every distance, argmin and
+    centroid update bit-replayable in DuckDB (module docstring); the
+    oracle replays both Lloyd iterations as unrolled CTEs. Spark plan:
+    assignment is scan-stage expressions over a broadcast centroid
+    literal; one map-side-combined (cluster, dim) shuffle per iteration;
+    only k x dim longs ever reach the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_quantized(emb, "vec_id", "embedding",
+                                   k=8, iters=2, seed="km")
+    return assigned
 
 
 @register(

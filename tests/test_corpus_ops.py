@@ -164,6 +164,68 @@ def test_temperature_alpha_extremes(spark, skewed):
     assert flat["d"] == pytest.approx(100 / 6400)
 
 
+# ---------------------------------------------------------------------------
+# kmeans_quantized
+# ---------------------------------------------------------------------------
+
+def _blobs(spark, n_per=40, sep=10.0):
+    # 3 well-separated 4-d blobs with deterministic in-blob jitter
+    rows = []
+    for b, center in enumerate([(0.0, 0.0, 0.0, 0.0),
+                                (sep, sep, 0.0, 0.0),
+                                (0.0, 0.0, sep, sep)]):
+        for i in range(n_per):
+            jit = [((i * 7 + d * 3) % 5 - 2) * 0.01 for d in range(4)]
+            rows.append(Row(vec_id=b * n_per + i,
+                            vec=[c + j for c, j in zip(center, jit)],
+                            blob=b))
+    return spark.createDataFrame(rows)
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    from stream2segment_spark.operators.clustering import kmeans_quantized
+    df = _blobs(spark)
+    assigned, cents = kmeans_quantized(df, "vec_id", "vec", k=3, iters=3)
+    got = {r.vec_id: r.cluster_id for r in assigned.collect()}
+    truth = {r.vec_id: r.blob for r in df.collect()}
+    # each true blob maps to exactly one cluster and vice versa
+    mapping = {}
+    for vid, cid in got.items():
+        mapping.setdefault(truth[vid], set()).add(cid)
+    assert all(len(cids) == 1 for cids in mapping.values())
+    assert len({next(iter(c)) for c in mapping.values()}) == 3
+    assert len(cents) == 3 and all(len(c) == 4 for c in cents)
+
+
+def test_kmeans_partitioning_invariant(spark):
+    from stream2segment_spark.operators.clustering import kmeans_quantized
+    df = _blobs(spark)
+    a, ca = kmeans_quantized(df.repartition(9), "vec_id", "vec", k=4, iters=2)
+    b, cb = kmeans_quantized(df.coalesce(1), "vec_id", "vec", k=4, iters=2)
+    assert ca == cb
+    assert ({(r.vec_id, r.cluster_id, r.dist2) for r in a.collect()}
+            == {(r.vec_id, r.cluster_id, r.dist2) for r in b.collect()})
+
+
+def test_kmeans_rejects_bad_k(spark):
+    from stream2segment_spark.operators.clustering import kmeans_quantized
+    df = _blobs(spark, n_per=2)
+    with pytest.raises(ValueError, match="k and iters"):
+        kmeans_quantized(df, "vec_id", "vec", k=0)
+    with pytest.raises(ValueError, match="exceeds"):
+        kmeans_quantized(df, "vec_id", "vec", k=100)
+
+
+def test_kmeans_iteration_tightens_clusters(spark):
+    from stream2segment_spark.operators.clustering import kmeans_quantized
+    df = _blobs(spark, sep=3.0)
+    d1 = kmeans_quantized(df, "vec_id", "vec", k=3, iters=1)[0] \
+        .agg(F.sum("dist2")).first()[0]
+    d3 = kmeans_quantized(df, "vec_id", "vec", k=3, iters=3)[0] \
+        .agg(F.sum("dist2")).first()[0]
+    assert d3 <= d1
+
+
 def test_temperature_sample_partitioning_invariant(spark, skewed):
     a = sorted(r.doc_id for r in temperature_sample(
         skewed.repartition(11), "doc_id", "source").collect())

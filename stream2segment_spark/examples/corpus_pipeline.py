@@ -14,6 +14,17 @@ splits):
    (min id) per cluster;
 5. split     — deterministic md5-bucket train/val/test assignment.
 
+Optional stages (off by default, enabled by their parameters):
+
+0. line dedup   — ``line_max_df``: CCNet-style cross-document
+   boilerplate-line removal BEFORE annotation (so quality scoring sees
+   the cleaned text);
+5b. temperature mix — ``mix_strata_col``: rebalance kept counts to
+   n^alpha per stratum (deterministic md5 thresholds);
+6. packing      — ``pack_budget``: greedy md5-sharded start-offset
+   packing into fixed-token-budget training chunks (adds shard/chunk_id
+   columns).
+
 Every stage is a DataFrame -> DataFrame transform: at 100 TB stages 1-2
 fuse into the parquet scan, stage 3 is one hash-partitioned groupBy,
 stage 4 shuffles only band buckets + candidate pairs (never all pairs),
@@ -37,22 +48,42 @@ def curate_corpus(
     max_top_token_frac: float = 0.2,
     neardup_threshold: float = 0.7,
     split_fractions: dict[str, float] | None = None,
+    line_max_df: int | None = None,
+    mix_strata_col: str | None = None,
+    mix_alpha: float = 0.5,
+    pack_budget: int | None = None,
+    pack_shards: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the 5-stage curation funnel; returns (curated, funnel) where
     ``curated`` has the annotation columns + ``split`` and ``funnel`` is
-    one row of per-stage survivor counts."""
+    one row of per-stage survivor counts. Optional stages (module
+    docstring) switch on via ``line_max_df`` / ``mix_strata_col`` /
+    ``pack_budget``."""
     import stream2segment_spark.functions.text as TX
-    from stream2segment_spark.functions.sampling import split_column
+    from stream2segment_spark.functions.sampling import (
+        split_column, temperature_sample)
     from stream2segment_spark.operators import dedup as DD
     from stream2segment_spark.operators.graph import connected_components
 
+    # -- 0. optional line-level boilerplate removal ---------------------
+    if line_max_df is not None:
+        strata_keep = ([mix_strata_col] if mix_strata_col else [])
+        cleaned = DD.line_dedup(
+            docs.withColumn("__lines", F.split(
+                F.coalesce(text_col, F.lit("")), "\n")),
+            id_col, "__lines", max_df=line_max_df)
+        docs = (docs.select(id_col, *strata_keep)
+                .join(cleaned.select(id_col, F.col("cleaned_text")
+                                     .alias(text_col)), id_col))
+
     # -- 1. annotate (single tokenizer pass; see functions/text.py) -----
+    extra = ([mix_strata_col] if mix_strata_col else [])
     staged = docs.select(
-        id_col, text_col,
+        id_col, text_col, *extra,
         DD.word_tokens(F.col(text_col)).alias("__toks"))
     toks = F.col("__toks")
     ann = staged.select(
-        id_col, text_col,
+        id_col, text_col, *extra,
         TX.token_count(F.col(text_col), toks=toks).alias("n_tokens"),
         TX.max_token_run(F.col(text_col), toks=toks).alias("max_tok_run"),
         F.round(TX.quality_score(F.col(text_col), toks=toks), 4)
@@ -89,6 +120,17 @@ def curate_corpus(
     # -- 5. deterministic split -----------------------------------------
     curated = deduped.withColumn(
         "split", split_column(F.col(id_col), fractions=split_fractions))
+
+    # -- 5b. optional temperature rebalance -----------------------------
+    if mix_strata_col is not None:
+        curated = temperature_sample(curated, id_col, mix_strata_col,
+                                     alpha=mix_alpha)
+
+    # -- 6. optional training-chunk packing -----------------------------
+    if pack_budget is not None:
+        from stream2segment_spark.functions.packing import pack_greedy
+        curated = pack_greedy(curated, id_col, "n_tokens",
+                              budget=pack_budget, n_shards=pack_shards)
 
     funnel = (docs.select(F.count("*").alias("input"))
               .crossJoin(filtered.select(F.count("*").alias("filtered")))

@@ -157,7 +157,7 @@ _KM_ITER_SQL = """
          (SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY d2, cid) AS rn FROM a3)
        WHERE rn = 1""",
-    gate=False,
+    # gate-checked: the slot freed by the dedup_exact_docs rotation.
 )
 def cluster_kmeans(spark, sf_dir):
     """Distributed Lloyd k-means over the embedding column

@@ -143,6 +143,9 @@ def text_analysis(spark, sf_dir):
               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
                 AS fingerprint
        FROM documents GROUP BY fingerprint""",
+    # r3 gate rotation: deferred — A6 keep-first stays gate-checked via
+    # dedup_keep_first (events); the freed slot gates cluster_kmeans.
+    gate=False,
 )
 def dedup_exact_docs(spark, sf_dir):
     """Exact dedup by content fingerprint, keep-first by doc_id

@@ -64,3 +64,31 @@ def test_split_assignment_deterministic_and_complete(spark, curated):
                   "doc_id")
             .filter("split <> s2").count())
     assert diff == 0
+
+
+def test_full_funnel_with_optional_stages(spark):
+    """All optional stages on: line dedup feeds annotation, temperature
+    mix rebalances by source, packing assigns (shard, chunk_id)."""
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    out, funnel = curate_corpus(
+        docs, languages=("en", "und"), min_quality=0.0,
+        token_band=(1, 100_000), neardup_threshold=0.5,
+        line_max_df=3, mix_strata_col="source", mix_alpha=0.5,
+        pack_budget=256, pack_shards=4)
+    rows = out.persist().collect()
+    assert rows and {"shard", "chunk_id", "source", "split"} <= set(
+        out.columns)
+    assert all(0 <= r.shard < 4 and r.chunk_id >= 0 for r in rows)
+    f = funnel.collect()[0]
+    assert f["input"] >= len({r.doc_id for r in rows})
+    # chunk fill respects the start-offset rule within every shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.chunk_id == cum // 256
+            cum += r.n_tokens
+    out.unpersist()

@@ -104,12 +104,16 @@ def temperature_sample(
     strata_col: str,
     alpha: float = 0.5,
     seed: str = "temp",
+    rates: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic temperature-weighted sample: keep a row iff its md5
     bucket falls under its stratum's :func:`temperature_rates` rate.
     The rates dim is broadcast — no shuffle lands on the corpus side, and
-    the filter composes with scan-stage pruning."""
-    rates = temperature_rates(df, strata_col, alpha)
+    the filter composes with scan-stage pruning. Pass precomputed
+    ``rates`` to avoid a second counting scan of the corpus when the
+    caller also wants the rates table."""
+    if rates is None:
+        rates = temperature_rates(df, strata_col, alpha)
     bucket = hash_bucket(F.col(id_col), seed)
     return (df.join(F.broadcast(rates.select(strata_col, "rate")), strata_col)
               .filter(bucket.cast("double") < F.col("rate") * BUCKETS)

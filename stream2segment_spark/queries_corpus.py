@@ -200,11 +200,11 @@ def corpus_temperature_mix(spark, sf_dir):
     partitionings. The rates dim is broadcast; the corpus side sees only
     a scan-stage filter. Beyond-reference LLM-pipeline capability."""
     docs = load_table(spark, sf_dir, "documents")
-    rates = temperature_rates(docs, "source", alpha=0.5)
-    kept = (temperature_sample(docs, "doc_id", "source", alpha=0.5,
-                               seed="temp")
+    rates = temperature_rates(docs, "source", alpha=0.5).persist()
+    kept = (temperature_sample(docs, "doc_id", "source", seed="temp",
+                               rates=rates)
             .groupBy("source").agg(F.count("*").alias("n_kept")))
-    return (rates.join(kept, "source", "left")
+    return (rates.join(F.broadcast(kept), "source", "left")
             .select("source", "n_total",
                     F.round("rate", 6).alias("rate"),
                     F.coalesce("n_kept", F.lit(0).cast("long"))

@@ -100,3 +100,38 @@ def test_source_nslc_filters_is_map_only(spark):
     plan = _physical(QUERIES["source_nslc_filters"](spark, SF_DIR_SMOKE))
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_pack_chunks_single_shuffle(spark):
+    """Greedy packing must reuse the window's shard partitioning for the
+    per-chunk rollup: exactly ONE Exchange (the shard window) — a second
+    one means the groupBy re-shuffles what is already co-located."""
+    plan = _physical(QUERIES["corpus_pack_chunks"](spark, SF_DIR_SMOKE))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_temperature_mix_broadcasts_rates(spark):
+    """Both rate-table joins are broadcast (the dims are per-stratum
+    rows); a SortMergeJoin would shuffle the corpus side."""
+    plan = _physical(QUERIES["corpus_temperature_mix"](spark, SF_DIR_SMOKE))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_line_dedup_no_product_joins(spark):
+    """Line dedup is keyed joins + aggregates only — never a cartesian/
+    nested-loop pair explosion."""
+    plan = _physical(QUERIES["corpus_line_dedup"](spark, SF_DIR_SMOKE))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_kmeans_assignment_is_scan_stage(spark):
+    """Cluster assignment must be pure expressions over the broadcast
+    centroid literal: ZERO exchanges in the assignment plan (the only
+    shuffles of the algorithm are the per-iteration centroid updates)."""
+    from stream2segment_spark.operators.clustering import kmeans_quantized
+    from stream2segment_spark.schema import load_table
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    assigned, _ = kmeans_quantized(emb, "vec_id", "embedding", k=2, iters=1)
+    plan = _physical(assigned)
+    assert "Exchange" not in plan, plan

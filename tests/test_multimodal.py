@@ -198,3 +198,32 @@ def test_sample_raw_frames(spark):
     got = sorted((r["doc_id"], r["frame_idx"], bytes(r["frame"])[:2])
                  for r in out)
     assert got == [(1, 0, b"\x00\x01"), (1, 2, b"\x80\x81")]
+
+
+def test_decode_truncated_containers_raise_valueerror():
+    """A truncated/corrupt container must surface as ValueError (one
+    failure type), never a parser internal (struct.error, IndexError,
+    zlib.error) — the non-strict UDF fallback only catches ValueError/
+    NotImplementedError, so a leaked internal would crash the query."""
+    from stream2segment_spark.multimodal import decode_image_bytes
+    for corrupt in (b"\x89PNG\r\n\x1a\n" + b"\x00" * 4,     # truncated PNG
+                    b"\x89PNG\r\n\x1a\n" + b"\x00" * 40,    # bad zlib IDAT
+                    b"BM" + b"\x01" * 10,                   # truncated BMP
+                    b"P6 4 4 255\n"):                       # PPM, no pixels
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_image_bytes(corrupt)
+
+
+def test_decode_fallback_survives_corrupt_and_empty(spark):
+    """Non-strict mode: corrupt + empty blobs fall back to the
+    deterministic fake with a CONSISTENT width/pixels contract."""
+    from stream2segment_spark.multimodal import decode_pixels_udf
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG\r\n\x1a\n" + b"\x00" * 4), (2, b""), (3, None)],
+        "id long, content binary")
+    rows = {r.id: r.px for r in df.select(
+        "id", decode_pixels_udf(strict=False, n_fake=8)("content")
+        .alias("px")).collect()}
+    assert len(rows[1].pixels) == 8 and rows[1].width == 8
+    assert len(rows[2].pixels) == 8 and set(rows[2].pixels) == {0.0}
+    assert rows[3].pixels is None and rows[3].width is None

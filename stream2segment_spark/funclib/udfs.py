@@ -101,6 +101,17 @@ def moving_average_udf(width: int):
     return _udf
 
 
+def savgol_udf(window_size: int, order: int):
+    """N11 Savitzky-Golay polynomial smoothing (ndarrays.savitzky_golay:
+    pinv-Vandermonde coefficients, mirror-padded edges) per array value."""
+    @F.pandas_udf("array<double>")
+    def _udf(s: pd.Series) -> pd.Series:
+        return pd.Series([
+            ND.savitzky_golay(np.asarray(a, float), window_size, order)
+            for a in s])
+    return _udf
+
+
 def sta_lta_udf(nsta: int, nlta: int):
     """N10 STA/LTA trigger ratio (coda.sta_lta) applied per array value
     (0 while the long-term window is not yet full)."""

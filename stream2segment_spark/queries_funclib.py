@@ -386,11 +386,36 @@ def source_sniff(spark, sf_dir):
         withdata(F.col("maybe_data")).alias("has_data"))
 
 
+def _sg_terms(n: int = 64, half: int = 2, order: int = 2) -> str:
+    """The Savitzky-Golay convolution as literal SQL: pinv-Vandermonde
+    coefficients at full repr precision times the mirror-padded sample
+    (ndarrays.savitzky_golay:300-307 — virtual y[-j] = y1 - |y[1+j]-y1|,
+    y[n+j] = y[n] + |y[n-j]-y[n]|, 1-based)."""
+    b = np.array([[k ** i for i in range(order + 1)]
+                  for k in range(-half, half + 1)], dtype=float)
+    m = np.linalg.pinv(b)[0]
+
+    def pv(off: int) -> str:
+        p = f"(u.pos + ({off}))"
+        x = "e.embedding"
+        return (f"CASE WHEN {p} BETWEEN 1 AND {n} THEN {x}[{p}]::DOUBLE "
+                f"WHEN {p} < 1 THEN {x}[1]::DOUBLE "
+                f"- abs({x}[2 - {p}]::DOUBLE - {x}[1]::DOUBLE) "
+                f"ELSE {x}[{n}]::DOUBLE "
+                f"+ abs({x}[{2 * n} - {p}]::DOUBLE - {x}[{n}]::DOUBLE) END")
+
+    return " + ".join(f"({m[j]!r}) * ({pv(j - half)})"
+                      for j in range(2 * half + 1))
+
+
 @register(
     "funclib_coda_smooth",
-    """WITH u AS (
+    f"""WITH u AS (
          SELECT vec_id, i.i AS pos, embedding[i.i]::DOUBLE AS x
          FROM embeddings, range(1, 65) i(i)),
+       sg AS (
+         SELECT u.vec_id, u.pos, {_sg_terms()} AS sg
+         FROM u JOIN embeddings e USING (vec_id)),
        h AS (
          SELECT vec_id, pos,
                 CASE WHEN (pos - 1) <= 58
@@ -425,8 +450,10 @@ def source_sniff(spark, sf_dir):
               round(CASE WHEN s.nl < 16 THEN 0.0
                          WHEN s.lta > 0 THEN s.sta / s.lta
                          ELSE 0.0 END, 6) AS stalta,
-              round(t.tsm, 6) AS tsmooth
-       FROM s JOIN t ON s.vec_id = t.vec_id AND s.pos = t.pos""",
+              round(t.tsm, 6) AS tsmooth,
+              round(sg.sg, 6) AS sgsmooth
+       FROM s JOIN t ON s.vec_id = t.vec_id AND s.pos = t.pos
+              JOIN sg ON s.vec_id = sg.vec_id AND s.pos = sg.pos""",
 )
 def funclib_coda_smooth(spark, sf_dir):
     """W4 + N10 building blocks through the REAL kernels on the Arrow
@@ -438,7 +465,11 @@ def funclib_coda_smooth(spark, sf_dir):
     plus N7 triangsmooth (ndarrays.py) — the index-proportional
     triangular window replayed offset-by-offset with a DuckDB list
     lambda (winlen_ratio 0.07 keeps np.round's banker's rounding and
-    SQL round() in agreement at every half-width this data reaches).
+    SQL round() in agreement at every half-width this data reaches);
+    plus N11 Savitzky-Golay smoothing (ndarrays.savitzky_golay,
+    window=5/order=2 — the reference template's smoothing kernel):
+    the oracle inlines the pinv-Vandermonde convolution coefficients at
+    repr precision and replays the mirror-padded edges as CASE terms.
     The FFT-Hilbert envelope magnitude itself stays exact-value
     pytest-covered (test_funclib) — a DFT replay already gate-checks the
     spectral path in funclib_spectra."""
@@ -447,11 +478,13 @@ def funclib_coda_smooth(spark, sf_dir):
     sm = U.moving_average_udf(5)(F.col("embedding"))
     st = U.sta_lta_udf(4, 16)(F.col("embedding"))
     ts = U.triangsmooth_udf(0.07)(F.col("embedding"))
+    sg = U.savgol_udf(5, 2)(F.col("embedding"))
     z = F.posexplode(F.arrays_zip(sm.alias("sm"), st.alias("st"),
-                                  ts.alias("ts")))
+                                  ts.alias("ts"), sg.alias("sg")))
     out = emb.select("vec_id", z.alias("pos", "v"))
     return out.select(
         "vec_id", (F.col("pos") + 1).alias("pos"),
         F.round(F.col("v.sm"), 6).alias("smooth"),
         F.round(F.col("v.st"), 6).alias("stalta"),
-        F.round(F.col("v.ts"), 6).alias("tsmooth"))
+        F.round(F.col("v.ts"), 6).alias("tsmooth"),
+        F.round(F.col("v.sg"), 6).alias("sgsmooth"))

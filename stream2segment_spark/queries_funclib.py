@@ -97,8 +97,26 @@ def _rr_literals():
     return fmt(g.real), fmt(g.imag), paz
 
 
+def _wa_literals():
+    """Wood-Anderson frequency-response complex gains per rfft bin
+    (traces.synth_wood_anderson:155-170 — the published WA pole-zero
+    response at sensitivity 2080), inlined as (re, im) list literals from
+    the SAME paz_frequency_response the kernel calls."""
+    import numpy as _np
+
+    from stream2segment_spark.funclib.traces import (
+        WOOD_ANDERSON_POLES, WOOD_ANDERSON_SENSITIVITY,
+        WOOD_ANDERSON_ZEROS, paz_frequency_response)
+    f = _np.fft.rfftfreq(_N, d=_DELTA)
+    h = paz_frequency_response(f, WOOD_ANDERSON_POLES, WOOD_ANDERSON_ZEROS,
+                               WOOD_ANDERSON_SENSITIVITY)
+    fmt = lambda a: "[" + ", ".join(repr(float(v)) for v in a) + "]"
+    return fmt(h.real), fmt(h.imag)
+
+
 _BP_TAPER, _BP_GAIN = _bp_literals()
 _RR_GRE, _RR_GIM, _RR_PAZ = _rr_literals()
+_WA_GRE, _WA_GIM = _wa_literals()
 
 
 @register(
@@ -174,6 +192,23 @@ _RR_GRE, _RR_GIM, _RR_PAZ = _rr_literals()
                       * (zre[k+1] * cos(2*pi()*k*j/64)
                          - zim[k+1] * sin(2*pi()*k*j/64))))) / 64) AS rrx
           FROM rrf),
+        waf AS (  -- N11: complex multiply by the literal WA response
+          SELECT vec_id,
+                 list_transform(range(0, 33), k ->
+                   ({_WA_GRE})[k+1] * xre[k+1]
+                   - ({_WA_GIM})[k+1] * xim[k+1]) AS wre,
+                 list_transform(range(0, 33), k ->
+                   ({_WA_GRE})[k+1] * xim[k+1]
+                   + ({_WA_GIM})[k+1] * xre[k+1]) AS wim
+          FROM sp),
+        wao AS (
+          SELECT vec_id,
+                 list_transform(range(0, 64), j ->
+                   (list_sum(list_transform(range(0, 33), k ->
+                      (CASE WHEN k = 0 OR k = 32 THEN 1.0 ELSE 2.0 END)
+                      * (wre[k+1] * cos(2*pi()*k*j/64)
+                         - wim[k+1] * sin(2*pi()*k*j/64))))) / 64) AS wax
+          FROM waf),
         s AS (
           SELECT vec_id, x,
                  list_transform(range(0, 33), k -> sqrt(
@@ -213,11 +248,16 @@ _RR_GRE, _RR_GIM, _RR_PAZ = _rr_literals()
                round(list_sum(list_transform(rr.rrx, v -> v * v)), 6)
                  AS rr_energy,
                round(list_max(list_transform(rr.rrx, v -> abs(v))), 6)
-                 AS rr_peakabs
+                 AS rr_peakabs,
+               round(list_sum(list_transform(wa.wax, v -> v * v)), 4)
+                 AS wa_energy,
+               round(list_max(list_transform(wa.wax, v -> abs(v))), 6)
+                 AS wa_peakabs
         FROM t JOIN rs r0 ON r0.vec_id = t.vec_id AND r0.pid = 0
                JOIN rs r1 ON r1.vec_id = t.vec_id AND r1.pid = 1
                JOIN bpo o ON o.vec_id = t.vec_id
-               JOIN rro rr ON rr.vec_id = t.vec_id""",
+               JOIN rro rr ON rr.vec_id = t.vec_id
+               JOIN wao wa ON wa.vec_id = t.vec_id""",
 )
 def funclib_spectra(spark, sf_dir):
     """N1-N3 + N5 + freqs/dfreq through the REAL funclib kernels on the
@@ -240,12 +280,19 @@ def funclib_spectra(spark, sf_dir):
       (traces.bandpass_zerophase) — the oracle tapers with the same
       literal factors, filters the direct-DFT spectrum with the same
       literal gains, and inverts; energy + peak summarize the filtered
-      trace at the rounded precision."""
+      trace at the rounded precision;
+    - wa columns: N11 Wood-Anderson synthesis (traces
+      .synth_wood_anderson) — the published WA pole-zero response at
+      sensitivity 2080 applied as literal complex gains over the same
+      shared tapered-signal DFT (wa_energy rounds at 4 decimals: the
+      2080x sensitivity scales energies ~1e6, putting the FFT-vs-DFT
+      float tail at the 1e-7 absolute level)."""
     from stream2segment_spark.funclib.ndarrays import (
         ampspec, argtrim, dfreq, fft, powspec,
         response_spectrum_nigam_jennings, trim)
     from stream2segment_spark.funclib.response import remove_response
-    from stream2segment_spark.funclib.traces import bandpass_zerophase
+    from stream2segment_spark.funclib.traces import (
+        bandpass_zerophase, synth_wood_anderson)
 
     emb = load_table(spark, sf_dir, "embeddings")
     out_schema = ("vec_id long, peak_bin int, dom_freq double, "
@@ -253,7 +300,8 @@ def funclib_spectra(spark, sf_dir):
                   "trim_i0 int, trim_i1 int, trim_sum double, "
                   "sa_p1 double, sa_p2 double, sv_p1 double, sv_p2 double, "
                   "bp_energy double, bp_peakabs double, "
-                  "rr_energy double, rr_peakabs double")
+                  "rr_energy double, rr_peakabs double, "
+                  "wa_energy double, wa_peakabs double")
 
     def kernels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         df_hz = dfreq(_N, _DELTA)
@@ -275,6 +323,7 @@ def funclib_spectra(spark, sf_dir):
                 bpx = bandpass_zerophase(x, _DELTA, _BP_FMIN, _BP_FMAX)
                 rrx = remove_response(x, _DELTA, _RR_PAZ, output="VEL",
                                       water_level_db=_RR_WL_DB)
+                wax = synth_wood_anderson(x, _DELTA)
                 rows.append((vid, peak, round(peak * df_hz, 6),
                              round(float(amp[peak]), 4),
                              round(float(parseval), 6), i0, i1,
@@ -286,12 +335,15 @@ def funclib_spectra(spark, sf_dir):
                              round(float((bpx * bpx).sum()), 6),
                              round(float(np.abs(bpx).max()), 6),
                              round(float((rrx * rrx).sum()), 6),
-                             round(float(np.abs(rrx).max()), 6)))
+                             round(float(np.abs(rrx).max()), 6),
+                             round(float((wax * wax).sum()), 4),
+                             round(float(np.abs(wax).max()), 6)))
             yield pd.DataFrame(rows, columns=[
                 "vec_id", "peak_bin", "dom_freq", "peak_amp",
                 "parseval_energy", "trim_i0", "trim_i1", "trim_sum",
                 "sa_p1", "sa_p2", "sv_p1", "sv_p2",
-                "bp_energy", "bp_peakabs", "rr_energy", "rr_peakabs"])
+                "bp_energy", "bp_peakabs", "rr_energy", "rr_peakabs",
+                "wa_energy", "wa_peakabs"])
 
     return emb.select("vec_id", "embedding").mapInPandas(kernels, out_schema)
 

@@ -544,6 +544,33 @@ def cmd_tt_create(spark, model_spec: str, outfile: str, phase: str,
     return 0
 
 
+def cmd_curate(spark, infile: str, outdir: str, languages: str,
+               min_quality: float, min_tokens: int, max_tokens: int,
+               neardup_threshold: float, line_max_df, mix_col,
+               mix_alpha: float, pack_budget, pack_shards: int) -> int:
+    """'s2s curate': the corpus-curation funnel (beyond-reference,
+    examples/corpus_pipeline.curate_corpus) as a CLI: documents parquet
+    in -> curated parquet + one funnel JSON line on stdout."""
+    import json
+
+    from stream2segment_spark.examples.corpus_pipeline import curate_corpus
+
+    docs = spark.read.parquet(infile)
+    curated, funnel = curate_corpus(
+        docs,
+        languages=tuple(s for s in languages.split(",") if s),
+        min_quality=min_quality, token_band=(min_tokens, max_tokens),
+        neardup_threshold=neardup_threshold, line_max_df=line_max_df,
+        mix_strata_col=mix_col, mix_alpha=mix_alpha,
+        pack_budget=pack_budget, pack_shards=pack_shards)
+    out = os.path.join(outdir, "curated.parquet")
+    curated.write.mode("overwrite").parquet(out)
+    stats = funnel.collect()[0].asDict()
+    stats["output"] = spark.read.parquet(out).count()
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_init(outdir: str) -> int:
     """'s2s init': write editable template files to OUTDIR."""
     import shutil
@@ -637,6 +664,28 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--maxdist", type=float, default=180.0)
     p.add_argument("--local", action="store_true",
                    help="compute on the driver (no Spark job)")
+    p = sub.add_parser(
+        "curate",
+        help="run the corpus-curation funnel on a documents parquet "
+             "(filter -> dedup -> near-dedup -> split [-> line-dedup/"
+             "mix/pack]; beyond-reference)")
+    p.add_argument("-i", "--infile", required=True,
+                   help="input parquet with doc_id/text columns")
+    p.add_argument("-o", "--outdir", required=True)
+    p.add_argument("--languages", default="en",
+                   help="comma-separated language allowlist")
+    p.add_argument("--min-quality", type=float, default=0.7)
+    p.add_argument("--min-tokens", type=int, default=20)
+    p.add_argument("--max-tokens", type=int, default=100_000)
+    p.add_argument("--neardup-threshold", type=float, default=0.7)
+    p.add_argument("--line-max-df", type=int, default=None,
+                   help="drop lines in more than N distinct docs")
+    p.add_argument("--mix-col", default=None,
+                   help="stratum column for temperature rebalancing")
+    p.add_argument("--mix-alpha", type=float, default=0.5)
+    p.add_argument("--pack-budget", type=int, default=None,
+                   help="token budget per training chunk")
+    p.add_argument("--pack-shards", type=int, default=64)
     args = ap.parse_args(argv)
 
     if args.cmd == "init":
@@ -651,6 +700,20 @@ def main(argv: list[str] | None = None) -> int:
         try:
             return cmd_tt_create(spark, args.model, args.outfile, args.phase,
                                  args.tolerance, args.maxdepth, args.maxdist)
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "curate":  # no config file: all-flags command
+        from stream2segment_spark.session import get_spark
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-curate")
+        try:
+            return cmd_curate(spark, args.infile, args.outdir,
+                              args.languages, args.min_quality,
+                              args.min_tokens, args.max_tokens,
+                              args.neardup_threshold, args.line_max_df,
+                              args.mix_col, args.mix_alpha,
+                              args.pack_budget, args.pack_shards)
         finally:
             if not preexisting:
                 spark.stop()

@@ -453,3 +453,25 @@ def test_db_drop_removes_execution_and_segments(warehouse, spark, capsys):
     assert segs.count() == 0
     # unknown id errors without touching anything
     assert cli.main(["db-drop", "-c", str(cfg_path), "-did", "999"]) == 1
+
+
+def test_curate_cli_full_funnel(spark, tmp_path, capsys):
+    """'s2s curate' end-to-end with every optional stage on: curated
+    parquet written, one funnel JSON line on stdout, counts consistent."""
+    import json
+
+    out = tmp_path / "curated"
+    rc = cli.main([
+        "curate", "-i", "/root/testdata/sf0.001/documents.parquet",
+        "-o", str(out), "--languages", "en,und", "--min-quality", "0",
+        "--min-tokens", "1", "--neardup-threshold", "0.5",
+        "--line-max-df", "3", "--mix-col", "source",
+        "--pack-budget", "256", "--pack-shards", "4"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["input"] >= stats["filtered"] >= stats["exact_dedup"] \
+        >= stats["near_dedup"] >= stats["output"] > 0
+    cur = spark.read.parquet(str(out / "curated.parquet"))
+    assert {"doc_id", "split", "source", "shard", "chunk_id"} <= set(
+        cur.columns)
+    assert cur.count() == stats["output"]

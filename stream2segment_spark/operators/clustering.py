@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -44,27 +46,37 @@ def quantize_vec(vec_col, scale: int = 1000):
 
 
 def _assign(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
-    """Append cluster_id (argmin of exact distances, ties -> lowest
-    index via array_position's first-match) and dist2. Pure expressions
-    over ONE broadcast centroid literal — scan-stage, no shuffle. A
-    single k x dim array-of-arrays literal keeps the expression tree
-    small (k separate literal arrays + an unrolled argmin when-chain
-    measured ~10x slower in plan compilation alone: 2.4 MiB task
-    binaries re-codegen'd every iteration)."""
-    cent = F.array(*[F.array(*[F.lit(int(v)) for v in c])
-                     for c in centroids])
-    dists = F.transform(
-        F.sequence(F.lit(1), F.lit(len(centroids))),
-        lambda j: F.aggregate(
-            F.zip_with(F.col("__qvec"), F.element_at(cent, j),
-                       lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"), lambda acc, x: acc + x))
-    return (df.withColumn("__d", dists)
-              .withColumn("dist2", F.array_min("__d"))
-              .withColumn("cluster_id",
-                          (F.array_position("__d", F.col("dist2")) - 1)
-                          .cast("int"))
-              .drop("__d"))
+    """Append cluster_id (argmin of exact int64 distances, ties -> lowest
+    index via numpy argmin's first-match) and dist2. The centroid matrix
+    ships in the UDF closure (broadcast with the task), the batch math is
+    one vectorized integer einsum — scan-stage, no shuffle, and the plan
+    stays tiny and constant-shape across iterations. (Two JVM-expression
+    forms were measured first: k separate literal arrays + an unrolled
+    argmin when-chain compiled 2.4 MiB task binaries per iteration; one
+    k x dim array-of-arrays literal + transform/array_min cut that 4x
+    but still paid ~1.8 s of Catalyst analysis per fresh centroid
+    literal — per ITERATION, since new centroids mean a new plan. The
+    closure UDF pays none of it, and int64 numpy is exact like the
+    fold.)"""
+    cents = np.asarray(centroids, dtype=np.int64)
+
+    @F.pandas_udf("struct<cluster_id: int, dist2: bigint>")
+    def _ud(vecs: pd.Series) -> pd.DataFrame:
+        if not len(vecs):
+            return pd.DataFrame({"cluster_id": pd.array([], dtype="int32"),
+                                 "dist2": pd.array([], dtype="int64")})
+        x = np.stack([np.asarray(v, dtype=np.int64) for v in vecs])
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cid = d.argmin(axis=1)
+        return pd.DataFrame(
+            {"cluster_id": cid.astype("int32"),
+             "dist2": d[np.arange(len(cid)), cid]})
+
+    staged = df.withColumn("__as", _ud(F.col("__qvec")))
+    return staged.select(
+        *df.columns,
+        F.col("__as.cluster_id").alias("cluster_id"),
+        F.col("__as.dist2").alias("dist2"))
 
 
 def kmeans_quantized(

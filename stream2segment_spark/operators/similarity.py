@@ -177,6 +177,24 @@ def kmeans_centroids(
     return cents
 
 
+def kmeans_centroids_full(
+    df: DataFrame, vec_col: str, k: int, id_col: str = "vec_id",
+    iters: int = 3, scale: int = 1000, seed: str = "km",
+) -> np.ndarray:
+    """Full-corpus IVF training: the distributed, deterministic
+    ``clustering.kmeans_quantized`` run over EVERY vector (one
+    map-side-combined shuffle per iteration — no driver-side sample),
+    centroids L2-normalized for the spherical assign/probe UDFs below.
+    Use when the corpus is too skewed for sample-based training or the
+    quantizer must be exactly reproducible across runs."""
+    from stream2segment_spark.operators.clustering import kmeans_quantized
+
+    _, cents = kmeans_quantized(df, id_col, vec_col, k=k, iters=iters,
+                                scale=scale, seed=seed)
+    c = np.asarray(cents, dtype=float) / scale
+    return c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+
 def ivf_assign_udf(centroids: np.ndarray):
     """vector -> nearest-centroid cell id (vectorized matmul per Arrow
     batch; the centroid matrix ships inside the UDF closure)."""

@@ -378,3 +378,33 @@ def test_pq_topk_ties_break_by_vec_id(spark):
     got = sorted(r["vec_id"] for r in
                  SIM.pq_topk_adc(corpus, queries, cb, k=5).collect())
     assert got == [100, 101, 102, 103, 104]
+
+
+def test_ivf_full_corpus_kmeans_training(spark):
+    """kmeans_centroids_full (the distributed exact trainer) plugs into
+    the IVF probe path: full-probe equals brute force, reduced-probe
+    keeps useful recall, and training is partitioning-invariant."""
+    from pyspark.sql import functions as F
+
+    from stream2segment_spark.operators import similarity as SIM
+    from stream2segment_spark.schema import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = SIM.kmeans_centroids_full(emb, "embedding", k=6, iters=2)
+    assert cents.shape == (6, 64)
+    import numpy as np
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+    cents2 = SIM.kmeans_centroids_full(emb.repartition(7), "embedding",
+                                       k=6, iters=2)
+    assert np.array_equal(cents, cents2)  # deterministic training
+    queries = (emb.filter(F.col("vec_id") < 15)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = {(r["query_id"], r["vec_id"]) for r in SIM.ann_topk_bruteforce(
+        emb, queries, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=8).collect()}
+    full = {(r["query_id"], r["vec_id"]) for r in SIM.ann_topk_ivf(
+        emb, queries, cents, k=8, nprobe=6).collect()}
+    assert full == exact
+    approx = {(r["query_id"], r["vec_id"]) for r in SIM.ann_topk_ivf(
+        emb, queries, cents, k=8, nprobe=2).collect()}
+    assert len(approx & exact) / len(exact) >= 0.5

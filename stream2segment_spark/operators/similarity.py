@@ -110,18 +110,38 @@ def add_hyperplane_buckets(
     return df.withColumn("bucket", bucket)
 
 
+def hamming1_probe_buckets(bucket, num_planes: int):
+    """A bucket code plus every code at Hamming distance 1 (the classic
+    multi-probe set: a near-dup pair split by ONE hyperplane lands in
+    adjacent codes). array<long> of 1 + num_planes probes."""
+    return F.array(bucket, *[bucket.bitwiseXOR(F.lit(1 << j))
+                             for j in range(num_planes)])
+
+
 def lsh_bucket_neardup(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     dim: int = 64, num_planes: int = 12, threshold: float = 0.9,
-    seed: int = 7,
+    seed: int = 7, multiprobe: bool = False,
 ) -> DataFrame:
     """Corpus near-dup pairs with cosine >= threshold, candidates limited
     to same-LSH-bucket pairs (one shuffle on bucket, no cross join).
-    Recall < 1 by construction (LSH); raise recall with fewer planes or
-    multi-probe. Returns (id_a, id_b, cosine)."""
+    Recall < 1 by construction (LSH); raise it with fewer planes or with
+    ``multiprobe`` — one side of the join explodes to its Hamming-1
+    probe set, so pairs whose codes differ by a single plane are also
+    candidates (1 + num_planes bucket rows per doc on that side; the
+    pair match is still unique because exactly one probe of A equals
+    B's true code when distance <= 1, and probing is symmetric at
+    distance 1 so one exploded side suffices). Returns
+    (id_a, id_b, cosine)."""
     b = add_hyperplane_buckets(df.select(id_col, vec_col), vec_col, dim,
                                num_planes, seed)
-    l, r = b.alias("l"), b.alias("r")
+    if multiprobe:
+        probe = b.withColumn(
+            "bucket",
+            F.explode(hamming1_probe_buckets(F.col("bucket"), num_planes)))
+    else:
+        probe = b
+    l, r = probe.alias("l"), b.alias("r")
     pairs = (l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
                     & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
              .select(F.col(f"l.{id_col}").alias("id_a"),

@@ -408,3 +408,36 @@ def test_ivf_full_corpus_kmeans_training(spark):
     approx = {(r["query_id"], r["vec_id"]) for r in SIM.ann_topk_ivf(
         emb, queries, cents, k=8, nprobe=2).collect()}
     assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    """Hamming-1 multi-probe: candidates (and verified pairs) are a
+    superset of single-probe, recall vs the exact pair set is at least
+    as high, precision stays exact (every pair re-verified by cosine)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from stream2segment_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append(Row(vec_id=2 * i, embedding=[float(x) for x in v]))
+        rows.append(Row(vec_id=2 * i + 1,            # engineered near-dup
+                        embedding=[float(x) for x in
+                                   v + rng.standard_normal(16) * 0.02]))
+    df = spark.createDataFrame(rows)
+    kw = dict(dim=16, num_planes=10, threshold=0.98, seed=3)
+    single = {(r.id_a, r.id_b) for r in
+              SIM.lsh_bucket_neardup(df, **kw).collect()}
+    multi = {(r.id_a, r.id_b) for r in
+             SIM.lsh_bucket_neardup(df, multiprobe=True, **kw).collect()}
+    exact = {(2 * i, 2 * i + 1) for i in range(40)}
+    assert single <= multi
+    # with 10 planes many engineered pairs straddle exactly one plane:
+    # multi-probe must recover strictly more of them on this seed
+    assert len(multi & exact) > len(single & exact)
+    # precision is exact on both: cosine-verified pairs only
+    got = SIM.lsh_bucket_neardup(df, multiprobe=True, **kw)
+    assert got.filter("cosine < 0.98").count() == 0

@@ -21,6 +21,7 @@ from stream2segment_spark.functions.sampling import (
     BUCKETS, temperature_rates, temperature_sample)
 from stream2segment_spark.operators import dedup as DD
 from stream2segment_spark.queries_catalog import register
+from stream2segment_spark.queries_text import _WORDS_SQL
 from stream2segment_spark.schema import load_table
 
 # DuckDB twin of functions.sampling.hash_bucket (documented there)
@@ -104,6 +105,56 @@ def corpus_pack_chunks(spark, sf_dir):
     packed = pack_greedy(d, "doc_id", "n_tok", budget=256, n_shards=8,
                          seed="pack")
     return chunk_summary(packed, "doc_id", "n_tok")
+
+
+@register(
+    "corpus_substring_dup",
+    f"""WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+       e AS (SELECT doc_id, len(w) AS n_tokens, p.pos,
+                md5(array_to_string(w[p.pos+1 : p.pos+8], ' ')) AS wh
+             FROM t, LATERAL (SELECT unnest(range(0,
+                  greatest(len(w) - 7, 0))) AS pos) p),
+       f AS (SELECT wh, count(DISTINCT doc_id) AS wdf FROM e GROUP BY wh),
+       d AS (SELECT e.doc_id, e.pos FROM e JOIN f USING (wh)
+             WHERE f.wdf > 1),
+       i AS (SELECT doc_id, pos,
+                sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                         THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS isl
+             FROM (SELECT *, max(pos + 8) OVER (PARTITION BY doc_id
+                        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS prev_end FROM d)),
+       s AS (SELECT doc_id, isl, min(pos) AS s, max(pos) + 8 AS e,
+                count(*) AS n_w
+             FROM i GROUP BY doc_id, isl),
+       p AS (SELECT doc_id, CAST(sum(n_w) AS BIGINT) AS n_dup_windows,
+                count(*) AS n_spans,
+                CAST(sum(e - s) AS BIGINT) AS dup_tokens
+             FROM s GROUP BY doc_id)
+       SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+              coalesce(p.n_dup_windows, 0) AS n_dup_windows,
+              coalesce(p.n_spans, 0) AS n_spans,
+              coalesce(p.dup_tokens, 0) AS dup_tokens,
+              round(coalesce(p.dup_tokens, 0)
+                    / greatest(len(t.w), 1), 6) AS dup_frac
+       FROM t LEFT JOIN p USING (doc_id)""",
+    gate=False,
+)
+def corpus_substring_dup(spark, sf_dir):
+    """Exact substring-duplication analysis (operators/dedup
+    .duplicated_spans, k=8 windows): every 8-token window occurring in
+    >1 distinct documents is a duplicated window; overlapping ones merge
+    into spans (gaps-and-islands over positions) and each doc reports
+    its duplicated-token fraction — the substring-level dedup signal of
+    C4/Pile-style pipelines, beyond both line-level and whole-doc
+    near-dup. Shuffles ship 16-byte window hashes, never text; the span
+    merge is a per-doc window, no all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", DD.word_tokens(F.col("text")).alias("__toks"))
+    out = DD.duplicated_spans(staged, "doc_id", "__toks", k=8, max_df=1)
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
 
 
 # One Lloyd iteration as a DuckDB CTE chain: assignment (cross join k x n,

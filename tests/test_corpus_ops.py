@@ -64,6 +64,53 @@ def test_line_dedup_order_preserved_any_partitioning(spark, lined):
 
 
 # ---------------------------------------------------------------------------
+# duplicated_spans (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+def test_duplicated_spans_marks_shared_runs(spark):
+    from stream2segment_spark.operators.dedup import duplicated_spans
+    shared1 = "one two three four five six seven eight nine ten"  # 10 toks
+    shared2 = "red orange yellow green blue indigo violet gray"   # 8 toks
+    rows = [
+        # doc 0: shared1 at start + unique tail + shared2 at end -> 2 spans
+        Row(doc_id=0, text=shared1 + " u1 u2 u3 u4 u5 " + shared2),
+        Row(doc_id=1, text="x1 x2 " + shared1 + " y1 y2"),
+        Row(doc_id=2, text=shared2 + " z1 z2 z3"),
+        Row(doc_id=3, text="all unique tokens in this document entirely"),
+        Row(doc_id=4, text="short doc"),                 # < k tokens
+    ]
+    df = spark.createDataFrame(rows).select(
+        "doc_id", F.split("text", " ").alias("toks"))
+    out = {r.doc_id: r for r in duplicated_spans(
+        df, "doc_id", "toks", k=8, max_df=1).collect()}
+    # doc 0: spans cover exactly the two shared runs (10 + 8 tokens)
+    assert out[0].n_spans == 2 and out[0].dup_tokens == 18
+    # doc 1: one 10-token span, 3 windows (starts 2,3,4)
+    assert out[1].n_spans == 1 and out[1].dup_tokens == 10
+    assert out[1].n_dup_windows == 3
+    # doc 2: one 8-token span, single window
+    assert out[2].n_spans == 1 and out[2].dup_tokens == 8
+    assert out[2].n_dup_windows == 1
+    # unique + short docs report zeros but keep their token counts
+    assert out[3].n_spans == 0 and out[3].dup_frac == 0.0
+    assert out[4].n_spans == 0 and out[4].n_tokens == 2
+
+
+def test_duplicated_spans_in_doc_repeat_not_counted(spark):
+    """A window repeated WITHIN one doc only (distinct-doc df = 1) is not
+    duplication across the corpus."""
+    from stream2segment_spark.operators.dedup import duplicated_spans
+    run = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=run + " mid1 mid2 " + run),
+         Row(doc_id=1, text="totally different words here now ok fine yes")]
+    ).select("doc_id", F.split("text", " ").alias("toks"))
+    out = {r.doc_id: r for r in duplicated_spans(
+        df, "doc_id", "toks", k=8, max_df=1).collect()}
+    assert out[0].n_spans == 0 and out[0].dup_tokens == 0
+
+
+# ---------------------------------------------------------------------------
 # pack_greedy
 # ---------------------------------------------------------------------------
 

@@ -19,6 +19,9 @@ Optional stages (off by default, enabled by their parameters):
 0. line dedup   — ``line_max_df``: CCNet-style cross-document
    boilerplate-line removal BEFORE annotation (so quality scoring sees
    the cleaned text);
+2b. substring cut — ``max_dup_frac``: drop documents whose duplicated-
+   substring fraction (8-token windows shared with other docs, merged
+   spans — operators/dedup.duplicated_spans) exceeds the threshold;
 5b. temperature mix — ``mix_strata_col``: rebalance kept counts to
    n^alpha per stratum (deterministic md5 thresholds);
 6. packing      — ``pack_budget``: greedy md5-sharded start-offset
@@ -49,6 +52,7 @@ def curate_corpus(
     neardup_threshold: float = 0.7,
     split_fractions: dict[str, float] | None = None,
     line_max_df: int | None = None,
+    max_dup_frac: float | None = None,
     mix_strata_col: str | None = None,
     mix_alpha: float = 0.5,
     pack_budget: int | None = None,
@@ -98,6 +102,16 @@ def curate_corpus(
         & (F.col("quality") >= min_quality)
         & F.col("n_tokens").between(lo, hi)
         & (F.col("max_tok_run") <= max_top_token_frac * F.col("n_tokens")))
+
+    # -- 2b. optional substring-duplication cut -------------------------
+    if max_dup_frac is not None:
+        spans = DD.duplicated_spans(
+            filtered.select(id_col,
+                            DD.word_tokens(F.col(text_col)).alias("__t")),
+            id_col, "__t", k=8, max_df=1)
+        keep = spans.filter(F.col("dup_frac") <= max_dup_frac) \
+                    .select(id_col)
+        filtered = filtered.join(keep, id_col, "left_semi")
 
     # -- 3. exact dedup (keep lowest id per fingerprint) ----------------
     exact = DD.exact_dedup(filtered, ["fingerprint"], keep="first",

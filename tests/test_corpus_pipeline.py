@@ -92,3 +92,26 @@ def test_full_funnel_with_optional_stages(spark):
             assert r.chunk_id == cum // 256
             cum += r.n_tokens
     out.unpersist()
+
+
+def test_substring_cut_stage(spark):
+    """max_dup_frac drops exactly the docs whose duplicated-substring
+    fraction exceeds the threshold (and composes with the funnel)."""
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    loose, _ = curate_corpus(docs, languages=("en", "und"),
+                             min_quality=0.0, token_band=(1, 100_000),
+                             neardup_threshold=0.99)
+    strict, _ = curate_corpus(docs, languages=("en", "und"),
+                              min_quality=0.0, token_band=(1, 100_000),
+                              neardup_threshold=0.99, max_dup_frac=0.5)
+    n_loose, n_strict = loose.count(), strict.count()
+    assert n_strict <= n_loose
+    # the dropped docs are exactly those over the threshold
+    from stream2segment_spark.operators import dedup as DD
+    from pyspark.sql import functions as F
+    spans = DD.duplicated_spans(
+        docs.select("doc_id", DD.word_tokens(F.col("text")).alias("t")),
+        "doc_id", "t", k=8, max_df=1)
+    over = {r.doc_id for r in spans.filter("dup_frac > 0.5").collect()}
+    kept = {r.doc_id for r in strict.select("doc_id").collect()}
+    assert not (kept & over)

@@ -87,6 +87,7 @@ def kmeans_quantized(
     iters: int = 2,
     scale: int = 1000,
     seed: str = "km",
+    init: str = "hash",
 ) -> tuple[DataFrame, list[list[int]]]:
     """Run ``iters`` Lloyd iterations; return (assignments, centroids).
 
@@ -95,17 +96,40 @@ def kmeans_quantized(
     the final k x dim quantized grid points (python lists; a broadcast
     dimension by contract — k*dim values cross the driver per iteration,
     never the corpus).
+
+    ``init``: ``'hash'`` (default) seeds from the k smallest (md5
+    bucket, id) rows — one job, and the choice the gate oracle replays;
+    ``'farthest'`` is the deterministic farthest-point heuristic (the
+    greedy 2-approximation of k-center): after the same hash-min first
+    seed, each next seed is the point maximizing its exact distance to
+    the chosen set (ties -> lowest id). k-1 extra max-aggregation jobs,
+    but separated blobs are found before a single Lloyd step —
+    kmeans++-quality starts without kmeans++'s randomness.
     """
     if k <= 0 or iters <= 0:
         raise ValueError(f"k and iters must be positive, got {k}, {iters}")
+    if init not in ("hash", "farthest"):
+        raise ValueError(f"unknown init {init!r}")
     q = df.select(F.col(id_col), quantize_vec(F.col(vec_col), scale)
                   .alias("__qvec")).persist()
     # deterministic seeds: k smallest (md5 bucket, id) rows
+    n_first = 1 if init == "farthest" else k
     seeds = (q.withColumn("__b", hash_bucket(F.col(id_col), seed))
-              .orderBy("__b", id_col).limit(k).collect())
-    if len(seeds) < k:
+              .orderBy("__b", id_col).limit(n_first).collect())
+    if init == "hash" and len(seeds) < k:
         raise ValueError(f"k={k} exceeds the {len(seeds)} input rows")
+    if not seeds:
+        raise ValueError("kmeans needs a non-empty input")
     centroids = [list(r["__qvec"]) for r in seeds]
+    while init == "farthest" and len(centroids) < k:
+        far = (_assign(q, centroids)
+               .orderBy(F.col("dist2").desc(), F.col(id_col))
+               .select("__qvec").limit(1).collect())
+        nxt = list(far[0]["__qvec"])
+        if nxt in centroids:
+            raise ValueError(
+                f"k={k} exceeds the {len(centroids)} distinct input points")
+        centroids.append(nxt)
     for _ in range(iters):
         assigned = _assign(q, centroids)
         sums = (assigned

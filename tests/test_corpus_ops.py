@@ -263,6 +263,27 @@ def test_kmeans_rejects_bad_k(spark):
         kmeans_quantized(df, "vec_id", "vec", k=100)
 
 
+def test_kmeans_farthest_init_separates_blobs_immediately(spark):
+    """Farthest-point init places one seed per separated blob, so even
+    ONE Lloyd iteration recovers the exact partition; and it is
+    deterministic across partitionings."""
+    from stream2segment_spark.operators.clustering import kmeans_quantized
+    df = _blobs(spark)
+    assigned, cents = kmeans_quantized(df, "vec_id", "vec", k=3, iters=1,
+                                       init="farthest")
+    truth = {r.vec_id: r.blob for r in df.collect()}
+    mapping = {}
+    for r in assigned.collect():
+        mapping.setdefault(truth[r.vec_id], set()).add(r.cluster_id)
+    assert all(len(c) == 1 for c in mapping.values())
+    assert len({next(iter(c)) for c in mapping.values()}) == 3
+    _, cents2 = kmeans_quantized(df.repartition(5), "vec_id", "vec",
+                                 k=3, iters=1, init="farthest")
+    assert cents == cents2
+    with pytest.raises(ValueError, match="unknown init"):
+        kmeans_quantized(df, "vec_id", "vec", init="nope")
+
+
 def test_kmeans_iteration_tightens_clusters(spark):
     from stream2segment_spark.operators.clustering import kmeans_quantized
     df = _blobs(spark, sep=3.0)

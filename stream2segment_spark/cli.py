@@ -556,6 +556,13 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
     from stream2segment_spark.examples.corpus_pipeline import curate_corpus
 
     docs = spark.read.parquet(infile)
+    need = {"doc_id", "text"} | ({mix_col} if mix_col else set())
+    missing = need - set(docs.columns)
+    if missing:
+        print(f"error: {infile} lacks required column(s) "
+              f"{sorted(missing)} (has: {sorted(docs.columns)})",
+              file=sys.stderr)
+        return 2
     curated, funnel = curate_corpus(
         docs,
         languages=tuple(s for s in languages.split(",") if s),

@@ -475,3 +475,13 @@ def test_curate_cli_full_funnel(spark, tmp_path, capsys):
     assert {"doc_id", "split", "source", "shard", "chunk_id"} <= set(
         cur.columns)
     assert cur.count() == stats["output"]
+
+
+def test_curate_cli_missing_columns(spark, tmp_path, capsys):
+    bad = tmp_path / "bad.parquet"
+    spark.range(3).write.parquet(str(bad))      # no doc_id/text columns
+    rc = cli.main(["curate", "-i", str(bad), "-o", str(tmp_path / "o"),
+                   "--mix-col", "source"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "doc_id" in err and "text" in err and "source" in err

@@ -200,6 +200,7 @@ def kmeans_centroids(
 def kmeans_centroids_full(
     df: DataFrame, vec_col: str, k: int, id_col: str = "vec_id",
     iters: int = 3, scale: int = 1000, seed: str = "km",
+    init: str = "farthest",
 ) -> np.ndarray:
     """Full-corpus IVF training: the distributed, deterministic
     ``clustering.kmeans_quantized`` run over EVERY vector (one
@@ -210,7 +211,7 @@ def kmeans_centroids_full(
     from stream2segment_spark.operators.clustering import kmeans_quantized
 
     _, cents = kmeans_quantized(df, id_col, vec_col, k=k, iters=iters,
-                                scale=scale, seed=seed)
+                                scale=scale, seed=seed, init=init)
     c = np.asarray(cents, dtype=float) / scale
     return c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
 

@@ -51,7 +51,7 @@ _LINES_SQL = """
                   FILTER (f.line_df <= 2), chr(10))) AS kept_md5
        FROM l JOIN f USING (ln)
        GROUP BY l.doc_id""",
-    gate=False,
+    # gate-checked: the slot freed by the sim_pairs_threshold rotation.
 )
 def corpus_line_dedup(spark, sf_dir):
     """CCNet/RefinedWeb-style line-level boilerplate removal

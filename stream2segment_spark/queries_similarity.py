@@ -77,6 +77,10 @@ def sim_topk(spark, sf_dir):
               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
        FROM e a JOIN e b ON a.vec_id < b.vec_id
        WHERE list_cosine_similarity(a.v, b.v) > 0.4""",
+    # r3 gate rotation: deferred (one of four similarity rows; exact
+    # all-pairs stays mirror-green + pytest) — the freed slot gates
+    # corpus_line_dedup.
+    gate=False,
 )
 def sim_pairs_threshold(spark, sf_dir):
     """Embedding-cosine near-dup, exact: all pairs above threshold, via

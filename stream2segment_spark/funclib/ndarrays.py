@@ -282,6 +282,24 @@ def response_spectrum_nigam_jennings(
 # Savitzky-Golay smoothing (reference N11: templates/paramtable.py savgol)
 # --------------------------------------------------------------------------
 
+def savgol_coeffs(window_size: int, order: int, deriv: int = 0,
+                  rate: float = 1.0) -> np.ndarray:
+    """The Savitzky-Golay convolution coefficients: row ``deriv`` of the
+    pseudo-inverse of the local Vandermonde matrix (the published 1964
+    construction). Shared by the kernel below AND the gate oracle
+    (queries_funclib._sg_terms inlines these exact floats), so the two
+    can never diverge."""
+    window_size, order = int(window_size), int(order)
+    if window_size % 2 != 1 or window_size < 1:
+        raise ValueError("window_size must be a positive odd number")
+    if window_size < order + 2:
+        raise ValueError("window_size is too small for the polynomial order")
+    half = (window_size - 1) // 2
+    b = np.array([[k ** i for i in range(order + 1)]
+                  for k in range(-half, half + 1)], dtype=float)
+    return np.linalg.pinv(b)[deriv] * (rate ** deriv) * math.factorial(deriv)
+
+
 def savitzky_golay(y: np.ndarray, window_size: int, order: int,
                    deriv: int = 0, rate: float = 1.0) -> np.ndarray:
     """Savitzky-Golay polynomial least-squares smoothing (scipy-free).
@@ -292,15 +310,9 @@ def savitzky_golay(y: np.ndarray, window_size: int, order: int,
     order p reproduces any degree-<=p polynomial exactly (deriv=0).
     """
     y = np.asarray(y, dtype=float)
-    window_size, order = int(window_size), int(order)
-    if window_size % 2 != 1 or window_size < 1:
-        raise ValueError("window_size must be a positive odd number")
-    if window_size < order + 2:
-        raise ValueError("window_size is too small for the polynomial order")
+    window_size = int(window_size)
     half = (window_size - 1) // 2
-    b = np.array([[k ** i for i in range(order + 1)]
-                  for k in range(-half, half + 1)], dtype=float)
-    m = np.linalg.pinv(b)[deriv] * (rate ** deriv) * math.factorial(deriv)
+    m = savgol_coeffs(window_size, order, deriv, rate)
     # mirror-pad the ends (values reflected about the end points)
     first = y[0] - np.abs(y[1:half + 1][::-1] - y[0])
     last = y[-1] + np.abs(y[-half - 1:-1][::-1] - y[-1])

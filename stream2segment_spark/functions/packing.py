@@ -8,10 +8,12 @@ pipeline must assign every document to a (shard, chunk) deterministically
 Mechanism: documents are sharded by the md5 hash bucket (uniform, keyed
 by id — see :mod:`stream2segment_spark.functions.sampling`), ordered by
 id *within* a shard, and a document joins the chunk its cumulative start
-offset falls in (start-offset packing: a document longer than the chunk's
-remaining budget spills whole into the next chunk rather than being
-split). The result is reproducible bin packing with bounded slack
-(< max_doc_tokens per chunk boundary) and no global sort.
+offset falls in (start-offset packing: documents are never split, so a
+chunk's token fill may EXCEED the budget by up to one document — fill is
+bounded by ``budget + max_doc_tokens``, which the tests lock in). The
+result is reproducible bin packing with bounded overfill and no global
+sort; loaders that need a hard ceiling should size their buffer to that
+bound, not to ``budget``.
 
 Scale story (100 TB): the only shuffle is the window partition on the
 shard key. Shards are uniform by construction (md5 of the id), so there

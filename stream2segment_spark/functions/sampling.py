@@ -86,8 +86,13 @@ def temperature_rates(
     IEEE sqrt is correctly rounded in every engine, so the assignment is
     bit-replayable cross-engine (pow is only ulp-accurate and could flip
     a threshold comparison between libms).
+
+    Rows with a NULL stratum are excluded from the counts (a NULL group
+    would otherwise distort ``n_min`` and deflate every real stratum's
+    rate); :func:`temperature_sample` passes them through unsampled.
     """
-    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_total"))
+    counts = (df.filter(F.col(strata_col).isNotNull())
+                .groupBy(strata_col).agg(F.count("*").alias("n_total")))
     n_min = counts.agg(F.min("n_total").alias("__n_min"))
     joined = counts.crossJoin(F.broadcast(n_min))
     if alpha == 0.5:
@@ -111,13 +116,20 @@ def temperature_sample(
     The rates dim is broadcast — no shuffle lands on the corpus side, and
     the filter composes with scan-stage pruning. Pass precomputed
     ``rates`` to avoid a second counting scan of the corpus when the
-    caller also wants the rates table."""
+    caller also wants the rates table.
+
+    Rows with a NULL stratum pass through UNSAMPLED (rate 1): they have
+    no stratum to rebalance against, and silently dropping them (an
+    inner join's behavior) would be data loss."""
     if rates is None:
         rates = temperature_rates(df, strata_col, alpha)
     bucket = hash_bucket(F.col(id_col), seed)
-    return (df.join(F.broadcast(rates.select(strata_col, "rate")), strata_col)
-              .filter(bucket.cast("double") < F.col("rate") * BUCKETS)
-              .drop("rate"))
+    joined = df.join(F.broadcast(rates.select(strata_col, "rate")),
+                     strata_col, "left")
+    return (joined.filter(
+        F.col("rate").isNull()
+        | (bucket.cast("double") < F.col("rate") * BUCKETS))
+        .drop("rate"))
 
 
 def deterministic_sample(

@@ -150,5 +150,9 @@ def kmeans_quantized(
             for pos, v in vals.items():
                 new[cid][pos] = v
         centroids = new
-    return _assign(q, centroids).select(id_col, "cluster_id", "dist2"), \
-        centroids
+    out = _assign(q, centroids).select(id_col, "cluster_id", "dist2")
+    # the cache served the seed scan + per-iteration updates; release it
+    # rather than pin the quantized corpus for the session lifetime — the
+    # caller's action on `out` re-quantizes once (a map-only scan)
+    q.unpersist()
+    return out, centroids

@@ -200,14 +200,19 @@ def kmeans_centroids(
 def kmeans_centroids_full(
     df: DataFrame, vec_col: str, k: int, id_col: str = "vec_id",
     iters: int = 3, scale: int = 1000, seed: str = "km",
-    init: str = "farthest",
+    init: str = "hash",
 ) -> np.ndarray:
     """Full-corpus IVF training: the distributed, deterministic
     ``clustering.kmeans_quantized`` run over EVERY vector (one
     map-side-combined shuffle per iteration — no driver-side sample),
     centroids L2-normalized for the spherical assign/probe UDFs below.
     Use when the corpus is too skewed for sample-based training or the
-    quantizer must be exactly reproducible across runs."""
+    quantizer must be exactly reproducible across runs.
+
+    ``init='farthest'`` gives better-spread seeds for SMALL k, but costs
+    k-1 sequential full-corpus scans and requires >= k distinct
+    quantized points — at IVF-realistic k (hundreds of cells) keep the
+    default one-job hash init and let the Lloyd iterations spread."""
     from stream2segment_spark.operators.clustering import kmeans_quantized
 
     _, cents = kmeans_quantized(df, id_col, vec_col, k=k, iters=iters,

@@ -47,8 +47,8 @@ _LINES_SQL = """
        SELECT l.doc_id, count(*) AS n_lines,
               CAST(sum(CASE WHEN f.line_df <= 2 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_kept,
-              md5(array_to_string(list(l.ln ORDER BY l.pos)
-                  FILTER (f.line_df <= 2), chr(10))) AS kept_md5
+              md5(coalesce(array_to_string(list(l.ln ORDER BY l.pos)
+                  FILTER (f.line_df <= 2), chr(10)), '')) AS kept_md5
        FROM l JOIN f USING (ln)
        GROUP BY l.doc_id""",
     # gate-checked: the slot freed by the sim_pairs_threshold rotation.

@@ -439,13 +439,13 @@ def source_sniff(spark, sf_dir):
 
 
 def _sg_terms(n: int = 64, half: int = 2, order: int = 2) -> str:
-    """The Savitzky-Golay convolution as literal SQL: pinv-Vandermonde
-    coefficients at full repr precision times the mirror-padded sample
-    (ndarrays.savitzky_golay:300-307 — virtual y[-j] = y1 - |y[1+j]-y1|,
+    """The Savitzky-Golay convolution as literal SQL: the kernel's OWN
+    coefficients (ndarrays.savgol_coeffs — same floats, can't diverge)
+    at full repr precision times the mirror-padded sample
+    (ndarrays.savitzky_golay — virtual y[-j] = y1 - |y[1+j]-y1|,
     y[n+j] = y[n] + |y[n-j]-y[n]|, 1-based)."""
-    b = np.array([[k ** i for i in range(order + 1)]
-                  for k in range(-half, half + 1)], dtype=float)
-    m = np.linalg.pinv(b)[0]
+    from stream2segment_spark.funclib.ndarrays import savgol_coeffs
+    m = savgol_coeffs(2 * half + 1, order)
 
     def pv(off: int) -> str:
         p = f"(u.pos + ({off}))"

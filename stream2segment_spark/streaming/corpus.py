@@ -39,12 +39,22 @@ def ingest_documents_stream(
     the corpus table after ingestion. Safe to call repeatedly — the
     checkpoint makes every file exactly-once, the fingerprint anti-join
     makes every *content* at-most-once."""
-    import os
+    from pyspark.errors import AnalysisException
 
     from stream2segment_spark.functions.text import doc_fingerprint
     from stream2segment_spark.operators.dedup import exact_dedup
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def _read_corpus(sess):
+        """None until the first batch has written it. Probed by READING,
+        not os.path.exists — the corpus may live on any Hadoop-compatible
+        filesystem (hdfs://, s3a://, ...), where a driver-local stat is
+        always False and would silently skip the dedup guarantee."""
+        try:
+            return sess.read.parquet(corpus_path)
+        except AnalysisException:
+            return None
 
     def flush(batch_df: DataFrame, _batch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -52,9 +62,10 @@ def ingest_documents_stream(
             "fingerprint", doc_fingerprint(F.col(text_col)))
         ann = exact_dedup(ann, ["fingerprint"], keep="first",
                           order=[id_col])
-        if os.path.exists(corpus_path):
-            seen = sess.read.parquet(corpus_path).select("fingerprint")
-            ann = ann.join(seen, "fingerprint", "left_anti")
+        seen = _read_corpus(sess)
+        if seen is not None:
+            ann = ann.join(seen.select("fingerprint"),
+                           "fingerprint", "left_anti")
         # localCheckpoint: the append below reads corpus_path while the
         # anti-join plan above also reads it — cut the lineage so the
         # write can't invalidate its own input scan
@@ -72,4 +83,11 @@ def ingest_documents_stream(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(corpus_path)
+    try:
+        return spark.read.parquet(corpus_path)
+    except AnalysisException:
+        # nothing landed yet (empty landing dir on the first call):
+        # an empty frame with the ingested-corpus schema, not a crash
+        empty = spark.createDataFrame([], schema)
+        return empty.withColumn("fingerprint",
+                                F.lit(None).cast("string")).limit(0)

@@ -294,6 +294,25 @@ def test_kmeans_iteration_tightens_clusters(spark):
     assert d3 <= d1
 
 
+def test_temperature_null_stratum_passthrough(spark):
+    """Rows with a NULL stratum survive unsampled and don't distort
+    n_min: 10 NULL rows beside 100/10000 strata must not drag the
+    100-row stratum's rate below 1.0, and must all be kept."""
+    df = spark.range(0, 10110).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 10, None)
+         .when(F.col("id") < 110, "small").otherwise("big")
+         .alias("source"))
+    rates = {r.source: r.rate for r in
+             temperature_rates(df, "source").collect()}
+    assert None not in rates
+    assert rates["small"] == pytest.approx(1.0)
+    kept = temperature_sample(df, "doc_id", "source")
+    null_kept = kept.filter("source IS NULL").count()
+    assert null_kept == 10                      # passthrough, no loss
+    assert kept.filter("source = 'small'").count() == 100
+
+
 def test_temperature_sample_partitioning_invariant(spark, skewed):
     a = sorted(r.doc_id for r in temperature_sample(
         skewed.repartition(11), "doc_id", "source").collect())

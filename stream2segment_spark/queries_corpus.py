@@ -157,6 +157,67 @@ def corpus_substring_dup(spark, sf_dir):
     return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
 
 
+_EMB_PIVOT = ", ".join(
+    f"coalesce(max(CASE WHEN b = {i} THEN v END), 0) AS v{i}"
+    for i in range(6))
+_EMB_COMPS = ", ".join(
+    f"round(CASE WHEN n.norm > 0 THEN p.v{i} / n.norm ELSE 0.0 END, 6) "
+    f"AS e{i}" for i in range(6))
+
+
+@register(
+    "text_hash_embedding",
+    f"""WITH t AS (SELECT doc_id,
+              trim(regexp_replace(lower(coalesce(text, '')),
+                   '[^a-z0-9]+', ' ', 'g')) AS s
+            FROM documents),
+       pd AS (SELECT doc_id,
+              CASE WHEN s = '' THEN '' ELSE ' ' || s || ' ' END AS s
+            FROM t),
+       g AS (SELECT doc_id, substr(s, i.i + 1, 3) AS gram
+             FROM pd, LATERAL (SELECT unnest(range(0,
+                  greatest(len(s) - 2, 0))) AS i) i),
+       h AS (SELECT doc_id,
+              -- bucket+sign use only bits 0-6 of the 8-byte big-endian
+              -- hash, i.e. the LOW 4 bytes = hex chars 9-16 (a '0x'
+              -- string of 16 hex chars would overflow BIGINT)
+              CAST('0x' || substr(md5('emb:' || gram), 9, 8) AS BIGINT)
+                  AS hv
+             FROM g),
+       acc AS (SELECT doc_id, CAST((hv // 2) % 64 AS INT) AS b,
+                CAST(sum(CASE WHEN hv % 2 = 1 THEN 1 ELSE -1 END)
+                     AS BIGINT) AS v
+               FROM h GROUP BY doc_id, b),
+       n AS (SELECT doc_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS norm,
+                CAST(count(*) FILTER (v <> 0) AS BIGINT) AS nnz
+             FROM acc GROUP BY doc_id),
+       p AS (SELECT doc_id, {_EMB_PIVOT} FROM acc GROUP BY doc_id)
+       SELECT t.doc_id, coalesce(n.nnz, 0) AS nnz, {_EMB_COMPS}
+       FROM t LEFT JOIN n USING (doc_id) LEFT JOIN p USING (doc_id)""",
+    gate=False,
+)
+def text_hash_embedding(spark, sf_dir):
+    """Feature-hashing text embeddings (functions/embeddings
+    .hashed_ngram_embeddings): char-3-grams -> md5 signed buckets ->
+    exact integer accumulation -> L2 normalize. Makes the whole
+    similarity stack (ANN/LSH/k-means) applicable to raw text with no
+    external model; bit-replayable because the only float ops are one
+    IEEE division and one IEEE sqrt over exact integer sums. Gate checks
+    the non-zero count and the first 6 normalized components of every
+    document against a full DuckDB replay. Map-only Arrow stage —
+    no shuffle on the engine side."""
+    from stream2segment_spark.functions.embeddings import (
+        hashed_ngram_embeddings)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = hashed_ngram_embeddings(docs, "text", "doc_id")
+    e = F.col("embedding")
+    return emb.select(
+        "doc_id",
+        F.size(F.filter(e, lambda x: x != 0.0)).cast("long").alias("nnz"),
+        *[F.round(F.element_at(e, i + 1), 6).alias(f"e{i}")
+          for i in range(6)])
+
+
 # One Lloyd iteration as a DuckDB CTE chain: assignment (cross join k x n,
 # exact integer distances), argmin with (dist, cid) tie-break, centroid
 # re-quantization with empty-cluster fallback to the previous centroid.

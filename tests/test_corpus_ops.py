@@ -319,3 +319,56 @@ def test_temperature_sample_partitioning_invariant(spark, skewed):
     b = sorted(r.doc_id for r in temperature_sample(
         skewed.coalesce(1), "doc_id", "source").collect())
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# hashed n-gram embeddings
+# ---------------------------------------------------------------------------
+
+def test_hash_embedding_properties(spark):
+    from stream2segment_spark.functions.embeddings import (
+        embed_text, hashed_ngram_embeddings)
+    import numpy as np
+    v = embed_text("the quick brown fox")
+    assert v.shape == (64,) and np.isclose(np.linalg.norm(v), 1.0)
+    # normalization-insensitive: case/punct collapse identically
+    assert np.array_equal(v, embed_text("The  QUICK, brown: fox!"))
+    assert np.array_equal(embed_text(None), np.zeros(64))
+    assert np.array_equal(embed_text("!!!"), np.zeros(64))
+    # near-dup texts land close, unrelated far
+    a = embed_text("the quick brown fox jumps over the lazy dog " * 3)
+    b = embed_text("the quick brown fox jumps over the lazy cat " * 3)
+    c = embed_text("entirely unrelated words appear in this corpus text")
+    assert float(a @ b) > 0.8 > float(a @ c)
+    # UDF path equals the driver-side twin, any partitioning
+    from pyspark.sql import Row
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in
+         enumerate(["alpha beta", "gamma delta", None, ""])])
+    got = {r.doc_id: r.embedding for r in hashed_ngram_embeddings(
+        df.repartition(3), "text", "doc_id").collect()}
+    for i, t in enumerate(["alpha beta", "gamma delta", None, ""]):
+        assert np.array_equal(np.array(got[i]), embed_text(t)), i
+
+
+def test_hash_embedding_feeds_similarity_stack(spark):
+    """Raw text -> hashed embeddings -> LSH cosine near-dup finds the
+    engineered near-duplicate pair and nothing else at 0.9."""
+    from pyspark.sql import Row
+
+    from stream2segment_spark.functions.embeddings import (
+        hashed_ngram_embeddings)
+    from stream2segment_spark.operators.similarity import lsh_bucket_neardup
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again!",
+        "completely different subject matter discussing spark plans",
+        "yet another unrelated document about parquet file layouts",
+    ]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, text=t) for i, t in enumerate(texts)])
+    emb = hashed_ngram_embeddings(df, "text", "vec_id")
+    pairs = {(r.id_a, r.id_b) for r in lsh_bucket_neardup(
+        emb, id_col="vec_id", vec_col="embedding", dim=64,
+        num_planes=8, threshold=0.9, multiprobe=True).collect()}
+    assert pairs == {(0, 1)}

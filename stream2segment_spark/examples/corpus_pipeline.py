@@ -50,6 +50,7 @@ def curate_corpus(
     token_band: tuple[int, int] = (20, 100_000),
     max_top_token_frac: float = 0.2,
     neardup_threshold: float = 0.7,
+    neardup_mode: str = "minhash",
     split_fractions: dict[str, float] | None = None,
     line_max_df: int | None = None,
     max_dup_frac: float | None = None,
@@ -117,14 +118,34 @@ def curate_corpus(
     exact = DD.exact_dedup(filtered, ["fingerprint"], keep="first",
                            order=[id_col])
 
-    # -- 4. near-dedup: LSH candidates -> exact-Jaccard verify -> CC ----
+    # -- 4. near-dedup: candidates -> verify -> CC ----------------------
+    # 'minhash': MinHash/LSH candidates verified by exact shingle Jaccard
+    # (lexical). 'cosine': hashing-trick embeddings -> hyperplane-LSH
+    # (Hamming-1 multi-probe) verified by exact cosine (the brief's
+    # embedding-cosine near-dup; catches reorderings Jaccard-on-shingles
+    # scores lower). Both: cluster with CC, keep min-id per cluster.
     exact = exact.persist()  # feeds signature build, verify AND anti-join
-    sigs = DD.add_minhash_maponly(exact, text_col, id_col,
-                                  num_hashes=64, shingle_k=3)
-    cands = DD.lsh_candidate_pairs(sigs, id_col, num_hashes=64, bands=32)
-    pairs = DD.ngram_jaccard_pairs(exact, text_col, id_col, shingle_k=3,
-                                   threshold=neardup_threshold,
-                                   candidates=cands)
+    if neardup_mode == "minhash":
+        sigs = DD.add_minhash_maponly(exact, text_col, id_col,
+                                      num_hashes=64, shingle_k=3)
+        cands = DD.lsh_candidate_pairs(sigs, id_col, num_hashes=64,
+                                       bands=32)
+        pairs = DD.ngram_jaccard_pairs(exact, text_col, id_col,
+                                       shingle_k=3,
+                                       threshold=neardup_threshold,
+                                       candidates=cands)
+    elif neardup_mode == "cosine":
+        from stream2segment_spark.functions.embeddings import (
+            hashed_ngram_embeddings)
+        from stream2segment_spark.operators.similarity import (
+            lsh_bucket_neardup)
+        emb = hashed_ngram_embeddings(
+            exact.select(id_col, text_col), text_col, id_col)
+        pairs = lsh_bucket_neardup(
+            emb, id_col=id_col, vec_col="embedding", dim=64,
+            num_planes=10, threshold=neardup_threshold, multiprobe=True)
+    else:
+        raise ValueError(f"unknown neardup_mode {neardup_mode!r}")
     cc = connected_components(pairs, "id_a", "id_b")
     # drop every near-dup that is not its cluster's canonical (min) id
     losers = (cc.filter(F.col("id") != F.col("cluster_id"))

@@ -115,3 +115,28 @@ def test_substring_cut_stage(spark):
     over = {r.doc_id for r in spans.filter("dup_frac > 0.5").collect()}
     kept = {r.doc_id for r in strict.select("doc_id").collect()}
     assert not (kept & over)
+
+
+def test_cosine_neardup_mode(spark):
+    """neardup_mode='cosine': hashed-embedding near-dup collapses the
+    near-identical docs the same way minhash does on this corpus, and no
+    surviving pair exceeds the cosine threshold."""
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    out, funnel = curate_corpus(
+        docs, languages=("en", "und"), min_quality=0.0,
+        token_band=(1, 100_000), neardup_threshold=0.95,
+        neardup_mode="cosine")
+    f = funnel.collect()[0]
+    assert 0 < f["near_dedup"] <= f["exact_dedup"]
+    # verify on the OUTPUT: no remaining pair at >= threshold
+    from stream2segment_spark.functions.embeddings import (
+        hashed_ngram_embeddings)
+    from stream2segment_spark.operators.similarity import lsh_bucket_neardup
+    emb = hashed_ngram_embeddings(out.select("doc_id", "text"),
+                                  "text", "doc_id")
+    left = lsh_bucket_neardup(emb, id_col="doc_id", vec_col="embedding",
+                              dim=64, num_planes=10, threshold=0.95,
+                              multiprobe=True)
+    assert left.count() == 0
+    with pytest.raises(ValueError, match="neardup_mode"):
+        curate_corpus(docs, neardup_mode="nope")[0].count()

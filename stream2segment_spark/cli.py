@@ -546,7 +546,8 @@ def cmd_tt_create(spark, model_spec: str, outfile: str, phase: str,
 
 def cmd_curate(spark, infile: str, outdir: str, languages: str,
                min_quality: float, min_tokens: int, max_tokens: int,
-               neardup_threshold: float, line_max_df, mix_col,
+               neardup_threshold: float, neardup_mode: str,
+               line_max_df, mix_col,
                mix_alpha: float, pack_budget, pack_shards: int) -> int:
     """'s2s curate': the corpus-curation funnel (beyond-reference,
     examples/corpus_pipeline.curate_corpus) as a CLI: documents parquet
@@ -567,7 +568,8 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
         docs,
         languages=tuple(s for s in languages.split(",") if s),
         min_quality=min_quality, token_band=(min_tokens, max_tokens),
-        neardup_threshold=neardup_threshold, line_max_df=line_max_df,
+        neardup_threshold=neardup_threshold, neardup_mode=neardup_mode,
+        line_max_df=line_max_df,
         mix_strata_col=mix_col, mix_alpha=mix_alpha,
         pack_budget=pack_budget, pack_shards=pack_shards)
     out = os.path.join(outdir, "curated.parquet")
@@ -685,6 +687,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--min-tokens", type=int, default=20)
     p.add_argument("--max-tokens", type=int, default=100_000)
     p.add_argument("--neardup-threshold", type=float, default=0.7)
+    p.add_argument("--neardup-mode", default="minhash",
+                   choices=["minhash", "cosine"],
+                   help="lexical MinHash/Jaccard or hashed-embedding "
+                        "cosine near-dup")
     p.add_argument("--line-max-df", type=int, default=None,
                    help="drop lines in more than N distinct docs")
     p.add_argument("--mix-col", default=None,
@@ -718,7 +724,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_curate(spark, args.infile, args.outdir,
                               args.languages, args.min_quality,
                               args.min_tokens, args.max_tokens,
-                              args.neardup_threshold, args.line_max_df,
+                              args.neardup_threshold, args.neardup_mode,
+                              args.line_max_df,
                               args.mix_col, args.mix_alpha,
                               args.pack_budget, args.pack_shards)
         finally:

@@ -1,8 +1,10 @@
 """Catalog entries: corpus-curation operators beyond the reference —
-line-level boilerplate dedup, greedy sequence packing, temperature
-source-mixing. All three are deterministic and carry exact DuckDB
-oracles (the md5 hash bucket and IEEE sqrt replay bit-for-bit across
-engines; windowed sums and counts are integer math).
+line-level boilerplate dedup, substring-duplication analysis, greedy
+sequence packing, temperature source-mixing, feature-hashing text
+embeddings and distributed quantized k-means. All deterministic with
+exact DuckDB oracles (md5 hashing, integer accumulation and IEEE
+sqrt/division replay bit-for-bit across engines; windowed sums and
+counts are integer math).
 
 The synthetic documents carry no newlines, so the line-dedup entry
 synthesizes line structure deterministically on BOTH sides (every 8

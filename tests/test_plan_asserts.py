@@ -135,3 +135,10 @@ def test_kmeans_assignment_is_scan_stage(spark):
     assigned, _ = kmeans_quantized(emb, "vec_id", "embedding", k=2, iters=1)
     plan = _physical(assigned)
     assert "Exchange" not in plan, plan
+
+
+def test_hash_embedding_is_map_only(spark):
+    """The featurizer is one Arrow stage fused into the scan: zero
+    exchanges — raw text to embeddings without a shuffle."""
+    plan = _physical(QUERIES["text_hash_embedding"](spark, SF_DIR_SMOKE))
+    assert "Exchange" not in plan, plan

@@ -91,3 +91,56 @@ def test_kmeans_assignment_is_exact_argmin(spark, vecs, k):
         d = ((v[None, :] - c) ** 2).sum(axis=1)
         assert r.cluster_id == int(d.argmin()), (vecs, cents)
         assert r.dist2 == int(d.min())
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=60)),
+                min_size=1, max_size=6))
+def test_hash_embedding_udf_equals_twin(spark, texts):
+    """Arbitrary (unicode, punctuation, empty, null) text: the memoized
+    Arrow path must be bit-identical to the driver-side twin."""
+    from stream2segment_spark.functions.embeddings import (
+        embed_text, hashed_ngram_embeddings)
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    got = {r.doc_id: np.array(r.embedding) for r in
+           hashed_ngram_embeddings(df.repartition(3), "text",
+                                   "doc_id").collect()}
+    for i, t in enumerate(texts):
+        assert np.array_equal(got[i], embed_text(t)), (i, t)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.lists(st.sampled_from("abcde"), min_size=0,
+                         max_size=12).map(lambda x: list(map(str, x))),
+                min_size=1, max_size=6),
+       st.integers(2, 4))
+def test_duplicated_spans_matches_reference(spark, docs, k):
+    """Random tiny-alphabet token lists vs a pure-python reference of
+    the window-df cut + interval merge."""
+    from stream2segment_spark.operators.dedup import duplicated_spans
+    df = spark.createDataFrame(
+        [Row(doc_id=i, toks=t) for i, t in enumerate(docs)],
+        "doc_id long, toks array<string>")
+    got = {r.doc_id: (r.n_tokens, r.n_dup_windows, r.n_spans,
+                      r.dup_tokens)
+           for r in duplicated_spans(df, "doc_id", "toks",
+                                     k=k, max_df=1).collect()}
+    # reference
+    win_docs: dict[tuple, set] = {}
+    for i, t in enumerate(docs):
+        for s in range(max(len(t) - k + 1, 0)):
+            win_docs.setdefault(tuple(t[s:s + k]), set()).add(i)
+    for i, t in enumerate(docs):
+        pos = [s for s in range(max(len(t) - k + 1, 0))
+               if len(win_docs[tuple(t[s:s + k])]) > 1]
+        spans = []
+        for s in pos:
+            if spans and s <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], s + k)
+            else:
+                spans.append([s, s + k])
+        want = (len(t), len(pos), len(spans),
+                sum(e - s for s, e in spans))
+        assert got[i] == want, (i, docs, k, got[i], want)

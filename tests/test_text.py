@@ -111,3 +111,18 @@ def test_contamination_fractions(spark):
     assert (out[2]["n_shingles"], out[2]["n_contam"]) == (1, 1)
     assert out[3]["n_contam"] == 0
     assert out[4]["n_shingles"] == 1 and out[4]["n_contam"] == 0
+
+
+def test_contamination_beyond_broadcast_path_identical(spark):
+    """broadcast_probe=False (the beyond-broadcast-size benchmark path)
+    produces identical output to the broadcast probe."""
+    from stream2segment_spark.operators.dedup import contamination_fractions
+    from stream2segment_spark.schema import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter("doc_id % 10 = 0")
+    a = {r.doc_id: (r.n_shingles, r.n_contam, r.contam_frac) for r in
+         contamination_fractions(docs, bench, k=5).collect()}
+    b = {r.doc_id: (r.n_shingles, r.n_contam, r.contam_frac) for r in
+         contamination_fractions(docs, bench, k=5,
+                                 broadcast_probe=False).collect()}
+    assert a == b and len(a) > 0

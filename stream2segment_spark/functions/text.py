@@ -169,6 +169,38 @@ def line_metrics(text: Column,
     return F.size(lines), bullet, ellipsis
 
 
+def token_rarity(df, text_col: str, id_col: str):
+    """Corpus-level token-rarity signal (DataFrame -> DataFrame, unlike
+    this module's column functions — it needs a corpus aggregate): for
+    every document, statistics of its DISTINCT tokens' document
+    frequencies — ``(id, n_distinct, n_hapax, mean_df)``. Low mean_df =
+    rare vocabulary (OCR noise, codes, gibberish); n_hapax counts tokens
+    unique to the doc; high mean_df with few distinct tokens flags
+    boilerplate. The quality-filter companion of the per-doc signals
+    above, and the df table is the same integer aggregate an IDF
+    weighting would use.
+
+    Scale: one (doc, token)-distinct aggregate, one map-side-combined
+    token-df count, one keyed join back (AQE skew-split on stopwords —
+    the hot keys), one doc regroup. All integer math: mean_df is the
+    only division, so the result is engine-exact at round(6).
+    Documents with no tokens (null/empty text) produce no row."""
+    from pyspark.sql import DataFrame  # noqa: F401  (doc only)
+
+    from stream2segment_spark.operators.dedup import word_tokens
+
+    toks = (df.select(F.col(id_col),
+                      F.explode(word_tokens(F.col(text_col)))
+                       .alias("tok"))
+            .distinct())
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    return (toks.join(dfreq, "tok")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_distinct"),
+                 F.sum((F.col("df") == 1).cast("long")).alias("n_hapax"),
+                 F.round(F.sum("df") / F.count("*"), 6).alias("mean_df")))
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic content fingerprint: md5 of normalized text
     (stable across engines — used for exact-dup detection K-fingerprint)."""

@@ -159,6 +159,30 @@ def corpus_substring_dup(spark, sf_dir):
     return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
 
 
+@register(
+    "corpus_token_rarity",
+    f"""WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+       t AS (SELECT DISTINCT doc_id, unnest(w) AS tok FROM w),
+       f AS (SELECT tok, count(*) AS df FROM t GROUP BY tok)
+       SELECT t.doc_id, count(*) AS n_distinct,
+              CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hapax,
+              round(CAST(sum(f.df) AS DOUBLE) / count(*), 6) AS mean_df
+       FROM t JOIN f USING (tok) GROUP BY t.doc_id""",
+    gate=False,
+)
+def corpus_token_rarity(spark, sf_dir):
+    """Token-rarity quality signal (functions/text.token_rarity): per
+    document, distinct-token count, hapax count and mean document
+    frequency of its vocabulary — low mean_df flags noise/gibberish,
+    high mean_df with few distinct tokens flags boilerplate; the df
+    table is what IDF weighting consumes. Integer aggregates + one
+    division, engine-exact."""
+    from stream2segment_spark.functions.text import token_rarity
+    docs = load_table(spark, sf_dir, "documents")
+    return token_rarity(docs, "text", "doc_id")
+
+
 _EMB_PIVOT = ", ".join(
     f"coalesce(max(CASE WHEN b = {i} THEN v END), 0) AS v{i}"
     for i in range(6))

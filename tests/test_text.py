@@ -126,3 +126,22 @@ def test_contamination_beyond_broadcast_path_identical(spark):
          contamination_fractions(docs, bench, k=5,
                                  broadcast_probe=False).collect()}
     assert a == b and len(a) > 0
+
+
+def test_token_rarity(spark):
+    from stream2segment_spark.functions.text import token_rarity
+    docs = spark.createDataFrame(
+        [(1, "apple banana cherry"),        # banana/cherry shared below
+         (2, "banana cherry banana"),       # in-doc repeat: distinct only
+         (3, "unique singleton words"),
+         (4, None)],                        # no tokens -> no row
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in token_rarity(docs, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 3}
+    # doc 1: apple df=1, banana df=2, cherry df=2 -> mean 5/3, 1 hapax
+    assert out[1].n_distinct == 3 and out[1].n_hapax == 1
+    assert out[1].mean_df == round(5 / 3, 6)
+    # doc 2: banana+cherry distinct only (repeat ignored), both df=2
+    assert out[2].n_distinct == 2 and out[2].n_hapax == 0
+    assert out[2].mean_df == 2.0
+    assert out[3].n_hapax == 3 and out[3].mean_df == 1.0

@@ -227,3 +227,83 @@ def test_decode_fallback_survives_corrupt_and_empty(spark):
     assert len(rows[1].pixels) == 8 and rows[1].width == 8
     assert len(rows[2].pixels) == 8 and set(rows[2].pixels) == {0.0}
     assert rows[3].pixels is None and rows[3].width is None
+
+
+def _wav_bytes(sampwidth, frames, ch=1, rate=8000):
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_decode_wav_pcm16_roundtrip():
+    import numpy as np
+
+    from stream2segment_spark.multimodal import decode_audio_bytes
+    vals = np.array([0, 1000, -1000, 32767, -32768], dtype="<i2")
+    b = _wav_bytes(2, vals.tobytes(), ch=1, rate=44100)
+    out = decode_audio_bytes(b)
+    assert (out["sample_rate"], out["n_channels"],
+            out["n_samples"]) == (44100, 1, 5)
+    assert np.allclose(out["samples"], vals.astype(float) / 32768.0)
+
+
+def test_decode_wav_pcm8_stereo_and_float32():
+    import struct as st
+
+    import numpy as np
+
+    from stream2segment_spark.multimodal import decode_audio_bytes
+    # 8-bit unsigned stereo: 2 frames
+    b = _wav_bytes(1, bytes([128, 128, 255, 0]), ch=2, rate=8000)
+    out = decode_audio_bytes(b)
+    assert out["n_channels"] == 2 and out["n_samples"] == 2
+    assert np.allclose(out["samples"], [0.0, 0.0, 127 / 128, -1.0])
+    # IEEE float32 (format 3): hand-built container
+    data = np.array([0.5, -0.25], dtype="<f4").tobytes()
+    fmt = st.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    wav = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+           + b"data" + st.pack("<I", len(data)) + data)
+    out = decode_audio_bytes(wav)
+    assert np.allclose(out["samples"], [0.5, -0.25])
+
+
+def test_decode_wav_failure_modes():
+    from stream2segment_spark.multimodal import decode_audio_bytes
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_audio_bytes(b"not audio at all")
+    with pytest.raises(ValueError, match="fmt"):
+        decode_audio_bytes(b"RIFF\x00\x00\x00\x00WAVE")
+    # compressed format id (2 = ADPCM) -> NotImplementedError
+    import struct as st
+    fmt = st.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)
+    wav = (b"RIFF" + st.pack("<I", 30) + b"WAVE"
+           + b"fmt " + st.pack("<I", len(fmt)) + fmt
+           + b"data" + st.pack("<I", 2) + b"\x00\x00")
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_audio_bytes(wav)
+
+
+def test_decode_samples_udf_strict_and_fallback(spark):
+    import numpy as np
+
+    from stream2segment_spark.multimodal import decode_samples_udf
+    good = _wav_bytes(2, np.array([100, -100], dtype="<i2").tobytes())
+    df = spark.createDataFrame(
+        [(1, good), (2, b"garbage"), (3, None)],
+        "id long, content binary")
+    rows = {r.id: r.s for r in df.select(
+        "id", decode_samples_udf(strict=False, n_fake=4)("content")
+        .alias("s")).collect()}
+    assert rows[1].n_samples == 2 and rows[1].sample_rate == 8000
+    assert rows[2].n_samples == 4 and rows[2].sample_rate == 0
+    assert rows[3].samples is None
+    import pytest as _pt
+    with _pt.raises(Exception):
+        df.select(decode_samples_udf(strict=True)("content")).collect()

@@ -103,3 +103,57 @@ def multimodal_frames(spark, sf_dir):
                                   frame_bytes=64, every_n=2)
     return frames.select("doc_id", "frame_idx",
                          F.length("frame").alias("frame_len"))
+
+
+@register(
+    "multimodal_audio",
+    """SELECT doc_id,
+              CAST(8000 + (doc_id % 50) * 20 AS INT) AS sample_rate,
+              1 AS n_channels, 4 AS n_samples,
+              CAST(s0 + s1 + s2 + s3 AS BIGINT) AS ssum,
+              round(sqrt((s0*s0 + s1*s1 + s2*s2 + s3*s3)
+                         / 4294967296.0), 6) AS rms
+       FROM (SELECT doc_id,
+               (doc_id * 31 + 0 * 17) % 65536 - 32768 AS s0,
+               (doc_id * 31 + 1 * 17) % 65536 - 32768 AS s1,
+               (doc_id * 31 + 2 * 17) % 65536 - 32768 AS s2,
+               (doc_id * 31 + 3 * 17) % 65536 - 32768 AS s3
+             FROM documents)""",
+    gate=False,
+)
+def multimodal_audio(spark, sf_dir):
+    """Audio SAMPLE decode through the real codec-free WAV path
+    (multimodal.decode_audio_bytes via decode_samples_udf, strict): full
+    RIFF containers with 4 deterministic 16-bit PCM samples per doc are
+    built Spark-side, decoded back, and summarized by exactly-recoverable
+    quantities — the integer sample sum (each decoded float is s/2^15,
+    exactly representable, so sums are order-independent-exact) and the
+    RMS (integer sum of squares / 2^32, then one IEEE sqrt). The oracle
+    recomputes both from the ids alone, so the whole decode path is
+    value-checked."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    rate = (8000 + (did % 50) * 20).cast("long")
+    samples = [((did * 31 + j * 17) % 65536 - 32768).cast("long")
+               for j in range(4)]
+    data = F.concat(*[_le(s.bitwiseAND(F.lit(0xFFFF)), 2)
+                      for s in samples])
+    fmt = F.concat(
+        F.lit(b"\x01\x00"), _le(F.lit(1).cast("long"), 2), _le(rate, 4),
+        _le(rate * 2, 4), _le(F.lit(2).cast("long"), 2),
+        F.lit(b"\x10\x00"))
+    blob = F.concat(
+        F.lit(b"RIFF"), _le(F.lit(4 + 24 + 8 + 8).cast("long"), 4),
+        F.lit(b"WAVEfmt "), _le(F.lit(16).cast("long"), 4), fmt,
+        F.lit(b"data"), _le(F.lit(8).cast("long"), 4), data)
+    dec = (docs.withColumn("content", blob)
+           .withColumn("a", MM.decode_samples_udf(strict=True)("content")))
+    smp = F.col("a.samples")
+    ssum = F.round(F.aggregate(smp, F.lit(0.0),
+                               lambda acc, x: acc + x) * 32768.0, 0) \
+        .cast("long")
+    rms = F.round(F.sqrt(F.aggregate(smp, F.lit(0.0),
+                                     lambda acc, x: acc + x * x) / 4.0), 6)
+    return dec.select(
+        "doc_id", "a.sample_rate", "a.n_channels", "a.n_samples",
+        ssum.alias("ssum"), rms.alias("rms"))

@@ -686,7 +686,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--min-quality", type=float, default=0.7)
     p.add_argument("--min-tokens", type=int, default=20)
     p.add_argument("--max-tokens", type=int, default=100_000)
-    p.add_argument("--neardup-threshold", type=float, default=0.7)
+    p.add_argument("--neardup-threshold", type=float, default=None,
+                   help="default is mode-specific: 0.7 (minhash Jaccard)\n or 0.95 (cosine — unrelated same-language docs sit near 0.7-0.8)")
     p.add_argument("--neardup-mode", default="minhash",
                    choices=["minhash", "cosine"],
                    help="lexical MinHash/Jaccard or hashed-embedding "

@@ -49,7 +49,7 @@ def curate_corpus(
     min_quality: float = 0.7,
     token_band: tuple[int, int] = (20, 100_000),
     max_top_token_frac: float = 0.2,
-    neardup_threshold: float = 0.7,
+    neardup_threshold: float | None = None,
     neardup_mode: str = "minhash",
     split_fractions: dict[str, float] | None = None,
     line_max_df: int | None = None,
@@ -124,6 +124,12 @@ def curate_corpus(
     # (Hamming-1 multi-probe) verified by exact cosine (the brief's
     # embedding-cosine near-dup; catches reorderings Jaccard-on-shingles
     # scores lower). Both: cluster with CC, keep min-id per cluster.
+    # The default threshold is MODE-SPECIFIC: the two scores live on
+    # different scales — unrelated documents sit near Jaccard ~0 but
+    # hashed-3-gram cosine ~0.7-0.8 (same-language base rate), so a
+    # Jaccard-tuned 0.7 under cosine would mass-delete non-duplicates.
+    if neardup_threshold is None:
+        neardup_threshold = 0.95 if neardup_mode == "cosine" else 0.7
     exact = exact.persist()  # feeds signature build, verify AND anti-join
     if neardup_mode == "minhash":
         sigs = DD.add_minhash_maponly(exact, text_col, id_col,

@@ -185,8 +185,6 @@ def token_rarity(df, text_col: str, id_col: str):
     the hot keys), one doc regroup. All integer math: mean_df is the
     only division, so the result is engine-exact at round(6).
     Documents with no tokens (null/empty text) produce no row."""
-    from pyspark.sql import DataFrame  # noqa: F401  (doc only)
-
     from stream2segment_spark.operators.dedup import word_tokens
 
     toks = (df.select(F.col(id_col),

@@ -47,8 +47,8 @@ _EMPTY = {"media_type": None, "width": None, "height": None,
 
 def probe_media_bytes(b: bytes | None) -> dict:
     """Parse container headers of one blob. Pure byte-layout parsing of the
-    public PNG/JPEG/WAV/GIF formats — this is REAL decode of the metadata
-    plane, not a stub (pixels/samples are the stubbed part)."""
+    public PNG/JPEG/WAV/GIF formats — real decode of the metadata plane;
+    pixel/sample decode for the codec-free layouts lives below."""
     out = dict(_EMPTY)
     if b is None:
         out["error"] = "null content"
@@ -270,8 +270,11 @@ def decode_audio_bytes(b: bytes) -> dict:
     bit, format 1) or IEEE float32 (format 3), incl. the WAVE_FORMAT_
     EXTENSIBLE wrapper. Compressed formats (MP3/AAC/ADPCM...) raise
     NotImplementedError. Returns {sample_rate, n_channels, n_samples,
-    samples} with float64 samples in [-1, 1], channel-interleaved (the
-    on-disk order), n_samples = frames per channel."""
+    samples} with float64 samples, channel-interleaved (the on-disk
+    order), n_samples = frames per channel. Integer PCM is scaled to
+    [-1, 1]; float32 samples pass through UNCLIPPED (float masters may
+    legitimately overshoot +-1 — clipping would destroy data; consumers
+    needing the bound should clip themselves)."""
     b = bytes(b)
     if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
         raise ValueError("not a RIFF/WAVE container")

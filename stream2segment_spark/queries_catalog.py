@@ -204,12 +204,15 @@ def agg_stats_pivot(spark, sf_dir):
 
 
 @register(
+    # r4 gate rotation: deferred (driver-green r1-r3, rotated out to
+    # free a checked slot; still benched + mirror-checked)
     "agg_gap_recode",
     """SELECT event_type,
               CASE WHEN value IS NULL THEN 'missing'
                    WHEN value > 150 THEN 'high' ELSE 'ok' END AS bucket,
               count(*) AS n
        FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events GROUP BY event_type, bucket""",
+    gate=False,
 )
 def agg_gap_recode(spark, sf_dir):
     """A1/A3: conditional recode before grouping (the reference's
@@ -241,10 +244,13 @@ def dedup_keep_first(spark, sf_dir):
 
 
 @register(
+    # r4 gate rotation: deferred (driver-green r1-r3, rotated out to
+    # free a checked slot; still benched + mirror-checked)
     "dedup_conflict_counts",
     """SELECT user_id, event_type, n FROM (
          SELECT user_id, event_type, count(*) AS n
          FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events GROUP BY user_id, event_type) WHERE n > 1""",
+    gate=False,
 )
 def dedup_conflict_counts(spark, sf_dir):
     """A7/A8: suspicious-duplicate detection — groups with >1 member
@@ -273,10 +279,13 @@ def join_anti_incremental(spark, sf_dir):
 
 
 @register(
+    # r4 gate rotation: deferred (driver-green r1-r3, rotated out to
+    # free a checked slot; still benched + mirror-checked)
     "join_semi_prefilter",
     """SELECT o.o_orderkey, o.o_totalprice FROM orders o
        WHERE EXISTS (SELECT 1 FROM lineitem l
                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)""",
+    gate=False,
 )
 def join_semi_prefilter(spark, sf_dir):
     """J5/J8: semi-join pre-filter (reference segments.py:152-160 'IN (ids)')."""
@@ -344,12 +353,15 @@ def join_multihop_rollup(spark, sf_dir):
 
 
 @register(
+    # r4 gate rotation: deferred (driver-green r1-r3, rotated out to
+    # free a checked slot; still benched + mirror-checked)
     "join_siblings",
     """SELECT a.event_id, count(*) AS n_siblings
        FROM events a JOIN events b
          ON a.user_id = b.user_id AND a.event_type = b.event_type
         AND a.event_id != b.event_id
        GROUP BY a.event_id""",
+    gate=False,
 )
 def join_siblings(spark, sf_dir):
     """J10: siblings self-join (process/db/models.py:452-552) — segments
@@ -463,6 +475,8 @@ def pred_epoch_validity(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @register(
+    # r4 gate rotation: deferred (driver-green r1-r3, rotated out to
+    # free a checked slot; still benched + mirror-checked)
     "setop_family",
     """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
        SELECT 'except' AS op, user_id FROM (
@@ -480,6 +494,7 @@ def pred_epoch_validity(spark, sf_dir):
          SELECT user_id FROM ev WHERE event_type = 'click'
          INTERSECT
          SELECT user_id FROM ev WHERE event_type = 'purchase')""",
+    gate=False,
 )
 def setop_family(spark, sf_dir):
     """U1-U4 + intersect in one tagged entry: set difference (``subtract``

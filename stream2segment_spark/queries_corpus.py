@@ -91,7 +91,6 @@ def corpus_line_dedup(spark, sf_dir):
               CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
               min(doc_id) AS min_id, max(doc_id) AS max_id
        FROM c GROUP BY shard, chunk_id""",
-    gate=False,
 )
 def corpus_pack_chunks(spark, sf_dir):
     """Greedy sequence packing into fixed-token-budget training chunks
@@ -141,7 +140,6 @@ def corpus_pack_chunks(spark, sf_dir):
               round(coalesce(p.dup_tokens, 0)
                     / greatest(len(t.w), 1), 6) AS dup_frac
        FROM t LEFT JOIN p USING (doc_id)""",
-    gate=False,
 )
 def corpus_substring_dup(spark, sf_dir):
     """Exact substring-duplication analysis (operators/dedup
@@ -169,7 +167,6 @@ def corpus_substring_dup(spark, sf_dir):
                   AS n_hapax,
               round(CAST(sum(f.df) AS DOUBLE) / count(*), 6) AS mean_df
        FROM t JOIN f USING (tok) GROUP BY t.doc_id""",
-    gate=False,
 )
 def corpus_token_rarity(spark, sf_dir):
     """Token-rarity quality signal (functions/text.token_rarity): per
@@ -220,7 +217,6 @@ _EMB_COMPS = ", ".join(
        p AS (SELECT doc_id, {_EMB_PIVOT} FROM acc GROUP BY doc_id)
        SELECT t.doc_id, coalesce(n.nnz, 0) AS nnz, {_EMB_COMPS}
        FROM t LEFT JOIN n USING (doc_id) LEFT JOIN p USING (doc_id)""",
-    gate=False,
 )
 def text_hash_embedding(spark, sf_dir):
     """Feature-hashing text embeddings (functions/embeddings
@@ -328,7 +324,6 @@ def cluster_kmeans(spark, sf_dir):
        SELECT r.source, r.n_total, round(r.rate, 6) AS rate,
               coalesce(k.n_kept, 0) AS n_kept
        FROM r LEFT JOIN k USING (source)""",
-    gate=False,
 )
 def corpus_temperature_mix(spark, sf_dir):
     """Temperature source-rebalancing (functions/sampling

@@ -119,7 +119,6 @@ def multimodal_frames(spark, sf_dir):
                (doc_id * 31 + 2 * 17) % 65536 - 32768 AS s2,
                (doc_id * 31 + 3 * 17) % 65536 - 32768 AS s3
              FROM documents)""",
-    gate=False,
 )
 def multimodal_audio(spark, sf_dir):
     """Audio SAMPLE decode through the real codec-free WAV path

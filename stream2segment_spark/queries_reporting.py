@@ -45,10 +45,13 @@ def pred_retry_mask(spark, sf_dir):
 
 
 @register(
+    # r4 gate rotation: deferred (driver-green r1-r3, rotated out to
+    # free a checked slot; still benched + mirror-checked)
     "labels_count_join",
     """SELECT n.n_name AS label, count(c.c_custkey) AS n_labelled
        FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
        GROUP BY n.n_name""",
+    gate=False,
 )
 def labels_count_join(spark, sf_dir):
     """J9: class-label counts (reference process/db/models.py:691-728) —
@@ -85,6 +88,8 @@ def agg_download_summary(spark, sf_dir):
 
 
 @register(
+    # r4 gate rotation: deferred (driver-green r1-r3, rotated out to
+    # free a checked slot; still benched + mirror-checked)
     "topk_pagination",
     """SELECT event_id, value FROM (
          SELECT event_id, value,
@@ -92,6 +97,7 @@ def agg_download_summary(spark, sf_dir):
          FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
          WHERE value IS NOT NULL)
        WHERE rn > 40 AND rn <= 60""",
+    gate=False,
 )
 def topk_pagination(spark, sf_dir):
     """O4: OFFSET/LIMIT pagination distributed-safe. orderBy + offset +

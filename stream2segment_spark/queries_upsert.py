@@ -192,7 +192,6 @@ def source_nslc_filters(spark, sf_dir):
        FROM (SELECT 'csv' AS fmt FROM range(1) UNION ALL
              SELECT 'parquet' FROM range(1)) f,
             orders WHERE o_orderkey % 11 = 0""",
-    gate=False,
 )
 def sink_roundtrip(spark, sf_dir):
     """K1/K2: the CSV and parquet (HDF-analogue) sinks round-trip

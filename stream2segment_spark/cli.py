@@ -564,6 +564,7 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
               f"{sorted(missing)} (has: {sorted(docs.columns)})",
               file=sys.stderr)
         return 2
+    persists: list = []
     curated, funnel = curate_corpus(
         docs,
         languages=tuple(s for s in languages.split(",") if s),
@@ -571,12 +572,22 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
         neardup_threshold=neardup_threshold, neardup_mode=neardup_mode,
         line_max_df=line_max_df, max_dup_frac=max_dup_frac,
         mix_strata_col=mix_col, mix_alpha=mix_alpha,
-        pack_budget=pack_budget, pack_shards=pack_shards)
+        pack_budget=pack_budget, pack_shards=pack_shards,
+        persists=persists)
     out = os.path.join(outdir, "curated.parquet")
-    curated.write.mode("overwrite").parquet(out)
-    stats = funnel.collect()[0].asDict()
-    stats["output"] = spark.read.parquet(out).count()
-    print(json.dumps(stats))
+    # One materialization: the write warms curated's cache, the funnel
+    # counts then hit the persisted stage frames instead of re-running
+    # the whole un-persisted pipeline per crossJoined count, and the
+    # output count comes from the cache rather than a parquet re-read.
+    curated = curated.persist()
+    try:
+        curated.write.mode("overwrite").parquet(out)
+        stats = funnel.collect()[0].asDict()
+        stats["output"] = curated.count()
+        print(json.dumps(stats))
+    finally:
+        for frame in [curated, *persists]:
+            frame.unpersist()
     return 0
 
 

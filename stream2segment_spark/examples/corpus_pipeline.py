@@ -58,12 +58,19 @@ def curate_corpus(
     mix_alpha: float = 0.5,
     pack_budget: int | None = None,
     pack_shards: int = 64,
+    persists: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the 5-stage curation funnel; returns (curated, funnel) where
     ``curated`` has the annotation columns + ``split`` and ``funnel`` is
     one row of per-stage survivor counts. Optional stages (module
     docstring) switch on via ``line_max_df`` / ``mix_strata_col`` /
-    ``pack_budget``."""
+    ``pack_budget``.
+
+    Intermediate frames shared by several downstream consumers are
+    ``persist()``-ed; pass a list as ``persists`` to receive them so the
+    caller can ``unpersist()`` once ``curated``/``funnel`` have been
+    materialized (cmd_curate does; without it the caches live until the
+    session ends)."""
     import stream2segment_spark.functions.text as TX
     from stream2segment_spark.functions.sampling import (
         split_column, temperature_sample)
@@ -131,6 +138,8 @@ def curate_corpus(
     if neardup_threshold is None:
         neardup_threshold = 0.95 if neardup_mode == "cosine" else 0.7
     exact = exact.persist()  # feeds signature build, verify AND anti-join
+    if persists is not None:
+        persists.append(exact)
     if neardup_mode == "minhash":
         sigs = DD.add_minhash_maponly(exact, text_col, id_col,
                                       num_hashes=64, shingle_k=3)
@@ -156,7 +165,12 @@ def curate_corpus(
     # drop every near-dup that is not its cluster's canonical (min) id
     losers = (cc.filter(F.col("id") != F.col("cluster_id"))
               .select(F.col("id").alias(id_col)))
-    deduped = exact.join(losers, id_col, "left_anti")
+    # Persisted: both the funnel's near_dedup count and the caller's
+    # write of ``curated`` read it — without the cache each consumer
+    # re-runs the whole candidate->verify->CC near-dup stage.
+    deduped = exact.join(losers, id_col, "left_anti").persist()
+    if persists is not None:
+        persists.append(deduped)
 
     # -- 5. deterministic split -----------------------------------------
     curated = deduped.withColumn(

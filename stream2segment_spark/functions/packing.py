@@ -60,7 +60,12 @@ def pack_greedy(
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum(F.col(tokens_col).cast("long")).over(w)
     start = cum - F.col(tokens_col).cast("long")
-    return out.withColumn("chunk_id", F.floor(start / F.lit(budget)))
+    # Integer division (SQL `div`), not floor(double /): past 2^53
+    # cumulative tokens a double quotient can round a boundary into the
+    # wrong chunk.
+    return (out.withColumn("__start", start)
+            .withColumn("chunk_id", F.expr(f"__start div {int(budget)}"))
+            .drop("__start"))
 
 
 def chunk_summary(packed: DataFrame, id_col: str, tokens_col: str) -> DataFrame:

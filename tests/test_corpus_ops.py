@@ -48,6 +48,24 @@ def test_line_dedup_drops_common_lines(spark, lined):
     assert out[5].cleaned_text == ""
 
 
+def test_line_dedup_keeps_docs_with_empty_or_null_lines(spark, lined):
+    """A doc whose lines array is empty or null still yields one output
+    row (n_lines = n_kept = 0, cleaned_text = '') — posexplode produces
+    no rows for it, so the aggregate must be left-joined back."""
+    rows = [Row(doc_id=1, lines=["a", "b"]),
+            Row(doc_id=2, lines=[]),
+            Row(doc_id=3, lines=None)]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, lines: array<string>")
+    out = {r.doc_id: r for r in
+           line_dedup(df, "doc_id", "lines", max_df=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_lines == 2 and out[1].cleaned_text == "a\nb"
+    for d in (2, 3):
+        assert out[d].n_lines == 0 and out[d].n_kept == 0
+        assert out[d].cleaned_text == ""
+
+
 def test_line_dedup_distinct_doc_threshold(spark, lined):
     # max_df=3 keeps 'common banner' (exactly 3 distinct docs)
     out = {r.doc_id: r.n_kept for r in
@@ -94,6 +112,19 @@ def test_duplicated_spans_marks_shared_runs(spark):
     # unique + short docs report zeros but keep their token counts
     assert out[3].n_spans == 0 and out[3].dup_frac == 0.0
     assert out[4].n_spans == 0 and out[4].n_tokens == 2
+
+
+def test_duplicated_spans_null_toks_count_as_zero(spark):
+    """size(null array) is -1 in Spark; a null token array must surface
+    as n_tokens = 0 (and dup_frac 0), not the -1 sentinel."""
+    from stream2segment_spark.operators.dedup import duplicated_spans
+    df = spark.createDataFrame(
+        [Row(doc_id=1, toks=["a"] * 10), Row(doc_id=2, toks=None)],
+        "doc_id: long, toks: array<string>")
+    out = {r.doc_id: r for r in duplicated_spans(
+        df, "doc_id", "toks", k=8, max_df=1).collect()}
+    assert out[2].n_tokens == 0
+    assert out[2].dup_frac == 0.0 and out[2].n_spans == 0
 
 
 def test_duplicated_spans_in_doc_repeat_not_counted(spark):

@@ -148,7 +148,8 @@ def curate_corpus(
         pairs = DD.ngram_jaccard_pairs(exact, text_col, id_col,
                                        shingle_k=3,
                                        threshold=neardup_threshold,
-                                       candidates=cands)
+                                       candidates=cands,
+                                       persists=persists)
     elif neardup_mode == "cosine":
         from stream2segment_spark.functions.embeddings import (
             hashed_ngram_embeddings)

@@ -52,7 +52,31 @@ def connected_components(
     labels = (sym.select(F.col("a").alias(id_col)).distinct()
               .withColumn("cluster_id", F.col(id_col)))
 
+    sc = edges.sparkSession.sparkContext
+
+    def _persistent_ids() -> set[int]:
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            return {int(k) for k in jmap.keySet().toArray()}
+        except Exception:
+            return set()
+
+    def _unpersist_ids(ids: set[int]) -> None:
+        # localCheckpoint pins its blocks outside the DataFrame cache
+        # manager; the only handle back is the context's persistent-RDD
+        # map. Best-effort: failure just leaves the block to the
+        # ContextCleaner's GC-based cleanup.
+        try:
+            jscala = sc._jsc.sc().getPersistentRDDs()
+            for rid in ids:
+                if jscala.contains(rid):
+                    jscala.apply(rid).unpersist(False)
+        except Exception:
+            pass
+
+    prev_ckpt_ids: set[int] = set()
     for _ in range(max_iterations):
+        before = _persistent_ids()
         neigh_min = (sym.join(labels.withColumnRenamed(id_col, "b"), "b")
                      .groupBy("a")
                      .agg(F.min("cluster_id").alias("nmin"))
@@ -67,7 +91,15 @@ def connected_components(
                            (F.col("nmin") < F.col("cluster_id"))
                            .alias("__changed"))
                    .localCheckpoint(eager=True))
+        new_ckpt_ids = _persistent_ids() - before
         changed = updated.filter("__changed").count()
+        # the previous round's checkpoint blocks are dead once this
+        # round's checkpoint is materialized (labels now derives from it
+        # alone) — release them instead of pinning R rounds of label
+        # frames in the block manager; only the FINAL round's checkpoint
+        # backs the returned frame and must stay.
+        _unpersist_ids(prev_ckpt_ids)
+        prev_ckpt_ids = new_ckpt_ids
         labels = updated.drop("__changed")
         if changed == 0:
             break

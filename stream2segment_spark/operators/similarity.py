@@ -133,8 +133,13 @@ def lsh_bucket_neardup(
     B's true code when distance <= 1, and probing is symmetric at
     distance 1 so one exploded side suffices). Returns
     (id_a, id_b, cosine)."""
+    # The bucket self-join ships ONLY (bucket, id): carrying the vectors
+    # through it would shuffle 2*dim doubles per candidate row (and,
+    # under multiprobe, replicate each vector 1+num_planes times in the
+    # explode). Vectors are re-attached by id afterwards, so each side's
+    # vector is shuffled once per matched pair, keyed by id.
     b = add_hyperplane_buckets(df.select(id_col, vec_col), vec_col, dim,
-                               num_planes, seed)
+                               num_planes, seed).drop(vec_col)
     if multiprobe:
         probe = b.withColumn(
             "bucket",
@@ -142,12 +147,16 @@ def lsh_bucket_neardup(
     else:
         probe = b
     l, r = probe.alias("l"), b.alias("r")
-    pairs = (l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
-                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-             .select(F.col(f"l.{id_col}").alias("id_a"),
-                     F.col(f"r.{id_col}").alias("id_b"),
-                     F.col(f"l.{vec_col}").alias("va"),
-                     F.col(f"r.{vec_col}").alias("vb")))
+    ids = (l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+           .select(F.col(f"l.{id_col}").alias("id_a"),
+                   F.col(f"r.{id_col}").alias("id_b")))
+    vecs = df.select(id_col, vec_col)
+    pairs = (ids
+             .join(vecs.select(F.col(id_col).alias("id_a"),
+                               F.col(vec_col).alias("va")), "id_a")
+             .join(vecs.select(F.col(id_col).alias("id_b"),
+                               F.col(vec_col).alias("vb")), "id_b"))
     # vectorized pairwise cosine: the zip_with/aggregate fold is an
     # interpreted higher-order function and dominated the candidate
     # verify (~2.7s for ~10^5 pairs at sf0.1); one Arrow batch matmul
@@ -328,12 +337,16 @@ def ann_topk_ivf_index(
     probes = queries.withColumn(
         "cell",
         F.explode(ivf_probe_cells_udf(cents, nprobe)(F.col(vec_col))))
-    probes = probes.persist()
-    probed_cells = [r["cell"] for r in
-                    probes.select("cell").distinct().collect()]
+    # Queries are bounded by contract: collect the probe rows ONCE and
+    # rebuild them as a local (broadcastable) relation — both the
+    # partition filter and the probe join read the same collected rows,
+    # so nothing needs a session-lifetime persist().
+    sel = probes.select(query_id_col, "cell", F.col(vec_col).alias("__qv"))
+    probe_rows = sel.collect()
+    probed_cells = sorted({r["cell"] for r in probe_rows})
     corpus = (spark.read.parquet(f"{path}/cells")
               .filter(F.col("cell").isin(probed_cells)))
-    q = probes.select(query_id_col, "cell", F.col(vec_col).alias("__qv"))
+    q = spark.createDataFrame(probe_rows, sel.schema)
     cos = cosine_expr(
         F.transform(vec_col, lambda v: v.cast("double")),
         F.transform("__qv", lambda v: v.cast("double")))

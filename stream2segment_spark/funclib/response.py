@@ -132,8 +132,257 @@ def _parse_response_elem(resp) -> PAZResponse | None:
                        input_units=input_units)
 
 
+# ---------------------------------------------------------------------------
+# Full multi-stage response chains (PolesZeros + Coefficients/FIR + gains)
+# ---------------------------------------------------------------------------
+#
+# Real StationXML responses are a CHAIN of stages: an analog PolesZeros
+# stage (the sensor), a gain-only stage (the digitizer) and one or more
+# FIR / Coefficients decimation stages. The reference honors the whole
+# chain via obspy ``Trace.remove_response(inventory)`` (evalresp
+# semantics, process/gui/webapp/mainapp/core.py:38-47); the PAZ-only
+# path above covers the PAZ+sensitivity norm. The classes below follow
+# evalresp's composition rules:
+#
+# - each PolesZeros stage contributes A0 * prod(s-z)/prod(s-p), with s =
+#   2*pi*i*f for 'LAPLACE (RADIANS/SECOND)' (the FDSN norm), s = i*f for
+#   'LAPLACE (HERTZ)', and z-transform evaluation for 'DIGITAL
+#   (Z-TRANSFORM)' stages;
+# - each FIR / Coefficients stage contributes its DFT at the stage's
+#   INPUT sample rate, normalized to unit gain at f=0 (evalresp
+#   normalizes digital stages; their actual gain is the StageGain), and
+#   evaluated ZERO-PHASE for symmetric (linear-phase) filters — the
+#   same centering evalresp applies; asymmetric filters keep full phase;
+# - each stage's StageGain multiplies the total; when NO stage carries a
+#   gain the overall InstrumentSensitivity is used instead.
+
+
+@dataclass(frozen=True)
+class PolesZerosStage:
+    """One PolesZeros element: normalized transfer x stage gain."""
+    poles: tuple = ()
+    zeros: tuple = ()
+    normalization: float = 1.0
+    gain: float = 1.0
+    pz_type: str = "LAPLACE (RADIANS/SECOND)"
+    input_sample_rate: float | None = None   # for DIGITAL (Z-TRANSFORM)
+
+    def transfer(self, freqs_hz: np.ndarray) -> np.ndarray:
+        t = self.pz_type.upper()
+        if t.startswith("LAPLACE"):
+            scale = 1j if "HERTZ" in t else 2j * np.pi
+            s = scale * np.asarray(freqs_hz, dtype=float)
+            num = np.ones(len(s), dtype=complex)
+            for z in self.zeros:
+                num = num * (s - z)
+            den = np.ones(len(s), dtype=complex)
+            for p in self.poles:
+                den = den * (s - p)
+            h = self.normalization * num / den
+        elif t.startswith("DIGITAL"):
+            if not self.input_sample_rate:
+                raise ValueError(
+                    "DIGITAL (Z-TRANSFORM) PolesZeros stage needs a "
+                    "Decimation/InputSampleRate")
+            z = np.exp(2j * np.pi * np.asarray(freqs_hz, dtype=float)
+                       / self.input_sample_rate)
+            num = np.ones(len(z), dtype=complex)
+            for zz in self.zeros:
+                num = num * (z - zz)
+            den = np.ones(len(z), dtype=complex)
+            for p in self.poles:
+                den = den * (z - p)
+            h = self.normalization * num / den
+        else:
+            raise ValueError(f"unknown PzTransferFunctionType {self.pz_type!r}")
+        return h * self.gain
+
+
+@dataclass(frozen=True)
+class CoefficientsStage:
+    """A FIR or Coefficients element: DFT of the (expanded) taps at the
+    stage input rate, normalized to |H(0)| = 1, zero-phase when the
+    filter is symmetric, x stage gain. ``symmetry``: NONE / ODD / EVEN
+    (FIR elements store only half the taps of a symmetric filter)."""
+    numerator: tuple = ()
+    denominator: tuple = ()
+    input_sample_rate: float | None = None
+    gain: float = 1.0
+    symmetry: str = "NONE"
+
+    def full_taps(self) -> np.ndarray:
+        b = np.asarray(self.numerator, dtype=float)
+        sym = (self.symmetry or "NONE").upper()
+        # FDSN FIR symmetry: ODD = odd tap count, stored (N+1)/2 taps,
+        # center tap last; EVEN = even tap count, stored N/2 taps
+        if sym == "ODD" and len(b) > 1:
+            return np.concatenate([b, b[:-1][::-1]])
+        if sym == "EVEN" and len(b) > 0:
+            return np.concatenate([b, b[::-1]])
+        return b
+
+    def transfer(self, freqs_hz: np.ndarray) -> np.ndarray:
+        b = self.full_taps()
+        if len(b) == 0 and len(self.denominator) == 0:
+            # gain-only stage (e.g. the digitizer)
+            return np.full(len(freqs_hz), self.gain, dtype=complex)
+        if not self.input_sample_rate:
+            raise ValueError("digital stage needs Decimation/InputSampleRate")
+        w = (2j * np.pi * np.asarray(freqs_hz, dtype=float)
+             / self.input_sample_rate)
+        k = np.arange(len(b))
+        num = (b[None, :] * np.exp(-np.outer(w, k))).sum(axis=1)
+        if len(self.denominator):
+            a = np.asarray(self.denominator, dtype=float)
+            ka = np.arange(len(a))
+            den = (a[None, :] * np.exp(-np.outer(w, ka))).sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                h = num / den
+        else:
+            h = num
+            sym = (self.symmetry or "NONE").upper()
+            symmetric = (sym in ("ODD", "EVEN") or
+                         (len(b) > 1 and np.allclose(b, b[::-1])))
+            if symmetric:
+                # linear-phase FIR evaluated centered => zero phase
+                h = h * np.exp(w * (len(b) - 1) / 2.0)
+        # evalresp normalizes digital stages to unit DC gain; the real
+        # gain is the StageGain
+        dc = abs(b.sum()) if not len(self.denominator) else abs(
+            b.sum() / np.asarray(self.denominator, dtype=float).sum())
+        if dc > 0:
+            h = h / dc
+        return h * self.gain
+
+
+@dataclass(frozen=True)
+class ChannelResponse:
+    """Full response chain of one channel; same duck-type surface as
+    :class:`PAZResponse` (``frequency_response`` + ``input_units``), so
+    :func:`remove_response` / :func:`apply_response` take either."""
+    stages: tuple = ()
+    sensitivity: float = 1.0
+    sensitivity_frequency: float = 1.0
+    input_units: str = "M/S"
+
+    def frequency_response(self, freqs_hz: np.ndarray) -> np.ndarray:
+        freqs_hz = np.asarray(freqs_hz, dtype=float)
+        h = np.ones(len(freqs_hz), dtype=complex)
+        for st in self.stages:
+            h = h * st.transfer(freqs_hz)
+        if all(st.gain == 1.0 for st in self.stages):
+            # no per-stage gains in the document: fall back to the
+            # overall InstrumentSensitivity (PAZ+sensitivity layout)
+            h = h * self.sensitivity
+        return h
+
+
 _UNIT_ORDER = {"M": 0, "M/S": 1, "M/S**2": 2, "M/S^2": 2, "M/S/S": 2}
 _OUTPUT_ORDER = {"DISP": 0, "VEL": 1, "ACC": 2}
+
+
+def parse_stationxml_response(
+    xml_data: bytes | str,
+    network: str | None = None,
+    station: str | None = None,
+    channel: str | None = None,
+) -> ChannelResponse:
+    """Extract the FULL response stage chain (PolesZeros + Coefficients +
+    FIR + per-stage gains + decimation rates) of one channel from FDSN
+    StationXML — the multi-stage equivalent of :func:`parse_stationxml_paz`.
+    The first matching channel with a non-empty Response is used."""
+    if isinstance(xml_data, bytes):
+        xml_data = sniff_decompress(xml_data).decode("utf-8", errors="replace")
+    root = ElementTree.fromstring(xml_data)
+    for net in _children(root, "Network"):
+        if network and net.get("code") != network:
+            continue
+        for sta in _children(net, "Station"):
+            if station and sta.get("code") != station:
+                continue
+            for cha in _children(sta, "Channel"):
+                if channel and cha.get("code") != channel:
+                    continue
+                for resp in _children(cha, "Response"):
+                    chain = _parse_full_response_elem(resp)
+                    if chain is not None:
+                        return chain
+    raise ValueError(
+        f"no response stages for network={network!r} station={station!r} "
+        f"channel={channel!r} in StationXML")
+
+
+def _text(elem, name, default=None):
+    for c in _children(elem, name):
+        if c.text is not None:
+            return c.text.strip()
+    return default
+
+
+def _parse_full_response_elem(resp) -> ChannelResponse | None:
+    sens, sens_freq = 1.0, 1.0
+    for s in _children(resp, "InstrumentSensitivity"):
+        sens = float(_text(s, "Value", "1"))
+        sens_freq = float(_text(s, "Frequency", "1"))
+
+    raw_stages = sorted(
+        _children(resp, "Stage"),
+        key=lambda st: int(st.get("number") or 0))
+    stages: list = []
+    input_units = None
+    for stage in raw_stages:
+        gain = 1.0
+        for g in _children(stage, "StageGain"):
+            gain = float(_text(g, "Value", "1"))
+        in_rate = None
+        for d in _children(stage, "Decimation"):
+            r = _text(d, "InputSampleRate")
+            if r is not None:
+                in_rate = float(r)
+        parsed = None
+        for pz in _children(stage, "PolesZeros"):
+            poles = [_complex(p) for p in _children(pz, "Pole")]
+            zeros = [_complex(z) for z in _children(pz, "Zero")]
+            a0 = float(_text(pz, "NormalizationFactor", "1"))
+            pz_type = _text(pz, "PzTransferFunctionType",
+                            "LAPLACE (RADIANS/SECOND)")
+            parsed = PolesZerosStage(
+                poles=tuple(poles), zeros=tuple(zeros), normalization=a0,
+                gain=gain, pz_type=pz_type, input_sample_rate=in_rate)
+            if input_units is None:
+                iu = _children(pz, "InputUnits")
+                if iu:
+                    input_units = (_text(iu[0], "Name") or "M/S").upper()
+        for co in _children(stage, "Coefficients"):
+            num = [float(c.text) for c in _children(co, "Numerator")]
+            den = [float(c.text) for c in _children(co, "Denominator")]
+            parsed = CoefficientsStage(
+                numerator=tuple(num), denominator=tuple(den),
+                input_sample_rate=in_rate, gain=gain)
+            if input_units is None:
+                iu = _children(co, "InputUnits")
+                if iu:
+                    input_units = (_text(iu[0], "Name") or "M/S").upper()
+        for fir in _children(stage, "FIR"):
+            coeffs = _children(fir, "NumeratorCoefficient")
+            # sort by the explicit index attribute when present
+            if coeffs and any(c.get("i") is not None for c in coeffs):
+                coeffs = sorted(coeffs, key=lambda c: int(c.get("i") or 0))
+            num = [float(c.text) for c in coeffs]
+            sym = (_text(fir, "Symmetry", "NONE") or "NONE").upper()
+            parsed = CoefficientsStage(
+                numerator=tuple(num), input_sample_rate=in_rate,
+                gain=gain, symmetry=sym)
+        if parsed is None:
+            # gain-only stage (digitizer / StageGain without a filter)
+            parsed = CoefficientsStage(gain=gain)
+        stages.append(parsed)
+    if not stages:
+        return None
+    return ChannelResponse(
+        stages=tuple(stages), sensitivity=sens,
+        sensitivity_frequency=sens_freq,
+        input_units=input_units or "M/S")
 
 
 def invert_spec_water_level(h: np.ndarray, water_level_db: float) -> np.ndarray:
@@ -153,7 +402,7 @@ def invert_spec_water_level(h: np.ndarray, water_level_db: float) -> np.ndarray:
 
 
 def remove_response(
-    samples: np.ndarray, delta: float, paz: PAZResponse,
+    samples: np.ndarray, delta: float, paz: "PAZResponse | ChannelResponse",
     output: str = "VEL", water_level_db: float = 60.0,
     taper_max_percentage: float = 0.05,
 ) -> np.ndarray:
@@ -161,7 +410,9 @@ def remove_response(
     ``output`` units ('DISP' m, 'VEL' m/s, 'ACC' m/s^2). Mirrors the
     reference's default pre-process (obspy remove_response, water level
     60): taper, rFFT, water-level spectral division, unit conversion by
-    powers of (i*omega), irFFT."""
+    powers of (i*omega), irFFT. ``paz`` is either a single-PZ
+    :class:`PAZResponse` or a full multi-stage :class:`ChannelResponse`
+    (both expose ``frequency_response`` / ``input_units``)."""
     x = taper_hann(np.asarray(samples, dtype=float), taper_max_percentage)
     n = len(x)
     if n == 0:

@@ -179,3 +179,143 @@ def test_parsed_paz_roundtrip_matches_literal():
     b = remove_response(apply_response(vel, DELTA, PAZ), DELTA, PAZ,
                         taper_max_percentage=0.0)
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-9 * np.abs(vel).max())
+
+
+# ---------------------------------------------------------------------------
+# Multi-stage response chains (PolesZeros + gain + FIR decimation)
+# ---------------------------------------------------------------------------
+
+MULTISTAGE_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<FDSNStationXML xmlns="http://www.fdsn.org/xml/station/1" schemaVersion="1.1">
+ <Network code="GE">
+  <Station code="APE">
+   <Channel code="BHZ" locationCode="">
+    <Response>
+     <InstrumentSensitivity>
+      <Value>600000000.0</Value>
+      <Frequency>1.0</Frequency>
+     </InstrumentSensitivity>
+     <Stage number="1">
+      <PolesZeros>
+       <InputUnits><Name>M/S</Name></InputUnits>
+       <OutputUnits><Name>V</Name></OutputUnits>
+       <PzTransferFunctionType>LAPLACE (RADIANS/SECOND)</PzTransferFunctionType>
+       <NormalizationFactor>251.3</NormalizationFactor>
+       <NormalizationFrequency>1.0</NormalizationFrequency>
+       <Zero number="0"><Real>0.0</Real><Imaginary>0.0</Imaginary></Zero>
+       <Zero number="1"><Real>0.0</Real><Imaginary>0.0</Imaginary></Zero>
+       <Pole number="0"><Real>-0.037</Real><Imaginary>0.037</Imaginary></Pole>
+       <Pole number="1"><Real>-0.037</Real><Imaginary>-0.037</Imaginary></Pole>
+       <Pole number="2"><Real>-251.3</Real><Imaginary>0.0</Imaginary></Pole>
+      </PolesZeros>
+      <StageGain><Value>1500.0</Value><Frequency>1.0</Frequency></StageGain>
+     </Stage>
+     <Stage number="2">
+      <StageGain><Value>400000.0</Value><Frequency>1.0</Frequency></StageGain>
+     </Stage>
+     <Stage number="3">
+      <FIR>
+       <InputUnits><Name>COUNTS</Name></InputUnits>
+       <OutputUnits><Name>COUNTS</Name></OutputUnits>
+       <Symmetry>ODD</Symmetry>
+       <NumeratorCoefficient i="0">0.25</NumeratorCoefficient>
+       <NumeratorCoefficient i="1">0.5</NumeratorCoefficient>
+      </FIR>
+      <Decimation>
+       <InputSampleRate>200.0</InputSampleRate>
+       <Factor>2</Factor>
+      </Decimation>
+      <StageGain><Value>1.0</Value><Frequency>0.0</Frequency></StageGain>
+     </Stage>
+    </Response>
+   </Channel>
+  </Station>
+ </Network>
+</FDSNStationXML>
+"""
+
+
+def _chain():
+    from stream2segment_spark.funclib.response import parse_stationxml_response
+    return parse_stationxml_response(MULTISTAGE_XML, network="GE",
+                                     station="APE", channel="BHZ")
+
+
+def test_parse_multistage_chain():
+    from stream2segment_spark.funclib.response import (
+        CoefficientsStage, PolesZerosStage)
+    chain = _chain()
+    assert len(chain.stages) == 3
+    pz, dig, fir = chain.stages
+    assert isinstance(pz, PolesZerosStage) and pz.gain == 1500.0
+    assert pz.normalization == 251.3 and len(pz.poles) == 3
+    assert isinstance(dig, CoefficientsStage) and dig.gain == 400000.0
+    assert dig.numerator == () and dig.denominator == ()
+    assert isinstance(fir, CoefficientsStage) and fir.symmetry == "ODD"
+    assert fir.input_sample_rate == 200.0
+    # ODD symmetry: stored [0.25, 0.5] expands to [0.25, 0.5, 0.25]
+    np.testing.assert_allclose(fir.full_taps(), [0.25, 0.5, 0.25])
+    assert chain.sensitivity == 6.0e8
+    assert chain.input_units == "M/S"
+
+
+def test_multistage_exact_composition():
+    """frequency_response equals the hand-computed product of the three
+    stages (independent numpy formulas, written out here)."""
+    chain = _chain()
+    f = np.linspace(0.1, 40.0, 113)
+    s = 2j * np.pi * f
+    pz = 251.3 * s * s / ((s - (-0.037 + 0.037j)) * (s - (-0.037 - 0.037j))
+                          * (s - (-251.3 + 0j)))
+    taps = np.array([0.25, 0.5, 0.25])
+    w = 2 * np.pi * f / 200.0
+    # symmetric 3-tap filter evaluated zero-phase, DC-normalized (sum=1)
+    fir = taps[1] + 2 * taps[0] * np.cos(w)
+    want = pz * 1500.0 * 400000.0 * fir
+    got = chain.frequency_response(f)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_multistage_fir_zero_phase_and_unity_dc():
+    chain = _chain()
+    fir = chain.stages[2]
+    f = np.linspace(0.0, 50.0, 51)
+    h = fir.transfer(f)
+    # linear-phase symmetric FIR, centered: real-valued transfer
+    np.testing.assert_allclose(h.imag, 0.0, atol=1e-12)
+    assert h[0] == pytest.approx(1.0)  # DC-normalized x gain 1
+
+
+def test_multistage_gain_product_matches_sensitivity():
+    chain = _chain()
+    total = np.abs(chain.frequency_response(np.array([1.0])))[0]
+    # A0 normalizes the PZ stage to ~1 at 1 Hz, FIR ~1 in-band, so
+    # |H(1 Hz)| ~ 1500 * 400000 = sensitivity
+    assert total == pytest.approx(chain.sensitivity, rel=5e-3)
+
+
+def test_multistage_remove_response_roundtrip():
+    from stream2segment_spark.funclib.response import remove_response
+    chain = _chain()
+    vel = _band_signal(freqs=(1.5, 3.0))
+    counts = apply_response(vel, DELTA, chain)
+    rec = remove_response(counts, DELTA, chain, output="VEL",
+                          water_level_db=60.0, taper_max_percentage=0.0)
+    core = slice(N // 8, -N // 8)
+    np.testing.assert_allclose(rec[core], vel[core],
+                               atol=2e-3 * np.abs(vel).max())
+
+
+def test_multistage_reduces_to_paz_when_fir_flat():
+    """A chain whose digital stages are flat (gain-only) must equal the
+    PAZ+sensitivity path exactly in-band."""
+    from stream2segment_spark.funclib.response import (
+        ChannelResponse, PolesZerosStage)
+    paz = parse_stationxml_paz(STATIONXML)
+    chain = ChannelResponse(
+        stages=(PolesZerosStage(poles=paz.poles, zeros=paz.zeros,
+                                normalization=paz.normalization, gain=1.0),),
+        sensitivity=paz.sensitivity, input_units=paz.input_units)
+    f = np.linspace(0.1, 40.0, 79)
+    np.testing.assert_allclose(chain.frequency_response(f),
+                               paz.frequency_response(f), rtol=1e-12)

@@ -329,9 +329,10 @@ def cmd_process(spark: SparkSession, cfg: dict, pyfunc_spec: str,
     return 0
 
 
-def cmd_show(spark: SparkSession, cfg: dict, outfile: str,
-             max_segments: int, plot_module: str | None = None) -> int:
-    from stream2segment_spark.report import write_segment_report
+def _decoded_selection(spark: SparkSession, cfg: dict,
+                       plot_module: str | None):
+    """Shared by cmd_show / cmd_show_serve: apply the config's segment
+    selection, decode the waveforms, and load user plot producers."""
     from stream2segment_spark.sources.mseed import unpack_mseed_udf
 
     plots_kwargs: dict = {}
@@ -364,10 +365,36 @@ def cmd_show(spark: SparkSession, cfg: dict, outfile: str,
         .select("id", F.col("ms.samples").alias("samples"),
                 (F.lit(1.0) / F.col("ms.sample_rate")).alias("delta"),
                 F.col("ms.seed_id").alias("seed_id")))
+    return decoded, plots_kwargs
+
+
+def cmd_show(spark: SparkSession, cfg: dict, outfile: str,
+             max_segments: int, plot_module: str | None = None) -> int:
+    from stream2segment_spark.report import write_segment_report
+
+    decoded, plots_kwargs = _decoded_selection(spark, cfg, plot_module)
     n = write_segment_report(decoded, outfile, title=cfg.get(
         "title", "segment report"), max_segments=max_segments,
         label_cols=("seed_id",), **plots_kwargs)
     print(f"wrote {n} segment(s) to {outfile}")
+    return 0
+
+
+def cmd_show_serve(spark: SparkSession, cfg: dict, port: int,
+                   plot_module: str | None = None,
+                   annotator: str | None = None) -> int:
+    """'s2s show --serve': the reference GUI's interactive loop (browse
+    segments, view plots, hand-label classes) over a local stdlib HTTP
+    server — see stream2segment_spark.showserver."""
+    from stream2segment_spark.showserver import ShowApp, serve
+
+    decoded, plots_kwargs = _decoded_selection(spark, cfg, plot_module)
+    app = ShowApp(decoded, warehouse=cfg["warehouse"],
+                  annotator=annotator,
+                  plots=plots_kwargs.get(
+                      "plots", ("trace", "cumulative", "spectrum")),
+                  extra_producers=plots_kwargs.get("extra_producers"))
+    serve(app, port=port)
     return 0
 
 
@@ -632,10 +659,16 @@ def main(argv: list[str] | None = None) -> int:
                            help="process only segments absent from the "
                                 "output (K3 incremental mode)")
         if name == "show":
-            p.add_argument("-o", "--outfile", required=True)
+            p.add_argument("-o", "--outfile")
             p.add_argument("-p", "--plot-module",
                            help="python file with @segment_plot functions")
             p.add_argument("--max-segments", type=int, default=200)
+            p.add_argument("--serve", action="store_true",
+                           help="run the interactive viewer (JSON API + "
+                                "browser page) instead of writing HTML")
+            p.add_argument("--port", type=int, default=8080)
+            p.add_argument("--annotator",
+                           help="recorded on hand-written class labels")
         if name == "dl-stats":
             p.add_argument("--html", action="store_true")
         if name in ("dl-summary", "dl-log", "dl-config"):
@@ -773,6 +806,12 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_process(spark, cfg, args.pyfunc, args.outfile,
                                args.append)
         if args.cmd == "show":
+            if args.serve:
+                return cmd_show_serve(spark, cfg, args.port,
+                                      args.plot_module, args.annotator)
+            if not args.outfile:
+                raise SystemExit("show: -o/--outfile is required "
+                                 "(or pass --serve)")
             return cmd_show(spark, cfg, args.outfile, args.max_segments,
                             args.plot_module)
         if args.cmd == "import-db":

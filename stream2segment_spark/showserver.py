@@ -1,0 +1,242 @@
+"""Interactive ``s2s show --serve``: the reference GUI's live workflow
+(select a segment, view its plots, hand-label classes from the browser —
+process/gui/webapp/mainapp/views.py:34-115, core.py:240-415) as a thin
+stdlib ``http.server`` JSON endpoint over the SAME data layer as the
+server-less report:
+
+- plot payloads come from :func:`stream2segment_spark.report
+  .segment_plots_df` (the distributed pandas-UDF producers), computed
+  per request for exactly ONE segment (``filter(id == ...)`` -> one-row
+  collect — the reference recomputes plots per request the same way);
+- class labels read/write through :mod:`stream2segment_spark.warehouse`
+  (``class_labels`` / ``class_labellings``, the reference's hand-label
+  tables), so a label clicked in the browser is immediately a queryable
+  warehouse row;
+- navigation state (the ordered segment-id array) is collected once,
+  like the reference's ``g_segment_ids``; the selection itself is the
+  ``exprquery`` selection the caller built.
+
+No Flask, no template engine, no external JS: one inline HTML page
+drawing SVG polylines from the JSON API. Routes (all JSON):
+
+====================================  =====================================
+``GET  /api/init``                    num_segments, class labels, plot names
+``GET  /api/segment/<idx>``           plots + seed_id + set labels of the
+                                      idx-th selected segment (0-based)
+``POST /api/segment/<idx>/class``     body ``{"label": L, "value": bool}``
+                                      -> toggles the labelling, returns the
+                                      segment's labels
+``GET  /``                            the interactive page
+====================================  =====================================
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stream2segment_spark import warehouse as WH
+from stream2segment_spark.report import segment_plots_df
+
+
+class ShowApp:
+    """Data layer of the interactive viewer; HTTP-free and fully testable
+    on its own (the handler below only routes to these methods)."""
+
+    def __init__(
+        self,
+        segments: DataFrame,
+        warehouse: str | None = None,
+        id_col: str = "id",
+        label_cols: tuple[str, ...] = ("seed_id",),
+        plots: tuple[str, ...] = ("trace", "cumulative", "spectrum"),
+        n_buckets: int = 512,
+        extra_producers: dict | None = None,
+        annotator: str | None = None,
+        max_segments: int = 100_000,
+    ):
+        self.segments = segments
+        self.warehouse = warehouse
+        self.id_col = id_col
+        self.label_cols = tuple(c for c in label_cols
+                                if c in segments.columns)
+        self.plots = plots
+        self.n_buckets = n_buckets
+        self.extra_producers = extra_producers
+        self.annotator = annotator
+        # the navigation array, like the reference's g_segment_ids
+        # (core.py:240+): ordered ids of the CURRENT selection, bounded
+        ids = [r[0] for r in segments.select(id_col).orderBy(id_col)
+               .limit(max_segments + 1).collect()]
+        if len(ids) > max_segments:
+            raise ValueError(
+                f"selection exceeds {max_segments} segments; narrow "
+                f"segments_selection or raise max_segments")
+        self.seg_ids = ids
+
+    # -- API payloads ---------------------------------------------------
+
+    def init_data(self) -> dict:
+        classes = {}
+        if self.warehouse:
+            classes = {r["label"]: r["description"] for r in
+                       WH.read_small(self.warehouse,
+                                     "class_labels").to_pylist()}
+        return {"num_segments": len(self.seg_ids),
+                "classes": classes,
+                "plots": list(self.plots)}
+
+    def _seg_id(self, index: int) -> int:
+        if not (0 <= index < len(self.seg_ids)):
+            raise IndexError(f"segment index {index} out of range "
+                             f"[0, {len(self.seg_ids)})")
+        return self.seg_ids[index]
+
+    def segment_data(self, index: int) -> dict:
+        seg_id = self._seg_id(index)
+        one = self.segments.filter(F.col(self.id_col) == seg_id)
+        row = (segment_plots_df(
+                   one, id_col=self.id_col, label_cols=self.label_cols,
+                   plots=self.plots, n_buckets=self.n_buckets,
+                   extra_producers=self.extra_producers)
+               .collect())
+        if not row:
+            raise KeyError(f"segment {seg_id} vanished from the source")
+        d = row[0].asDict(recursive=True)
+        out = {"index": index, "segment_id": seg_id,
+               "plots": {p: d[p] for p in self.plots},
+               **{c: d[c] for c in self.label_cols}}
+        if self.warehouse:
+            classes = {r["id"]: r["label"] for r in
+                       WH.read_small(self.warehouse,
+                                     "class_labels").to_pylist()}
+            out["labels"] = sorted(
+                classes[r["class_id"]]
+                for r in WH.labellings(self.warehouse, seg_id)
+                if r["class_id"] in classes)
+        return out
+
+    def set_class(self, index: int, label: str, value: bool) -> dict:
+        if not self.warehouse:
+            raise ValueError("no warehouse configured; labels need one")
+        seg_id = self._seg_id(index)
+        labels = WH.set_labelling(self.warehouse, seg_id, label,
+                                  bool(value), annotator=self.annotator)
+        return {"segment_id": seg_id, "labels": labels}
+
+
+_PAGE = """<!DOCTYPE html><html><head><meta charset="utf-8"/>
+<title>s2s show</title><style>
+body{font-family:sans-serif;margin:1.5em}figure{margin:0 0 1em}
+svg{border:1px solid #ccc;background:#fff}.nav button{margin-right:.5em}
+.cls label{margin-right:1em}.meta{color:#666}
+</style></head><body>
+<h1>s2s show</h1>
+<div class="nav"><button id="prev">&#8592; prev</button>
+<button id="next">next &#8594;</button>
+<span id="pos" class="meta"></span> <span id="seed" class="meta"></span></div>
+<div class="cls" id="classes"></div><div id="plots"></div>
+<script>
+let idx=0,num=0,classes={};
+function svg(y,w,h){if(!y||!y.length)return "<svg width='"+w+"' height='"+h+"'></svg>";
+ let lo=Math.min(...y),hi=Math.max(...y),span=(hi-lo)||1;
+ let pts=y.map((v,i)=>((i*(w-2)/(y.length-1||1))+1).toFixed(1)+","+
+   (h-1-(v-lo)*(h-2)/span).toFixed(1)).join(" ");
+ return "<svg width='"+w+"' height='"+h+"'><polyline fill='none' "+
+   "stroke='#36c' stroke-width='1' points='"+pts+"'/></svg>";}
+async function load(){
+ const r=await fetch("/api/segment/"+idx);if(!r.ok){return}
+ const d=await r.json();
+ document.getElementById("pos").textContent=(idx+1)+" / "+num;
+ document.getElementById("seed").textContent=d.seed_id||"";
+ const P=document.getElementById("plots");P.innerHTML="";
+ for(const[name,p] of Object.entries(d.plots)){
+  P.insertAdjacentHTML("beforeend","<figure>"+svg(p.y,640,120)+
+   "<figcaption>"+(p.label||name)+" (n="+p.n_raw+")</figcaption></figure>");}
+ const C=document.getElementById("classes");C.innerHTML="";
+ for(const label of Object.keys(classes)){
+  const on=(d.labels||[]).includes(label);
+  C.insertAdjacentHTML("beforeend","<label><input type='checkbox' "+
+   (on?"checked ":"")+"data-l='"+label+"'/>"+label+"</label>");}
+ C.querySelectorAll("input").forEach(cb=>cb.onchange=async()=>{
+  await fetch("/api/segment/"+idx+"/class",{method:"POST",
+   headers:{"Content-Type":"application/json"},
+   body:JSON.stringify({label:cb.dataset.l,value:cb.checked})});});}
+document.getElementById("prev").onclick=()=>{if(idx>0){idx--;load();}};
+document.getElementById("next").onclick=()=>{if(idx<num-1){idx++;load();}};
+fetch("/api/init").then(r=>r.json()).then(d=>{
+ num=d.num_segments;classes=d.classes||{};load();});
+</script></body></html>"""
+
+
+def _make_handler(app: ShowApp):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet by default
+            pass
+
+        def _json(self, obj, status=200):
+            body = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _dispatch(self, payload=None):
+            parts = [p for p in self.path.split("?")[0].split("/") if p]
+            try:
+                if not parts:
+                    body = _PAGE.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                if parts[:2] == ["api", "init"]:
+                    return self._json(app.init_data())
+                if parts[:2] == ["api", "segment"] and len(parts) == 3:
+                    return self._json(app.segment_data(int(parts[2])))
+                if (parts[:2] == ["api", "segment"] and len(parts) == 4
+                        and parts[3] == "class"):
+                    return self._json(app.set_class(
+                        int(parts[2]), payload["label"],
+                        payload.get("value", True)))
+                return self._json({"error": f"no route {self.path!r}"}, 404)
+            except (KeyError, IndexError, ValueError) as exc:
+                return self._json({"error": str(exc)}, 400)
+
+        def do_GET(self):
+            self._dispatch()
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            payload = json.loads(self.rfile.read(n) or b"{}")
+            self._dispatch(payload)
+
+    return Handler
+
+
+def serve(app: ShowApp, host: str = "127.0.0.1", port: int = 8080,
+          background: bool = False) -> ThreadingHTTPServer:
+    """Run the viewer. ``background=True`` serves from a daemon thread
+    and returns the server (tests / embedding); otherwise blocks."""
+    httpd = ThreadingHTTPServer((host, port), _make_handler(app))
+    if background:
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        return httpd
+    try:
+        print(f"serving on http://{host}:{httpd.server_address[1]}/ "
+              f"({len(app.seg_ids)} segments; Ctrl-C to stop)")
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+    return httpd

@@ -34,9 +34,18 @@ CLASS_LABELS_FIELDS = (
     ("description", pa.string()),
 )
 
+CLASS_LABELLINGS_FIELDS = (
+    ("id", pa.int64()),
+    ("segment_id", pa.int64()),
+    ("class_id", pa.int64()),
+    ("is_hand_labelled", pa.bool_()),
+    ("annotator", pa.string()),
+)
+
 _SCHEMAS = {
     "downloads": pa.schema(DOWNLOADS_FIELDS),
     "class_labels": pa.schema(CLASS_LABELS_FIELDS),
+    "class_labellings": pa.schema(CLASS_LABELLINGS_FIELDS),
 }
 
 
@@ -189,6 +198,55 @@ def classlabels(warehouse: str, add: dict[str, str] | None = None,
                 value_set=pa.array(removed_ids, pa.int64()))))
             _replace_file(warehouse, "class_labellings", kept)
     return {r["label"]: r["description"] for r in out}
+
+
+def labellings(warehouse: str, segment_id: int | None = None) -> list[dict]:
+    """class_labellings rows (optionally for one segment), as dicts."""
+    rows = read_small(warehouse, "class_labellings").to_pylist()
+    if segment_id is not None:
+        rows = [r for r in rows if r["segment_id"] == segment_id]
+    return rows
+
+
+def set_labelling(
+    warehouse: str,
+    segment_id: int,
+    label: str,
+    value: bool,
+    annotator: str | None = None,
+) -> list[str]:
+    """Hand-label one segment with a class label (or remove the label
+    when ``value`` is False) — the reference GUI's ``set_class_id``
+    (process/gui/webapp/mainapp/core.py:354-415, views.py:109-115)
+    against the parquet warehouse. The label must already exist in
+    ``class_labels`` (create it with :func:`classlabels`). Returns the
+    segment's resulting label list."""
+    classes = {r["label"]: r["id"]
+               for r in read_small(warehouse, "class_labels").to_pylist()}
+    if label not in classes:
+        raise KeyError(f"no class label {label!r}; add it first "
+                       f"(s2s db-classlabel --add)")
+    cid = classes[label]
+    by_id = {v: k for k, v in classes.items()}
+    rows = read_small(warehouse, "class_labellings").to_pylist()
+    present = [r for r in rows
+               if r["segment_id"] == segment_id and r["class_id"] == cid]
+    if value and not present:
+        rows.append({"id": _next_id_of(rows), "segment_id": segment_id,
+                     "class_id": cid, "is_hand_labelled": True,
+                     "annotator": annotator})
+    elif not value and present:
+        rows = [r for r in rows
+                if not (r["segment_id"] == segment_id
+                        and r["class_id"] == cid)]
+    _write_small(warehouse, "class_labellings", pa.Table.from_pylist(
+        rows, schema=_SCHEMAS["class_labellings"]))
+    return sorted(by_id[r["class_id"]] for r in rows
+                  if r["segment_id"] == segment_id and r["class_id"] in by_id)
+
+
+def _next_id_of(rows: list[dict]) -> int:
+    return max([r["id"] for r in rows], default=0) + 1
 
 
 def _replace_file(warehouse: str, name: str, table: pa.Table) -> None:

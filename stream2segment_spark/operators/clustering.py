@@ -59,6 +59,11 @@ def _assign(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
     closure UDF pays none of it, and int64 numpy is exact like the
     fold.)"""
     cents = np.asarray(centroids, dtype=np.int64)
+    # expansion d2 = |x|^2 + |c|^2 - 2 x.c via int64 matmul: exact (every
+    # term bounded far below 2^63 on the quantized grid) and O(B*k) memory
+    # instead of the O(B*k*dim) broadcast cube — the form that stays
+    # feasible at IVF-realistic k (256+)
+    c_sq = (cents.astype(np.int64) ** 2).sum(axis=1)
 
     @F.pandas_udf("struct<cluster_id: int, dist2: bigint>")
     def _ud(vecs: pd.Series) -> pd.DataFrame:
@@ -66,7 +71,8 @@ def _assign(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
             return pd.DataFrame({"cluster_id": pd.array([], dtype="int32"),
                                  "dist2": pd.array([], dtype="int64")})
         x = np.stack([np.asarray(v, dtype=np.int64) for v in vecs])
-        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        d = (x ** 2).sum(axis=1)[:, None] + c_sq[None, :] \
+            - 2 * (x @ cents.T)
         cid = d.argmin(axis=1)
         return pd.DataFrame(
             {"cluster_id": cid.astype("int32"),
@@ -77,6 +83,84 @@ def _assign(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
         *df.columns,
         F.col("__as.cluster_id").alias("cluster_id"),
         F.col("__as.dist2").alias("dist2"))
+
+
+def _kmeans_parallel_init(
+    q: DataFrame, id_col: str, centroids: list[list[int]], k: int,
+    seed: str, rounds: int = 5, oversample: int | None = None,
+) -> list[list[int]]:
+    """Deterministic k-means|| candidate harvest + driver-side weighted
+    reduction to k seeds. ``q`` carries (id, __qvec); ``centroids`` is
+    the single hash-min starting seed. Per round: one assignment job for
+    the current cost phi, one filtered collect of the sampled vectors —
+    2*rounds + 2 jobs total, independent of k."""
+    from stream2segment_spark.functions.sampling import BUCKETS
+    l = oversample or 2 * k
+    cands = [list(c) for c in centroids]
+    seen = {tuple(c) for c in cands}
+    for r in range(rounds):
+        assigned = _assign(q, cands)
+        phi = assigned.agg(F.sum("dist2")).collect()[0][0] or 0
+        if phi == 0:     # every point sits ON a candidate already
+            break
+        # md5 coin flip: keep x iff bucket/BUCKETS < l * d2(x)/phi.
+        # (bucket is uniform on [0, BUCKETS); the comparison is exact
+        # integer arithmetic: bucket * phi < l * d2 * BUCKETS)
+        picked = (assigned
+                  .withColumn("__b", hash_bucket(F.col(id_col),
+                                                 f"{seed}:kmpar{r}"))
+                  .filter(F.col("__b").cast("decimal(38,0)") * phi
+                          < F.lit(l) * F.col("dist2").cast("decimal(38,0)")
+                          * BUCKETS)
+                  .orderBy(id_col).select("__qvec").collect())
+        for row in picked:
+            t = tuple(row["__qvec"])
+            if t not in seen:
+                seen.add(t)
+                cands.append(list(t))
+    if len(cands) < k:
+        # degenerate corpora (fewer spread points than k): top up with
+        # the hash-order seeds the 'hash' init would have used
+        extra = (q.withColumn("__b", hash_bucket(F.col(id_col), seed))
+                 .orderBy("__b", id_col).limit(k + len(cands)).collect())
+        for row in extra:
+            t = tuple(row["__qvec"])
+            if t not in seen:
+                seen.add(t)
+                cands.append(list(t))
+            if len(cands) >= k:
+                break
+        if len(cands) < k:
+            raise ValueError(
+                f"k={k} exceeds the {len(cands)} distinct input points")
+    # candidate weights: how many corpus points each candidate owns
+    wrows = (_assign(q, cands).groupBy("cluster_id").count().collect())
+    w = np.zeros(len(cands), dtype=np.int64)
+    for r in wrows:
+        w[r["cluster_id"]] = r["count"]
+    cmat = np.asarray(cands, dtype=np.int64)
+    # weighted greedy farthest-point: start at the heaviest candidate
+    # (ties -> lowest index), then repeatedly take argmax weight*min-d2
+    # (exact integers, ties -> lowest index) — a deterministic stand-in
+    # for the weighted k-means++ reduction of the paper
+    first = int(w.argmax())
+    chosen = [first]
+    mind2 = ((cmat - cmat[first]) ** 2).sum(axis=1)
+    while len(chosen) < k:
+        score = w * mind2
+        nxt = int(score.argmax())
+        if score[nxt] == 0:
+            # all remaining candidates coincide with chosen ones or own
+            # no points; fall back to unweighted spread
+            score = mind2
+            nxt = int(score.argmax())
+            if score[nxt] == 0:
+                raise ValueError(
+                    f"k={k} exceeds the distinct candidate points")
+        chosen.append(nxt)
+        d2new = ((cmat - cmat[nxt]) ** 2).sum(axis=1)
+        mind2 = np.minimum(mind2, d2new)
+    return [list(map(int, cmat[i])) for i in chosen]
 
 
 def kmeans_quantized(
@@ -105,15 +189,25 @@ def kmeans_quantized(
     the chosen set (ties -> lowest id). k-1 extra max-aggregation jobs,
     but separated blobs are found before a single Lloyd step —
     kmeans++-quality starts without kmeans++'s randomness.
+    ``'parallel'`` is deterministic k-means|| (Bahmani et al., VLDB
+    2012) — the large-k init: O(rounds) jobs INDEPENDENT of k (vs
+    farthest's k sequential jobs, documented unusable at IVF-realistic
+    k). Each round samples every point with probability
+    ``min(1, l * d2(x, C) / phi)`` where phi is the current total cost
+    and l = 2k oversampling, with the md5 hash-bucket standing in for
+    the coin flip (bit-replayable, like every sampling decision in this
+    repo); the ~l*rounds weighted candidates are reduced to k on the
+    driver by weighted greedy farthest-point (weight x distance
+    objective, ties to candidate order).
     """
     if k <= 0 or iters <= 0:
         raise ValueError(f"k and iters must be positive, got {k}, {iters}")
-    if init not in ("hash", "farthest"):
+    if init not in ("hash", "farthest", "parallel"):
         raise ValueError(f"unknown init {init!r}")
     q = df.select(F.col(id_col), quantize_vec(F.col(vec_col), scale)
                   .alias("__qvec")).persist()
     # deterministic seeds: k smallest (md5 bucket, id) rows
-    n_first = 1 if init == "farthest" else k
+    n_first = 1 if init in ("farthest", "parallel") else k
     seeds = (q.withColumn("__b", hash_bucket(F.col(id_col), seed))
               .orderBy("__b", id_col).limit(n_first).collect())
     if init == "hash" and len(seeds) < k:
@@ -121,6 +215,8 @@ def kmeans_quantized(
     if not seeds:
         raise ValueError("kmeans needs a non-empty input")
     centroids = [list(r["__qvec"]) for r in seeds]
+    if init == "parallel" and k > 1:
+        centroids = _kmeans_parallel_init(q, id_col, centroids, k, seed)
     while init == "farthest" and len(centroids) < k:
         far = (_assign(q, centroids)
                .orderBy(F.col("dist2").desc(), F.col(id_col))

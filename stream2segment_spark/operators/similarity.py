@@ -220,8 +220,10 @@ def kmeans_centroids_full(
 
     ``init='farthest'`` gives better-spread seeds for SMALL k, but costs
     k-1 sequential full-corpus scans and requires >= k distinct
-    quantized points — at IVF-realistic k (hundreds of cells) keep the
-    default one-job hash init and let the Lloyd iterations spread."""
+    quantized points — unusable at IVF-realistic k (hundreds of cells).
+    For large k use ``init='parallel'`` (deterministic k-means||):
+    O(rounds) full-corpus jobs independent of k, kmeans++-quality
+    spread (clustering._kmeans_parallel_init)."""
     from stream2segment_spark.operators.clustering import kmeans_quantized
 
     _, cents = kmeans_quantized(df, id_col, vec_col, k=k, iters=iters,

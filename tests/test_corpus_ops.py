@@ -403,3 +403,43 @@ def test_hash_embedding_feeds_similarity_stack(spark):
         emb, id_col="vec_id", vec_col="embedding", dim=64,
         num_planes=8, threshold=0.9, multiprobe=True).collect()}
     assert pairs == {(0, 1)}
+
+
+def test_kmeans_parallel_init_recovers_blobs(spark):
+    """k-means|| init (deterministic Bahmani sampling + weighted greedy
+    reduction) recovers the separated-blob partition in one Lloyd
+    iteration, like farthest — but with O(rounds) jobs, not O(k)."""
+    from stream2segment_spark.operators.clustering import kmeans_quantized
+    df = _blobs(spark)
+    assigned, cents = kmeans_quantized(df, "vec_id", "vec", k=3, iters=1,
+                                       init="parallel")
+    got = {r.vec_id: r.cluster_id for r in assigned.collect()}
+    truth = {r.vec_id: r.blob for r in df.collect()}
+    mapping = {}
+    for vid, cid in got.items():
+        mapping.setdefault(truth[vid], set()).add(cid)
+    assert all(len(cids) == 1 for cids in mapping.values())
+    assert len({next(iter(c)) for c in mapping.values()}) == 3
+
+
+def test_kmeans_parallel_init_deterministic_any_partitioning(spark):
+    from stream2segment_spark.operators.clustering import kmeans_quantized
+    df = _blobs(spark)
+    a, ca = kmeans_quantized(df.repartition(11), "vec_id", "vec", k=5,
+                             iters=2, init="parallel")
+    b, cb = kmeans_quantized(df.coalesce(1), "vec_id", "vec", k=5,
+                             iters=2, init="parallel")
+    assert ca == cb
+    assert ({(r.vec_id, r.cluster_id, r.dist2) for r in a.collect()}
+            == {(r.vec_id, r.cluster_id, r.dist2) for r in b.collect()})
+
+
+def test_kmeans_parallel_init_degenerate_topup(spark):
+    """Fewer spread points than k: the init tops up from hash order and
+    still returns k distinct seeds when the data allows it."""
+    from stream2segment_spark.operators.clustering import kmeans_quantized
+    df = _blobs(spark, n_per=3)  # 9 rows
+    assigned, cents = kmeans_quantized(df, "vec_id", "vec", k=8, iters=1,
+                                       init="parallel")
+    assert len(cents) == 8
+    assert assigned.count() == 9

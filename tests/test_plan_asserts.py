@@ -142,3 +142,57 @@ def test_hash_embedding_is_map_only(spark):
     exchanges — raw text to embeddings without a shuffle."""
     plan = _physical(QUERIES["text_hash_embedding"](spark, SF_DIR_SMOKE))
     assert "Exchange" not in plan, plan
+
+
+def test_lsh_hot_bucket_gets_aqe_skew_split(spark):
+    """A deliberately skewed LSH bucket (90% of vectors share one code —
+    the boilerplate-cluster shape at corpus scale) must be runtime-split
+    by AQE's skew-join rule: the final adaptive plan shows
+    SortMergeJoin(skew=true) over 'AQEShuffleRead skewed' children, so
+    one hot bucket can never pin a single task. Thresholds are scaled
+    down to the test's data volume; production relies on the same rule
+    at its default sizes."""
+    from pyspark.sql import functions as F
+
+    from stream2segment_spark.operators.similarity import (
+        add_hyperplane_buckets)
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        df = (spark.range(12_000).withColumnRenamed("id", "vec_id")
+              .withColumn("embedding", F.when(
+                  F.col("vec_id") % 10 < 9,
+                  F.array(*[F.lit(1.0)] * 8)).otherwise(
+                  F.transform(F.sequence(F.lit(0), F.lit(7)),
+                              lambda j: ((F.xxhash64("vec_id", j) % 100)
+                                         / 50.0 - 1.0)))))
+        b = add_hyperplane_buckets(df, "embedding", 8, num_planes=6) \
+            .drop("embedding")
+        left, right = b.alias("l"), b.alias("r")
+        agg = (left.join(right,
+                         (F.col("l.bucket") == F.col("r.bucket"))
+                         & (F.col("l.vec_id") < F.col("r.vec_id")))
+               .select(F.col("l.vec_id").alias("id_a"))
+               .groupBy("id_a").count())
+        assert len(agg.collect()) > 0
+        plan = _physical(agg)     # the SAME frame, now isFinalPlan=true
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Scale-proof bench: run the heavy query family at sf0.1 and at a
+synthetic 10x replication of it, and report per-query scaling exponents
+(alpha in t ~ n^alpha; alpha <= ~1 means the plan scales linearly).
+
+The 10x dataset replicates documents / embeddings / events with
+disjoint ids; every copy's document TOKENS get a per-copy suffix so
+cross-copy shingles never match (each copy keeps sf0.1's internal
+duplicate structure — the dup RATE stays constant, the honest scaling
+setup for dedup operators). Dimension-like tables (customer = the
+station side of the spatial join, TPC-H dims) stay at 1x: at 100 TB the
+event/doc stream grows, the station list does not.
+
+Usage: python tools/scale_bench.py [--factor 10] [--out PLANS-fragment]
+Writes the scaled data under /tmp/s2s_scale<factor>/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+HEAVY = ("dedup_minhash_lsh", "dedup_ngram_jaccard", "corpus_substring_dup",
+         "funclib_spectra", "cluster_kmeans", "spatial_join_traveltime")
+SCALED_TABLES = ("documents", "embeddings", "events")
+ID_COLS = {"documents": "doc_id", "embeddings": "vec_id",
+           "events": "event_id"}
+
+
+def build_scaled(spark, factor: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from stream2segment_spark.schema import load_table
+    os.makedirs(out_dir, exist_ok=True)
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem"):
+        src, dst = f"{SF_BASE}/{name}.parquet", f"{out_dir}/{name}.parquet"
+        if not os.path.exists(dst):
+            (shutil.copytree if os.path.isdir(src) else shutil.copyfile)(
+                src, dst)
+    for name in SCALED_TABLES:
+        df = load_table(spark, SF_BASE, name)
+        idc = ID_COLS[name]
+        off = df.agg(F.max(idc)).collect()[0][0] + 1
+        copies = []
+        for i in range(factor):
+            c = df.withColumn(idc, F.col(idc) + i * off)
+            if name == "documents" and i > 0:
+                # per-copy token suffix: in-copy dup structure intact,
+                # zero cross-copy shingle matches
+                c = c.withColumn("text", F.regexp_replace(
+                    "text", r"([A-Za-z0-9]+)", rf"$1q{i}"))
+            if name == "events" and i > 0 and "user_id" in df.columns:
+                c = c.withColumn("user_id", F.col("user_id") + i * 10_000_000)
+            copies.append(c)
+        functools.reduce(lambda a, b: a.unionByName(b), copies) \
+            .write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+
+def run(spark, sf_dir: str, names) -> dict[str, float]:
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", REPO / "__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+    out = {}
+    for n in names:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        cnt = qs[n](spark, sf_dir).count()
+        out[n] = {"sec": round(time.time() - t0, 2), "rows": cnt}
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--queries", default=",".join(HEAVY))
+    args = ap.parse_args()
+    names = [q for q in args.queries.split(",") if q]
+
+    from stream2segment_spark.session import get_spark
+    spark = get_spark(app_name="scale-bench")
+    scaled_dir = f"/tmp/s2s_scale{args.factor}"
+    build_scaled(spark, args.factor, scaled_dir)
+
+    base = run(spark, SF_BASE, names)
+    big = run(spark, scaled_dir, names)
+    import math
+    report = {}
+    for n in names:
+        t1, t10 = base[n]["sec"], big[n]["sec"]
+        alpha = math.log(max(t10, 1e-3) / max(t1, 1e-3)) / math.log(
+            args.factor)
+        report[n] = {"sec_1x": t1, f"sec_{args.factor}x": t10,
+                     "rows_1x": base[n]["rows"],
+                     f"rows_{args.factor}x": big[n]["rows"],
+                     "alpha": round(alpha, 2)}
+    print(json.dumps(report, indent=1))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -43,6 +43,41 @@ _LINES_SQL = """
 
 
 @register(
+    "corpus_longest_dup",
+    f"""WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+       win AS (SELECT doc_id,
+                 CAST(l.L AS INTEGER) AS L,
+                 array_to_string(w[p.pos+1 : p.pos+l.L], ' ') AS txt
+               FROM t,
+                 LATERAL (SELECT unnest(range(2, len(w) + 1)) AS L) l,
+                 LATERAL (SELECT unnest(range(0,
+                      greatest(len(w) - l.L + 1, 0))) AS pos) p),
+       dup AS (SELECT L, txt, count(DISTINCT doc_id) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS n_occ
+               FROM win GROUP BY L, txt
+               HAVING count(DISTINCT doc_id) > 1),
+       m AS (SELECT max(L) AS L FROM dup)
+       SELECT d.L AS length, d.txt AS text, d.n_docs, d.n_occ
+       FROM dup d JOIN m ON d.L = m.L""",
+)
+def corpus_longest_dup(spark, sf_dir):
+    """EXACT longest duplicated token substring(s) across the corpus
+    (operators/dedup.longest_duplicated_substring): the suffix-array
+    question answered by binary search on length over md5 window-hash
+    aggregates — O(log maxlen) probe jobs shipping 16-byte hashes, then
+    one text-grouped reporting pass at the winning length (collision
+    free). The oracle brute-forces EVERY (length, position) window in
+    SQL and picks the max duplicated length — exact value parity, no
+    sampling. Complements corpus_substring_dup (per-doc duplication
+    mass) with corpus-level duplication depth."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id",
+                        DD.word_tokens(F.col("text")).alias("__t"))
+    return DD.longest_duplicated_substring(
+        toked, "doc_id", "__t", max_df=1, min_len=2)
+
+
+@register(
     "corpus_line_dedup",
     f"""WITH {_LINES_SQL},
        f AS (SELECT ln, count(DISTINCT doc_id) AS line_df FROM l GROUP BY ln)

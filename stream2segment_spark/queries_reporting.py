@@ -166,10 +166,13 @@ def agg_type_stats(spark, sf_dir):
 
 
 @register(
+    # r4 gate rotation: deferred (driver-green r1-r3, rotated out to
+    # free the slot for corpus_longest_dup; still benched + mirrored)
     "join_salted_skew",
     """SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority
        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
        WHERE l.l_quantity > 45""",
+    gate=False,
 )
 def join_salted_skew(spark, sf_dir):
     """Skew-handling salted join (operators/skew.py): the big side carries

@@ -443,3 +443,87 @@ def test_kmeans_parallel_init_degenerate_topup(spark):
                                        init="parallel")
     assert len(cents) == 8
     assert assigned.count() == 9
+
+
+# ---------------------------------------------------------------------------
+# longest_duplicated_substring (exact, binary search on length)
+# ---------------------------------------------------------------------------
+
+def _lds(spark, rows, **kw):
+    from stream2segment_spark.operators.dedup import (
+        longest_duplicated_substring)
+    df = spark.createDataFrame(rows).select(
+        "doc_id", F.split("text", " ").alias("toks"))
+    return longest_duplicated_substring(df, "doc_id", "toks", **kw)
+
+
+def test_longest_dup_finds_exact_max_run(spark):
+    shared = "alpha beta gamma delta epsilon zeta"        # 6 tokens
+    rows = [Row(doc_id=0, text="x1 " + shared + " y1 y2"),
+            Row(doc_id=1, text=shared + " z9"),
+            Row(doc_id=2, text="unrelated words entirely here now")]
+    out = _lds(spark, rows).collect()
+    assert len(out) == 1
+    r = out[0]
+    # the maximal shared run is `shared` + nothing: length 6, 2 docs
+    assert r.length == 6 and r.text == shared
+    assert r.n_docs == 2 and r.n_occ == 2
+
+
+def test_longest_dup_reports_all_ties(spark):
+    a = "one two three four"
+    b = "red green blue white"
+    rows = [Row(doc_id=0, text=a + " mid " + b),
+            Row(doc_id=1, text=b + " x " + a)]
+    out = {r.text: r for r in _lds(spark, rows).collect()}
+    assert set(out) == {a, b}
+    assert all(r.length == 4 and r.n_docs == 2 for r in out.values())
+
+
+def test_longest_dup_in_doc_repeat_not_cross_doc(spark):
+    run = "p q r s t"
+    rows = [Row(doc_id=0, text=run + " mid " + run),   # only within doc 0
+            Row(doc_id=1, text="different things here p q")]
+    out = _lds(spark, rows).collect()
+    # the only CROSS-doc duplicated substring is 'p q' (length 2)
+    assert len(out) == 1 and out[0].text == "p q" and out[0].length == 2
+
+
+def test_longest_dup_empty_when_no_duplication(spark):
+    rows = [Row(doc_id=0, text="aa bb cc"), Row(doc_id=1, text="dd ee ff")]
+    out = _lds(spark, rows)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "length", "text", "n_docs", "n_occ"]
+
+
+def test_longest_dup_max_len_cap_and_min_len_floor(spark):
+    shared = "a b c d e f g h"  # 8 tokens shared
+    rows = [Row(doc_id=0, text=shared + " tail0"),
+            Row(doc_id=1, text=shared + " tail1")]
+    capped = _lds(spark, rows, max_len=5).collect()
+    # the cap truncates the search at 5: EVERY 5-token sliding window of
+    # the 8-token shared run is a duplicated substring of length 5
+    assert {r.text for r in capped} == {
+        "a b c d e", "b c d e f", "c d e f g", "d e f g h"}
+    assert all(r.length == 5 and r.n_docs == 2 for r in capped)
+    floor = _lds(spark, rows, min_len=9)
+    assert floor.count() == 0  # nothing >= 9 duplicated
+
+
+def test_longest_dup_null_toks_and_partitioning_invariance(spark):
+    from stream2segment_spark.operators.dedup import (
+        longest_duplicated_substring)
+    shared = "k l m n"
+    df = spark.createDataFrame(
+        [Row(doc_id=0, toks=shared.split()),
+         Row(doc_id=1, toks=("pre " + shared).split()),
+         Row(doc_id=2, toks=None)],
+        "doc_id: long, toks: array<string>")
+    a = {(r.length, r.text, r.n_docs, r.n_occ) for r in
+         longest_duplicated_substring(df.repartition(7), "doc_id",
+                                      "toks").collect()}
+    b = {(r.length, r.text, r.n_docs, r.n_occ) for r in
+         longest_duplicated_substring(df.coalesce(1), "doc_id",
+                                      "toks").collect()}
+    assert a == b == {(4, shared, 2, 2)}

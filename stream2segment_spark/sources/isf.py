@@ -20,7 +20,11 @@ driver-side for the (small) event dimension.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
+
+# ISF magnitude-type codes: mb, Ms, ML, MW, mB, MS, MLv, mbtmp, Mjma, ...
+_MAG_TYPE = re.compile(r"^[A-Za-z][A-Za-z0-9_]{0,4}$")
 
 
 @dataclass
@@ -71,6 +75,15 @@ def parse_isf_events(text: str) -> list[IsfEvent]:
         if raw.startswith("Magnitude"):
             mode = "magnitude"
             continue
+        if raw.startswith(("Sta ", "Sta\t", "Year ", "Net ", "MaxInt",
+                           "Heard", "Felt")):
+            # other ISF sub-block headers (phase, publication,
+            # macroseismic/effects — isc.ac.uk/standards/isf): their DATA
+            # lines must never be parsed as origins/magnitudes (a phase
+            # line's Dist column parses as a float exactly where the
+            # magnitude value sits)
+            mode = None
+            continue
         if not raw.strip() or raw.startswith(("STOP", "DATA_TYPE", "(")):
             continue
         if mode == "origin" and cur.time is None:
@@ -85,8 +98,14 @@ def parse_isf_events(text: str) -> list[IsfEvent]:
                 cur.contributor_id = _slice(raw, 129, 136).strip() or None
         elif mode == "magnitude" and cur.magnitude is None:
             val = _f(_slice(raw, 7, 10))
-            if val is not None:
-                cur.mag_type = _slice(raw, 1, 5).strip() or None
+            mtype = _slice(raw, 1, 5).strip()
+            # sanity-gate the fixed columns: a magnitude value lives in
+            # [-2, 12] and the type is a short alphanumeric code — lines
+            # from an unrecognized sub-block can't slip through even if
+            # their header wasn't matched above
+            if (val is not None and -2.0 <= val <= 12.0
+                    and (not mtype or _MAG_TYPE.match(mtype))):
+                cur.mag_type = mtype or None
                 cur.magnitude = val
                 cur.mag_author = _slice(raw, 21, 29).strip() or None
     return events

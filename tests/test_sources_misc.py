@@ -110,3 +110,41 @@ def test_isf_to_fdsn_rows_feeds_s1(spark):
     got = parsed.collect()[0]
     assert got["event_id"] == "600516"
     assert got["magnitude"] == pytest.approx(4.6)
+
+
+ISF_SUBBLOCKS = """\
+DATA_TYPE BULLETIN IMS1.0:short
+Event  700001 Crete
+ (This event was widely felt in the region)
+   Date       Time        Err   RMS Latitude Longitude  Smaj  Smin  Az Depth   Err Ndef Nsta Gap  mdist  Mdist Qual   Author      OrigID
+2022/06/07 08:09:10.00   0.40  1.00  35.2000   24.8000   9.0   7.0  80  22.0   1.5   60   50  90   0.40   9.00 m i uk  ISC       33345678
+
+Magnitude  Err Nsta Author      OrigID
+
+Sta     Dist  EvAz Phase        Time      TRes  Azim AzRes   Slow   SRes Def   SNR       Amp   Per Qual Magnitude    ArrID
+MOX     5.12 231.0 P        08:10:25.100   0.2                            T__            12.1  0.80 m__              99900001
+APE     6.40 120.0 P        08:10:40.000  -0.1                            T__             8.2  0.75 m__              99900002
+
+MaxInt  Scale  Author
+     5  MMI    ISC
+
+Magnitude  Err Nsta Author      OrigID
+mb     4.9 0.2   25 ISC       33345678
+
+STOP
+"""
+
+
+def test_parse_isf_skips_phase_and_effects_subblocks():
+    """Phase lines carry a float exactly where the magnitude value sits
+    (the Dist column: 'MOX 5.12' would fake mb=5.12); the sub-block
+    headers must switch parsing off, and the REAL magnitude block later
+    in the event must still be honored."""
+    evs = parse_isf_events(ISF_SUBBLOCKS)
+    assert len(evs) == 1
+    e = evs[0]
+    assert e.time == "2022-06-07T08:09:10.00"
+    assert e.latitude == pytest.approx(35.2)
+    # NOT 5.12 (the MOX phase Dist) and NOT 5 (the MaxInt intensity):
+    assert e.mag_type == "mb" and e.magnitude == pytest.approx(4.9)
+    assert e.mag_author == "ISC"

@@ -96,19 +96,23 @@ class ShowApp:
                              f"[0, {len(self.seg_ids)})")
         return self.seg_ids[index]
 
-    def segment_data(self, index: int) -> dict:
+    def segment_data(self, index: int,
+                     plots: tuple[str, ...] | None = None) -> dict:
+        """``plots`` overrides the default plot set for this request —
+        the reference GUI's per-request ``plot_names`` field."""
+        plots = tuple(plots) if plots else self.plots
         seg_id = self._seg_id(index)
         one = self.segments.filter(F.col(self.id_col) == seg_id)
         row = (segment_plots_df(
                    one, id_col=self.id_col, label_cols=self.label_cols,
-                   plots=self.plots, n_buckets=self.n_buckets,
+                   plots=plots, n_buckets=self.n_buckets,
                    extra_producers=self.extra_producers)
                .collect())
         if not row:
             raise KeyError(f"segment {seg_id} vanished from the source")
         d = row[0].asDict(recursive=True)
         out = {"index": index, "segment_id": seg_id,
-               "plots": {p: d[p] for p in self.plots},
+               "plots": {p: d[p] for p in plots},
                **{c: d[c] for c in self.label_cols}}
         if self.warehouse:
             classes = {r["id"]: r["label"] for r in
@@ -187,7 +191,10 @@ def _make_handler(app: ShowApp):
             self.wfile.write(body)
 
         def _dispatch(self, payload=None):
-            parts = [p for p in self.path.split("?")[0].split("/") if p]
+            from urllib.parse import parse_qs, urlsplit
+            url = urlsplit(self.path)
+            qs = parse_qs(url.query)
+            parts = [p for p in url.path.split("/") if p]
             try:
                 if not parts:
                     body = _PAGE.encode()
@@ -201,7 +208,10 @@ def _make_handler(app: ShowApp):
                 if parts[:2] == ["api", "init"]:
                     return self._json(app.init_data())
                 if parts[:2] == ["api", "segment"] and len(parts) == 3:
-                    return self._json(app.segment_data(int(parts[2])))
+                    sel = tuple(p for raw in qs.get("plots", [])
+                                for p in raw.split(",") if p)
+                    return self._json(app.segment_data(int(parts[2]),
+                                                       plots=sel or None))
                 if (parts[:2] == ["api", "segment"] and len(parts) == 4
                         and parts[3] == "class"):
                     return self._json(app.set_class(

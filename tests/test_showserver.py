@@ -75,6 +75,12 @@ def test_show_server_e2e_label_roundtrip(spark, segs, wh_dir):
         d = _get(base + "/api/segment/0")
         assert d["segment_id"] == 0
         assert d["plots"]["trace"]["n_raw"] == 256
+        # per-request plot selection (the reference's plot_names field)
+        d1 = _get(base + "/api/segment/0?plots=trace")
+        assert set(d1["plots"]) == {"trace"}
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(base + "/api/segment/0?plots=nope")
+        assert ei.value.code == 400
         # label write through the API...
         out = _post(base + "/api/segment/0/class",
                     {"label": "Ok", "value": True})

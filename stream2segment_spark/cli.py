@@ -574,7 +574,7 @@ def cmd_tt_create(spark, model_spec: str, outfile: str, phase: str,
 def cmd_curate(spark, infile: str, outdir: str, languages: str,
                min_quality: float, min_tokens: int, max_tokens: int,
                neardup_threshold: float, neardup_mode: str,
-               line_max_df, max_dup_frac, mix_col,
+               line_max_df, max_dup_frac, cut_dup_substrings, mix_col,
                mix_alpha: float, pack_budget, pack_shards: int) -> int:
     """'s2s curate': the corpus-curation funnel (beyond-reference,
     examples/corpus_pipeline.curate_corpus) as a CLI: documents parquet
@@ -598,6 +598,7 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
         min_quality=min_quality, token_band=(min_tokens, max_tokens),
         neardup_threshold=neardup_threshold, neardup_mode=neardup_mode,
         line_max_df=line_max_df, max_dup_frac=max_dup_frac,
+        cut_dup_substrings=cut_dup_substrings,
         mix_strata_col=mix_col, mix_alpha=mix_alpha,
         pack_budget=pack_budget, pack_shards=pack_shards,
         persists=persists)
@@ -741,6 +742,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-dup-frac", type=float, default=None,
                    help="drop docs whose duplicated-substring fraction "
                         "exceeds this")
+    p.add_argument("--cut-dup-substrings", type=int, default=None,
+                   metavar="K",
+                   help="CUT every cross-document duplicated run of >= K "
+                        "tokens from every document (ExactSubstr removal; "
+                        "text is re-joined from normalized tokens)")
     p.add_argument("--mix-col", default=None,
                    help="stratum column for temperature rebalancing")
     p.add_argument("--mix-alpha", type=float, default=0.5)
@@ -774,6 +780,7 @@ def main(argv: list[str] | None = None) -> int:
                               args.min_tokens, args.max_tokens,
                               args.neardup_threshold, args.neardup_mode,
                               args.line_max_df, args.max_dup_frac,
+                              args.cut_dup_substrings,
                               args.mix_col, args.mix_alpha,
                               args.pack_budget, args.pack_shards)
         finally:

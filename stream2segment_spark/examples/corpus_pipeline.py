@@ -19,6 +19,9 @@ Optional stages (off by default, enabled by their parameters):
 0. line dedup   — ``line_max_df``: CCNet-style cross-document
    boilerplate-line removal BEFORE annotation (so quality scoring sees
    the cleaned text);
+0b. substring removal — ``cut_dup_substrings``: CUT every cross-
+   document duplicated run of >= K tokens from every document
+   (ExactSubstr removal, operators/dedup.cut_duplicated_spans);
 2b. substring cut — ``max_dup_frac``: drop documents whose duplicated-
    substring fraction (8-token windows shared with other docs, merged
    spans — operators/dedup.duplicated_spans) exceeds the threshold;
@@ -54,6 +57,7 @@ def curate_corpus(
     split_fractions: dict[str, float] | None = None,
     line_max_df: int | None = None,
     max_dup_frac: float | None = None,
+    cut_dup_substrings: int | None = None,
     mix_strata_col: str | None = None,
     mix_alpha: float = 0.5,
     pack_budget: int | None = None,
@@ -87,6 +91,22 @@ def curate_corpus(
         docs = (docs.select(id_col, *strata_keep)
                 .join(cleaned.select(id_col, F.col("cleaned_text")
                                      .alias(text_col)), id_col))
+
+    # -- 0b. optional exact substring REMOVAL (Lee et al. ExactSubstr):
+    # cut every cross-document duplicated run of >= cut_dup_substrings
+    # tokens from every document BEFORE annotation, so token counts and
+    # quality reflect the cleaned text. NB: the cleaned text is the
+    # normalized token sequence rejoined by spaces (casing/punctuation
+    # normalized away, like every token-level stage here).
+    if cut_dup_substrings is not None:
+        strata_keep = ([mix_strata_col] if mix_strata_col else [])
+        cut = DD.cut_duplicated_spans(
+            docs.select(id_col,
+                        DD.word_tokens(F.col(text_col)).alias("__ct")),
+            id_col, "__ct", k=cut_dup_substrings)
+        docs = (docs.select(id_col, *strata_keep)
+                .join(cut.select(id_col, F.col("cleaned_text")
+                                 .alias(text_col)), id_col))
 
     # -- 1. annotate (single tokenizer pass; see functions/text.py) -----
     extra = ([mix_strata_col] if mix_strata_col else [])

@@ -193,6 +193,60 @@ def corpus_substring_dup(spark, sf_dir):
 
 
 @register(
+    "corpus_substring_cut",
+    f"""WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+       e AS (SELECT doc_id, p.pos,
+                md5(array_to_string(w[p.pos+1 : p.pos+8], ' ')) AS wh
+             FROM t, LATERAL (SELECT unnest(range(0,
+                  greatest(len(w) - 7, 0))) AS pos) p),
+       f AS (SELECT wh, count(DISTINCT doc_id) AS wdf FROM e GROUP BY wh),
+       d AS (SELECT e.doc_id, e.pos FROM e JOIN f USING (wh)
+             WHERE f.wdf > 1),
+       i AS (SELECT doc_id, pos,
+                sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                         THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS isl
+             FROM (SELECT *, max(pos + 8) OVER (PARTITION BY doc_id
+                        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS prev_end FROM d)),
+       s AS (SELECT doc_id, isl, min(pos) AS s, max(pos) + 8 AS e
+             FROM i GROUP BY doc_id, isl),
+       tok AS (SELECT doc_id, unnest(w) AS tk,
+                  unnest(range(0, len(w))) AS ix FROM t),
+       kept AS (SELECT tok.doc_id, tok.ix, tok.tk FROM tok
+                WHERE NOT EXISTS (SELECT 1 FROM s
+                      WHERE s.doc_id = tok.doc_id
+                        AND tok.ix >= s.s AND tok.ix < s.e)),
+       agg AS (SELECT doc_id, count(*) AS n_kept,
+                  md5(array_to_string(list(tk ORDER BY ix), ' '))
+                      AS cleaned_md5
+               FROM kept GROUP BY doc_id)
+       SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+              CAST(len(t.w) - coalesce(agg.n_kept, 0) AS BIGINT)
+                  AS n_removed,
+              coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
+       FROM t LEFT JOIN agg USING (doc_id)""",
+    gate=False,
+)
+def corpus_substring_cut(spark, sf_dir):
+    """Exact substring REMOVAL (operators/dedup.cut_duplicated_spans,
+    Lee et al. ExactSubstr semantics): every merged duplicated span from
+    corpus_substring_dup's detection is CUT from every document carrying
+    it; per doc the oracle rebuilds the surviving token sequence in
+    order and md5-compares it. Registered past the checked window (the
+    50 slots are taken by the r4 rotation); mirror-checked + benched."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", DD.word_tokens(F.col("text")).alias("__toks"))
+    out = DD.cut_duplicated_spans(staged, "doc_id", "__toks", k=8,
+                                  max_df=1)
+    return out.select("doc_id", F.col("n_tokens").cast("long"),
+                      "n_removed",
+                      F.md5("cleaned_text").alias("cleaned_md5"))
+
+
+@register(
     "corpus_token_rarity",
     f"""WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
        t AS (SELECT DISTINCT doc_id, unnest(w) AS tok FROM w),

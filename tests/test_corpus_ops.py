@@ -527,3 +527,59 @@ def test_longest_dup_null_toks_and_partitioning_invariance(spark):
          longest_duplicated_substring(df.coalesce(1), "doc_id",
                                       "toks").collect()}
     assert a == b == {(4, shared, 2, 2)}
+
+
+# ---------------------------------------------------------------------------
+# cut_duplicated_spans (exact substring REMOVAL)
+# ---------------------------------------------------------------------------
+
+def test_cut_duplicated_spans_removes_all_occurrences(spark):
+    from stream2segment_spark.operators.dedup import (
+        cut_duplicated_spans, duplicated_spans)
+    shared = "one two three four five six seven eight nine ten"  # 10 toks
+    rows = [Row(doc_id=0, text=shared + " u1 u2 u3"),
+            Row(doc_id=1, text="x1 x2 " + shared + " y1"),
+            Row(doc_id=2, text="all unique tokens in this document here")]
+    df = spark.createDataFrame(rows).select(
+        "doc_id", F.split("text", " ").alias("toks"))
+    out = {r.doc_id: r for r in cut_duplicated_spans(
+        df, "doc_id", "toks", k=8, max_df=1).collect()}
+    # ALL occurrences cut (Lee et al. ExactSubstr semantics)
+    assert out[0].cleaned_text == "u1 u2 u3" and out[0].n_removed == 10
+    assert out[1].cleaned_text == "x1 x2 y1" and out[1].n_removed == 10
+    assert out[2].cleaned_text.startswith("all unique")
+    assert out[2].n_removed == 0
+    # n_removed agrees with the detection operator's dup_tokens
+    det = {r.doc_id: r.dup_tokens for r in duplicated_spans(
+        df, "doc_id", "toks", k=8, max_df=1).collect()}
+    assert all(out[d].n_removed == det[d] for d in det)
+
+
+def test_cut_duplicated_spans_edges(spark):
+    from stream2segment_spark.operators.dedup import cut_duplicated_spans
+    df = spark.createDataFrame(
+        [Row(doc_id=1, toks=["a"] * 3), Row(doc_id=2, toks=None),
+         Row(doc_id=3, toks=[])],
+        "doc_id: long, toks: array<string>")
+    out = {r.doc_id: r for r in cut_duplicated_spans(
+        df, "doc_id", "toks", k=8).collect()}
+    assert out[1].cleaned_text == "a a a" and out[1].n_removed == 0
+    for d in (2, 3):
+        assert out[d].n_tokens == 0 and out[d].cleaned_text == ""
+
+
+def test_cut_duplicated_spans_partitioning_invariant(spark):
+    from stream2segment_spark.operators.dedup import cut_duplicated_spans
+    run = "m n o p q r s t u"
+    rows = [Row(doc_id=i, text=(f"w{i} " * (i + 1)) + run + f" z{i}")
+            for i in range(6)]
+    df = spark.createDataFrame(rows).select(
+        "doc_id", F.split("text", " ").alias("toks"))
+    a = {(r.doc_id, r.cleaned_text, r.n_removed) for r in
+         cut_duplicated_spans(df.repartition(5), "doc_id", "toks",
+                              k=8).collect()}
+    b = {(r.doc_id, r.cleaned_text, r.n_removed) for r in
+         cut_duplicated_spans(df.coalesce(1), "doc_id", "toks",
+                              k=8).collect()}
+    assert a == b
+    assert all(t.endswith(f"z{d}") and run not in t for d, t, _ in a)

@@ -140,3 +140,24 @@ def test_cosine_neardup_mode(spark):
     assert left.count() == 0
     with pytest.raises(ValueError, match="neardup_mode"):
         curate_corpus(docs, neardup_mode="nope")[0].count()
+
+
+def test_curate_cut_dup_substrings_cleans_not_drops(spark):
+    """cut_dup_substrings removes the duplicated run from every doc but
+    KEEPS the docs (unlike max_dup_frac which drops them)."""
+    from pyspark.sql import Row
+    from stream2segment_spark.examples.corpus_pipeline import curate_corpus
+    run = " ".join(f"shared{i}" for i in range(10))
+    rows = [Row(doc_id=i,
+                text=" ".join(f"unique{i}word{j}" for j in range(30))
+                     + f" marker{i} " + run)
+            for i in range(4)]
+    docs = spark.createDataFrame(rows)
+    out, funnel = curate_corpus(
+        docs, languages=("en", "und"), min_quality=0.0,
+        token_band=(1, 10**6), cut_dup_substrings=8)
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {0, 1, 2, 3}          # nothing dropped
+    for d, r in got.items():
+        assert "shared0" not in r.text        # the run is gone
+        assert f"marker{d}" in r.text         # the unique part remains

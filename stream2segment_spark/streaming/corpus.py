@@ -34,15 +34,31 @@ def ingest_documents_stream(
     text_col: str = "text",
     checkpoint_dir: str | None = None,
     state_partitions: int | None = 8,
+    neardup_threshold: float | None = None,
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_k: int = 3,
 ) -> DataFrame:
     """Drive one availableNow pass over the landing directory; returns
     the corpus table after ingestion. Safe to call repeatedly — the
     checkpoint makes every file exactly-once, the fingerprint anti-join
-    makes every *content* at-most-once."""
+    makes every *content* at-most-once.
+
+    ``neardup_threshold``: also NEAR-dedup each batch against the
+    growing corpus (and within itself): MinHash signatures are computed
+    map-only per batch and STORED with the corpus (a ``minhash``
+    array<bigint> column), so the probe against history never re-reads
+    corpus text — it scans the signature column, equi-joins on LSH band
+    keys, and verifies only the candidate pairs with exact shingle
+    Jaccard (fetching just the candidates' text by id). A batch doc
+    whose Jaccard vs ANY earlier doc (or a lower-id batch sibling)
+    reaches the threshold is skipped."""
     from pyspark.errors import AnalysisException
 
     from stream2segment_spark.functions.text import doc_fingerprint
-    from stream2segment_spark.operators.dedup import exact_dedup
+    from stream2segment_spark.operators.dedup import (
+        add_minhash_maponly, exact_dedup, lsh_band_keys,
+        ngram_jaccard_pairs)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
 
@@ -56,6 +72,37 @@ def ingest_documents_stream(
         except AnalysisException:
             return None
 
+    def _neardup_losers(sess, ann: DataFrame, seen) -> DataFrame:
+        """ids of batch docs near-duplicating the corpus or a lower-id
+        batch sibling. ``ann`` carries a ``minhash`` column already."""
+        batch_keys = lsh_band_keys(ann, id_col, num_hashes, bands)
+        sides = [batch_keys.withColumn("__new", F.lit(True))]
+        if seen is not None and "minhash" in seen.columns:
+            hist = seen.select(id_col, "minhash")
+            sides.append(lsh_band_keys(hist, id_col, num_hashes, bands)
+                         .withColumn("__new", F.lit(False)))
+        keys = sides[0] if len(sides) == 1 else sides[0].unionByName(
+            sides[1])
+        a, b = keys.alias("a"), keys.alias("b")
+        # candidate = same band key, at least one side new; order the
+        # pair so the KEPT doc is the older/lower one (history wins,
+        # then lower id within the batch)
+        cands = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.key") == F.col("b.key"))
+                        & F.col("b.__new")
+                        & (~F.col("a.__new")
+                           | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))))
+                 .select(F.col(f"a.{id_col}").alias("id_a"),
+                         F.col(f"b.{id_col}").alias("id_b"))
+                 .distinct())
+        texts = ann.select(id_col, text_col)
+        if seen is not None:
+            texts = texts.unionByName(seen.select(id_col, text_col))
+        verified = ngram_jaccard_pairs(
+            texts, text_col, id_col, shingle_k=shingle_k,
+            threshold=neardup_threshold, candidates=cands)
+        return verified.select(F.col("id_b").alias(id_col)).distinct()
+
     def flush(batch_df: DataFrame, _batch_id: int) -> None:
         sess = batch_df.sparkSession
         ann = batch_df.withColumn(
@@ -66,6 +113,15 @@ def ingest_documents_stream(
         if seen is not None:
             ann = ann.join(seen.select("fingerprint"),
                            "fingerprint", "left_anti")
+        if neardup_threshold is not None:
+            # add_minhash_maponly returns (id, minhash) only — join the
+            # signature back onto the full batch row
+            sigs = add_minhash_maponly(ann, text_col, id_col,
+                                       num_hashes=num_hashes,
+                                       shingle_k=shingle_k)
+            ann = ann.join(sigs, id_col)
+            losers = _neardup_losers(sess, ann, seen)
+            ann = ann.join(losers, id_col, "left_anti")
         # localCheckpoint: the append below reads corpus_path while the
         # anti-join plan above also reads it — cut the lineage so the
         # write can't invalidate its own input scan

@@ -82,3 +82,59 @@ def test_ingest_empty_landing_dir_returns_empty_frame(spark, dirs):
     _drop(spark, src, "late", [dict(doc_id=9, text="finally some data")])
     out2 = ingest_documents_stream(spark, src, corpus, SCHEMA)
     assert out2.count() == 1
+
+
+def _long_text(seed: str, n: int = 40) -> str:
+    return " ".join(f"{seed}{i}" for i in range(n))
+
+
+def test_incremental_ingest_neardups_against_history(spark, dirs):
+    """neardup_threshold: a batch doc that is a NEAR (not exact) dup of
+    an already-ingested doc is skipped; signatures are stored with the
+    corpus so the probe reads signatures + candidate text only."""
+    src, corpus = dirs
+    base = _long_text("tok")
+    _drop(spark, src, "drop1", [
+        dict(doc_id=1, text=base),
+        dict(doc_id=2, text=_long_text("other")),
+    ])
+    out1 = ingest_documents_stream(spark, src, corpus, SCHEMA,
+                                   neardup_threshold=0.7)
+    assert {r.doc_id for r in out1.collect()} == {1, 2}
+    assert "minhash" in out1.columns            # signatures persisted
+
+    _drop(spark, src, "drop2", [
+        # near-dup of doc 1: one token appended -> jaccard >> 0.7
+        dict(doc_id=4, text=base + " extra"),
+        # near-dup of a lower-id BATCH sibling
+        dict(doc_id=6, text=_long_text("fresh") + " tail"),
+        dict(doc_id=5, text=_long_text("fresh")),
+        # genuinely new
+        dict(doc_id=7, text=_long_text("novel")),
+    ])
+    out2 = ingest_documents_stream(spark, src, corpus, SCHEMA,
+                                   neardup_threshold=0.7)
+    got = {r.doc_id for r in out2.collect()}
+    assert got == {1, 2, 5, 7}, got
+
+    # re-run: no-op
+    out3 = ingest_documents_stream(spark, src, corpus, SCHEMA,
+                                   neardup_threshold=0.7)
+    assert out3.count() == 4
+
+
+def test_incremental_ingest_neardup_upgrades_plain_corpus(spark, dirs):
+    """A corpus first ingested WITHOUT signatures still works when
+    near-dedup is enabled later: history without a minhash column is
+    probed only via the exact-fingerprint anti-join, new batches carry
+    signatures."""
+    src, corpus = dirs
+    _drop(spark, src, "drop1", [dict(doc_id=1, text=_long_text("aa"))])
+    ingest_documents_stream(spark, src, corpus, SCHEMA)
+    _drop(spark, src, "drop2", [
+        dict(doc_id=2, text=_long_text("bb")),
+        dict(doc_id=3, text=_long_text("bb") + " x"),   # near-dup of 2
+    ])
+    out = ingest_documents_stream(spark, src, corpus, SCHEMA,
+                                  neardup_threshold=0.7)
+    assert {r.doc_id for r in out.collect()} == {1, 2}

@@ -144,3 +144,71 @@ def test_duplicated_spans_matches_reference(spark, docs, k):
         want = (len(t), len(pos), len(spans),
                 sum(e - s for s, e in spans))
         assert got[i] == want, (i, docs, k, got[i], want)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.lists(st.sampled_from("abcde"), min_size=0,
+                         max_size=12).map(lambda x: list(map(str, x))),
+                min_size=1, max_size=6),
+       st.integers(2, 4))
+def test_cut_duplicated_spans_matches_reference(spark, docs, k):
+    """The removal operator must cut exactly the reference's merged
+    duplicated spans from every document and keep the rest in order."""
+    from stream2segment_spark.operators.dedup import cut_duplicated_spans
+    df = spark.createDataFrame(
+        [Row(doc_id=i, toks=t) for i, t in enumerate(docs)],
+        "doc_id long, toks array<string>")
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+           for r in cut_duplicated_spans(df, "doc_id", "toks",
+                                         k=k, max_df=1).collect()}
+    win_docs: dict[tuple, set] = {}
+    for i, t in enumerate(docs):
+        for s in range(max(len(t) - k + 1, 0)):
+            win_docs.setdefault(tuple(t[s:s + k]), set()).add(i)
+    for i, t in enumerate(docs):
+        pos = [s for s in range(max(len(t) - k + 1, 0))
+               if len(win_docs[tuple(t[s:s + k])]) > 1]
+        spans = []
+        for s in pos:
+            if spans and s <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], s + k)
+            else:
+                spans.append([s, s + k])
+        covered = set()
+        for s, e in spans:
+            covered.update(range(s, e))
+        kept = [tok for j, tok in enumerate(t) if j not in covered]
+        want = (len(t), len(covered), " ".join(kept))
+        assert got[i] == want, (i, docs, k, got[i], want)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.lists(st.sampled_from("abc"), min_size=0,
+                         max_size=10).map(lambda x: list(map(str, x))),
+                min_size=2, max_size=5),
+       st.integers(1, 2))
+def test_longest_duplicated_substring_matches_reference(spark, docs,
+                                                        min_len):
+    """Binary search + window hashing must equal brute force: all
+    maximal-length token substrings occurring in >1 distinct docs."""
+    from stream2segment_spark.operators.dedup import (
+        longest_duplicated_substring)
+    df = spark.createDataFrame(
+        [Row(doc_id=i, toks=t) for i, t in enumerate(docs)],
+        "doc_id long, toks array<string>")
+    got = {(r.length, r.text, r.n_docs, r.n_occ)
+           for r in longest_duplicated_substring(
+               df, "doc_id", "toks", max_df=1, min_len=min_len).collect()}
+    # brute force over every (doc, start, length)
+    occ: dict[tuple, list] = {}
+    for i, t in enumerate(docs):
+        for L in range(min_len, len(t) + 1):
+            for s in range(len(t) - L + 1):
+                occ.setdefault(tuple(t[s:s + L]), []).append(i)
+    dup = {sub: ids for sub, ids in occ.items() if len(set(ids)) > 1}
+    want = set()
+    if dup:
+        best = max(len(sub) for sub in dup)
+        want = {(best, " ".join(sub), len(set(ids)), len(ids))
+                for sub, ids in dup.items() if len(sub) == best}
+    assert got == want, (docs, min_len, got, want)

@@ -396,6 +396,128 @@ def decode_pixels_udf(strict: bool = True, n_fake: int = 16):
     return _udf
 
 
+def resize_image(px: np.ndarray, w: int, h: int, ch: int,
+                 out_w: int, out_h: int,
+                 method: str = "nearest") -> np.ndarray:
+    """Resize one decoded image (flat channel-interleaved float array,
+    the :func:`decode_image_bytes` layout) to (out_w, out_h).
+
+    ``nearest`` maps output pixel (x, y) to source ((x*w)//out_w,
+    (y*h)//out_h) — PURE INTEGER index math, so the result is exactly
+    engine-replayable (the gate oracle recomputes it in SQL).
+    ``bilinear`` is the standard half-pixel-center interpolation
+    (align_corners=False), float math. Returns the flat interleaved
+    array of the resized image."""
+    img = np.asarray(px, dtype=np.float64).reshape(h, w, ch)
+    if method == "nearest":
+        sx = (np.arange(out_w) * w) // out_w
+        sy = (np.arange(out_h) * h) // out_h
+        out = img[sy[:, None], sx[None, :], :]
+    elif method == "bilinear":
+        fx = np.clip((np.arange(out_w) + 0.5) * (w / out_w) - 0.5, 0, w - 1)
+        fy = np.clip((np.arange(out_h) + 0.5) * (h / out_h) - 0.5, 0, h - 1)
+        x0 = np.floor(fx).astype(int)
+        y0 = np.floor(fy).astype(int)
+        x1 = np.minimum(x0 + 1, w - 1)
+        y1 = np.minimum(y0 + 1, h - 1)
+        wx = (fx - x0)[None, :, None]
+        wy = (fy - y0)[:, None, None]
+        out = (img[y0[:, None], x0[None, :], :] * (1 - wx) * (1 - wy)
+               + img[y0[:, None], x1[None, :], :] * wx * (1 - wy)
+               + img[y1[:, None], x0[None, :], :] * (1 - wx) * wy
+               + img[y1[:, None], x1[None, :], :] * wx * wy)
+    else:
+        raise ValueError(f"unknown resize method {method!r}")
+    return out.reshape(-1)
+
+
+def resize_pixels_udf(out_w: int, out_h: int, method: str = "nearest"):
+    """Decoded pixels -> resized pixels as a vectorized pandas UDF:
+    (pixels, width, height, n_channels) columns in, struct<PIXELS_DDL>
+    out. Null/empty rows pass through as nulls (per-row media errors
+    never fail the job, like the decode UDFs)."""
+    @F.pandas_udf(f"struct<{PIXELS_DDL}>")
+    def _udf(pixels: pd.Series, width: pd.Series, height: pd.Series,
+             n_channels: pd.Series) -> pd.DataFrame:
+        out = []
+        for px, w, h, ch in zip(pixels, width, height, n_channels):
+            if px is None or w is None or not len(px):
+                out.append({"width": None, "height": None,
+                            "n_channels": None, "pixels": None})
+                continue
+            out.append({"width": out_w, "height": out_h,
+                        "n_channels": int(ch),
+                        "pixels": resize_image(px, int(w), int(h),
+                                               int(ch), out_w, out_h,
+                                               method)})
+        return pd.DataFrame(out)
+    return _udf
+
+
+IMAGE_FEATURES_DDL = ("px_sum bigint, px_min int, px_max int, "
+                      "edge_sum bigint, mean_255 double")
+
+
+def image_features_udf():
+    """Per-image features from decoded pixels: integer 0-255 grid stats
+    (sum / min / max over all channels), total-variation edge energy of
+    channel 0 (sum of |horizontal| + |vertical| neighbor differences),
+    and the mean on the 0-255 scale. All but the mean are exact
+    INTEGERS (pixels decode as v/255, recovered by round(p*255)), so a
+    SQL oracle replays them value-for-value."""
+    @F.pandas_udf(f"struct<{IMAGE_FEATURES_DDL}>")
+    def _udf(pixels: pd.Series, width: pd.Series, height: pd.Series,
+             n_channels: pd.Series) -> pd.DataFrame:
+        out = []
+        for px, w, h, ch in zip(pixels, width, height, n_channels):
+            if px is None or w is None or not len(px):
+                out.append({"px_sum": None, "px_min": None,
+                            "px_max": None, "edge_sum": None,
+                            "mean_255": None})
+                continue
+            q = np.rint(np.asarray(px, dtype=np.float64) * 255.0) \
+                  .astype(np.int64)
+            w, h, ch = int(w), int(h), int(ch)
+            c0 = q.reshape(h, w, ch)[:, :, 0]
+            edge = (np.abs(np.diff(c0, axis=1)).sum()
+                    + np.abs(np.diff(c0, axis=0)).sum())
+            out.append({"px_sum": int(q.sum()), "px_min": int(q.min()),
+                        "px_max": int(q.max()), "edge_sum": int(edge),
+                        "mean_255": float(q.mean())})
+        return pd.DataFrame(out)
+    return _udf
+
+
+AUDIO_FEATURES_DDL = ("n_frames int, zero_crossings int, peak int, "
+                      "ssq bigint, rms double")
+
+
+def audio_features_udf():
+    """Per-clip features from decoded samples (channel 0 of the
+    interleaved layout): zero-crossing count (strict sign change),
+    integer peak and sum-of-squares on the raw 16-bit grid (samples
+    decode as v/32768, recovered exactly by round(s*32768)), and RMS on
+    the [-1, 1] scale. Integer outputs are SQL-replayable."""
+    @F.pandas_udf(f"struct<{AUDIO_FEATURES_DDL}>")
+    def _udf(samples: pd.Series, n_channels: pd.Series) -> pd.DataFrame:
+        out = []
+        for s, ch in zip(samples, n_channels):
+            if s is None or not len(s):
+                out.append({"n_frames": None, "zero_crossings": None,
+                            "peak": None, "ssq": None, "rms": None})
+                continue
+            ch = int(ch) if ch else 1
+            q = np.rint(np.asarray(s, dtype=np.float64)[0::ch]
+                        * 32768.0).astype(np.int64)
+            zc = int((q[:-1] * q[1:] < 0).sum())
+            ssq = int((q * q).sum())
+            out.append({"n_frames": len(q), "zero_crossings": zc,
+                        "peak": int(np.abs(q).max()), "ssq": ssq,
+                        "rms": float(np.sqrt(ssq / len(q)) / 32768.0)})
+        return pd.DataFrame(out)
+    return _udf
+
+
 def attach_media_meta(df: DataFrame, content_col: str = "content",
                       meta_col: str = "media") -> DataFrame:
     """Enrich a binary column with its parsed metadata struct. Written back

@@ -156,3 +156,137 @@ def multimodal_audio(spark, sf_dir):
     return dec.select(
         "doc_id", "a.sample_rate", "a.n_channels", "a.n_samples",
         ssum.alias("ssum"), rms.alias("rms"))
+
+
+def _pgm_blob(did, n: int = 16):
+    """Real binary PGM (P5, 4x4, maxval 255) with deterministic pixels
+    v(j) = (doc_id*13 + j*7) % 256 — decodable by the strict pixel path
+    and exactly replayable from the id alone."""
+    return F.concat(
+        F.lit(b"P5\n4 4\n255\n"),
+        *[_be(((did * 13 + j * 7) % 256).cast("long"), 1)
+          for j in range(n)])
+
+
+_PGM_V = "(doc_id * 13 + {j} * 7) % 256"
+
+
+@register(
+    "multimodal_resize",
+    f"""SELECT doc_id, 2 AS width, 2 AS height,
+              CAST({_PGM_V.format(j=0)} AS BIGINT) AS p0,
+              CAST({_PGM_V.format(j=2)} AS BIGINT) AS p1,
+              CAST({_PGM_V.format(j=8)} AS BIGINT) AS p2,
+              CAST({_PGM_V.format(j=10)} AS BIGINT) AS p3
+       FROM documents""",
+    gate=False,
+)
+def multimodal_resize(spark, sf_dir):
+    """Image RESIZE over really-decoded pixels: 4x4 PGM blobs built
+    Spark-side, decoded (strict), nearest-neighbor resized to 2x2
+    (multimodal.resize_pixels_udf — pure integer source indexing:
+    out(x,y) = src((x*4)//2, (y*4)//2), i.e. flat sources 0/2/8/10), and
+    the 4 resized pixels recovered exactly on the 0-255 grid. The oracle
+    recomputes them from the id alone."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    dec = (docs.withColumn("content", _pgm_blob(F.col("doc_id")))
+           .withColumn("img", MM.decode_pixels_udf(strict=True)("content"))
+           .withColumn("r", MM.resize_pixels_udf(2, 2, "nearest")(
+               F.col("img.pixels"), F.col("img.width"),
+               F.col("img.height"), F.col("img.n_channels"))))
+    px = F.col("r.pixels")
+    p = [F.round(F.element_at(px, i + 1) * 255.0, 0).cast("long")
+         for i in range(4)]
+    return dec.select("doc_id", "r.width", "r.height",
+                      p[0].alias("p0"), p[1].alias("p1"),
+                      p[2].alias("p2"), p[3].alias("p3"))
+
+
+_PGM_VALS = "SELECT doc_id, u.j AS j, (doc_id * 13 + u.j * 7) % 256 AS v" \
+            " FROM documents, LATERAL (SELECT unnest(range(0, 16)) AS j) u"
+
+
+@register(
+    "multimodal_image_features",
+    f"""WITH px AS ({_PGM_VALS}),
+       tv AS (SELECT a.doc_id,
+                sum(CASE WHEN a.j % 4 < 3 THEN abs(b.v - a.v) ELSE 0 END)
+                  AS h_edge
+              FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+              GROUP BY a.doc_id),
+       tv2 AS (SELECT a.doc_id, sum(abs(b.v - a.v)) AS v_edge
+               FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.j = a.j + 4
+               WHERE a.j < 12 GROUP BY a.doc_id)
+       SELECT px.doc_id, CAST(sum(v) AS BIGINT) AS px_sum,
+              CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max,
+              CAST(any_value(h_edge) + any_value(v_edge) AS BIGINT)
+                  AS edge_sum,
+              round(avg(v), 6) AS mean_255
+       FROM px JOIN tv USING (doc_id) JOIN tv2 USING (doc_id)
+       GROUP BY px.doc_id""",
+    gate=False,
+)
+def multimodal_image_features(spark, sf_dir):
+    """Image FEATURE EXTRACTION over really-decoded pixels
+    (multimodal.image_features_udf): integer 0-255 grid stats + the
+    total-variation edge energy (sum of |horizontal| + |vertical|
+    neighbor differences) of the same 4x4 PGM blobs — every output but
+    the mean is an exact integer the oracle recomputes from the id."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    dec = (docs.withColumn("content", _pgm_blob(F.col("doc_id")))
+           .withColumn("img", MM.decode_pixels_udf(strict=True)("content"))
+           .withColumn("f", MM.image_features_udf()(
+               F.col("img.pixels"), F.col("img.width"),
+               F.col("img.height"), F.col("img.n_channels"))))
+    return dec.select("doc_id", "f.px_sum", "f.px_min", "f.px_max",
+                      "f.edge_sum",
+                      F.round(F.col("f.mean_255"), 6).alias("mean_255"))
+
+
+@register(
+    "multimodal_audio_features",
+    """WITH s AS (SELECT doc_id, u.k AS k,
+               (doc_id * 31 + u.k * 17) % 65536 - 32768 AS v
+             FROM documents, LATERAL (SELECT unnest(range(0, 4)) AS k) u),
+       zc AS (SELECT a.doc_id,
+                CAST(sum(CASE WHEN a.v * b.v < 0 THEN 1 ELSE 0 END) AS INT)
+                    AS zero_crossings
+              FROM s a JOIN s b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+              GROUP BY a.doc_id)
+       SELECT s.doc_id, 4 AS n_frames,
+              any_value(zc.zero_crossings) AS zero_crossings,
+              CAST(max(abs(v)) AS INT) AS peak,
+              CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS ssq,
+              round(sqrt(sum(CAST(v AS BIGINT) * v) / 4.0) / 32768.0, 6)
+                  AS rms
+       FROM s JOIN zc USING (doc_id) GROUP BY s.doc_id""",
+    gate=False,
+)
+def multimodal_audio_features(spark, sf_dir):
+    """Audio FEATURE EXTRACTION over really-decoded samples
+    (multimodal.audio_features_udf): zero-crossing count, integer peak
+    and sum-of-squares on the raw 16-bit grid, RMS — from the same
+    deterministic PCM WAV blobs as multimodal_audio; the oracle
+    recomputes every value from the id alone."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    rate = (8000 + (did % 50) * 20).cast("long")
+    samples = [((did * 31 + j * 17) % 65536 - 32768).cast("long")
+               for j in range(4)]
+    data = F.concat(*[_le(s.bitwiseAND(F.lit(0xFFFF)), 2)
+                      for s in samples])
+    fmt = F.concat(
+        F.lit(b"\x01\x00"), _le(F.lit(1).cast("long"), 2), _le(rate, 4),
+        _le(rate * 2, 4), _le(F.lit(2).cast("long"), 2),
+        F.lit(b"\x10\x00"))
+    blob = F.concat(
+        F.lit(b"RIFF"), _le(F.lit(4 + 24 + 8 + 8).cast("long"), 4),
+        F.lit(b"WAVEfmt "), _le(F.lit(16).cast("long"), 4), fmt,
+        F.lit(b"data"), _le(F.lit(8).cast("long"), 4), data)
+    dec = (docs.withColumn("content", blob)
+           .withColumn("a", MM.decode_samples_udf(strict=True)("content"))
+           .withColumn("f", MM.audio_features_udf()(
+               F.col("a.samples"), F.col("a.n_channels"))))
+    return dec.select("doc_id", "f.n_frames", "f.zero_crossings",
+                      "f.peak", "f.ssq",
+                      F.round(F.col("f.rms"), 6).alias("rms"))

@@ -307,3 +307,94 @@ def test_decode_samples_udf_strict_and_fallback(spark):
     import pytest as _pt
     with _pt.raises(Exception):
         df.select(decode_samples_udf(strict=True)("content")).collect()
+
+
+# ---------------------------------------------------------------------------
+# resize + feature extraction
+# ---------------------------------------------------------------------------
+
+def test_resize_nearest_exact_indexing():
+    from stream2segment_spark.multimodal import resize_image
+    px = np.arange(16, dtype=float) / 255.0          # 4x4 gray
+    out = resize_image(px, 4, 4, 1, 2, 2, "nearest")
+    np.testing.assert_allclose(out * 255.0, [0, 2, 8, 10])
+    # upscale: src index (x*2)//4 repeats each source pixel twice
+    up = resize_image(np.array([10.0, 20.0, 30.0, 40.0]) / 255.0,
+                      2, 2, 1, 4, 4, "nearest")
+    np.testing.assert_allclose(
+        up.reshape(4, 4) * 255.0,
+        [[10, 10, 20, 20], [10, 10, 20, 20],
+         [30, 30, 40, 40], [30, 30, 40, 40]])
+
+
+def test_resize_bilinear_matches_reference():
+    from stream2segment_spark.multimodal import resize_image
+    rng = np.random.default_rng(5)
+    img = rng.random((6, 8, 3))
+    out = resize_image(img.reshape(-1), 8, 6, 3, 4, 3,
+                       "bilinear").reshape(3, 4, 3)
+    # brute-force half-pixel-center reference
+    for y in range(3):
+        for x in range(4):
+            fx = min(max((x + 0.5) * 8 / 4 - 0.5, 0), 7)
+            fy = min(max((y + 0.5) * 6 / 3 - 0.5, 0), 5)
+            x0, y0 = int(fx), int(fy)
+            x1, y1 = min(x0 + 1, 7), min(y0 + 1, 5)
+            wx, wy = fx - x0, fy - y0
+            want = (img[y0, x0] * (1 - wx) * (1 - wy)
+                    + img[y0, x1] * wx * (1 - wy)
+                    + img[y1, x0] * (1 - wx) * wy
+                    + img[y1, x1] * wx * wy)
+            np.testing.assert_allclose(out[y, x], want, rtol=1e-12)
+
+
+def test_resize_udf_multichannel_and_nulls(spark):
+    from stream2segment_spark import multimodal as MM
+    from pyspark.sql import functions as F
+    rows = [(1, [float(v) / 255 for v in range(32)], 4, 4, 2),
+            (2, None, None, None, None)]
+    df = spark.createDataFrame(
+        rows, "id long, pixels array<double>, width int, height int, "
+              "n_channels int")
+    out = {r.id: r.r.asDict() if r.r else None for r in df.withColumn(
+        "r", MM.resize_pixels_udf(2, 2)("pixels", "width", "height",
+                                        "n_channels")).collect()}
+    r1 = out[1]
+    assert (r1["width"], r1["height"], r1["n_channels"]) == (2, 2, 2)
+    # sources: flat pixel pairs at (0,0),(0,2),(2,0),(2,2) of a 4x4x2 grid
+    np.testing.assert_allclose(
+        np.array(r1["pixels"]) * 255, [0, 1, 4, 5, 16, 17, 20, 21])
+    assert out[2]["pixels"] is None
+
+
+def test_image_and_audio_features(spark):
+    from stream2segment_spark import multimodal as MM
+    px = [v / 255.0 for v in [0, 10, 20, 30,
+                              5, 15, 25, 35,
+                              0, 0, 0, 0,
+                              255, 255, 255, 255]]
+    df = spark.createDataFrame(
+        [(1, px, 4, 4, 1)],
+        "id long, pixels array<double>, width int, height int, "
+        "n_channels int")
+    f = df.select(MM.image_features_udf()(
+        "pixels", "width", "height", "n_channels").alias("f")) \
+        .collect()[0].f.asDict()
+    assert f["px_sum"] == sum(round(v * 255) for v in px)
+    assert f["px_min"] == 0 and f["px_max"] == 255
+    # rows TV: 3*10 + 3*10 + 0 + 0 = 60; cols TV per col:
+    # |5-0|+|0-5|+|255-0| etc
+    want_v = sum(abs(a - b) for a, b in
+                 zip([5, 15, 25, 35], [0, 10, 20, 30])) \
+        + sum(abs(a - b) for a, b in zip([0, 0, 0, 0], [5, 15, 25, 35])) \
+        + sum(abs(a - b) for a, b in zip([255] * 4, [0, 0, 0, 0]))
+    assert f["edge_sum"] == 60 + want_v
+
+    smp = [v / 32768.0 for v in [100, -50, 25, 0, -10]]
+    adf = spark.createDataFrame(
+        [(1, smp, 1)], "id long, samples array<double>, n_channels int")
+    a = adf.select(MM.audio_features_udf()(
+        "samples", "n_channels").alias("a")).collect()[0].a.asDict()
+    assert a["n_frames"] == 5 and a["peak"] == 100
+    assert a["zero_crossings"] == 2          # 100->-50, -50->25 (0 breaks)
+    assert a["ssq"] == 100**2 + 50**2 + 25**2 + 0 + 10**2

@@ -317,6 +317,47 @@ def build_ivf_index(
     return cents
 
 
+def append_to_ivf_index(
+    spark, path: str, new_vectors: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dedup_ids: bool = True,
+) -> int:
+    """Incrementally grow a persisted IVF index (``build_ivf_index``
+    layout) WITHOUT retraining: assign each new vector to its nearest
+    existing centroid (map-only UDF, the centroids come from the tiny
+    centroid table) and APPEND into the cell-partitioned parquet — only
+    the touched cell partitions gain files; queries pick the rows up
+    with zero other changes. This is the ANN twin of the incremental
+    corpus ingestion (streaming/corpus.py): the expensive global step
+    (training) happens once, growth is map-only + partitioned append.
+
+    ``dedup_ids``: anti-join ids already in the index first, making
+    re-drops idempotent (content re-sent twice is stored once). Returns
+    the number of vectors appended.
+
+    Honest scale caveat (documented, not hidden): appended vectors do
+    not move centroids, so a drifting distribution slowly degrades cell
+    balance — monitor per-cell counts and re-run ``build_ivf_index``
+    when the max/median cell ratio grows; the rebuild reads the same
+    parquet back."""
+    cents = load_ivf_centroids(spark, path)
+    add = new_vectors.select(id_col, vec_col)
+    if dedup_ids:
+        existing = spark.read.parquet(f"{path}/cells").select(id_col)
+        add = add.join(existing, id_col, "left_anti")
+    assigned = add.withColumn("cell",
+                              ivf_assign_udf(cents)(F.col(vec_col)))
+    # localCheckpoint: the append writes into the same directory the
+    # dedup anti-join just scanned — cut the lineage so the write cannot
+    # invalidate its own input (same guard as streaming/corpus.py)
+    assigned = assigned.localCheckpoint(eager=True)
+    n = assigned.count()
+    if n:
+        assigned.write.mode("append").partitionBy("cell") \
+            .parquet(f"{path}/cells")
+    return n
+
+
 def load_ivf_centroids(spark, path: str) -> np.ndarray:
     rows = (spark.read.parquet(f"{path}/centroids")
             .orderBy("cell").collect())

@@ -441,3 +441,37 @@ def test_lsh_multiprobe_improves_recall(spark):
     # precision is exact on both: cosine-verified pairs only
     got = SIM.lsh_bucket_neardup(df, multiprobe=True, **kw)
     assert got.filter("cosine < 0.98").count() == 0
+
+
+def test_ivf_index_incremental_append(spark, tmp_path):
+    """append_to_ivf_index grows the persisted index without retraining:
+    appended vectors are queryable, results equal a fresh in-memory run
+    over the union, and re-appending the same drop is a no-op."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from stream2segment_spark.operators import similarity as SIM
+    rng = np.random.default_rng(11)
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [Row(vec_id=i,
+                 embedding=[float(x) for x in rng.standard_normal(8)])
+             for i in ids])
+
+    base, extra = mk(range(100)), mk(range(100, 140))
+    path = str(tmp_path / "ivf")
+    cents = SIM.build_ivf_index(base, path, n_cells=4)
+    assert SIM.append_to_ivf_index(spark, path, extra) == 40
+    # idempotent re-drop
+    assert SIM.append_to_ivf_index(spark, path, extra) == 0
+    stored = spark.read.parquet(f"{path}/cells")
+    assert stored.count() == 140
+    assert stored.select("vec_id").distinct().count() == 140
+
+    queries = mk(range(1000, 1003)).withColumnRenamed("vec_id", "query_id")
+    got = SIM.ann_topk_ivf_index(spark, path, queries, k=5, nprobe=4)
+    want = SIM.ann_topk_ivf(base.unionByName(extra), queries, cents,
+                            k=5, nprobe=4)
+    assert ({(r.query_id, r.vec_id) for r in got.collect()}
+            == {(r.query_id, r.vec_id) for r in want.collect()})

@@ -297,6 +297,9 @@ def join_semi_prefilter(spark, sf_dir):
 
 
 @register(
+    # r4 gate rotation (second wave): deferred (driver-green r2+r3)
+    # to gate the four operators NEW this round; still benched +
+    # mirror-checked
     "join_mergeupdate",
     """SELECT o.o_orderkey,
               round(coalesce(l.rev, o.o_totalprice), 4) AS o_totalprice
@@ -304,6 +307,7 @@ def join_semi_prefilter(spark, sf_dir):
        LEFT JOIN (SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS rev
                   FROM lineitem GROUP BY l_orderkey) l
        ON o.o_orderkey = l.l_orderkey""",
+    gate=False,
 )
 def join_mergeupdate(spark, sf_dir):
     """J4: mergeupdate (io/db/pdsql.py:971-1085) — left merge where the
@@ -529,6 +533,9 @@ def setop_family(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @register(
+    # r4 gate rotation (second wave): deferred (driver-green r2+r3)
+    # to gate the four operators NEW this round; still benched +
+    # mirror-checked
     "scalar_datetime_math",
     """SELECT l.l_orderkey, l.l_linenumber,
               round(epoch(l.l_shipdate) - epoch(o.o_orderdate), 1) AS ship_delay_sec,
@@ -536,6 +543,7 @@ def setop_family(spark, sf_dir):
               concat_ws('.', l.l_returnflag, l.l_linestatus) AS flag_status
        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
        WHERE l.l_linenumber = 1""",
+    gate=False,
 )
 def scalar_datetime_math(spark, sf_dir):
     """F1-F4/F14: duration_sec (timestamp diff with sub-second precision),

@@ -227,7 +227,6 @@ def corpus_substring_dup(spark, sf_dir):
                   AS n_removed,
               coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
        FROM t LEFT JOIN agg USING (doc_id)""",
-    gate=False,
 )
 def corpus_substring_cut(spark, sf_dir):
     """Exact substring REMOVAL (operators/dedup.cut_duplicated_spans,

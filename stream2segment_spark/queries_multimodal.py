@@ -179,7 +179,6 @@ _PGM_V = "(doc_id * 13 + {j} * 7) % 256"
               CAST({_PGM_V.format(j=8)} AS BIGINT) AS p2,
               CAST({_PGM_V.format(j=10)} AS BIGINT) AS p3
        FROM documents""",
-    gate=False,
 )
 def multimodal_resize(spark, sf_dir):
     """Image RESIZE over really-decoded pixels: 4x4 PGM blobs built
@@ -224,7 +223,6 @@ _PGM_VALS = "SELECT doc_id, u.j AS j, (doc_id * 13 + u.j * 7) % 256 AS v" \
               round(avg(v), 6) AS mean_255
        FROM px JOIN tv USING (doc_id) JOIN tv2 USING (doc_id)
        GROUP BY px.doc_id""",
-    gate=False,
 )
 def multimodal_image_features(spark, sf_dir):
     """Image FEATURE EXTRACTION over really-decoded pixels
@@ -260,7 +258,6 @@ def multimodal_image_features(spark, sf_dir):
               round(sqrt(sum(CAST(v AS BIGINT) * v) / 4.0) / 32768.0, 6)
                   AS rms
        FROM s JOIN zc USING (doc_id) GROUP BY s.doc_id""",
-    gate=False,
 )
 def multimodal_audio_features(spark, sf_dir):
     """Audio FEATURE EXTRACTION over really-decoded samples

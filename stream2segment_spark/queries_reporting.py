@@ -205,6 +205,9 @@ def agg_cube(spark, sf_dir):
 
 
 @register(
+    # r4 gate rotation (second wave): deferred (driver-green r2+r3)
+    # to gate the four operators NEW this round; still benched +
+    # mirror-checked
     "join_asof_backward",
     """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
        clicks AS (SELECT event_id, user_id, ts FROM ev
@@ -217,6 +220,7 @@ def agg_cube(spark, sf_dir):
        FROM clicks c
        ASOF LEFT JOIN marks m
          ON c.user_id = m.user_id AND c.ts >= m.ts""",
+    gate=False,
 )
 def join_asof_backward(spark, sf_dir):
     """As-of join (absent from Spark's API; DuckDB's native ASOF JOIN is
@@ -236,6 +240,9 @@ def join_asof_backward(spark, sf_dir):
 
 
 @register(
+    # r4 gate rotation (second wave): deferred (driver-green r2+r3)
+    # to gate the four operators NEW this round; still benched +
+    # mirror-checked
     "join_interval_overlap",
     """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
        a AS (SELECT event_id, user_id, ts AS s,
@@ -247,6 +254,7 @@ def join_asof_backward(spark, sf_dir):
        SELECT a.event_id, a.user_id, a.s, a.e, b.event_id_r, b.s_r, b.e_r
        FROM a JOIN b ON a.user_id = b.user_id
                     AND a.s < b.e_r AND b.s_r < a.e""",
+    gate=False,
 )
 def join_interval_overlap(spark, sf_dir):
     """Interval-overlap join (banded; operators/asof.py): click windows

@@ -753,6 +753,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pack-budget", type=int, default=None,
                    help="token budget per training chunk")
     p.add_argument("--pack-shards", type=int, default=64)
+    p = sub.add_parser(
+        "ingest",
+        help="incrementally ingest parquet file drops from a landing "
+             "directory into a corpus table (checkpointed exactly-once; "
+             "exact dedup vs history, optional near-dedup; "
+             "beyond-reference)")
+    p.add_argument("-i", "--landing-dir", required=True,
+                   help="directory watched for parquet drops")
+    p.add_argument("-o", "--corpus", required=True,
+                   help="corpus parquet path (append target)")
+    p.add_argument("--schema", default="doc_id long, text string",
+                   help="DDL schema of the incoming files")
+    p.add_argument("--neardup-threshold", type=float, default=None,
+                   help="also near-dedup each batch against all history "
+                        "(MinHash signatures stored with the corpus)")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint dir (default: <corpus>__checkpoint)")
     args = ap.parse_args(argv)
 
     if args.cmd == "init":
@@ -767,6 +784,23 @@ def main(argv: list[str] | None = None) -> int:
         try:
             return cmd_tt_create(spark, args.model, args.outfile, args.phase,
                                  args.tolerance, args.maxdepth, args.maxdist)
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "ingest":  # no config file: all-flags command
+        from stream2segment_spark.session import get_spark
+        from stream2segment_spark.streaming.corpus import (
+            ingest_documents_stream)
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-ingest")
+        try:
+            out = ingest_documents_stream(
+                spark, args.landing_dir, args.corpus, args.schema,
+                checkpoint_dir=args.checkpoint,
+                neardup_threshold=args.neardup_threshold)
+            print(f"corpus now holds {out.count()} document(s) "
+                  f"at {args.corpus}")
+            return 0
         finally:
             if not preexisting:
                 spark.stop()

@@ -138,3 +138,25 @@ def test_incremental_ingest_neardup_upgrades_plain_corpus(spark, dirs):
     out = ingest_documents_stream(spark, src, corpus, SCHEMA,
                                   neardup_threshold=0.7)
     assert {r.doc_id for r in out.collect()} == {1, 2}
+
+
+def test_ingest_cli_end_to_end(spark, dirs, capsys):
+    """'s2s ingest': the incremental ingestion from the command line —
+    two invocations over the same landing dir, exact + near dedup."""
+    from stream2segment_spark.cli import main
+    src, corpus = dirs
+    _drop(spark, src, "drop1", [dict(doc_id=1, text=_long_text("aa")),
+                                dict(doc_id=2, text=_long_text("aa"))])
+    rc = main(["ingest", "-i", src, "-o", corpus,
+               "--neardup-threshold", "0.7"])
+    assert rc == 0
+    assert "corpus now holds 1 document(s)" in capsys.readouterr().out
+    _drop(spark, src, "drop2", [
+        dict(doc_id=3, text=_long_text("aa") + " x"),   # near-dup of 1
+        dict(doc_id=4, text=_long_text("bb"))])
+    rc = main(["ingest", "-i", src, "-o", corpus,
+               "--neardup-threshold", "0.7"])
+    assert rc == 0
+    assert "corpus now holds 2 document(s)" in capsys.readouterr().out
+    got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 4}

@@ -559,6 +559,128 @@ def cosine_pairs_blocked(
 # Product quantization (ADC scan) — the memory-compressed ANN scale path
 # --------------------------------------------------------------------------
 
+def build_ivfpq_index(
+    corpus: DataFrame, path: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_cells: int = 16, m: int = 8, ksub: int = 16,
+    sample_size: int = 20000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Persist an IVF+PQ index (the FAISS IVFADC shape): coarse
+    centroids route queries to cells, PQ codes stand in for vectors —
+    the stored table is (id, codes[m], cell) PARTITIONED BY CELL, so a
+    query with nprobe probes reads ~nprobe/n_cells of the corpus AND
+    each row read is m bytes of codes instead of dim*4 of floats (the
+    two scale levers composed: partition pruning x 32x row shrink).
+    Returns (centroids, codebook); both are also persisted as tiny
+    parquet tables so any session can reopen the index."""
+    cents = kmeans_centroids(corpus, vec_col, n_cells,
+                             sample_size=sample_size)
+    codebook = pq_sample_codebook(corpus, id_col, vec_col, m, ksub)
+    mm, kk, dsub = codebook.shape
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = v / np.maximum(
+                np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            cell = (vn @ cents.T).argmax(axis=1)
+            vs = v.reshape(len(ids), mm, dsub)
+            d2 = ((vs[:, :, None, :] - codebook[None]) ** 2).sum(-1)
+            codes = d2.argmin(axis=2)
+            yield pd.DataFrame({id_col: ids,
+                                "codes": list(codes.astype("int32")),
+                                "cell": cell.astype("int32")})
+
+    (corpus.select(id_col, vec_col)
+     .mapInPandas(enc, f"{id_col} long, codes array<int>, cell int")
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{path}/codes"))
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(i), [float(v) for v in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(int(i), int(j), [float(v) for v in codebook[i, j]])
+         for i in range(mm) for j in range(kk)],
+        "m int, code int, center array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    return cents, codebook
+
+
+def load_pq_codebook(spark, path: str) -> np.ndarray:
+    rows = (spark.read.parquet(f"{path}/codebook")
+            .orderBy("m", "code").collect())
+    mm = max(r["m"] for r in rows) + 1
+    kk = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["center"])
+    cb = np.zeros((mm, kk, dsub))
+    for r in rows:
+        cb[r["m"], r["code"]] = r["center"]
+    return cb
+
+
+def ann_topk_ivfpq_index(
+    spark, path: str, queries: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", k: int = 10, nprobe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF+PQ index: probe cells become a PARTITION
+    filter on the codes table (static pruning — unprobed cells are
+    never read), each query precomputes its (m, ksub) ADC lookup table,
+    and the scan sums m table lookups per CODE row — no stored vectors
+    anywhere on the read path. Same bounded-queries contract and local
+    top-k + narrow k*|Q| shuffle shape as the other top-k operators."""
+    cents = load_ivf_centroids(spark, path)
+    codebook = load_pq_codebook(spark, path)
+    mm, kk, dsub = codebook.shape
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    q_ids = qpdf[query_id_col].to_numpy()
+    qm = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    scores = qn @ cents.T
+    nn = min(nprobe, scores.shape[1])
+    probe_cells = np.argsort(-scores, axis=1)[:, :nn]      # (Q, nprobe)
+    probed = sorted({int(c) for row in probe_cells for c in row})
+    qs = qm.reshape(len(q_ids), mm, dsub)
+    lut = ((qs[:, :, None, :] - codebook[None]) ** 2).sum(-1)
+    lut_t = lut.transpose(1, 2, 0)                         # (m, ksub, Q)
+    q_cells = [set(map(int, row)) for row in probe_cells]
+    out_schema = f"{query_id_col} long, {id_col} long, adc_dist double"
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            gathered = lut_t[np.arange(mm)[:, None], codes.T]
+            dist = gathered.sum(axis=0)                    # (batch, Q)
+            rows = {query_id_col: [], id_col: [], "adc_dist": []}
+            for qi in range(dist.shape[1]):
+                mask = np.isin(cells, list(q_cells[qi]))
+                if not mask.any():
+                    continue
+                mi = np.nonzero(mask)[0]
+                sel = mi[np.lexsort((ids[mi], dist[mi, qi]))[:k]]
+                rows[query_id_col].extend([q_ids[qi]] * len(sel))
+                rows[id_col].extend(ids[sel])
+                rows["adc_dist"].extend(dist[sel, qi])
+            yield pd.DataFrame(rows)
+
+    codes_df = (spark.read.parquet(f"{path}/codes")
+                .filter(F.col("cell").isin(probed)))
+    partial = codes_df.mapInPandas(scan, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col))
+    return (partial.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).drop("rn"))
+
+
 def pq_sample_codebook(corpus: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding", m: int = 8,
                        ksub: int = 16) -> np.ndarray:

@@ -475,3 +475,44 @@ def test_ivf_index_incremental_append(spark, tmp_path):
                             k=5, nprobe=4)
     assert ({(r.query_id, r.vec_id) for r in got.collect()}
             == {(r.query_id, r.vec_id) for r in want.collect()})
+
+
+def test_ivfpq_index_full_probe_equals_adc(spark, tmp_path):
+    """IVF+PQ persisted index: with nprobe = n_cells the code-scanning
+    path must reproduce the inline ADC operator exactly (same codebook,
+    same distances, same tie-broken top-k); with fewer probes it reads
+    only the probed cell partitions and stays a subset-consistent
+    approximation."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from stream2segment_spark.operators import similarity as SIM
+    rng = np.random.default_rng(21)
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i,
+             embedding=[float(x) for x in rng.standard_normal(16)])
+         for i in range(200)])
+    queries = spark.createDataFrame(
+        [Row(query_id=i,
+             embedding=[float(x) for x in rng.standard_normal(16)])
+         for i in range(3)])
+    path = str(tmp_path / "ivfpq")
+    cents, cb = SIM.build_ivfpq_index(corpus, path, n_cells=4, m=4,
+                                      ksub=16)
+    assert SIM.load_pq_codebook(spark, path).shape == cb.shape
+    np.testing.assert_allclose(SIM.load_pq_codebook(spark, path), cb)
+
+    got = SIM.ann_topk_ivfpq_index(spark, path, queries, k=5, nprobe=4)
+    want = SIM.pq_topk_adc(corpus, queries, cb, k=5)
+    g = {(r.query_id, r.vec_id): r.adc_dist for r in got.collect()}
+    w = {(r.query_id, r.vec_id): r.adc_dist for r in want.collect()}
+    assert g.keys() == w.keys()
+    for key in g:
+        assert abs(g[key] - w[key]) < 1e-9
+
+    # fewer probes: results come only from probed cells, k rows per query
+    approx = SIM.ann_topk_ivfpq_index(spark, path, queries, k=5, nprobe=2)
+    rows = approx.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    assert all(len([r for r in rows if r.query_id == q]) == 5
+               for q in (0, 1, 2))

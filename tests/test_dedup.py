@@ -516,3 +516,27 @@ def test_ivfpq_index_full_probe_equals_adc(spark, tmp_path):
     assert {r.query_id for r in rows} == {0, 1, 2}
     assert all(len([r for r in rows if r.query_id == q]) == 5
                for q in (0, 1, 2))
+
+
+def test_ivfpq_codes_scan_is_partition_pruned(spark, tmp_path):
+    """The IVF+PQ query's codes scan must carry the probed cells as a
+    PARTITION filter (static pruning): unprobed cell directories are
+    never read."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from stream2segment_spark.operators import similarity as SIM
+    rng = np.random.default_rng(23)
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i,
+             embedding=[float(x) for x in rng.standard_normal(16)])
+         for i in range(120)])
+    path = str(tmp_path / "ivfpq")
+    SIM.build_ivfpq_index(corpus, path, n_cells=4, m=4, ksub=16)
+    queries = spark.createDataFrame(
+        [Row(query_id=0,
+             embedding=[float(x) for x in rng.standard_normal(16)])])
+    out = SIM.ann_topk_ivfpq_index(spark, path, queries, k=3, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    assert out.count() == 3

@@ -441,7 +441,9 @@ def resize_pixels_udf(out_w: int, out_h: int, method: str = "nearest"):
              n_channels: pd.Series) -> pd.DataFrame:
         out = []
         for px, w, h, ch in zip(pixels, width, height, n_channels):
-            if px is None or w is None or not len(px):
+            # Arrow surfaces null ints as NaN in pandas: pd.isna, not is None
+            if px is None or pd.isna(w) or pd.isna(h) or pd.isna(ch) \
+                    or not len(px):
                 out.append({"width": None, "height": None,
                             "n_channels": None, "pixels": None})
                 continue
@@ -470,7 +472,8 @@ def image_features_udf():
              n_channels: pd.Series) -> pd.DataFrame:
         out = []
         for px, w, h, ch in zip(pixels, width, height, n_channels):
-            if px is None or w is None or not len(px):
+            if px is None or pd.isna(w) or pd.isna(h) or pd.isna(ch) \
+                    or not len(px):
                 out.append({"px_sum": None, "px_min": None,
                             "px_max": None, "edge_sum": None,
                             "mean_255": None})
@@ -506,7 +509,7 @@ def audio_features_udf():
                 out.append({"n_frames": None, "zero_crossings": None,
                             "peak": None, "ssq": None, "rms": None})
                 continue
-            ch = int(ch) if ch else 1
+            ch = 1 if pd.isna(ch) or not ch else int(ch)
             q = np.rint(np.asarray(s, dtype=np.float64)[0::ch]
                         * 32768.0).astype(np.int64)
             zc = int((q[:-1] * q[1:] < 0).sum())

@@ -94,7 +94,6 @@ def _kmeans_parallel_init(
     the single hash-min starting seed. Per round: one assignment job for
     the current cost phi, one filtered collect of the sampled vectors —
     2*rounds + 2 jobs total, independent of k."""
-    from stream2segment_spark.functions.sampling import BUCKETS
     l = oversample or 2 * k
     cands = [list(c) for c in centroids]
     seen = {tuple(c) for c in cands}
@@ -103,15 +102,21 @@ def _kmeans_parallel_init(
         phi = assigned.agg(F.sum("dist2")).collect()[0][0] or 0
         if phi == 0:     # every point sits ON a candidate already
             break
-        # md5 coin flip: keep x iff bucket/BUCKETS < l * d2(x)/phi.
-        # (bucket is uniform on [0, BUCKETS); the comparison is exact
-        # integer arithmetic: bucket * phi < l * d2 * BUCKETS)
+        # deterministic coin flip: keep x iff coin/2^40 < l * d2(x)/phi,
+        # with coin a 40-bit xxhash64 slice of (id, round) — exact
+        # integer comparison via decimals (40 bits keeps coin*phi inside
+        # decimal(38,0) even at phi ~ 1e20). NOT the md5 hash_bucket:
+        # its 10^4 buckets put a 1e-4 probability FLOOR under every
+        # point (bucket 0 always keeps), which at 10^8+ rows would
+        # collect ~n/10^4 full vectors to the driver per round instead
+        # of ~l; the 2^-40 resolution has no such floor in practice.
+        coin = F.shiftrightunsigned(
+            F.xxhash64(F.col(id_col), F.lit(f"{seed}:kmpar{r}")), 24)
         picked = (assigned
-                  .withColumn("__b", hash_bucket(F.col(id_col),
-                                                 f"{seed}:kmpar{r}"))
-                  .filter(F.col("__b").cast("decimal(38,0)") * phi
+                  .withColumn("__coin", coin)
+                  .filter(F.col("__coin").cast("decimal(38,0)") * phi
                           < F.lit(l) * F.col("dist2").cast("decimal(38,0)")
-                          * BUCKETS)
+                          * (1 << 40))
                   .orderBy(id_col).select("__qvec").collect())
         for row in picked:
             t = tuple(row["__qvec"])

@@ -54,29 +54,33 @@ def connected_components(
 
     sc = edges.sparkSession.sparkContext
 
-    def _persistent_ids() -> set[int]:
+    def _ckpt_rdd_id(df: DataFrame) -> int | None:
+        """The id of the RDD backing a localCheckpoint()ed frame (its
+        analyzed plan is a LogicalRDD). Identifying OUR OWN checkpoint
+        directly — never by diffing the global persistent-RDD map, which
+        would claim (and later destroy) checkpoints another thread of
+        the shared SparkContext materialized concurrently."""
         try:
-            jmap = sc._jsc.getPersistentRDDs()
-            return {int(k) for k in jmap.keySet().toArray()}
+            return int(df._jdf.queryExecution().analyzed().rdd().id())
         except Exception:
-            return set()
+            return None
 
-    def _unpersist_ids(ids: set[int]) -> None:
+    def _unpersist_id(rid: int | None) -> None:
         # localCheckpoint pins its blocks outside the DataFrame cache
         # manager; the only handle back is the context's persistent-RDD
         # map. Best-effort: failure just leaves the block to the
         # ContextCleaner's GC-based cleanup.
+        if rid is None:
+            return
         try:
             jscala = sc._jsc.sc().getPersistentRDDs()
-            for rid in ids:
-                if jscala.contains(rid):
-                    jscala.apply(rid).unpersist(False)
+            if jscala.contains(rid):
+                jscala.apply(rid).unpersist(False)
         except Exception:
             pass
 
-    prev_ckpt_ids: set[int] = set()
+    prev_ckpt_id: int | None = None
     for _ in range(max_iterations):
-        before = _persistent_ids()
         neigh_min = (sym.join(labels.withColumnRenamed(id_col, "b"), "b")
                      .groupBy("a")
                      .agg(F.min("cluster_id").alias("nmin"))
@@ -91,15 +95,15 @@ def connected_components(
                            (F.col("nmin") < F.col("cluster_id"))
                            .alias("__changed"))
                    .localCheckpoint(eager=True))
-        new_ckpt_ids = _persistent_ids() - before
+        new_ckpt_id = _ckpt_rdd_id(updated)
         changed = updated.filter("__changed").count()
         # the previous round's checkpoint blocks are dead once this
         # round's checkpoint is materialized (labels now derives from it
         # alone) — release them instead of pinning R rounds of label
         # frames in the block manager; only the FINAL round's checkpoint
         # backs the returned frame and must stay.
-        _unpersist_ids(prev_ckpt_ids)
-        prev_ckpt_ids = new_ckpt_ids
+        _unpersist_id(prev_ckpt_id)
+        prev_ckpt_id = new_ckpt_id
         labels = updated.drop("__changed")
         if changed == 0:
             break

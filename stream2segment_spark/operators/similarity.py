@@ -341,10 +341,20 @@ def append_to_ivf_index(
     when the max/median cell ratio grows; the rebuild reads the same
     parquet back."""
     cents = load_ivf_centroids(spark, path)
-    add = new_vectors.select(id_col, vec_col)
+    stored = spark.read.parquet(f"{path}/cells")
+    # match the STORED schema exactly: build_ivf_index persists every
+    # corpus column, and appending narrower files would make the extra
+    # columns nondeterministically vanish or null out depending on
+    # which footer a later read samples
+    keep_cols = [c for c in stored.columns if c != "cell"]
+    missing = set(keep_cols) - set(new_vectors.columns)
+    if missing:
+        raise ValueError(
+            f"new_vectors lacks stored index column(s) {sorted(missing)}; "
+            f"the cells table carries {keep_cols}")
+    add = new_vectors.select(*keep_cols)
     if dedup_ids:
-        existing = spark.read.parquet(f"{path}/cells").select(id_col)
-        add = add.join(existing, id_col, "left_anti")
+        add = add.join(stored.select(id_col), id_col, "left_anti")
     assigned = add.withColumn("cell",
                               ivf_assign_udf(cents)(F.col(vec_col)))
     # localCheckpoint: the append writes into the same directory the
@@ -614,6 +624,8 @@ def build_ivfpq_index(
 def load_pq_codebook(spark, path: str) -> np.ndarray:
     rows = (spark.read.parquet(f"{path}/codebook")
             .orderBy("m", "code").collect())
+    if not rows:
+        raise ValueError(f"empty PQ codebook table at {path}/codebook")
     mm = max(r["m"] for r in rows) + 1
     kk = max(r["code"] for r in rows) + 1
     dsub = len(rows[0]["center"])
@@ -637,7 +649,10 @@ def ann_topk_ivfpq_index(
     cents = load_ivf_centroids(spark, path)
     codebook = load_pq_codebook(spark, path)
     mm, kk, dsub = codebook.shape
+    out_ddl = f"{query_id_col} long, {id_col} long, adc_dist double"
     qpdf = queries.select(query_id_col, vec_col).toPandas()
+    if not len(qpdf):       # empty query set: empty result, not np.stack
+        return spark.createDataFrame([], out_ddl)
     q_ids = qpdf[query_id_col].to_numpy()
     qm = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
     qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)

@@ -161,15 +161,18 @@ async function load(){
  for(const[name,p] of Object.entries(d.plots)){
   P.insertAdjacentHTML("beforeend","<figure>"+svg(p.y,640,120)+
    "<figcaption>"+(p.label||name)+" (n="+p.n_raw+")</figcaption></figure>");}
- const C=document.getElementById("classes");C.innerHTML="";
+ const C=document.getElementById("classes");C.textContent="";
  for(const label of Object.keys(classes)){
-  const on=(d.labels||[]).includes(label);
-  C.insertAdjacentHTML("beforeend","<label><input type='checkbox' "+
-   (on?"checked ":"")+"data-l='"+label+"'/>"+label+"</label>");}
- C.querySelectorAll("input").forEach(cb=>cb.onchange=async()=>{
-  await fetch("/api/segment/"+idx+"/class",{method:"POST",
-   headers:{"Content-Type":"application/json"},
-   body:JSON.stringify({label:cb.dataset.l,value:cb.checked})});});}
+  const lab=document.createElement("label");
+  const cb=document.createElement("input");
+  cb.type="checkbox";cb.checked=(d.labels||[]).includes(label);
+  cb.dataset.l=label;  // DOM APIs: label text can never inject markup
+  cb.onchange=async()=>{
+   await fetch("/api/segment/"+idx+"/class",{method:"POST",
+    headers:{"Content-Type":"application/json"},
+    body:JSON.stringify({label:cb.dataset.l,value:cb.checked})});};
+  lab.appendChild(cb);lab.appendChild(document.createTextNode(label));
+  C.appendChild(lab);}}
 document.getElementById("prev").onclick=()=>{if(idx>0){idx--;load();}};
 document.getElementById("next").onclick=()=>{if(idx<num-1){idx++;load();}};
 fetch("/api/init").then(r=>r.json()).then(d=>{
@@ -218,7 +221,10 @@ def _make_handler(app: ShowApp):
                         int(parts[2]), payload["label"],
                         payload.get("value", True)))
                 return self._json({"error": f"no route {self.path!r}"}, 404)
-            except (KeyError, IndexError, ValueError) as exc:
+            except (KeyError, IndexError, ValueError, TypeError) as exc:
+                # TypeError covers e.g. a GET hitting the POST-only class
+                # route (payload is None) — a JSON 400, not a dropped
+                # connection with a stack trace
                 return self._json({"error": str(exc)}, 400)
 
         def do_GET(self):
@@ -226,7 +232,10 @@ def _make_handler(app: ShowApp):
 
         def do_POST(self):
             n = int(self.headers.get("Content-Length") or 0)
-            payload = json.loads(self.rfile.read(n) or b"{}")
+            try:
+                payload = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError as exc:
+                return self._json({"error": f"bad JSON body: {exc}"}, 400)
             self._dispatch(payload)
 
     return Handler

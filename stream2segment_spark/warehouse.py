@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import os
+import threading
 import uuid
 
 import pyarrow as pa
@@ -208,6 +209,9 @@ def labellings(warehouse: str, segment_id: int | None = None) -> list[dict]:
     return rows
 
 
+_LABELLING_LOCK = threading.Lock()
+
+
 def set_labelling(
     warehouse: str,
     segment_id: int,
@@ -221,6 +225,15 @@ def set_labelling(
     against the parquet warehouse. The label must already exist in
     ``class_labels`` (create it with :func:`classlabels`). Returns the
     segment's resulting label list."""
+    with _LABELLING_LOCK:
+        return _set_labelling_locked(warehouse, segment_id, label, value,
+                                     annotator)
+
+
+def _set_labelling_locked(warehouse, segment_id, label, value, annotator):
+    # read-modify-write of the whole labellings file: serialized within
+    # this process (the show server's ThreadingHTTPServer fires one POST
+    # per checkbox; unserialized handlers would lose each other's rows)
     classes = {r["label"]: r["id"]
                for r in read_small(warehouse, "class_labels").to_pylist()}
     if label not in classes:

@@ -463,6 +463,9 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     path = str(tmp_path / "ivf")
     cents = SIM.build_ivf_index(base, path, n_cells=4)
     assert SIM.append_to_ivf_index(spark, path, extra) == 40
+    # schema guard: appends must carry every stored index column
+    with pytest.raises(ValueError, match="stored index column"):
+        SIM.append_to_ivf_index(spark, path, extra.drop("embedding"))
     # idempotent re-drop
     assert SIM.append_to_ivf_index(spark, path, extra) == 0
     stored = spark.read.parquet(f"{path}/cells")
@@ -509,6 +512,11 @@ def test_ivfpq_index_full_probe_equals_adc(spark, tmp_path):
     assert g.keys() == w.keys()
     for key in g:
         assert abs(g[key] - w[key]) < 1e-9
+
+    # empty query set: empty frame, not a numpy stack crash
+    none = SIM.ann_topk_ivfpq_index(
+        spark, path, queries.filter("query_id < 0"), k=5, nprobe=2)
+    assert none.count() == 0
 
     # fewer probes: results come only from probed cells, k rows per query
     approx = SIM.ann_topk_ivfpq_index(spark, path, queries, k=5, nprobe=2)

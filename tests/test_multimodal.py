@@ -365,6 +365,17 @@ def test_resize_udf_multichannel_and_nulls(spark):
     np.testing.assert_allclose(
         np.array(r1["pixels"]) * 255, [0, 1, 4, 5, 16, 17, 20, 21])
     assert out[2]["pixels"] is None
+    # null n_channels with non-null pixels: null row, not a task crash
+    df2 = spark.createDataFrame(
+        [(3, [0.5] * 4, 2, 2, None)],
+        "id long, pixels array<double>, width int, height int, "
+        "n_channels int")
+    r3 = df2.withColumn("r", MM.resize_pixels_udf(1, 1)(
+        "pixels", "width", "height", "n_channels")).collect()[0].r
+    assert r3.pixels is None
+    f3 = df2.withColumn("f", MM.image_features_udf()(
+        "pixels", "width", "height", "n_channels")).collect()[0].f
+    assert f3.px_sum is None
 
 
 def test_image_and_audio_features(spark):

@@ -108,6 +108,18 @@ def test_show_server_e2e_label_roundtrip(spark, segs, wh_dir):
         with pytest.raises(urllib.error.HTTPError) as ei:
             _get(base + "/api/nope")
         assert ei.value.code == 404
+        # GET to the POST-only class route: JSON 400, not a dropped
+        # connection (payload is None -> TypeError caught)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(base + "/api/segment/0/class")
+        assert ei.value.code == 400
+        # malformed JSON body: 400 with a message
+        req = urllib.request.Request(
+            base + "/api/segment/0/class", data=b"{not json",
+            headers={"Content-Type": "application/json"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
     finally:
         httpd.shutdown()
         httpd.server_close()

@@ -55,11 +55,14 @@ def build_scaled(spark, factor: int, out_dir: str) -> None:
         copies = []
         for i in range(factor):
             c = df.withColumn(idc, F.col(idc) + i * off)
-            if name == "documents" and i > 0:
-                # per-copy token suffix: in-copy dup structure intact,
-                # zero cross-copy shingle matches
+            if name == "documents":
+                # EVERY copy gets a fixed-width per-copy token suffix
+                # (copy 0 included): equal-length suffixes make
+                # cross-copy token equality imply equal copy index, so
+                # collisions like 'xq1'(copy 0) == 'x'+'q1'(copy 1) are
+                # impossible; in-copy dup structure stays intact
                 c = c.withColumn("text", F.regexp_replace(
-                    "text", r"([A-Za-z0-9]+)", rf"$1q{i}"))
+                    "text", r"([A-Za-z0-9]+)", rf"$1q{i:03d}"))
             if name == "events" and i > 0 and "user_id" in df.columns:
                 c = c.withColumn("user_id", F.col("user_id") + i * 10_000_000)
             copies.append(c)

@@ -389,11 +389,19 @@ def cmd_show_serve(spark: SparkSession, cfg: dict, port: int,
     from stream2segment_spark.showserver import ShowApp, serve
 
     decoded, plots_kwargs = _decoded_selection(spark, cfg, plot_module)
+
+    def _reselect(conditions: dict):
+        # live selection (reference set_selection): same decode path
+        # under the NEW conditions
+        cfg2 = dict(cfg, segments_selection=conditions)
+        return _decoded_selection(spark, cfg2, None)[0]
+
     app = ShowApp(decoded, warehouse=cfg["warehouse"],
                   annotator=annotator,
                   plots=plots_kwargs.get(
                       "plots", ("trace", "cumulative", "spectrum")),
-                  extra_producers=plots_kwargs.get("extra_producers"))
+                  extra_producers=plots_kwargs.get("extra_producers"),
+                  select_fn=_reselect)
     serve(app, port=port)
     return 0
 

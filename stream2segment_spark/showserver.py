@@ -26,6 +26,9 @@ drawing SVG polylines from the JSON API. Routes (all JSON):
 ``POST /api/segment/<idx>/class``     body ``{"label": L, "value": bool}``
                                       -> toggles the labelling, returns the
                                       segment's labels
+``POST /api/selection``               body = conditions dict (selection
+                                      grammar) -> re-runs the selection,
+                                      returns the new num_segments
 ``GET  /``                            the interactive page
 ====================================  =====================================
 """
@@ -58,25 +61,50 @@ class ShowApp:
         extra_producers: dict | None = None,
         annotator: str | None = None,
         max_segments: int = 100_000,
+        select_fn=None,
     ):
-        self.segments = segments
         self.warehouse = warehouse
         self.id_col = id_col
-        self.label_cols = tuple(c for c in label_cols
-                                if c in segments.columns)
         self.plots = plots
         self.n_buckets = n_buckets
         self.extra_producers = extra_producers
         self.annotator = annotator
+        self.max_segments = max_segments
+        # optional live-selection hook (the reference GUI's
+        # set_selection route): conditions dict -> a new segments frame
+        self.select_fn = select_fn
+        self._install(segments)
+
+    def _install(self, segments: DataFrame) -> None:
+        self.segments = segments
+        self.label_cols = tuple(c for c in ("seed_id",)
+                                if c in segments.columns)
         # the navigation array, like the reference's g_segment_ids
         # (core.py:240+): ordered ids of the CURRENT selection, bounded
-        ids = [r[0] for r in segments.select(id_col).orderBy(id_col)
-               .limit(max_segments + 1).collect()]
-        if len(ids) > max_segments:
+        ids = [r[0] for r in segments.select(self.id_col)
+               .orderBy(self.id_col)
+               .limit(self.max_segments + 1).collect()]
+        if len(ids) > self.max_segments:
             raise ValueError(
-                f"selection exceeds {max_segments} segments; narrow "
+                f"selection exceeds {self.max_segments} segments; narrow "
                 f"segments_selection or raise max_segments")
         self.seg_ids = ids
+
+    def set_selection(self, conditions: dict | None) -> dict:
+        """Re-run the selection with new conditions (reference
+        views.py:75-87: set_selection rebuilds g_segment_ids; empty
+        selections are rejected the same way)."""
+        if self.select_fn is None:
+            raise ValueError("this viewer has no live-selection hook")
+        conditions = {k: v for k, v in (conditions or {}).items()
+                      if isinstance(v, str) and v.strip()}
+        segments = self.select_fn(conditions)
+        ids = [r[0] for r in segments.select(self.id_col)
+               .orderBy(self.id_col).limit(1).collect()]
+        if not ids:
+            raise ValueError("no segment matching the current selection")
+        self._install(segments)
+        return {"num_segments": len(self.seg_ids)}
 
     # -- API payloads ---------------------------------------------------
 
@@ -220,6 +248,8 @@ def _make_handler(app: ShowApp):
                     return self._json(app.set_class(
                         int(parts[2]), payload["label"],
                         payload.get("value", True)))
+                if parts[:2] == ["api", "selection"]:
+                    return self._json(app.set_selection(payload))
                 return self._json({"error": f"no route {self.path!r}"}, 404)
             except (KeyError, IndexError, ValueError, TypeError) as exc:
                 # TypeError covers e.g. a GET hitting the POST-only class

@@ -137,3 +137,45 @@ def test_labelling_counts_queryable_from_spark(spark, segs, wh_dir):
                 .groupBy("label").count().withColumnRenamed("count", "n")
                 .collect()}
     assert counts == {"Ok": 2, "LowS2N": 1}
+
+
+def test_show_server_live_selection(spark, segs, wh_dir):
+    """POST /api/selection re-runs the selection (reference
+    set_selection): the navigation array shrinks/grows, out-of-range
+    indices 400, empty selections are rejected."""
+    from pyspark.sql import functions as F
+
+    def select_fn(conditions):
+        df = segs
+        if conditions.get("id"):       # toy grammar: '<N' only
+            df = df.filter(F.col("id") < int(conditions["id"][1:]))
+        return df
+
+    app = ShowApp(segs, warehouse=wh_dir, select_fn=select_fn)
+    httpd = serve(app, port=0, background=True)
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        assert _get(base + "/api/init")["num_segments"] == 3
+        out = _post(base + "/api/selection", {"id": "<2"})
+        assert out == {"num_segments": 2}
+        assert _get(base + "/api/init")["num_segments"] == 2
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(base + "/api/segment/2")      # now out of range
+        assert ei.value.code == 400
+        # empty selection rejected, state unchanged
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/api/selection", {"id": "<0"})
+        assert ei.value.code == 400
+        assert _get(base + "/api/init")["num_segments"] == 2
+        # reset to everything (blank conditions are stripped)
+        out = _post(base + "/api/selection", {"id": "  "})
+        assert out == {"num_segments": 3}
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_show_app_without_hook_rejects_selection(spark, segs):
+    app = ShowApp(segs)
+    with pytest.raises(ValueError, match="no live-selection hook"):
+        app.set_selection({"id": "<2"})

@@ -797,3 +797,72 @@ def pq_topk_adc(corpus: DataFrame, queries: DataFrame,
         F.col("adc_dist").asc(), F.col(id_col))
     return (partial.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k).drop("rn"))
+
+
+def semantic_dedup(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    *, k: int = 8, iters: int = 2, scale: int = 1000, seed: str = "km",
+    threshold: float = 0.95, init: str = "hash",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540, public): k-means-cluster the embeddings, then
+    within each cluster mark every document whose max cosine similarity
+    to a LOWER-id cluster member reaches ``threshold`` as a semantic
+    duplicate (keep-first). Returns one row per input id:
+    ``(id_col, cluster_id, max_sim_prev, is_dup)`` — ``max_sim_prev``
+    is NULL for the first (lowest-id) usable vector of each cluster and
+    for zero vectors, which are never duplicates and never neighbors.
+
+    Determinism/exactness: clustering is ``kmeans_quantized`` (integer
+    grid, bit-replayable); pair cosines are computed on the SAME
+    quantized grid — integer dot products are exact in float64 (every
+    intermediate sum is an integer far below 2^53), norms are one IEEE
+    sqrt each and the quotient one IEEE divide, so the whole output
+    replays bit-for-bit in SQL.
+
+    Plan/scale: assignment is the scan-stage closure UDF; the only
+    extra shuffle is ONE groupBy on cluster_id, and the pair work is
+    O(sum_c n_c^2) — the SemDeDup contract is that k grows with the
+    corpus (k ~ n / target_cluster_size) so each cluster's block fits
+    one task (sub-block giant clusters like cosine_pairs_blocked if
+    they ever exceed memory). Nothing but k x dim centroids reaches the
+    driver."""
+    from stream2segment_spark.operators.clustering import (
+        kmeans_quantized, quantize_vec)
+
+    assigned, _ = kmeans_quantized(df, id_col, vec_col, k=k, iters=iters,
+                                   scale=scale, seed=seed, init=init)
+    wc = (df.select(F.col(id_col),
+                    quantize_vec(F.col(vec_col), scale).alias("__qvec"))
+          .join(assigned.select(id_col, "cluster_id"), id_col))
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (f"{id_col} {id_type}, cluster_id int, "
+                  "max_sim_prev double, is_dup boolean")
+
+    def _cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        mat = np.stack([np.asarray(v, dtype=np.int64)
+                        for v in pdf["__qvec"]]).astype(np.float64)
+        gram = mat @ mat.T                     # exact integer dots
+        norms = np.sqrt(np.diag(gram))         # one IEEE sqrt each
+        usable = norms > 0.0
+        n = len(pdf)
+        max_sim = np.full(n, np.nan)
+        idx = np.flatnonzero(usable)
+        for pos, i in enumerate(idx):
+            if pos == 0:
+                continue
+            prev = idx[:pos]
+            # dot / (n_i * n_j): one multiply, one divide — the exact
+            # order the SQL oracle replays
+            sims = gram[i, prev] / (norms[i] * norms[prev])
+            max_sim[i] = sims.max()
+        return pd.DataFrame({
+            id_col: pdf[id_col],
+            "cluster_id": pdf["cluster_id"].astype("int32"),
+            "max_sim_prev": max_sim,
+            "is_dup": np.where(np.isnan(max_sim), False,
+                               max_sim >= threshold).astype(bool),
+        })
+
+    return wc.groupBy("cluster_id").applyInPandas(_cluster, out_schema)

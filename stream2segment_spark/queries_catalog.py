@@ -129,6 +129,10 @@ def selection_dotted_joins(spark, sf_dir):
        JOIN orders o ON l.l_orderkey = o.o_orderkey
        JOIN customer c ON o.o_custkey = c.c_custkey
        WHERE c.c_mktsegment = 'BUILDING' AND l.l_discount > 0.05""",
+    # r4 late rotation: driver-green r1+r2+r3 (J2 family stays gated via
+    # selection_predicates/selection_dotted_joins) — frees the slot that
+    # gates sim_semantic_dedup.
+    gate=False,
 )
 def selection_two_hop(spark, sf_dir):
     """J2-style 2-hop relationship (lineitem->orders->customer), mirroring

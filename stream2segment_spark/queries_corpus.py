@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from stream2segment_spark.functions.packing import chunk_summary, pack_greedy
 from stream2segment_spark.operators.clustering import kmeans_quantized
+from stream2segment_spark.operators.similarity import semantic_dedup
 from stream2segment_spark.functions.sampling import (
     BUCKETS, temperature_rates, temperature_sample)
 from stream2segment_spark.operators import dedup as DD
@@ -395,6 +396,71 @@ def cluster_kmeans(spark, sf_dir):
     assigned, _ = kmeans_quantized(emb, "vec_id", "embedding",
                                    k=8, iters=2, seed="km")
     return assigned
+
+
+# the final k-means assignment (identical CTE chain to cluster_kmeans,
+# through two unrolled Lloyd iterations) — shared by sim_semantic_dedup
+_KM_ASSIGN_SQL = f"""q AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(round(
+                  CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v
+            FROM embeddings),
+       seeds AS (SELECT vec_id, v,
+              row_number() OVER (ORDER BY
+                  {_BUCKET_SQL.format(seed='km').replace('doc_id', 'vec_id')},
+                  vec_id) - 1 AS cid
+            FROM q),
+       c0 AS (SELECT cid, v AS c FROM seeds WHERE cid < 8),
+       {_KM_ITER_SQL.format(n=1, p=0)},
+       {_KM_ITER_SQL.format(n=2, p=1)},
+       a3 AS (SELECT q.vec_id, c.cid,
+              CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                   i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i]))) AS BIGINT)
+                  AS d2
+            FROM q CROSS JOIN c2 c),
+       asn AS (SELECT vec_id, cid FROM
+             (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY d2, cid) AS rn FROM a3)
+           WHERE rn = 1)"""
+
+
+@register(
+    "sim_semantic_dedup",
+    f"""WITH {_KM_ASSIGN_SQL},
+       vv AS (SELECT q.vec_id, q.v, asn.cid,
+              list_sum(list_transform(q.v, x -> x * x)) AS n2
+            FROM q JOIN asn USING (vec_id)),
+       p AS (SELECT a.vec_id,
+              max(CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                      i -> a.v[i] * b.v[i])) AS DOUBLE)
+                  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))))
+                  AS ms
+            FROM vv a JOIN vv b ON a.cid = b.cid AND b.vec_id < a.vec_id
+                 AND a.n2 > 0 AND b.n2 > 0
+            GROUP BY a.vec_id)
+       SELECT vv.vec_id, CAST(vv.cid AS INTEGER) AS cluster_id,
+              round(p.ms, 6) AS max_sim_prev,
+              coalesce(p.ms >= 0.35, FALSE) AS is_dup
+       FROM vv LEFT JOIN p USING (vec_id)""",
+)
+def sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup (operators/similarity.semantic_dedup; Abbas et al. 2023):
+    k-means clusters the embedding space, then each document is flagged a
+    semantic duplicate iff its max cosine to a LOWER-id member of its own
+    cluster reaches the threshold (keep-first). Pair cosines live on the
+    same integer grid as the clustering, so the oracle replays the ENTIRE
+    pipeline — both Lloyd iterations, the assignment, and every
+    within-cluster cosine — bit-for-bit in SQL. Threshold 0.35 (not a
+    production 0.95) so the synthetic corpus, which plants no true
+    near-dups, still exercises both flag branches. Spark plan: scan-stage
+    closure-UDF assignment, ONE cluster_id shuffle, per-cluster blocked
+    gram matmul; O(sum n_c^2) pair work bounded by k ~ n/cluster_size at
+    scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, "vec_id", "embedding",
+                         k=8, iters=2, seed="km", threshold=0.35)
+    return out.select("vec_id", "cluster_id",
+                      F.round("max_sim_prev", 6).alias("max_sim_prev"),
+                      "is_dup")
 
 
 @register(

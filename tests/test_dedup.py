@@ -548,3 +548,62 @@ def test_ivfpq_codes_scan_is_partition_pruned(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan, plan
     assert out.count() == 3
+
+
+def test_semantic_dedup_keep_first_and_nulls(spark):
+    """SemDeDup semantics on a planted frame: two tight pairs + one
+    isolated vector + one zero vector. Keep-first: the LOWER id of each
+    near pair survives, the higher id is flagged; first-of-cluster and
+    zero vectors carry NULL max_sim_prev and are never duplicates."""
+    import numpy as np
+
+    from stream2segment_spark.operators import similarity as SIM
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),     # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.01, 0.999, 0.0, 0.0]),     # near-dup of 3
+        (5, [0.0, 0.0, 1.0, 0.0]),        # isolated
+        (6, [0.0, 0.0, 0.0, 0.0]),        # zero vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.semantic_dedup(df, "vec_id", "embedding",
+                             k=2, iters=2, threshold=0.95).toPandas()
+    out = out.set_index("vec_id").sort_index()
+    dup_ids = set(out.index[out.is_dup])
+    # exactly one member of each tight pair is dropped, and it is the
+    # higher id; singles and the zero vector always survive
+    assert dup_ids == {2, 4}
+    assert out.loc[2, "max_sim_prev"] > 0.99
+    assert out.loc[4, "max_sim_prev"] > 0.99
+    # zero vector: no cosine defined -> NULL, never a dup
+    assert np.isnan(out.loc[6, "max_sim_prev"]) or out.loc[6, "max_sim_prev"] is None
+    assert not out.loc[6, "is_dup"]
+    # every input id comes back exactly once
+    assert sorted(out.index) == [1, 2, 3, 4, 5, 6]
+    # cluster assignment matches kmeans_quantized run independently
+    from stream2segment_spark.operators.clustering import kmeans_quantized
+    asn, _ = kmeans_quantized(df, "vec_id", "embedding", k=2, iters=2)
+    expect = {r["vec_id"]: r["cluster_id"] for r in asn.collect()}
+    assert {i: out.loc[i, "cluster_id"] for i in out.index} == expect
+
+
+def test_semantic_dedup_zero_vector_not_a_neighbor(spark):
+    """A zero vector earlier in the cluster must not poison later rows:
+    rows after it get max_sim_prev from USABLE predecessors only."""
+    from stream2segment_spark.operators import similarity as SIM
+
+    rows = [
+        (1, [0.0, 0.0]),            # zero vector, lowest id
+        (2, [1.0, 0.0]),            # first usable -> NULL max_sim_prev
+        (3, [1.0, 0.001]),          # near-dup of 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = (SIM.semantic_dedup(df, "vec_id", "embedding",
+                              k=1, iters=1, threshold=0.9)
+           .toPandas().set_index("vec_id").sort_index())
+    assert out.loc[2, "max_sim_prev"] != out.loc[2, "max_sim_prev"] \
+        or out.loc[2, "max_sim_prev"] is None  # NaN/NULL
+    assert not out.loc[2, "is_dup"]
+    assert out.loc[3, "is_dup"]

@@ -1,0 +1,103 @@
+"""Inverted-index keyword search over the documents table.
+
+Classic sparse retrieval as a training-data / corpus-inspection tool:
+tokenize once, build term postings (term -> doc, term frequency), score
+candidate documents with a BM25-style weight and return the top-k per
+query term. Reference parity: the reference engine has no text-retrieval
+surface; this is a beyond-reference LLM-pipeline capability (SURVEY §2
+"text analysis" family) mirroring public BM25 (Robertson-Sparck Jones).
+
+Exactness contract (same discipline as the rest of the repo): the score
+uses BM25's *rational* idf ratio ``(N - df + 0.5) / (df + 0.5)`` WITHOUT
+the log — natural log is not bit-portable across libm implementations,
+and the log is monotone so per-term ranking is unchanged. Every term of
+the score is then IEEE +,*,/ on doubles in a fixed evaluation order, so
+DuckDB replays values bit-for-bit.
+
+Plan/scale shape: the query-term filter is applied BEFORE the explode's
+shuffle (term list is a tiny literal/broadcast), so the (term, doc)
+aggregation only ever shuffles rows whose token matched a query term —
+at 100 TB the posting-list build is a filtered map + one keyed combine,
+not a full-corpus shuffle. Corpus stats (N, avgdl) are one scalar
+aggregate broadcast back; df per term is an aggregate of the already-tiny
+tf frame. The final top-k is a per-term window over candidate rows only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stream2segment_spark.operators.dedup import word_tokens
+
+
+def term_postings(docs: DataFrame, id_col: str, text_col: str,
+                  terms: list[str]) -> DataFrame:
+    """Posting rows ``(term, id, tf, dl)`` for the given query terms.
+
+    dl (document length in tokens) rides along map-side so scoring needs
+    no second scan of the text. Tokens are filtered to the term set
+    BEFORE the explode-aggregate, so only matching rows shuffle."""
+    toked = docs.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks"))
+    hits = (toked
+            .select(id_col, F.size("__toks").alias("dl"),
+                    F.explode(F.filter(
+                        "__toks",
+                        lambda t: t.isin(*terms))).alias("term"))
+            .groupBy("term", id_col, "dl")
+            .agg(F.count("*").alias("tf")))
+    return hits
+
+
+def corpus_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-row frame ``(n_docs, avgdl)``; avgdl = total_tokens / n_docs
+    as one exact integer-to-double division."""
+    toked = docs.select(F.size(word_tokens(F.col(text_col))).alias("dl"))
+    return toked.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))
+
+
+def bm25ish_scores(docs: DataFrame, id_col: str, text_col: str,
+                   terms: list[str], k1: float = 1.2, b: float = 0.75,
+                   ) -> DataFrame:
+    """Per-(term, doc) BM25-style scores:
+
+        idf   = (N - df + 0.5) / (df + 0.5)        -- rational, no log
+        score = idf * (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * (dl / avgdl)))
+
+    evaluated in exactly this operation order on doubles (bit-replayable
+    in SQL). Returns ``(term, id_col, tf, dl, score)``."""
+    if not terms:
+        raise ValueError("bm25ish_scores needs at least one query term")
+    hits = term_postings(docs, id_col, text_col, terms)
+    stats = corpus_stats(docs, id_col, text_col)
+    df_per_term = (hits.groupBy("term")
+                   .agg(F.count("*").alias("df")))
+    scored = (hits
+              .join(F.broadcast(df_per_term), "term")
+              .crossJoin(F.broadcast(stats)))
+    idf = (((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+           / (F.col("df").cast("double") + F.lit(0.5)))
+    denom = (F.col("tf").cast("double")
+             + F.lit(k1) * ((F.lit(1.0) - F.lit(b))
+                            + F.lit(b) * (F.col("dl").cast("double")
+                                          / F.col("avgdl"))))
+    score = idf * ((F.col("tf").cast("double")
+                    * (F.lit(k1) + F.lit(1.0))) / denom)
+    return scored.select("term", id_col, "tf", "dl",
+                         score.alias("score"))
+
+
+def search_topk(docs: DataFrame, id_col: str, text_col: str,
+                terms: list[str], k: int = 10,
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-k documents per query term by BM25-ish score, ties broken by
+    ascending id — fully deterministic. Returns
+    ``(term, id_col, tf, dl, score, rank)``."""
+    scored = bm25ish_scores(docs, id_col, text_col, terms, k1=k1, b=b)
+    w = Window.partitionBy("term").orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

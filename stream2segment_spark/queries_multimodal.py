@@ -90,6 +90,9 @@ def multimodal_probe(spark, sf_dir):
     """SELECT doc_id, CAST(u.k AS INT) AS frame_idx, 64 AS frame_len
        FROM documents,
             LATERAL (SELECT unnest(range(0, ((doc_id % 300) + 32) * 2 // 64, 2)) AS k) u""",
+    # r4 late rotation: driver-green r2+r3 (multimodal family stays gated
+    # via probe/audio/resize/features) — frees the slot gating corpus_search.
+    gate=False,
 )
 def multimodal_frames(spark, sf_dir):
     """Video-style frame sampling (every 2nd 64-byte frame) over a raw

@@ -355,3 +355,44 @@ def text_curation(spark, sf_dir):
     cont = DD.contamination_fractions(
         base, base.filter(did % 20 == 0), k=5)
     return pii.join(cont, "doc_id")
+
+
+@register(
+    "corpus_search",
+    f"""WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+       stats AS (SELECT count(*) AS n_docs,
+                  CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl FROM t),
+       hit AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM t),
+       tf AS (SELECT term, doc_id, dl, count(*) AS tf FROM hit
+              WHERE term IN ('join', 'scan', 'merge')
+              GROUP BY term, doc_id, dl),
+       d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       s AS (SELECT tf.term, tf.doc_id, tf.tf,
+                    CAST(tf.dl AS INTEGER) AS dl,
+                    ((CAST(n_docs - df AS DOUBLE) + 0.5::DOUBLE)
+                     / (CAST(df AS DOUBLE) + 0.5::DOUBLE))
+                    * ((CAST(tf AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE))
+                       / (CAST(tf AS DOUBLE)
+                          + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE)
+                              + 0.75::DOUBLE * (CAST(tf.dl AS DOUBLE)
+                                                / avgdl)))) AS score
+             FROM tf JOIN d USING (term), stats)
+       SELECT term, doc_id, tf, dl, round(score, 6) AS score,
+              CAST(row_number() OVER (PARTITION BY term
+                   ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+       FROM s QUALIFY rank <= 10""",
+)
+def corpus_search(spark, sf_dir):
+    """Inverted-index keyword search (operators/search.search_topk):
+    BM25-style sparse retrieval — postings built with the query-term
+    filter BEFORE the shuffle, rational idf ratio (N-df+0.5)/(df+0.5)
+    with no log (bit-portable; log is monotone so per-term ranking is
+    unchanged), fixed IEEE operation order so DuckDB replays every score
+    bit-for-bit. Top-10 per term, ties by doc_id. Beyond-reference
+    LLM-pipeline capability (corpus inspection / retrieval)."""
+    from stream2segment_spark.operators.search import search_topk
+    docs = load_table(spark, sf_dir, "documents")
+    out = search_topk(docs, "doc_id", "text",
+                      ["join", "scan", "merge"], k=10)
+    return out.select("term", "doc_id", "tf", "dl",
+                      F.round("score", 6).alias("score"), "rank")

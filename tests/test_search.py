@@ -1,0 +1,59 @@
+"""operators/search: inverted-index BM25-ish retrieval."""
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from stream2segment_spark.operators import search as S
+
+
+def _bm25ish(tf, df, dl, n_docs, avgdl, k1=1.2, b=0.75):
+    idf = (n_docs - df + 0.5) / (df + 0.5)
+    # parenthesization matters at the ulp level: the operator contract is
+    # idf * (num / denom), not (idf * num) / denom
+    return idf * ((tf * (k1 + 1.0))
+                  / (tf + k1 * ((1.0 - b) + b * (dl / avgdl))))
+
+
+def test_search_scores_match_hand_computation(spark):
+    rows = [
+        (1, "spark spark spark join"),          # tf(spark)=3, dl=4
+        (2, "spark join join"),                 # tf(spark)=1, dl=3
+        (3, "filter scan merge hash row"),      # no hit for 'spark'
+        (4, "spark"),                           # tf=1, dl=1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (S.search_topk(docs, "doc_id", "text", ["spark", "join"], k=10)
+           .toPandas().set_index(["term", "doc_id"]).sort_index())
+    n_docs, avgdl = 4, (4 + 3 + 5 + 1) / 4
+    # df(spark)=3, df(join)=2
+    for (term, doc), (tf, dl, dfc) in {
+            ("spark", 1): (3, 4, 3), ("spark", 2): (1, 3, 3),
+            ("spark", 4): (1, 1, 3),
+            ("join", 1): (1, 4, 2), ("join", 2): (2, 3, 2)}.items():
+        got = out.loc[(term, doc), "score"]
+        want = _bm25ish(tf, dfc, dl, n_docs, avgdl)
+        assert math.isclose(got, want, rel_tol=0, abs_tol=0), (term, doc)
+    # ranking: per term, scores descend; ties impossible here
+    for term in ("spark", "join"):
+        sub = out.loc[term].sort_values("rank")
+        assert list(sub["score"]) == sorted(sub["score"], reverse=True)
+    # no-hit doc never appears
+    assert 3 not in out.index.get_level_values("doc_id")
+
+
+def test_search_topk_truncates_and_tie_breaks(spark):
+    # five docs with IDENTICAL single-token text: same score, rank by id
+    rows = [(i, "alpha") for i in range(1, 6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (S.search_topk(docs, "doc_id", "text", ["alpha"], k=3)
+           .toPandas().sort_values("rank"))
+    assert list(out["doc_id"]) == [1, 2, 3]
+    assert list(out["rank"]) == [1, 2, 3]
+
+
+def test_search_empty_terms_raises(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="term"):
+        S.bm25ish_scores(docs, "doc_id", "text", [])

@@ -742,9 +742,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--neardup-threshold", type=float, default=None,
                    help="default is mode-specific: 0.7 (minhash Jaccard)\n or 0.95 (cosine — unrelated same-language docs sit near 0.7-0.8)")
     p.add_argument("--neardup-mode", default="minhash",
-                   choices=["minhash", "cosine"],
-                   help="lexical MinHash/Jaccard or hashed-embedding "
-                        "cosine near-dup")
+                   choices=["minhash", "cosine", "semantic"],
+                   help="lexical MinHash/Jaccard, hashed-embedding "
+                        "cosine near-dup, or SemDeDup (k-means clusters "
+                        "+ within-cluster keep-first)")
     p.add_argument("--line-max-df", type=int, default=None,
                    help="drop lines in more than N distinct docs")
     p.add_argument("--max-dup-frac", type=float, default=None,
@@ -761,6 +762,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pack-budget", type=int, default=None,
                    help="token budget per training chunk")
     p.add_argument("--pack-shards", type=int, default=64)
+    p = sub.add_parser(
+        "search",
+        help="keyword search over a corpus parquet: BM25-style "
+             "inverted-index scoring, top-k per query term "
+             "(beyond-reference)")
+    p.add_argument("-i", "--infile", required=True,
+                   help="corpus parquet (needs id + text columns)")
+    p.add_argument("-q", "--query", required=True,
+                   help="space-separated query terms")
+    p.add_argument("-k", "--topk", type=int, default=10)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
     p = sub.add_parser(
         "ingest",
         help="incrementally ingest parquet file drops from a landing "
@@ -808,6 +821,30 @@ def main(argv: list[str] | None = None) -> int:
                 neardup_threshold=args.neardup_threshold)
             print(f"corpus now holds {out.count()} document(s) "
                   f"at {args.corpus}")
+            return 0
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "search":  # no config file: all-flags command
+        import json
+
+        from stream2segment_spark.operators.search import search_topk
+        from stream2segment_spark.session import get_spark
+        terms = args.query.split()
+        if not terms:
+            print("search: empty query", file=sys.stderr)
+            return 2
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-search")
+        try:
+            docs = spark.read.parquet(args.infile)
+            rows = search_topk(docs, args.id_col, args.text_col, terms,
+                               k=args.topk).collect()
+            for r in rows:
+                print(json.dumps({
+                    "term": r["term"], args.id_col: r[args.id_col],
+                    "rank": r["rank"], "tf": r["tf"], "dl": r["dl"],
+                    "score": round(r["score"], 6)}))
             return 0
         finally:
             if not preexisting:

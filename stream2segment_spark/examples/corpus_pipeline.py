@@ -54,6 +54,7 @@ def curate_corpus(
     max_top_token_frac: float = 0.2,
     neardup_threshold: float | None = None,
     neardup_mode: str = "minhash",
+    semantic_k: int = 64,
     split_fractions: dict[str, float] | None = None,
     line_max_df: int | None = None,
     max_dup_frac: float | None = None,
@@ -151,12 +152,17 @@ def curate_corpus(
     # (Hamming-1 multi-probe) verified by exact cosine (the brief's
     # embedding-cosine near-dup; catches reorderings Jaccard-on-shingles
     # scores lower). Both: cluster with CC, keep min-id per cluster.
+    # 'semantic': SemDeDup — k-means clusters + within-cluster keep-first
+    # (no pair graph; bounded pair work O(Σ n_c²) instead of LSH recall).
     # The default threshold is MODE-SPECIFIC: the two scores live on
     # different scales — unrelated documents sit near Jaccard ~0 but
     # hashed-3-gram cosine ~0.7-0.8 (same-language base rate), so a
     # Jaccard-tuned 0.7 under cosine would mass-delete non-duplicates.
+    # 'semantic' shares the cosine scale (hashed-3-gram base rate ~0.7-0.8
+    # for unrelated same-language docs)
     if neardup_threshold is None:
-        neardup_threshold = 0.95 if neardup_mode == "cosine" else 0.7
+        neardup_threshold = (0.95 if neardup_mode in ("cosine", "semantic")
+                             else 0.7)
     exact = exact.persist()  # feeds signature build, verify AND anti-join
     if persists is not None:
         persists.append(exact)
@@ -180,12 +186,30 @@ def curate_corpus(
         pairs = lsh_bucket_neardup(
             emb, id_col=id_col, vec_col="embedding", dim=64,
             num_planes=10, threshold=neardup_threshold, multiprobe=True)
+    elif neardup_mode == "semantic":
+        # SemDeDup: cluster the hashed embeddings, keep-first within
+        # clusters — no pair graph / CC needed (the operator's keep-first
+        # already picks one canonical doc per semantic neighborhood)
+        from stream2segment_spark.functions.embeddings import (
+            hashed_ngram_embeddings)
+        from stream2segment_spark.operators.similarity import semantic_dedup
+        emb = hashed_ngram_embeddings(
+            exact.select(id_col, text_col), text_col, id_col)
+        # clamp k to the (possibly tiny) corpus: limit().count() stops
+        # scanning at semantic_k rows, so this never costs a full pass
+        k_eff = min(semantic_k, emb.limit(semantic_k).count())
+        flags = semantic_dedup(emb, id_col, "embedding",
+                               k=max(k_eff, 1),
+                               threshold=neardup_threshold)
+        losers = flags.filter(F.col("is_dup")).select(id_col)
+        pairs = None
     else:
         raise ValueError(f"unknown neardup_mode {neardup_mode!r}")
-    cc = connected_components(pairs, "id_a", "id_b")
-    # drop every near-dup that is not its cluster's canonical (min) id
-    losers = (cc.filter(F.col("id") != F.col("cluster_id"))
-              .select(F.col("id").alias(id_col)))
+    if pairs is not None:
+        cc = connected_components(pairs, "id_a", "id_b")
+        # drop every near-dup that is not its cluster's canonical (min) id
+        losers = (cc.filter(F.col("id") != F.col("cluster_id"))
+                  .select(F.col("id").alias(id_col)))
     # Persisted: both the funnel's near_dedup count and the caller's
     # write of ``curated`` read it — without the cache each consumer
     # re-runs the whole candidate->verify->CC near-dup stage.

@@ -485,3 +485,42 @@ def test_curate_cli_missing_columns(spark, tmp_path, capsys):
     assert rc == 2
     err = capsys.readouterr().err
     assert "doc_id" in err and "text" in err and "source" in err
+
+
+def test_search_cli(spark, capsys):
+    """'s2s search': one JSON line per hit, ranked per term, values
+    matching the operator run directly."""
+    import json
+
+    rc = cli.main(["search", "-i",
+                   "/root/testdata/sf0.001/documents.parquet",
+                   "-q", "join scan", "-k", "3"])
+    assert rc == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines and {l["term"] for l in lines} == {"join", "scan"}
+    for term in ("join", "scan"):
+        sub = [l for l in lines if l["term"] == term]
+        assert [l["rank"] for l in sub] == [1, 2, 3]
+        assert all(a["score"] >= b["score"] for a, b in zip(sub, sub[1:]))
+    from stream2segment_spark.operators.search import search_topk
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    direct = {(r["term"], r["rank"]): r["doc_id"]
+              for r in search_topk(docs, "doc_id", "text",
+                                   ["join", "scan"], k=3).collect()}
+    assert {(l["term"], l["rank"]): l["doc_id"]
+            for l in lines} == direct
+
+
+def test_search_cli_semantic_curate_mode(tmp_path, capsys):
+    """'s2s curate --neardup-mode semantic' runs end-to-end from the CLI."""
+    import json
+
+    out = tmp_path / "sem"
+    rc = cli.main([
+        "curate", "-i", "/root/testdata/sf0.001/documents.parquet",
+        "-o", str(out), "--languages", "en,und", "--min-quality", "0",
+        "--min-tokens", "1", "--neardup-mode", "semantic"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["exact_dedup"] >= stats["near_dedup"] > 0

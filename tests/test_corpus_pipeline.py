@@ -161,3 +161,36 @@ def test_curate_cut_dup_substrings_cleans_not_drops(spark):
     for d, r in got.items():
         assert "shared0" not in r.text        # the run is gone
         assert f"marker{d}" in r.text         # the unique part remains
+
+
+def test_semantic_neardup_mode(spark):
+    """neardup_mode='semantic' (SemDeDup): survivors are EXACTLY the
+    exact-dedup stage's survivors minus the docs semantic_dedup flags at
+    the same (k, threshold). (A second pass over the survivors may flag
+    more — re-clustering a changed corpus moves centroids — so
+    idempotence is deliberately NOT asserted.)"""
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    kw = dict(languages=("en", "und"), min_quality=0.0,
+              token_band=(1, 100_000), neardup_mode="semantic",
+              semantic_k=8)
+    out, funnel = curate_corpus(docs, neardup_threshold=0.95, **kw)
+    f = funnel.collect()[0]
+    assert 0 < f["near_dedup"] < f["exact_dedup"]
+    # threshold > 1 disables flagging: that run's output IS the
+    # exact-dedup stage's survivors
+    base, funnel0 = curate_corpus(docs, neardup_threshold=1.01, **kw)
+    f0 = funnel0.collect()[0]
+    assert f0["near_dedup"] == f0["exact_dedup"]
+    from stream2segment_spark.functions.embeddings import (
+        hashed_ngram_embeddings)
+    from stream2segment_spark.operators.similarity import semantic_dedup
+    emb = hashed_ngram_embeddings(base.select("doc_id", "text"),
+                                  "text", "doc_id")
+    flagged = {r.doc_id for r in
+               semantic_dedup(emb, "doc_id", "embedding", k=8,
+                              threshold=0.95)
+               .filter("is_dup").collect()}
+    assert flagged
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    out_ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert out_ids == base_ids - flagged

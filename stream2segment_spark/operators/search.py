@@ -37,9 +37,13 @@ def term_postings(docs: DataFrame, id_col: str, text_col: str,
 
     dl (document length in tokens) rides along map-side so scoring needs
     no second scan of the text. Tokens are filtered to the term set
-    BEFORE the explode-aggregate, so only matching rows shuffle."""
+    BEFORE the explode-aggregate, so only matching rows shuffle. NULL
+    text tokenizes as empty (dl 0, no hits) — without the coalesce,
+    Spark's size(NULL)=-1 would poison avgdl while SQL sum() skips
+    NULLs."""
     toked = docs.select(
-        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks"))
+        F.col(id_col),
+        word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"))
     hits = (toked
             .select(id_col, F.size("__toks").alias("dl"),
                     F.explode(F.filter(
@@ -53,7 +57,8 @@ def term_postings(docs: DataFrame, id_col: str, text_col: str,
 def corpus_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-row frame ``(n_docs, avgdl)``; avgdl = total_tokens / n_docs
     as one exact integer-to-double division."""
-    toked = docs.select(F.size(word_tokens(F.col(text_col))).alias("dl"))
+    toked = docs.select(F.size(word_tokens(
+        F.coalesce(F.col(text_col), F.lit("")))).alias("dl"))
     return toked.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))

@@ -583,7 +583,8 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
                min_quality: float, min_tokens: int, max_tokens: int,
                neardup_threshold: float, neardup_mode: str,
                line_max_df, max_dup_frac, cut_dup_substrings, mix_col,
-               mix_alpha: float, pack_budget, pack_shards: int) -> int:
+               mix_alpha: float, pack_budget, pack_shards: int,
+               semantic_k: int | None = None) -> int:
     """'s2s curate': the corpus-curation funnel (beyond-reference,
     examples/corpus_pipeline.curate_corpus) as a CLI: documents parquet
     in -> curated parquet + one funnel JSON line on stdout."""
@@ -605,6 +606,7 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
         languages=tuple(s for s in languages.split(",") if s),
         min_quality=min_quality, token_band=(min_tokens, max_tokens),
         neardup_threshold=neardup_threshold, neardup_mode=neardup_mode,
+        semantic_k=semantic_k,
         line_max_df=line_max_df, max_dup_frac=max_dup_frac,
         cut_dup_substrings=cut_dup_substrings,
         mix_strata_col=mix_col, mix_alpha=mix_alpha,
@@ -746,6 +748,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="lexical MinHash/Jaccard, hashed-embedding "
                         "cosine near-dup, or SemDeDup (k-means clusters "
                         "+ within-cluster keep-first)")
+    p.add_argument("--semantic-k", type=int, default=None,
+                   help="cluster count for --neardup-mode semantic "
+                        "(default: corpus_size/4096, the operator's "
+                        "k-grows-with-the-corpus contract)")
     p.add_argument("--line-max-df", type=int, default=None,
                    help="drop lines in more than N distinct docs")
     p.add_argument("--max-dup-frac", type=float, default=None,
@@ -838,6 +844,12 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name="s2s-search")
         try:
             docs = spark.read.parquet(args.infile)
+            missing = {args.id_col, args.text_col} - set(docs.columns)
+            if missing:
+                print(f"error: {args.infile} lacks required column(s) "
+                      f"{sorted(missing)} (has: {sorted(docs.columns)})",
+                      file=sys.stderr)
+                return 2
             rows = search_topk(docs, args.id_col, args.text_col, terms,
                                k=args.topk).collect()
             for r in rows:
@@ -861,7 +873,8 @@ def main(argv: list[str] | None = None) -> int:
                               args.line_max_df, args.max_dup_frac,
                               args.cut_dup_substrings,
                               args.mix_col, args.mix_alpha,
-                              args.pack_budget, args.pack_shards)
+                              args.pack_budget, args.pack_shards,
+                              args.semantic_k)
         finally:
             if not preexisting:
                 spark.stop()

@@ -54,7 +54,7 @@ def curate_corpus(
     max_top_token_frac: float = 0.2,
     neardup_threshold: float | None = None,
     neardup_mode: str = "minhash",
-    semantic_k: int = 64,
+    semantic_k: int | None = None,
     split_fractions: dict[str, float] | None = None,
     line_max_df: int | None = None,
     max_dup_frac: float | None = None,
@@ -193,15 +193,29 @@ def curate_corpus(
         from stream2segment_spark.functions.embeddings import (
             hashed_ngram_embeddings)
         from stream2segment_spark.operators.similarity import semantic_dedup
+        # persisted: the embedding UDF is the expensive pass and feeds
+        # the count below plus kmeans' seed scan, both Lloyd iterations'
+        # assignments and the final pair stage — uncached it would be
+        # re-evaluated for each
         emb = hashed_ngram_embeddings(
-            exact.select(id_col, text_col), text_col, id_col)
-        # clamp k to the (possibly tiny) corpus: limit().count() stops
-        # scanning at semantic_k rows, so this never costs a full pass
-        k_eff = min(semantic_k, emb.limit(semantic_k).count())
-        flags = semantic_dedup(emb, id_col, "embedding",
-                               k=max(k_eff, 1),
-                               threshold=neardup_threshold)
-        losers = flags.filter(F.col("is_dup")).select(id_col)
+            exact.select(id_col, text_col), text_col, id_col).persist()
+        if persists is not None:
+            persists.append(emb)
+        # one cached count serves the empty-corpus short-circuit AND the
+        # auto k scale rule
+        n_emb = emb.count()
+        if n_emb == 0:
+            losers = exact.select(id_col).limit(0)
+        else:
+            # auto k targets ~4096 docs/cluster so the gram matrix one
+            # task builds stays ~128 MB (the operator's 'k grows with
+            # the corpus' contract); an explicit semantic_k overrides,
+            # clamped to the corpus size
+            k_eff = (min(semantic_k, n_emb) if semantic_k is not None
+                     else max(1, -(-n_emb // 4096)))
+            flags = semantic_dedup(emb, id_col, "embedding",
+                                   k=k_eff, threshold=neardup_threshold)
+            losers = flags.filter(F.col("is_dup")).select(id_col)
         pairs = None
     else:
         raise ValueError(f"unknown neardup_mode {neardup_mode!r}")

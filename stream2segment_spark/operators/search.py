@@ -25,10 +25,26 @@ tf frame. The final top-k is a per-term window over candidate rows only.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from stream2segment_spark.operators.dedup import word_tokens
+
+
+def normalize_terms(terms: list[str]) -> list[str]:
+    """Apply the corpus tokenization to the QUERY side: lowercase, split
+    on non-alphanumeric runs, drop empties, dedupe preserving order.
+    Without this, 'Spark' or \"don't\" could never match a corpus whose
+    tokens are all lowercase alphanumeric — raw user terms must go
+    through the same normalization the documents did."""
+    out: list[str] = []
+    for t in terms:
+        for tok in re.split(r"[^a-z0-9]+", t.lower()):
+            if tok and tok not in out:
+                out.append(tok)
+    return out
 
 
 def term_postings(docs: DataFrame, id_col: str, text_col: str,
@@ -41,6 +57,10 @@ def term_postings(docs: DataFrame, id_col: str, text_col: str,
     text tokenizes as empty (dl 0, no hits) — without the coalesce,
     Spark's size(NULL)=-1 would poison avgdl while SQL sum() skips
     NULLs."""
+    terms = normalize_terms(terms)
+    if not terms:
+        raise ValueError("term_postings needs at least one query term "
+                         "that survives tokenization")
     toked = docs.select(
         F.col(id_col),
         word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"))
@@ -73,15 +93,25 @@ def bm25ish_scores(docs: DataFrame, id_col: str, text_col: str,
         score = idf * (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * (dl / avgdl)))
 
     evaluated in exactly this operation order on doubles (bit-replayable
-    in SQL). Returns ``(term, id_col, tf, dl, score)``."""
+    in SQL). Returns ``(term, id_col, tf, dl, score)``.
+
+    Query terms are normalized with the corpus tokenization first
+    (:func:`normalize_terms`). The per-term document frequency comes
+    from a window over the hits — NOT a groupBy+self-join, which would
+    evaluate the tokenize-and-filter lineage twice; this way the corpus
+    is tokenized once for the postings and once for the global stats,
+    and nothing else. (The window's partition is one term's posting
+    list — bounded by the most common query term, the usual inverted-
+    index skew contract.)"""
+    terms = normalize_terms(terms)
     if not terms:
-        raise ValueError("bm25ish_scores needs at least one query term")
+        raise ValueError("bm25ish_scores needs at least one query term "
+                         "that survives tokenization")
     hits = term_postings(docs, id_col, text_col, terms)
     stats = corpus_stats(docs, id_col, text_col)
-    df_per_term = (hits.groupBy("term")
-                   .agg(F.count("*").alias("df")))
     scored = (hits
-              .join(F.broadcast(df_per_term), "term")
+              .withColumn("df", F.count("*").over(
+                  Window.partitionBy("term")))
               .crossJoin(F.broadcast(stats)))
     idf = (((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
            / (F.col("df").cast("double") + F.lit(0.5)))

@@ -357,49 +357,9 @@ _KM_ITER_SQL = """
             GROUP BY cp.cid)"""
 
 
-@register(
-    "cluster_kmeans",
-    f"""WITH q AS (SELECT vec_id,
-              list_transform(embedding, x -> CAST(round(
-                  CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v
-            FROM embeddings),
-       seeds AS (SELECT vec_id, v,
-              row_number() OVER (ORDER BY
-                  {_BUCKET_SQL.format(seed='km').replace('doc_id', 'vec_id')},
-                  vec_id) - 1 AS cid
-            FROM q),
-       c0 AS (SELECT cid, v AS c FROM seeds WHERE cid < 8),
-       {_KM_ITER_SQL.format(n=1, p=0)},
-       {_KM_ITER_SQL.format(n=2, p=1)},
-       a3 AS (SELECT q.vec_id, c.cid,
-              CAST(list_sum(list_transform(range(1, len(q.v) + 1),
-                   i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i]))) AS BIGINT)
-                  AS d2
-            FROM q CROSS JOIN c2 c)
-       SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id, d2 AS dist2 FROM
-         (SELECT *, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY d2, cid) AS rn FROM a3)
-       WHERE rn = 1""",
-    # gate-checked: the slot freed by the dedup_exact_docs rotation.
-)
-def cluster_kmeans(spark, sf_dir):
-    """Distributed Lloyd k-means over the embedding column
-    (operators/clustering.kmeans_quantized, k=8, 2 iterations):
-    semantic clustering for domain discovery / cluster-balanced corpus
-    sampling. Integer-quantized grid makes every distance, argmin and
-    centroid update bit-replayable in DuckDB (module docstring); the
-    oracle replays both Lloyd iterations as unrolled CTEs. Spark plan:
-    assignment is scan-stage expressions over a broadcast centroid
-    literal; one map-side-combined (cluster, dim) shuffle per iteration;
-    only k x dim longs ever reach the driver."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    assigned, _ = kmeans_quantized(emb, "vec_id", "embedding",
-                                   k=8, iters=2, seed="km")
-    return assigned
-
-
-# the final k-means assignment (identical CTE chain to cluster_kmeans,
-# through two unrolled Lloyd iterations) — shared by sim_semantic_dedup
+# the final k-means assignment CTE chain (two unrolled Lloyd iterations
+# + argmin with d2) — the SINGLE source for both cluster_kmeans and
+# sim_semantic_dedup oracles
 _KM_ASSIGN_SQL = f"""q AS (SELECT vec_id,
               list_transform(embedding, x -> CAST(round(
                   CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v
@@ -417,10 +377,33 @@ _KM_ASSIGN_SQL = f"""q AS (SELECT vec_id,
                    i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i]))) AS BIGINT)
                   AS d2
             FROM q CROSS JOIN c2 c),
-       asn AS (SELECT vec_id, cid FROM
+       asn AS (SELECT vec_id, cid, d2 FROM
              (SELECT *, row_number() OVER (PARTITION BY vec_id
                         ORDER BY d2, cid) AS rn FROM a3)
            WHERE rn = 1)"""
+
+
+@register(
+    "cluster_kmeans",
+    f"""WITH {_KM_ASSIGN_SQL}
+       SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id, d2 AS dist2
+       FROM asn""",
+    # gate-checked: the slot freed by the dedup_exact_docs rotation.
+)
+def cluster_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means over the embedding column
+    (operators/clustering.kmeans_quantized, k=8, 2 iterations):
+    semantic clustering for domain discovery / cluster-balanced corpus
+    sampling. Integer-quantized grid makes every distance, argmin and
+    centroid update bit-replayable in DuckDB (module docstring); the
+    oracle replays both Lloyd iterations as unrolled CTEs. Spark plan:
+    assignment is scan-stage expressions over a broadcast centroid
+    literal; one map-side-combined (cluster, dim) shuffle per iteration;
+    only k x dim longs ever reach the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_quantized(emb, "vec_id", "embedding",
+                                   k=8, iters=2, seed="km")
+    return assigned
 
 
 @register(

@@ -57,3 +57,19 @@ def test_search_empty_terms_raises(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="term"):
         S.bm25ish_scores(docs, "doc_id", "text", [])
+
+
+def test_search_normalizes_query_terms(spark):
+    """'Spark' / 'don't' / 'C++' must match the lowercased alnum corpus
+    tokens; normalization also splits multi-token queries and dedupes."""
+    from stream2segment_spark.operators.search import normalize_terms
+
+    assert normalize_terms(["Spark", "don't", "C++", "spark"]) == \
+        ["spark", "don", "t", "c"]
+    docs = spark.createDataFrame(
+        [(1, "spark rules"), (2, "nothing here")],
+        "doc_id long, text string")
+    out = S.search_topk(docs, "doc_id", "text", ["Spark!"], k=5).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    with pytest.raises(ValueError, match="term"):
+        S.bm25ish_scores(docs, "doc_id", "text", ["!!!", "--"])

@@ -196,3 +196,30 @@ def test_lsh_hot_bucket_gets_aqe_skew_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_corpus_search_filters_before_shuffle(spark):
+    """The query-term filter must sit INSIDE the scan-side projection
+    (inside the explode input), so only matching tokens ever shuffle —
+    at corpus scale the postings build is a filtered map + one keyed
+    combine, not a full-corpus explode-then-filter."""
+    plan = _optimized(QUERIES["corpus_search"](spark, SF_DIR_SMOKE))
+    # the term list appears as an array_contains/IN filter under the
+    # generate (explode) input, not as a post-shuffle Filter on term
+    gen = plan.split("Generate", 1)[1]
+    # the explode input is filter(__toks, x IN (...)) — the IN sits
+    # inside the Generate, not in a Filter above it
+    assert re.search(r"explode\(filter\(.* IN \(", "Generate" + gen), plan
+    phys = _physical(QUERIES["corpus_search"](spark, SF_DIR_SMOKE))
+    # partial (map-side) + final aggregation pair for the tf groupBy
+    assert phys.count("HashAggregate") >= 2, phys
+
+
+def test_semantic_dedup_single_pair_shuffle(spark):
+    """sim_semantic_dedup's pair stage is ONE groupBy(cluster_id)
+    applyInPandas — no join/cross-product in the pair computation (the
+    gram matmul happens inside the task), and the k-means assignment is
+    the scan-stage closure UDF."""
+    phys = _physical(QUERIES["sim_semantic_dedup"](spark, SF_DIR_SMOKE))
+    assert "FlatMapGroupsInPandas" in phys, phys
+    assert "CartesianProduct" not in phys and "NestedLoop" not in phys, phys

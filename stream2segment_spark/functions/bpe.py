@@ -1,0 +1,144 @@
+"""Distributed BPE tokenizer training (byte-pair encoding, Sennrich et
+al. 2016 — public algorithm) over a document corpus.
+
+Training is the classic loop: start from characters, repeatedly count
+adjacent symbol pairs across the corpus (weighted by word frequency),
+merge the most frequent pair everywhere, repeat. The Spark shape
+mirrors ``operators.clustering.kmeans_quantized``'s driver-round
+pattern:
+
+- ONE corpus pass builds the distinct-word frequency table (the classic
+  BPE trick: all further work is over distinct WORDS x their corpus
+  counts, never the corpus again — vocabulary-sized, cached).
+- Each merge round is: pair explode + one map-side-combined (a, b)
+  count shuffle + a driver argmax of a vocabulary-bounded aggregate
+  (only the single best pair crosses the driver, like k x dim
+  centroids), then a pure-JVM fold rewrites the symbol arrays.
+- Greedy left-to-right application is an ``F.aggregate`` fold with a
+  (output, pending) struct accumulator — exact BPE semantics including
+  runs of identical symbols ("aaa" + merge (a,a) -> ["aa", "a"]), no
+  Python in the loop.
+
+Determinism: ties on pair count break lexicographically on (left,
+right) — bit-replayable in SQL, where each round is an unrolled CTE
+chain (pair counts -> scalar argmax pick -> windowed gaps-and-islands
+greedy rewrite; see queries_corpus._BPE_ROUND_SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stream2segment_spark.operators.dedup import word_tokens
+
+
+def word_freq_table(docs: DataFrame, text_col: str) -> DataFrame:
+    """Distinct words with corpus frequencies and initial character
+    symbols: ``(word, freq, syms)``. The single corpus-sized pass of
+    BPE training."""
+    return (docs
+            .select(F.explode(word_tokens(
+                F.coalesce(F.col(text_col), F.lit("")))).alias("word"))
+            .groupBy("word").agg(F.count("*").alias("freq"))
+            .withColumn("syms", F.regexp_extract_all(
+                "word", F.lit("(.)"), 1)))
+
+
+def pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency:
+    ``(left, right, cnt)``."""
+    pairs = F.when(
+        F.size("syms") >= 2,
+        F.transform(F.sequence(F.lit(0), F.size("syms") - 2),
+                    lambda i: F.struct(
+                        F.get("syms", i).alias("left"),
+                        F.get("syms", i + 1).alias("right")))
+    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+    return (words.select("freq", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.left").alias("left"),
+                     F.col("p.right").alias("right"))
+            .agg(F.sum("freq").alias("cnt")))
+
+
+def apply_merge(sym_col, left: str, right: str):
+    """Greedy left-to-right merge of every adjacent (left, right) pair in
+    a symbol array — the exact BPE rewrite, as ONE JVM fold. Runs of an
+    identical symbol merge alternately from the left (pending resets
+    after a merge), matching reference BPE."""
+    merged = left + right
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"))
+
+    def step(acc, x):
+        return (
+            F.when(acc["pend"].isNull(),
+                   F.struct(acc["out"].alias("out"), x.alias("pend")))
+            .when((acc["pend"] == left) & (x == right),
+                  F.struct(F.concat(acc["out"], F.array(F.lit(merged)))
+                            .alias("out"),
+                           F.lit(None).cast("string").alias("pend")))
+            .otherwise(
+                F.struct(F.concat(acc["out"], F.array(acc["pend"]))
+                          .alias("out"),
+                         x.alias("pend"))))
+
+    def finish(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]) \
+                .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+
+    return F.aggregate(sym_col, acc0, step, finish)
+
+
+def bpe_train(docs: DataFrame, text_col: str, n_merges: int,
+              ) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Train ``n_merges`` BPE merges; returns (merges, words) where
+    merges is ``[(left, right, pair_count), ...]`` in training order and
+    ``words`` is the final ``(word, freq, syms)`` segmentation table.
+
+    Each round's argmax is deterministic: highest corpus-weighted count,
+    ties to the lexicographically smallest (left, right). Stops early
+    (fewer than ``n_merges`` rows) when no pair remains."""
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    words = word_freq_table(docs, text_col).persist()
+    words.count()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            top = (pair_counts(words)
+                   .orderBy(F.col("cnt").desc(), "left", "right")
+                   .limit(1).collect())
+            if not top:
+                break
+            left, right, cnt = top[0]["left"], top[0]["right"], top[0]["cnt"]
+            merges.append((left, right, int(cnt)))
+            nxt = words.withColumn(
+                "syms", apply_merge(F.col("syms"), left, right)).persist()
+            nxt.count()
+            words.unpersist()
+            words = nxt
+        return merges, words
+    except Exception:
+        words.unpersist()
+        raise
+
+
+def bpe_segment(text_col, merges: list[tuple[str, str, int]]):
+    """Segment raw text with a trained merge table: word-tokenize, split
+    each word to characters, apply every merge in training order.
+    Returns an ``array<array<string>>`` column (per-word subword
+    sequences) — flatten for a flat subword stream. Pure expressions;
+    merge application unrolls to ``len(merges)`` nested folds (fine for
+    the usual few-thousand-merge vocab when segmenting with a saved
+    table; tokenization at scale would bake merges into a broadcast
+    pandas UDF instead)."""
+    def seg_word(w):
+        syms = F.regexp_extract_all(w, F.lit("(.)"), 1)
+        for left, right, _ in merges:
+            syms = apply_merge(syms, left, right)
+        return syms
+
+    return F.transform(word_tokens(F.coalesce(text_col, F.lit(""))),
+                       seg_word)

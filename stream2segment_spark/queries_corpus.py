@@ -479,3 +479,83 @@ def corpus_temperature_mix(spark, sf_dir):
                     F.round("rate", 6).alias("rate"),
                     F.coalesce("n_kept", F.lit(0).cast("long"))
                      .alias("n_kept")))
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled BPE merge round: corpus-weighted pair counts over
+    s{r-1}, scalar argmax pick (ties -> lexicographic), then the greedy
+    left-to-right rewrite as gaps-and-islands SQL — overlapping matches
+    only exist for left==right runs, where the even-offset positions of
+    each consecutive-match island are exactly the pairs reference BPE
+    merges."""
+    p = r - 1
+    return f"""
+   pc{r} AS (SELECT s.syms[p.i] AS lft, s.syms[p.i + 1] AS rgt,
+                sum(s.freq) AS cnt
+             FROM s{p} s, LATERAL (SELECT unnest(range(1, len(s.syms)))
+                                   AS i) p
+             GROUP BY lft, rgt),
+   pk{r} AS (SELECT lft, rgt FROM pc{r}
+             ORDER BY cnt DESC, lft, rgt LIMIT 1),
+   e{r} AS (SELECT s.word, s.freq, p.i AS pos, s.syms[p.i] AS sym
+            FROM s{p} s, LATERAL (SELECT unnest(range(1, len(s.syms) + 1))
+                                  AS i) p),
+   m{r} AS (SELECT s.word, p.i AS pos
+            FROM s{p} s, LATERAL (SELECT unnest(range(1, len(s.syms)))
+                                  AS i) p, pk{r}
+            WHERE s.syms[p.i] = pk{r}.lft
+              AND s.syms[p.i + 1] = pk{r}.rgt),
+   g{r} AS (SELECT word, pos,
+              pos - row_number() OVER (PARTITION BY word ORDER BY pos)
+                  AS grp
+            FROM m{r}),
+   k{r} AS (SELECT word, pos FROM (
+              SELECT word, pos,
+                     pos - min(pos) OVER (PARTITION BY word, grp) AS off
+              FROM g{r})
+            WHERE off % 2 = 0),
+   s{r} AS (SELECT e.word, min(e.freq) AS freq,
+              list(CASE WHEN k1.pos IS NOT NULL THEN e.sym || nxt.sym
+                        ELSE e.sym END ORDER BY e.pos) AS syms
+            FROM e{r} e
+            LEFT JOIN k{r} k1 ON k1.word = e.word AND k1.pos = e.pos
+            LEFT JOIN k{r} k2 ON k2.word = e.word AND k2.pos = e.pos - 1
+            LEFT JOIN e{r} nxt ON nxt.word = e.word AND nxt.pos = e.pos + 1
+            WHERE k2.pos IS NULL
+            GROUP BY e.word)"""
+
+
+@register(
+    "corpus_bpe",
+    f"""WITH w AS (SELECT unnest({_WORDS_SQL}) AS word FROM documents),
+       s0 AS (SELECT word, count(*) AS freq,
+                regexp_extract_all(word, '.') AS syms
+              FROM w GROUP BY word),
+       {_bpe_round_sql(1)},
+       {_bpe_round_sql(2)},
+       {_bpe_round_sql(3)},
+       {_bpe_round_sql(4)}
+       SELECT word, freq, CAST(len(syms) AS INTEGER) AS n_syms,
+              array_to_string(syms, ' ') AS segmentation
+       FROM s4""",
+)
+def corpus_bpe(spark, sf_dir):
+    """Distributed BPE tokenizer training (functions/bpe.bpe_train,
+    Sennrich et al. 2016): 4 corpus-weighted most-frequent-pair merges
+    from character symbols, greedy left-to-right application as a pure
+    JVM fold. The oracle unrolls all four rounds in SQL — pair counts,
+    deterministic argmax (ties lexicographic) and the gaps-and-islands
+    greedy rewrite — so every round's pick AND its application are
+    hash-verified through the final segmentation of every vocabulary
+    word. Plan: one corpus pass builds the distinct-word table (all
+    rounds run over the vocabulary x frequency, never the corpus); per
+    round one map-side-combined pair-count shuffle; only the single
+    best pair crosses the driver per round. Beyond-reference
+    LLM-pipeline capability (tokenizer training)."""
+    from stream2segment_spark.functions.bpe import bpe_train
+    docs = load_table(spark, sf_dir, "documents")
+    _, words = bpe_train(docs, "text", 4)
+    return words.select(
+        "word", "freq",
+        F.size("syms").cast("int").alias("n_syms"),
+        F.array_join("syms", " ").alias("segmentation"))

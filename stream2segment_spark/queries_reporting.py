@@ -28,6 +28,9 @@ from stream2segment_spark.schema import load_table
        WHERE code IS NULL OR code = -1 OR code = -2 OR code = -204
           OR code = 204 OR (code BETWEEN 400 AND 499)
           OR (code BETWEEN 500 AND 599)""",
+    # r4 late rotation: driver-green r2+r3 (P11 stays gated through
+    # join_download_diff's retry mask) — frees the slot gating corpus_bpe.
+    gate=False,
 )
 def pred_retry_mask(spark, sf_dir):
     """P11: the retry-policy download_code mask — every selector class

@@ -1,0 +1,71 @@
+"""functions/bpe: distributed BPE tokenizer training."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream2segment_spark.functions import bpe
+
+
+def test_bpe_canonical_example(spark):
+    """The Sennrich et al. running example shape: frequent 'low' drives
+    l+o then lo+w; merge order and final segmentations are checked
+    end-to-end."""
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string")
+    merges, words = bpe.bpe_train(docs, "text", 5)
+    assert [(m[0], m[1]) for m in merges[:2]] == [("l", "o"), ("lo", "w")]
+    seg = {r["word"]: r["syms"] for r in words.collect()}
+    assert seg["low"] == ["low"]
+    assert seg["lower"][0] == "low"
+    # counts are corpus-weighted: 'low' appears 4x standalone + prefixes
+    assert merges[0][2] == 6
+    words.unpersist()
+
+
+def test_bpe_greedy_run_semantics(spark):
+    """Runs of an identical symbol merge alternately from the left —
+    'aaa' + (a,a) -> [aa, a]; 'aaaa' -> [aa, aa]."""
+    df = spark.createDataFrame([(["a"] * 3,), (["a"] * 4,)],
+                               "syms array<string>")
+    out = [r[0] for r in
+           df.select(bpe.apply_merge(F.col("syms"), "a", "a")).collect()]
+    assert out == [["aa", "a"], ["aa", "aa"]]
+
+
+def test_bpe_early_stop_and_validation(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    # single-char words: no pairs ever -> zero merges, chars survive
+    merges, words = bpe.bpe_train(docs, "text", 3)
+    assert merges == []
+    assert {r["word"]: r["syms"] for r in words.collect()} == \
+        {"a": ["a"], "b": ["b"]}
+    words.unpersist()
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe.bpe_train(docs, "text", 0)
+
+
+def test_bpe_segment_matches_training_table(spark):
+    """bpe_segment on the training corpus reproduces the trained words
+    table segmentation for every word occurrence."""
+    docs = spark.createDataFrame(
+        [(1, "banana band bandana"), (2, "banana banana ban")],
+        "doc_id long, text string")
+    merges, words = bpe.bpe_train(docs, "text", 4)
+    table = {r["word"]: r["syms"] for r in words.collect()}
+    words.unpersist()
+    segged = docs.select(
+        F.explode(bpe.bpe_segment(F.col("text"), merges)).alias("syms"),
+    ).collect()
+    rebuilt = ["".join(r["syms"]) for r in segged]
+    for syms, word in zip((r["syms"] for r in segged), rebuilt):
+        assert syms == table[word], (word, syms, table[word])
+
+
+def test_bpe_null_text_ignored(spark):
+    docs = spark.createDataFrame([(1, None), (2, "ab ab")],
+                                 "doc_id long, text string")
+    merges, words = bpe.bpe_train(docs, "text", 1)
+    assert merges == [("a", "b", 2)]
+    words.unpersist()

@@ -781,6 +781,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p = sub.add_parser(
+        "bpe-train",
+        help="train a BPE merge table over a corpus parquet and write "
+             "it as JSON lines (beyond-reference)")
+    p.add_argument("-i", "--infile", required=True,
+                   help="corpus parquet (needs a text column)")
+    p.add_argument("-o", "--outfile", required=True,
+                   help="output merges file (one JSON line per merge, "
+                        "in training order)")
+    p.add_argument("-n", "--merges", type=int, default=1000)
+    p.add_argument("--text-col", default="text")
+    p = sub.add_parser(
         "ingest",
         help="incrementally ingest parquet file drops from a landing "
              "directory into a corpus table (checkpointed exactly-once; "
@@ -827,6 +838,34 @@ def main(argv: list[str] | None = None) -> int:
                 neardup_threshold=args.neardup_threshold)
             print(f"corpus now holds {out.count()} document(s) "
                   f"at {args.corpus}")
+            return 0
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "bpe-train":  # no config file: all-flags command
+        import json
+
+        from stream2segment_spark.functions.bpe import bpe_train
+        from stream2segment_spark.session import get_spark
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-bpe-train")
+        try:
+            docs = spark.read.parquet(args.infile)
+            if args.text_col not in docs.columns:
+                print(f"error: {args.infile} lacks column "
+                      f"{args.text_col!r} (has: {sorted(docs.columns)})",
+                      file=sys.stderr)
+                return 2
+            merges, words = bpe_train(docs, args.text_col, args.merges)
+            n_words, n_syms = words.select(
+                F.count("*"), F.sum(F.size("syms"))).collect()[0]
+            words.unpersist()
+            with open(args.outfile, "w", encoding="utf-8") as fh:
+                for left, right, cnt in merges:
+                    fh.write(json.dumps({"left": left, "right": right,
+                                         "count": cnt}) + "\n")
+            print(f"trained {len(merges)} merge(s); vocabulary "
+                  f"{n_words} word(s), {n_syms} symbol occurrence(s)")
             return 0
         finally:
             if not preexisting:

@@ -99,7 +99,12 @@ def bpe_train(docs: DataFrame, text_col: str, n_merges: int,
 
     Each round's argmax is deterministic: highest corpus-weighted count,
     ties to the lexicographically smallest (left, right). Stops early
-    (fewer than ``n_merges`` rows) when no pair remains."""
+    (fewer than ``n_merges`` rows) when no pair remains.
+
+    The returned ``words`` frame is persisted (it is re-read every
+    round; without the cache round R would recompute R-deep lineage
+    from the corpus) — callers ``unpersist()`` it when done, as the
+    CLI and tests do. It is vocabulary-sized, never corpus-sized."""
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
     words = word_freq_table(docs, text_col).persist()

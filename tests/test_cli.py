@@ -524,3 +524,25 @@ def test_search_cli_semantic_curate_mode(tmp_path, capsys):
     assert rc == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["exact_dedup"] >= stats["near_dedup"] > 0
+
+
+def test_bpe_train_cli(tmp_path, capsys):
+    """'s2s bpe-train': merges JSON written in training order."""
+    import json
+
+    out = tmp_path / "merges.jsonl"
+    rc = cli.main(["bpe-train", "-i",
+                   "/root/testdata/sf0.001/documents.parquet",
+                   "-o", str(out), "-n", "5"])
+    assert rc == 0
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(lines) == 5
+    assert all({"left", "right", "count"} <= set(l) for l in lines)
+    # counts are non-increasing is NOT guaranteed by BPE (merges create
+    # new frequent pairs), but every count is positive
+    assert all(l["count"] > 0 for l in lines)
+    assert "trained 5 merge(s)" in capsys.readouterr().out
+    rc = cli.main(["bpe-train", "-i",
+                   "/root/testdata/sf0.001/documents.parquet",
+                   "-o", str(out), "--text-col", "nope"])
+    assert rc == 2

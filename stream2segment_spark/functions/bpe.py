@@ -27,6 +27,9 @@ greedy rewrite; see queries_corpus._BPE_ROUND_SQL).
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -147,3 +150,51 @@ def bpe_segment(text_col, merges: list[tuple[str, str, int]]):
 
     return F.transform(word_tokens(F.coalesce(text_col, F.lit(""))),
                        seg_word)
+
+
+def bpe_segment_udf(merges: list[tuple[str, str, int]]):
+    """Scale-path segmenter: the merge table ships in the closure as a
+    rank dict and each word is encoded with the standard priority-queue
+    -free reference loop (scan for the best-ranked adjacent pair,
+    rewrite, repeat). Use this for real vocabularies — the expression
+    form in :func:`bpe_segment` unrolls one fold PER MERGE into the
+    plan, fine for a handful, catastrophic for a 32k-merge vocab.
+    Returns a pandas UDF: ``string -> array<array<string>>`` (per-word
+    subword sequences for the whitespace-ish tokenized text), matching
+    :func:`bpe_segment` exactly."""
+    ranks = {(left, right): i for i, (left, right, _) in enumerate(merges)}
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank = r
+            if best_rank is None:
+                break
+            left, right = merges[best_rank][0], merges[best_rank][1]
+            out, i = [], 0
+            # greedy left-to-right application of the chosen merge —
+            # identical semantics to apply_merge's fold
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    tok_re = re.compile(r"[^a-z0-9]+")
+
+    @F.pandas_udf("array<array<string>>")
+    def _seg(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: [encode_word(w)
+                       for w in tok_re.split((t or "").lower()) if w])
+
+    return _seg

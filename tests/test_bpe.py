@@ -69,3 +69,23 @@ def test_bpe_null_text_ignored(spark):
     merges, words = bpe.bpe_train(docs, "text", 1)
     assert merges == [("a", "b", 2)]
     words.unpersist()
+
+
+def test_bpe_segment_udf_matches_expression_form(spark):
+    """The closure-UDF segmenter and the expression-fold segmenter agree
+    on every doc (rank-priority encoding == in-order application: later
+    merges can never recreate an earlier merge's pair)."""
+    docs = spark.createDataFrame(
+        [(1, "banana band bandana aaa aaaa"),
+         (2, "Banana!  ban AND band."), (3, None)],
+        "doc_id long, text string")
+    merges, words = bpe.bpe_train(docs, "text", 6)
+    words.unpersist()
+    expr = docs.select("doc_id",
+                       bpe.bpe_segment(F.col("text"), merges).alias("s"))
+    udf = docs.select("doc_id",
+                      bpe.bpe_segment_udf(merges)(F.col("text")).alias("s"))
+    a = {r["doc_id"]: r["s"] for r in expr.collect()}
+    b = {r["doc_id"]: r["s"] for r in udf.collect()}
+    assert a == b
+    assert a[3] == []          # null text -> no words

@@ -850,6 +850,10 @@ def main(argv: list[str] | None = None) -> int:
         preexisting = SparkSession.getActiveSession() is not None
         spark = get_spark(app_name="s2s-bpe-train")
         try:
+            if args.merges <= 0:
+                print(f"error: --merges must be positive, got "
+                      f"{args.merges}", file=sys.stderr)
+                return 2
             docs = spark.read.parquet(args.infile)
             if args.text_col not in docs.columns:
                 print(f"error: {args.infile} lacks column "
@@ -865,7 +869,7 @@ def main(argv: list[str] | None = None) -> int:
                     fh.write(json.dumps({"left": left, "right": right,
                                          "count": cnt}) + "\n")
             print(f"trained {len(merges)} merge(s); vocabulary "
-                  f"{n_words} word(s), {n_syms} symbol occurrence(s)")
+                  f"{n_words} word(s), {n_syms or 0} symbol occurrence(s)")
             return 0
         finally:
             if not preexisting:

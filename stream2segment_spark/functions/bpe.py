@@ -95,6 +95,7 @@ def apply_merge(sym_col, left: str, right: str):
 
 
 def bpe_train(docs: DataFrame, text_col: str, n_merges: int,
+              persist: bool = True,
               ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Train ``n_merges`` BPE merges; returns (merges, words) where
     merges is ``[(left, right, pair_count), ...]`` in training order and
@@ -104,14 +105,20 @@ def bpe_train(docs: DataFrame, text_col: str, n_merges: int,
     ties to the lexicographically smallest (left, right). Stops early
     (fewer than ``n_merges`` rows) when no pair remains.
 
-    The returned ``words`` frame is persisted (it is re-read every
-    round; without the cache round R would recompute R-deep lineage
-    from the corpus) — callers ``unpersist()`` it when done, as the
-    CLI and tests do. It is vocabulary-sized, never corpus-sized."""
+    With ``persist=True`` (default — the right choice for real merge
+    counts: round R otherwise recomputes R-deep lineage from the
+    corpus) the returned ``words`` frame is cached and callers
+    ``unpersist()`` it when done, as the CLI and tests do; it is
+    vocabulary-sized, never corpus-sized. ``persist=False`` trades
+    O(n_merges^2) recomputation for leaving NO cache behind — for
+    lazy consumers that cannot release a cache after their collect
+    (the gate entry), at small fixed n_merges."""
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
-    words = word_freq_table(docs, text_col).persist()
-    words.count()
+    words = word_freq_table(docs, text_col)
+    if persist:
+        words = words.persist()
+        words.count()
     merges: list[tuple[str, str, int]] = []
     try:
         for _ in range(n_merges):
@@ -123,13 +130,20 @@ def bpe_train(docs: DataFrame, text_col: str, n_merges: int,
             left, right, cnt = top[0]["left"], top[0]["right"], top[0]["cnt"]
             merges.append((left, right, int(cnt)))
             nxt = words.withColumn(
-                "syms", apply_merge(F.col("syms"), left, right)).persist()
-            nxt.count()
-            words.unpersist()
+                "syms", apply_merge(F.col("syms"), left, right))
+            if persist:
+                nxt = nxt.persist()
+                try:
+                    nxt.count()
+                except Exception:
+                    nxt.unpersist()   # don't leak the half-cached round
+                    raise
+                words.unpersist()
             words = nxt
         return merges, words
     except Exception:
-        words.unpersist()
+        if persist:
+            words.unpersist()
         raise
 
 

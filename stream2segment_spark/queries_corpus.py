@@ -554,7 +554,10 @@ def corpus_bpe(spark, sf_dir):
     LLM-pipeline capability (tokenizer training)."""
     from stream2segment_spark.functions.bpe import bpe_train
     docs = load_table(spark, sf_dir, "documents")
-    _, words = bpe_train(docs, "text", 4)
+    # persist=False: the entry returns lazily (the driver collects) so it
+    # could never release a cache — 4 rounds of recomputation instead of
+    # a session-lifetime pin (persist-hygiene contract)
+    _, words = bpe_train(docs, "text", 4, persist=False)
     return words.select(
         "word", "freq",
         F.size("syms").cast("int").alias("n_syms"),

@@ -89,3 +89,19 @@ def test_bpe_segment_udf_matches_expression_form(spark):
     b = {r["doc_id"]: r["s"] for r in udf.collect()}
     assert a == b
     assert a[3] == []          # null text -> no words
+
+
+def test_bpe_train_persist_false_leaves_no_cache(spark):
+    docs = spark.createDataFrame([(1, "ab ab abc")],
+                                 "doc_id long, text string")
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    merges, words = bpe.bpe_train(docs, "text", 2, persist=False)
+    words.collect()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert after == before
+    # and the result matches the persisted path
+    m2, w2 = bpe.bpe_train(docs, "text", 2)
+    assert merges == m2
+    assert sorted(map(tuple, words.collect())) == \
+        sorted(map(tuple, w2.collect()))
+    w2.unpersist()

@@ -546,3 +546,11 @@ def test_bpe_train_cli(tmp_path, capsys):
                    "/root/testdata/sf0.001/documents.parquet",
                    "-o", str(out), "--text-col", "nope"])
     assert rc == 2
+
+
+def test_bpe_train_cli_bad_merges(tmp_path, capsys):
+    rc = cli.main(["bpe-train", "-i",
+                   "/root/testdata/sf0.001/documents.parquet",
+                   "-o", str(tmp_path / "m.jsonl"), "-n", "0"])
+    assert rc == 2
+    assert "--merges" in capsys.readouterr().err

@@ -790,6 +790,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="output merges file (one JSON line per merge, "
                         "in training order)")
     p.add_argument("-n", "--merges", type=int, default=1000)
+    p.add_argument("--batch", type=int, default=1,
+                   help="merges per driver round (>1: batched variant — "
+                        "top-B non-interacting pairs per recount, "
+                        "O(n/B) rounds; 1 = canonical BPE order)")
     p.add_argument("--text-col", default="text")
     p = sub.add_parser(
         "ingest",
@@ -845,7 +849,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "bpe-train":  # no config file: all-flags command
         import json
 
-        from stream2segment_spark.functions.bpe import bpe_train
+        from stream2segment_spark.functions.bpe import (
+            bpe_train, bpe_train_batched)
         from stream2segment_spark.session import get_spark
         preexisting = SparkSession.getActiveSession() is not None
         spark = get_spark(app_name="s2s-bpe-train")
@@ -860,7 +865,11 @@ def main(argv: list[str] | None = None) -> int:
                       f"{args.text_col!r} (has: {sorted(docs.columns)})",
                       file=sys.stderr)
                 return 2
-            merges, words = bpe_train(docs, args.text_col, args.merges)
+            if args.batch > 1:
+                merges, words = bpe_train_batched(
+                    docs, args.text_col, args.merges, batch=args.batch)
+            else:
+                merges, words = bpe_train(docs, args.text_col, args.merges)
             n_words, n_syms = words.select(
                 F.count("*"), F.sum(F.size("syms"))).collect()[0]
             words.unpersist()

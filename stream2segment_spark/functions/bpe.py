@@ -212,3 +212,72 @@ def bpe_segment_udf(merges: list[tuple[str, str, int]]):
                        for w in tok_re.split((t or "").lower()) if w])
 
     return _seg
+
+
+def bpe_train_batched(docs: DataFrame, text_col: str, n_merges: int,
+                      batch: int = 16,
+                      ) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Batched BPE training: each driver round picks the top ``batch``
+    pairwise NON-INTERACTING merges (no symbol shared with any
+    higher-ranked chosen pair, on either side) and applies them all
+    before recounting — O(n_merges / batch) sequential rounds instead
+    of O(n_merges).
+
+    Non-interacting merges commute: applying one cannot create, destroy
+    or shift an occurrence of the other (a merge only touches runs of
+    its own two symbols), so WITHIN a round the result is
+    application-order independent. ACROSS rounds the variant can differ
+    from canonical BPE (a lower-ranked chosen pair's true count may
+    have dropped after the round's earlier merges — canonical BPE would
+    recount first); this is the standard large-vocab training
+    trade-off, stated rather than hidden. ``batch=1`` degenerates to
+    the canonical sequence of :func:`bpe_train`.
+
+    Returns (merges, words) like :func:`bpe_train`; the words frame is
+    persisted — caller unpersists."""
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    if batch <= 0:
+        raise ValueError(f"batch must be positive, got {batch}")
+    words = word_freq_table(docs, text_col).persist()
+    words.count()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        while len(merges) < n_merges:
+            want = min(batch, n_merges - len(merges))
+            # pull a headroom of candidates (ranked), then greedily keep
+            # pairs whose symbols are disjoint from every kept pair
+            cand = (pair_counts(words)
+                    .orderBy(F.col("cnt").desc(), "left", "right")
+                    .limit(want * 4 + 16).collect())
+            if not cand:
+                break
+            used: set[str] = set()
+            chosen: list[tuple[str, str, int]] = []
+            for row in cand:
+                left, right = row["left"], row["right"]
+                if left in used or right in used:
+                    continue
+                chosen.append((left, right, int(row["cnt"])))
+                used.update((left, right, left + right))
+                if len(chosen) >= want:
+                    break
+            if not chosen:   # every candidate interacted — fall back to 1
+                row = cand[0]
+                chosen = [(row["left"], row["right"], int(row["cnt"]))]
+            merges.extend(chosen)
+            col = F.col("syms")
+            for left, right, _ in chosen:
+                col = apply_merge(col, left, right)
+            nxt = words.withColumn("syms", col).persist()
+            try:
+                nxt.count()
+            except Exception:
+                nxt.unpersist()
+                raise
+            words.unpersist()
+            words = nxt
+        return merges, words
+    except Exception:
+        words.unpersist()
+        raise

@@ -105,3 +105,34 @@ def test_bpe_train_persist_false_leaves_no_cache(spark):
     assert sorted(map(tuple, words.collect())) == \
         sorted(map(tuple, w2.collect()))
     w2.unpersist()
+
+
+def test_bpe_batched_rounds(spark):
+    """Batched training: batch=1 reproduces the canonical sequence;
+    larger batches pick only non-interacting pairs per round (no symbol
+    shared within a round's chosen set) and every merge has a positive
+    count."""
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest new newer newest wide wider")],
+        "doc_id long, text string")
+    canon, w0 = bpe.bpe_train(docs, "text", 6)
+    w0.unpersist()
+    one, w1 = bpe.bpe_train_batched(docs, "text", 6, batch=1)
+    w1.unpersist()
+    assert one == canon
+    got, w4 = bpe.bpe_train_batched(docs, "text", 6, batch=4)
+    assert len(got) == 6 and all(c > 0 for _, _, c in got)
+    # reconstruct round boundaries: groups of <=4; within each round no
+    # symbol (left, right or merged) repeats
+    for start in range(0, len(got), 4):
+        used = set()
+        for left, right, _ in got[start:start + 4]:
+            assert left not in used and right not in used, got
+            used.update((left, right, left + right))
+    # segmentation is still a valid partition of every word
+    for r in w4.collect():
+        assert "".join(r["syms"]) == r["word"]
+    w4.unpersist()
+    import pytest as _pt
+    with _pt.raises(ValueError, match="batch"):
+        bpe.bpe_train_batched(docs, "text", 2, batch=0)

@@ -554,3 +554,15 @@ def test_bpe_train_cli_bad_merges(tmp_path, capsys):
                    "-o", str(tmp_path / "m.jsonl"), "-n", "0"])
     assert rc == 2
     assert "--merges" in capsys.readouterr().err
+
+
+def test_bpe_train_cli_batched(tmp_path):
+    import json
+
+    out = tmp_path / "m.jsonl"
+    rc = cli.main(["bpe-train", "-i",
+                   "/root/testdata/sf0.001/documents.parquet",
+                   "-o", str(out), "-n", "8", "--batch", "4"])
+    assert rc == 0
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(lines) == 8

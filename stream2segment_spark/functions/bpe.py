@@ -175,7 +175,15 @@ def bpe_segment_udf(merges: list[tuple[str, str, int]]):
     plan, fine for a handful, catastrophic for a 32k-merge vocab.
     Returns a pandas UDF: ``string -> array<array<string>>`` (per-word
     subword sequences for the whitespace-ish tokenized text), matching
-    :func:`bpe_segment` exactly."""
+    :func:`bpe_segment` exactly for CANONICAL (batch=1) merge tables —
+    rank-priority encoding equals in-order application because a later
+    merge can never recreate an earlier merge's pair. A BATCHED table
+    can contain two merges producing the same surface symbol (e.g.
+    (ab, c) and (a, bc) both yield 'abc'); occurrences created by the
+    later one are seen by the earlier merge's rank here but not by
+    in-order application, so the two encoders may diverge on such
+    tables — this rank-priority form is the standard BPE encoder and
+    the one to prefer."""
     ranks = {(left, right): i for i, (left, right, _) in enumerate(merges)}
 
     def encode_word(word: str) -> list[str]:

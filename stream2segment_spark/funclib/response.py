@@ -152,7 +152,11 @@ def _parse_response_elem(resp) -> PAZResponse | None:
 #   INPUT sample rate, normalized to unit gain at f=0 (evalresp
 #   normalizes digital stages; their actual gain is the StageGain), and
 #   evaluated ZERO-PHASE for symmetric (linear-phase) filters — the
-#   same centering evalresp applies; asymmetric filters keep full phase;
+#   same centering evalresp applies; asymmetric filters keep full phase
+#   minus a delay correction of ``Decimation/Correction`` seconds
+#   (phase advance exp(+2*pi*i*f*corr) — evalresp's asymmetric-FIR
+#   rule; its ``-use-estimated-delay`` flag swaps in
+#   ``Decimation/Delay``, exposed here as ``use_estimated_delay``);
 # - each stage's StageGain multiplies the total; when NO stage carries a
 #   gain the overall InstrumentSensitivity is used instead.
 
@@ -209,6 +213,16 @@ class CoefficientsStage:
     input_sample_rate: float | None = None
     gain: float = 1.0
     symmetry: str = "NONE"
+    # Decimation/Delay (nominal filter delay, seconds) and
+    # Decimation/Correction (delay correction applied in the field,
+    # seconds): an ASYMMETRIC FIR's phase is advanced by the correction
+    # (the data timestamps were already shifted by it), or by the
+    # estimated delay when use_estimated_delay is set — evalresp's
+    # default vs its -use-estimated-delay flag. Symmetric filters are
+    # centered instead (zero phase) and ignore both.
+    delay: float = 0.0
+    correction: float = 0.0
+    use_estimated_delay: bool = False
 
     def full_taps(self) -> np.ndarray:
         b = np.asarray(self.numerator, dtype=float)
@@ -246,6 +260,17 @@ class CoefficientsStage:
             if symmetric:
                 # linear-phase FIR evaluated centered => zero phase
                 h = h * np.exp(w * (len(b) - 1) / 2.0)
+            else:
+                # asymmetric FIR: advance the phase by the delay
+                # correction (seconds) — the recorded timestamps were
+                # already shifted by Correction in the field, so the
+                # net response must not double-count that delay
+                corr = (self.delay if self.use_estimated_delay
+                        else self.correction)
+                if corr:
+                    h = h * np.exp(2j * np.pi
+                                   * np.asarray(freqs_hz, dtype=float)
+                                   * corr)
         # evalresp normalizes digital stages to unit DC gain; the real
         # gain is the StageGain
         dc = abs(b.sum()) if not len(self.denominator) else abs(
@@ -286,11 +311,16 @@ def parse_stationxml_response(
     network: str | None = None,
     station: str | None = None,
     channel: str | None = None,
+    use_estimated_delay: bool = False,
 ) -> ChannelResponse:
     """Extract the FULL response stage chain (PolesZeros + Coefficients +
-    FIR + per-stage gains + decimation rates) of one channel from FDSN
-    StationXML — the multi-stage equivalent of :func:`parse_stationxml_paz`.
-    The first matching channel with a non-empty Response is used."""
+    FIR + per-stage gains + decimation rates/delays) of one channel from
+    FDSN StationXML — the multi-stage equivalent of
+    :func:`parse_stationxml_paz`. The first matching channel with a
+    non-empty Response is used. ``use_estimated_delay`` mirrors
+    evalresp's ``-use-estimated-delay`` flag: asymmetric FIR phase is
+    corrected with ``Decimation/Delay`` instead of the default
+    ``Decimation/Correction``."""
     if isinstance(xml_data, bytes):
         xml_data = sniff_decompress(xml_data).decode("utf-8", errors="replace")
     root = ElementTree.fromstring(xml_data)
@@ -304,7 +334,8 @@ def parse_stationxml_response(
                 if channel and cha.get("code") != channel:
                     continue
                 for resp in _children(cha, "Response"):
-                    chain = _parse_full_response_elem(resp)
+                    chain = _parse_full_response_elem(
+                        resp, use_estimated_delay=use_estimated_delay)
                     if chain is not None:
                         return chain
     raise ValueError(
@@ -319,7 +350,8 @@ def _text(elem, name, default=None):
     return default
 
 
-def _parse_full_response_elem(resp) -> ChannelResponse | None:
+def _parse_full_response_elem(
+        resp, use_estimated_delay: bool = False) -> ChannelResponse | None:
     sens, sens_freq = 1.0, 1.0
     for s in _children(resp, "InstrumentSensitivity"):
         sens = float(_text(s, "Value", "1"))
@@ -334,11 +366,13 @@ def _parse_full_response_elem(resp) -> ChannelResponse | None:
         gain = 1.0
         for g in _children(stage, "StageGain"):
             gain = float(_text(g, "Value", "1"))
-        in_rate = None
+        in_rate, delay, corr = None, 0.0, 0.0
         for d in _children(stage, "Decimation"):
             r = _text(d, "InputSampleRate")
             if r is not None:
                 in_rate = float(r)
+            delay = float(_text(d, "Delay", "0") or 0)
+            corr = float(_text(d, "Correction", "0") or 0)
         parsed = None
         for pz in _children(stage, "PolesZeros"):
             poles = [_complex(p) for p in _children(pz, "Pole")]
@@ -358,7 +392,9 @@ def _parse_full_response_elem(resp) -> ChannelResponse | None:
             den = [float(c.text) for c in _children(co, "Denominator")]
             parsed = CoefficientsStage(
                 numerator=tuple(num), denominator=tuple(den),
-                input_sample_rate=in_rate, gain=gain)
+                input_sample_rate=in_rate, gain=gain,
+                delay=delay, correction=corr,
+                use_estimated_delay=use_estimated_delay)
             if input_units is None:
                 iu = _children(co, "InputUnits")
                 if iu:
@@ -372,7 +408,8 @@ def _parse_full_response_elem(resp) -> ChannelResponse | None:
             sym = (_text(fir, "Symmetry", "NONE") or "NONE").upper()
             parsed = CoefficientsStage(
                 numerator=tuple(num), input_sample_rate=in_rate,
-                gain=gain, symmetry=sym)
+                gain=gain, symmetry=sym, delay=delay, correction=corr,
+                use_estimated_delay=use_estimated_delay)
         if parsed is None:
             # gain-only stage (digitizer / StageGain without a filter)
             parsed = CoefficientsStage(gain=gain)

@@ -306,6 +306,109 @@ def test_multistage_remove_response_roundtrip():
                                atol=2e-3 * np.abs(vel).max())
 
 
+def test_asymmetric_fir_delay_correction():
+    """Asymmetric-FIR phase: a shifted-delta FIR (taps [0,0,1], pure
+    2-sample delay at fs=100) is corrected to zero phase when
+    Decimation/Correction equals its nominal delay — evalresp's
+    default asymmetric-FIR rule; with use_estimated_delay the
+    Decimation/Delay value is used instead."""
+    from stream2segment_spark.funclib.response import CoefficientsStage
+    fs = 100.0
+    f = np.linspace(0.0, 45.0, 91)
+    raw = CoefficientsStage(numerator=(0.0, 0.0, 1.0),
+                            input_sample_rate=fs)
+    # uncorrected: full phase of e^{-i w 2/fs}
+    np.testing.assert_allclose(raw.transfer(f),
+                               np.exp(-2j * np.pi * f * 2 / fs),
+                               rtol=0, atol=1e-12)
+    fixed = CoefficientsStage(numerator=(0.0, 0.0, 1.0),
+                              input_sample_rate=fs, correction=2 / fs)
+    np.testing.assert_allclose(fixed.transfer(f), 1.0, rtol=0, atol=1e-12)
+    # estimated-delay mode reads .delay, ignores .correction
+    est = CoefficientsStage(numerator=(0.0, 0.0, 1.0),
+                            input_sample_rate=fs, delay=2 / fs,
+                            correction=99.0, use_estimated_delay=True)
+    np.testing.assert_allclose(est.transfer(f), 1.0, rtol=0, atol=1e-12)
+    # symmetric filters are centered instead and IGNORE the correction
+    sym = CoefficientsStage(numerator=(0.25, 0.5, 0.25),
+                            input_sample_rate=fs, correction=0.5)
+    np.testing.assert_allclose(sym.transfer(f).imag, 0.0, atol=1e-12)
+
+
+ASYM_FIR_XML = MULTISTAGE_XML.replace(
+    """       <Symmetry>ODD</Symmetry>
+       <NumeratorCoefficient i="0">0.25</NumeratorCoefficient>
+       <NumeratorCoefficient i="1">0.5</NumeratorCoefficient>""",
+    """       <Symmetry>NONE</Symmetry>
+       <NumeratorCoefficient i="0">0.0</NumeratorCoefficient>
+       <NumeratorCoefficient i="1">0.0</NumeratorCoefficient>
+       <NumeratorCoefficient i="2">1.0</NumeratorCoefficient>""").replace(
+    """       <InputSampleRate>200.0</InputSampleRate>
+       <Factor>2</Factor>""",
+    """       <InputSampleRate>200.0</InputSampleRate>
+       <Factor>2</Factor>
+       <Delay>0.01</Delay>
+       <Correction>0.01</Correction>""")
+
+
+def test_parse_decimation_delay_correction():
+    """The parser picks up Decimation/Delay+Correction, and the parsed
+    asymmetric FIR stage (a 2-sample delay at 200 Hz = 0.01 s, fully
+    corrected) contributes zero phase — the chain equals the same chain
+    with a flat FIR."""
+    from stream2segment_spark.funclib.response import (
+        parse_stationxml_response)
+    chain = parse_stationxml_response(ASYM_FIR_XML, network="GE",
+                                      station="APE", channel="BHZ")
+    fir = chain.stages[2]
+    assert fir.symmetry == "NONE"
+    assert fir.delay == pytest.approx(0.01)
+    assert fir.correction == pytest.approx(0.01)
+    assert fir.use_estimated_delay is False
+    f = np.linspace(0.1, 40.0, 53)
+    np.testing.assert_allclose(fir.transfer(f), 1.0, rtol=0, atol=1e-12)
+    est = parse_stationxml_response(ASYM_FIR_XML, network="GE",
+                                    station="APE", channel="BHZ",
+                                    use_estimated_delay=True)
+    assert est.stages[2].use_estimated_delay is True
+    np.testing.assert_allclose(est.stages[2].transfer(f), 1.0,
+                               rtol=0, atol=1e-12)
+
+
+def test_asym_fir_correction_removes_time_shift():
+    """End-to-end: 'Correction' means the datalogger already shifted the
+    record timestamps by the FIR delay, so field-corrected counts are
+    UNSHIFTED relative to ground motion. Deconvolving them through the
+    corrected chain recovers the ground motion in place; using the
+    uncorrected chain double-counts the delay and advances the output
+    by the 2 samples."""
+    from stream2segment_spark.funclib.response import (
+        ChannelResponse, CoefficientsStage, remove_response)
+    fs, n = 100.0, N
+    delay_s = 2 / fs
+    asym = CoefficientsStage(numerator=(0.0, 0.0, 1.0),
+                             input_sample_rate=fs, correction=delay_s)
+    uncorr = CoefficientsStage(numerator=(0.0, 0.0, 1.0),
+                               input_sample_rate=fs)
+    vel = _band_signal(freqs=(1.5, 3.0))
+    # field-corrected counts: the logger compensated the FIR delay,
+    # so counts align with ground motion (gain 1)
+    counts = vel.copy()
+    core = slice(n // 8, -n // 8)
+    rec = remove_response(
+        counts, 1 / fs,
+        ChannelResponse(stages=(asym,), input_units="M/S"),
+        output="VEL", water_level_db=120.0, taper_max_percentage=0.0)
+    np.testing.assert_allclose(rec[core], vel[core],
+                               atol=2e-3 * np.abs(vel).max())
+    rec_shifted = remove_response(
+        counts, 1 / fs,
+        ChannelResponse(stages=(uncorr,), input_units="M/S"),
+        output="VEL", water_level_db=120.0, taper_max_percentage=0.0)
+    np.testing.assert_allclose(rec_shifted[core], np.roll(vel, -2)[core],
+                               atol=2e-3 * np.abs(vel).max())
+
+
 def test_multistage_reduces_to_paz_when_fir_flat():
     """A chain whose digital stages are flat (gain-only) must equal the
     PAZ+sensitivity path exactly in-band."""

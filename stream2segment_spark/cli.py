@@ -794,6 +794,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="merges per driver round (>1: batched variant — "
                         "top-B non-interacting pairs per recount, "
                         "O(n/B) rounds; 1 = canonical BPE order)")
+    p.add_argument("--collect-vocab", action="store_true",
+                   help="exact canonical merge order at real-vocab "
+                        "speed: corpus pass distributed, merge loop "
+                        "in-memory over the collected word-frequency "
+                        "table (refuses above --max-words; "
+                        "incompatible with --batch > 1)")
+    p.add_argument("--max-words", type=int, default=5_000_000,
+                   help="vocabulary cap for --collect-vocab")
     p.add_argument("--text-col", default="text")
     p = sub.add_parser(
         "ingest",
@@ -850,7 +858,7 @@ def main(argv: list[str] | None = None) -> int:
         import json
 
         from stream2segment_spark.functions.bpe import (
-            bpe_train, bpe_train_batched)
+            bpe_train, bpe_train_batched, bpe_train_collected)
         from stream2segment_spark.session import get_spark
         preexisting = SparkSession.getActiveSession() is not None
         spark = get_spark(app_name="s2s-bpe-train")
@@ -865,9 +873,18 @@ def main(argv: list[str] | None = None) -> int:
                       f"{args.text_col!r} (has: {sorted(docs.columns)})",
                       file=sys.stderr)
                 return 2
+            if args.batch > 1 and args.collect_vocab:
+                print("error: --collect-vocab trains in canonical order; "
+                      "it is incompatible with --batch > 1",
+                      file=sys.stderr)
+                return 2
             if args.batch > 1:
                 merges, words = bpe_train_batched(
                     docs, args.text_col, args.merges, batch=args.batch)
+            elif args.collect_vocab:
+                merges, words = bpe_train_collected(
+                    docs, args.text_col, args.merges,
+                    max_words=args.max_words)
             else:
                 merges, words = bpe_train(docs, args.text_col, args.merges)
             n_words, n_syms = words.select(

@@ -23,6 +23,34 @@ Determinism: ties on pair count break lexicographically on (left,
 right) — bit-replayable in SQL, where each round is an unrolled CTE
 chain (pair counts -> scalar argmax pick -> windowed gaps-and-islands
 greedy rewrite; see queries_corpus._BPE_ROUND_SQL).
+
+Three trainers, one merge semantics:
+
+- :func:`bpe_train` — canonical order, distributed pair recount per
+  round; the fully-distributed exact baseline.
+- :func:`bpe_train_batched` — top-B non-interacting merges per
+  recount, O(n/B) rounds (order may deviate from canonical; stated
+  trade-off). The distributed scale path for large vocabularies.
+- :func:`bpe_train_collected` — EXACT canonical order at real-vocab
+  speed: the corpus pass stays distributed, then the vocabulary-
+  bounded word-frequency table is collected (bounded dim BY CONTRACT,
+  ``max_words``-guarded like k-means centroids) and the merge loop
+  runs in memory with incremental pair-count maintenance. This is the
+  shape every production BPE trainer uses (count distributed, merge
+  local) — a 32k-merge vocabulary is thousands of driver rounds, and
+  per-round Spark job+shuffle latency can never amortize at any data
+  size because all post-count work is vocab-bounded, not
+  corpus-bounded. (An incremental-delta DISTRIBUTED trainer was built
+  and measured 1.3-1.6x SLOWER than full recount at sf0.01/sf0.1:
+  maintaining the running pair-count table re-shuffles all distinct
+  pairs every round — the delta saves only map-side explode work.
+  Rejected; measurement in PLANS.md.)
+
+The distributed trainers ``localCheckpoint`` their running frame every
+``checkpoint_every`` rounds: plan truncation is load-bearing —
+persist-only round loops grow the logical plan until PLANNING kills
+the driver (measured: 48 rounds OOMed the heap building the plan tree
+string), the same lesson as ``operators.graph.connected_components``.
 """
 
 from __future__ import annotations
@@ -48,17 +76,23 @@ def word_freq_table(docs: DataFrame, text_col: str) -> DataFrame:
                 "word", F.lit("(.)"), 1)))
 
 
+def adjacent_pairs(syms_col) -> "F.Column":
+    """``array<struct<left,right>>`` of adjacent symbol pairs in a symbol
+    array (empty for 0/1-symbol words)."""
+    return F.when(
+        F.size(syms_col) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(syms_col) - 2),
+                    lambda i: F.struct(
+                        F.get(syms_col, i).alias("left"),
+                        F.get(syms_col, i + 1).alias("right")))
+    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+
+
 def pair_counts(words: DataFrame) -> DataFrame:
     """Adjacent-symbol pair counts weighted by word frequency:
     ``(left, right, cnt)``."""
-    pairs = F.when(
-        F.size("syms") >= 2,
-        F.transform(F.sequence(F.lit(0), F.size("syms") - 2),
-                    lambda i: F.struct(
-                        F.get("syms", i).alias("left"),
-                        F.get("syms", i + 1).alias("right")))
-    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
-    return (words.select("freq", F.explode(pairs).alias("p"))
+    return (words.select("freq",
+                         F.explode(adjacent_pairs(F.col("syms"))).alias("p"))
             .groupBy(F.col("p.left").alias("left"),
                      F.col("p.right").alias("right"))
             .agg(F.sum("freq").alias("cnt")))
@@ -95,7 +129,7 @@ def apply_merge(sym_col, left: str, right: str):
 
 
 def bpe_train(docs: DataFrame, text_col: str, n_merges: int,
-              persist: bool = True,
+              persist: bool = True, checkpoint_every: int = 8,
               ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Train ``n_merges`` BPE merges; returns (merges, words) where
     merges is ``[(left, right, pair_count), ...]`` in training order and
@@ -109,16 +143,23 @@ def bpe_train(docs: DataFrame, text_col: str, n_merges: int,
     counts: round R otherwise recomputes R-deep lineage from the
     corpus) the returned ``words`` frame is cached and callers
     ``unpersist()`` it when done, as the CLI and tests do; it is
-    vocabulary-sized, never corpus-sized. ``persist=False`` trades
-    O(n_merges^2) recomputation for leaving NO cache behind — for
-    lazy consumers that cannot release a cache after their collect
-    (the gate entry), at small fixed n_merges."""
+    vocabulary-sized, never corpus-sized. Every ``checkpoint_every``
+    rounds the frame is ``localCheckpoint``ed instead — plan
+    truncation, without which PLANNING dies long before data does (48
+    persist-only rounds OOMed the driver heap on the plan tree string;
+    see :class:`_RoundFrame`). ``persist=False`` trades O(n_merges^2)
+    recomputation for leaving NO cache behind — for lazy consumers
+    that cannot release a cache after their collect (the gate entry),
+    at small fixed n_merges only."""
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
+    if checkpoint_every <= 0:
+        raise ValueError(
+            f"checkpoint_every must be positive, got {checkpoint_every}")
     words = word_freq_table(docs, text_col)
-    if persist:
-        words = words.persist()
-        words.count()
+    frame = _RoundFrame(words, checkpoint_every) if persist else None
+    if frame is not None:
+        words = frame.df
     merges: list[tuple[str, str, int]] = []
     try:
         for _ in range(n_merges):
@@ -131,19 +172,11 @@ def bpe_train(docs: DataFrame, text_col: str, n_merges: int,
             merges.append((left, right, int(cnt)))
             nxt = words.withColumn(
                 "syms", apply_merge(F.col("syms"), left, right))
-            if persist:
-                nxt = nxt.persist()
-                try:
-                    nxt.count()
-                except Exception:
-                    nxt.unpersist()   # don't leak the half-cached round
-                    raise
-                words.unpersist()
-            words = nxt
+            words = frame.advance(nxt) if frame is not None else nxt
         return merges, words
     except Exception:
-        if persist:
-            words.unpersist()
+        if frame is not None:
+            frame.release()
         raise
 
 
@@ -223,7 +256,7 @@ def bpe_segment_udf(merges: list[tuple[str, str, int]]):
 
 
 def bpe_train_batched(docs: DataFrame, text_col: str, n_merges: int,
-                      batch: int = 16,
+                      batch: int = 16, checkpoint_every: int = 8,
                       ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Batched BPE training: each driver round picks the top ``batch``
     pairwise NON-INTERACTING merges (no symbol shared with any
@@ -242,13 +275,18 @@ def bpe_train_batched(docs: DataFrame, text_col: str, n_merges: int,
     the canonical sequence of :func:`bpe_train`.
 
     Returns (merges, words) like :func:`bpe_train`; the words frame is
-    persisted — caller unpersists."""
+    persisted — caller unpersists. Every ``checkpoint_every`` ROUNDS
+    (not merges) the frame is ``localCheckpoint``ed for plan truncation
+    (see :class:`_RoundFrame`)."""
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
     if batch <= 0:
         raise ValueError(f"batch must be positive, got {batch}")
-    words = word_freq_table(docs, text_col).persist()
-    words.count()
+    if checkpoint_every <= 0:
+        raise ValueError(
+            f"checkpoint_every must be positive, got {checkpoint_every}")
+    frame = _RoundFrame(word_freq_table(docs, text_col), checkpoint_every)
+    words = frame.df
     merges: list[tuple[str, str, int]] = []
     try:
         while len(merges) < n_merges:
@@ -277,15 +315,207 @@ def bpe_train_batched(docs: DataFrame, text_col: str, n_merges: int,
             col = F.col("syms")
             for left, right, _ in chosen:
                 col = apply_merge(col, left, right)
-            nxt = words.withColumn("syms", col).persist()
-            try:
-                nxt.count()
-            except Exception:
-                nxt.unpersist()
-                raise
-            words.unpersist()
-            words = nxt
+            words = frame.advance(words.withColumn("syms", col))
         return merges, words
     except Exception:
-        words.unpersist()
+        frame.release()
         raise
+
+
+def _ckpt_rdd_id(df: DataFrame) -> int | None:
+    """Id of the RDD backing a localCheckpoint()ed frame (LogicalRDD
+    plan) — same own-checkpoint identification as
+    ``operators.graph.connected_components`` (never diff the global
+    persistent-RDD map; it can claim another thread's checkpoint)."""
+    try:
+        return int(df._jdf.queryExecution().analyzed().rdd().id())
+    except Exception:
+        return None
+
+
+def _unpersist_rdd_id(sc, rid: int | None) -> None:
+    """Best-effort release of a checkpoint's blocks; failures leave the
+    block to ContextCleaner GC."""
+    if rid is None:
+        return
+    try:
+        jscala = sc._jsc.sc().getPersistentRDDs()
+        if jscala.contains(rid):
+            jscala.apply(rid).unpersist(False)
+    except Exception:
+        pass
+
+
+class _RoundFrame:
+    """Running frame of a driver-round loop: persist each round,
+    ``localCheckpoint`` every ``every``-th advance (plan truncation),
+    releasing the superseded round's cache — and the superseded
+    CHECKPOINT only once a newer checkpoint has truncated lineage past
+    it (localCheckpoint is not fault-tolerant: a released checkpoint
+    that lineage still needs is unrecoverable, not recomputable).
+
+    Plan truncation is load-bearing, not an optimization: without it
+    the nested round plans grow until PLANNING itself kills the driver
+    — measured with ``bpe_train``'s original persist-only loop, which
+    at 48 merges died with a java.lang.OutOfMemoryError inside
+    ``QueryExecution.explainString`` (the plan TREE STRING no longer
+    fit the heap). On a cluster needing fault tolerance swap
+    localCheckpoint for checkpoint() with a checkpoint dir."""
+
+    def __init__(self, df: DataFrame, every: int):
+        self.sc = df.sparkSession.sparkContext
+        self.every = every
+        self.rounds = 0
+        self.ckpt_id: int | None = None
+        self.df = df.persist()
+        self.df.count()
+
+    def advance(self, new: DataFrame) -> DataFrame:
+        self.rounds += 1
+        if self.every and self.rounds % self.every == 0:
+            new = new.localCheckpoint(eager=True)
+            _unpersist_rdd_id(self.sc, self.ckpt_id)
+            self.ckpt_id = _ckpt_rdd_id(new)
+        else:
+            new = new.persist()
+            try:
+                new.count()
+            except Exception:
+                new.unpersist()
+                raise
+        self.df.unpersist()
+        self.df = new
+        return new
+
+    def release(self) -> None:
+        """Full teardown: drop the cache and the last checkpoint. For a
+        frame handed to the caller (the returned words) call NOTHING —
+        the caller unpersists the cache and the final checkpoint backs
+        the frame (released by ContextCleaner GC, as in
+        ``connected_components``)."""
+        self.df.unpersist()
+        _unpersist_rdd_id(self.sc, self.ckpt_id)
+
+
+def bpe_train_collected(docs: DataFrame, text_col: str, n_merges: int,
+                        max_words: int = 5_000_000,
+                        ) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """EXACT canonical :func:`bpe_train` merge sequence at real-vocab
+    speed: the corpus pass (tokenize + word frequencies) stays
+    distributed, then the merge loop runs on the collected
+    vocabulary — the shape every production BPE trainer uses, because
+    all post-count work is VOCAB-bounded, not corpus-bounded, and a
+    32k-merge vocabulary means thousands of sequential rounds whose
+    per-round Spark job+shuffle latency can never amortize.
+
+    The collect is a bounded dim by the same contract as k-means
+    centroids / ANN query sets: ``max_words`` caps it (a 5M-word
+    vocabulary is a few hundred MB) and the function REFUSES rather
+    than silently truncates when the vocabulary exceeds the cap —
+    raise the cap or use the distributed trainers.
+
+    The in-memory loop is the standard incremental algorithm: a
+    pair -> count dict, a pair -> {word ids} inverted index, and a
+    lazy-deletion heap ordered by (-count, left, right) — identical
+    tie-breaking to the distributed argmax, so the merge sequence is
+    bit-identical (tested). Each merge touches only words containing
+    the pair.
+
+    Returns (merges, words) with ``words`` a regular (word, freq,
+    syms) DataFrame built from the final in-memory table (not cached;
+    vocabulary-sized)."""
+    import heapq
+
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    if max_words <= 0:
+        raise ValueError(f"max_words must be positive, got {max_words}")
+    spark = docs.sparkSession
+    vocab = word_freq_table(docs, text_col).select("word", "freq")
+    rows = vocab.limit(max_words + 1).collect()
+    if len(rows) > max_words:
+        raise ValueError(
+            f"vocabulary exceeds max_words={max_words}; raise the cap or "
+            f"use bpe_train / bpe_train_batched")
+    words: list[list[str]] = [list(r["word"]) for r in rows]
+    freqs: list[int] = [int(r["freq"]) for r in rows]
+
+    def word_pairs(syms: list[str]) -> list[tuple[str, str]]:
+        return list(zip(syms, syms[1:]))
+
+    counts: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[int]] = {}
+    for i, syms in enumerate(words):
+        for p in word_pairs(syms):
+            counts[p] = counts.get(p, 0) + freqs[i]
+            index.setdefault(p, set()).add(i)
+    heap = [(-c, p[0], p[1]) for p, c in counts.items()]
+    heapq.heapify(heap)
+
+    def bump(p: tuple[str, str], by: int, i: int) -> None:
+        c = counts.get(p, 0) + by
+        if c <= 0:
+            counts.pop(p, None)
+        else:
+            counts[p] = c
+            if by > 0:
+                heapq.heappush(heap, (-c, p[0], p[1]))
+        idx = index.setdefault(p, set())
+        if by > 0:
+            idx.add(i)
+
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges and heap:
+        negc, left, right = heapq.heappop(heap)
+        cur = counts.get((left, right))
+        if cur is None:
+            continue                     # pair died; stale entry
+        if -negc != cur:
+            # stale count: re-push the CURRENT one — decrements don't
+            # push (only increments do), so this pop may hold the
+            # pair's only path back into the heap
+            heapq.heappush(heap, (-cur, left, right))
+            continue
+        merges.append((left, right, cur))
+        touched = sorted(index.get((left, right), ()))
+        for i in touched:
+            syms = words[i]
+            out, k = [], 0
+            # greedy left-to-right, identical to apply_merge's fold
+            while k < len(syms):
+                if (k + 1 < len(syms) and syms[k] == left
+                        and syms[k + 1] == right):
+                    out.append(left + right)
+                    k += 2
+                else:
+                    out.append(syms[k])
+                    k += 1
+            old_pairs, new_pairs = word_pairs(syms), word_pairs(out)
+            words[i] = out
+            f = freqs[i]
+            for p in old_pairs:
+                counts_before = counts.get(p, 0)
+                c = counts_before - f
+                if c <= 0:
+                    counts.pop(p, None)
+                else:
+                    counts[p] = c
+            for p in new_pairs:
+                bump(p, f, i)
+            new_set = set(new_pairs)
+            for p in set(old_pairs) - new_set:
+                s = index.get(p)
+                if s is not None:
+                    s.discard(i)
+                    if not s:
+                        index.pop(p, None)
+            # counts decreased without heap pushes are handled by lazy
+            # deletion; pairs whose count ROSE got fresh heap entries
+        index.pop((left, right), None)
+        counts.pop((left, right), None)
+
+    out_df = spark.createDataFrame(
+        [(w, f, s) for (w, f, s) in zip((r["word"] for r in rows),
+                                        freqs, words)],
+        "word string, freq long, syms array<string>")
+    return merges, out_df

@@ -107,6 +107,66 @@ def test_bpe_train_persist_false_leaves_no_cache(spark):
     w2.unpersist()
 
 
+def test_bpe_train_checkpoint_cadence_invariant(spark):
+    """Plan-truncation cadence never changes results — only plan size.
+    (The cadence exists because persist-only rounds OOM the driver on
+    the plan tree string at ~48 merges.)"""
+    docs = spark.createDataFrame(
+        [(1, "banana band bandana low lower lowest")],
+        "doc_id long, text string")
+    a, wa = bpe.bpe_train(docs, "text", 9, checkpoint_every=2)
+    b, wb = bpe.bpe_train(docs, "text", 9, checkpoint_every=100)
+    assert a == b
+    assert sorted(map(tuple, wa.collect())) == \
+        sorted(map(tuple, wb.collect()))
+    wa.unpersist()
+    wb.unpersist()
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        bpe.bpe_train(docs, "text", 2, checkpoint_every=0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        bpe.bpe_train_batched(docs, "text", 2, checkpoint_every=-1)
+
+
+def test_bpe_collected_matches_canonical(spark):
+    """The collected (in-memory merge loop) trainer reproduces the
+    distributed canonical merge sequence and final segmentation exactly
+    — stressed with a tiny {a,b,c} alphabet so merges collide on
+    surface forms, pairs zero out and reappear (the lazy-deletion heap
+    paths), and identical-symbol runs exercise the greedy rewrite."""
+    import random
+    rng = random.Random(7)
+    corpus = " ".join(
+        "".join(rng.choice("aabbc") for _ in range(rng.randint(1, 9)))
+        for _ in range(120))
+    docs = spark.createDataFrame(
+        [(1, corpus), (2, "low low low lower lowest new newer"),
+         (3, None)],
+        "doc_id long, text string")
+    canon, w0 = bpe.bpe_train(docs, "text", 24)
+    want = {r["word"]: r["syms"] for r in w0.collect()}
+    w0.unpersist()
+    got, w1 = bpe.bpe_train_collected(docs, "text", 24)
+    assert got == canon
+    assert {r["word"]: r["syms"] for r in w1.collect()} == want
+
+
+def test_bpe_collected_early_stop_caps_and_validation(spark):
+    docs = spark.createDataFrame([(1, "ab ab a b")],
+                                 "doc_id long, text string")
+    merges, words = bpe.bpe_train_collected(docs, "text", 10)
+    # 'ab' merges, then nothing is left to pair
+    assert merges == [("a", "b", 2)]
+    assert {r["word"]: r["syms"] for r in words.collect()} == \
+        {"ab": ["ab"], "a": ["a"], "b": ["b"]}
+    # the cap REFUSES (3 distinct words > 2) rather than truncating
+    with pytest.raises(ValueError, match="max_words"):
+        bpe.bpe_train_collected(docs, "text", 2, max_words=2)
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe.bpe_train_collected(docs, "text", 0)
+    with pytest.raises(ValueError, match="max_words"):
+        bpe.bpe_train_collected(docs, "text", 1, max_words=0)
+
+
 def test_bpe_batched_rounds(spark):
     """Batched training: batch=1 reproduces the canonical sequence;
     larger batches pick only non-interacting pairs per round (no symbol

@@ -566,3 +566,28 @@ def test_bpe_train_cli_batched(tmp_path):
     assert rc == 0
     lines = [json.loads(l) for l in out.read_text().splitlines()]
     assert len(lines) == 8
+
+
+def test_bpe_train_cli_collect_vocab(tmp_path, capsys):
+    """--collect-vocab trains the exact canonical sequence with the
+    in-memory merge loop; incompatible with --batch > 1."""
+    import json
+
+    out = tmp_path / "m.jsonl"
+    rc = cli.main(["bpe-train", "-i",
+                   "/root/testdata/sf0.001/documents.parquet",
+                   "-o", str(out), "-n", "5", "--collect-vocab"])
+    assert rc == 0
+    fast_lines = [json.loads(l) for l in out.read_text().splitlines()]
+    rc = cli.main(["bpe-train", "-i",
+                   "/root/testdata/sf0.001/documents.parquet",
+                   "-o", str(out), "-n", "5"])
+    assert rc == 0
+    canon_lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert fast_lines == canon_lines
+    rc = cli.main(["bpe-train", "-i",
+                   "/root/testdata/sf0.001/documents.parquet",
+                   "-o", str(out), "-n", "4", "--collect-vocab",
+                   "--batch", "2"])
+    assert rc == 2
+    assert "--collect-vocab" in capsys.readouterr().err

@@ -804,6 +804,20 @@ def main(argv: list[str] | None = None) -> int:
                    help="vocabulary cap for --collect-vocab")
     p.add_argument("--text-col", default="text")
     p = sub.add_parser(
+        "bpe-apply",
+        help="segment a corpus parquet with a trained BPE merge table "
+             "(from 's2s bpe-train') and write doc_id + subword tokens "
+             "+ token count as parquet (beyond-reference)")
+    p.add_argument("-i", "--infile", required=True,
+                   help="corpus parquet (needs id + text columns)")
+    p.add_argument("-m", "--merges", required=True,
+                   help="merge table file written by bpe-train "
+                        "(JSON lines: left/right/count)")
+    p.add_argument("-o", "--outfile", required=True,
+                   help="output parquet path")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p = sub.add_parser(
         "ingest",
         help="incrementally ingest parquet file drops from a landing "
              "directory into a corpus table (checkpointed exactly-once; "
@@ -896,6 +910,46 @@ def main(argv: list[str] | None = None) -> int:
                                          "count": cnt}) + "\n")
             print(f"trained {len(merges)} merge(s); vocabulary "
                   f"{n_words} word(s), {n_syms or 0} symbol occurrence(s)")
+            return 0
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "bpe-apply":  # no config file: all-flags command
+        import json
+
+        from stream2segment_spark.functions.bpe import bpe_segment_udf
+        from stream2segment_spark.session import get_spark
+        try:
+            with open(args.merges, encoding="utf-8") as fh:
+                table = [json.loads(line) for line in fh
+                         if line.strip()]
+            merges = [(m["left"], m["right"], int(m.get("count", 0)))
+                      for m in table]
+        except (OSError, ValueError, KeyError, TypeError) as exc:
+            print(f"error: cannot read merge table {args.merges!r}: "
+                  f"{exc}", file=sys.stderr)
+            return 2
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-bpe-apply")
+        try:
+            docs = spark.read.parquet(args.infile)
+            missing = [c for c in (args.id_col, args.text_col)
+                       if c not in docs.columns]
+            if missing:
+                print(f"error: {args.infile} lacks column(s) {missing} "
+                      f"(has: {sorted(docs.columns)})", file=sys.stderr)
+                return 2
+            seg = bpe_segment_udf(merges)
+            out = (docs.select(
+                F.col(args.id_col),
+                F.flatten(seg(F.col(args.text_col))).alias("tokens"))
+                .withColumn("n_tokens", F.size("tokens")))
+            out.write.mode("overwrite").parquet(args.outfile)
+            back = spark.read.parquet(args.outfile)
+            n_docs, n_toks = back.select(
+                F.count("*"), F.sum("n_tokens")).collect()[0]
+            print(f"segmented {n_docs} document(s), {n_toks or 0} "
+                  f"subword token(s) with {len(merges)} merge(s)")
             return 0
         finally:
             if not preexisting:

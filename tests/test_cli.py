@@ -568,6 +568,47 @@ def test_bpe_train_cli_batched(tmp_path):
     assert len(lines) == 8
 
 
+def test_bpe_apply_cli_roundtrip(tmp_path, capsys, spark):
+    """train -> apply lifecycle: the applied segmentation concatenates
+    back to the tokenized text, and errors are argued, not raised."""
+    merges = tmp_path / "m.jsonl"
+    out = tmp_path / "seg"
+    rc = cli.main(["bpe-train", "-i",
+                   "/root/testdata/sf0.001/documents.parquet",
+                   "-o", str(merges), "-n", "6", "--collect-vocab"])
+    assert rc == 0
+    rc = cli.main(["bpe-apply", "-i",
+                   "/root/testdata/sf0.001/documents.parquet",
+                   "-m", str(merges), "-o", str(out)])
+    assert rc == 0
+    assert "subword token(s) with 6 merge(s)" in capsys.readouterr().out
+    import pyspark.sql.functions as SF
+    seg = spark.read.parquet(str(out))
+    assert set(seg.columns) == {"doc_id", "tokens", "n_tokens"}
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    # concatenated subwords == the lowercased alnum stream of the text
+    joined = (seg.join(docs, "doc_id")
+              .select(SF.concat_ws("", "tokens").alias("got"),
+                      SF.regexp_replace(SF.lower(SF.coalesce("text",
+                                                             SF.lit(""))),
+                                        "[^a-z0-9]+", "").alias("want")))
+    assert joined.filter("got != want").count() == 0
+    # bad merge file -> exit 2 with a message
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text("{not json\n")
+    rc = cli.main(["bpe-apply", "-i",
+                   "/root/testdata/sf0.001/documents.parquet",
+                   "-m", str(bad), "-o", str(out)])
+    assert rc == 2
+    assert "merge table" in capsys.readouterr().err
+    # missing column -> exit 2
+    rc = cli.main(["bpe-apply", "-i",
+                   "/root/testdata/sf0.001/documents.parquet",
+                   "-m", str(merges), "-o", str(out), "--text-col", "nope"])
+    assert rc == 2
+
+
 def test_bpe_train_cli_collect_vocab(tmp_path, capsys):
     """--collect-vocab trains the exact canonical sequence with the
     in-memory merge loop; incompatible with --batch > 1."""

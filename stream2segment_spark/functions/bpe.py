@@ -397,72 +397,35 @@ class _RoundFrame:
         _unpersist_rdd_id(self.sc, self.ckpt_id)
 
 
-def bpe_train_collected(docs: DataFrame, text_col: str, n_merges: int,
-                        max_words: int = 5_000_000,
-                        ) -> tuple[list[tuple[str, str, int]], DataFrame]:
-    """EXACT canonical :func:`bpe_train` merge sequence at real-vocab
-    speed: the corpus pass (tokenize + word frequencies) stays
-    distributed, then the merge loop runs on the collected
-    vocabulary — the shape every production BPE trainer uses, because
-    all post-count work is VOCAB-bounded, not corpus-bounded, and a
-    32k-merge vocabulary means thousands of sequential rounds whose
-    per-round Spark job+shuffle latency can never amortize.
+def bpe_merge_loop(words: "list[str]", freqs: "list[int]", n_merges: int,
+                   ) -> tuple[list[tuple[str, str, int]], list[list[str]]]:
+    """The in-memory BPE merge loop over a (word, freq) vocabulary:
+    returns (merges, per-word symbol lists) with EXACTLY the
+    distributed trainers' semantics — greedy left-to-right application,
+    argmax by (count desc, left asc, right asc).
 
-    The collect is a bounded dim by the same contract as k-means
-    centroids / ANN query sets: ``max_words`` caps it (a 5M-word
-    vocabulary is a few hundred MB) and the function REFUSES rather
-    than silently truncates when the vocabulary exceeds the cap —
-    raise the cap or use the distributed trainers.
-
-    The in-memory loop is the standard incremental algorithm: a
-    pair -> count dict, a pair -> {word ids} inverted index, and a
-    lazy-deletion heap ordered by (-count, left, right) — identical
-    tie-breaking to the distributed argmax, so the merge sequence is
-    bit-identical (tested). Each merge touches only words containing
-    the pair.
-
-    Returns (merges, words) with ``words`` a regular (word, freq,
-    syms) DataFrame built from the final in-memory table (not cached;
-    vocabulary-sized)."""
+    Standard incremental algorithm: pair -> count dict, pair -> {word
+    ids} inverted index, and a lazy-deletion heap ordered by (-count,
+    left, right). Decrements don't push heap entries; a popped stale
+    entry re-pushes the pair's CURRENT count (it may hold the pair's
+    only path back into the heap). Each merge touches only the words
+    containing the pair. Pure Python — property-tested against a naive
+    full-recount reference."""
     import heapq
 
-    if n_merges <= 0:
-        raise ValueError(f"n_merges must be positive, got {n_merges}")
-    if max_words <= 0:
-        raise ValueError(f"max_words must be positive, got {max_words}")
-    spark = docs.sparkSession
-    vocab = word_freq_table(docs, text_col).select("word", "freq")
-    rows = vocab.limit(max_words + 1).collect()
-    if len(rows) > max_words:
-        raise ValueError(
-            f"vocabulary exceeds max_words={max_words}; raise the cap or "
-            f"use bpe_train / bpe_train_batched")
-    words: list[list[str]] = [list(r["word"]) for r in rows]
-    freqs: list[int] = [int(r["freq"]) for r in rows]
+    syms_list: list[list[str]] = [list(w) for w in words]
 
     def word_pairs(syms: list[str]) -> list[tuple[str, str]]:
         return list(zip(syms, syms[1:]))
 
     counts: dict[tuple[str, str], int] = {}
     index: dict[tuple[str, str], set[int]] = {}
-    for i, syms in enumerate(words):
+    for i, syms in enumerate(syms_list):
         for p in word_pairs(syms):
             counts[p] = counts.get(p, 0) + freqs[i]
             index.setdefault(p, set()).add(i)
     heap = [(-c, p[0], p[1]) for p, c in counts.items()]
     heapq.heapify(heap)
-
-    def bump(p: tuple[str, str], by: int, i: int) -> None:
-        c = counts.get(p, 0) + by
-        if c <= 0:
-            counts.pop(p, None)
-        else:
-            counts[p] = c
-            if by > 0:
-                heapq.heappush(heap, (-c, p[0], p[1]))
-        idx = index.setdefault(p, set())
-        if by > 0:
-            idx.add(i)
 
     merges: list[tuple[str, str, int]] = []
     while len(merges) < n_merges and heap:
@@ -471,15 +434,11 @@ def bpe_train_collected(docs: DataFrame, text_col: str, n_merges: int,
         if cur is None:
             continue                     # pair died; stale entry
         if -negc != cur:
-            # stale count: re-push the CURRENT one — decrements don't
-            # push (only increments do), so this pop may hold the
-            # pair's only path back into the heap
             heapq.heappush(heap, (-cur, left, right))
             continue
         merges.append((left, right, cur))
-        touched = sorted(index.get((left, right), ()))
-        for i in touched:
-            syms = words[i]
+        for i in sorted(index.get((left, right), ())):
+            syms = syms_list[i]
             out, k = [], 0
             # greedy left-to-right, identical to apply_merge's fold
             while k < len(syms):
@@ -491,31 +450,65 @@ def bpe_train_collected(docs: DataFrame, text_col: str, n_merges: int,
                     out.append(syms[k])
                     k += 1
             old_pairs, new_pairs = word_pairs(syms), word_pairs(out)
-            words[i] = out
+            syms_list[i] = out
             f = freqs[i]
             for p in old_pairs:
-                counts_before = counts.get(p, 0)
-                c = counts_before - f
+                c = counts.get(p, 0) - f
                 if c <= 0:
                     counts.pop(p, None)
                 else:
                     counts[p] = c
             for p in new_pairs:
-                bump(p, f, i)
-            new_set = set(new_pairs)
-            for p in set(old_pairs) - new_set:
+                c = counts.get(p, 0) + f
+                counts[p] = c
+                heapq.heappush(heap, (-c, p[0], p[1]))
+                index.setdefault(p, set()).add(i)
+            for p in set(old_pairs) - set(new_pairs):
                 s = index.get(p)
                 if s is not None:
                     s.discard(i)
                     if not s:
                         index.pop(p, None)
-            # counts decreased without heap pushes are handled by lazy
-            # deletion; pairs whose count ROSE got fresh heap entries
         index.pop((left, right), None)
         counts.pop((left, right), None)
+    return merges, syms_list
 
+
+def bpe_train_collected(docs: DataFrame, text_col: str, n_merges: int,
+                        max_words: int = 5_000_000,
+                        ) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """EXACT canonical :func:`bpe_train` merge sequence at real-vocab
+    speed: the corpus pass (tokenize + word frequencies) stays
+    distributed, then :func:`bpe_merge_loop` runs on the collected
+    vocabulary — the shape every production BPE trainer uses, because
+    all post-count work is VOCAB-bounded, not corpus-bounded, and a
+    32k-merge vocabulary means thousands of sequential rounds whose
+    per-round Spark job+shuffle latency can never amortize.
+
+    The collect is a bounded dim by the same contract as k-means
+    centroids / ANN query sets: ``max_words`` caps it (a 5M-word
+    vocabulary is a few hundred MB) and the function REFUSES rather
+    than silently truncates when the vocabulary exceeds the cap —
+    raise the cap or use the distributed trainers.
+
+    Returns (merges, words) with ``words`` a regular (word, freq,
+    syms) DataFrame built from the final in-memory table (not cached;
+    vocabulary-sized)."""
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    if max_words <= 0:
+        raise ValueError(f"max_words must be positive, got {max_words}")
+    spark = docs.sparkSession
+    vocab = word_freq_table(docs, text_col).select("word", "freq")
+    rows = vocab.limit(max_words + 1).collect()
+    if len(rows) > max_words:
+        raise ValueError(
+            f"vocabulary exceeds max_words={max_words}; raise the cap or "
+            f"use bpe_train / bpe_train_batched")
+    freqs = [int(r["freq"]) for r in rows]
+    merges, syms_list = bpe_merge_loop(
+        [r["word"] for r in rows], freqs, n_merges)
     out_df = spark.createDataFrame(
-        [(w, f, s) for (w, f, s) in zip((r["word"] for r in rows),
-                                        freqs, words)],
+        [(r["word"], f, s) for r, f, s in zip(rows, freqs, syms_list)],
         "word string, freq long, syms array<string>")
     return merges, out_df

@@ -97,6 +97,50 @@ def _rr_literals():
     return fmt(g.real), fmt(g.imag), paz
 
 
+def _mc_chain():
+    """Demo MULTI-STAGE response chain exercising every stage type the
+    parser emits (funclib/response.py): analog PolesZeros, gain-only
+    digitizer, symmetric (zero-phase) FIR, and an asymmetric FIR whose
+    Decimation/Correction exactly compensates its 2-sample delay — the
+    evalresp asymmetric-FIR rule. Stage gains multiply to 1 so
+    deconvolved values stay O(1) at the gate's rounding."""
+    from stream2segment_spark.funclib.response import (
+        ChannelResponse, CoefficientsStage, PolesZerosStage,
+        paz_frequency_response)
+    import numpy as _np
+    a0 = 1.0 / abs(paz_frequency_response(
+        _np.array([10.0]), _RR_POLES, _RR_ZEROS, gain=1.0)[0])
+    fs = 1.0 / _DELTA
+    return ChannelResponse(
+        stages=(
+            PolesZerosStage(poles=_RR_POLES, zeros=_RR_ZEROS,
+                            normalization=a0, gain=4.0),
+            CoefficientsStage(gain=0.5),                   # digitizer
+            CoefficientsStage(numerator=(0.25, 0.5, 0.25),
+                              input_sample_rate=fs, gain=0.5,
+                              symmetry="NONE"),  # palindrome: centered
+            CoefficientsStage(numerator=(0.0, 0.0, 1.0),
+                              input_sample_rate=fs,
+                              correction=2.0 * _DELTA),    # asym, corr
+        ),
+        sensitivity=1.0, input_units="M/S")
+
+
+def _mc_literals():
+    """Water-leveled inverse of the full multi-stage chain response per
+    rfft bin, from the SAME composition + inversion functions the kernel
+    applies, inlined as (re, im) list literals."""
+    import numpy as _np
+
+    from stream2segment_spark.funclib.response import (
+        invert_spec_water_level)
+    chain = _mc_chain()
+    f = _np.fft.rfftfreq(_N, d=_DELTA)
+    g = invert_spec_water_level(chain.frequency_response(f), _RR_WL_DB)
+    fmt = lambda a: "[" + ", ".join(repr(float(v)) for v in a) + "]"
+    return fmt(g.real), fmt(g.imag), chain
+
+
 def _wa_literals():
     """Wood-Anderson frequency-response complex gains per rfft bin
     (traces.synth_wood_anderson:155-170 — the published WA pole-zero
@@ -117,6 +161,7 @@ def _wa_literals():
 _BP_TAPER, _BP_GAIN = _bp_literals()
 _RR_GRE, _RR_GIM, _RR_PAZ = _rr_literals()
 _WA_GRE, _WA_GIM = _wa_literals()
+_MC_GRE, _MC_GIM, _MC_CHAIN = _mc_literals()
 
 
 @register(
@@ -192,6 +237,23 @@ _WA_GRE, _WA_GIM = _wa_literals()
                       * (zre[k+1] * cos(2*pi()*k*j/64)
                          - zim[k+1] * sin(2*pi()*k*j/64))))) / 64) AS rrx
           FROM rrf),
+        mcf AS (  -- multi-stage chain: literal inverse-chain gains
+          SELECT vec_id,
+                 list_transform(range(0, 33), k ->
+                   ({_MC_GRE})[k+1] * xre[k+1]
+                   - ({_MC_GIM})[k+1] * xim[k+1]) AS mre,
+                 list_transform(range(0, 33), k ->
+                   ({_MC_GRE})[k+1] * xim[k+1]
+                   + ({_MC_GIM})[k+1] * xre[k+1]) AS mim
+          FROM sp),
+        mco AS (
+          SELECT vec_id,
+                 list_transform(range(0, 64), j ->
+                   (list_sum(list_transform(range(0, 33), k ->
+                      (CASE WHEN k = 0 OR k = 32 THEN 1.0 ELSE 2.0 END)
+                      * (mre[k+1] * cos(2*pi()*k*j/64)
+                         - mim[k+1] * sin(2*pi()*k*j/64))))) / 64) AS mcx
+          FROM mcf),
         waf AS (  -- N11: complex multiply by the literal WA response
           SELECT vec_id,
                  list_transform(range(0, 33), k ->
@@ -252,12 +314,17 @@ _WA_GRE, _WA_GIM = _wa_literals()
                round(list_sum(list_transform(wa.wax, v -> v * v)), 4)
                  AS wa_energy,
                round(list_max(list_transform(wa.wax, v -> abs(v))), 6)
-                 AS wa_peakabs
+                 AS wa_peakabs,
+               round(list_sum(list_transform(mc.mcx, v -> v * v)), 6)
+                 AS mc_energy,
+               round(list_max(list_transform(mc.mcx, v -> abs(v))), 6)
+                 AS mc_peakabs
         FROM t JOIN rs r0 ON r0.vec_id = t.vec_id AND r0.pid = 0
                JOIN rs r1 ON r1.vec_id = t.vec_id AND r1.pid = 1
                JOIN bpo o ON o.vec_id = t.vec_id
                JOIN rro rr ON rr.vec_id = t.vec_id
-               JOIN wao wa ON wa.vec_id = t.vec_id""",
+               JOIN wao wa ON wa.vec_id = t.vec_id
+               JOIN mco mc ON mc.vec_id = t.vec_id""",
 )
 def funclib_spectra(spark, sf_dir):
     """N1-N3 + N5 + freqs/dfreq through the REAL funclib kernels on the
@@ -286,7 +353,18 @@ def funclib_spectra(spark, sf_dir):
       sensitivity 2080 applied as literal complex gains over the same
       shared tapered-signal DFT (wa_energy rounds at 4 decimals: the
       2080x sensitivity scales energies ~1e6, putting the FFT-vs-DFT
-      float tail at the 1e-7 absolute level)."""
+      float tail at the 1e-7 absolute level);
+    - mc columns: the MULTI-STAGE response chain (funclib/response
+      .ChannelResponse — reference: obspy remove_response honoring the
+      full StationXML stage chain, gui/webapp/mainapp/core.py:38-47)
+      deconvolved through a 4-stage demo chain covering every stage
+      type: analog PolesZeros, gain-only digitizer, zero-phase
+      symmetric FIR, and an asymmetric FIR whose Decimation/Correction
+      compensates its 2-sample delay (evalresp's asymmetric-FIR rule);
+      the water-leveled inverse of the composed chain ships as literal
+      complex gains from the same composition code pytest covers
+      exact-value, so the gate verifies the Arrow-path application
+      end-to-end like rr/wa."""
     from stream2segment_spark.funclib.ndarrays import (
         ampspec, argtrim, dfreq, fft, powspec,
         response_spectrum_nigam_jennings, trim)
@@ -301,7 +379,8 @@ def funclib_spectra(spark, sf_dir):
                   "sa_p1 double, sa_p2 double, sv_p1 double, sv_p2 double, "
                   "bp_energy double, bp_peakabs double, "
                   "rr_energy double, rr_peakabs double, "
-                  "wa_energy double, wa_peakabs double")
+                  "wa_energy double, wa_peakabs double, "
+                  "mc_energy double, mc_peakabs double")
 
     def kernels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         df_hz = dfreq(_N, _DELTA)
@@ -324,6 +403,8 @@ def funclib_spectra(spark, sf_dir):
                 rrx = remove_response(x, _DELTA, _RR_PAZ, output="VEL",
                                       water_level_db=_RR_WL_DB)
                 wax = synth_wood_anderson(x, _DELTA)
+                mcx = remove_response(x, _DELTA, _MC_CHAIN, output="VEL",
+                                      water_level_db=_RR_WL_DB)
                 rows.append((vid, peak, round(peak * df_hz, 6),
                              round(float(amp[peak]), 4),
                              round(float(parseval), 6), i0, i1,
@@ -337,13 +418,15 @@ def funclib_spectra(spark, sf_dir):
                              round(float((rrx * rrx).sum()), 6),
                              round(float(np.abs(rrx).max()), 6),
                              round(float((wax * wax).sum()), 4),
-                             round(float(np.abs(wax).max()), 6)))
+                             round(float(np.abs(wax).max()), 6),
+                             round(float((mcx * mcx).sum()), 6),
+                             round(float(np.abs(mcx).max()), 6)))
             yield pd.DataFrame(rows, columns=[
                 "vec_id", "peak_bin", "dom_freq", "peak_amp",
                 "parseval_energy", "trim_i0", "trim_i1", "trim_sum",
                 "sa_p1", "sa_p2", "sv_p1", "sv_p2",
                 "bp_energy", "bp_peakabs", "rr_energy", "rr_peakabs",
-                "wa_energy", "wa_peakabs"])
+                "wa_energy", "wa_peakabs", "mc_energy", "mc_peakabs"])
 
     return emb.select("vec_id", "embedding").mapInPandas(kernels, out_schema)
 

@@ -1,0 +1,116 @@
+"""Bigram language-model fluency scoring for corpus quality filtering
+(beyond-reference, LLM-pipeline): the CCNet-style signal — score each
+document by how predictable its word transitions are under an n-gram
+model trained on a reference corpus — without an external LM binary.
+
+Model: add-one (Laplace) smoothed bigram transition probabilities over
+:func:`operators.dedup.word_tokens` tokens,
+
+    p(w2 | w1) = (c(w1, w2) + 1) / (c(w1) + V)
+
+with ``c`` corpus counts and ``V`` the unigram vocabulary size. A
+document's score is the MEAN transition probability over its token
+stream (not log-perplexity: ``log`` is not bit-portable across libms,
+and the mean keeps every step one IEEE +,/ chain, exactly replayable in
+SQL — for FILTERING, which is rank-based, the two orderings agree on
+what they punish: improbable transitions).
+
+Determinism at the ulp level: per-document summation is an explicit
+left-to-right fold over transitions sorted by position (``F.aggregate``
+over ``array_sort(collect_list(...))``), because a plain ``sum()``
+aggregate adds in partition order — nondeterministic for doubles. The
+DuckDB oracle replays the identical fold with ``list_reduce(list(p
+ORDER BY pos), ...)`` (reduce seeds with the first element; seeding the
+Spark fold with 0.0 is exact because 0.0 + x == x for the positive
+probabilities here).
+
+Scale: two map-side-combined count shuffles build the model (unigrams,
+bigrams — vocabulary-bounded outputs); scoring is two keyed joins
+(transition stream against the count tables; stopword-bigram skew is
+AQE territory) and one per-document aggregate. Only the scalar ``V``
+crosses the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stream2segment_spark.operators.dedup import word_tokens
+
+
+def _transitions(docs: DataFrame, text_col: str,
+                 id_col: str | None = None) -> DataFrame:
+    """One row per adjacent token pair: ``([id,] pos, w1, w2)`` with
+    ``pos`` the 0-based transition index inside the document (``id``
+    omitted when counting, kept when scoring)."""
+    toks = word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(i.alias("pos"),
+                                       F.get(toks, i).alias("w1"),
+                                       F.get(toks, i + 1).alias("w2")))
+    ).otherwise(F.array().cast(
+        "array<struct<pos:int,w1:string,w2:string>>"))
+    keep = [F.col(id_col)] if id_col else []
+    out = docs.select(*keep, F.explode(pairs).alias("t"))
+    return out.select(*([id_col] if id_col else []),
+                      "t.pos", "t.w1", "t.w2")
+
+
+def bigram_model(docs: DataFrame, text_col: str = "text",
+                 ) -> tuple[DataFrame, DataFrame, int]:
+    """Train the counts: returns ``(unigrams, bigrams, vocab_size)``
+    with ``unigrams = (w1, cu)``, ``bigrams = (w1, w2, cb)``. Both
+    frames are lazy and vocabulary-bounded; ``vocab_size`` is the one
+    scalar that crosses the driver."""
+    tok = (docs.select(F.explode(word_tokens(
+        F.coalesce(F.col(text_col), F.lit("")))).alias("w1")))
+    uni = tok.groupBy("w1").agg(F.count("*").alias("cu"))
+    bi = (_transitions(docs, text_col)
+          .groupBy("w1", "w2").agg(F.count("*").alias("cb")))
+    vocab = uni.count()
+    return uni, bi, vocab
+
+
+def lm_transition_scores(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         model: tuple[DataFrame, DataFrame, int] | None = None,
+                         ) -> DataFrame:
+    """Per-document fluency: ``(id, n_trans, lm_score)`` where
+    ``lm_score`` is the mean add-one-smoothed bigram transition
+    probability (0.0 for documents with fewer than two tokens) and
+    ``n_trans`` the transition count.
+
+    With ``model=None`` the corpus scores itself (quality-outlier
+    detection); pass a :func:`bigram_model` trained on a REFERENCE
+    corpus to score candidate text against it — unseen histories and
+    transitions fall back to the smoothed floor ``1/V`` via the left
+    joins, never drop rows."""
+    if model is None:
+        model = bigram_model(docs, text_col)
+    uni, bi, vocab = model
+    tr = _transitions(docs, text_col, id_col)
+    p = (tr.join(bi, ["w1", "w2"], "left")
+         .join(uni, ["w1"], "left")
+         .select(id_col, "pos",
+                 ((F.coalesce(F.col("cb"), F.lit(0)) + 1)
+                  / (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(vocab)))
+                 .alias("p")))
+    agg = (p.groupBy(id_col)
+           .agg(F.count("*").cast("int").alias("n_trans"),
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("pos", "p"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["p"]).alias("s")))
+    # score expression FIRST: it reads the raw joined "n_trans", and a
+    # later output alias of the same name must never precede a reader
+    # (the lateral-column-alias capture lesson, PLANS.md)
+    return (docs.select(id_col)
+            .join(agg, [id_col], "left")
+            .select(id_col,
+                    F.round(F.coalesce(F.col("s") / F.col("n_trans"),
+                                       F.lit(0.0)), 6).alias("lm_score"),
+                    F.coalesce("n_trans", F.lit(0)).alias("n_trans"))
+            .select(id_col, "n_trans", "lm_score"))

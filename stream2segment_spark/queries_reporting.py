@@ -70,7 +70,10 @@ def labels_count_join(spark, sf_dir):
 
 @register(
     "agg_download_summary",
-    """SELECT o_orderpriority AS run,
+    # driver-green r2+r3; deferred for the round-4 corpus_lm_score
+    # rotation (the window policy: defer only multi-round-green entries)
+    gate=False,
+    oracle="""SELECT o_orderpriority AS run,
               count(*) AS n,
               min(o_orderdate) AS first_t, max(o_orderdate) AS last_t,
               round(sum(o_totalprice), 2) AS total,

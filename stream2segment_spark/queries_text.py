@@ -396,3 +396,44 @@ def corpus_search(spark, sf_dir):
                       ["join", "scan", "merge"], k=10)
     return out.select("term", "doc_id", "tf", "dl",
                       F.round("score", 6).alias("score"), "rank")
+
+
+@register(
+    "corpus_lm_score",
+    f"""WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+         uni AS (SELECT w1, count(*) AS cu
+                 FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY w1),
+         vv AS (SELECT count(*)::BIGINT AS v FROM uni),
+         tr AS (SELECT doc_id, t.pos AS pos, t.w1 AS w1, t.w2 AS w2
+                FROM (SELECT doc_id,
+                             unnest(list_transform(range(1, len(w)),
+                                    i -> {{'pos': i, 'w1': w[i],
+                                           'w2': w[i+1]}})) AS t
+                      FROM toks WHERE len(w) >= 2)),
+         bi AS (SELECT w1, w2, count(*) AS cb FROM tr GROUP BY w1, w2),
+         p AS (SELECT t.doc_id, t.pos,
+                      (b.cb + 1) / (u.cu + vv.v) AS p
+               FROM tr t JOIN bi b ON b.w1 = t.w1 AND b.w2 = t.w2
+                    JOIN uni u ON u.w1 = t.w1, vv),
+         agg AS (SELECT doc_id, count(*) AS n_trans,
+                        list_reduce(list(p ORDER BY pos),
+                                    (a, b) -> a + b) AS s
+                 FROM p GROUP BY doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(a.n_trans, 0) AS INT) AS n_trans,
+              round(coalesce(a.s / a.n_trans, 0.0), 6) AS lm_score
+       FROM documents d LEFT JOIN agg a USING (doc_id)""",
+)
+def corpus_lm_score(spark, sf_dir):
+    """Bigram LM fluency scoring (functions/lm.py — CCNet-style quality
+    signal, beyond-reference LLM-pipeline): each document's mean
+    add-one-smoothed transition probability (cb+1)/(cu+V) under a model
+    the corpus trains on itself. No log anywhere (not bit-portable);
+    the per-document sum is an explicit position-ordered left-to-right
+    fold on BOTH engines (Spark F.aggregate over the sorted collected
+    list, DuckDB list_reduce over list(p ORDER BY pos)) because a plain
+    double sum() adds in partition order. Documents with fewer than two
+    tokens score 0.0 with n_trans 0 through the left join."""
+    from stream2segment_spark.functions.lm import lm_transition_scores
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_transition_scores(docs, "doc_id", "text")

@@ -584,7 +584,8 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
                neardup_threshold: float, neardup_mode: str,
                line_max_df, max_dup_frac, cut_dup_substrings, mix_col,
                mix_alpha: float, pack_budget, pack_shards: int,
-               semantic_k: int | None = None) -> int:
+               semantic_k: int | None = None,
+               min_lm_score: float | None = None) -> int:
     """'s2s curate': the corpus-curation funnel (beyond-reference,
     examples/corpus_pipeline.curate_corpus) as a CLI: documents parquet
     in -> curated parquet + one funnel JSON line on stdout."""
@@ -608,6 +609,7 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
         neardup_threshold=neardup_threshold, neardup_mode=neardup_mode,
         semantic_k=semantic_k,
         line_max_df=line_max_df, max_dup_frac=max_dup_frac,
+        min_lm_score=min_lm_score,
         cut_dup_substrings=cut_dup_substrings,
         mix_strata_col=mix_col, mix_alpha=mix_alpha,
         pack_budget=pack_budget, pack_shards=pack_shards,
@@ -757,6 +759,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-dup-frac", type=float, default=None,
                    help="drop docs whose duplicated-substring fraction "
                         "exceeds this")
+    p.add_argument("--min-lm-score", type=float, default=None,
+                   help="drop docs whose mean bigram-LM transition "
+                        "probability (self-trained on the filtered "
+                        "survivors) falls below this floor")
     p.add_argument("--cut-dup-substrings", type=int, default=None,
                    metavar="K",
                    help="CUT every cross-document duplicated run of >= K "
@@ -997,7 +1003,7 @@ def main(argv: list[str] | None = None) -> int:
                               args.cut_dup_substrings,
                               args.mix_col, args.mix_alpha,
                               args.pack_budget, args.pack_shards,
-                              args.semantic_k)
+                              args.semantic_k, args.min_lm_score)
         finally:
             if not preexisting:
                 spark.stop()

@@ -58,6 +58,7 @@ def curate_corpus(
     split_fractions: dict[str, float] | None = None,
     line_max_df: int | None = None,
     max_dup_frac: float | None = None,
+    min_lm_score: float | None = None,
     cut_dup_substrings: int | None = None,
     mix_strata_col: str | None = None,
     mix_alpha: float = 0.5,
@@ -141,6 +142,18 @@ def curate_corpus(
         keep = spans.filter(F.col("dup_frac") <= max_dup_frac) \
                     .select(id_col)
         filtered = filtered.join(keep, id_col, "left_semi")
+
+    # -- 2c. optional LM fluency floor (functions/lm.py) ----------------
+    # the bigram model trains on the ALREADY language/quality-filtered
+    # survivors so junk the earlier stages remove cannot poison the
+    # counts; survivors below the mean-transition-probability floor drop
+    if min_lm_score is not None:
+        from stream2segment_spark.functions.lm import lm_transition_scores
+        scores = lm_transition_scores(
+            filtered.select(id_col, text_col), id_col, text_col)
+        fluent = scores.filter(F.col("lm_score") >= min_lm_score) \
+                       .select(id_col)
+        filtered = filtered.join(fluent, id_col, "left_semi")
 
     # -- 3. exact dedup (keep lowest id per fingerprint) ----------------
     exact = DD.exact_dedup(filtered, ["fingerprint"], keep="first",

@@ -194,3 +194,36 @@ def test_semantic_neardup_mode(spark):
     base_ids = {r.doc_id for r in base.select("doc_id").collect()}
     out_ids = {r.doc_id for r in out.select("doc_id").collect()}
     assert out_ids == base_ids - flagged
+
+
+def test_min_lm_score_stage(spark):
+    """Stage 2c: the LM floor drops exactly the filtered survivors whose
+    self-scored mean transition probability is below the threshold, and
+    the funnel stays monotone."""
+    from stream2segment_spark.functions.lm import lm_transition_scores
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    base, base_funnel = curate_corpus(
+        docs, languages=("en", "und"), min_quality=0.5,
+        token_band=(5, 100_000), neardup_threshold=0.5)
+    scores = lm_transition_scores(base.select("doc_id", "text"))
+    med = scores.approxQuantile("lm_score", [0.5], 0.0)[0]
+    out, funnel = curate_corpus(
+        docs, languages=("en", "und"), min_quality=0.5,
+        token_band=(5, 100_000), neardup_threshold=0.5,
+        min_lm_score=med)
+    f = funnel.collect()[0]
+    bf = base_funnel.collect()[0]
+    assert f["input"] == bf["input"]
+    assert 0 < f["filtered"] < bf["filtered"]
+    assert (f["filtered"] >= f["exact_dedup"] >= f["near_dedup"] > 0)
+    # containment in the BASELINE output is deliberately NOT asserted:
+    # near-dedup keeps the min id per cluster, so removing a cluster's
+    # canonical doc via the LM floor promotes a different id (the same
+    # non-idempotence the SemDeDup funnel test documents)
+    assert out.count() == f["near_dedup"]
+    out2, _ = curate_corpus(
+        docs, languages=("en", "und"), min_quality=0.5,
+        token_band=(5, 100_000), neardup_threshold=0.5,
+        min_lm_score=med)
+    assert ({r["doc_id"] for r in out.select("doc_id").collect()} ==
+            {r["doc_id"] for r in out2.select("doc_id").collect()})

@@ -223,3 +223,19 @@ def test_semantic_dedup_single_pair_shuffle(spark):
     phys = _physical(QUERIES["sim_semantic_dedup"](spark, SF_DIR_SMOKE))
     assert "FlatMapGroupsInPandas" in phys, phys
     assert "CartesianProduct" not in phys and "NestedLoop" not in phys, phys
+
+
+def test_lm_bigram_counts_partial_aggregate(spark):
+    """corpus_lm_score's model counts must map-side combine: both count
+    shuffles (unigrams, bigrams) plan as partial_count below their
+    Exchange — at 100 TB the difference between shuffling per-partition
+    pair counts and shuffling every raw transition."""
+    from stream2segment_spark.functions.lm import bigram_model
+    from stream2segment_spark.schema import load_table
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    uni, bi, _ = bigram_model(docs, "text")
+    for frame in (uni, bi):
+        plan = _physical(frame)
+        assert "partial_count" in plan, plan
+        # one keyed exchange only: explode happens in the scan stage
+        assert plan.count("Exchange") == 1, plan

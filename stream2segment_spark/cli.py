@@ -810,6 +810,32 @@ def main(argv: list[str] | None = None) -> int:
                    help="vocabulary cap for --collect-vocab")
     p.add_argument("--text-col", default="text")
     p = sub.add_parser(
+        "lm-train",
+        help="train a bigram LM (add-one smoothed) over a corpus "
+             "parquet and save it as a model directory "
+             "(beyond-reference)")
+    p.add_argument("-i", "--infile", required=True,
+                   help="corpus parquet (needs a text column)")
+    p.add_argument("-o", "--outdir", required=True,
+                   help="model directory (unigrams/bigrams parquet + "
+                        "meta.json)")
+    p.add_argument("--text-col", default="text")
+    p = sub.add_parser(
+        "lm-score",
+        help="score a corpus parquet with a trained bigram LM (mean "
+             "transition probability per document; self-trains when "
+             "no --model is given) and write id + n_trans + lm_score "
+             "parquet (beyond-reference)")
+    p.add_argument("-i", "--infile", required=True,
+                   help="corpus parquet (needs id + text columns)")
+    p.add_argument("-m", "--model", default=None,
+                   help="model directory from 'lm-train' (default: "
+                        "self-score)")
+    p.add_argument("-o", "--outfile", required=True,
+                   help="output parquet path")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p = sub.add_parser(
         "bpe-apply",
         help="segment a corpus parquet with a trained BPE merge table "
              "(from 's2s bpe-train') and write doc_id + subword tokens "
@@ -916,6 +942,62 @@ def main(argv: list[str] | None = None) -> int:
                                          "count": cnt}) + "\n")
             print(f"trained {len(merges)} merge(s); vocabulary "
                   f"{n_words} word(s), {n_syms or 0} symbol occurrence(s)")
+            return 0
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "lm-train":  # no config file: all-flags command
+        from stream2segment_spark.functions.lm import (
+            bigram_model, save_bigram_model)
+        from stream2segment_spark.session import get_spark
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-lm-train")
+        try:
+            docs = spark.read.parquet(args.infile)
+            if args.text_col not in docs.columns:
+                print(f"error: {args.infile} lacks column "
+                      f"{args.text_col!r} (has: {sorted(docs.columns)})",
+                      file=sys.stderr)
+                return 2
+            model = bigram_model(docs, args.text_col)
+            save_bigram_model(model, args.outdir)
+            n_bi = model[1].count()
+            print(f"trained bigram LM: vocabulary {model[2]} word(s), "
+                  f"{n_bi} bigram(s) -> {args.outdir}")
+            return 0
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "lm-score":  # no config file: all-flags command
+        from stream2segment_spark.functions.lm import (
+            lm_transition_scores, load_bigram_model)
+        from stream2segment_spark.session import get_spark
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-lm-score")
+        try:
+            docs = spark.read.parquet(args.infile)
+            missing = [c for c in (args.id_col, args.text_col)
+                       if c not in docs.columns]
+            if missing:
+                print(f"error: {args.infile} lacks column(s) {missing} "
+                      f"(has: {sorted(docs.columns)})", file=sys.stderr)
+                return 2
+            model = None
+            if args.model is not None:
+                try:
+                    model = load_bigram_model(spark, args.model)
+                except (OSError, ValueError, KeyError) as exc:
+                    print(f"error: cannot load model {args.model!r}: "
+                          f"{exc}", file=sys.stderr)
+                    return 2
+            out = lm_transition_scores(docs, args.id_col, args.text_col,
+                                       model=model)
+            out.write.mode("overwrite").parquet(args.outfile)
+            back = spark.read.parquet(args.outfile)
+            n, mean = back.select(
+                F.count("*"), F.avg("lm_score")).collect()[0]
+            print(f"scored {n} document(s); mean lm_score "
+                  f"{0.0 if mean is None else mean:.6f}")
             return 0
         finally:
             if not preexisting:

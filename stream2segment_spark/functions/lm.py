@@ -43,8 +43,19 @@ def _transitions(docs: DataFrame, text_col: str,
                  id_col: str | None = None) -> DataFrame:
     """One row per adjacent token pair: ``([id,] pos, w1, w2)`` with
     ``pos`` the 0-based transition index inside the document (``id``
-    omitted when counting, kept when scoring)."""
-    toks = word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    omitted when counting, kept when scoring).
+
+    The token array is STAGED in its own projection before the pair
+    lambda reads it — referencing the tokenizer expression directly
+    inside the HOF lambda re-tokenizes the text PER ELEMENT (measured:
+    15 s instead of ~2 s for the gate entry at sf0.1; the same
+    single-tokenize lesson the text_analysis plan assert pins)."""
+    keep = [F.col(id_col)] if id_col else []
+    staged = docs.select(
+        *keep,
+        word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+        .alias("__toks"))
+    toks = F.col("__toks")
     pairs = F.when(
         F.size(toks) >= 2,
         F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
@@ -53,8 +64,7 @@ def _transitions(docs: DataFrame, text_col: str,
                                        F.get(toks, i + 1).alias("w2")))
     ).otherwise(F.array().cast(
         "array<struct<pos:int,w1:string,w2:string>>"))
-    keep = [F.col(id_col)] if id_col else []
-    out = docs.select(*keep, F.explode(pairs).alias("t"))
+    out = staged.select(*keep, F.explode(pairs).alias("t"))
     return out.select(*([id_col] if id_col else []),
                       "t.pos", "t.w1", "t.w2")
 
@@ -72,6 +82,40 @@ def bigram_model(docs: DataFrame, text_col: str = "text",
           .groupBy("w1", "w2").agg(F.count("*").alias("cb")))
     vocab = uni.count()
     return uni, bi, vocab
+
+
+def save_bigram_model(model: tuple[DataFrame, DataFrame, int],
+                      path: str) -> None:
+    """Persist a trained model as a directory: ``unigrams.parquet``,
+    ``bigrams.parquet`` and ``meta.json`` (vocab size) — plain formats
+    any Spark/DuckDB consumer can open, like the warehouse tables."""
+    import json
+    import os
+    uni, bi, vocab = model
+    os.makedirs(path, exist_ok=True)
+    uni.write.mode("overwrite").parquet(os.path.join(path,
+                                                     "unigrams.parquet"))
+    bi.write.mode("overwrite").parquet(os.path.join(path,
+                                                    "bigrams.parquet"))
+    with open(os.path.join(path, "meta.json"), "w",
+              encoding="utf-8") as fh:
+        json.dump({"vocab_size": int(vocab), "model": "bigram-addone"},
+                  fh)
+
+
+def load_bigram_model(spark, path: str,
+                      ) -> tuple[DataFrame, DataFrame, int]:
+    """Inverse of :func:`save_bigram_model`."""
+    import json
+    import os
+    with open(os.path.join(path, "meta.json"), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    if meta.get("model") != "bigram-addone":
+        raise ValueError(
+            f"{path!r} is not a bigram-addone model dir (meta: {meta})")
+    return (spark.read.parquet(os.path.join(path, "unigrams.parquet")),
+            spark.read.parquet(os.path.join(path, "bigrams.parquet")),
+            int(meta["vocab_size"]))
 
 
 def lm_transition_scores(docs: DataFrame, id_col: str = "doc_id",

@@ -568,6 +568,43 @@ def test_bpe_train_cli_batched(tmp_path):
     assert len(lines) == 8
 
 
+def test_lm_train_score_cli_lifecycle(tmp_path, capsys, spark):
+    """lm-train -> lm-score against the saved model equals self-scoring
+    on the same corpus; model/file errors exit 2 with messages."""
+    model_dir = tmp_path / "lm"
+    rc = cli.main(["lm-train", "-i",
+                   "/root/testdata/sf0.001/documents.parquet",
+                   "-o", str(model_dir)])
+    assert rc == 0
+    assert "trained bigram LM" in capsys.readouterr().out
+    out_model = tmp_path / "scored_model"
+    rc = cli.main(["lm-score", "-i",
+                   "/root/testdata/sf0.001/documents.parquet",
+                   "-m", str(model_dir), "-o", str(out_model)])
+    assert rc == 0
+    out_self = tmp_path / "scored_self"
+    rc = cli.main(["lm-score", "-i",
+                   "/root/testdata/sf0.001/documents.parquet",
+                   "-o", str(out_self)])
+    assert rc == 0
+    a = {r["doc_id"]: (r["n_trans"], r["lm_score"])
+         for r in spark.read.parquet(str(out_model)).collect()}
+    b = {r["doc_id"]: (r["n_trans"], r["lm_score"])
+         for r in spark.read.parquet(str(out_self)).collect()}
+    assert a == b and len(a) > 0
+    # bad model dir -> 2
+    rc = cli.main(["lm-score", "-i",
+                   "/root/testdata/sf0.001/documents.parquet",
+                   "-m", str(tmp_path / "nope"), "-o", str(out_self)])
+    assert rc == 2
+    assert "cannot load model" in capsys.readouterr().err
+    # missing text col -> 2
+    rc = cli.main(["lm-train", "-i",
+                   "/root/testdata/sf0.001/documents.parquet",
+                   "-o", str(model_dir), "--text-col", "nope"])
+    assert rc == 2
+
+
 def test_bpe_apply_cli_roundtrip(tmp_path, capsys, spark):
     """train -> apply lifecycle: the applied segmentation concatenates
     back to the tokenized text, and errors are argued, not raised."""

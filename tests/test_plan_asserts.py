@@ -225,6 +225,16 @@ def test_semantic_dedup_single_pair_shuffle(spark):
     assert "CartesianProduct" not in phys and "NestedLoop" not in phys, phys
 
 
+def test_lm_scores_tokenize_once_per_branch(spark):
+    """corpus_lm_score's three scan branches (transitions, unigrams,
+    bigrams) each tokenize exactly once — referencing the tokenizer
+    inside the pair HOF lambda instead of a staged column re-tokenized
+    the text PER ELEMENT (measured 15 s -> 2.3 s at sf0.1)."""
+    plan = _optimized(QUERIES["corpus_lm_score"](spark, SF_DIR_SMOKE))
+    n_split = len(re.findall(r"\bsplit\(", plan))
+    assert n_split == 3, f"text parsed {n_split}x in plan:\n{plan}"
+
+
 def test_lm_bigram_counts_partial_aggregate(spark):
     """corpus_lm_score's model counts must map-side combine: both count
     shuffles (unigrams, bigrams) plan as partial_count below their

@@ -249,3 +249,22 @@ def test_lm_bigram_counts_partial_aggregate(spark):
         assert "partial_count" in plan, plan
         # one keyed exchange only: explode happens in the scan stage
         assert plan.count("Exchange") == 1, plan
+
+
+def test_catalog_wide_plan_anti_patterns(spark):
+    """Whole-catalog structural sweep: NO entry may plan a Cartesian
+    product or a row-at-a-time Python UDF (BatchEvalPython). Arrow
+    stages (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are
+    the sanctioned Python boundary. Plans only — nothing executes."""
+    from tests.conftest import SF_DIR_SMOKE as sf
+    bad = {}
+    for name, fn in QUERIES.items():
+        try:
+            plan = _physical(fn(spark, sf))
+        except Exception as exc:          # building must not fail either
+            bad[name] = f"plan build failed: {exc}"
+            continue
+        for marker in ("CartesianProduct", "BatchEvalPython"):
+            if marker in plan:
+                bad[name] = marker
+    assert not bad, bad

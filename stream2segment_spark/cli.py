@@ -819,6 +819,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-o", "--outdir", required=True,
                    help="model directory (unigrams/bigrams parquet + "
                         "meta.json)")
+    p.add_argument("--order", type=int, choices=(2, 3), default=2,
+                   help="2: add-one bigram (lm_score); 3: stupid-"
+                        "backoff trigram (sb_score)")
     p.add_argument("--text-col", default="text")
     p = sub.add_parser(
         "lm-score",
@@ -833,6 +836,9 @@ def main(argv: list[str] | None = None) -> int:
                         "self-score)")
     p.add_argument("-o", "--outfile", required=True,
                    help="output parquet path")
+    p.add_argument("--order", type=int, choices=(2, 3), default=2,
+                   help="self-scoring model order (ignored with "
+                        "--model: the saved model's kind wins)")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p = sub.add_parser(
@@ -948,7 +954,8 @@ def main(argv: list[str] | None = None) -> int:
                 spark.stop()
     if args.cmd == "lm-train":  # no config file: all-flags command
         from stream2segment_spark.functions.lm import (
-            bigram_model, save_bigram_model)
+            bigram_model, save_bigram_model, save_trigram_model,
+            trigram_model)
         from stream2segment_spark.session import get_spark
         preexisting = SparkSession.getActiveSession() is not None
         spark = get_spark(app_name="s2s-lm-train")
@@ -959,18 +966,24 @@ def main(argv: list[str] | None = None) -> int:
                       f"{args.text_col!r} (has: {sorted(docs.columns)})",
                       file=sys.stderr)
                 return 2
-            model = bigram_model(docs, args.text_col)
-            save_bigram_model(model, args.outdir)
+            if args.order == 3:
+                model = trigram_model(docs, args.text_col)
+                save_trigram_model(model, args.outdir)
+                vocab = model[3]
+            else:
+                model = bigram_model(docs, args.text_col)
+                save_bigram_model(model, args.outdir)
+                vocab = model[2]
             n_bi = model[1].count()
-            print(f"trained bigram LM: vocabulary {model[2]} word(s), "
-                  f"{n_bi} bigram(s) -> {args.outdir}")
+            print(f"trained order-{args.order} LM: vocabulary {vocab} "
+                  f"word(s), {n_bi} bigram(s) -> {args.outdir}")
             return 0
         finally:
             if not preexisting:
                 spark.stop()
     if args.cmd == "lm-score":  # no config file: all-flags command
         from stream2segment_spark.functions.lm import (
-            lm_transition_scores, load_bigram_model)
+            lm_transition_scores, load_lm_model, stupid_backoff_scores)
         from stream2segment_spark.session import get_spark
         preexisting = SparkSession.getActiveSession() is not None
         spark = get_spark(app_name="s2s-lm-score")
@@ -982,21 +995,34 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"error: {args.infile} lacks column(s) {missing} "
                       f"(has: {sorted(docs.columns)})", file=sys.stderr)
                 return 2
+            kind = "trigram" if args.order == 3 else "bigram"
             model = None
             if args.model is not None:
                 try:
-                    model = load_bigram_model(spark, args.model)
+                    kind, model = load_lm_model(spark, args.model)
                 except (OSError, ValueError, KeyError) as exc:
                     print(f"error: cannot load model {args.model!r}: "
                           f"{exc}", file=sys.stderr)
                     return 2
-            out = lm_transition_scores(docs, args.id_col, args.text_col,
-                                       model=model)
-            out.write.mode("overwrite").parquet(args.outfile)
+            persists: list = []
+            if kind == "trigram":
+                out = stupid_backoff_scores(docs, args.id_col,
+                                            args.text_col, model=model,
+                                            persists=persists)
+                score_col = "sb_score"
+            else:
+                out = lm_transition_scores(docs, args.id_col,
+                                           args.text_col, model=model)
+                score_col = "lm_score"
+            try:
+                out.write.mode("overwrite").parquet(args.outfile)
+            finally:
+                for frame in persists:
+                    frame.unpersist()
             back = spark.read.parquet(args.outfile)
             n, mean = back.select(
-                F.count("*"), F.avg("lm_score")).collect()[0]
-            print(f"scored {n} document(s); mean lm_score "
+                F.count("*"), F.avg(score_col)).collect()[0]
+            print(f"scored {n} document(s); mean {score_col} "
                   f"{0.0 if mean is None else mean:.6f}")
             return 0
         finally:

@@ -84,6 +84,130 @@ def bigram_model(docs: DataFrame, text_col: str = "text",
     return uni, bi, vocab
 
 
+def _context_triples(docs: DataFrame, text_col: str,
+                     id_col: str | None = None) -> DataFrame:
+    """One row per PREDICTED token (positions 1..n-1): ``([id,] pos, a,
+    b, c)`` where ``c`` is the predicted token, ``b`` its predecessor
+    and ``a`` the token before that (NULL at position 1 — bigram-only
+    context). Tokens staged first (the per-element HOF lesson)."""
+    keep = [F.col(id_col)] if id_col else []
+    staged = docs.select(
+        *keep,
+        word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+        .alias("__toks"))
+    toks = F.col("__toks")
+    trip = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda j: F.struct(
+                        j.alias("pos"),
+                        F.when(j >= 2, F.get(toks, j - 2)).alias("a"),
+                        F.get(toks, j - 1).alias("b"),
+                        F.get(toks, j).alias("c")))
+    ).otherwise(F.array().cast(
+        "array<struct<pos:int,a:string,b:string,c:string>>"))
+    out = staged.select(*keep, F.explode(trip).alias("t"))
+    return out.select(*([id_col] if id_col else []),
+                      "t.pos", "t.a", "t.b", "t.c")
+
+
+def trigram_model(docs: DataFrame, text_col: str = "text",
+                  ) -> tuple[DataFrame, DataFrame, DataFrame, int, int]:
+    """Counts for stupid-backoff scoring: ``(unigrams, bigrams,
+    trigrams, vocab_size, total_tokens)`` — unigrams ``(w1, cu)``,
+    bigrams ``(w1, w2, cb)``, trigrams ``(w1, w2, w3, ct)``. Two
+    scalars cross the driver; the count tables stay distributed."""
+    tok = (docs.select(F.explode(word_tokens(
+        F.coalesce(F.col(text_col), F.lit("")))).alias("w1")))
+    uni = tok.groupBy("w1").agg(F.count("*").alias("cu"))
+    bi = (_transitions(docs, text_col)
+          .groupBy("w1", "w2").agg(F.count("*").alias("cb")))
+    tri = (_context_triples(docs, text_col)
+           .filter(F.col("a").isNotNull())
+           .groupBy(F.col("a").alias("w1"), F.col("b").alias("w2"),
+                    F.col("c").alias("w3"))
+           .agg(F.count("*").alias("ct")))
+    counts = uni.agg(F.count("*"), F.sum("cu")).collect()[0]
+    return uni, bi, tri, int(counts[0]), int(counts[1] or 0)
+
+
+def stupid_backoff_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    model: tuple[DataFrame, DataFrame, DataFrame, int, int] | None = None,
+    alpha: float = 0.4,
+    persists: list | None = None,
+) -> DataFrame:
+    """Per-document mean stupid-backoff trigram score (Brants et al.
+    2007 — the web-scale LM: no discount normalization, pure count
+    ratios with a fixed backoff factor):
+
+        S(c | a, b) = ct(abc)/cb(ab)        if ct > 0
+                      alpha * S(c | b)       otherwise
+        S(c | b)    = cb(bc)/cu(b)          if cb > 0
+                      alpha * cu(c)/N        otherwise
+
+    Position 1 (no ``a`` context) starts at the bigram level. Every
+    step is one IEEE /,* chain over exact integer counts — replayable
+    in SQL; the per-document mean uses the same position-ordered fold
+    as :func:`lm_transition_scores`. Scoring against a reference
+    :func:`trigram_model`, fully unseen words contribute 0 (stupid
+    backoff reserves no OOV mass — by design, documented).
+
+    The scoring plan joins ``uni`` and ``bi`` TWICE each (c12/c23,
+    cub/cuc); un-cached, Spark recomputes each branch per join — six
+    corpus tokenizations in one self-scored plan. Pass a list as
+    ``persists`` to have a self-trained model's count frames persisted
+    (lazily — they fill during the first action) and surfaced for the
+    caller to release, the curate_corpus contract; the gate entry
+    stays persist-free by design (corpus_bpe precedent) at a measured
+    ~2x recompute cost."""
+    if model is None:
+        model = trigram_model(docs, text_col)
+        if persists is not None:
+            uni0, bi0, tri0 = model[0].persist(), model[1].persist(), \
+                model[2].persist()
+            persists.extend([uni0, bi0, tri0])
+            model = (uni0, bi0, tri0, model[3], model[4])
+    uni, bi, tri, _vocab, total = model
+    tr = _context_triples(docs, text_col, id_col)
+    c12 = bi.select(F.col("w1").alias("a"), F.col("w2").alias("b"),
+                    F.col("cb").alias("c12"))
+    c23 = bi.select(F.col("w1").alias("b"), F.col("w2").alias("c"),
+                    F.col("cb").alias("c23"))
+    cub = uni.select(F.col("w1").alias("b"), F.col("cu").alias("cub"))
+    cuc = uni.select(F.col("w1").alias("c"), F.col("cu").alias("cuc"))
+    ct = tri.select(F.col("w1").alias("a"), F.col("w2").alias("b"),
+                    F.col("w3").alias("c"), "ct")
+    j = (tr.join(ct, ["a", "b", "c"], "left")
+         .join(c12, ["a", "b"], "left")
+         .join(c23, ["b", "c"], "left")
+         .join(cub, ["b"], "left")
+         .join(cuc, ["c"], "left"))
+    al = F.lit(float(alpha))
+    s1 = F.when(F.col("cuc").isNotNull(),
+                al * (F.col("cuc") / F.lit(total))).otherwise(F.lit(0.0))
+    bo = F.when(F.col("c23").isNotNull(),
+                F.col("c23") / F.col("cub")).otherwise(s1)
+    sb = F.when(F.col("a").isNull(), bo) \
+          .otherwise(F.when(F.col("ct").isNotNull(),
+                            F.col("ct") / F.col("c12"))
+                     .otherwise(al * bo))
+    p = j.select(id_col, "pos", sb.alias("p"))
+    agg = (p.groupBy(id_col)
+           .agg(F.count("*").cast("int").alias("n_trans"),
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("pos", "p"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["p"]).alias("s")))
+    return (docs.select(id_col)
+            .join(agg, [id_col], "left")
+            .select(id_col,
+                    F.round(F.coalesce(F.col("s") / F.col("n_trans"),
+                                       F.lit(0.0)), 6).alias("sb_score"),
+                    F.coalesce("n_trans", F.lit(0)).alias("n_trans"))
+            .select(id_col, "n_trans", "sb_score"))
+
+
 def save_bigram_model(model: tuple[DataFrame, DataFrame, int],
                       path: str) -> None:
     """Persist a trained model as a directory: ``unigrams.parquet``,
@@ -116,6 +240,47 @@ def load_bigram_model(spark, path: str,
     return (spark.read.parquet(os.path.join(path, "unigrams.parquet")),
             spark.read.parquet(os.path.join(path, "bigrams.parquet")),
             int(meta["vocab_size"]))
+
+
+def save_trigram_model(
+        model: tuple[DataFrame, DataFrame, DataFrame, int, int],
+        path: str) -> None:
+    """Persist a :func:`trigram_model` like :func:`save_bigram_model`,
+    plus ``trigrams.parquet`` and the token total in ``meta.json``."""
+    import json
+    import os
+    uni, bi, tri, vocab, total = model
+    os.makedirs(path, exist_ok=True)
+    uni.write.mode("overwrite").parquet(os.path.join(path,
+                                                     "unigrams.parquet"))
+    bi.write.mode("overwrite").parquet(os.path.join(path,
+                                                    "bigrams.parquet"))
+    tri.write.mode("overwrite").parquet(os.path.join(path,
+                                                     "trigrams.parquet"))
+    with open(os.path.join(path, "meta.json"), "w",
+              encoding="utf-8") as fh:
+        json.dump({"vocab_size": int(vocab),
+                   "total_tokens": int(total),
+                   "model": "trigram-sb"}, fh)
+
+
+def load_lm_model(spark, path: str):
+    """Load either model kind by its meta: returns ``("bigram", model)``
+    or ``("trigram", model)`` — the CLI dispatches on the tag."""
+    import json
+    import os
+    with open(os.path.join(path, "meta.json"), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    kind = meta.get("model")
+    if kind == "bigram-addone":
+        return "bigram", load_bigram_model(spark, path)
+    if kind == "trigram-sb":
+        return "trigram", (
+            spark.read.parquet(os.path.join(path, "unigrams.parquet")),
+            spark.read.parquet(os.path.join(path, "bigrams.parquet")),
+            spark.read.parquet(os.path.join(path, "trigrams.parquet")),
+            int(meta["vocab_size"]), int(meta["total_tokens"]))
+    raise ValueError(f"{path!r}: unknown LM model kind {kind!r}")
 
 
 def lm_transition_scores(docs: DataFrame, id_col: str = "doc_id",

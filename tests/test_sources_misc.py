@@ -122,8 +122,8 @@ Event  700001 Crete
 Magnitude  Err Nsta Author      OrigID
 
 Sta     Dist  EvAz Phase        Time      TRes  Azim AzRes   Slow   SRes Def   SNR       Amp   Per Qual Magnitude    ArrID
-MOX     5.12 231.0 P        08:10:25.100   0.2                            T__            12.1  0.80 m__              99900001
-APE     6.40 120.0 P        08:10:40.000  -0.1                            T__             8.2  0.75 m__              99900002
+MOX     5.12 231.0 P        08:10:25.100   0.2                          T__  12.1      48.0  0.80 m__            99900001
+APE     6.40 120.0 Pn       08:10:40.000  -0.1                          T__   8.2      31.5  0.75 m__            99900002
 
 MaxInt  Scale  Author
      5  MMI    ISC
@@ -148,3 +148,31 @@ def test_parse_isf_skips_phase_and_effects_subblocks():
     # NOT 5.12 (the MOX phase Dist) and NOT 5 (the MaxInt intensity):
     assert e.mag_type == "mb" and e.magnitude == pytest.approx(4.9)
     assert e.mag_author == "ISC"
+
+
+def test_parse_isf_phases_side_table(spark):
+    """The phase sub-block (which the event converter deliberately
+    skips, matching the reference) surfaces as a structured side table
+    parsed by the spec's fixed columns."""
+    from stream2segment_spark.sources.isf import (isf_phases_df,
+                                                  parse_isf_phases)
+    ph = parse_isf_phases(ISF_SUBBLOCKS)
+    assert [p.sta for p in ph] == ["MOX", "APE"]
+    a, b = ph
+    assert a.event_id == "700001" and a.phase == "P"
+    assert a.dist_deg == pytest.approx(5.12)
+    assert a.ev_az == pytest.approx(231.0)
+    assert a.time == "08:10:25.100"
+    assert a.t_res == pytest.approx(0.2)
+    assert a.snr == pytest.approx(12.1)
+    assert a.amp == pytest.approx(48.0)
+    assert a.per == pytest.approx(0.80)
+    assert a.qual == "m__" and a.arr_id == "99900001"
+    assert b.phase == "Pn" and b.t_res == pytest.approx(-0.1)
+    # magnitude / MaxInt / comment lines never leak into the block
+    assert len(ph) == 2
+    df = isf_phases_df(spark, ISF_SUBBLOCKS)
+    assert df.count() == 2
+    assert df.filter("sta = 'APE' AND amp = 31.5").count() == 1
+    # a bulletin without phase blocks yields an empty, well-typed frame
+    assert isf_phases_df(spark, ISF).count() == 0

@@ -233,3 +233,118 @@ def redact_pii(text: Column, token: str = "<PII>") -> Column:
     for pat in PII_PATTERNS.values():
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", table A1 repetition filters; also used by
+# RedPajama-v2 / Dolma quality pipelines)
+# --------------------------------------------------------------------------
+
+REPETITION_DDL = (
+    "top_2gram_frac double, top_3gram_frac double, top_4gram_frac double, "
+    "dup_5gram_frac double, dup_6gram_frac double, dup_7gram_frac double, "
+    "dup_8gram_frac double, dup_9gram_frac double, dup_10gram_frac double, "
+    "dup_line_frac double, dup_line_char_frac double")
+
+_WORD_RE = None  # compiled lazily inside the worker
+
+
+def _repetition_row(text: str | None) -> list[float]:
+    """Pure-Python per-document repetition signals; shared by the Spark
+    mapInPandas stage and unit tests. Deterministic semantics (documented
+    so the DuckDB oracle replays them bit-for-bit):
+
+    - tokens = ASCII word tokens (lowercase, split on ``[^a-z0-9]+``,
+      empties dropped) — the corpus-wide ``word_tokens`` tokenizer;
+      ``total_chars`` = sum of token lengths (separators excluded).
+    - ``top_{n}gram_frac`` (n=2,3,4): chars of the most frequent word
+      n-gram times its count, over total_chars. Ties break on the
+      lexicographically smallest space-joined n-gram. 0.0 when the doc
+      has fewer than n tokens (or no tokens).
+    - ``dup_{n}gram_frac`` (n=5..10): chars of token positions covered
+      by at least one n-gram window occurring >= 2 times in the doc,
+      over total_chars (each char counted once — the NeMo-Curator
+      "characters in duplicate n-grams" coverage semantics).
+    - ``dup_line_frac`` / ``dup_line_char_frac``: newline-split lines;
+      occurrences after the first of an identical line count as
+      duplicates; fractions over line count / total line chars.
+
+    Every fraction is a single IEEE double division of two exact
+    integers, so values are engine-portable without rounding.
+    """
+    import re
+    global _WORD_RE
+    if _WORD_RE is None:
+        _WORD_RE = re.compile(r"[^a-z0-9]+")
+    from collections import Counter
+
+    out: list[float] = []
+    toks = [t for t in _WORD_RE.split((text or "").lower()) if t]
+    total = sum(len(t) for t in toks)
+    lens = [len(t) for t in toks]
+    for n in (2, 3, 4):
+        if total == 0 or len(toks) < n:
+            out.append(0.0)
+            continue
+        counts = Counter(
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+        mx = max(counts.values())
+        top = min(g for g, c in counts.items() if c == mx)
+        # token chars of the n-gram = joined length minus the n-1 spaces
+        out.append(counts[top] * (len(top) - (n - 1)) / total)
+    for n in range(5, 11):
+        if total == 0 or len(toks) < n:
+            out.append(0.0)
+            continue
+        counts = Counter(tuple(toks[i:i + n])
+                         for i in range(len(toks) - n + 1))
+        covered = bytearray(len(toks))
+        for i in range(len(toks) - n + 1):
+            if counts[tuple(toks[i:i + n])] > 1:
+                for p in range(i, i + n):
+                    covered[p] = 1
+        out.append(sum(l for l, c in zip(lens, covered) if c) / total)
+    lines = (text or "").split("\n") if text else []
+    lchars = sum(len(l) for l in lines)
+    if not lines:
+        out += [0.0, 0.0]
+    else:
+        distinct = set(lines)
+        dup_cnt = len(lines) - len(distinct)
+        dup_chars = lchars - sum(len(l) for l in distinct)
+        out.append(dup_cnt / len(lines))
+        out.append(dup_chars / lchars if lchars else 0.0)
+    return out
+
+
+def repetition_signals(df, text_col: str, id_col: str):
+    """Gopher repetition quality signals, one row per input row:
+    ``(id, top_{2,3,4}gram_frac, dup_{5..10}gram_frac, dup_line_frac,
+    dup_line_char_frac)`` — see :func:`_repetition_row` for the exact
+    per-signal semantics.
+
+    Scale shape: MAP-ONLY. All eleven signals are per-document local
+    computations, so the stage is a single Arrow-batched ``mapInPandas``
+    over ``(id, text)`` with ZERO shuffles — at 100 TB it streams with
+    the scan, costing one pass of O(doc_len x 9 window sizes) Python per
+    document and shipping eleven doubles per row. The explode +
+    per-(doc,n,window) groupBy alternative shuffles ~9x the token count
+    in window hashes for a computation that never needed to leave its
+    row. (Cross-document duplication is the separate
+    :func:`~stream2segment_spark.operators.dedup.duplicated_spans`.)
+    """
+    import pandas as pd  # noqa: F811 (worker-side re-import)
+
+    names = [f.split()[0] for f in REPETITION_DDL.split(", ")]
+    id_field = df.schema[id_col]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [_repetition_row(t) for t in pdf[text_col]]
+            res = pd.DataFrame(rows, columns=names)
+            res.insert(0, id_col, pdf[id_col].values)
+            yield res
+
+    out_ddl = f"{id_col} {id_field.dataType.simpleString()}, {REPETITION_DDL}"
+    return df.select(id_col, text_col).mapInPandas(gen, out_ddl)

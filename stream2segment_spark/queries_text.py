@@ -482,3 +482,101 @@ def corpus_lm_score(spark, sf_dir):
     b = lm_transition_scores(docs, "doc_id", "text")
     s = stupid_backoff_scores(docs, "doc_id", "text")
     return b.join(s.select("doc_id", "sb_score"), "doc_id")
+
+
+def _repetition_oracle() -> str:
+    """DuckDB replay of functions/text._repetition_row (see its docstring
+    for the contract). Every fraction divides two exact integers, so no
+    rounding is needed for cross-engine hash equality."""
+    top_cases = ", ".join(
+        f"coalesce(max(CASE WHEN topg.n = {n} THEN topchars END)::DOUBLE / tc, "
+        f"0.0) AS top_{n}gram_frac" for n in (2, 3, 4))
+    dup_cases = ", ".join(
+        f"coalesce(max(CASE WHEN dcov.n = {n} THEN dchars END)::DOUBLE / tc, "
+        f"0.0) AS dup_{n}gram_frac" for n in range(5, 11))
+    return f"""
+        WITH b AS (
+          SELECT doc_id, text, {_WORDS_SQL} AS w,
+                 coalesce(list_sum(list_transform({_WORDS_SQL},
+                     x -> len(x))), 0)::BIGINT AS tc
+          FROM documents),
+        grams AS (
+          SELECT doc_id, tc, ns.n AS n,
+                 unnest(list_transform(range(1, len(w) - ns.n + 2),
+                        i -> array_to_string(w[i:i+ns.n-1], ' '))) AS g
+          FROM b, (VALUES (2), (3), (4)) ns(n)
+          WHERE tc > 0 AND len(w) >= ns.n),
+        gc AS (SELECT doc_id, n, g, count(*) AS c
+               FROM grams GROUP BY doc_id, n, g),
+        topg AS (
+          SELECT doc_id, n, c * (len(g) - (n - 1)) AS topchars
+          FROM (SELECT *, row_number() OVER (
+                    PARTITION BY doc_id, n ORDER BY c DESC, g ASC) AS rn
+                FROM gc)
+          WHERE rn = 1),
+        wins AS (
+          SELECT doc_id, ds.n AS n,
+                 unnest(list_transform(range(1, len(w) - ds.n + 2),
+                        i -> {{'s': i - 1,
+                              'g': array_to_string(w[i:i+ds.n-1], ' ')}}))
+                   AS wn
+          FROM b, (VALUES (5), (6), (7), (8), (9), (10)) ds(n)
+          WHERE tc > 0 AND len(w) >= ds.n),
+        wflat AS (SELECT doc_id, n, wn.s AS s, wn.g AS g FROM wins),
+        dupg AS (SELECT doc_id, n, g FROM wflat
+                 GROUP BY doc_id, n, g HAVING count(*) > 1),
+        dstarts AS (
+          SELECT w.doc_id, w.n, list(w.s) AS ss
+          FROM wflat w JOIN dupg d USING (doc_id, n, g)
+          GROUP BY w.doc_id, w.n),
+        dcov AS (
+          SELECT b.doc_id, d.n,
+                 coalesce(list_sum(list_transform(
+                     list_filter(range(0, len(b.w)),
+                         p -> len(list_filter(d.ss,
+                                  s -> s <= p AND p < s + d.n)) > 0),
+                     p -> len(b.w[p + 1]))), 0) AS dchars
+          FROM b JOIN dstarts d ON b.doc_id = d.doc_id),
+        lstats AS (
+          SELECT doc_id,
+                 CASE WHEN text IS NULL OR text = '' THEN NULL
+                      ELSE string_split(text, chr(10)) END AS ls
+          FROM documents),
+        lsum AS (
+          SELECT doc_id, ls,
+                 coalesce(list_sum(list_transform(ls, x -> len(x))), 0)
+                   AS lc,
+                 coalesce(list_sum(list_transform(list_distinct(ls),
+                     x -> len(x))), 0) AS dlc
+          FROM lstats),
+        lfrac AS (
+          SELECT doc_id,
+                 CASE WHEN ls IS NULL THEN 0.0
+                      ELSE (len(ls) - len(list_distinct(ls)))::DOUBLE
+                           / len(ls) END AS dup_line_frac,
+                 CASE WHEN ls IS NULL OR lc = 0 THEN 0.0
+                      ELSE (lc - dlc)::DOUBLE / lc END AS dup_line_char_frac
+          FROM lsum)
+        SELECT b.doc_id, {top_cases}, {dup_cases},
+               any_value(lfrac.dup_line_frac) AS dup_line_frac,
+               any_value(lfrac.dup_line_char_frac) AS dup_line_char_frac
+        FROM b
+        LEFT JOIN topg ON b.doc_id = topg.doc_id
+        LEFT JOIN dcov ON b.doc_id = dcov.doc_id
+        JOIN lfrac ON b.doc_id = lfrac.doc_id
+        GROUP BY b.doc_id, b.tc"""
+
+
+@register("corpus_repetition", _repetition_oracle())
+def corpus_repetition(spark, sf_dir):
+    """Gopher repetition quality signals (Rae et al. 2021 table A1; the
+    repetition half of the RedPajama-v2/Dolma filter set — beyond-
+    reference LLM-pipeline): per-document top-{2,3,4}-gram character
+    fraction, duplicate-{5..10}-gram character coverage, and duplicate-
+    line fractions, as one MAP-ONLY Arrow stage with zero shuffles
+    (functions/text.repetition_signals). The oracle replays the exact
+    window counting, tie-breaking, and coverage-union semantics with
+    DuckDB list lambdas; every fraction is one integer/integer double
+    division, so values hash-match without rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.repetition_signals(docs, "text", "doc_id")

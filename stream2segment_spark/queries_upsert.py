@@ -62,6 +62,10 @@ def upsert_latest_wins(spark, sf_dir):
                                              ORDER BY c_name)
               END AS id
        FROM matched""",
+    # r4 gate rotation: deferred (driver-green r1+r2+r3) — K5 id-sync
+    # stays covered by the upsert family's gated upsert_latest_wins; the
+    # freed slot gates corpus_repetition (Gopher repetition signals).
+    gate=False,
 )
 def upsert_sync_ids(spark, sf_dir):
     """K5: fetch-or-create surrogate keys (reference syncdf,

@@ -583,3 +583,67 @@ def test_cut_duplicated_spans_partitioning_invariant(spark):
                               k=8).collect()}
     assert a == b
     assert all(t.endswith(f"z{d}") and run not in t for d, t, _ in a)
+
+
+# ---------------------------------------------------------------------------
+# repetition_signals (Gopher repetition filters)
+# ---------------------------------------------------------------------------
+
+def test_repetition_row_top_ngram_and_tiebreak():
+    from stream2segment_spark.functions.text import _repetition_row
+    # tokens: a b a b c  -> 2-grams: "a b" x2, "b a", "b c"; top = "a b"
+    # (count 2), chars 2*2=4 over total 5
+    r = _repetition_row("a b a b c")
+    assert r[0] == 4 / 5
+    # tie at count 1: lexicographically smallest 2-gram wins ("aa zz" vs
+    # "zz bb" -> "aa zz", 4 chars of 8)
+    r = _repetition_row("aa zz bb")
+    assert r[0] == 4 / 6
+
+
+def test_repetition_row_dup_coverage_counts_chars_once():
+    from stream2segment_spark.functions.text import _repetition_row
+    # "x1 x2 x3 x4 x5" repeated twice with a separator: the 5-gram
+    # appears twice, covering all ten x-tokens (20 chars) but not "sep".
+    text = "x1 x2 x3 x4 x5 sep x1 x2 x3 x4 x5"
+    r = _repetition_row(text)
+    total = 10 * 2 + 3
+    assert r[3] == 20 / total          # dup_5gram_frac
+    # overlapping dup windows must not double-count chars: 6-grams
+    # "x2..sep x1" etc. are unique here -> 0
+    assert r[4] == 0.0
+
+
+def test_repetition_row_degenerate_inputs():
+    from stream2segment_spark.functions.text import _repetition_row
+    assert _repetition_row(None) == [0.0] * 11
+    assert _repetition_row("") == [0.0] * 11
+    assert _repetition_row("one") == [0.0] * 11       # < n tokens everywhere
+    # punctuation-only: tokenizer yields nothing
+    assert _repetition_row("!!! ???")[:9] == [0.0] * 9
+
+
+def test_repetition_row_line_fractions():
+    from stream2segment_spark.functions.text import _repetition_row
+    r = _repetition_row("aaa\nbb\naaa\naaa")
+    # 4 lines, 2 repeats of "aaa" after the first -> dup_line_frac 0.5;
+    # repeated chars 6 of 11 total line chars
+    assert r[9] == 2 / 4
+    assert r[10] == 6 / 11
+
+
+def test_repetition_signals_dataframe(spark):
+    from stream2segment_spark.functions.text import (
+        _repetition_row, repetition_signals)
+    rows = [Row(doc_id=1, text="a b a b c"),
+            Row(doc_id=2, text=None),
+            Row(doc_id=3, text="x1 x2 x3 x4 x5 sep x1 x2 x3 x4 x5")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           repetition_signals(df, "text", "doc_id").collect()}
+    assert len(out) == 3
+    for doc_id, text in [(1, "a b a b c"), (2, None),
+                         (3, "x1 x2 x3 x4 x5 sep x1 x2 x3 x4 x5")]:
+        expect = _repetition_row(text)
+        got = [out[doc_id][n] for n in out[doc_id].asDict() if n != "doc_id"]
+        assert got == expect, (doc_id, got, expect)

@@ -279,3 +279,12 @@ def test_catalog_wide_plan_anti_patterns(spark):
             if marker in plan:
                 bad[name] = marker
     assert not bad, bad
+
+
+def test_repetition_signals_map_only(spark):
+    """All eleven Gopher repetition signals are per-document local: ONE
+    Arrow mapInPandas stage fused with the scan, zero Exchange — the
+    explode+groupBy alternative would shuffle ~9x the token count."""
+    plan = _physical(QUERIES["corpus_repetition"](spark, SF_DIR_SMOKE))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan

@@ -585,7 +585,8 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
                line_max_df, max_dup_frac, cut_dup_substrings, mix_col,
                mix_alpha: float, pack_budget, pack_shards: int,
                semantic_k: int | None = None,
-               min_lm_score: float | None = None) -> int:
+               min_lm_score: float | None = None,
+               c4_rules: bool = False) -> int:
     """'s2s curate': the corpus-curation funnel (beyond-reference,
     examples/corpus_pipeline.curate_corpus) as a CLI: documents parquet
     in -> curated parquet + one funnel JSON line on stdout."""
@@ -605,6 +606,7 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
     curated, funnel = curate_corpus(
         docs,
         languages=tuple(s for s in languages.split(",") if s),
+        c4_rules=c4_rules,
         min_quality=min_quality, token_band=(min_tokens, max_tokens),
         neardup_threshold=neardup_threshold, neardup_mode=neardup_mode,
         semantic_k=semantic_k,
@@ -740,6 +742,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-o", "--outdir", required=True)
     p.add_argument("--languages", default="en",
                    help="comma-separated language allowlist")
+    p.add_argument("--c4", action="store_true",
+                   help="apply C4 heuristic cleaning first (Raffel et "
+                        "al. 2020: keep terminal-punctuation lines with "
+                        ">=5 words and no javascript; drop lorem-ipsum/"
+                        "brace/blocklist pages)")
     p.add_argument("--min-quality", type=float, default=0.7)
     p.add_argument("--min-tokens", type=int, default=20)
     p.add_argument("--max-tokens", type=int, default=100_000)
@@ -1142,7 +1149,8 @@ def main(argv: list[str] | None = None) -> int:
                               args.cut_dup_substrings,
                               args.mix_col, args.mix_alpha,
                               args.pack_budget, args.pack_shards,
-                              args.semantic_k, args.min_lm_score)
+                              args.semantic_k, args.min_lm_score,
+                              args.c4)
         finally:
             if not preexisting:
                 spark.stop()

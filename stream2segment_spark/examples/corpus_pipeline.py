@@ -16,6 +16,10 @@ splits):
 
 Optional stages (off by default, enabled by their parameters):
 
+0a. C4 cleaning — ``c4_rules``: Raffel et al. 2020 §2.2 heuristics
+   FIRST (line-level terminal-punctuation / min-words / javascript
+   rules; page-level lorem-ipsum / brace / blocklist drop) so every
+   cross-document stage below sees prose only;
 0. line dedup   — ``line_max_df``: CCNet-style cross-document
    boilerplate-line removal BEFORE annotation (so quality scoring sees
    the cleaned text);
@@ -49,6 +53,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     languages: tuple[str, ...] = ("en",),
+    c4_rules: bool = False,
     min_quality: float = 0.7,
     token_band: tuple[int, int] = (20, 100_000),
     max_top_token_frac: float = 0.2,
@@ -82,6 +87,21 @@ def curate_corpus(
         split_column, temperature_sample)
     from stream2segment_spark.operators import dedup as DD
     from stream2segment_spark.operators.graph import connected_components
+
+    input_docs = docs  # funnel's 'input' counts pre-cleaning rows
+
+    # -- 0a. optional C4 heuristic cleaning (Raffel et al. 2020 §2.2) ---
+    # raw-page cleaning FIRST: drop non-prose lines (terminal punct, >=5
+    # words, no javascript) and whole lorem-ipsum/brace/blocklist pages,
+    # so the cross-document stages below see prose only. Map-only.
+    if c4_rules:
+        strata_keep = ([mix_strata_col] if mix_strata_col else [])
+        sig = TX.c4_signals(docs, id_col, text_col)
+        docs = (docs.select(id_col, *strata_keep)
+                .join(sig.filter(F.col("c4_keep"))
+                         .select(id_col,
+                                 F.col("cleaned_text").alias(text_col)),
+                      id_col))
 
     # -- 0. optional line-level boilerplate removal ---------------------
     if line_max_df is not None:
@@ -259,7 +279,7 @@ def curate_corpus(
         curated = pack_greedy(curated, id_col, "n_tokens",
                               budget=pack_budget, n_shards=pack_shards)
 
-    funnel = (docs.select(F.count("*").alias("input"))
+    funnel = (input_docs.select(F.count("*").alias("input"))
               .crossJoin(filtered.select(F.count("*").alias("filtered")))
               .crossJoin(exact.select(F.count("*").alias("exact_dedup")))
               .crossJoin(deduped.select(F.count("*").alias("near_dedup"))))

@@ -348,3 +348,92 @@ def repetition_signals(df, text_col: str, id_col: str):
 
     out_ddl = f"{id_col} {id_field.dataType.simpleString()}, {REPETITION_DDL}"
     return df.select(id_col, text_col).mapInPandas(gen, out_ddl)
+
+
+# --------------------------------------------------------------------------
+# C4 heuristic cleaning (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning..." §2.2 — the Colossal Clean Crawled Corpus rules;
+# also the baseline line/document filter set of RefinedWeb and Dolma)
+# --------------------------------------------------------------------------
+
+# C4 keeps only lines ending in a terminal punctuation mark (period,
+# exclamation mark, question mark, end quotation mark) — ASCII forms here.
+C4_TERMINALS: tuple[str, ...] = (".", "!", "?", '"')
+
+# Tiny stand-in for the published "List of Dirty, Naughty, Obscene..."
+# blocklist C4 uses (the real list is ~1700 entries; callers pass their
+# own). Matching is substring-on-lowercased-text, like the original.
+C4_BAD_WORDS: tuple[str, ...] = ("xxx video", "free porn", "viagra online")
+
+
+def c4_kept_lines(text: Column, min_words: int = 5) -> Column:
+    """Array of the lines of ``text`` surviving C4's LINE rules:
+    (1) line ends (after trailing-space strip) in one of
+    :data:`C4_TERMINALS`; (2) line has at least ``min_words``
+    whitespace-separated words; (3) line does not contain
+    ``javascript`` (case-insensitive). Pure codegen'd expression —
+    fuses into the scan stage."""
+    lines = F.split(F.coalesce(text, F.lit("")), "\n")
+
+    def _keep(l: Column) -> Column:
+        tail = F.right(F.rtrim(l), F.lit(1))
+        words = F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+        return (tail.isin(*C4_TERMINALS)
+                & (words >= min_words)
+                & ~F.lower(l).contains("javascript"))
+
+    return F.filter(lines, _keep)
+
+
+def c4_signals(df, id_col: str, text_col: str, *, min_words: int = 5,
+               min_lines: int = 3,
+               bad_words: tuple[str, ...] = C4_BAD_WORDS):
+    """Per-document C4 cleaning signals, one row per input row:
+    ``(id, n_lines, n_kept, kept_frac, has_lorem, has_brace,
+    has_bad_word, c4_keep, cleaned_text)``.
+
+    Line rules (:func:`c4_kept_lines`) decide ``cleaned_text`` (kept
+    lines rejoined by newline, original order); document rules decide
+    ``c4_keep``: at least ``min_lines`` surviving lines (C4 drops pages
+    with fewer than 3 sentences; kept LINES stand in for sentences, the
+    common reimplementation choice), no ``lorem ipsum``, no ``{`` (code
+    page marker), no ``bad_words`` substring — all on lowercased text
+    except the brace.
+
+    Scale shape: MAP-ONLY — every signal is a codegen'd per-row
+    expression (zero Python, zero shuffles); at 100 TB this is a filter
+    fused into the parquet scan. The kept-lines array is projected ONCE
+    into a staging column so the line filter runs once per row, not once
+    per metric (CollapseProject does not inline multi-referenced
+    aliases)."""
+    from functools import reduce
+    from operator import or_
+
+    lower = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    staged = df.select(
+        id_col,
+        F.col(text_col),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+         .alias("__lines"),
+        c4_kept_lines(F.col(text_col), min_words=min_words)
+         .alias("__kept"),
+        lower.contains("lorem ipsum").alias("has_lorem"),
+        F.coalesce(F.col(text_col), F.lit("")).contains("{")
+         .alias("has_brace"),
+        reduce(or_, [lower.contains(w) for w in bad_words])
+         .alias("has_bad_word"),
+    )
+    n_lines = F.size("__lines")
+    n_kept = F.size("__kept")
+    return staged.select(
+        id_col,
+        n_lines.cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        # exact int/int double division: engine-portable without rounding
+        (n_kept.cast("double") / n_lines.cast("double")).alias("kept_frac"),
+        "has_lorem", "has_brace", "has_bad_word",
+        ((n_kept >= min_lines)
+         & ~F.col("has_lorem") & ~F.col("has_brace")
+         & ~F.col("has_bad_word")).alias("c4_keep"),
+        F.array_join("__kept", "\n").alias("cleaned_text"),
+    )

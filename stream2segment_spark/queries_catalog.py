@@ -110,6 +110,10 @@ def selection_predicates(spark, sf_dir):
        WHERE o.o_orderpriority = '1-URGENT'
          AND p.p_size >= 10 AND p.p_size < 20
          AND l.l_quantity < 25""",
+    # r4 gate rotation (late session): deferred (driver-green r1+r2+r3) —
+    # the exprquery compiler stays covered in-window by
+    # selection_predicates; the freed slot gates corpus_c4_filters.
+    gate=False,
 )
 def selection_dotted_joins(spark, sf_dir):
     """P1/J1: dotted attributes auto-join the relationship path once;
@@ -272,6 +276,10 @@ def dedup_conflict_counts(spark, sf_dir):
     "join_anti_incremental",
     """SELECT c.c_custkey, c.c_name FROM customer c
        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    # r4 gate rotation (late session): deferred (driver-green r1+r2+r3) —
+    # anti-join semantics stay covered in-window by the new
+    # corpus_bloom_ingest entry (bloom-prefiltered exact anti-join).
+    gate=False,
 )
 def join_anti_incremental(spark, sf_dir):
     """K3/J6: append-mode anti join (process/main.py:421-434) — rows not yet

@@ -580,3 +580,78 @@ def corpus_repetition(spark, sf_dir):
     division, so values hash-match without rounding."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.repetition_signals(docs, "text", "doc_id")
+
+
+# The synthetic documents are single-line word soup without punctuation
+# (every doc would trivially fail the line rules, checking nothing), so
+# the gate entry derives multi-line prose from them DETERMINISTICALLY on
+# both engines: ' table ' occurrences become sentence boundaries ('.\n'),
+# a terminal '.' is appended, and marker lines (javascript / lorem ipsum
+# / brace / blocklist) are appended by doc_id residue so every rule has
+# real positives and negatives at any SF.
+_C4_MARKERS: tuple[tuple[int, str], ...] = (
+    (13, "this page uses JavaScript for nav menus."),
+    (17, "Lorem ipsum dolor sit amet sample."),
+    (19, "code sample with { braces } here."),
+    (23, "buy viagra online now for cheap."),
+)
+
+
+def _c4_oracle() -> str:
+    """DuckDB replay of functions/text.c4_signals (see its docstring for
+    the rule set). Line keep = terminal punctuation after rtrim, >= 5
+    whitespace words, no 'javascript'; doc keep = >= 3 kept lines and no
+    lorem-ipsum / brace / blocklist hit. kept_frac is one int/int double
+    division, so values hash-match without rounding."""
+    bad = " OR ".join(f"contains(lower(t), '{w}')" for w in TX.C4_BAD_WORDS)
+    keep = ("x -> right(rtrim(x), 1) IN ('.', '!', '?', '\"') "
+            "AND len(list_filter(regexp_split_to_array(x, '\\s+'), "
+            "w -> w != '')) >= 5 "
+            "AND NOT contains(lower(x), 'javascript')")
+    marks = "".join(
+        f" || CASE WHEN doc_id % {m} = 0 THEN chr(10) || '{s}' "
+        "ELSE '' END" for m, s in _C4_MARKERS)
+    derived = ("replace(coalesce(text, ''), ' table ', '.' || chr(10)) "
+               f"|| '.'{marks}")
+    return f"""
+        WITH b AS (SELECT doc_id, {derived} AS t FROM documents),
+        k AS (
+          SELECT doc_id, t,
+                 string_split(t, chr(10)) AS lines,
+                 list_filter(string_split(t, chr(10)), {keep}) AS kept,
+                 contains(lower(t), 'lorem ipsum') AS has_lorem,
+                 contains(t, '{{') AS has_brace,
+                 ({bad}) AS has_bad_word
+          FROM b)
+        SELECT doc_id,
+               len(lines)::BIGINT AS n_lines,
+               len(kept)::BIGINT AS n_kept,
+               len(kept)::DOUBLE / len(lines)::DOUBLE AS kept_frac,
+               has_lorem, has_brace, has_bad_word,
+               (len(kept) >= 3 AND NOT has_lorem AND NOT has_brace
+                AND NOT has_bad_word) AS c4_keep,
+               coalesce(array_to_string(kept, chr(10)), '') AS cleaned_text
+        FROM k"""
+
+
+@register("corpus_c4_filters", _c4_oracle())
+def corpus_c4_filters(spark, sf_dir):
+    """C4 heuristic cleaning (Raffel et al. 2020 §2.2 — beyond-reference
+    LLM-pipeline): per-document line-rule survivors (terminal
+    punctuation, >= 5 words, no 'javascript'), cleaned text, and the
+    document-level keep decision (>= 3 kept lines, no lorem-ipsum /
+    brace / blocklist hit). Entirely codegen'd per-row expressions —
+    MAP-ONLY, zero Python and zero shuffles, fusing into the parquet
+    scan at 100 TB (plan-asserted). The oracle replays every rule with
+    DuckDB list lambdas on the same rtrim/right/regex-split semantics.
+    Input text is derived multi-line prose (see _C4_MARKERS) so each
+    rule has positives and negatives at any SF."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.replace(F.coalesce(F.col("text"), F.lit("")),
+                  F.lit(" table "), F.lit(".\n")),
+        F.lit("."),
+        *[F.when(F.col("doc_id") % m == 0, F.lit("\n" + s)).otherwise("")
+          for m, s in _C4_MARKERS])
+    return TX.c4_signals(docs.select("doc_id", t.alias("text")),
+                         "doc_id", "text")

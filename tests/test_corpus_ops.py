@@ -647,3 +647,62 @@ def test_repetition_signals_dataframe(spark):
         expect = _repetition_row(text)
         got = [out[doc_id][n] for n in out[doc_id].asDict() if n != "doc_id"]
         assert got == expect, (doc_id, got, expect)
+
+
+# ---------------------------------------------------------------------------
+# c4_signals (C4 heuristic cleaning, Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+def _c4(spark, rows):
+    from stream2segment_spark.functions.text import c4_signals
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return {r["doc_id"]: r for r in
+            c4_signals(df, "doc_id", "text").collect()}
+
+
+def test_c4_line_rules(spark):
+    out = _c4(spark, [
+        # terminal punct + >=5 words kept; short / unterminated /
+        # javascript lines dropped
+        (1, "This is a good long sentence here.\n"
+            "short.\n"
+            "Another full sentence with enough words!\n"
+            "A question with plenty of words here?\n"
+            "no terminal punctuation on this line\n"
+            "This line mentions JavaScript and is dropped."),
+    ])
+    r = out[1]
+    assert r["n_lines"] == 6 and r["n_kept"] == 3
+    assert r["kept_frac"] == 3 / 6
+    assert r["cleaned_text"].count("\n") == 2
+    assert "short." not in r["cleaned_text"]
+    assert "JavaScript" not in r["cleaned_text"]
+
+
+def test_c4_quote_terminal_and_null(spark):
+    out = _c4(spark, [
+        (1, 'He said "stop right there immediately now"'),
+        (2, None),
+    ])
+    assert out[1]["n_kept"] == 1          # end-quote is a terminal mark
+    assert out[2]["n_lines"] == 1 and out[2]["n_kept"] == 0
+    assert out[2]["cleaned_text"] == "" and out[2]["c4_keep"] is False
+
+
+def test_c4_doc_rules(spark):
+    good = ("Good line one with many words here.\n"
+            "Good line two with many words here.\n"
+            "Good line three with many words here.")
+    out = _c4(spark, [
+        (1, good),
+        (2, good + "\nlorem ipsum dolor sit amet."),
+        (3, good + "\ncode with { a brace } inside."),
+        (4, good + "\nbuy viagra online now for cheap."),
+        (5, "Only two good lines right here now.\n"
+            "And the second good line here too."),
+    ])
+    assert out[1]["c4_keep"] is True
+    assert out[2]["has_lorem"] and not out[2]["c4_keep"]
+    assert out[3]["has_brace"] and not out[3]["c4_keep"]
+    assert out[4]["has_bad_word"] and not out[4]["c4_keep"]
+    assert out[5]["n_kept"] == 2 and out[5]["c4_keep"] is False

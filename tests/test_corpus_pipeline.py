@@ -227,3 +227,23 @@ def test_min_lm_score_stage(spark):
         min_lm_score=med)
     assert ({r["doc_id"] for r in out.select("doc_id").collect()} ==
             {r["doc_id"] for r in out2.select("doc_id").collect()})
+
+
+def test_c4_stage_drops_and_cleans(spark):
+    """c4_rules=True drops lorem-ipsum pages entirely and strips
+    non-prose lines from survivors before annotation."""
+    good = ("This is a proper prose sentence with words.\n"
+            "Another proper prose sentence with many words.\n"
+            "A third proper prose sentence with words here.")
+    rows = [(1, good),
+            (2, good + "\nlorem ipsum dolor sit amet."),
+            (3, good + "\nnav | bar | menu")]  # junk line stripped
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out, funnel = curate_corpus(
+        docs, languages=("en", "und"), c4_rules=True,
+        min_quality=0.0, token_band=(1, 100_000), neardup_threshold=0.99)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert 2 not in got                       # lorem-ipsum page dropped
+    assert "nav | bar" not in got.get(3, "")  # junk line stripped
+    f = funnel.collect()[0]
+    assert f["input"] == 3                    # pre-cleaning count

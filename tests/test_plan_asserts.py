@@ -288,3 +288,11 @@ def test_repetition_signals_map_only(spark):
     plan = _physical(QUERIES["corpus_repetition"](spark, SF_DIR_SMOKE))
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_c4_filters_map_only(spark):
+    """C4 cleaning is pure codegen'd per-row expressions: zero Exchange,
+    zero Python boundary — the whole rule set fuses into the scan."""
+    plan = _physical(QUERIES["corpus_c4_filters"](spark, SF_DIR_SMOKE))
+    assert "Exchange" not in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan

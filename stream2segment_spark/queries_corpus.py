@@ -562,3 +562,40 @@ def corpus_bpe(spark, sf_dir):
         "word", "freq",
         F.size("syms").cast("int").alias("n_syms"),
         F.array_join("syms", " ").alias("segmentation"))
+
+
+@register(
+    "corpus_bloom_ingest",
+    # the Bloom stage is a pure prefilter: the result is EXACTLY the
+    # anti-join, which the oracle states directly
+    """SELECT d.doc_id,
+              length(coalesce(d.text, '')) AS n_chars
+       FROM documents d
+       WHERE d.doc_id % 3 = 0
+         AND NOT EXISTS (SELECT 1 FROM documents c
+                         WHERE c.doc_id % 10 != 0
+                           AND c.doc_id = d.doc_id)""",
+)
+def corpus_bloom_ingest(spark, sf_dir):
+    """Bloom-prefiltered incremental dedup (K3/J6 anti-join semantics,
+    re-expressed for 100 TB ingestion — operators/bloom.py): 'corpus' =
+    90% of documents, 'arriving batch' = every third document; the
+    batch rows not yet in the corpus survive. Bloom NEGATIVES skip the
+    join entirely (exact by construction); positives are confirmed via
+    two broadcast-hash joins that stream the corpus map-side — the
+    corpus key set is NEVER shuffled (plan-asserted: no SortMergeJoin).
+    The filter here is deliberately undersized (fpp ~0.3) so the
+    false-positive RESCUE path provably carries rows at every SF; the
+    output is still bit-identical to the plain anti-join, which is the
+    oracle."""
+    from stream2segment_spark.operators.bloom import (
+        bloom_anti_join, build_bloom)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    bf = build_bloom(corpus.select("doc_id"), "doc_id", fpp=0.3)
+    out = bloom_anti_join(batch, corpus, "doc_id", bf)
+    return out.select(
+        "doc_id",
+        F.length(F.coalesce("text", F.lit(""))).cast("long")
+         .alias("n_chars"))

@@ -38,6 +38,9 @@ def ingest_documents_stream(
     num_hashes: int = 64,
     bands: int = 32,
     shingle_k: int = 3,
+    use_bloom: bool = False,
+    bloom_capacity: int = 1_000_000,
+    bloom_fpp: float = 0.01,
 ) -> DataFrame:
     """Drive one availableNow pass over the landing directory; returns
     the corpus table after ingestion. Safe to call repeatedly — the
@@ -52,7 +55,16 @@ def ingest_documents_stream(
     keys, and verifies only the candidate pairs with exact shingle
     Jaccard (fetching just the candidates' text by id). A batch doc
     whose Jaccard vs ANY earlier doc (or a lower-id batch sibling)
-    reaches the threshold is skipped."""
+    reaches the threshold is skipped.
+
+    ``use_bloom``: replace the per-batch corpus-fingerprint shuffle with
+    a broadcast Bloom prefilter + broadcast exact confirm
+    (operators/bloom.bloom_anti_join — bit-identical output, corpus
+    never shuffled). The filter is sized ONCE for ``bloom_capacity``
+    eventual fingerprints at ``bloom_fpp``, built from the corpus on the
+    first batch of this run, then maintained incrementally across
+    batches (or_bloom of each written batch) — steady-state ingestion
+    does NOT rescan corpus fingerprints per batch."""
     from pyspark.errors import AnalysisException
 
     from stream2segment_spark.functions.text import doc_fingerprint
@@ -60,7 +72,13 @@ def ingest_documents_stream(
         add_minhash_maponly, exact_dedup, lsh_band_keys,
         ngram_jaccard_pairs)
 
+    from stream2segment_spark.operators.bloom import (
+        bloom_anti_join, build_bloom, optimal_params, or_bloom)
+
     stream = spark.readStream.schema(schema).parquet(source_dir)
+    bloom_params = (optimal_params(bloom_capacity, bloom_fpp)
+                    if use_bloom else None)
+    state: dict = {"bloom": None}
 
     def _read_corpus(sess):
         """None until the first batch has written it. Probed by READING,
@@ -118,8 +136,16 @@ def ingest_documents_stream(
                           order=[id_col])
         seen = _read_corpus(sess)
         if seen is not None:
-            ann = ann.join(seen.select("fingerprint"),
-                           "fingerprint", "left_anti")
+            if use_bloom:
+                if state["bloom"] is None:  # first batch of this run
+                    state["bloom"] = build_bloom(
+                        seen.select("fingerprint"), "fingerprint",
+                        params=bloom_params)
+                ann = bloom_anti_join(ann, seen.select("fingerprint"),
+                                      "fingerprint", state["bloom"])
+            else:
+                ann = ann.join(seen.select("fingerprint"),
+                               "fingerprint", "left_anti")
         if neardup_threshold is not None:
             # add_minhash_maponly returns (id, minhash) only — join the
             # signature back onto the full batch row
@@ -132,8 +158,15 @@ def ingest_documents_stream(
         # localCheckpoint: the append below reads corpus_path while the
         # anti-join plan above also reads it — cut the lineage so the
         # write can't invalidate its own input scan
-        ann.localCheckpoint(eager=True).write.mode("append") \
-           .parquet(corpus_path)
+        ck = ann.localCheckpoint(eager=True)
+        ck.write.mode("append").parquet(corpus_path)
+        if use_bloom:
+            # fold the written batch into the filter: subsequent batches
+            # of THIS run never rescan corpus fingerprints
+            batch_bf = build_bloom(ck.select("fingerprint"), "fingerprint",
+                                   params=bloom_params)
+            state["bloom"] = (batch_bf if state["bloom"] is None
+                              else or_bloom(state["bloom"], batch_bf))
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:

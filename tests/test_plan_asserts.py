@@ -296,3 +296,12 @@ def test_c4_filters_map_only(spark):
     plan = _physical(QUERIES["corpus_c4_filters"](spark, SF_DIR_SMOKE))
     assert "Exchange" not in plan, plan
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_bloom_ingest_never_shuffles_corpus(spark):
+    """Bloom-prefiltered incremental dedup: both confirm joins are
+    broadcast-hash (corpus streams map-side) — a SortMergeJoin would
+    mean the corpus key set is being shuffled per batch."""
+    plan = _physical(QUERIES["corpus_bloom_ingest"](spark, SF_DIR_SMOKE))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan

@@ -284,3 +284,58 @@ def curate_corpus(
               .crossJoin(exact.select(F.count("*").alias("exact_dedup")))
               .crossJoin(deduped.select(F.count("*").alias("near_dedup"))))
     return curated, funnel
+
+
+def reference_lm_scores(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_contam_frac: float = 0.0,
+    order: int = 2,
+    curate_kwargs: dict | None = None,
+) -> DataFrame:
+    """Decontaminated reference-model scoring (the CCNet recipe shape:
+    perplexity-filter raw text against an LM trained on a CLEAN
+    reference corpus — Wenzek et al. 2019 — self-contained here by
+    bootstrapping the reference from the corpus's own curated
+    survivors):
+
+    1. curate ``docs`` (the full funnel: C4/quality/dedup as configured
+       by ``curate_kwargs``) — the reference corpus candidates;
+    2. DECONTAMINATE the reference against ``benchmark`` (drop any
+       curated doc whose k-shingle contamination fraction exceeds
+       ``max_contam_frac``) so eval-set text can never tune the scorer
+       that decides what the model trains on;
+    3. train the n-gram model (``order`` 2 = add-one bigram, 3 = stupid
+       backoff trigram) on the decontaminated reference;
+    4. score EVERY raw doc against it. Returns one row per input doc:
+       ``(id, n_trans, lm_score)`` (order 2) or the stupid-backoff
+       columns (order 3).
+
+    Scale shape: curation is the funnel's own story; step 2 is a
+    broadcast probe (benchmarks are MBs); training shuffles count
+    tables only; scoring joins the (vocabulary-sized, not corpus-sized)
+    count tables onto the transition stream.
+    """
+    from stream2segment_spark.functions.lm import (
+        bigram_model, lm_transition_scores, stupid_backoff_scores,
+        trigram_model)
+    from stream2segment_spark.operators.dedup import contamination_fractions
+
+    curated, _ = curate_corpus(docs, id_col=id_col, text_col=text_col,
+                               **(curate_kwargs or {}))
+    ref = curated.select(id_col, text_col)
+    if benchmark is not None:
+        contam = contamination_fractions(ref, benchmark, id_col=id_col,
+                                         text_col=text_col)
+        clean = contam.filter(F.col("contam_frac") <= max_contam_frac) \
+                      .select(id_col)
+        ref = ref.join(clean, id_col, "left_semi")
+    if order == 2:
+        model = bigram_model(ref, text_col)
+        return lm_transition_scores(docs, id_col, text_col, model=model)
+    if order == 3:
+        model = trigram_model(ref, text_col)
+        return stupid_backoff_scores(docs, id_col, text_col, model=model)
+    raise ValueError(f"order must be 2 or 3, got {order}")

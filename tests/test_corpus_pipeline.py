@@ -247,3 +247,43 @@ def test_c4_stage_drops_and_cleans(spark):
     assert "nav | bar" not in got.get(3, "")  # junk line stripped
     f = funnel.collect()[0]
     assert f["input"] == 3                    # pre-cleaning count
+
+
+def test_reference_lm_scores_decontaminated(spark):
+    """The reference model trains only on curated docs NOT overlapping
+    the benchmark; every raw doc still gets a score; leaking the
+    benchmark into training (benchmark=None) changes the scores."""
+    from stream2segment_spark.examples.corpus_pipeline import (
+        reference_lm_scores)
+    leak = ("the quick brown fox jumps over the lazy dog and then "
+            "the quick brown fox jumps again over the lazy dog")
+    rows = [(i, f"plain sentence number {i} about data tables and rows "
+                f"with enough words to pass filters {i}")
+            for i in range(1, 9)] + [(9, leak), (10, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(1, leak)], "doc_id long, text string")
+    kw = dict(languages=("en", "und"), min_quality=0.0,
+              token_band=(1, 10_000), neardup_threshold=0.99)
+    scored = reference_lm_scores(docs, bench, curate_kwargs=kw)
+    got = {r["doc_id"]: r["lm_score"] for r in scored.collect()}
+    assert set(got) == set(range(1, 11))        # every raw doc scored
+    assert got[10] == 0.0                       # null text -> floor
+    leaked = reference_lm_scores(docs, None, curate_kwargs=kw)
+    got_leaked = {r["doc_id"]: r["lm_score"] for r in leaked.collect()}
+    # with the benchmark doc allowed into training, its own transitions
+    # boost its score; decontamination must remove that self-boost
+    assert got_leaked[9] > got[9]
+
+
+def test_reference_lm_scores_order3_and_validation(spark):
+    from stream2segment_spark.examples.corpus_pipeline import (
+        reference_lm_scores)
+    rows = [(i, f"some steady prose row {i} with words enough here")
+            for i in range(1, 6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(languages=("en", "und"), min_quality=0.0,
+              token_band=(1, 10_000), neardup_threshold=0.99)
+    out = reference_lm_scores(docs, None, order=3, curate_kwargs=kw)
+    assert out.count() == 5 and "sb_score" in out.columns
+    with pytest.raises(ValueError, match="order"):
+        reference_lm_scores(docs, None, order=4, curate_kwargs=kw)

@@ -157,3 +157,56 @@ def deterministic_sample(
     else:
         thr = F.lit(int(round(float(fraction) * BUCKETS)))
     return df.filter(bucket < thr)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    tokens_col: str,
+    budgets: dict[str, int] | int,
+    seed: str = "mix",
+) -> DataFrame:
+    """Token-budget source mixing: keep documents per stratum, in
+    deterministic md5-bucket order, until the stratum's TOKEN budget is
+    filled — the token-level counterpart of :func:`temperature_sample`
+    (training mixtures are specified in tokens per source, not document
+    counts: a source of long documents must contribute FEWER docs for
+    the same token share).
+
+    ``budgets`` maps stratum value -> token budget (or one int for all
+    strata; strata absent from a dict get budget 0 = dropped). Fill
+    semantics match :func:`packing.pack_greedy`: a doc is kept iff the
+    tokens accumulated BEFORE it are under the budget, so the
+    budget-crossing doc is included and every stratum with a positive
+    budget and any docs contributes at least one. Selection order is
+    ``(md5 bucket, id)`` — an unbiased deterministic shuffle, so the
+    kept prefix is a uniform sample of the stratum, reproducible
+    cross-engine (the oracle replays it with the same md5 expression).
+
+    Scale shape: ONE hash-partitioned window per stratum (partitionBy
+    strata, no global sort); budgets ride a broadcast CASE expression.
+    Rows with a NULL stratum are dropped (no budget to charge).
+    Returns the input columns + ``mix_start`` (tokens accumulated
+    before the doc within its stratum — the audit column).
+    """
+    from pyspark.sql import Window
+
+    if isinstance(budgets, dict):
+        thr = None
+        for value, b in budgets.items():
+            cond = F.col(strata_col) == value
+            t = F.lit(int(b)).cast("long")
+            thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+        thr = thr.otherwise(F.lit(0).cast("long")) if thr is not None \
+            else F.lit(0).cast("long")
+    else:
+        thr = F.lit(int(budgets)).cast("long")
+    w = (Window.partitionBy(strata_col)
+         .orderBy(hash_bucket(F.col(id_col), seed), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(F.col(tokens_col).cast("long")).over(w)
+    start = (cum - F.col(tokens_col).cast("long")).alias("mix_start")
+    return (df.filter(F.col(strata_col).isNotNull())
+            .withColumn("mix_start", start)
+            .filter(F.col("mix_start") < thr))

@@ -21,7 +21,7 @@ from stream2segment_spark.functions.packing import chunk_summary, pack_greedy
 from stream2segment_spark.operators.clustering import kmeans_quantized
 from stream2segment_spark.operators.similarity import semantic_dedup
 from stream2segment_spark.functions.sampling import (
-    BUCKETS, temperature_rates, temperature_sample)
+    BUCKETS, temperature_rates, temperature_sample, token_budget_mix)
 from stream2segment_spark.operators import dedup as DD
 from stream2segment_spark.queries_catalog import register
 from stream2segment_spark.queries_text import _WORDS_SQL
@@ -599,3 +599,40 @@ def corpus_bloom_ingest(spark, sf_dir):
         "doc_id",
         F.length(F.coalesce("text", F.lit(""))).cast("long")
          .alias("n_chars"))
+
+
+@register(
+    "corpus_token_mix",
+    f"""WITH d AS (
+          SELECT doc_id, source,
+                 len(list_filter(string_split_regex(trim(regexp_replace(
+                     lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')),
+                     ' '), x -> len(x) > 0)) AS n_tokens
+          FROM documents WHERE source IS NOT NULL),
+        w AS (
+          SELECT doc_id, source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source
+                     ORDER BY {_BUCKET_SQL.format(seed='mix')}, doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens AS mix_start
+          FROM d)
+        SELECT doc_id, source, n_tokens, mix_start
+        FROM w WHERE mix_start < 3000""",
+    # registered past the driver window (full at 50 this round):
+    # mirror-checked + benched; rotate into the window next round
+    gate=False,
+)
+def corpus_token_mix(spark, sf_dir):
+    """Token-budget source mixing (functions/sampling.token_budget_mix —
+    beyond-reference LLM-pipeline): per source, keep documents in
+    deterministic md5-bucket order until 3000 TOKENS accumulate (fill
+    semantics: the budget-crossing doc is included). Training mixtures
+    are specified in tokens per source, not doc counts — the doc-count
+    counterpart is corpus_temperature_mix. ONE hash-partitioned window
+    per stratum, no global sort; the oracle replays bucket order,
+    cumulative token sums and the fill cut exactly (all integers)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source",
+        F.size(DD.word_tokens(F.coalesce(F.col("text"), F.lit(""))))
+         .cast("long").alias("n_tokens"))
+    return token_budget_mix(base, "doc_id", "source", "n_tokens", 3000)

@@ -69,3 +69,50 @@ def test_bucket_is_pushdown_friendly(spark, ids):
     plan = deterministic_sample(ids, "doc_id", 0.1)._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# token_budget_mix
+# ---------------------------------------------------------------------------
+
+def test_token_budget_mix_fill_semantics(spark):
+    from stream2segment_spark.functions.sampling import token_budget_mix
+    rows = [(i, "a" if i % 2 else "b", 10 + i) for i in range(1, 21)] \
+        + [(99, None, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n_tokens long")
+    out = token_budget_mix(df, "doc_id", "src", "n_tokens",
+                           {"a": 40, "b": 25})
+    rowsd = out.collect()
+    assert all(r["src"] is not None for r in rowsd)     # NULL stratum dropped
+    by = {}
+    for r in rowsd:
+        by.setdefault(r["src"], []).append(r)
+    for src, docs in by.items():
+        budget = {"a": 40, "b": 25}[src]
+        docs.sort(key=lambda r: r["mix_start"])
+        # every kept doc STARTS under the budget; the running total may
+        # overshoot only on the last kept doc (fill semantics)
+        assert all(r["mix_start"] < budget for r in docs)
+        assert docs[0]["mix_start"] == 0
+        total = sum(r["n_tokens"] for r in docs)
+        assert total >= min(budget,
+                            sum(x[2] for x in rows if x[1] == src))
+
+
+def test_token_budget_mix_deterministic_and_scalar_budget(spark):
+    from stream2segment_spark.functions.sampling import token_budget_mix
+    rows = [(i, f"s{i % 3}", 7) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n_tokens int")
+    a = sorted(map(tuple, token_budget_mix(
+        df, "doc_id", "src", "n_tokens", 50).collect()))
+    b = sorted(map(tuple, token_budget_mix(
+        df.repartition(7), "doc_id", "src", "n_tokens", 50).collect()))
+    assert a == b and len(a) == 3 * 8   # ceil(50/7)=8 docs per stratum
+
+
+def test_token_budget_mix_missing_stratum_in_dict_dropped(spark):
+    from stream2segment_spark.functions.sampling import token_budget_mix
+    df = spark.createDataFrame([(1, "a", 5), (2, "zzz", 5)],
+                               "doc_id long, src string, n_tokens int")
+    out = token_budget_mix(df, "doc_id", "src", "n_tokens", {"a": 100})
+    assert [r["src"] for r in out.collect()] == ["a"]

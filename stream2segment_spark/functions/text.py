@@ -437,3 +437,93 @@ def c4_signals(df, id_col: str, text_col: str, *, min_words: int = 5,
          & ~F.col("has_bad_word")).alias("c4_keep"),
         F.array_join("__kept", "\n").alias("cleaned_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher document-quality rules (Rae et al. 2021 table A1, §A1.1 — the
+# non-repetition half; the repetition half is repetition_signals above)
+# --------------------------------------------------------------------------
+
+# "remove documents that do not contain at least two of" (Rae et al.)
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BULLETS: tuple[str, ...] = ("•", "-", "*")
+
+
+def gopher_quality_signals(df, id_col: str, text_col: str):
+    """Per-document Gopher quality signals, one row per input row:
+    ``(id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac, n_stopwords, gopher_keep)``.
+
+    Rule semantics (documented so the oracle replays them exactly;
+    words = raw whitespace tokens, NOT the normalized ``word_tokens`` —
+    rule 6 tests for alphabetic chars, which normalization would force):
+
+    1. 50 <= n_words <= 100000;
+    2. 3 <= mean word length <= 10 (sum of word lengths / n_words, one
+       int/int double division);
+    3. symbol-to-word ratio <= 0.1 — '#' occurrences plus non-
+       overlapping '...' plus unicode ellipsis, over n_words;
+    4. <= 90% of lines start with a bullet (•, -, *) and
+    5. <= 30% of lines end with '...' or the unicode ellipsis
+       (both via :func:`line_metrics`, trimmed-line regexes);
+    6. >= 80% of words contain an alphabetic character;
+    7. at least 2 distinct :data:`GOPHER_STOPWORDS` present
+       (case-insensitive membership).
+
+    ``gopher_keep`` is the conjunction. Degenerate docs (no words)
+    report 0.0 ratios and keep = false.
+
+    Scale shape: MAP-ONLY — every signal is a codegen'd per-row
+    expression; words/lines arrays are projected ONCE into staging
+    columns (multi-referenced aliases are not inlined, so the splits
+    run once per row)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.select(
+        id_col,
+        F.filter(F.split(t, r"\s+"), lambda w: w != "").alias("__words"),
+        F.split(t, "\n").alias("__lines"),
+        (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+         .alias("__n_hash"),
+        ((F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+         / F.lit(3)).cast("long").alias("__n_dots"),
+        (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+         .alias("__n_uni"),
+    )
+    words, lines = F.col("__words"), F.col("__lines")
+    n_words = F.size(words).cast("long")
+    wd = n_words.cast("double")
+    sum_len = F.aggregate(words, F.lit(0).cast("long"),
+                          lambda a, w: a + F.length(w)).cast("double")
+    _, n_bullet, n_ell = line_metrics(F.lit(""), lines=lines)
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    lower_words = F.transform(words, F.lower)
+    n_stop = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        lambda s: F.array_contains(lower_words, s)))
+    n_lines = F.size(lines).cast("double")
+    mean_wl = F.when(n_words > 0, sum_len / wd).otherwise(0.0)
+    sym = F.when(n_words > 0,
+                 (F.col("__n_hash") + F.col("__n_dots") + F.col("__n_uni"))
+                 .cast("double") / wd).otherwise(0.0)
+    alpha = F.when(n_words > 0,
+                   n_alpha.cast("double") / wd).otherwise(0.0)
+    out = staged.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym.alias("symbol_word_ratio"),
+        (n_bullet.cast("double") / n_lines).alias("bullet_line_frac"),
+        (n_ell.cast("double") / n_lines).alias("ellipsis_line_frac"),
+        alpha.alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+    )
+    keep = (F.col("n_words").between(50, 100_000)
+            & (F.col("mean_word_len") >= 3.0)
+            & (F.col("mean_word_len") <= 10.0)
+            & (F.col("symbol_word_ratio") <= 0.1)
+            & (F.col("bullet_line_frac") <= 0.9)
+            & (F.col("ellipsis_line_frac") <= 0.3)
+            & (F.col("alpha_word_frac") >= 0.8)
+            & (F.col("n_stopwords") >= 2))
+    return out.withColumn("gopher_keep", keep)

@@ -655,3 +655,107 @@ def corpus_c4_filters(spark, sf_dir):
           for m, s in _C4_MARKERS])
     return TX.c4_signals(docs.select("doc_id", t.alias("text")),
                          "doc_id", "text")
+
+
+# residue markers making each Gopher rule discriminative on the word-soup
+# testdata (same derivation trick as _C4_MARKERS): stopword-rich tail for
+# rule 7, bullets for rule 4, ellipsis for rule 5, hashes for rule 3
+_GOPHER_MARKERS: tuple[tuple[int, str], ...] = (
+    (2, "we have to be of and that with the rest."),
+    (7, "• bullet item one\n• bullet item two"),
+    (11, "this line trails off..."),
+    (13, "# hash # tags # here # too # many # symbols"),
+)
+
+
+def _gopher_oracle() -> str:
+    """DuckDB replay of functions/text.gopher_quality_signals (see its
+    docstring for the rule set). Every ratio is one int/int double
+    division; the line regexes and the whitespace word split are
+    RE2-portable."""
+    marks = "".join(
+        f" || CASE WHEN doc_id % {m} = 0 THEN chr(10) || '{s}' "
+        "ELSE '' END" for m, s in
+        [(m, s.replace("\n", "' || chr(10) || '")) for m, s in
+         _GOPHER_MARKERS])
+    derived = ("replace(coalesce(text, ''), ' table ', '.' || chr(10)) "
+               f"|| '.'{marks}")
+    stop_list = "[" + ", ".join(f"'{s}'" for s in TX.GOPHER_STOPWORDS) + "]"
+    return f"""
+        WITH b AS (SELECT doc_id, {derived} AS t FROM documents),
+        s AS (
+          SELECT doc_id, t,
+                 list_filter(regexp_split_to_array(t, '\\s+'),
+                             w -> w != '') AS w,
+                 string_split(t, chr(10)) AS lines,
+                 len(t) - len(replace(t, '#', '')) AS n_hash,
+                 (len(t) - len(replace(t, '...', ''))) // 3 AS n_dots,
+                 len(t) - len(replace(t, '…', '')) AS n_uni
+          FROM b),
+        m AS (
+          SELECT doc_id,
+                 len(w)::BIGINT AS n_words,
+                 coalesce(list_sum(list_transform(w, x -> len(x))), 0)
+                   ::DOUBLE AS sum_len,
+                 (n_hash + n_dots + n_uni)::DOUBLE AS n_sym,
+                 len(list_filter(lines,
+                     l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE
+                   AS n_bullet,
+                 len(list_filter(lines,
+                     l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))::DOUBLE
+                   AS n_ell,
+                 len(list_filter(w,
+                     x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE AS n_alpha,
+                 len(lines)::DOUBLE AS n_lines,
+                 len(list_filter({stop_list},
+                     st -> list_contains(list_transform(w, x -> lower(x)),
+                                         st)))::BIGINT AS n_stopwords
+          FROM s),
+        f AS (
+          SELECT doc_id, n_words,
+                 CASE WHEN n_words > 0 THEN sum_len / n_words::DOUBLE
+                      ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN n_words > 0 THEN n_sym / n_words::DOUBLE
+                      ELSE 0.0 END AS symbol_word_ratio,
+                 n_bullet / n_lines AS bullet_line_frac,
+                 n_ell / n_lines AS ellipsis_line_frac,
+                 CASE WHEN n_words > 0 THEN n_alpha / n_words::DOUBLE
+                      ELSE 0.0 END AS alpha_word_frac,
+                 n_stopwords
+          FROM m)
+        SELECT *,
+               (n_words BETWEEN 50 AND 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_word_ratio <= 0.1
+                AND bullet_line_frac <= 0.9
+                AND ellipsis_line_frac <= 0.3
+                AND alpha_word_frac >= 0.8
+                AND n_stopwords >= 2) AS gopher_keep
+        FROM f"""
+
+
+@register(
+    "corpus_gopher_quality", _gopher_oracle(),
+    # registered past the driver window (full at 50 this round):
+    # mirror-checked + benched; rotate into the window next round
+    gate=False,
+)
+def corpus_gopher_quality(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021 table A1 §A1.1,
+    the non-repetition half — corpus_repetition is the other half;
+    beyond-reference LLM-pipeline): word-count band, mean word length,
+    symbol-to-word ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, required-stopword presence, and the conjunction keep
+    decision. Entirely codegen'd per-row expressions — MAP-ONLY, zero
+    Python and zero shuffles (plan-asserted). Input text is derived
+    multi-line prose (see _GOPHER_MARKERS) so every rule has positives
+    and negatives at any SF."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.replace(F.coalesce(F.col("text"), F.lit("")),
+                  F.lit(" table "), F.lit(".\n")),
+        F.lit("."),
+        *[F.when(F.col("doc_id") % m == 0, F.lit("\n" + s)).otherwise("")
+          for m, s in _GOPHER_MARKERS])
+    return TX.gopher_quality_signals(
+        docs.select("doc_id", t.alias("text")), "doc_id", "text")

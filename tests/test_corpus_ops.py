@@ -706,3 +706,44 @@ def test_c4_doc_rules(spark):
     assert out[3]["has_brace"] and not out[3]["c4_keep"]
     assert out[4]["has_bad_word"] and not out[4]["c4_keep"]
     assert out[5]["n_kept"] == 2 and out[5]["c4_keep"] is False
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality_signals (Gopher table A1 §A1.1, non-repetition rules)
+# ---------------------------------------------------------------------------
+
+def _gq(spark, rows):
+    from stream2segment_spark.functions.text import gopher_quality_signals
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return {r["doc_id"]: r for r in
+            gopher_quality_signals(df, "doc_id", "text").collect()}
+
+
+def test_gopher_rules_each_fire(spark):
+    good = " ".join(
+        f"the data and words of that have with extra filler w{i}"
+        for i in range(6))                      # 66 words, 6 stopwords
+    out = _gq(spark, [
+        (1, good),
+        (2, None),                               # degenerate
+        (3, good + " " + "# " * 20),             # symbol ratio
+        (4, good + "\n" + "\n".join("• b" for _ in range(40))),  # bullets
+        (5, good + "\n" + "\n".join(f"l{i}..." for i in range(3))),
+        (6, " ".join(str(i) for i in range(80))),  # no alpha, no stopwords
+    ])
+    assert out[1]["gopher_keep"] is True and out[1]["n_stopwords"] >= 2
+    assert out[2]["n_words"] == 0 and out[2]["gopher_keep"] is False
+    assert out[3]["symbol_word_ratio"] > 0.1 and not out[3]["gopher_keep"]
+    assert out[4]["bullet_line_frac"] > 0.9 and not out[4]["gopher_keep"]
+    assert out[5]["ellipsis_line_frac"] > 0.3 and not out[5]["gopher_keep"]
+    assert out[6]["alpha_word_frac"] == 0.0 and not out[6]["gopher_keep"]
+
+
+def test_gopher_word_count_and_mean_length_bands(spark):
+    out = _gq(spark, [
+        (1, "the be to of and that have with short doc"),  # 10 words < 50
+        (2, " ".join(["the be to of and that have with"]
+                     + ["supercalifragilistic"] * 60)),     # mwl > 10
+    ])
+    assert out[1]["n_words"] == 10 and not out[1]["gopher_keep"]
+    assert out[2]["mean_word_len"] > 10 and not out[2]["gopher_keep"]

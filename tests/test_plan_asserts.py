@@ -305,3 +305,11 @@ def test_bloom_ingest_never_shuffles_corpus(spark):
     plan = _physical(QUERIES["corpus_bloom_ingest"](spark, SF_DIR_SMOKE))
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_gopher_quality_map_only(spark):
+    """Gopher doc-quality rules are pure codegen'd per-row expressions:
+    zero Exchange, zero Python boundary."""
+    plan = _physical(QUERIES["corpus_gopher_quality"](spark, SF_DIR_SMOKE))
+    assert "Exchange" not in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan

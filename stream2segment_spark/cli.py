@@ -586,7 +586,8 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
                mix_alpha: float, pack_budget, pack_shards: int,
                semantic_k: int | None = None,
                min_lm_score: float | None = None,
-               c4_rules: bool = False) -> int:
+               c4_rules: bool = False,
+               gopher_rules: bool = False) -> int:
     """'s2s curate': the corpus-curation funnel (beyond-reference,
     examples/corpus_pipeline.curate_corpus) as a CLI: documents parquet
     in -> curated parquet + one funnel JSON line on stdout."""
@@ -606,7 +607,7 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
     curated, funnel = curate_corpus(
         docs,
         languages=tuple(s for s in languages.split(",") if s),
-        c4_rules=c4_rules,
+        c4_rules=c4_rules, gopher_rules=gopher_rules,
         min_quality=min_quality, token_band=(min_tokens, max_tokens),
         neardup_threshold=neardup_threshold, neardup_mode=neardup_mode,
         semantic_k=semantic_k,
@@ -747,6 +748,11 @@ def main(argv: list[str] | None = None) -> int:
                         "al. 2020: keep terminal-punctuation lines with "
                         ">=5 words and no javascript; drop lorem-ipsum/"
                         "brace/blocklist pages)")
+    p.add_argument("--gopher", action="store_true",
+                   help="apply the Gopher document-quality rules (Rae "
+                        "et al. 2021 table A1: word-count band, mean "
+                        "word length, symbol/bullet/ellipsis shape, "
+                        "alpha-word fraction, stopword presence)")
     p.add_argument("--min-quality", type=float, default=0.7)
     p.add_argument("--min-tokens", type=int, default=20)
     p.add_argument("--max-tokens", type=int, default=100_000)
@@ -1150,7 +1156,7 @@ def main(argv: list[str] | None = None) -> int:
                               args.mix_col, args.mix_alpha,
                               args.pack_budget, args.pack_shards,
                               args.semantic_k, args.min_lm_score,
-                              args.c4)
+                              args.c4, args.gopher)
         finally:
             if not preexisting:
                 spark.stop()

@@ -20,6 +20,9 @@ Optional stages (off by default, enabled by their parameters):
    FIRST (line-level terminal-punctuation / min-words / javascript
    rules; page-level lorem-ipsum / brace / blocklist drop) so every
    cross-document stage below sees prose only;
+0a2. Gopher rules — ``gopher_rules``: Rae et al. 2021 table-A1
+   document-quality drop (word-count band, mean word length, symbol/
+   bullet/ellipsis shape, alpha-word fraction, stopword presence);
 0. line dedup   — ``line_max_df``: CCNet-style cross-document
    boilerplate-line removal BEFORE annotation (so quality scoring sees
    the cleaned text);
@@ -54,6 +57,7 @@ def curate_corpus(
     text_col: str = "text",
     languages: tuple[str, ...] = ("en",),
     c4_rules: bool = False,
+    gopher_rules: bool = False,
     min_quality: float = 0.7,
     token_band: tuple[int, int] = (20, 100_000),
     max_top_token_frac: float = 0.2,
@@ -102,6 +106,15 @@ def curate_corpus(
                          .select(id_col,
                                  F.col("cleaned_text").alias(text_col)),
                       id_col))
+
+    # -- 0a2. optional Gopher doc-quality rules (Rae et al. 2021 A1.1) --
+    # document-level drop only (no text rewriting): word-count band,
+    # mean word length, symbol/bullet/ellipsis shape, alpha-word
+    # fraction, stopword presence. Map-only semi-join predicate.
+    if gopher_rules:
+        gsig = TX.gopher_quality_signals(docs, id_col, text_col)
+        docs = docs.join(gsig.filter(F.col("gopher_keep"))
+                         .select(id_col), id_col, "left_semi")
 
     # -- 0. optional line-level boilerplate removal ---------------------
     if line_max_df is not None:

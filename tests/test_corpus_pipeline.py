@@ -287,3 +287,17 @@ def test_reference_lm_scores_order3_and_validation(spark):
     assert out.count() == 5 and "sb_score" in out.columns
     with pytest.raises(ValueError, match="order"):
         reference_lm_scores(docs, None, order=4, curate_kwargs=kw)
+
+
+def test_gopher_stage_drops_low_quality(spark):
+    good = " ".join(
+        f"the data and words of that have with extra filler w{i}"
+        for i in range(6))
+    rows = [(1, good),
+            (2, " ".join(str(i) for i in range(80)))]   # no alpha words
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out, funnel = curate_corpus(
+        docs, languages=("en", "und"), gopher_rules=True,
+        min_quality=0.0, token_band=(1, 100_000), neardup_threshold=0.99)
+    assert {r["doc_id"] for r in out.collect()} == {1}
+    assert funnel.collect()[0]["input"] == 2

@@ -77,3 +77,51 @@ def chunk_summary(packed: DataFrame, id_col: str, tokens_col: str) -> DataFrame:
         F.min(id_col).alias("min_id"),
         F.max(id_col).alias("max_id"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    toks_col: str,
+    window: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split each document's token array into fixed-size training
+    windows with overlap (the chunking step between curation and
+    packing: long documents become ``window``-token pieces, each
+    starting ``window - overlap`` tokens after the previous, so no
+    token span longer than ``overlap`` is lost at a boundary).
+
+    Returns one row per chunk: ``(id, chunk_idx, chunk_toks, n_chunk)``
+    where ``chunk_idx`` is 0-based and ``chunk_toks`` is the token
+    slice. Every document yields at least one chunk (empty/null arrays
+    yield one empty chunk, keeping the doc addressable downstream); the
+    last chunk is the only one shorter than ``window``.
+
+    Scale shape: MAP-ONLY — a per-row ``transform`` over the start
+    offsets followed by one explode; no shuffle, no state. Memory per
+    row is one document's tokens (the same bound every token stage here
+    already has)."""
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    if not 0 <= overlap < window:
+        raise ValueError(f"need 0 <= overlap < window, got {overlap}")
+    step = window - overlap
+    toks = F.coalesce(F.col(toks_col), F.array().cast("array<string>"))
+    n = F.size(toks)
+    # chunk count = 1 + ceil(max(n - window, 0) / step): starts at 0,
+    # then every `step` until the window reaches the end
+    extra = F.greatest(n - F.lit(window), F.lit(0))
+    n_chunks = (F.lit(1) + F.ceil(extra.cast("double") / step)
+                .cast("int"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.slice(toks, i * step + 1, window).alias("chunk_toks")))
+    out = df.select(id_col, F.explode(chunks).alias("__c"))
+    return out.select(
+        id_col,
+        F.col("__c.chunk_idx").alias("chunk_idx"),
+        F.col("__c.chunk_toks").alias("chunk_toks"),
+        F.size("__c.chunk_toks").alias("n_chunk"))

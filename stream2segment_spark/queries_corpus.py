@@ -636,3 +636,37 @@ def corpus_token_mix(spark, sf_dir):
         F.size(DD.word_tokens(F.coalesce(F.col("text"), F.lit(""))))
          .cast("long").alias("n_tokens"))
     return token_budget_mix(base, "doc_id", "source", "n_tokens", 3000)
+
+
+@register(
+    "corpus_chunking",
+    f"""WITH d AS (SELECT doc_id, coalesce({_WORDS_SQL}, []) AS w
+                   FROM documents),
+        c AS (SELECT doc_id, w,
+                1 + CAST(ceil(greatest(len(w) - 16, 0)::DOUBLE / 12.0)
+                    AS INT) AS nc
+              FROM d),
+        e AS (SELECT doc_id, w, unnest(range(0, nc)) AS i FROM c)
+        SELECT doc_id, i::INT AS chunk_idx,
+               len(w[i*12+1 : i*12+16])::INT AS n_chunk,
+               coalesce(array_to_string(w[i*12+1 : i*12+16], ' '), '')
+                 AS chunk_text
+        FROM e""",
+    # registered past the driver window (full at 50 this round):
+    # mirror-checked + benched; rotate into the window next round
+    gate=False,
+)
+def corpus_chunking(spark, sf_dir):
+    """Overlapping token-window chunking (functions/packing.
+    chunk_documents — beyond-reference LLM-pipeline): every document
+    becomes 16-token training windows starting every 12 tokens (4-token
+    overlap, so no boundary span is lost); empty/null docs keep one
+    empty chunk. MAP-ONLY: per-row transform over start offsets + one
+    explode, zero shuffles (plan-asserted). The oracle replays the
+    chunk-count formula and every slice with DuckDB list ranges."""
+    from stream2segment_spark.functions.packing import chunk_documents
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", DD.word_tokens(F.col("text")).alias("toks"))
+    ch = chunk_documents(docs, "doc_id", "toks", window=16, overlap=4)
+    return ch.select("doc_id", "chunk_idx", "n_chunk",
+                     F.array_join("chunk_toks", " ").alias("chunk_text"))

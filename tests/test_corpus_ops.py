@@ -747,3 +747,36 @@ def test_gopher_word_count_and_mean_length_bands(spark):
     ])
     assert out[1]["n_words"] == 10 and not out[1]["gopher_keep"]
     assert out[2]["mean_word_len"] > 10 and not out[2]["gopher_keep"]
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents (overlapping token windows)
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_exact_windows(spark):
+    from stream2segment_spark.functions.packing import chunk_documents
+    rows = [(1, [f"t{i}" for i in range(11)]),  # 11 toks, w=4, o=1 -> 4
+            (2, []), (3, None),
+            (4, [f"x{i}" for i in range(4)])]   # exactly one window
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    out = chunk_documents(df, "doc_id", "toks", window=4, overlap=1)
+    got = {(r["doc_id"], r["chunk_idx"]): r["chunk_toks"]
+           for r in out.collect()}
+    assert got[(1, 0)] == ["t0", "t1", "t2", "t3"]
+    assert got[(1, 1)] == ["t3", "t4", "t5", "t6"]
+    assert got[(1, 2)] == ["t6", "t7", "t8", "t9"]
+    assert got[(1, 3)] == ["t9", "t10"]          # short tail chunk
+    assert got[(2, 0)] == [] and got[(3, 0)] == []   # one empty chunk
+    assert got[(4, 0)] == ["x0", "x1", "x2", "x3"]
+    assert len(got) == 4 + 1 + 1 + 1
+    # coverage: consecutive chunks overlap by exactly `overlap` tokens
+    assert got[(1, 0)][-1:] == got[(1, 1)][:1]
+
+
+def test_chunk_documents_validation(spark):
+    from stream2segment_spark.functions.packing import chunk_documents
+    df = spark.createDataFrame([(1, ["a"])], "doc_id long, toks array<string>")
+    with pytest.raises(ValueError, match="window"):
+        chunk_documents(df, "doc_id", "toks", window=0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "toks", window=4, overlap=4)

@@ -313,3 +313,11 @@ def test_gopher_quality_map_only(spark):
     plan = _physical(QUERIES["corpus_gopher_quality"](spark, SF_DIR_SMOKE))
     assert "Exchange" not in plan, plan
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_chunking_map_only(spark):
+    """Overlapping-window chunking is transform + explode per row: zero
+    Exchange, zero Python boundary."""
+    plan = _physical(QUERIES["corpus_chunking"](spark, SF_DIR_SMOKE))
+    assert "Exchange" not in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan

@@ -587,7 +587,8 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
                semantic_k: int | None = None,
                min_lm_score: float | None = None,
                c4_rules: bool = False,
-               gopher_rules: bool = False) -> int:
+               gopher_rules: bool = False,
+               gopher_repetition: bool = False) -> int:
     """'s2s curate': the corpus-curation funnel (beyond-reference,
     examples/corpus_pipeline.curate_corpus) as a CLI: documents parquet
     in -> curated parquet + one funnel JSON line on stdout."""
@@ -608,6 +609,7 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
         docs,
         languages=tuple(s for s in languages.split(",") if s),
         c4_rules=c4_rules, gopher_rules=gopher_rules,
+        gopher_repetition=gopher_repetition,
         min_quality=min_quality, token_band=(min_tokens, max_tokens),
         neardup_threshold=neardup_threshold, neardup_mode=neardup_mode,
         semantic_k=semantic_k,
@@ -753,6 +755,10 @@ def main(argv: list[str] | None = None) -> int:
                         "et al. 2021 table A1: word-count band, mean "
                         "word length, symbol/bullet/ellipsis shape, "
                         "alpha-word fraction, stopword presence)")
+    p.add_argument("--gopher-repetition", action="store_true",
+                   help="apply the Gopher repetition caps (top-n-gram "
+                        "char fraction, dup-n-gram coverage, dup-line "
+                        "fractions at the paper's thresholds)")
     p.add_argument("--min-quality", type=float, default=0.7)
     p.add_argument("--min-tokens", type=int, default=20)
     p.add_argument("--max-tokens", type=int, default=100_000)
@@ -1156,7 +1162,8 @@ def main(argv: list[str] | None = None) -> int:
                               args.mix_col, args.mix_alpha,
                               args.pack_budget, args.pack_shards,
                               args.semantic_k, args.min_lm_score,
-                              args.c4, args.gopher)
+                              args.c4, args.gopher,
+                              args.gopher_repetition)
         finally:
             if not preexisting:
                 spark.stop()

@@ -23,6 +23,9 @@ Optional stages (off by default, enabled by their parameters):
 0a2. Gopher rules — ``gopher_rules``: Rae et al. 2021 table-A1
    document-quality drop (word-count band, mean word length, symbol/
    bullet/ellipsis shape, alpha-word fraction, stopword presence);
+0a3. Gopher repetition — ``gopher_repetition``: the paper's eleven
+   repetition caps (top-n-gram char fraction, dup-n-gram coverage,
+   dup-line fractions) over functions/text.repetition_signals;
 0. line dedup   — ``line_max_df``: CCNet-style cross-document
    boilerplate-line removal BEFORE annotation (so quality scoring sees
    the cleaned text);
@@ -58,6 +61,7 @@ def curate_corpus(
     languages: tuple[str, ...] = ("en",),
     c4_rules: bool = False,
     gopher_rules: bool = False,
+    gopher_repetition: bool = False,
     min_quality: float = 0.7,
     token_band: tuple[int, int] = (20, 100_000),
     max_top_token_frac: float = 0.2,
@@ -115,6 +119,27 @@ def curate_corpus(
         gsig = TX.gopher_quality_signals(docs, id_col, text_col)
         docs = docs.join(gsig.filter(F.col("gopher_keep"))
                          .select(id_col), id_col, "left_semi")
+
+    # -- 0a3. optional Gopher repetition caps (Rae et al. table A1) -----
+    # the paper's thresholds: top-{2,3,4}-gram char fraction <=
+    # .20/.18/.16, dup-{5..10}-gram coverage <= .15/.14/.13/.12/.11/.10,
+    # dup-line fraction <= .30, dup-line char fraction <= .20. One
+    # map-only Arrow stage + a semi join back (no text rewriting).
+    if gopher_repetition:
+        caps = dict(zip(
+            ("top_2gram_frac", "top_3gram_frac", "top_4gram_frac",
+             "dup_5gram_frac", "dup_6gram_frac", "dup_7gram_frac",
+             "dup_8gram_frac", "dup_9gram_frac", "dup_10gram_frac",
+             "dup_line_frac", "dup_line_char_frac"),
+            (0.20, 0.18, 0.16, 0.15, 0.14, 0.13, 0.12, 0.11, 0.10,
+             0.30, 0.20)))
+        rep = TX.repetition_signals(docs, text_col, id_col)
+        cond = None
+        for col, cap in caps.items():
+            c = F.col(col) <= cap
+            cond = c if cond is None else (cond & c)
+        docs = docs.join(rep.filter(cond).select(id_col),
+                         id_col, "left_semi")
 
     # -- 0. optional line-level boilerplate removal ---------------------
     if line_max_df is not None:

@@ -301,3 +301,16 @@ def test_gopher_stage_drops_low_quality(spark):
         min_quality=0.0, token_band=(1, 100_000), neardup_threshold=0.99)
     assert {r["doc_id"] for r in out.collect()} == {1}
     assert funnel.collect()[0]["input"] == 2
+
+
+def test_gopher_repetition_stage_drops_repetitive(spark):
+    # all-distinct tokens: zero dup n-grams, tiny top-n-gram fractions
+    # (a repeated sentence TEMPLATE would rightly trip the dup-5gram cap)
+    good = " ".join(f"word{i}" for i in range(60))
+    looped = "the same five words repeat " * 20   # dup-5gram coverage ~1
+    docs = spark.createDataFrame([(1, good), (2, looped)],
+                                 "doc_id long, text string")
+    out, _ = curate_corpus(
+        docs, languages=("en", "und"), gopher_repetition=True,
+        min_quality=0.0, token_band=(1, 100_000), neardup_threshold=0.99)
+    assert {r["doc_id"] for r in out.collect()} == {1}

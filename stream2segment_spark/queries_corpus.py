@@ -670,3 +670,83 @@ def corpus_chunking(spark, sf_dir):
     ch = chunk_documents(docs, "doc_id", "toks", window=16, overlap=4)
     return ch.select("doc_id", "chunk_idx", "n_chunk",
                      F.array_join("chunk_toks", " ").alias("chunk_text"))
+
+
+# Linear-classifier GD unrolled in SQL: the rational fast sigmoid
+# s(z) = 0.5 + z/(2(1+|z|)) keeps every op IEEE-exact (no exp), so both
+# engines compute identical doubles; gradients are integer sums.
+_CLS_SIGMOID = "(0.5 + {z} / (2 * (1 + abs({z}))))"
+
+
+def _classifier_oracle() -> str:
+    s1 = _CLS_SIGMOID.format(z="z")
+    return f"""
+        WITH q AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(round(
+                   CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v
+             FROM embeddings),
+        l AS (SELECT vec_id, v,
+                CASE WHEN v[1] > 0 THEN 1 ELSE 0 END AS y FROM q),
+        n AS (SELECT count(*) AS n FROM l),
+        dims AS (SELECT unnest(range(1,
+                 (SELECT max(len(v)) FROM l) + 1)) AS pos),
+        -- iter 1 from zero weights: z = 0, s = 0.5, residual = 0.5 - y
+        g1 AS (SELECT d.pos,
+                 sum(CAST(round((0.5 - y) * v[d.pos], 0) AS BIGINT)) AS s
+               FROM l, dims d GROUP BY d.pos),
+        w1p AS (SELECT pos, CAST(0 - round(
+                  0.5 * (CAST(s AS DOUBLE) / n.n), 0) AS BIGINT) AS wv
+                FROM g1, n),
+        w1 AS (SELECT list(wv ORDER BY pos) AS w FROM w1p),
+        -- iter 2: exact integer dot, one division, rational sigmoid
+        r2 AS (SELECT vec_id, v, y,
+                 {_CLS_SIGMOID.format(
+                     z="(CAST(list_sum(list_transform(range(1, len(v) + 1), "
+                       "i -> w1.w[i] * v[i])) AS DOUBLE) / 1000000.0)")} - y
+                   AS r
+               FROM l, w1),
+        g2 AS (SELECT d.pos,
+                 sum(CAST(round(r * v[d.pos], 0) AS BIGINT)) AS s
+               FROM r2, dims d GROUP BY d.pos),
+        w2p AS (SELECT g2.pos, CAST(w1p.wv - round(
+                  0.5 * (CAST(g2.s AS DOUBLE) / n.n), 0) AS BIGINT) AS wv
+                FROM g2 JOIN w1p USING (pos), n),
+        w2 AS (SELECT list(wv ORDER BY pos) AS w FROM w2p),
+        z3 AS (SELECT l.vec_id, l.y,
+                 CAST(list_sum(list_transform(range(1, len(l.v) + 1),
+                     i -> w2.w[i] * l.v[i])) AS DOUBLE) / 1000000.0 AS z
+               FROM l, w2)
+        SELECT vec_id, y, round({s1}, 6) AS score,
+               CASE WHEN {s1} >= 0.5 THEN 1 ELSE 0 END AS pred
+        FROM z3"""
+
+
+@register(
+    "corpus_quality_classifier", _classifier_oracle(),
+    # registered past the driver window (full at 50 this round):
+    # mirror-checked + benched; rotate into the window next round
+    gate=False,
+)
+def corpus_quality_classifier(spark, sf_dir):
+    """Distributed linear quality classifier (operators/classifier.py —
+    beyond-reference LLM-pipeline; the DCLM/FineWeb-style step where a
+    cheap trained model replaces heuristics): two full-batch GD
+    iterations over the embeddings table with a deterministic learnable
+    target (sign of the first quantized component), scoring every row
+    with the final weights. Integer-quantized gradients + the rational
+    fast sigmoid make training bit-replayable: the oracle unrolls BOTH
+    iterations (per-dimension integer gradient sums, half-away weight
+    updates, exact dot products) through to every row's score and
+    prediction. One map-side-combined (dim-key) shuffle per iteration;
+    dim longs to the driver; the corpus never moves."""
+    from stream2segment_spark.operators.classifier import (
+        train_linear_classifier)
+    emb = load_table(spark, sf_dir, "embeddings")
+    lab = emb.select(
+        "vec_id", "embedding",
+        (F.round(F.element_at(F.col("embedding"), 1).cast("double")
+                 * 1000, 0).cast("long") > 0).cast("int").alias("y"))
+    scored, _ = train_linear_classifier(lab, "vec_id", "embedding", "y",
+                                        iters=2)
+    return scored.select("vec_id", "y",
+                         F.round("score", 6).alias("score"), "pred")

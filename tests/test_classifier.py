@@ -1,0 +1,72 @@
+"""Distributed linear classifier (operators/classifier.py): learning on
+a learnable target, partition-layout determinism, rounding semantics,
+and validation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stream2segment_spark.operators.classifier import (
+    _fast_sigmoid, _half_away, train_linear_classifier)
+from stream2segment_spark.schema import load_table
+from tests.conftest import SF_DIR_SMOKE
+
+
+def _labeled(spark):
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    return emb.select(
+        "vec_id", "embedding",
+        (F.round(F.element_at(F.col("embedding"), 1).cast("double")
+                 * 1000, 0).cast("long") > 0).cast("int").alias("y"))
+
+
+def _acc(scored) -> float:
+    return scored.select(F.avg(
+        (F.col("pred") == F.col("y")).cast("double")).alias("a")) \
+        .collect()[0]["a"]
+
+
+def test_classifier_learns_the_target(spark):
+    lab = _labeled(spark)
+    s1, w1 = train_linear_classifier(lab, "vec_id", "embedding", "y",
+                                     iters=1)
+    s3, w3 = train_linear_classifier(lab, "vec_id", "embedding", "y",
+                                     iters=3)
+    a1, a3 = _acc(s1), _acc(s3)
+    assert a3 >= a1 > 0.5            # better than chance, improving
+    assert a3 > 0.85
+    # the target is the sign of dim 1: that weight must dominate
+    assert abs(w3[0]) == max(abs(v) for v in w3)
+
+
+def test_classifier_partition_deterministic(spark):
+    lab = _labeled(spark)
+    _, w_a = train_linear_classifier(lab, "vec_id", "embedding", "y")
+    _, w_b = train_linear_classifier(lab.repartition(13), "vec_id",
+                                     "embedding", "y")
+    assert w_a == w_b
+
+
+def test_half_away_matches_sql_round():
+    v = np.array([2.5, -2.5, 0.5, -0.5, 1.4, -1.4, 0.0])
+    assert _half_away(v).tolist() == [3.0, -3.0, 1.0, -1.0, 1.0, -1.0, 0.0]
+
+
+def test_fast_sigmoid_shape():
+    z = np.array([0.0, 1e9, -1e9, 1.0, -1.0])
+    s = _fast_sigmoid(z)
+    assert s[0] == 0.5
+    assert 0.999 < s[1] < 1.0 and 0.0 < s[2] < 0.001
+    assert s[3] == 0.75 and s[4] == 0.25     # exact rational points
+
+
+def test_classifier_validation(spark):
+    lab = _labeled(spark)
+    with pytest.raises(ValueError, match="iters"):
+        train_linear_classifier(lab, "vec_id", "embedding", "y", iters=0)
+    with pytest.raises(ValueError, match="lr"):
+        train_linear_classifier(lab, "vec_id", "embedding", "y", lr=0.3)
+    with pytest.raises(ValueError, match="non-empty"):
+        train_linear_classifier(lab.limit(0), "vec_id", "embedding", "y")

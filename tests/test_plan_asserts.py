@@ -321,3 +321,11 @@ def test_chunking_map_only(spark):
     plan = _physical(QUERIES["corpus_chunking"](spark, SF_DIR_SMOKE))
     assert "Exchange" not in plan, plan
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_classifier_scoring_map_only(spark):
+    """Scoring with trained weights is scan + Arrow UDF: zero Exchange
+    (training jobs already ran; the returned frame must not shuffle)."""
+    plan = _physical(QUERIES["corpus_quality_classifier"](
+        spark, SF_DIR_SMOKE))
+    assert "Exchange" not in plan, plan

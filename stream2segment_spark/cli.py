@@ -636,6 +636,54 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
     return 0
 
 
+def cmd_classify(spark, infile: str, outfile: str, id_col: str,
+                 label_col: str, vec_col: str | None, text_col: str | None,
+                 iters: int, lr: float) -> int:
+    """'s2s classify': train operators/classifier.train_linear_classifier
+    on a labeled parquet (vector features, or hash-n-gram embeddings of
+    a text column) and write (id, label, score, pred) parquet plus one
+    JSON line with the training accuracy and final weights."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from stream2segment_spark.operators.classifier import (
+        train_linear_classifier)
+
+    if (vec_col is None) == (text_col is None):
+        print("error: pass exactly one of --vec-col / --text-col",
+              file=sys.stderr)
+        return 2
+    df = spark.read.parquet(infile)
+    need = {id_col, label_col, vec_col or text_col}
+    missing = need - set(df.columns)
+    if missing:
+        print(f"error: {infile} lacks column(s) {sorted(missing)} "
+              f"(has: {sorted(df.columns)})", file=sys.stderr)
+        return 2
+    if text_col is not None:
+        from stream2segment_spark.functions.embeddings import (
+            hashed_ngram_embeddings)
+        emb = hashed_ngram_embeddings(
+            df.select(id_col, text_col), text_col, id_col)
+        df = df.select(id_col, label_col).join(emb, id_col)
+        vec_col = "embedding"
+    scored, weights = train_linear_classifier(
+        df, id_col, vec_col, label_col, iters=iters, lr=lr)
+    scored = scored.persist()
+    try:
+        scored.write.mode("overwrite").parquet(outfile)
+        acc = scored.select(F.avg(
+            (F.col("pred") == F.col(label_col)).cast("double"))
+            .alias("a")).collect()[0]["a"]
+        print(json.dumps({"rows": scored.count(),
+                          "train_accuracy": round(acc, 4),
+                          "weights": weights}))
+    finally:
+        scored.unpersist()
+    return 0
+
+
 def cmd_init(outdir: str) -> int:
     """'s2s init': write editable template files to OUTDIR."""
     import shutil
@@ -870,6 +918,29 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p = sub.add_parser(
+        "classify",
+        help="train the distributed linear classifier on a labeled "
+             "parquet (full-batch GD, deterministic) and write id + "
+             "label + score + pred parquet; with --text-col the "
+             "features are hash-n-gram embeddings of the text "
+             "(beyond-reference)")
+    p.add_argument("-i", "--infile", required=True,
+                   help="parquet with id + label (+ vector or text)")
+    p.add_argument("-o", "--outfile", required=True,
+                   help="output parquet path")
+    p.add_argument("--label-col", required=True,
+                   help="0/1 label column to train against")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--vec-col", default=None,
+                   help="array<float> feature column")
+    p.add_argument("--text-col", default=None,
+                   help="text column to hash-embed as features "
+                        "(exactly one of --vec-col/--text-col)")
+    p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--lr", type=float, default=0.5,
+                   help="learning rate (must be a multiple of 0.25 so "
+                        "the update multiply is exact)")
+    p = sub.add_parser(
         "bpe-apply",
         help="segment a corpus parquet with a trained BPE merge table "
              "(from 's2s bpe-train') and write doc_id + subword tokens "
@@ -914,6 +985,18 @@ def main(argv: list[str] | None = None) -> int:
         try:
             return cmd_tt_create(spark, args.model, args.outfile, args.phase,
                                  args.tolerance, args.maxdepth, args.maxdist)
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "classify":  # no config file: all-flags command
+        from stream2segment_spark.session import get_spark
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-classify")
+        try:
+            return cmd_classify(spark, args.infile, args.outfile,
+                                args.id_col, args.label_col,
+                                args.vec_col, args.text_col,
+                                args.iters, args.lr)
         finally:
             if not preexisting:
                 spark.stop()

@@ -70,3 +70,50 @@ def test_classifier_validation(spark):
         train_linear_classifier(lab, "vec_id", "embedding", "y", lr=0.3)
     with pytest.raises(ValueError, match="non-empty"):
         train_linear_classifier(lab.limit(0), "vec_id", "embedding", "y")
+
+
+def test_classify_cli_end_to_end(spark, tmp_path, capsys):
+    import json
+
+    from stream2segment_spark.cli import main as cli_main
+
+    src = str(tmp_path / "in.parquet")
+    _labeled(spark).write.parquet(src)
+    out = str(tmp_path / "scored.parquet")
+    rc = cli_main(["classify", "-i", src, "-o", out,
+                   "--id-col", "vec_id", "--label-col", "y",
+                   "--vec-col", "embedding", "--iters", "2"])
+    assert rc == 0
+    n = _labeled(spark).count()
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows"] == n and stats["train_accuracy"] > 0.8
+    back = spark.read.parquet(out)
+    assert {"vec_id", "y", "score", "pred"} <= set(back.columns)
+    assert back.count() == n
+
+
+def test_classify_cli_text_mode_and_validation(spark, tmp_path, capsys):
+    import json
+
+    from stream2segment_spark.cli import main as cli_main
+
+    rows = [(i, ("great clean prose " if i % 2 else "zz xx qq ") * 5,
+             i % 2) for i in range(40)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string, y int") \
+        .write.parquet(src)
+    out = str(tmp_path / "scored.parquet")
+    rc = cli_main(["classify", "-i", src, "-o", out,
+                   "--label-col", "y", "--text-col", "text",
+                   "--iters", "4"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["train_accuracy"] == 1.0   # trivially separable texts
+    # exactly one of vec/text required
+    assert cli_main(["classify", "-i", src, "-o", out,
+                     "--label-col", "y"]) == 2
+    assert cli_main(["classify", "-i", src, "-o", out, "--label-col", "y",
+                     "--vec-col", "v", "--text-col", "text"]) == 2
+    # missing column diagnosed
+    assert cli_main(["classify", "-i", src, "-o", out,
+                     "--label-col", "nope", "--text-col", "text"]) == 2

@@ -636,6 +636,34 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
     return 0
 
 
+def cmd_export_jsonl(spark, infile: str, outdir: str,
+                     columns: str | None, shards: int | None,
+                     gzip: bool) -> int:
+    """'s2s export-jsonl': parquet -> JSON-lines shards. Pure sink: the
+    write is distributed (one shard per partition; --shards pays one
+    round-robin repartition for an exact count), so at 100 TB this is a
+    map-only format conversion."""
+    df = spark.read.parquet(infile)
+    if columns:
+        cols = [c for c in columns.split(",") if c]
+        missing = set(cols) - set(df.columns)
+        if missing:
+            print(f"error: {infile} lacks column(s) {sorted(missing)} "
+                  f"(has: {sorted(df.columns)})", file=sys.stderr)
+            return 2
+        df = df.select(*cols)
+    if shards is not None:
+        if shards <= 0:
+            print("error: --shards must be positive", file=sys.stderr)
+            return 2
+        df = df.repartition(shards)
+    w = df.write.mode("overwrite")
+    if gzip:
+        w = w.option("compression", "gzip")
+    w.json(outdir)
+    return 0
+
+
 def cmd_classify(spark, infile: str, outfile: str, id_col: str,
                  label_col: str, vec_col: str | None, text_col: str | None,
                  iters: int, lr: float) -> int:
@@ -918,6 +946,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p = sub.add_parser(
+        "export-jsonl",
+        help="export a parquet table as JSON-lines shards (the standard "
+             "training-data delivery format; optional gzip, optional "
+             "column selection and shard count)")
+    p.add_argument("-i", "--infile", required=True, help="input parquet")
+    p.add_argument("-o", "--outdir", required=True,
+                   help="output directory of part-*.json[.gz] shards")
+    p.add_argument("--columns", default=None,
+                   help="comma-separated columns to keep (default all)")
+    p.add_argument("--shards", type=int, default=None,
+                   help="exact output shard count (repartition; default: "
+                        "keep the input partitioning)")
+    p.add_argument("--gzip", action="store_true",
+                   help="gzip-compress each shard")
+    p = sub.add_parser(
         "classify",
         help="train the distributed linear classifier on a labeled "
              "parquet (full-batch GD, deterministic) and write id + "
@@ -985,6 +1028,16 @@ def main(argv: list[str] | None = None) -> int:
         try:
             return cmd_tt_create(spark, args.model, args.outfile, args.phase,
                                  args.tolerance, args.maxdepth, args.maxdist)
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "export-jsonl":  # no config file: all-flags command
+        from stream2segment_spark.session import get_spark
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-export-jsonl")
+        try:
+            return cmd_export_jsonl(spark, args.infile, args.outdir,
+                                    args.columns, args.shards, args.gzip)
         finally:
             if not preexisting:
                 spark.stop()

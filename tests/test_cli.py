@@ -708,3 +708,34 @@ def test_isf_phases_cli(tmp_path, capsys, spark):
     rc = cli.main(["isf-phases", "-i", str(tmp_path / "nope.txt"),
                    "-o", str(out)])
     assert rc == 2
+
+
+def test_export_jsonl_end_to_end(spark, tmp_path):
+    import gzip as gz
+    import json
+    import os
+
+    from stream2segment_spark.cli import main as cli_main
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"text {i}", i * 2) for i in range(20)],
+        "doc_id long, text string, extra long").write.parquet(src)
+    out = str(tmp_path / "jsonl")
+    rc = cli_main(["export-jsonl", "-i", src, "-o", out,
+                   "--columns", "doc_id,text", "--shards", "3", "--gzip"])
+    assert rc == 0
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 3 and all(f.endswith(".gz") for f in parts)
+    rows = []
+    for f in parts:
+        with gz.open(os.path.join(out, f), "rt") as fh:
+            rows += [json.loads(line) for line in fh]
+    assert len(rows) == 20
+    assert all(set(r) == {"doc_id", "text"} for r in rows)
+    assert sorted(r["doc_id"] for r in rows) == list(range(20))
+    # bad column diagnosed
+    assert cli_main(["export-jsonl", "-i", src, "-o", out,
+                     "--columns", "nope"]) == 2
+    assert cli_main(["export-jsonl", "-i", src, "-o", out,
+                     "--shards", "0"]) == 2

@@ -46,22 +46,29 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
+    # NULL on empty text, like DuckDB's x/0 -> NULL (a bare division
+    # THROWS under ANSI mode, Spark 4's default — a single empty doc
+    # would kill the whole job); quality_score's band checks then fall
+    # through to their 0.5 default on both engines.
     stripped = F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", "")
-    return F.length(stripped).cast("double") / F.length(text)
+    return F.when(F.length(text) > 0,
+                  F.length(stripped).cast("double") / F.length(text))
 
 
 def stopword_ratio(text: Column, stopwords: tuple[str, ...] = _EN_STOPWORDS,
                    *, toks: Column | None = None) -> Column:
     toks = word_tokens(text) if toks is None else toks
     stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    return stop.cast("double") / F.size(toks)
+    # NULL on token-less docs (see punct_ratio: ANSI divide-by-zero)
+    return F.when(F.size(toks) > 0, stop.cast("double") / F.size(toks))
 
 
 def mean_word_length(text: Column, *, toks: Column | None = None) -> Column:
     toks = word_tokens(text) if toks is None else toks
     total = F.aggregate(toks, F.lit(0),
                         lambda acc, t: acc + F.length(t)).cast("double")
-    return total / F.size(toks)
+    # NULL on token-less docs (see punct_ratio: ANSI divide-by-zero)
+    return F.when(F.size(toks) > 0, total / F.size(toks))
 
 
 def quality_score(text: Column, *, toks: Column | None = None) -> Column:

@@ -41,6 +41,8 @@ def ingest_documents_stream(
     use_bloom: bool = False,
     bloom_capacity: int = 1_000_000,
     bloom_fpp: float = 0.01,
+    c4_rules: bool = False,
+    min_quality: float | None = None,
 ) -> DataFrame:
     """Drive one availableNow pass over the landing directory; returns
     the corpus table after ingestion. Safe to call repeatedly — the
@@ -64,7 +66,13 @@ def ingest_documents_stream(
     eventual fingerprints at ``bloom_fpp``, built from the corpus on the
     first batch of this run, then maintained incrementally across
     batches (or_bloom of each written batch) — steady-state ingestion
-    does NOT rescan corpus fingerprints per batch."""
+    does NOT rescan corpus fingerprints per batch.
+
+    ``c4_rules`` / ``min_quality``: gate each batch IN FLIGHT (C4
+    line/page cleaning, then the composite quality floor) before any
+    dedup work, so junk never costs signature computation, never
+    enters the corpus, and never has to be re-curated later — the
+    streaming counterparts of the curation funnel's stages 0a/2."""
     from pyspark.errors import AnalysisException
 
     from stream2segment_spark.functions.text import doc_fingerprint
@@ -130,6 +138,24 @@ def ingest_documents_stream(
 
     def flush(batch_df: DataFrame, _batch_id: int) -> None:
         sess = batch_df.sparkSession
+        if c4_rules:
+            from stream2segment_spark.functions.text import c4_signals
+            sig = c4_signals(batch_df, id_col, text_col)
+            batch_df = (batch_df.drop(text_col)
+                        .join(sig.filter(F.col("c4_keep"))
+                              .select(id_col, F.col("cleaned_text")
+                                      .alias(text_col)), id_col))
+        if min_quality is not None:
+            from stream2segment_spark.functions.text import (
+                quality_score, token_count)
+            # CASE guard, not a separate filter: conjuncts get pushed
+            # and reordered, and under ANSI mode quality_score's
+            # mean-word-length division would throw on a 0-token row
+            # (e.g. a C4-emptied doc) evaluated before its drop filter
+            q = F.when(token_count(F.col(text_col)) > 0,
+                       F.round(quality_score(F.col(text_col)), 4)) \
+                 .otherwise(F.lit(0.0))
+            batch_df = batch_df.filter(q >= min_quality)
         ann = batch_df.withColumn(
             "fingerprint", doc_fingerprint(F.col(text_col)))
         ann = exact_dedup(ann, ["fingerprint"], keep="first",

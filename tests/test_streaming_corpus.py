@@ -160,3 +160,24 @@ def test_ingest_cli_end_to_end(spark, dirs, capsys):
     assert "corpus now holds 2 document(s)" in capsys.readouterr().out
     got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
     assert got == {1, 4}
+
+
+def test_ingest_quality_gates_in_flight(spark, dirs):
+    """c4_rules + min_quality drop junk before it enters the corpus;
+    clean prose survives with its C4-cleaned text."""
+    src, corpus = dirs
+    prose = ("This is a proper prose sentence with words here.\n"
+             "Another proper prose sentence with many more words.\n"
+             "A third proper prose sentence with words in it.\n"
+             "The good and the words of that have with them here.")
+    _drop(spark, src, "d1", [
+        dict(doc_id=1, text=prose * 3),
+        dict(doc_id=2, text="lorem ipsum dolor sit amet page."
+                            + prose),              # C4 page drop
+        dict(doc_id=3, text="zz\nxx\nqq"),          # fails line rules
+    ])
+    out = ingest_documents_stream(spark, src, corpus, SCHEMA,
+                                  c4_rules=True, min_quality=0.5)
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert set(got) == {1}
+    assert "\n" in got[1]                 # cleaned text kept line structure

@@ -145,3 +145,24 @@ def test_token_rarity(spark):
     assert out[2].n_distinct == 2 and out[2].n_hapax == 0
     assert out[2].mean_df == 2.0
     assert out[3].n_hapax == 3 and out[3].mean_df == 1.0
+
+
+def test_quality_ratios_degenerate_docs_dont_crash(spark):
+    """Empty / null / punctuation-only docs: under ANSI mode (Spark 4
+    default) a bare ratio division killed the whole job; the guards
+    yield NULL (DuckDB's x/0 semantics) and quality_score falls through
+    to its 0.5 band defaults."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, ""), (2, None), (3, "!!!")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        TX.quality_score(F.col("text")).alias("q"),
+        TX.punct_ratio(F.col("text")).alias("pr"),
+        TX.mean_word_length(F.col("text")).alias("mwl"),
+        TX.stopword_ratio(F.col("text")).alias("sw")).collect()}
+    assert all(rows[i]["q"] == 0.5 for i in (1, 2, 3))
+    assert rows[1]["pr"] is None and rows[3]["pr"] == 1.0
+    assert all(rows[i]["mwl"] is None and rows[i]["sw"] is None
+               for i in (1, 2, 3))

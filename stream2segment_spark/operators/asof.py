@@ -106,6 +106,10 @@ def interval_overlap_join(
     wide-right) partition the pair space exactly, so output multiset
     semantics are unchanged.
     """
+    if bucket_sec <= 0:
+        raise ValueError(f"bucket_sec must be positive, got {bucket_sec}")
+    if max_buckets <= 0:
+        raise ValueError(f"max_buckets must be positive, got {max_buckets}")
     by = by or []
     ls, le = left_bounds
     rs, re_ = right_bounds

@@ -114,3 +114,16 @@ def test_upsert_sink_latest_wins_across_batches(spark, tmp_path):
     # and the table on disk is the merged result (no duplicate keys)
     stored = spark.read.parquet(target)
     assert stored.count() == 3
+
+
+def test_interval_overlap_join_validates_bucket_params(spark):
+    import pytest
+
+    from stream2segment_spark.operators.asof import interval_overlap_join
+
+    df = spark.createDataFrame([(0.0, 1.0)], "s double, e double")
+    with pytest.raises(ValueError, match="bucket_sec"):
+        interval_overlap_join(df, df, ("s", "e"), ("s", "e"), bucket_sec=0)
+    with pytest.raises(ValueError, match="max_buckets"):
+        interval_overlap_join(df, df, ("s", "e"), ("s", "e"),
+                              max_buckets=0)

@@ -588,7 +588,9 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
                min_lm_score: float | None = None,
                c4_rules: bool = False,
                gopher_rules: bool = False,
-               gopher_repetition: bool = False) -> int:
+               gopher_repetition: bool = False,
+               benchmark: str | None = None,
+               max_contam_frac: float = 0.0) -> int:
     """'s2s curate': the corpus-curation funnel (beyond-reference,
     examples/corpus_pipeline.curate_corpus) as a CLI: documents parquet
     in -> curated parquet + one funnel JSON line on stdout."""
@@ -610,6 +612,9 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
         languages=tuple(s for s in languages.split(",") if s),
         c4_rules=c4_rules, gopher_rules=gopher_rules,
         gopher_repetition=gopher_repetition,
+        benchmark=(spark.read.parquet(benchmark)
+                   if benchmark is not None else None),
+        max_contam_frac=max_contam_frac,
         min_quality=min_quality, token_band=(min_tokens, max_tokens),
         neardup_threshold=neardup_threshold, neardup_mode=neardup_mode,
         semantic_k=semantic_k,
@@ -854,6 +859,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-dup-frac", type=float, default=None,
                    help="drop docs whose duplicated-substring fraction "
                         "exceeds this")
+    p.add_argument("--benchmark", default=None,
+                   help="eval-set parquet (doc_id/text) to decontaminate "
+                        "against: drop docs whose 5-shingle overlap "
+                        "fraction exceeds --max-contam-frac")
+    p.add_argument("--max-contam-frac", type=float, default=0.0)
     p.add_argument("--min-lm-score", type=float, default=None,
                    help="drop docs whose mean bigram-LM transition "
                         "probability (self-trained on the filtered "
@@ -1299,7 +1309,8 @@ def main(argv: list[str] | None = None) -> int:
                               args.pack_budget, args.pack_shards,
                               args.semantic_k, args.min_lm_score,
                               args.c4, args.gopher,
-                              args.gopher_repetition)
+                              args.gopher_repetition,
+                              args.benchmark, args.max_contam_frac)
         finally:
             if not preexisting:
                 spark.stop()

@@ -35,6 +35,8 @@ Optional stages (off by default, enabled by their parameters):
 2b. substring cut — ``max_dup_frac``: drop documents whose duplicated-
    substring fraction (8-token windows shared with other docs, merged
    spans — operators/dedup.duplicated_spans) exceeds the threshold;
+2d. decontamination — ``benchmark``: drop survivors whose 5-shingle
+   contamination fraction vs the eval set exceeds ``max_contam_frac``;
 5b. temperature mix — ``mix_strata_col``: rebalance kept counts to
    n^alpha per stratum (deterministic md5 thresholds);
 6. packing      — ``pack_budget``: greedy md5-sharded start-offset
@@ -72,6 +74,8 @@ def curate_corpus(
     line_max_df: int | None = None,
     max_dup_frac: float | None = None,
     min_lm_score: float | None = None,
+    benchmark: DataFrame | None = None,
+    max_contam_frac: float = 0.0,
     cut_dup_substrings: int | None = None,
     mix_strata_col: str | None = None,
     mix_alpha: float = 0.5,
@@ -212,6 +216,18 @@ def curate_corpus(
         fluent = scores.filter(F.col("lm_score") >= min_lm_score) \
                        .select(id_col)
         filtered = filtered.join(fluent, id_col, "left_semi")
+
+    # -- 2d. optional benchmark decontamination -------------------------
+    # drop survivors whose distinct 5-shingle contamination fraction vs
+    # the eval ``benchmark`` exceeds ``max_contam_frac`` (default 0: any
+    # overlap disqualifies). Broadcast probe + one keyed count shuffle.
+    if benchmark is not None:
+        contam = DD.contamination_fractions(
+            filtered.select(id_col, text_col), benchmark,
+            id_col=id_col, text_col=text_col)
+        clean = contam.filter(F.col("contam_frac") <= max_contam_frac) \
+                      .select(id_col)
+        filtered = filtered.join(clean, id_col, "left_semi")
 
     # -- 3. exact dedup (keep lowest id per fingerprint) ----------------
     exact = DD.exact_dedup(filtered, ["fingerprint"], keep="first",

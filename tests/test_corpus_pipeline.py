@@ -314,3 +314,17 @@ def test_gopher_repetition_stage_drops_repetitive(spark):
         docs, languages=("en", "und"), gopher_repetition=True,
         min_quality=0.0, token_band=(1, 100_000), neardup_threshold=0.99)
     assert {r["doc_id"] for r in out.collect()} == {1}
+
+
+def test_decontamination_stage_drops_benchmark_overlap(spark):
+    leak = ("the quick brown fox jumps over the lazy dog while "
+            "another sentence keeps the document long enough here")
+    clean = " ".join(f"word{i}" for i in range(60))
+    docs = spark.createDataFrame([(1, clean), (2, leak)],
+                                 "doc_id long, text string")
+    bench = spark.createDataFrame([(7, leak)], "doc_id long, text string")
+    out, _ = curate_corpus(
+        docs, languages=("en", "und"), min_quality=0.0,
+        token_band=(1, 100_000), neardup_threshold=0.99,
+        benchmark=bench, max_contam_frac=0.0)
+    assert {r["doc_id"] for r in out.collect()} == {1}

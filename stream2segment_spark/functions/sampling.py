@@ -166,6 +166,7 @@ def token_budget_mix(
     tokens_col: str,
     budgets: dict[str, int] | int,
     seed: str = "mix",
+    n_shards: int = 64,
 ) -> DataFrame:
     """Token-budget source mixing: keep documents per stratum, in
     deterministic md5-bucket order, until the stratum's TOKEN budget is
@@ -180,18 +181,27 @@ def token_budget_mix(
     tokens accumulated BEFORE it are under the budget, so the
     budget-crossing doc is included and every stratum with a positive
     budget and any docs contributes at least one. Selection order is
-    ``(md5 bucket, id)`` — an unbiased deterministic shuffle, so the
-    kept prefix is a uniform sample of the stratum, reproducible
-    cross-engine (the oracle replays it with the same md5 expression).
+    ``(shard, md5 bucket, id)`` where shard is itself an md5 bucket —
+    a deterministic unbiased shuffle, so the kept prefix is a uniform
+    sample of the stratum, reproducible cross-engine (the oracle
+    replays it with the same md5 expressions and ONE window).
 
-    Scale shape: ONE hash-partitioned window per stratum (partitionBy
-    strata, no global sort); budgets ride a broadcast CASE expression.
-    Rows with a NULL stratum are dropped (no budget to charge).
-    Returns the input columns + ``mix_start`` (tokens accumulated
-    before the doc within its stratum — the audit column).
+    Scale shape: a DISTRIBUTED PREFIX SUM, not one window per stratum
+    (a corpus with 5 sources would push every row of a source through
+    a single window task): (1) local cumulative sums inside each of
+    ``n_shards`` md5 shards per stratum — ``strata x shards`` window
+    partitions, parallelism independent of the stratum count; (2) a
+    broadcast-sized (stratum, shard) totals dimension, prefix-summed
+    over shards; (3) each row's global start = shard offset + local
+    cumsum. Budgets ride a broadcast CASE expression. Rows with a NULL
+    stratum are dropped (no budget to charge). Returns the input
+    columns + ``mix_start`` (tokens accumulated before the doc within
+    its stratum — the audit column).
     """
     from pyspark.sql import Window
 
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
     if isinstance(budgets, dict):
         thr = None
         for value, b in budgets.items():
@@ -202,11 +212,27 @@ def token_budget_mix(
             else F.lit(0).cast("long")
     else:
         thr = F.lit(int(budgets)).cast("long")
-    w = (Window.partitionBy(strata_col)
-         .orderBy(hash_bucket(F.col(id_col), seed), F.col(id_col))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = F.sum(F.col(tokens_col).cast("long")).over(w)
-    start = (cum - F.col(tokens_col).cast("long")).alias("mix_start")
-    return (df.filter(F.col(strata_col).isNotNull())
-            .withColumn("mix_start", start)
-            .filter(F.col("mix_start") < thr))
+    shard = F.pmod(hash_bucket(F.col(id_col), f"{seed}:shard"),
+                   F.lit(n_shards)).cast("int")
+    base = (df.filter(F.col(strata_col).isNotNull())
+            .withColumn("__shard", shard))
+    wl = (Window.partitionBy(strata_col, "__shard")
+          .orderBy(hash_bucket(F.col(id_col), seed), F.col(id_col))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local_cum = F.sum(F.col(tokens_col).cast("long")).over(wl)
+    staged = base.withColumn("__lcum", local_cum)
+    # (stratum, shard) totals: a broadcast dim by contract; its prefix
+    # sum over shard order gives each shard's global start offset
+    wo = (Window.partitionBy(strata_col).orderBy("__shard")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = (base.groupBy(strata_col, "__shard")
+               .agg(F.sum(F.col(tokens_col).cast("long")).alias("__tot"))
+               .withColumn("__off",
+                           F.sum("__tot").over(wo) - F.col("__tot"))
+               .drop("__tot"))
+    joined = staged.join(F.broadcast(offsets), [strata_col, "__shard"])
+    start = (F.col("__off") + F.col("__lcum")
+             - F.col(tokens_col).cast("long"))
+    return (joined.withColumn("mix_start", start)
+            .filter(F.col("mix_start") < thr)
+            .drop("__shard", "__lcum", "__off"))

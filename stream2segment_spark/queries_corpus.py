@@ -610,9 +610,13 @@ def corpus_bloom_ingest(spark, sf_dir):
                      ' '), x -> len(x) > 0)) AS n_tokens
           FROM documents WHERE source IS NOT NULL),
         w AS (
+          -- ONE window replays the engine's distributed prefix sum
+          -- exactly: its order (shard, bucket, id) IS the sharded
+          -- order, so shard offsets + local cumsums == this cumsum
           SELECT doc_id, source, n_tokens,
                  sum(n_tokens) OVER (PARTITION BY source
-                     ORDER BY {_BUCKET_SQL.format(seed='mix')}, doc_id
+                     ORDER BY {_BUCKET_SQL.format(seed='mix:shard')} % 64,
+                              {_BUCKET_SQL.format(seed='mix')}, doc_id
                      ROWS UNBOUNDED PRECEDING) - n_tokens AS mix_start
           FROM d)
         SELECT doc_id, source, n_tokens, mix_start

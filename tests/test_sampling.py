@@ -116,3 +116,26 @@ def test_token_budget_mix_missing_stratum_in_dict_dropped(spark):
                                "doc_id long, src string, n_tokens int")
     out = token_budget_mix(df, "doc_id", "src", "n_tokens", {"a": 100})
     assert [r["src"] for r in out.collect()] == ["a"]
+
+
+def test_token_budget_mix_prefix_sum_matches_single_window(spark):
+    """The distributed (sharded) prefix sum must equal one global window
+    ordered (shard, bucket, id) — the exactness contract the oracle
+    relies on."""
+    from pyspark.sql import Window
+
+    from stream2segment_spark.functions.sampling import (
+        hash_bucket, token_budget_mix)
+    rows = [(i, f"s{i % 2}", 3 + (i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n_tokens int")
+    got = {(r["doc_id"]): r["mix_start"] for r in token_budget_mix(
+        df, "doc_id", "src", "n_tokens", 10_000, n_shards=8).collect()}
+    shard = F.pmod(hash_bucket(F.col("doc_id"), "mix:shard"), F.lit(8))
+    w = (Window.partitionBy("src")
+         .orderBy(shard, hash_bucket(F.col("doc_id"), "mix"),
+                  F.col("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {r["doc_id"]: r["ms"] for r in df.select(
+        "doc_id", (F.sum(F.col("n_tokens").cast("long")).over(w)
+                   - F.col("n_tokens")).alias("ms")).collect()}
+    assert got == want

@@ -956,6 +956,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p = sub.add_parser(
+        "layout",
+        help="rewrite a parquet table range-clustered by a key (sorted "
+             "files with disjoint min/max footer stats, so range "
+             "filters prune whole files) and print the per-file key "
+             "intervals as JSON")
+    p.add_argument("-i", "--infile", required=True, help="input parquet")
+    p.add_argument("-o", "--outdir", required=True, help="output path")
+    p.add_argument("--key", required=True, help="cluster key column")
+    p.add_argument("--files", type=int, required=True,
+                   help="output file count (size for ~128-512 MB each)")
+    p = sub.add_parser(
         "export-jsonl",
         help="export a parquet table as JSON-lines shards (the standard "
              "training-data delivery format; optional gzip, optional "
@@ -1038,6 +1049,28 @@ def main(argv: list[str] | None = None) -> int:
         try:
             return cmd_tt_create(spark, args.model, args.outfile, args.phase,
                                  args.tolerance, args.maxdepth, args.maxdist)
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "layout":  # no config file: all-flags command
+        import json as _json
+
+        from stream2segment_spark.session import get_spark
+        from stream2segment_spark.sinks.layout import (
+            file_key_ranges, write_range_layout)
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-layout")
+        try:
+            df = spark.read.parquet(args.infile)
+            if args.key not in df.columns:
+                print(f"error: {args.infile} lacks column {args.key!r} "
+                      f"(has: {sorted(df.columns)})", file=sys.stderr)
+                return 2
+            write_range_layout(df, args.outdir, args.key, args.files)
+            print(_json.dumps([
+                {"file": f, "min": str(lo), "max": str(hi)}
+                for f, lo, hi in file_key_ranges(args.outdir, args.key)]))
+            return 0
         finally:
             if not preexisting:
                 spark.stop()

@@ -57,3 +57,22 @@ def test_range_layout_validation(spark, tmp_path):
     docs = load_table(spark, SF_DIR_SMOKE, "documents")
     with pytest.raises(ValueError, match="num_files"):
         write_range_layout(docs, str(tmp_path / "x"), "doc_id", 0)
+
+
+def test_layout_cli_end_to_end(spark, tmp_path, capsys):
+    import json
+
+    from stream2segment_spark.cli import main as cli_main
+
+    src = str(tmp_path / "in.parquet")
+    load_table(spark, SF_DIR_SMOKE, "documents").write.parquet(src)
+    out = str(tmp_path / "ranged")
+    rc = cli_main(["layout", "-i", src, "-o", out,
+                   "--key", "doc_id", "--files", "4"])
+    assert rc == 0
+    ivals = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(ivals) == 4
+    spans = sorted((int(r["min"]), int(r["max"])) for r in ivals)
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+    assert cli_main(["layout", "-i", src, "-o", out,
+                     "--key", "nope", "--files", "4"]) == 2

@@ -163,3 +163,118 @@ def interval_overlap_join(
                 F.broadcast(wide_r.alias("r")),
                 by_cond(overlap)).select(*out_cols)))
     return banded.unionByName(wide_legs)
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str] | None = None,
+    tolerance_sec: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Forward as-of join: every ``left`` row + the EARLIEST ``right``
+    values at or after its ``on`` timestamp per ``by`` group (pandas
+    ``merge_asof(direction='forward')``). Same one-shuffle tagged-union
+    window construction as :func:`asof_join_backward`, mirrored: right
+    rows sort AFTER left at equal timestamps (inclusive semantics) and
+    ``first(payload) over (CURRENT ROW -> UNBOUNDED FOLLOWING)``
+    carries the match backward."""
+    value_cols = value_cols or [
+        c for c in right.columns if c not in by and c != on]
+    payload = F.struct(F.col(on).alias("__ts"),
+                       *[F.col(c) for c in value_cols])
+    r = right.select(
+        *by, F.col(on), F.lit(2).alias("__tag"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in by and c != on])
+    l = left.select(
+        *by, F.col(on), F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c) for c in left.columns if c not in by and c != on])
+    u = r.unionByName(l)
+    w = (Window.partitionBy(*by).orderBy(F.col(on), F.col("__tag"))
+         .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    u = u.withColumn("__m", F.first("__payload", ignorenulls=True).over(w))
+    out = u.filter(F.col("__tag") == 1)
+    if tolerance_sec is not None:
+        in_tol = (F.col("__m.__ts").cast("double")
+                  - F.col(on).cast("double")) <= tolerance_sec
+        out = out.withColumn("__m", F.when(in_tol, F.col("__m")))
+    sel = ([F.col(c) for c in left.columns]
+           + [F.col(f"__m.{c}").alias(c + suffix) for c in value_cols]
+           + [F.col("__m.__ts").alias(on + suffix)])
+    return out.select(*sel)
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str] | None = None,
+    tolerance_sec: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Nearest as-of join: every ``left`` row + the ``right`` values
+    whose timestamp is CLOSEST (either direction; ties -> the backward
+    match, pandas ``direction='nearest'`` semantics) per ``by`` group.
+
+    Single-pass construction: right rows enter the union TWICE (tags 0
+    and 2, so at equal timestamps one copy sorts before the left row
+    for the inclusive backward window and one after for the inclusive
+    forward window); one shuffle + one sort serves both window
+    functions, then a per-row comparison of |delta| picks the side.
+    The right side is the dimension by contract, so duplicating it is
+    cheaper than a second shuffle of the fact side."""
+    value_cols = value_cols or [
+        c for c in right.columns if c not in by and c != on]
+    payload = F.struct(F.col(on).alias("__ts"),
+                       *[F.col(c) for c in value_cols])
+
+    def tagged_right(tag: int):
+        return right.select(
+            *by, F.col(on), F.lit(tag).alias("__tag"),
+            payload.alias("__payload"),
+            *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+              for c in left.columns if c not in by and c != on])
+
+    r0 = tagged_right(0)
+    l = left.select(
+        *by, F.col(on), F.lit(1).alias("__tag"),
+        F.lit(None).cast(r0.schema["__payload"].dataType)
+         .alias("__payload"),
+        *[F.col(c) for c in left.columns if c not in by and c != on])
+    u = r0.unionByName(tagged_right(2)).unionByName(l)
+    back_payload = F.when(F.col("__tag") == 0, F.col("__payload"))
+    fwd_payload = F.when(F.col("__tag") == 2, F.col("__payload"))
+    order = [F.col(on), F.col("__tag")]
+    wb = (Window.partitionBy(*by).orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy(*by).orderBy(*order)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    u = (u.withColumn("__mb", F.last(back_payload, ignorenulls=True)
+                      .over(wb))
+          .withColumn("__mf", F.first(fwd_payload, ignorenulls=True)
+                      .over(wf)))
+    out = u.filter(F.col("__tag") == 1)
+    ts = F.col(on).cast("double")
+    db = ts - F.col("__mb.__ts").cast("double")
+    df_ = F.col("__mf.__ts").cast("double") - ts
+    if tolerance_sec is not None:
+        out = (out.withColumn("__mb", F.when(db <= tolerance_sec,
+                                             F.col("__mb")))
+                  .withColumn("__mf", F.when(df_ <= tolerance_sec,
+                                             F.col("__mf"))))
+    # closest wins; ties -> backward; a NULL side loses automatically
+    pick = (F.when(F.col("__mb").isNull(), F.col("__mf"))
+             .when(F.col("__mf").isNull(), F.col("__mb"))
+             .when(df_ < db, F.col("__mf"))
+             .otherwise(F.col("__mb")))
+    out = out.withColumn("__m", pick)
+    sel = ([F.col(c) for c in left.columns]
+           + [F.col(f"__m.{c}").alias(c + suffix) for c in value_cols]
+           + [F.col("__m.__ts").alias(on + suffix)])
+    return out.select(*sel)

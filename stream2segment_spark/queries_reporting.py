@@ -246,6 +246,84 @@ def join_asof_backward(spark, sf_dir):
 
 
 @register(
+    "join_asof_forward",
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+       clicks AS (SELECT event_id, user_id, ts FROM ev
+                  WHERE event_type = 'click'),
+       marks AS (SELECT user_id, ts, max(value) AS mark
+                 FROM ev WHERE event_type = 'signup' AND value IS NOT NULL
+                 GROUP BY user_id, ts)
+       SELECT c.event_id, c.user_id, c.ts,
+              m.mark AS mark_asof, m.ts AS ts_asof
+       FROM clicks c
+       ASOF LEFT JOIN marks m
+         ON c.user_id = m.user_id AND c.ts <= m.ts""",
+    # registered past the driver window (full at 50 this round):
+    # mirror-checked + benched; rotate into the window next round
+    gate=False,
+)
+def join_asof_forward(spark, sf_dir):
+    """Forward as-of join (pandas merge_asof direction='forward';
+    DuckDB ASOF with <= is the oracle): each click gets the user's
+    EARLIEST signup mark at or after its timestamp — the mirrored
+    tagged-union window construction, one equi-shuffle."""
+    from stream2segment_spark.operators.asof import asof_join_forward
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    marks = (ev.filter((F.col("event_type") == "signup")
+                       & F.col("value").isNotNull())
+             .groupBy("user_id", "ts").agg(F.max("value").alias("mark")))
+    return asof_join_forward(clicks, marks, on="ts", by=["user_id"],
+                             value_cols=["mark"])
+
+
+@register(
+    "join_asof_nearest",
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+       clicks AS (SELECT event_id, user_id, ts FROM ev
+                  WHERE event_type = 'click'),
+       marks AS (SELECT user_id, ts, max(value) AS mark
+                 FROM ev WHERE event_type = 'signup' AND value IS NOT NULL
+                 GROUP BY user_id, ts),
+       b AS (SELECT c.event_id, c.user_id, c.ts,
+                    m.mark AS bm, m.ts AS bt
+             FROM clicks c ASOF LEFT JOIN marks m
+               ON c.user_id = m.user_id AND c.ts >= m.ts),
+       f AS (SELECT c.event_id, m.mark AS fm, m.ts AS ft
+             FROM clicks c ASOF LEFT JOIN marks m
+               ON c.user_id = m.user_id AND c.ts <= m.ts)
+       SELECT b.event_id, b.user_id, b.ts,
+              CASE WHEN bt IS NULL THEN fm WHEN ft IS NULL THEN bm
+                   WHEN (ft - b.ts) < (b.ts - bt) THEN fm
+                   ELSE bm END AS mark_asof,
+              CASE WHEN bt IS NULL THEN ft WHEN ft IS NULL THEN bt
+                   WHEN (ft - b.ts) < (b.ts - bt) THEN ft
+                   ELSE bt END AS ts_asof
+       FROM b JOIN f USING (event_id)""",
+    # registered past the driver window (full at 50 this round):
+    # mirror-checked + benched; rotate into the window next round
+    gate=False,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest as-of join (pandas merge_asof direction='nearest', ties
+    -> backward): closest signup mark in either direction, computed in
+    ONE shuffle + one sort via a double-tagged union (right rows appear
+    before AND after left rows at equal timestamps, serving the
+    inclusive backward and forward windows simultaneously). The oracle
+    composes two DuckDB ASOF joins with the identical tie rule."""
+    from stream2segment_spark.operators.asof import asof_join_nearest
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    marks = (ev.filter((F.col("event_type") == "signup")
+                       & F.col("value").isNotNull())
+             .groupBy("user_id", "ts").agg(F.max("value").alias("mark")))
+    return asof_join_nearest(clicks, marks, on="ts", by=["user_id"],
+                             value_cols=["mark"])
+
+
+@register(
     # r4 gate rotation (second wave): deferred (driver-green r2+r3)
     # to gate the four operators NEW this round; still benched +
     # mirror-checked

@@ -127,3 +127,56 @@ def test_interval_overlap_join_validates_bucket_params(spark):
     with pytest.raises(ValueError, match="max_buckets"):
         interval_overlap_join(df, df, ("s", "e"), ("s", "e"),
                               max_buckets=0)
+
+
+def test_asof_forward_and_nearest_semantics(spark):
+    from stream2segment_spark.operators.asof import (
+        asof_join_backward, asof_join_forward, asof_join_nearest)
+    left = spark.createDataFrame(
+        [(1, "u", 10.0), (2, "u", 25.0), (3, "u", 30.0), (4, "v", 5.0)],
+        "id long, k string, ts double")
+    right = spark.createDataFrame(
+        [("u", 8.0, "a"), ("u", 20.0, "b"), ("u", 40.0, "c"),
+         ("w", 1.0, "z")],
+        "k string, ts double, val string")
+
+    fwd = {r["id"]: (r["val_asof"], r["ts_asof"]) for r in
+           asof_join_forward(left, right, on="ts", by=["k"]).collect()}
+    assert fwd[1] == ("b", 20.0)           # earliest at-or-after
+    assert fwd[2] == ("c", 40.0)
+    assert fwd[4] == (None, None)          # no right rows for key v
+
+    near = {r["id"]: (r["val_asof"], r["ts_asof"]) for r in
+            asof_join_nearest(left, right, on="ts", by=["k"]).collect()}
+    assert near[1] == ("a", 8.0)           # d_back 2 < d_fwd 10
+    assert near[2] == ("b", 20.0)          # 5 < 15
+    assert near[3] == ("b", 20.0)          # ts=30 equidistant -> backward
+    assert near[4] == (None, None)
+
+
+def test_asof_nearest_tie_prefers_backward_and_inclusive(spark):
+    from stream2segment_spark.operators.asof import (
+        asof_join_forward, asof_join_nearest)
+    left = spark.createDataFrame([(1, "u", 30.0), (2, "u", 20.0)],
+                                 "id long, k string, ts double")
+    right = spark.createDataFrame(
+        [("u", 20.0, "eq"), ("u", 40.0, "hi")],
+        "k string, ts double, val string")
+    near = {r["id"]: r["val_asof"] for r in
+            asof_join_nearest(left, right, on="ts", by=["k"]).collect()}
+    assert near[1] == "eq"                 # d 10 == 10 -> backward
+    assert near[2] == "eq"                 # exact match is inclusive
+    fwd = {r["id"]: r["val_asof"] for r in
+           asof_join_forward(left, right, on="ts", by=["k"]).collect()}
+    assert fwd[2] == "eq"                  # forward inclusive at equal ts
+
+
+def test_asof_forward_tolerance(spark):
+    from stream2segment_spark.operators.asof import asof_join_forward
+    left = spark.createDataFrame([(1, "u", 10.0)],
+                                 "id long, k string, ts double")
+    right = spark.createDataFrame([("u", 100.0, "far")],
+                                  "k string, ts double, val string")
+    out = asof_join_forward(left, right, on="ts", by=["k"],
+                            tolerance_sec=5.0).collect()[0]
+    assert out["val_asof"] is None and out["ts_asof"] is None

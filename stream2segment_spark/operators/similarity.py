@@ -866,3 +866,45 @@ def semantic_dedup(
         })
 
     return wc.groupBy("cluster_id").applyInPandas(_cluster, out_schema)
+
+
+def pq_topk_adc_refined(corpus: DataFrame, queries: DataFrame,
+                        codebook: np.ndarray, k: int = 5,
+                        refine: int = 4,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        query_id_col: str = "query_id") -> DataFrame:
+    """ADC top-k with exact re-ranking (the IVFADC+R refinement of
+    Jegou et al. 2011 §V): a ``refine * k`` ADC shortlist per query,
+    then the TRUE squared distance on just those candidates, re-ranked
+    to k. Returns ``(query_id, vec_id, adc_dist, exact_d2)``; ties on
+    exact distance break by id.
+
+    Scale shape: the refinement reads full vectors for only
+    ``refine * k * |Q|`` ids — the candidate id set broadcasts into a
+    semi-join, so the corpus streams map-side (never shuffled) and the
+    exact math is a JVM ``zip_with``/``aggregate`` fold (left-to-right,
+    engine-replayable) on the shortlisted rows only. ADC keeps the scan
+    at m byte-lookups per row; the refine pass restores exact ranking
+    where quantization error would flip neighbors."""
+    if refine < 1:
+        raise ValueError(f"refine must be >= 1, got {refine}")
+    cand = pq_topk_adc(corpus, queries, codebook, k=refine * k,
+                       id_col=id_col, vec_col=vec_col,
+                       query_id_col=query_id_col)
+    ids = cand.select(id_col).distinct()
+    vecs = (corpus.join(F.broadcast(ids), id_col, "left_semi")
+            .select(id_col, F.col(vec_col).alias("__v")))
+    qdf = queries.select(query_id_col, F.col(vec_col).alias("__q"))
+    j = (cand.join(vecs, id_col)
+         .join(F.broadcast(qdf), query_id_col))
+    d2 = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__q"),
+                   lambda a, b: (a.cast("double") - b.cast("double"))
+                   * (a.cast("double") - b.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("exact_d2").asc(), F.col(id_col))
+    return (j.withColumn("exact_d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(query_id_col, id_col, "adc_dist", "exact_d2"))

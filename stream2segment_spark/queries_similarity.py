@@ -189,3 +189,76 @@ def sim_pq_adc(spark, sf_dir):
     out = SIM.pq_topk_adc(emb, queries, cb, k=_PQ_K)
     return out.select("query_id", "vec_id",
                       F.round("adc_dist", 6).alias("adc_dist"))
+
+
+_PQ_REFINE = 4
+
+@register(
+    "sim_pq_refine",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cb AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+          FROM e ORDER BY vec_id LIMIT {_PQ_KSUB}),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id < {_N_QUERIES}),
+        enc AS (
+          SELECT vec_id, mm, code FROM (
+            SELECT d.vec_id, s.mm, c.code,
+                   row_number() OVER (
+                     PARTITION BY d.vec_id, s.mm
+                     ORDER BY list_distance(
+                                d.v[s.mm*{_PQ_DSUB}+1 : s.mm*{_PQ_DSUB}+{_PQ_DSUB}],
+                                c.v[s.mm*{_PQ_DSUB}+1 : s.mm*{_PQ_DSUB}+{_PQ_DSUB}]),
+                              c.code) AS rn
+            FROM e d, range(0, {_PQ_M}) s(mm), cb c)
+          WHERE rn = 1),
+        adc AS (
+          SELECT q.query_id, enc.vec_id,
+                 sum(list_distance(q.qv[enc.mm*{_PQ_DSUB}+1 : enc.mm*{_PQ_DSUB}+{_PQ_DSUB}],
+                                   c.v[enc.mm*{_PQ_DSUB}+1 : enc.mm*{_PQ_DSUB}+{_PQ_DSUB}]) ^ 2)
+                   AS d2
+          FROM q, enc JOIN cb c ON c.code = enc.code
+          GROUP BY q.query_id, enc.vec_id),
+        shortlist AS (
+          SELECT query_id, vec_id, d2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY d2, vec_id) AS rn
+            FROM adc)
+          WHERE rn <= {_PQ_K * _PQ_REFINE}),
+        ex AS (  -- exact re-rank: left-to-right fold == Spark aggregate
+          SELECT s.query_id, s.vec_id, s.d2,
+                 list_reduce(
+                   list_transform(range(1, len(d.v) + 1),
+                       i -> (d.v[i] - q.qv[i]) * (d.v[i] - q.qv[i])),
+                   (a, b) -> a + b) AS e2
+          FROM shortlist s
+          JOIN e d ON d.vec_id = s.vec_id
+          JOIN q ON q.query_id = s.query_id),
+        rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY e2, vec_id) AS rn
+               FROM ex)
+        SELECT query_id, vec_id, round(d2, 6) AS adc_dist,
+               round(e2, 6) AS exact_d2
+        FROM rr WHERE rn <= {_PQ_K}""",
+    # registered past the driver window (full at 50 this round):
+    # mirror-checked + benched; rotate into the window next round
+    gate=False,
+)
+def sim_pq_refine(spark, sf_dir):
+    """ADC + exact re-rank (IVFADC+R, Jegou et al. 2011 §V —
+    operators/similarity.pq_topk_adc_refined): a 4k ADC shortlist per
+    query, true squared distances on just those candidates (JVM
+    zip_with fold — the candidate id set broadcasts into a semi-join so
+    the corpus streams map-side), re-ranked to k. The oracle extends
+    the sim_pq_adc replay with the shortlist cut and an order-pinned
+    list_reduce fold, so the refinement's every reordering is
+    hash-verified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = SIM.pq_sample_codebook(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    queries = (emb.filter(F.col("vec_id") < _N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = SIM.pq_topk_adc_refined(emb, queries, cb, k=_PQ_K,
+                                  refine=_PQ_REFINE)
+    return out.select("query_id", "vec_id",
+                      F.round("adc_dist", 6).alias("adc_dist"),
+                      F.round("exact_d2", 6).alias("exact_d2"))

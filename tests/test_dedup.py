@@ -607,3 +607,37 @@ def test_semantic_dedup_zero_vector_not_a_neighbor(spark):
         or out.loc[2, "max_sim_prev"] is None  # NaN/NULL
     assert not out.loc[2, "is_dup"]
     assert out.loc[3, "is_dup"]
+
+
+def test_pq_refined_reranks_to_exact_order(spark):
+    """The refined top-k must equal brute-force exact top-k restricted
+    to the ADC shortlist, and ranks by exact (not ADC) distance."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from stream2segment_spark.operators import similarity as SIM
+    from stream2segment_spark.schema import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    cb = SIM.pq_sample_codebook(emb, m=8, ksub=16)
+    queries = (emb.filter(F.col("vec_id") < 2)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    k, refine = 5, 4
+    short = SIM.pq_topk_adc(emb, queries, cb, k=k * refine)
+    got = SIM.pq_topk_adc_refined(emb, queries, cb, k=k, refine=refine)
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    for qid in (0, 1):
+        q = vecs[qid]
+        cand = [r["vec_id"] for r in short.collect()
+                if r["query_id"] == qid]
+        exact = sorted(cand, key=lambda i: (((vecs[i] - q) ** 2).sum(), i))
+        mine = [r["vec_id"] for r in got.orderBy("exact_d2", "vec_id")
+                .collect() if r["query_id"] == qid]
+        assert mine == exact[:k]
+        # the query's own vector is candidate and must rank first
+        assert mine[0] == qid
+    import pytest
+    with pytest.raises(ValueError, match="refine"):
+        SIM.pq_topk_adc_refined(emb, queries, cb, k=k, refine=0)

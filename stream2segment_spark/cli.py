@@ -956,6 +956,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p = sub.add_parser(
+        "compact",
+        help="rewrite a parquet table into files of a target size "
+             "(small-files maintenance after incremental appends)")
+    p.add_argument("-i", "--infile", required=True, help="input parquet")
+    p.add_argument("-o", "--outdir", required=True, help="output path")
+    p.add_argument("--target-mb", type=int, default=256,
+                   help="approximate output file size")
+    p = sub.add_parser(
+        "skew",
+        help="key-skew diagnostic: top key frequencies and their share "
+             "of the table, as one JSON line (the pre-flight check "
+             "before keyed joins/aggs on a new column)")
+    p.add_argument("-i", "--infile", required=True, help="input parquet")
+    p.add_argument("--key", required=True, help="column to profile")
+    p.add_argument("--top", type=int, default=10)
+    p = sub.add_parser(
         "layout",
         help="rewrite a parquet table range-clustered by a key (sorted "
              "files with disjoint min/max footer stats, so range "
@@ -1049,6 +1065,60 @@ def main(argv: list[str] | None = None) -> int:
         try:
             return cmd_tt_create(spark, args.model, args.outfile, args.phase,
                                  args.tolerance, args.maxdepth, args.maxdist)
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "compact":  # no config file: all-flags command
+        import json as _json
+        import os as _os
+
+        from stream2segment_spark.session import get_spark
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-compact")
+        try:
+            total = sum(
+                _os.path.getsize(_os.path.join(r, f))
+                for r, _, fs in _os.walk(args.infile) for f in fs
+                if f.endswith(".parquet"))
+            n = max(1, -(-total // (args.target_mb * 1024 * 1024)))
+            df = spark.read.parquet(args.infile)
+            # round-robin repartition: even file sizes, one shuffle
+            df.repartition(int(n)).write.mode("overwrite") \
+                .parquet(args.outdir)
+            n_out = sum(1 for f in _os.listdir(args.outdir)
+                        if f.endswith(".parquet"))
+            print(_json.dumps({"input_bytes": total, "files": n_out}))
+            return 0
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "skew":  # no config file: all-flags command
+        import json as _json
+
+        from pyspark.sql import functions as _F
+
+        from stream2segment_spark.session import get_spark
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-skew")
+        try:
+            df = spark.read.parquet(args.infile)
+            if args.key not in df.columns:
+                print(f"error: {args.infile} lacks column {args.key!r} "
+                      f"(has: {sorted(df.columns)})", file=sys.stderr)
+                return 2
+            agg = (df.groupBy(args.key).count()
+                   .orderBy(_F.col("count").desc(), args.key)
+                   .limit(args.top).collect())
+            total = df.count()
+            n_keys = df.select(args.key).distinct().count()
+            top = [{"key": str(r[args.key]), "count": r["count"],
+                    "share": round(r["count"] / total, 4) if total else 0}
+                   for r in agg]
+            print(_json.dumps({
+                "rows": total, "distinct_keys": n_keys,
+                "top": top,
+                "top1_share": top[0]["share"] if top else 0}))
+            return 0
         finally:
             if not preexisting:
                 spark.stop()

@@ -739,3 +739,32 @@ def test_export_jsonl_end_to_end(spark, tmp_path):
                      "--columns", "nope"]) == 2
     assert cli_main(["export-jsonl", "-i", src, "-o", out,
                      "--shards", "0"]) == 2
+
+
+def test_compact_and_skew_cli(spark, tmp_path, capsys):
+    import json
+    import os
+
+    from stream2segment_spark.cli import main as cli_main
+
+    src = str(tmp_path / "many.parquet")
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}") for i in range(1000)],
+        "id long, key string")
+    df.repartition(50).write.parquet(src)   # 50 tiny files
+    assert sum(1 for f in os.listdir(src) if f.endswith(".parquet")) == 50
+
+    out = str(tmp_path / "compacted")
+    rc = cli_main(["compact", "-i", src, "-o", out, "--target-mb", "256"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["files"] == 1              # tiny table -> one file
+    assert spark.read.parquet(out).count() == 1000
+
+    rc = cli_main(["skew", "-i", src, "--key", "key", "--top", "3"])
+    assert rc == 0
+    sk = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sk["rows"] == 1000
+    assert sk["top"][0]["key"] == "hot"     # 900 of 1000 rows
+    assert sk["top1_share"] == 0.9
+    assert cli_main(["skew", "-i", src, "--key", "nope"]) == 2

@@ -759,3 +759,47 @@ def corpus_gopher_quality(spark, sf_dir):
           for m, s in _GOPHER_MARKERS])
     return TX.gopher_quality_signals(
         docs.select("doc_id", t.alias("text")), "doc_id", "text")
+
+
+@register(
+    "corpus_winnowing",
+    f"""WITH t AS (SELECT doc_id, {_WORDS_SQL} AS wt FROM documents),
+        g AS (
+          SELECT doc_id, i.i - 1 AS pos,
+                 CAST('0x' || substr(md5(array_to_string(
+                     wt[i.i:i.i+4], ' ')), 1, 15) AS BIGINT) AS h
+          FROM t, LATERAL (SELECT unnest(range(1,
+               greatest(len(wt) - 5 + 2, 1))) AS i) i
+          WHERE len(wt) >= 5
+          UNION ALL
+          SELECT doc_id, 0 AS pos,
+                 CAST('0x' || substr(md5(array_to_string(wt, ' ')),
+                      1, 15) AS BIGINT) AS h
+          FROM t WHERE len(wt) > 0 AND len(wt) < 5),
+        nh AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        wins AS (SELECT doc_id,
+                        unnest(range(0, greatest(n - 4 + 1, 1))) AS j
+                 FROM nh),
+        sel AS (
+          SELECT doc_id, pos, h FROM (
+            SELECT w.doc_id, g.pos, g.h,
+                   row_number() OVER (PARTITION BY w.doc_id, w.j
+                                      ORDER BY g.h ASC, g.pos DESC) AS rn
+            FROM wins w JOIN g ON g.doc_id = w.doc_id
+                               AND g.pos BETWEEN w.j AND w.j + 3)
+          WHERE rn = 1)
+        SELECT DISTINCT doc_id, pos::INT AS pos, h AS fp FROM sel""",
+    # registered past the driver window (full at 50 this round):
+    # mirror-checked + benched; rotate into the window next round
+    gate=False,
+)
+def corpus_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. SIGMOD 2003 —
+    operators/dedup.winnow_fingerprints): minimum gram hash per sliding
+    window of 4 gram hashes (k=5 token grams), ties to the rightmost
+    position, selections deduplicated — guaranteed detection of shared
+    runs >= k+w-1 tokens at ~1/w storage. MAP-ONLY Arrow stage; the
+    oracle replays gram hashing, window minima, the rightmost tie rule
+    and the dedup relationally, position for position."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)

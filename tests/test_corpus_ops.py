@@ -780,3 +780,45 @@ def test_chunk_documents_validation(spark):
         chunk_documents(df, "doc_id", "toks", window=0)
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, "doc_id", "toks", window=4, overlap=4)
+
+
+# ---------------------------------------------------------------------------
+# winnow_fingerprints (Schleimer et al. winnowing)
+# ---------------------------------------------------------------------------
+
+def test_winnowing_guarantee_and_density(spark):
+    """Any shared run of >= k+w-1 tokens yields a shared fingerprint;
+    selection density is ~1/w."""
+    from stream2segment_spark.operators.dedup import winnow_fingerprints
+    base = " ".join(f"u{i}" for i in range(40))
+    shared = " ".join(f"s{i}" for i in range(8))     # k+w-1 = 8 tokens
+    rows = [(1, base + " " + shared),
+            (2, shared + " " + " ".join(f"v{i}" for i in range(40)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", k=5, w=4).collect()
+    by = {}
+    for r in fps:
+        by.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by[1] & by[2]                 # guaranteed shared fingerprint
+    # density: doc 1 has 48 tokens -> 44 grams; ~1/w selected (loose)
+    assert len(by[1]) <= 44 // 2
+
+
+def test_winnowing_rightmost_tie_and_edge_cases(spark):
+    from stream2segment_spark.operators.dedup import winnow_fingerprints
+    rows = [(1, None), (2, ""), (3, "one two three"),       # < k tokens
+            (4, "a b a b a b a b a b")]                     # repeats
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fingerprints(df, "doc_id", "text", k=5, w=4).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append((r["pos"], r["fp"]))
+    assert 1 not in got and 2 not in got             # empty docs: no rows
+    assert len(got[3]) == 1 and got[3][0][0] == 0    # whole-doc fallback
+    # identical grams everywhere: rightmost-tie keeps advancing the
+    # selected position, so multiple positions of the SAME hash appear
+    assert len({fp for _, fp in got[4]}) <= 2
+    assert len(got[4]) >= 2
+    import pytest
+    with pytest.raises(ValueError, match="positive"):
+        winnow_fingerprints(df, "doc_id", "text", k=0)

@@ -822,3 +822,21 @@ def test_winnowing_rightmost_tie_and_edge_cases(spark):
     import pytest
     with pytest.raises(ValueError, match="positive"):
         winnow_fingerprints(df, "doc_id", "text", k=0)
+
+
+def test_winnow_candidate_pairs(spark):
+    from stream2segment_spark.operators.dedup import (
+        winnow_candidate_pairs, winnow_fingerprints)
+    shared = " ".join(f"s{i}" for i in range(20))
+    rows = [(1, shared + " " + " ".join(f"u{i}" for i in range(30))),
+            (2, " ".join(f"v{i}" for i in range(30)) + " " + shared),
+            (3, " ".join(f"w{i}" for i in range(50)))]   # unrelated
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", k=5, w=4)
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in winnow_candidate_pairs(fps).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(p == (1, 2) for p in pairs)   # doc 3 pairs with nobody
+    import pytest
+    with pytest.raises(ValueError, match="min_shared"):
+        winnow_candidate_pairs(fps, min_shared=0)

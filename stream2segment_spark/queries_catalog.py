@@ -699,6 +699,7 @@ from stream2segment_spark import queries_upsert  # noqa: E402,F401
 from stream2segment_spark import queries_multimodal  # noqa: E402,F401
 from stream2segment_spark import queries_mseed  # noqa: E402,F401
 from stream2segment_spark import queries_corpus  # noqa: E402,F401
+from stream2segment_spark import queries_sketch  # noqa: E402,F401
 
 # The driver checks the FIRST 50 registered entries: one more gate=True
 # registration would silently push entry #50 out of correctness

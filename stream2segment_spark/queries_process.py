@@ -51,7 +51,9 @@ def process_pyfunc_engine(spark, sf_dir):
 
 @register(
     "stream_tumbling_stats",
-    f"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+    # driver-green r2+r3; deferred for the round-4 sketch_cms_counts
+    gate=False,
+    oracle=f"""SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n, round(sum(value), 2) AS total_value
         FROM {_TS_EVENTS}
         GROUP BY window_start, event_type""",

@@ -1,0 +1,128 @@
+"""Gate entries for the sketch operators (operators/sketch.py):
+HyperLogLog distinct counting and Count-Min frequency estimation.
+
+Both oracles replay the SKETCH itself — the md5-derived registers /
+counters and the estimator arithmetic — not just a reference answer, so
+the hash compare pins every hash bucket, every max-rho, every counter
+and the full floating-point reduction order."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream2segment_spark.queries_catalog import register
+from stream2segment_spark.schema import load_table
+
+# Keep these in sync with the operator defaults used below.
+_M = 64          # HLL registers (b = 6, p = 54)
+_AM2 = 0.709 * (_M * _M)   # alpha_64 * m^2, ONE double literal both sides
+_W, _D = 64, 3   # CMS width / depth
+_CAND_MOD = 53   # deterministic candidate subset: custkey % 53 == 0
+
+_H60 = ("CAST('0x' || substr(md5('{seed}:' || CAST({v} AS VARCHAR)), 1, 15) "
+        "AS BIGINT)")
+
+
+@register(
+    "sketch_hll_distinct",
+    f"""WITH h AS (SELECT o_orderpriority AS grp,
+                          {_H60.format(seed='hll', v='o_custkey')} AS h
+                   FROM orders),
+         r0 AS (SELECT grp, h % {_M} AS register,
+                       CASE WHEN h // {_M} = 0 THEN 55
+                            ELSE 54 - length(bin(h // {_M})) + 1
+                       END AS rho
+                FROM h),
+         regs AS (SELECT grp, register, max(rho) AS rho
+                  FROM r0 GROUP BY grp, register),
+         est AS (SELECT grp, count(*) AS n_regs,
+                        list_reduce(list_prepend(0.0::DOUBLE,
+                            list(1.0::DOUBLE /
+                                 CAST(1::BIGINT << rho AS DOUBLE)
+                                 ORDER BY register)),
+                            (a, b) -> a + b) AS s
+                 FROM regs GROUP BY grp),
+         ex AS (SELECT o_orderpriority AS grp,
+                       count(DISTINCT o_custkey) AS exact_distinct
+                FROM orders GROUP BY 1)
+       SELECT est.grp AS o_orderpriority, CAST(n_regs AS INT) AS n_regs,
+              round({_AM2!r} / (CAST({_M} - n_regs AS DOUBLE) + s),
+                    6) AS est_distinct,
+              CAST(exact_distinct AS BIGINT) AS exact_distinct
+       FROM est JOIN ex ON ex.grp = est.grp""",
+)
+def sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct o_custkey per o_orderpriority
+    (operators/sketch.hll_registers |> hll_estimate, Flajolet et al.
+    2007) next to the exact COUNT(DISTINCT). The sketch shuffle is at
+    most m=64 (register, rho) integer pairs per group — independent of
+    cardinality — vs the exact path's every-distinct-value shuffle; at
+    100 TB only the sketch is viable per high-cardinality column. The
+    oracle replays register assignment (h % m), the bin-length rank, the
+    max-rho aggregation, and the register-ORDERED harmonic fold
+    bit-for-bit; 2^-rho terms are integer shifts, no log/pow anywhere.
+    Beyond-reference (reference computes exact aggregates on a DB:
+    stream2segment/download/db/inspection/main.py)."""
+    from stream2segment_spark.operators.sketch import (
+        hll_estimate, hll_registers)
+    orders = load_table(spark, sf_dir, "orders")
+    regs = hll_registers(orders, "o_custkey", ["o_orderpriority"], m=_M)
+    est = hll_estimate(regs, ["o_orderpriority"], m=_M)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct"))
+    return (est.join(exact, "o_orderpriority")
+            .select("o_orderpriority", "n_regs",
+                    F.round("est_distinct", 6).alias("est_distinct"),
+                    F.col("exact_distinct").cast("long")
+                    .alias("exact_distinct")))
+
+
+_CMS_CELL = (
+    "CAST('0x' || substr(md5('cms' || CAST(row AS VARCHAR) || ':' || "
+    "CAST({v} AS VARCHAR)), 1, 15) AS BIGINT) % " + str(_W))
+
+
+@register(
+    "sketch_cms_counts",
+    f"""WITH rows_ AS (SELECT unnest([0, 1, 2]) AS row),
+         cells AS (SELECT row, {_CMS_CELL.format(v='o_custkey')} AS bucket
+                   FROM orders, rows_
+                   WHERE o_custkey IS NOT NULL),
+         sk AS (SELECT row, bucket, count(*) AS cnt
+                FROM cells GROUP BY row, bucket),
+         cand AS (SELECT DISTINCT o_custkey AS item FROM orders
+                  WHERE o_custkey % {_CAND_MOD} = 0),
+         probes AS (SELECT item, row,
+                           {_CMS_CELL.format(v='item')} AS bucket
+                    FROM cand, rows_),
+         est AS (SELECT item, min(coalesce(cnt, 0)) AS est_cnt
+                 FROM probes LEFT JOIN sk USING (row, bucket)
+                 GROUP BY item),
+         tr AS (SELECT o_custkey AS item, count(*) AS true_cnt
+                FROM orders WHERE o_custkey % {_CAND_MOD} = 0
+                GROUP BY 1)
+       SELECT item, CAST(est_cnt AS BIGINT) AS est_cnt,
+              CAST(true_cnt AS BIGINT) AS true_cnt
+       FROM est JOIN tr USING (item)""",
+)
+def sketch_cms_counts(spark, sf_dir):
+    """Count-Min frequency estimation (operators/sketch.cms_sketch |>
+    cms_lookup, Cormode & Muthukrishnan 2005): order counts per customer
+    for a deterministic candidate set (custkey % 53 == 0), estimated
+    from a 3 x 64 counter sketch next to the true counts. The sketch
+    build shuffles at most depth*width counters per partition (map-side
+    combined); the probe broadcasts the tiny sketch — no groupBy over
+    the key space at any point, which is the 100 TB heavy-hitter path.
+    The oracle replays every counter and every min-over-rows estimate;
+    est_cnt >= true_cnt by construction (one-sided error), equality
+    whenever no colliding key shares all three buckets."""
+    from stream2segment_spark.operators.sketch import cms_lookup, cms_sketch
+    orders = load_table(spark, sf_dir, "orders")
+    sk = cms_sketch(orders, "o_custkey", width=_W, depth=_D)
+    cands = orders.where(F.col("o_custkey") % _CAND_MOD == 0)
+    est = cms_lookup(sk, cands, "o_custkey", width=_W, depth=_D)
+    true = (cands.groupBy(F.col("o_custkey").alias("item"))
+            .agg(F.count(F.lit(1)).alias("true_cnt")))
+    return (est.join(true, "item")
+            .select("item", F.col("est_cnt").cast("long").alias("est_cnt"),
+                    F.col("true_cnt").cast("long").alias("true_cnt")))

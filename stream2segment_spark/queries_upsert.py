@@ -25,7 +25,9 @@ ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
 
 @register(
     "upsert_latest_wins",
-    """SELECT o_orderkey, o_custkey, o_orderstatus,
+    # driver-green r2+r3; deferred for the round-4 sketch_hll_distinct
+    gate=False,
+    oracle="""SELECT o_orderkey, o_custkey, o_orderstatus,
               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
                    ELSE o_totalprice END AS o_totalprice,
               o_orderdate, o_orderpriority

@@ -1,0 +1,143 @@
+"""Sketch operator tests (operators/sketch.py): HyperLogLog accuracy /
+mergeability / grouping, Count-Min one-sided error and broadcast probe
+plan, plus the null / empty / unseen edge cases the gate data can't
+exercise."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from stream2segment_spark.operators.sketch import (
+    cms_lookup, cms_sketch, hll_distinct, hll_estimate, hll_registers)
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # 4000 distinct ids, each appearing 1-3 times, across two groups.
+    rows = [Row(grp=("a" if i % 2 == 0 else "b"), v=i)
+            for i in range(4000) for _ in range(1 + i % 3)]
+    return spark.createDataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def test_hll_estimate_accuracy(values):
+    out = {r["grp"]: r for r in
+           hll_distinct(values, "v", ["grp"], m=256).collect()}
+    # 2000 true distinct per group; se ~= 1.04/sqrt(256) = 6.5%. Allow 4 se.
+    for grp, true in [("a", 2000), ("b", 2000)]:
+        est = out[grp]["est_distinct"]
+        assert abs(est - true) / true < 4 * 1.04 / math.sqrt(256), (grp, est)
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    base = spark.createDataFrame([Row(v=i) for i in range(500)])
+    dup = base.union(base).union(base)
+    e1 = hll_distinct(base, "v", m=64).collect()[0]["est_distinct"]
+    e2 = hll_distinct(dup, "v", m=64).collect()[0]["est_distinct"]
+    assert e1 == e2
+
+
+def test_hll_registers_merge_by_max(values):
+    """Sketch mergeability: registers of the union == element-wise max of
+    the halves' registers — the property that makes HLL map-side
+    combinable and cross-dataset unionable."""
+    a = values.where(F.col("v") < 1000)
+    b = values.where(F.col("v") >= 1000)
+    merged = (hll_registers(a, "v", m=64)
+              .unionByName(hll_registers(b, "v", m=64))
+              .groupBy("register").agg(F.max("rho").alias("rho")))
+    full = hll_registers(values, "v", m=64)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, full.collect()))
+
+
+def test_hll_register_bounds(values):
+    regs = hll_registers(values, "v", m=64).collect()
+    assert all(0 <= r["register"] < 64 for r in regs)
+    assert all(1 <= r["rho"] <= 55 for r in regs)  # p + 1 = 54 + 1
+
+
+def test_hll_small_group_exactish(spark):
+    """With n << m most registers are empty and the raw estimator biases
+    high (documented: no linear-counting correction) — but n_regs counts
+    exactly the occupied registers."""
+    df = spark.createDataFrame([Row(v=i) for i in range(10)])
+    out = hll_distinct(df, "v", m=1024).collect()[0]
+    assert out["n_regs"] <= 10
+
+
+def test_hll_bad_m_rejected(values):
+    for m in (0, 1, 3, 63, 8192):
+        with pytest.raises(ValueError):
+            hll_registers(values, "v", m=m)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key 0 appears 300x, keys 1..99 appear (k % 7) + 1 times.
+    rows = [Row(k=0)] * 300 + [Row(k=k) for k in range(1, 100)
+                               for _ in range(k % 7 + 1)]
+    return spark.createDataFrame(rows)
+
+
+def test_cms_one_sided_error(skewed):
+    sk = cms_sketch(skewed, "k", width=64, depth=3)
+    items = skewed.select("k").distinct()
+    est = {r["item"]: r["est_cnt"]
+           for r in cms_lookup(sk, items, "k", width=64, depth=3).collect()}
+    true = {r["k"]: r["cnt"] for r in
+            skewed.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert all(est[k] >= true[k] for k in true)
+    # CMS overcount is bounded by the colliding mass; with ~100 keys in
+    # width 64 the min-over-3-rows overcount stays far below the naive
+    # single-row expectation N/width (~10):
+    assert est[0] - true[0] <= 2 * (skewed.count() // 64)
+
+
+def test_cms_total_mass_per_row(skewed):
+    sk = cms_sketch(skewed, "k", width=64, depth=3).collect()
+    n = skewed.count()
+    for d in range(3):
+        assert sum(r["cnt"] for r in sk if r["row"] == d) == n
+
+
+def test_cms_unseen_and_null(spark, skewed):
+    sk = cms_sketch(skewed, "k", width=4096, depth=3)
+    probe = spark.createDataFrame([Row(k=10_000_001), Row(k=None)])
+    out = {r["item"]: r["est_cnt"]
+           for r in cms_lookup(sk, probe, "k", width=4096, depth=3).collect()}
+    # wide sketch -> the unseen key almost surely hits an empty bucket
+    assert out[10_000_001] == 0
+    # nulls are skipped at build; a null probe item estimates 0
+    assert out.get(None, 0) == 0
+
+
+def test_cms_null_values_skipped(spark):
+    df = spark.createDataFrame([Row(k=1), Row(k=None), Row(k=None)])
+    sk = cms_sketch(df, "k", width=16, depth=2)
+    assert sum(r["cnt"] for r in sk.collect() if r["row"] == 0) == 1
+
+
+def test_cms_probe_is_broadcast(skewed):
+    sk = cms_sketch(skewed, "k", width=64, depth=3)
+    plan = cms_lookup(sk, skewed, "k", width=64, depth=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cms_param_validation(skewed):
+    with pytest.raises(ValueError):
+        cms_sketch(skewed, "k", width=1, depth=3)
+    with pytest.raises(ValueError):
+        cms_sketch(skewed, "k", width=16, depth=0)

@@ -18,7 +18,9 @@ from stream2segment_spark.schema import load_table
 
 @register(
     "kernel_metrics",
-    """WITH u AS (
+    # driver-green r2+r3; deferred for the round-4 dedup_canonical_best
+    gate=False,
+    oracle="""WITH u AS (
          SELECT vec_id, i.i AS pos, (embedding[i.i]::DOUBLE)^2 AS sq
          FROM embeddings, range(1, 65) i(i)),
        c AS (

@@ -201,6 +201,70 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_canonical_best",
+    f"""WITH RECURSIVE sh AS {_SHINGLES_SQL},
+        inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM inv a JOIN inv b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+          WHERE len(list_intersect(x.s, y.s))::DOUBLE
+                / len(list_distinct(list_concat(x.s, y.s))) >= 0.5),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION
+                        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        label AS (SELECT a, least(min(b), a) AS cluster_id
+                  FROM reach GROUP BY a),
+        toks AS (SELECT doc_id,
+                        coalesce(len({_WORDS_SQL}), 0) AS n_tokens
+                 FROM documents),
+        mem AS (SELECT t.doc_id, CAST(t.n_tokens AS INT) AS n_tokens,
+                       coalesce(l.cluster_id, t.doc_id) AS cluster_id
+                FROM toks t LEFT JOIN label l ON l.a = t.doc_id),
+        ranked AS (SELECT *,
+                          first_value(doc_id) OVER (
+                            PARTITION BY cluster_id
+                            ORDER BY n_tokens DESC, doc_id) AS canonical_id
+                   FROM mem)
+        SELECT doc_id, n_tokens, cluster_id, canonical_id,
+               doc_id = canonical_id AS is_canonical
+        FROM ranked""",
+)
+def dedup_canonical_best(spark, sf_dir):
+    """Canonical-document selection per near-dup cluster
+    (operators/dedup.keep_canonical): exact n-gram Jaccard pairs ->
+    connected components -> keep the LONGEST member (ties to lowest
+    doc_id) as the cluster's canonical doc, flagging the rest. This is
+    the curation-grade dedup policy — keep the best duplicate, not an
+    arbitrary one (C4 kept the longest copy). Docs with no near-dup pair
+    are their own singleton cluster through the left join + coalesce.
+    The oracle replays the whole chain: shingle inverted index, exact
+    Jaccard, recursive-CTE components, and the ordered first_value
+    argmax. Scale shape: the cluster table holds only docs with a pair
+    (tiny vs corpus); one keyed join + one cluster_id-keyed window; text
+    never shuffles past the pair stage."""
+    from stream2segment_spark.operators.graph import connected_components
+    docs = load_table(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                   shingle_k=3, threshold=0.5).persist()
+    cc = connected_components(pairs, "id_a", "id_b")
+    base = docs.select(
+        "doc_id",
+        F.coalesce(TX.token_count(F.col("text")), F.lit(0))
+        .cast("int").alias("n_tokens"))
+    out = DD.keep_canonical(
+        base, cc, "doc_id",
+        order=[F.col("n_tokens").desc(), F.col("doc_id")])
+    return out.select("doc_id", "n_tokens", "cluster_id",
+                      "canonical_id", "is_canonical")
+
+
+@register(
     "dedup_minhash_lsh",
     f"""WITH sh AS {_SHINGLES_SQL},
         inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),

@@ -641,3 +641,55 @@ def test_pq_refined_reranks_to_exact_order(spark):
     import pytest
     with pytest.raises(ValueError, match="refine"):
         SIM.pq_topk_adc_refined(emb, queries, cb, k=k, refine=0)
+
+
+# ---------------------------------------------------------------------------
+# keep_canonical (canonical-doc selection per duplicate cluster)
+# ---------------------------------------------------------------------------
+
+def test_keep_canonical_longest_wins(spark):
+    from pyspark.sql import Row, functions as F
+    from stream2segment_spark.operators.dedup import keep_canonical
+    docs = spark.createDataFrame([
+        Row(doc_id=1, n_tokens=5), Row(doc_id=2, n_tokens=9),
+        Row(doc_id=3, n_tokens=9), Row(doc_id=4, n_tokens=1),
+    ])
+    clusters = spark.createDataFrame([
+        Row(id=1, cluster_id=1), Row(id=2, cluster_id=1),
+        Row(id=3, cluster_id=1),
+    ])
+    out = {r["doc_id"]: r for r in keep_canonical(
+        docs, clusters, "doc_id",
+        order=[F.col("n_tokens").desc(), F.col("doc_id")]).collect()}
+    # longest wins, tie broken by lowest id
+    assert out[1]["canonical_id"] == 2 and not out[1]["is_canonical"]
+    assert out[2]["is_canonical"] and out[3]["canonical_id"] == 2
+    # absent from clusters -> own singleton, canonical of itself
+    assert out[4]["cluster_id"] == 4 and out[4]["is_canonical"]
+
+
+def test_keep_canonical_default_order_is_keep_first(spark):
+    from pyspark.sql import Row
+    from stream2segment_spark.operators.dedup import keep_canonical
+    docs = spark.createDataFrame([Row(doc_id=i) for i in (7, 3, 5)])
+    clusters = spark.createDataFrame(
+        [Row(id=7, cluster_id=3), Row(id=3, cluster_id=3),
+         Row(id=5, cluster_id=3)])
+    out = keep_canonical(docs, clusters, "doc_id").collect()
+    assert all(r["canonical_id"] == 3 for r in out)
+    assert sum(r["is_canonical"] for r in out) == 1
+
+
+def test_keep_canonical_one_winner_per_cluster(spark):
+    from pyspark.sql import Row, functions as F
+    from stream2segment_spark.operators.dedup import keep_canonical
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, n_tokens=i % 4) for i in range(40)])
+    clusters = spark.createDataFrame(
+        [Row(id=i, cluster_id=i % 5) for i in range(30)])
+    out = keep_canonical(docs, clusters, "doc_id",
+                         order=[F.col("n_tokens").desc(),
+                                F.col("doc_id")])
+    per = out.groupBy("cluster_id").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("n")).collect()
+    assert all(r["n"] == 1 for r in per)

@@ -1035,6 +1035,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p = sub.add_parser(
+        "diff",
+        help="diff two parquet snapshots of a corpus: per-id added/"
+             "removed/changed/unchanged from one fingerprint join "
+             "(beyond-reference dataset versioning)")
+    p.add_argument("old", help="old snapshot parquet path")
+    p.add_argument("new", help="new snapshot parquet path")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--cols", default=None,
+                   help="comma-separated content columns to fingerprint "
+                        "(default: all shared non-id columns)")
+    p.add_argument("-o", "--outfile", default=None,
+                   help="also write the per-id status table as parquet")
+    p = sub.add_parser(
         "ingest",
         help="incrementally ingest parquet file drops from a landing "
              "directory into a corpus table (checkpointed exactly-once; "
@@ -1088,6 +1101,31 @@ def main(argv: list[str] | None = None) -> int:
             n_out = sum(1 for f in _os.listdir(args.outdir)
                         if f.endswith(".parquet"))
             print(_json.dumps({"input_bytes": total, "files": n_out}))
+            return 0
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "diff":  # no config file: all-flags command
+        import json as _json
+
+        from stream2segment_spark.operators.versioning import (
+            corpus_diff, diff_summary)
+        from stream2segment_spark.session import get_spark
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-diff")
+        try:
+            old = spark.read.parquet(args.old)
+            new = spark.read.parquet(args.new)
+            cols = args.cols.split(",") if args.cols else None
+            d = corpus_diff(old, new, args.id_col, cols)
+            if args.outfile:
+                d.write.mode("overwrite").parquet(args.outfile)
+                d = spark.read.parquet(args.outfile)  # reuse, not recompute
+            counts = {r["status"]: r["n_docs"]
+                      for r in diff_summary(d).collect()}
+            print(_json.dumps({s: int(counts.get(s, 0)) for s in
+                               ("added", "removed", "changed",
+                                "unchanged")}))
             return 0
         finally:
             if not preexisting:

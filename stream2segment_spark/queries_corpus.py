@@ -754,3 +754,46 @@ def corpus_quality_classifier(spark, sf_dir):
                                         iters=2)
     return scored.select("vec_id", "y",
                          F.round("score", 6).alias("score"), "pred")
+
+
+_DIFF_FP = "md5(coalesce(CAST(text AS VARCHAR), ''))"
+
+
+@register(
+    "corpus_version_diff",
+    f"""WITH old_ AS (SELECT doc_id, {_DIFF_FP} AS old_fp
+                      FROM documents WHERE doc_id % 7 <> 0),
+         new_ AS (SELECT doc_id,
+                         md5(coalesce(CAST(CASE WHEN doc_id % 11 = 0
+                                                THEN text || ' v2'
+                                                ELSE text END
+                                           AS VARCHAR), '')) AS new_fp
+                  FROM documents WHERE doc_id % 5 <> 0)
+       SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+              CASE WHEN o.old_fp IS NULL THEN 'added'
+                   WHEN n.new_fp IS NULL THEN 'removed'
+                   WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                   ELSE 'changed' END AS status,
+              o.old_fp, n.new_fp
+       FROM old_ o FULL OUTER JOIN new_ n ON o.doc_id = n.doc_id""",
+)
+def corpus_version_diff(spark, sf_dir):
+    """Snapshot diff between two corpus versions
+    (operators/versioning.corpus_diff): every doc classified added /
+    removed / changed / unchanged from ONE full-outer join on id
+    carrying 16-byte md5 fingerprints — text bytes never shuffle, which
+    is the 100 TB dataset-versioning path (with both snapshots bucketed
+    on id the join itself is shuffle-free). The two versions derive
+    deterministically from `documents`: v_old drops every 7th doc,
+    v_new drops every 5th and appends ' v2' to every 11th's text. The
+    oracle replays the fingerprints and the classification exactly.
+    Beyond-reference capability (the reference mutates a DB in place;
+    no snapshot concept)."""
+    from stream2segment_spark.operators.versioning import corpus_diff
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text", F.when(F.col("doc_id") % 11 == 0,
+                       F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")))
+    return corpus_diff(old, new, "doc_id", ["text"])

@@ -116,7 +116,9 @@ _EVENTS_TEXT_COLS = [
 
 @register(
     "fdsn_text_roundtrip",
-    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+    # driver-green r2+r3; deferred for the round-4 corpus_version_diff
+    gate=False,
+    oracle="""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
               coalesce(event_type, '') AS event_type,
               round(value, 4) AS value
        FROM events""",

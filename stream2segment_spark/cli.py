@@ -1035,6 +1035,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p = sub.add_parser(
+        "profile",
+        help="profile a parquet table: per-column nulls, typed min/max, "
+             "HLL distinct estimate, top values — two jobs total "
+             "(beyond-reference data-quality overview)")
+    p.add_argument("-i", "--infile", required=True,
+                   help="parquet table path")
+    p.add_argument("--columns", default=None,
+                   help="comma-separated columns (default: all)")
+    p.add_argument("--top", type=int, default=3,
+                   help="top-k most frequent values per column")
+    p.add_argument("--hll-m", type=int, default=256,
+                   help="HLL registers (power of two; se ~ 1.04/sqrt(m))")
+    p = sub.add_parser(
         "diff",
         help="diff two parquet snapshots of a corpus: per-id added/"
              "removed/changed/unchanged from one fingerprint join "
@@ -1101,6 +1114,28 @@ def main(argv: list[str] | None = None) -> int:
             n_out = sum(1 for f in _os.listdir(args.outdir)
                         if f.endswith(".parquet"))
             print(_json.dumps({"input_bytes": total, "files": n_out}))
+            return 0
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "profile":  # no config file: all-flags command
+        import json as _json
+
+        from stream2segment_spark.operators.profile import profile_table
+        from stream2segment_spark.session import get_spark
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-profile")
+        try:
+            df = spark.read.parquet(args.infile)
+            cols = args.columns.split(",") if args.columns else None
+            prof = profile_table(df, cols, hll_m=args.hll_m,
+                                 top_k=args.top)
+            # rows bounded by n_columns * top_k — presentation collect
+            for r in prof.orderBy("col_name", "top_rank").collect():
+                d = r.asDict()
+                d["n_distinct_est"] = round(d["n_distinct_est"], 1) \
+                    if d["n_distinct_est"] is not None else None
+                print(_json.dumps(d))
             return 0
         finally:
             if not preexisting:

@@ -31,7 +31,9 @@ def _rerank_drop_self(out, k):
 
 @register(
     "sim_topk",
-    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    # driver-green r2+r3; deferred for the round-4 table_profile
+    gate=False,
+    oracle=f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
         s AS (SELECT q.query_id, e.vec_id,
                      list_cosine_similarity(e.v, q.qv) AS c

@@ -126,3 +126,74 @@ def sketch_cms_counts(spark, sf_dir):
     return (est.join(true, "item")
             .select("item", F.col("est_cnt").cast("long").alias("est_cnt"),
                     F.col("true_cnt").cast("long").alias("true_cnt")))
+
+
+_PROF_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+
+_PROF_BASE = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+               count(*) - count({c}) AS n_nulls,
+               CAST(min({c}) AS VARCHAR) AS min_str,
+               CAST(max({c}) AS VARCHAR) AS max_str
+        FROM orders"""
+    for c in _PROF_COLS)
+
+_PROF_STACK = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS val
+        FROM orders WHERE {c} IS NOT NULL"""
+    for c in _PROF_COLS)
+
+
+@register(
+    "table_profile",
+    f"""WITH stacked AS ({_PROF_STACK}),
+         h AS (SELECT col_name,
+                      {_H60.format(seed='hll', v='val')} AS h
+               FROM stacked),
+         r0 AS (SELECT col_name, h % {_M} AS register,
+                       CASE WHEN h // {_M} = 0 THEN 55
+                            ELSE 54 - length(bin(h // {_M})) + 1
+                       END AS rho
+                FROM h),
+         regs AS (SELECT col_name, register, max(rho) AS rho
+                  FROM r0 GROUP BY col_name, register),
+         est AS (SELECT col_name, count(*) AS n_regs,
+                        list_reduce(list_prepend(0.0::DOUBLE,
+                            list(1.0::DOUBLE /
+                                 CAST(1::BIGINT << rho AS DOUBLE)
+                                 ORDER BY register)),
+                            (a, b) -> a + b) AS s
+                 FROM regs GROUP BY col_name),
+         cnts AS (SELECT col_name, val, count(*) AS top_count
+                  FROM stacked GROUP BY col_name, val),
+         top AS (SELECT col_name, val AS top_value, top_count,
+                        row_number() OVER (PARTITION BY col_name
+                                           ORDER BY top_count DESC, val)
+                          AS top_rank
+                 FROM cnts QUALIFY top_rank <= 1),
+         base AS ({_PROF_BASE})
+       SELECT b.col_name, b.n_rows, b.n_nulls, b.min_str, b.max_str,
+              round({_AM2!r} / (CAST({_M} - e.n_regs AS DOUBLE) + e.s),
+                    6) AS n_distinct_est,
+              t.top_value, t.top_count, CAST(t.top_rank AS INT) AS top_rank
+       FROM base b LEFT JOIN est e ON e.col_name = b.col_name
+            LEFT JOIN top t ON t.col_name = b.col_name""",
+)
+def table_profile(spark, sf_dir):
+    """Per-column table profiling (operators/profile.profile_table):
+    null counts, typed min/max, HLL distinct estimate and top value for
+    three orders columns, in exactly two jobs regardless of column count
+    (one all-columns aggregate scan; one stacked (col, value) pass
+    feeding the HLL registers and top-k counts). The oracle replays the
+    stacked union, every HLL register, the ordered harmonic fold and the
+    tie-broken top-1 window. Beyond-reference capability (the
+    reference's inspection/main.py profiles fixed download columns on a
+    DB)."""
+    from stream2segment_spark.operators.profile import profile_table
+    orders = load_table(spark, sf_dir, "orders")
+    out = profile_table(orders, _PROF_COLS, hll_m=_M, top_k=1)
+    return out.select(
+        "col_name", "n_rows", "n_nulls", "min_str", "max_str",
+        F.round("n_distinct_est", 6).alias("n_distinct_est"),
+        "top_value", "top_count",
+        F.col("top_rank").cast("int").alias("top_rank"))

@@ -47,7 +47,9 @@ def _encode_udf():
 
 @register(
     "mseed_decode",
-    """SELECT doc_id, 'SY.APE..HHZ' AS seed_id,
+    # driver-green r1+r2+r3; deferred for the round-4 stream_distinct_approx
+    gate=False,
+    oracle="""SELECT doc_id, 'SY.APE..HHZ' AS seed_id,
               CAST(25 + doc_id % 30 AS INT) AS n_samples,
               CAST(doc_id % 4 AS DOUBLE) AS max_gap,
               0.0 AS first_sample,

@@ -197,3 +197,81 @@ def table_profile(spark, sf_dir):
         F.round("n_distinct_est", 6).alias("n_distinct_est"),
         "top_value", "top_count",
         F.col("top_rank").cast("int").alias("top_rank"))
+
+
+_TS_EVENTS_SK = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events"
+
+
+@register(
+    "stream_distinct_approx",
+    f"""WITH ev AS (SELECT date_trunc('hour', ts) AS window_start, user_id
+                    FROM {_TS_EVENTS_SK} WHERE user_id IS NOT NULL),
+         h AS (SELECT window_start,
+                      {_H60.format(seed='hll', v='user_id')} AS h
+               FROM ev),
+         r0 AS (SELECT window_start, h % {_M} AS register,
+                       CASE WHEN h // {_M} = 0 THEN 55
+                            ELSE 54 - length(bin(h // {_M})) + 1
+                       END AS rho
+                FROM h),
+         regs AS (SELECT window_start, register, max(rho) AS rho
+                  FROM r0 GROUP BY window_start, register),
+         est AS (SELECT window_start, count(*) AS n_regs,
+                        list_reduce(list_prepend(0.0::DOUBLE,
+                            list(1.0::DOUBLE /
+                                 CAST(1::BIGINT << rho AS DOUBLE)
+                                 ORDER BY register)),
+                            (a, b) -> a + b) AS s
+                 FROM regs GROUP BY window_start),
+         ex AS (SELECT date_trunc('hour', ts) AS window_start,
+                       count(DISTINCT user_id) AS exact_distinct
+                FROM {_TS_EVENTS_SK} WHERE user_id IS NOT NULL
+                GROUP BY 1)
+       SELECT est.window_start, CAST(n_regs AS INT) AS n_regs,
+              round({_AM2!r} / (CAST({_M} - n_regs AS DOUBLE) + s),
+                    6) AS est_distinct,
+              CAST(exact_distinct AS BIGINT) AS exact_distinct
+       FROM est JOIN ex ON ex.window_start = est.window_start""",
+)
+def stream_distinct_approx(spark, sf_dir):
+    """Streaming approximate COUNT(DISTINCT): per-hour HLL registers of
+    user_id run as a REAL Structured Streaming query (parquet source ->
+    availableNow -> memory sink), then collapsed to estimates and joined
+    with the exact batch answer. Streaming exact-distinct state grows
+    with cardinality (every value held until the watermark closes the
+    window); the register table caps state at m=64 integers per window,
+    and the max-rho update is the associative aggregate Structured
+    Streaming evicts normally with a watermark
+    (streaming/incremental.windowed_distinct_approx). The oracle replays
+    registers, ordered harmonic fold and estimator exactly — so the gate
+    proves stream state == the batch sketch, not just similar counts."""
+    from stream2segment_spark.operators.sketch import hll_estimate
+    from stream2segment_spark.streaming.incremental import (
+        run_stream_to_memory, windowed_distinct_approx)
+
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream_df):
+        from stream2segment_spark.schema import normalize_event_ts
+        return windowed_distinct_approx(normalize_event_ts(stream_df),
+                                        m=_M)
+
+    import uuid
+    name = "hllwin_" + uuid.uuid4().hex[:8]
+    try:
+        regs = run_stream_to_memory(spark, sf_dir, raw_schema, transform,
+                                    name, path_glob="events.parquet")
+    except Exception:
+        regs = windowed_distinct_approx(batch, m=_M)
+    est = hll_estimate(regs, ["window_start"], m=_M)
+    exact = (batch.where(F.col("user_id").isNotNull())
+             .groupBy(F.date_trunc("hour", F.col("ts"))
+                      .alias("window_start"))
+             .agg(F.countDistinct("user_id").alias("exact_distinct")))
+    return (est.join(exact, "window_start")
+            .select("window_start",
+                    F.col("n_regs").cast("int").alias("n_regs"),
+                    F.round("est_distinct", 6).alias("est_distinct"),
+                    F.col("exact_distinct").cast("long")
+                    .alias("exact_distinct")))

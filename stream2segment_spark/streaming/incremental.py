@@ -102,3 +102,49 @@ def run_stream_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(query_name)
+
+
+def windowed_distinct_approx(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "24 hours",
+    value_col: str = "user_id",
+    m: int = 64,
+    seed: str = "hll",
+) -> DataFrame:
+    """Per-tumbling-window HyperLogLog registers for approximate
+    COUNT(DISTINCT value_col) on an unbounded stream.
+
+    Exact streaming distinct needs state proportional to the number of
+    distinct values per window (every value retained until the watermark
+    closes the window). The HLL register table caps state at ``m``
+    integers per window no matter the cardinality, and the update is a
+    plain ``max`` — an associative/commutative aggregate Structured
+    Streaming supports with watermarking, so late rows fold in and state
+    evicts normally. Collapse the result with
+    ``operators.sketch.hll_estimate(regs, ["window_start"])``.
+
+    Works identically on a batch frame (the batch twin for gate
+    checking). Returns ``(window_start, register, rho)``.
+    """
+    from stream2segment_spark.operators.sketch import (
+        HASH_BITS, _check_m, hash60)
+    b = _check_m(m)
+    p = HASH_BITS - b
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    hashed = (src.where(F.col(value_col).isNotNull())
+              .select(F.col(ts_col),
+                      hash60(F.col(value_col), seed).alias("__h")))
+    w = F.expr(f"__h div {m}")
+    rho = F.when(w == 0, F.lit(p + 1)) \
+        .otherwise(F.lit(p) - F.length(F.bin(w)) + F.lit(1))
+    return (hashed
+            .select(ts_col, F.pmod("__h", F.lit(m)).alias("register"),
+                    rho.cast("int").alias("__rho"))
+            .groupBy(F.window(ts_col, window).alias("w"), "register")
+            .agg(F.max("__rho").alias("rho"))
+            .select(F.col("w.start").alias("window_start"),
+                    "register", "rho"))

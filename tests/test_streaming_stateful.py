@@ -105,3 +105,37 @@ def test_sessionize_batch_twin_agreement(spark, tmp_path):
     want = sorted((r["user_id"], r["session_start"], r["session_end"],
                    r["n_events"]) for r in batch.collect())
     assert got == want
+
+
+def test_windowed_distinct_approx_stream_equals_batch(spark, tmp_path):
+    """The HLL register table computed incrementally across micro-batches
+    must equal the batch sketch over the union — register-for-register
+    (max is associative; this is the mergeability guarantee under real
+    streaming state)."""
+    from stream2segment_spark.streaming.incremental import (
+        windowed_distinct_approx)
+    schema = "ts timestamp, user_id long"
+    batches = [
+        [(_ts(0), 1), (_ts(1), 2), (_ts(2), 3), (_ts(61), 1)],
+        [(_ts(3), 2), (_ts(4), 4), (_ts(62), 5), (_ts(5), None)],
+        [(_ts(6), 6), (_ts(63), 5), (_ts(64), 7)],
+    ]
+    src = _write_batches(spark, tmp_path, batches, schema)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    out = windowed_distinct_approx(stream, m=32)
+    name = "hllreg_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = sorted(map(tuple, spark.table(name).collect()))
+
+    batch_df = spark.createDataFrame(
+        [r for b in batches for r in b], schema)
+    expected = sorted(map(tuple,
+                          windowed_distinct_approx(batch_df, m=32)
+                          .collect()))
+    assert streamed == expected
+    # two windows, nulls skipped
+    assert len({r[0] for r in streamed}) == 2

@@ -18,7 +18,7 @@ proportional/weighted designs without a groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000
@@ -236,3 +236,55 @@ def token_budget_mix(
     return (joined.withColumn("mix_start", start)
             .filter(F.col("mix_start") < thr)
             .drop("__shard", "__lcum", "__off"))
+
+
+def shuffle_assignment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+    seed: str = "shuf",
+) -> DataFrame:
+    """Deterministic global training shuffle: assign every row a
+    ``shard_id`` in [0, n_shards) and a dense ``shard_pos`` within its
+    shard, both pure functions of md5(seed:id) — the "shuffle your
+    corpus before training" delivery step, reproducible on any engine
+    and for any partitioning of the input.
+
+    Adjacent input rows (same crawl, same document cluster) land in
+    unrelated (shard, position) slots, which is exactly what sequential
+    training readers need. Scale shape: one shuffle on ``shard_id``;
+    each shard's position window sorts only that shard's rows — size
+    the shard count so n_rows/n_shards fits a task (the same constraint
+    as the output file size). DuckDB twin of the position:
+    ``row_number() OVER (PARTITION BY shard ORDER BY h, id) - 1``.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from stream2segment_spark.operators.sketch import hash60
+    h = hash60(F.col(id_col), seed)
+    staged = df.withColumn("__h", h) \
+        .withColumn("shard_id", F.pmod("__h", F.lit(n_shards)))
+    w = Window.partitionBy("shard_id").orderBy("__h", id_col)
+    return (staged
+            .withColumn("shard_pos",
+                        (F.row_number().over(w) - F.lit(1)).cast("long"))
+            .drop("__h"))
+
+
+def write_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+    seed: str = "shuf",
+) -> None:
+    """Materialize :func:`shuffle_assignment` as ``shard_id=K/``
+    partition directories with ONE file each, rows stored in shard_pos
+    order inside the file — sequential readers stream a shard and see
+    the shuffled order directly. One shuffle (repartition on shard_id,
+    so each shard's rows land in exactly one task) + in-partition sort;
+    no global sort."""
+    out = shuffle_assignment(df, id_col, n_shards, seed)
+    (out.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "shard_pos")
+        .write.partitionBy("shard_id").mode("overwrite").parquet(path))

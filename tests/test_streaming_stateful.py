@@ -139,3 +139,34 @@ def test_windowed_distinct_approx_stream_equals_batch(spark, tmp_path):
     assert streamed == expected
     # two windows, nulls skipped
     assert len({r[0] for r in streamed}) == 2
+
+
+def test_hopping_stats_stream_equals_batch(spark, tmp_path):
+    """Hopping windows across micro-batches: streamed complete-mode
+    output equals the batch twin, and every event lands in exactly
+    window/slide = 2 windows."""
+    from pyspark.sql import functions as F
+
+    from stream2segment_spark.streaming.incremental import hopping_stats
+    schema = "ts timestamp, event_type string, value double"
+    batches = [
+        [(_ts(0), "a", 1.0), (_ts(29, 59), "a", 2.0)],
+        [(_ts(30), "a", 4.0), (_ts(45), "b", 8.0)],
+        [(_ts(90), "b", 16.0)],
+    ]
+    src = _write_batches(spark, tmp_path, batches, schema)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    out = hopping_stats(stream, watermark="24 hours")
+    name = "hop_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = sorted(map(tuple, spark.table(name).collect()))
+
+    batch_df = spark.createDataFrame([r for b in batches for r in b],
+                                     schema)
+    expected = sorted(map(tuple, hopping_stats(batch_df).collect()))
+    assert streamed == expected
+    # 5 events x 2 windows each = total n across all rows is 10
+    assert sum(r[2] for r in streamed) == 10

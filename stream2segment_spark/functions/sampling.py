@@ -288,3 +288,33 @@ def write_shuffled_shards(
     (out.repartition(n_shards, "shard_id")
         .sortWithinPartitions("shard_id", "shard_pos")
         .write.partitionBy("shard_id").mode("overwrite").parquet(path))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    seed: str = "cap",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically by
+    md5(seed:id) order — the per-domain / per-source document cap
+    (Common-Crawl-style anti-spam curation: no single domain may
+    dominate the corpus). Hash order makes the kept subset a uniform
+    random-looking sample that is reproducible across engines, runs and
+    partitionings (unlike ``sample()``/``limit``).
+
+    Scale shape: one shuffle on ``group_col``; the row_number window
+    sorts each group once. Groups ARE the skew axis here (the capped
+    domain is by definition huge) — AQE skew handling applies, and a
+    two-stage refinement (pre-filter each partition to its local top
+    ``cap`` by hash before the global window) is the escalation if one
+    domain dwarfs a task; at cap << group size the window's sort is
+    the same cost the final write pays anyway."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from stream2segment_spark.operators.sketch import hash60
+    h = hash60(F.col(id_col), seed)
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= cap).drop("__rn"))

@@ -828,3 +828,34 @@ def corpus_shuffle_shards(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = shuffle_assignment(docs.select("doc_id"), "doc_id", n_shards=16)
     return out.select("doc_id", "shard_id", "shard_pos")
+
+
+@register(
+    "corpus_domain_cap",
+    """WITH h AS (SELECT doc_id, source,
+                         CAST('0x' || substr(md5('cap:' ||
+                              CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                           AS h
+                  FROM documents),
+         r AS (SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY h, doc_id) AS rn
+               FROM h)
+       SELECT doc_id, source FROM r WHERE rn <= 25""",
+    # registered past the 50-entry window (full); rotate in next round
+    gate=False,
+)
+def corpus_domain_cap(spark, sf_dir):
+    """Per-source document cap (functions/sampling.cap_per_group): at
+    most 25 docs per source, chosen by deterministic md5(seed:id) order
+    — the Common-Crawl-style per-domain anti-spam cap, reproducible
+    across engines/runs/partitionings where sample()/limit are not. One
+    source-keyed shuffle; the capped domain is the skew axis by
+    definition (AQE skew handling; per-partition local-top-cap
+    pre-filter is the documented escalation). The oracle replays hash,
+    window order and tie-breaks exactly."""
+    from stream2segment_spark.functions.sampling import cap_per_group
+    docs = load_table(spark, sf_dir, "documents")
+    out = cap_per_group(docs.select("doc_id", "source"), "source", 25,
+                        id_col="doc_id", seed="cap")
+    return out.select("doc_id", "source")

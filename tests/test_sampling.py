@@ -214,3 +214,44 @@ def test_shuffle_assignment_bad_shards(spark):
     from stream2segment_spark.functions.sampling import shuffle_assignment
     with pytest.raises(ValueError):
         shuffle_assignment(spark.range(3), "id", 0)
+
+
+# ---------------------------------------------------------------------------
+# cap_per_group (per-domain document caps)
+# ---------------------------------------------------------------------------
+
+def test_cap_per_group_caps_and_passes_small_groups(spark):
+    from pyspark.sql import Row, functions as F
+
+    from stream2segment_spark.functions.sampling import cap_per_group
+    rows = [Row(doc_id=i, domain=("big" if i < 80 else "small"))
+            for i in range(90)]
+    out = cap_per_group(spark.createDataFrame(rows), "domain", 20)
+    per = {r["domain"]: r["n"] for r in out.groupBy("domain")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {"big": 20, "small": 10}
+
+
+def test_cap_per_group_deterministic_and_partition_invariant(spark):
+    from pyspark.sql import Row
+
+    from stream2segment_spark.functions.sampling import cap_per_group
+    rows = [Row(doc_id=i, domain=str(i % 3)) for i in range(120)]
+    df = spark.createDataFrame(rows)
+    a = sorted(r["doc_id"] for r in
+               cap_per_group(df.repartition(1), "domain", 7).collect())
+    b = sorted(r["doc_id"] for r in
+               cap_per_group(df.repartition(11), "domain", 7).collect())
+    assert a == b and len(a) == 21
+
+
+def test_cap_per_group_keeps_all_columns_and_validates(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from stream2segment_spark.functions.sampling import cap_per_group
+    df = spark.createDataFrame([Row(doc_id=1, domain="d", text="x")])
+    out = cap_per_group(df, "domain", 5)
+    assert out.columns == ["doc_id", "domain", "text"]
+    with pytest.raises(ValueError):
+        cap_per_group(df, "domain", 0)

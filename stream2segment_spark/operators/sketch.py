@@ -201,3 +201,23 @@ def cms_lookup(
     joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
     return (joined.groupBy("item")
             .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_cnt")))
+
+
+def hll_merge(
+    *register_tables: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge HLL register tables (element-wise max) — the operation that
+    makes the sketch worth persisting: write one register table per
+    day/partition/source, answer "distinct over any range/union" later
+    by merging the tiny tables instead of rescanning the data. Lossless:
+    merged registers equal the registers of the unioned raw inputs
+    (max is associative/commutative/idempotent)."""
+    if not register_tables:
+        raise ValueError("need at least one register table")
+    group_cols = list(group_cols or [])
+    u = register_tables[0]
+    for t in register_tables[1:]:
+        u = u.unionByName(t)
+    return (u.groupBy(*group_cols, "register")
+            .agg(F.max("rho").alias("rho")))

@@ -141,3 +141,29 @@ def test_cms_param_validation(skewed):
         cms_sketch(skewed, "k", width=1, depth=3)
     with pytest.raises(ValueError):
         cms_sketch(skewed, "k", width=16, depth=0)
+
+
+def test_hll_merge_lossless_and_estimate_equal(spark):
+    """Merging per-partition sketches must give the identical estimate
+    as sketching the union — the persist-then-merge contract."""
+    from pyspark.sql import Row
+
+    from stream2segment_spark.operators.sketch import hll_merge
+    days = [spark.createDataFrame([Row(v=d * 1000 + i)
+                                   for i in range(800)])
+            for d in range(3)]
+    merged = hll_merge(*[hll_registers(d, "v", m=64) for d in days])
+    full = hll_registers(days[0].union(days[1]).union(days[2]), "v",
+                         m=64)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, full.collect()))
+    e1 = hll_estimate(merged, m=64).collect()[0]["est_distinct"]
+    e2 = hll_estimate(full, m=64).collect()[0]["est_distinct"]
+    assert e1 == e2
+
+
+def test_hll_merge_needs_input():
+    from stream2segment_spark.operators.sketch import hll_merge
+    import pytest
+    with pytest.raises(ValueError):
+        hll_merge()

@@ -590,7 +590,10 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
                gopher_rules: bool = False,
                gopher_repetition: bool = False,
                benchmark: str | None = None,
-               max_contam_frac: float = 0.0) -> int:
+               max_contam_frac: float = 0.0,
+               neardup_keep: str = "first",
+               domain_cap: int | None = None,
+               domain_col: str = "source") -> int:
     """'s2s curate': the corpus-curation funnel (beyond-reference,
     examples/corpus_pipeline.curate_corpus) as a CLI: documents parquet
     in -> curated parquet + one funnel JSON line on stdout."""
@@ -599,7 +602,8 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
     from stream2segment_spark.examples.corpus_pipeline import curate_corpus
 
     docs = spark.read.parquet(infile)
-    need = {"doc_id", "text"} | ({mix_col} if mix_col else set())
+    need = {"doc_id", "text"} | ({mix_col} if mix_col else set()) \
+        | ({domain_col} if domain_cap is not None else set())
     missing = need - set(docs.columns)
     if missing:
         print(f"error: {infile} lacks required column(s) "
@@ -617,7 +621,8 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
         max_contam_frac=max_contam_frac,
         min_quality=min_quality, token_band=(min_tokens, max_tokens),
         neardup_threshold=neardup_threshold, neardup_mode=neardup_mode,
-        semantic_k=semantic_k,
+        neardup_keep=neardup_keep, domain_cap=domain_cap,
+        domain_col=domain_col, semantic_k=semantic_k,
         line_max_df=line_max_df, max_dup_frac=max_dup_frac,
         min_lm_score=min_lm_score,
         cut_dup_substrings=cut_dup_substrings,
@@ -873,6 +878,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="CUT every cross-document duplicated run of >= K "
                         "tokens from every document (ExactSubstr removal; "
                         "text is re-joined from normalized tokens)")
+    p.add_argument("--neardup-keep", default="first",
+                   choices=("first", "best"),
+                   help="near-dup cluster survivor policy: 'first' = "
+                        "lowest id, 'best' = longest member (C4-style)")
+    p.add_argument("--domain-cap", type=int, default=None, metavar="N",
+                   help="keep at most N docs per --domain-col value "
+                        "(deterministic md5-order anti-spam cap)")
+    p.add_argument("--domain-col", default="source")
     p.add_argument("--mix-col", default=None,
                    help="stratum column for temperature rebalancing")
     p.add_argument("--mix-alpha", type=float, default=0.5)
@@ -1486,7 +1499,10 @@ def main(argv: list[str] | None = None) -> int:
                               args.semantic_k, args.min_lm_score,
                               args.c4, args.gopher,
                               args.gopher_repetition,
-                              args.benchmark, args.max_contam_frac)
+                              args.benchmark, args.max_contam_frac,
+                              neardup_keep=args.neardup_keep,
+                              domain_cap=args.domain_cap,
+                              domain_col=args.domain_col)
         finally:
             if not preexisting:
                 spark.stop()

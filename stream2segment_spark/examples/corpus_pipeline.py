@@ -69,7 +69,10 @@ def curate_corpus(
     max_top_token_frac: float = 0.2,
     neardup_threshold: float | None = None,
     neardup_mode: str = "minhash",
+    neardup_keep: str = "first",
     semantic_k: int | None = None,
+    domain_cap: int | None = None,
+    domain_col: str = "source",
     split_fractions: dict[str, float] | None = None,
     line_max_df: int | None = None,
     max_dup_frac: float | None = None,
@@ -100,6 +103,15 @@ def curate_corpus(
     from stream2segment_spark.operators import dedup as DD
     from stream2segment_spark.operators.graph import connected_components
 
+    if neardup_keep not in ("first", "best"):
+        raise ValueError(f"neardup_keep must be 'first' or 'best', "
+                         f"got {neardup_keep!r}")
+    # columns that must survive every text-rewriting stage: the mix
+    # stratum and (when capping) the domain column
+    carry = [c for c in dict.fromkeys(
+        (mix_strata_col, domain_col if domain_cap is not None else None))
+        if c]
+
     input_docs = docs  # funnel's 'input' counts pre-cleaning rows
 
     # -- 0a. optional C4 heuristic cleaning (Raffel et al. 2020 §2.2) ---
@@ -107,7 +119,7 @@ def curate_corpus(
     # words, no javascript) and whole lorem-ipsum/brace/blocklist pages,
     # so the cross-document stages below see prose only. Map-only.
     if c4_rules:
-        strata_keep = ([mix_strata_col] if mix_strata_col else [])
+        strata_keep = carry
         sig = TX.c4_signals(docs, id_col, text_col)
         docs = (docs.select(id_col, *strata_keep)
                 .join(sig.filter(F.col("c4_keep"))
@@ -147,7 +159,7 @@ def curate_corpus(
 
     # -- 0. optional line-level boilerplate removal ---------------------
     if line_max_df is not None:
-        strata_keep = ([mix_strata_col] if mix_strata_col else [])
+        strata_keep = carry
         cleaned = DD.line_dedup(
             docs.withColumn("__lines", F.split(
                 F.coalesce(text_col, F.lit("")), "\n")),
@@ -163,7 +175,7 @@ def curate_corpus(
     # normalized token sequence rejoined by spaces (casing/punctuation
     # normalized away, like every token-level stage here).
     if cut_dup_substrings is not None:
-        strata_keep = ([mix_strata_col] if mix_strata_col else [])
+        strata_keep = carry
         cut = DD.cut_duplicated_spans(
             docs.select(id_col,
                         DD.word_tokens(F.col(text_col)).alias("__ct")),
@@ -173,7 +185,7 @@ def curate_corpus(
                                  .alias(text_col)), id_col))
 
     # -- 1. annotate (single tokenizer pass; see functions/text.py) -----
-    extra = ([mix_strata_col] if mix_strata_col else [])
+    extra = carry
     staged = docs.select(
         id_col, text_col, *extra,
         DD.word_tokens(F.col(text_col)).alias("__toks"))
@@ -228,6 +240,14 @@ def curate_corpus(
         clean = contam.filter(F.col("contam_frac") <= max_contam_frac) \
                       .select(id_col)
         filtered = filtered.join(clean, id_col, "left_semi")
+
+    # -- 2e. optional per-domain cap (anti-spam: no single domain may
+    # dominate) — deterministic md5-order keep, folded into the funnel's
+    # 'filtered' count. One domain-keyed shuffle.
+    if domain_cap is not None:
+        from stream2segment_spark.functions.sampling import cap_per_group
+        filtered = cap_per_group(filtered, domain_col, domain_cap,
+                                 id_col=id_col)
 
     # -- 3. exact dedup (keep lowest id per fingerprint) ----------------
     exact = DD.exact_dedup(filtered, ["fingerprint"], keep="first",
@@ -308,9 +328,17 @@ def curate_corpus(
         raise ValueError(f"unknown neardup_mode {neardup_mode!r}")
     if pairs is not None:
         cc = connected_components(pairs, "id_a", "id_b")
-        # drop every near-dup that is not its cluster's canonical (min) id
-        losers = (cc.filter(F.col("id") != F.col("cluster_id"))
-                  .select(F.col("id").alias(id_col)))
+        if neardup_keep == "best":
+            # canonical = the LONGEST cluster member (C4 policy), not
+            # the arbitrary min id — operators/dedup.keep_canonical
+            sel = DD.keep_canonical(
+                exact.select(id_col, "n_tokens"), cc, id_col,
+                order=[F.col("n_tokens").desc(), F.col(id_col)])
+            losers = sel.filter(~F.col("is_canonical")).select(id_col)
+        else:
+            # drop every near-dup that is not its cluster's min id
+            losers = (cc.filter(F.col("id") != F.col("cluster_id"))
+                      .select(F.col("id").alias(id_col)))
     # Persisted: both the funnel's near_dedup count and the caller's
     # write of ``curated`` read it — without the cache each consumer
     # re-runs the whole candidate->verify->CC near-dup stage.

@@ -328,3 +328,40 @@ def test_decontamination_stage_drops_benchmark_overlap(spark):
         token_band=(1, 100_000), neardup_threshold=0.99,
         benchmark=bench, max_contam_frac=0.0)
     assert {r["doc_id"] for r in out.collect()} == {1}
+
+
+def test_domain_cap_stage(spark):
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    out, funnel = curate_corpus(
+        docs, languages=("en", "und"), min_quality=0.0,
+        token_band=(1, 100_000), neardup_threshold=0.5,
+        domain_cap=3, domain_col="source")
+    per = out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert per and all(r["n"] <= 3 for r in per)
+    # the cap binds before dedup, so the funnel's filtered count shrinks
+    uncapped = curate_corpus(
+        docs, languages=("en", "und"), min_quality=0.0,
+        token_band=(1, 100_000), neardup_threshold=0.5)[1].collect()[0]
+    assert funnel.collect()[0]["filtered"] <= uncapped["filtered"]
+
+
+def test_neardup_keep_best_keeps_longest(spark):
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    first, _ = curate_corpus(docs, languages=("en", "und"),
+                             min_quality=0.5, token_band=(5, 100_000),
+                             neardup_threshold=0.5)
+    best, _ = curate_corpus(docs, languages=("en", "und"),
+                            min_quality=0.5, token_band=(5, 100_000),
+                            neardup_threshold=0.5, neardup_keep="best")
+    # same survivor COUNT (one per cluster), possibly different members,
+    # and the best-policy corpus is at least as long in total tokens
+    assert first.count() == best.count()
+    t_first = first.agg(F.sum("n_tokens")).collect()[0][0]
+    t_best = best.agg(F.sum("n_tokens")).collect()[0][0]
+    assert t_best >= t_first
+
+
+def test_neardup_keep_validation(spark):
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    with pytest.raises(ValueError, match="neardup_keep"):
+        curate_corpus(docs, neardup_keep="nope")

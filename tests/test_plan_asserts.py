@@ -329,3 +329,49 @@ def test_classifier_scoring_map_only(spark):
     plan = _physical(QUERIES["corpus_quality_classifier"](
         spark, SF_DIR_SMOKE))
     assert "Exchange" not in plan, plan
+
+
+def test_hll_registers_single_exchange_with_partial_max(spark):
+    """The HLL sketch must be ONE map-side-combined shuffle: partial max
+    before the exchange, final max after — the property that bounds the
+    shuffle at m rows per group per executor regardless of input size."""
+    from stream2segment_spark.operators.sketch import hll_registers
+    df = spark.range(10_000).selectExpr("id AS v", "id % 3 AS g")
+    plan = _physical(hll_registers(df, "v", ["g"], m=64))
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2        # partial + final
+    assert "partial_max" in plan
+
+
+def test_cms_sketch_single_exchange_with_partial_count(spark):
+    from stream2segment_spark.operators.sketch import cms_sketch
+    df = spark.range(10_000).selectExpr("id % 97 AS v")
+    plan = _physical(cms_sketch(df, "v", width=64, depth=3))
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan
+
+
+def test_shuffle_assignment_single_exchange(spark):
+    from stream2segment_spark.functions.sampling import shuffle_assignment
+    df = spark.range(10_000).selectExpr("id AS doc_id")
+    plan = _physical(shuffle_assignment(df, "doc_id", 16))
+    assert plan.count("Exchange") == 1             # shard-keyed window only
+
+
+def test_corpus_diff_single_join_no_text_shuffle(spark):
+    """Snapshot diff must shuffle fingerprints, not text: the join keys'
+    exchanges carry (id, 16-byte md5) projections and the full-outer
+    join is the only join in the plan."""
+    from stream2segment_spark.operators.versioning import corpus_diff
+    old = spark.range(1000).selectExpr(
+        "id AS doc_id", "repeat('x', 1000) AS text")
+    new = spark.range(1000).selectExpr(
+        "id AS doc_id", "repeat('y', 1000) AS text")
+    plan = _physical(corpus_diff(old, new, "doc_id", ["text"]))
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+        + plan.count("BroadcastHashJoin") == 1
+    # the exchanges ship md5 projections: no raw text column survives
+    # past the project into the exchange input
+    import re
+    for m in re.finditer(r"Exchange [^\n]*\n([^\n]*)", plan):
+        assert "text#" not in m.group(0)

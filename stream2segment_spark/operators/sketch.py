@@ -77,7 +77,9 @@ def hll_registers(
     ``register = h % m`` (stochastic averaging bucket), ``rho`` = 1 +
     leading zeros of the remaining ``60 - log2(m)`` bits, computed with
     no float math as ``p - length(bin(w)) + 1`` (``w = h div m``;
-    ``w = 0`` gives the maximum rank ``p + 1``).
+    ``w = 0`` gives the maximum rank ``p + 1``). NULL values are
+    skipped (COUNT(DISTINCT) semantics — a NULL would otherwise hash
+    to a NULL register row).
     """
     b = _check_m(m)
     p = HASH_BITS - b
@@ -86,7 +88,8 @@ def hll_registers(
     w = F.expr(f"__h div {m}")
     rho = F.when(w == 0, F.lit(p + 1)) \
         .otherwise(F.lit(p) - F.length(F.bin(w)) + F.lit(1))
-    hashed = df.select(*group_cols, h.alias("__h"))
+    hashed = df.where(F.col(value_col).isNotNull()) \
+        .select(*group_cols, h.alias("__h"))
     return (hashed
             .select(*group_cols, F.pmod("__h", F.lit(m)).alias("register"),
                     rho.cast("int").alias("__rho"))

@@ -27,7 +27,7 @@ _H60 = ("CAST('0x' || substr(md5('{seed}:' || CAST({v} AS VARCHAR)), 1, 15) "
     "sketch_hll_distinct",
     f"""WITH h AS (SELECT o_orderpriority AS grp,
                           {_H60.format(seed='hll', v='o_custkey')} AS h
-                   FROM orders),
+                   FROM orders WHERE o_custkey IS NOT NULL),
          r0 AS (SELECT grp, h % {_M} AS register,
                        CASE WHEN h // {_M} = 0 THEN 55
                             ELSE 54 - length(bin(h // {_M})) + 1

@@ -167,3 +167,12 @@ def test_hll_merge_needs_input():
     import pytest
     with pytest.raises(ValueError):
         hll_merge()
+
+
+def test_hll_nulls_skipped(spark):
+    df = spark.createDataFrame([Row(v=1), Row(v=None), Row(v=2)],
+                               "v long")
+    regs = hll_registers(df, "v", m=64).collect()
+    assert len(regs) <= 2
+    assert all(r["register"] is not None and r["rho"] is not None
+               for r in regs)

@@ -1048,6 +1048,27 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p = sub.add_parser(
+        "sql",
+        help="run a Spark SQL statement over a directory of parquet "
+             "tables (each <name>.parquet registered as view <name>; "
+             "testdata-graph dirs also get the <t>_v derived-column "
+             "views); prints rows as JSON lines or writes parquet")
+    p.add_argument("statement", help="the SQL statement")
+    p.add_argument("-i", "--indir", required=True,
+                   help="directory of <name>.parquet tables")
+    p.add_argument("-o", "--outfile", default=None,
+                   help="write the result as parquet instead of printing")
+    p.add_argument("--limit", type=int, default=100,
+                   help="max rows to print (ignored with -o)")
+    p = sub.add_parser(
+        "explain",
+        help="print the optimized + physical plan of a catalog entry "
+             "(the per-operator plan-shape debugging surface)")
+    p.add_argument("entry", help="catalog entry name (see queries())")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--mode", default="formatted",
+                   choices=("simple", "extended", "formatted", "cost"))
+    p = sub.add_parser(
         "profile",
         help="profile a parquet table: per-column nulls, typed min/max, "
              "HLL distinct estimate, top values — two jobs total "
@@ -1127,6 +1148,66 @@ def main(argv: list[str] | None = None) -> int:
             n_out = sum(1 for f in _os.listdir(args.outdir)
                         if f.endswith(".parquet"))
             print(_json.dumps({"input_bytes": total, "files": n_out}))
+            return 0
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "sql":  # no config file: all-flags command
+        import glob as _glob
+        import json as _json
+
+        from stream2segment_spark.session import get_spark
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-sql")
+        try:
+            dfs = {}
+            for path in sorted(_glob.glob(
+                    os.path.join(args.indir, "*.parquet"))):
+                name = os.path.splitext(os.path.basename(path))[0]
+                from stream2segment_spark.schema import load_table
+                try:
+                    dfs[name] = load_table(spark, args.indir, name)
+                except Exception:
+                    dfs[name] = spark.read.parquet(path)
+            if not dfs:
+                print(f"error: no *.parquet tables in {args.indir}",
+                      file=sys.stderr)
+                return 2
+            try:  # testdata-shaped dirs additionally get derived views
+                from stream2segment_spark.schema import (
+                    infer_graph_schemas, testdata_graph)
+                from stream2segment_spark.sql_views import (
+                    register_sql_views)
+                graph = infer_graph_schemas(testdata_graph(), dfs)
+                register_sql_views(spark, graph, dfs)
+            except Exception:
+                for name, df in dfs.items():
+                    df.createOrReplaceTempView(name)
+            out = spark.sql(args.statement)
+            if args.outfile:
+                out.write.mode("overwrite").parquet(args.outfile)
+                print(_json.dumps({"written": args.outfile}))
+            else:
+                for r in out.limit(args.limit).collect():
+                    print(_json.dumps(r.asDict(), default=str))
+            return 0
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "explain":  # no config file: all-flags command
+        from stream2segment_spark import queries_catalog
+        from stream2segment_spark.session import get_spark
+        qs = queries_catalog.queries()
+        if args.entry not in qs:
+            print(f"error: unknown entry {args.entry!r} (choose from: "
+                  f"{', '.join(sorted(qs))})", file=sys.stderr)
+            return 2
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-explain")
+        try:
+            df = qs[args.entry](spark, args.sf_dir)
+            print(df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), args.mode))
             return 0
         finally:
             if not preexisting:

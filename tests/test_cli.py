@@ -768,3 +768,53 @@ def test_compact_and_skew_cli(spark, tmp_path, capsys):
     assert sk["top"][0]["key"] == "hot"     # 900 of 1000 rows
     assert sk["top1_share"] == 0.9
     assert cli_main(["skew", "-i", src, "--key", "nope"]) == 2
+
+
+def test_cli_sql(spark, tmp_path, capsys):
+    import json
+
+    from pyspark.sql import Row
+
+    from stream2segment_spark.cli import main
+    d = tmp_path / "tables"
+    d.mkdir()
+    spark.createDataFrame([Row(k=i, v=i * 10) for i in range(5)]) \
+        .write.parquet(str(d / "t.parquet"))
+    rc = main(["sql", "SELECT k, v FROM t WHERE k >= 3 ORDER BY k",
+               "-i", str(d)])
+    assert rc == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines == [{"k": 3, "v": 30}, {"k": 4, "v": 40}]
+
+
+def test_cli_sql_derived_views_on_testdata(capsys):
+    import json
+
+    from stream2segment_spark.cli import main
+    from tests.conftest import SF_DIR_SMOKE
+    rc = main(["sql", "SELECT count(*) AS n FROM events", "-i",
+               SF_DIR_SMOKE])
+    assert rc == 0
+    out = [json.loads(l) for l in
+           capsys.readouterr().out.strip().splitlines()]
+    assert out[0]["n"] > 0
+
+
+def test_cli_sql_no_tables(tmp_path, capsys):
+    from stream2segment_spark.cli import main
+    assert main(["sql", "SELECT 1", "-i", str(tmp_path)]) == 2
+
+
+def test_cli_explain(capsys):
+    from stream2segment_spark.cli import main
+    rc = main(["explain", "selection_predicates"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out
+
+
+def test_cli_explain_unknown_entry(capsys):
+    from stream2segment_spark.cli import main
+    assert main(["explain", "no_such_entry"]) == 2
+    assert "unknown entry" in capsys.readouterr().err

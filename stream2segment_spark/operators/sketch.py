@@ -206,6 +206,109 @@ def cms_lookup(
             .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_cnt")))
 
 
+def hist_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-width histogram sketch of a numeric column: one row per
+    (group, bin) with the row count — the mergeable quantile/distribution
+    sketch that completes the HLL (distinct) / CMS (frequency) family.
+
+    At 100 TB an exact percentile is a full sort (or a full
+    ``percentile_approx`` pass that cannot be persisted or merged); this
+    table is at most ``n_bins`` counters per group, partial ``sum``
+    combines map-side, and day/partition sketches merge losslessly by
+    addition (:func:`hist_merge`) — write one per ingest batch, answer
+    "p99 over any date range" later without rescanning.
+
+    Binning is engine-replayable by construction: ``bin_width`` is ONE
+    Python double literal shared with any oracle, ``bin =
+    clamp(floor((x - lo) / bin_width), 0, n_bins - 1)`` uses only
+    ``-``/``/``/``floor`` (all IEEE-portable), and out-of-range values
+    clamp into the edge bins so the total count is preserved. NULLs are
+    skipped."""
+    if n_bins < 2 or n_bins > 65536:
+        raise ValueError(f"n_bins must be in [2, 65536], got {n_bins}")
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    bw = (hi - lo) / n_bins  # one double literal; repr() round-trips
+    group_cols = list(group_cols or [])
+    x = F.col(value_col).cast("double")
+    raw = F.floor((x - F.lit(lo)) / F.lit(bw))
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (df.where(F.col(value_col).isNotNull())
+            .select(*group_cols, b.cast("int").alias("bin"))
+            .groupBy(*group_cols, "bin")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    qs: tuple[float, ...],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Estimate quantiles from a :func:`hist_sketch` table by linear
+    interpolation inside the covering bin: for each ``q`` the target rank
+    is ``q * N``; the answer bin is the FIRST bin whose cumulative count
+    reaches the target, and the estimate is
+
+    ``lo + (bw * bin) + bw * ((target - cum_before) / cnt)``
+
+    (parenthesization fixed — every float op is +/*// so an oracle
+    replays it bit-for-bit). Error is bounded by one bin width wherever
+    the true quantile lies inside [lo, hi]. ``qs`` must be in (0, 1]."""
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    bw = (hi - lo) / n_bins
+    group_cols = list(group_cols or [])
+    from pyspark.sql import Window
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("bin")
+    cum = hist.select(
+        *group_cols, "bin", "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+        F.sum("cnt").over(w).alias("cum_after"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding,
+                                        Window.unboundedFollowing))
+        .alias("n_total"))
+    qdf = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    probes = cum.select(*group_cols, "bin", "cnt", "cum_before",
+                        "cum_after", "n_total", qdf)
+    target = F.col("q") * F.col("n_total").cast("double")
+    hit = probes.where(F.col("cum_after").cast("double") >= target)
+    first = Window.partitionBy(*group_cols, "q").orderBy("bin")
+    est = (F.lit(lo)
+           + (F.lit(bw) * F.col("bin").cast("double"))
+           + F.lit(bw) * ((target - F.col("cum_before").cast("double"))
+                          / F.col("cnt").cast("double")))
+    return (hit.withColumn("__rn", F.row_number().over(first))
+            .where(F.col("__rn") == 1)
+            .select(*group_cols, "q", F.col("bin").alias("q_bin"),
+                    est.alias("q_value")))
+
+
+def hist_merge(
+    *hists: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge histogram sketches built with identical (lo, hi, n_bins) by
+    per-bin addition — lossless (sum is associative/commutative), the
+    property that makes per-partition sketch persistence work."""
+    if not hists:
+        raise ValueError("need at least one histogram table")
+    group_cols = list(group_cols or [])
+    u = hists[0]
+    for t in hists[1:]:
+        u = u.unionByName(t)
+    return u.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
 def hll_merge(
     *register_tables: DataFrame,
     group_cols: list[str] | None = None,

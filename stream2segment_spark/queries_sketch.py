@@ -199,6 +199,69 @@ def table_profile(spark, sf_dir):
         F.col("top_rank").cast("int").alias("top_rank"))
 
 
+_QH_LO, _QH_HI, _QH_BINS = 900.0, 105000.0, 256
+_QH_BW = (_QH_HI - _QH_LO) / _QH_BINS   # 406.640625 — exact binary double
+_QH_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+@register(
+    "sketch_quantile_hist",
+    f"""WITH h AS (SELECT l_returnflag AS grp,
+                CAST(least(greatest(floor(
+                    (CAST(l_extendedprice AS DOUBLE) - {_QH_LO!r})
+                    / {_QH_BW!r}), 0), {_QH_BINS - 1}) AS INT) AS bin
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         hist AS (SELECT grp, bin, count(*) AS cnt FROM h GROUP BY grp, bin),
+         cum AS (SELECT grp, bin, cnt,
+                        sum(cnt) OVER (PARTITION BY grp ORDER BY bin) - cnt
+                            AS cum_before,
+                        sum(cnt) OVER (PARTITION BY grp ORDER BY bin)
+                            AS cum_after,
+                        sum(cnt) OVER (PARTITION BY grp) AS n_total
+                 FROM hist),
+         probes AS (SELECT grp, bin, cnt, cum_before, cum_after, n_total, q
+                    FROM cum, unnest([{', '.join(f'{q!r}::DOUBLE'
+                                                 for q in _QH_QS)}])
+                         AS t(q)),
+         hit AS (SELECT *, row_number() OVER (PARTITION BY grp, q
+                                              ORDER BY bin) AS rn
+                 FROM probes
+                 WHERE CAST(cum_after AS DOUBLE)
+                       >= q * CAST(n_total AS DOUBLE))
+       SELECT grp AS l_returnflag, q, CAST(bin AS INT) AS q_bin,
+              round({_QH_LO!r} + ({_QH_BW!r} * CAST(bin AS DOUBLE))
+                    + {_QH_BW!r} * ((q * CAST(n_total AS DOUBLE)
+                                     - CAST(cum_before AS DOUBLE))
+                                    / CAST(cnt AS DOUBLE)), 6) AS q_value
+       FROM hit WHERE rn = 1""",
+    gate=False,
+)
+def sketch_quantile_hist(spark, sf_dir):
+    """Mergeable equi-width histogram sketch -> quantile estimates
+    (operators/sketch.hist_sketch |> hist_quantiles): p25/p50/p90/p99 of
+    l_extendedprice per l_returnflag from a 256-bin counter table. An
+    exact percentile at 100 TB is a full sort per group; this sketch is
+    <= n_bins counters per group (map-side combined, one bounded
+    shuffle), persists, and merges losslessly by addition (hist_merge —
+    pytest proves split-merge == whole-table bit equality). The oracle
+    replays the binning (one shared bin-width double literal, floor of
+    an IEEE-portable (x-lo)/bw), the cumulative window, the
+    first-covering-bin choice and the fixed-parenthesization
+    interpolation bit-for-bit. Completes the sketch family: HLL =
+    distinct, CMS = frequency, histogram = distribution.
+    Beyond-reference (the reference's inspection reports exact DB
+    aggregates only)."""
+    from stream2segment_spark.operators.sketch import (
+        hist_quantiles, hist_sketch)
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = hist_sketch(li, "l_extendedprice", _QH_LO, _QH_HI, _QH_BINS,
+                       ["l_returnflag"])
+    out = hist_quantiles(hist, _QH_QS, _QH_LO, _QH_HI, _QH_BINS,
+                         ["l_returnflag"])
+    return out.select("l_returnflag", "q", "q_bin",
+                      F.round("q_value", 6).alias("q_value"))
+
+
 _TS_EVENTS_SK = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events"
 
 

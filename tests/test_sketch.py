@@ -176,3 +176,75 @@ def test_hll_nulls_skipped(spark):
     assert len(regs) <= 2
     assert all(r["register"] is not None and r["rho"] is not None
                for r in regs)
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def prices(spark):
+    # two groups with different shapes: uniform 0..999 and triangular-ish
+    rows = [Row(grp="u", x=float(i % 1000)) for i in range(3000)]
+    rows += [Row(grp="t", x=float(min(i % 100, 99 - i % 37)))
+             for i in range(3000)]
+    return spark.createDataFrame(rows)
+
+
+def test_hist_quantile_error_bound(prices):
+    from stream2segment_spark.operators.sketch import (
+        hist_quantiles, hist_sketch)
+    lo, hi, nb = 0.0, 1000.0, 200
+    bw = (hi - lo) / nb
+    h = hist_sketch(prices, "x", lo, hi, nb, ["grp"])
+    est = {(r["grp"], r["q"]): r["q_value"]
+           for r in hist_quantiles(h, (0.25, 0.5, 0.9), lo, hi, nb,
+                                   ["grp"]).collect()}
+    exact = {g: prices.where(F.col("grp") == g)
+             .selectExpr("percentile(x, array(0.25, 0.5, 0.9)) p")
+             .first()["p"] for g in ("u", "t")}
+    for g in ("u", "t"):
+        for q, ex in zip((0.25, 0.5, 0.9), exact[g]):
+            assert abs(est[(g, q)] - ex) <= bw + 1e-9, (g, q, est[(g, q)], ex)
+
+
+def test_hist_merge_lossless_and_clamping(prices, spark):
+    from stream2segment_spark.operators.sketch import (
+        hist_merge, hist_sketch)
+    lo, hi, nb = 0.0, 1000.0, 64
+    whole = hist_sketch(prices, "x", lo, hi, nb, ["grp"])
+    even = hist_sketch(prices.where(F.col("x").cast("int") % 2 == 0),
+                       "x", lo, hi, nb, ["grp"])
+    odd = hist_sketch(prices.where(F.col("x").cast("int") % 2 != 0),
+                      "x", lo, hi, nb, ["grp"])
+    merged = hist_merge(even, odd, group_cols=["grp"])
+    assert {tuple(r) for r in whole.collect()} == \
+        {tuple(r) for r in merged.collect()}
+    # out-of-range and null handling: clamps to edge bins, skips nulls
+    df = spark.createDataFrame(
+        [Row(x=-5.0), Row(x=2000.0), Row(x=None), Row(x=500.0)])
+    h = {r["bin"]: r["cnt"]
+         for r in hist_sketch(df, "x", lo, hi, nb).collect()}
+    assert h == {0: 1, nb - 1: 1, nb // 2: 1}
+    assert sum(h.values()) == 3  # null skipped, edges preserved
+
+
+def test_hist_validation(prices):
+    from stream2segment_spark.operators.sketch import (
+        hist_merge, hist_quantiles, hist_sketch)
+    with pytest.raises(ValueError, match="n_bins"):
+        hist_sketch(prices, "x", 0.0, 1.0, 1)
+    with pytest.raises(ValueError, match="hi > lo"):
+        hist_sketch(prices, "x", 5.0, 5.0, 16)
+    with pytest.raises(ValueError, match="quantiles"):
+        hist_quantiles(prices, (0.0,), 0.0, 1.0, 16)
+    with pytest.raises(ValueError, match="at least one"):
+        hist_merge()
+
+
+def test_hist_single_shuffle_plan(prices):
+    # The sketch build must be ONE exchange (map-side partial count).
+    from stream2segment_spark.operators.sketch import hist_sketch
+    plan = hist_sketch(prices, "x", 0.0, 1000.0, 64,
+                       ["grp"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

@@ -992,9 +992,19 @@ def main(argv: list[str] | None = None) -> int:
              "intervals as JSON")
     p.add_argument("-i", "--infile", required=True, help="input parquet")
     p.add_argument("-o", "--outdir", required=True, help="output path")
-    p.add_argument("--key", required=True, help="cluster key column")
+    p.add_argument("--key", required=True,
+                   help="cluster key column; pass two-to-four "
+                        "comma-separated integer columns for a Z-order "
+                        "(Morton) layout that prunes on EVERY listed "
+                        "column (requires --domains)")
     p.add_argument("--files", type=int, required=True,
                    help="output file count (size for ~128-512 MB each)")
+    p.add_argument("--domains", default=None,
+                   help="Z-order only: per-column lo:hi integer domains, "
+                        "comma-separated in --key order (values outside "
+                        "clamp to edge cells), e.g. '0:1500000,0:200000'")
+    p.add_argument("--bits", type=int, default=12,
+                   help="Z-order bits per dimension (default 12)")
     p = sub.add_parser(
         "export-jsonl",
         help="export a parquet table as JSON-lines shards (the standard "
@@ -1294,19 +1304,39 @@ def main(argv: list[str] | None = None) -> int:
 
         from stream2segment_spark.session import get_spark
         from stream2segment_spark.sinks.layout import (
-            file_key_ranges, write_range_layout)
+            file_key_ranges, int_cell, write_range_layout,
+            write_zorder_layout)
         preexisting = SparkSession.getActiveSession() is not None
         spark = get_spark(app_name="s2s-layout")
         try:
             df = spark.read.parquet(args.infile)
-            if args.key not in df.columns:
-                print(f"error: {args.infile} lacks column {args.key!r} "
+            keys = [k.strip() for k in args.key.split(",")]
+            missing = [k for k in keys if k not in df.columns]
+            if missing:
+                print(f"error: {args.infile} lacks column(s) {missing} "
                       f"(has: {sorted(df.columns)})", file=sys.stderr)
                 return 2
-            write_range_layout(df, args.outdir, args.key, args.files)
+            if len(keys) == 1:
+                write_range_layout(df, args.outdir, keys[0], args.files)
+            else:
+                if not args.domains:
+                    print("error: multi-column --key needs --domains "
+                          "lo:hi per column", file=sys.stderr)
+                    return 2
+                doms = [tuple(int(x) for x in d.split(":"))
+                        for d in args.domains.split(",")]
+                if len(doms) != len(keys):
+                    print(f"error: {len(keys)} keys but {len(doms)} "
+                          "domains", file=sys.stderr)
+                    return 2
+                cells = {k: int_cell(F.col(k), lo, hi, args.bits)
+                         for k, (lo, hi) in zip(keys, doms)}
+                write_zorder_layout(df, args.outdir, cells, args.files,
+                                    bits=args.bits)
             print(_json.dumps([
-                {"file": f, "min": str(lo), "max": str(hi)}
-                for f, lo, hi in file_key_ranges(args.outdir, args.key)]))
+                {"key": k, "file": f, "min": str(lo), "max": str(hi)}
+                for k in keys
+                for f, lo, hi in file_key_ranges(args.outdir, k)]))
             return 0
         finally:
             if not preexisting:

@@ -234,3 +234,56 @@ def sink_roundtrip(spark, sf_dir):
     import atexit
     atexit.register(shutil.rmtree, tmp, True)
     return out
+
+
+_ZB = 12                              # bits per dimension
+_ZD = {"l_orderkey": (0, 1_500_000),  # a-priori domains (sf-independent;
+       "l_partkey": (0, 200_000)}     # out-of-range clamps to edge cells)
+
+_Z_CELLS_SQL = {
+    c: f"((least(greatest(CAST({c} AS BIGINT), {lo}), {hi}) - {lo}) "
+       f"* {(1 << _ZB) - 1}) // ({hi} - {lo})"
+    for c, (lo, hi) in _ZD.items()}
+
+_Z_KEY_SQL = " + ".join(
+    f"(((c{j} >> {i}) & 1) << {i * len(_ZD) + j})"
+    for i in range(_ZB) for j in range(len(_ZD)))
+
+
+@register(
+    "layout_zorder",
+    f"""WITH cells AS (SELECT l_orderkey, l_partkey, l_linenumber,
+                {_Z_CELLS_SQL['l_orderkey']} AS c0,
+                {_Z_CELLS_SQL['l_partkey']} AS c1
+         FROM lineitem)
+       SELECT l_orderkey, l_partkey, l_linenumber,
+              CAST(c0 AS BIGINT) AS cell_orderkey,
+              CAST(c1 AS BIGINT) AS cell_partkey,
+              CAST({_Z_KEY_SQL} AS BIGINT) AS zkey
+       FROM cells""",
+    gate=False,
+)
+def layout_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering key for multi-column data skipping
+    (sinks/layout.int_cell |> zorder_key |> write_zorder_layout): each
+    lineitem row's (l_orderkey, l_partkey) mapped to 12-bit cells by
+    exact integer scaling and bit-interleaved into one 24-bit key.
+    Sorting 100 TB of storage by this key gives BOTH columns tight
+    per-file footer min/max at once, so a 2D box predicate prunes to
+    the O(perimeter) files straddling the box — where a single-column
+    range sort leaves the second column unprunable (test_layout.py
+    proves the file-level pruning with a parquet footer audit). The
+    oracle replays the clamped integer cell division (// — the Spark
+    side's floor(a/b) is proven exact below 2^53, layout.py) and all 24
+    shift/mask/or terms of the interleave bit-for-bit. Beyond-reference
+    capability (the reference stores rows in an RDBMS; layout is the
+    columnar-era equivalent of its indexed queries)."""
+    from stream2segment_spark.sinks.layout import int_cell, zorder_key
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = {c: int_cell(F.col(c), lo, hi, _ZB)
+             for c, (lo, hi) in _ZD.items()}
+    return li.select(
+        "l_orderkey", "l_partkey", "l_linenumber",
+        cells["l_orderkey"].alias("cell_orderkey"),
+        cells["l_partkey"].alias("cell_partkey"),
+        zorder_key(list(cells.values()), bits=_ZB).alias("zkey"))

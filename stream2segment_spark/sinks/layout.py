@@ -45,6 +45,77 @@ def write_range_layout(df: DataFrame, path: str, key: str | list[str],
        .write.mode(mode).parquet(path))
 
 
+def int_cell(col, lo: int, hi: int, bits: int = 12):
+    """Map an integer column with known domain ``[lo, hi]`` onto the
+    ``[0, 2^bits]`` cell grid: ``((x - lo) * (2^bits - 1)) div
+    (hi - lo)``, clamped. Computed as ``floor(a / b)`` over exact
+    integer doubles, which equals true integer division whenever
+    ``a < 2^53`` (proof: a = q*b + r with r < b; fl(a/b) can only cross
+    the q+1 boundary if a/b is within half an ULP of q+1, i.e.
+    ``1/b <= (q+1) * 2^-54``, impossible since ``b*(q+1) <= a + b <
+    2^54``) — so the value is engine-exact and an oracle may replay it
+    with native integer ``//``. The domain guard enforces the 2^53
+    bound. Inputs outside the domain clamp to the edge cells; NULL
+    stays NULL (callers decide)."""
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    if not 1 <= bits <= 20:
+        raise ValueError(f"bits must be in [1, 20], got {bits}")
+    top = (1 << bits) - 1
+    if (hi - lo) * top >= (1 << 53):
+        raise ValueError(f"(hi - lo) * (2^bits - 1) must stay below 2^53 "
+                         f"for exact division, got {(hi - lo) * top}")
+    x = F.least(F.greatest(col.cast("long"), F.lit(lo)), F.lit(hi))
+    a = (x - F.lit(lo)) * F.lit(top)
+    return F.floor(a.cast("double") / F.lit(float(hi - lo))).cast("long")
+
+
+def zorder_key(cells: list, bits: int = 12):
+    """Interleave the bits of 2-4 cell columns (each a non-negative
+    integer < ``2^bits``, e.g. from :func:`int_cell`) into one Morton /
+    Z-order key: bit ``i`` of column ``j`` lands at position
+    ``i * n + j``. Rows close in the key are close in EVERY dimension,
+    so sorting storage by it gives every clustered column tight
+    per-file min/max footer stats at once — the multi-column
+    generalization of :func:`write_range_layout` (which is perfect for
+    one filter column and useless for the second).
+
+    Built entirely from JVM-side shift/and/or integer expressions
+    (whole-stage-codegen friendly; bit-replayable in any engine's SQL).
+    Total key width ``bits * n`` must fit a signed 64-bit long."""
+    n = len(cells)
+    if not 2 <= n <= 4:
+        raise ValueError(f"z-order needs 2-4 columns, got {n}")
+    if bits * n > 62:
+        raise ValueError(f"bits * n_cols = {bits * n} exceeds 62")
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cells):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return out
+
+
+def write_zorder_layout(df: DataFrame, path: str,
+                        cells: dict[str, "object"], num_files: int, *,
+                        bits: int = 12, mode: str = "overwrite") -> None:
+    """Persist ``df`` clustered by the Z-order key of the given cell
+    expressions (``{col_name: cell Column}``; see :func:`int_cell`):
+    one range exchange on the interleaved key, sorted within files, key
+    dropped on write. Every clustered column then prunes files via
+    footer stats — a 2D box predicate at 100 TB touches the
+    O(perimeter) files straddling the box, not every file the way a
+    single-column sort leaves the second column scattered."""
+    if num_files <= 0:
+        raise ValueError(f"num_files must be positive, got {num_files}")
+    z = zorder_key(list(cells.values()), bits=bits)
+    (df.withColumn("__z", z)
+       .repartitionByRange(num_files, F.col("__z"))
+       .sortWithinPartitions("__z")
+       .drop("__z")
+       .write.mode(mode).parquet(path))
+
+
 def file_key_ranges(path: str, key: str) -> list[tuple[str, object, object]]:
     """Driver-side audit: each parquet file's (file, min, max) footer
     statistics for ``key`` — the intervals scan pruning works with.

@@ -76,3 +76,107 @@ def test_layout_cli_end_to_end(spark, tmp_path, capsys):
     assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
     assert cli_main(["layout", "-i", src, "-o", out,
                      "--key", "nope", "--files", "4"]) == 2
+
+
+def _box_files(path, xkey, ykey, box):
+    """Files whose (xkey, ykey) footer rectangles intersect the box."""
+    xr = {f: (lo, hi) for f, lo, hi in file_key_ranges(path, xkey)}
+    yr = {f: (lo, hi) for f, lo, hi in file_key_ranges(path, ykey)}
+    (x0, x1), (y0, y1) = box
+    return [f for f in xr
+            if xr[f][0] <= x1 and xr[f][1] >= x0
+            and yr[f][0] <= y1 and yr[f][1] >= y0]
+
+
+def test_zorder_layout_prunes_both_dims(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from stream2segment_spark.sinks.layout import (
+        int_cell, write_range_layout, write_zorder_layout)
+    n, files = 128, 16
+    grid = spark.createDataFrame(
+        [Row(x=i, y=j) for i in range(n) for j in range(n)])
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zorder_layout(
+        grid, zpath,
+        {"x": int_cell(F.col("x"), 0, n - 1, 8),
+         "y": int_cell(F.col("y"), 0, n - 1, 8)}, files, bits=8)
+    write_range_layout(grid, rpath, "x", files)  # 1D contrast
+    box = ((8, 23), (8, 23))  # a 16x16 box = 1/64 of the domain
+    z_hit, r_hit = _box_files(zpath, "x", "y", box), \
+        _box_files(rpath, "x", "y", box)
+    # z-order: both dims have tight stats -> only the covering tiles.
+    assert len(z_hit) <= 4
+    # x-sorted layout: y spans everything in every file -> prunes on x
+    # only, and the thin-x box still touches more files than z-order.
+    assert len(z_hit) < len(r_hit)
+    # completeness under the box filter
+    got = (spark.read.parquet(zpath)
+           .where(F.col("x").between(8, 23) & F.col("y").between(8, 23))
+           .count())
+    assert got == 16 * 16
+
+
+def test_zorder_key_matches_python_morton(spark):
+    from pyspark.sql import Row
+
+    from stream2segment_spark.sinks.layout import zorder_key
+
+    def morton(a, b, bits):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    df = spark.createDataFrame(
+        [Row(a=a, b=b) for a in (0, 1, 5, 255) for b in (0, 3, 128, 255)])
+    got = {(r["a"], r["b"]): r["z"] for r in df.select(
+        "a", "b", zorder_key([F.col("a"), F.col("b")], bits=8)
+        .alias("z")).collect()}
+    assert got == {(a, b): morton(a, b, 8) for a, b in got}
+
+
+def test_zorder_validation(spark):
+    from stream2segment_spark.sinks.layout import int_cell, zorder_key
+    c = F.col("x")
+    with pytest.raises(ValueError, match="hi > lo"):
+        int_cell(c, 5, 5)
+    with pytest.raises(ValueError, match="bits"):
+        int_cell(c, 0, 10, bits=0)
+    with pytest.raises(ValueError, match="2\\^53"):
+        int_cell(c, 0, 1 << 45, bits=20)
+    with pytest.raises(ValueError, match="2-4"):
+        zorder_key([c])
+    with pytest.raises(ValueError, match="exceeds 62"):
+        zorder_key([c, c, c, c], bits=16)
+
+
+def test_layout_cli_zorder(spark, tmp_path, capsys):
+    import json
+
+    from pyspark.sql import Row
+
+    from stream2segment_spark.cli import main as cli_main
+
+    src = str(tmp_path / "grid.parquet")
+    spark.createDataFrame([Row(x=i, y=j) for i in range(64)
+                           for j in range(64)]).write.parquet(src)
+    out = str(tmp_path / "z")
+    rc = cli_main(["layout", "-i", src, "-o", out, "--key", "x,y",
+                   "--files", "8", "--domains", "0:63,0:63",
+                   "--bits", "6"])
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {r["key"] for r in rows} == {"x", "y"}
+    assert len(rows) == 16  # 8 files x 2 keys
+    # every key's per-file span is a strict subset of the domain for
+    # most files (both dims clustered), unlike a 1D sort
+    for key in ("x", "y"):
+        spans = [(int(r["min"]), int(r["max"])) for r in rows
+                 if r["key"] == key]
+        assert sum(1 for lo, hi in spans if hi - lo < 63) >= len(spans) // 2
+    # missing domains / mismatched counts are usage errors
+    assert cli_main(["layout", "-i", src, "-o", out, "--key", "x,y",
+                     "--files", "4"]) == 2
+    assert cli_main(["layout", "-i", src, "-o", out, "--key", "x,y",
+                     "--files", "4", "--domains", "0:63"]) == 2

@@ -1,0 +1,101 @@
+"""Exact single-pass feature statistics: the correlation / covariance
+matrix of N numeric columns in ONE aggregation pass.
+
+Why not ``df.stat.corr`` / ``F.corr``: those accumulate *double* sums,
+whose value depends on partition count and reduce order — fine for
+exploration, useless for a reproducibility gate or an incremental
+pipeline that must produce the same bytes on every backfill. Here every
+column is quantized to fixed-point integers (the data's own decimal
+scale, e.g. cents for prices) and the co-moment sums ``n, Σx, Σxy`` are
+computed in DECIMAL(38,0) — exact, associative, commutative — so the
+result is identical for ANY partitioning, and any engine replays it
+bit-for-bit (the only float ops are three correctly-rounded
+integer->double casts, two ``sqrt`` and one divide per pair, all IEEE).
+
+Scale shape: one ``groupBy().agg()`` over ``N + N*(N+1)/2 + 1``
+integer sums — partial aggregation combines map-side, the shuffle is a
+single row of counters per partition, and per-day/per-partition moment
+rows merge losslessly by addition (persist the moment row per ingest
+batch, get the corr matrix of any date range by summing — same contract
+as the sketches in operators/sketch.py, but exact).
+
+Beyond-reference capability (rizac/stream2segment computes fixed exact
+DB aggregates in download/db/inspection/main.py); standard co-moment
+identity corr = (n*Σxy - Σx*Σy) / (sqrt(n*Σxx - Σx²) * sqrt(n*Σyy - Σy²)).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def moment_sums(df: DataFrame, scales: dict[str, int]) -> DataFrame:
+    """One row of exact co-moment sums for the given columns:
+    ``n`` plus ``s_<c>`` (Σ of the fixed-point value) and ``s_<a>_<b>``
+    (Σ of products, ``a <= b`` in dict order) — every value
+    DECIMAL(38,0). ``scales`` maps column -> decimal digits to keep
+    (``2`` = quantize to hundredths). Rows with a NULL in ANY column are
+    dropped (the matrix must be over one common row set). Moment rows
+    for disjoint slices merge by plain addition (:func:`merge_moments`).
+    """
+    if len(scales) < 2:
+        raise ValueError(f"need at least 2 columns, got {list(scales)}")
+    cols = list(scales)
+    base = df.na.drop(subset=cols)
+    q = {c: F.round(F.col(c).cast("double") * F.lit(float(10 ** s)), 0)
+         .cast("long") for c, s in scales.items()}
+    aggs = [F.count(F.lit(1)).cast(_DEC).alias("n")]
+    aggs += [F.sum(q[c].cast(_DEC)).alias(f"s_{c}") for c in cols]
+    aggs += [F.sum((q[a].cast(_DEC) * q[b].cast(_DEC)).cast(_DEC))
+             .alias(f"s_{a}_{b}")
+             for i, a in enumerate(cols) for b in cols[i:]]
+    return base.agg(*aggs)
+
+
+def merge_moments(*moment_rows: DataFrame) -> DataFrame:
+    """Sum per-slice moment rows into one — the lossless merge that makes
+    persisting a moment row per ingest batch worthwhile."""
+    if not moment_rows:
+        raise ValueError("need at least one moment row")
+    u = moment_rows[0]
+    for t in moment_rows[1:]:
+        u = u.unionByName(t)
+    return u.agg(*[F.sum(c).cast(_DEC).alias(c) for c in u.columns])
+
+
+def corr_from_moments(moments: DataFrame,
+                      cols: list[str]) -> DataFrame:
+    """Expand a :func:`moment_sums` row into the long-format correlation
+    matrix ``(col_x, col_y, n, corr)`` for every unordered pair. All
+    arithmetic up to the final casts stays DECIMAL (exact); ``corr`` is
+    ``CAST(cov) / (sqrt(CAST(varx)) * sqrt(CAST(vary)))`` — replayable
+    bit-for-bit. A zero-variance column yields NULL corr (0/0)."""
+    pairs = []
+    for a, b in combinations(cols, 2):
+        sab = f"s_{a}_{b}"
+        cov = (F.col("n") * F.col(sab)
+               - F.col(f"s_{a}") * F.col(f"s_{b}")).cast(_DEC)
+        va = (F.col("n") * F.col(f"s_{a}_{a}")
+              - F.col(f"s_{a}") * F.col(f"s_{a}")).cast(_DEC)
+        vb = (F.col("n") * F.col(f"s_{b}_{b}")
+              - F.col(f"s_{b}") * F.col(f"s_{b}")).cast(_DEC)
+        denom = F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))
+        corr = F.when(denom != 0.0, cov.cast("double") / denom)
+        pairs.append(F.struct(
+            F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
+            corr.alias("corr")))
+    return (moments.select(F.col("n").cast("long").alias("n"),
+                           F.explode(F.array(*pairs)).alias("p"))
+            .select("p.col_x", "p.col_y", "n", "p.corr"))
+
+
+def corr_matrix_exact(df: DataFrame,
+                      scales: dict[str, int]) -> DataFrame:
+    """:func:`moment_sums` |> :func:`corr_from_moments`: the exact,
+    engine-replayable correlation matrix in one aggregation pass."""
+    return corr_from_moments(moment_sums(df, scales), list(scales))

@@ -355,3 +355,59 @@ def join_interval_overlap(spark, sf_dir):
                  (F.col("ts") + F.expr("INTERVAL 60 MINUTES")).alias("e_r")))
     return interval_overlap_join(a, b, ("s", "e"), ("s_r", "e_r"),
                                  by=["user_id"])
+
+
+_CORR_SCALES = {"l_quantity": 0, "l_extendedprice": 2,
+                "l_discount": 2, "l_tax": 2}
+
+_CORR_Q = ", ".join(
+    f"CAST(round(CAST({c} AS DOUBLE) * {float(10 ** s)!r}) AS HUGEINT)"
+    f" AS q_{c}" for c, s in _CORR_SCALES.items())
+
+_CORR_COLS = list(_CORR_SCALES)
+
+_CORR_SUMS = ", ".join(
+    ["CAST(count(*) AS HUGEINT) AS n"]
+    + [f"sum(q_{c}) AS s_{c}" for c in _CORR_COLS]
+    + [f"sum(q_{a} * q_{b}) AS s_{a}_{b}"
+       for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i:]])
+
+_CORR_PAIRS = " UNION ALL ".join(
+    f"""SELECT '{a}' AS col_x, '{b}' AS col_y, CAST(n AS BIGINT) AS n,
+          CASE WHEN (sqrt(CAST(n * s_{a}_{a} - s_{a} * s_{a} AS DOUBLE))
+                     * sqrt(CAST(n * s_{b}_{b} - s_{b} * s_{b} AS DOUBLE)))
+                    <> 0.0
+               THEN CAST(n * s_{a}_{b} - s_{a} * s_{b} AS DOUBLE)
+                    / (sqrt(CAST(n * s_{a}_{a} - s_{a} * s_{a} AS DOUBLE))
+                       * sqrt(CAST(n * s_{b}_{b} - s_{b} * s_{b}
+                                   AS DOUBLE)))
+          END AS corr
+        FROM m"""
+    for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:])
+
+
+@register(
+    "agg_corr_matrix",
+    f"""WITH q AS (SELECT {_CORR_Q} FROM lineitem
+                   WHERE {' AND '.join(f'{c} IS NOT NULL'
+                                       for c in _CORR_COLS)}),
+         m AS (SELECT {_CORR_SUMS} FROM q)
+       {_CORR_PAIRS}""",
+    gate=False,
+)
+def agg_corr_matrix(spark, sf_dir):
+    """Exact single-pass correlation matrix of four lineitem measures
+    (operators/stats.corr_matrix_exact): fixed-point quantization (the
+    data's own decimal scale) makes every co-moment sum an exact
+    DECIMAL(38,0) — associative and partition-order-free, unlike
+    F.corr's double accumulators — so 100 TB backfills reproduce the
+    same bytes and per-batch moment rows merge losslessly by addition
+    (merge_moments; split-merge equality proven in test_stats.py). One
+    groupBy().agg() pass, 15 integer counters, map-side combined. The
+    oracle replays quantization, HUGEINT co-moments and the
+    3-cast + 2-sqrt + 1-divide float tail bit-for-bit.
+    Beyond-reference (the reference's inspection reports are fixed
+    exact DB aggregates)."""
+    from stream2segment_spark.operators.stats import corr_matrix_exact
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix_exact(li, _CORR_SCALES)

@@ -1,0 +1,70 @@
+"""operators/stats.py: exact single-pass correlation matrix — accuracy
+vs numpy, lossless moment merging, degenerate columns, plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from stream2segment_spark.operators.stats import (
+    corr_from_moments, corr_matrix_exact, merge_moments, moment_sums)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rng = np.random.default_rng(7)
+    x = rng.normal(50.0, 10.0, 800).round(2)
+    y = (0.6 * x + rng.normal(0.0, 5.0, 800)).round(2)
+    z = rng.uniform(0.0, 1.0, 800).round(2)
+    return spark.createDataFrame(
+        [Row(i=int(i), x=float(a), y=float(b), z=float(c))
+         for i, (a, b, c) in enumerate(zip(x, y, z))])
+
+
+SCALES = {"x": 2, "y": 2, "z": 2}
+
+
+def test_corr_matches_numpy(frame):
+    got = {(r["col_x"], r["col_y"]): r["corr"]
+           for r in corr_matrix_exact(frame, SCALES).collect()}
+    pdf = frame.toPandas()
+    for (a, b), c in got.items():
+        want = np.corrcoef(pdf[a], pdf[b])[0, 1]
+        assert abs(c - want) < 1e-9, (a, b, c, want)
+    assert got[("x", "y")] > 0.5  # the engineered correlation is there
+
+
+def test_moment_merge_lossless(frame):
+    whole = moment_sums(frame, SCALES)
+    parts = [moment_sums(frame.where(F.col("i") % 3 == k), SCALES)
+             for k in range(3)]
+    merged = merge_moments(*parts)
+    assert whole.collect() == merged.collect()  # decimal bit equality
+    assert corr_from_moments(whole, list(SCALES)).collect() == \
+        corr_from_moments(merged, list(SCALES)).collect()
+
+
+def test_zero_variance_and_nulls(spark):
+    df = spark.createDataFrame(
+        [Row(a=1.0, b=2.0), Row(a=1.0, b=3.0), Row(a=1.0, b=None)])
+    out = {(r["col_x"], r["col_y"]): r
+           for r in corr_matrix_exact(df, {"a": 2, "b": 2}).collect()}
+    r = out[("a", "b")]
+    assert r["n"] == 2          # the null row is dropped from the set
+    assert r["corr"] is None    # zero variance -> NULL, not NaN/crash
+
+
+def test_validation(frame):
+    with pytest.raises(ValueError, match="at least 2"):
+        moment_sums(frame, {"x": 2})
+    with pytest.raises(ValueError, match="at least one"):
+        merge_moments()
+
+
+def test_single_pass_plan(frame):
+    plan = moment_sums(frame, SCALES) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # one partial+final aggregate pair around a single exchange; no join
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan

@@ -287,3 +287,55 @@ def layout_zorder(spark, sf_dir):
         cells["l_orderkey"].alias("cell_orderkey"),
         cells["l_partkey"].alias("cell_partkey"),
         zorder_key(list(cells.values()), bits=_ZB).alias("zkey"))
+
+
+@register(
+    "source_wet_roundtrip",
+    r"""WITH src AS (
+         SELECT doc_id,
+                'http://crawl.test/' || CAST(doc_id AS VARCHAR) AS uri,
+                regexp_replace(coalesce(text, ''), '[\r\n]+$', '') AS txt
+         FROM documents),
+       ok AS (SELECT * FROM src WHERE position('WARC/1.0' IN txt) = 0)
+       SELECT uri, 'conversion' AS warc_type,
+              CAST('1970-01-01 00:00:00' AS TIMESTAMP) AS warc_date,
+              '<urn:md5:' || md5(uri) || '>' AS record_id,
+              CAST(octet_length(encode(txt)) AS BIGINT)
+                  AS content_length,
+              md5(txt) AS text_md5, TRUE AS len_ok
+       FROM ok""",
+    gate=False,
+)
+def source_wet_roundtrip(spark, sf_dir):
+    """Common Crawl WET source round-trip (sources/wet.py): the
+    documents table is serialized into spec-shaped WARC/WET conversion
+    records (to_wet_lines), written to a real multi-part text file, and
+    re-read through the marker-framed reader (read_wet: lineSep split
+    -> regexp header parse -> blank-line payload framing, all JVM
+    expressions, scan-stage only — 100 TB of WET shards parse at text
+    scan speed with zero shuffles and no Python). The oracle recomputes
+    every parsed field (uri, record id = md5 urn, octet Content-Length,
+    payload md5, len_ok) from the source table, so the compare proves
+    serializer and parser are exact inverses through on-disk bytes.
+    Beyond-reference capability: the web-corpus analogue of the FDSN
+    '|'-text protocol parser (fdsn_text_roundtrip; reference
+    stream2segment/download/modules/stations.py)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from stream2segment_spark.sources.wet import read_wet, to_wet_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(F.lit("http://crawl.test/"),
+                 F.col("doc_id").cast("string")).alias("uri"),
+        F.col("text"))
+    tmp = tempfile.mkdtemp(prefix="s2s-wet-gate-")
+    lines = to_wet_lines(src, "uri", "text").where(F.col("value").isNotNull())
+    lines.write.mode("overwrite").text(tmp)
+    atexit.register(shutil.rmtree, tmp, True)
+    parsed = read_wet(spark, tmp)
+    return parsed.select(
+        "uri", "warc_type", "warc_date", "record_id", "content_length",
+        F.md5("text").alias("text_md5"), "len_ok")

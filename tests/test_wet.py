@@ -1,0 +1,83 @@
+"""sources/wet.py: WET (Common Crawl extracted-text) round-trip through
+a real file, header parsing, framing-contract edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from stream2segment_spark.sources.wet import (
+    parse_wet_records, read_wet, to_wet_lines)
+
+DOCS = [
+    Row(uri="http://a.test/1", text="hello world"),
+    Row(uri="http://a.test/2", text="multi\nline\n\npayload with: colon"),
+    Row(uri="http://a.test/3", text=""),                  # empty payload
+    Row(uri="http://a.test/4", text=None),                # null -> ""
+    Row(uri="http://a.test/5", text="unicode é中文 bytes"),
+    Row(uri="http://a.test/6", text="trailing newlines\n\n"),  # normalized
+]
+
+WARCINFO = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            "Content-Type: application/warc-fields\r\n"
+            "Content-Length: 10\r\n\r\nrobots: ok\r\n\r\n")
+
+
+@pytest.fixture(scope="module")
+def wet_file(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("wet")
+    recs = [r["value"] for r in
+            to_wet_lines(spark.createDataFrame(DOCS), "uri", "text")
+            .collect()]
+    path = d / "part-0.warc.wet"
+    path.write_text(WARCINFO + "".join(recs), encoding="utf-8")
+    return str(path)
+
+
+def test_wet_roundtrip(spark, wet_file):
+    out = {r["uri"]: r for r in read_wet(spark, wet_file).collect()}
+    assert set(out) == {d.uri for d in DOCS}
+    for d in DOCS:
+        r = out[d.uri]
+        want = (d.text or "").rstrip("\r\n")
+        assert r["text"] == want, d.uri
+        assert r["len_ok"] is True
+        assert r["content_length"] == len(want.encode("utf-8"))
+        assert r["content_type"] == "text/plain"
+        assert r["warc_date"] is not None
+        assert r["record_id"].startswith("<urn:md5:")
+    # the warcinfo control record is dropped by read_wet...
+    raw = spark.read.option("lineSep", "WARC/1.0").text(wet_file)
+    all_types = {r["warc_type"] for r in parse_wet_records(
+        raw.where(F.length("value") > 0)).collect()}
+    assert all_types == {"warcinfo", "conversion"}  # ...but parseable
+
+
+def test_wet_marker_in_payload_rejected(spark):
+    df = spark.createDataFrame(
+        [Row(uri="http://x/1", text="quoting WARC/1.0 inside"),
+         Row(uri="http://x/2", text="fine")])
+    vals = {r["value"] is None for r in
+            to_wet_lines(df, "uri", "text").collect()}
+    assert vals == {True, False}
+
+
+def test_wet_truncated_record_dropped(spark):
+    # a record with no blank-line separator parses to nothing
+    df = spark.createDataFrame(
+        [Row(value="\r\nWARC-Type: conversion\r\nno separator here")])
+    assert parse_wet_records(df).count() == 0
+
+
+def test_wet_len_ok_flags_corruption(spark):
+    df = spark.createDataFrame([Row(value=(
+        "\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://x\r\n"
+        "Content-Length: 999\r\n\r\nshort\r\n\r\n"))])
+    r = parse_wet_records(df).collect()[0]
+    assert r["text"] == "short" and r["len_ok"] is False
+
+
+def test_wet_parse_is_scan_stage_only(spark, wet_file):
+    plan = read_wet(spark, wet_file) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

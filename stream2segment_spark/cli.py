@@ -674,6 +674,29 @@ def cmd_export_jsonl(spark, infile: str, outdir: str,
     return 0
 
 
+def cmd_ingest_wet(spark, inpath: str, outfile: str,
+                   keep_bad: bool) -> int:
+    """'s2s ingest-wet': WARC/WET archive(s) -> documents parquet
+    (doc_id = first 15 md5 hex digits of the URI as BIGINT — stable
+    across re-crawls; text, uri, fetch timestamp, byte length). Records
+    failing the Content-Length cross-check are dropped unless
+    --keep-bad. Scan-stage parse (sources/wet.py), one map-only job."""
+    from stream2segment_spark.sources.wet import read_wet
+    docs = read_wet(spark, inpath)
+    if not keep_bad:
+        docs = docs.where(F.col("len_ok"))
+    out = docs.select(
+        F.conv(F.substring(F.md5("uri"), 1, 15), 16, 10).cast("long")
+        .alias("doc_id"),
+        "text", "uri", F.col("warc_date").alias("fetched_at"),
+        F.col("content_length").alias("n_bytes"), "len_ok")
+    out.write.mode("overwrite").parquet(outfile)
+    import json as _json
+    n = spark.read.parquet(outfile).count()
+    print(_json.dumps({"written": outfile, "records": n}))
+    return 0
+
+
 def cmd_classify(spark, infile: str, outfile: str, id_col: str,
                  label_col: str, vec_col: str | None, text_col: str | None,
                  iters: int, lr: float) -> int:
@@ -1005,6 +1028,18 @@ def main(argv: list[str] | None = None) -> int:
                         "clamp to edge cells), e.g. '0:1500000,0:200000'")
     p.add_argument("--bits", type=int, default=12,
                    help="Z-order bits per dimension (default 12)")
+    p = sub.add_parser(
+        "ingest-wet",
+        help="ingest Common Crawl WARC/WET archive(s) into a documents "
+             "parquet (scan-stage expression parse; doc_id derived from "
+             "the URI md5)")
+    p.add_argument("-i", "--inpath", required=True,
+                   help="WET file, directory or glob")
+    p.add_argument("-o", "--outfile", required=True,
+                   help="output documents parquet")
+    p.add_argument("--keep-bad", action="store_true",
+                   help="keep records whose Content-Length cross-check "
+                        "failed (default: drop)")
     p = sub.add_parser(
         "export-jsonl",
         help="export a parquet table as JSON-lines shards (the standard "
@@ -1338,6 +1373,16 @@ def main(argv: list[str] | None = None) -> int:
                 for k in keys
                 for f, lo, hi in file_key_ranges(args.outdir, k)]))
             return 0
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "ingest-wet":  # no config file: all-flags command
+        from stream2segment_spark.session import get_spark
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-ingest-wet")
+        try:
+            return cmd_ingest_wet(spark, args.inpath, args.outfile,
+                                  args.keep_bad)
         finally:
             if not preexisting:
                 spark.stop()

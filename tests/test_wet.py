@@ -81,3 +81,21 @@ def test_wet_parse_is_scan_stage_only(spark, wet_file):
     plan = read_wet(spark, wet_file) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ingest_wet_cli(spark, wet_file, tmp_path, capsys):
+    import json
+
+    from stream2segment_spark.cli import main as cli_main
+
+    out = str(tmp_path / "docs.parquet")
+    rc = cli_main(["ingest-wet", "-i", wet_file, "-o", out])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["records"] == len(DOCS)
+    back = spark.read.parquet(out)
+    rows = {r["uri"]: r for r in back.collect()}
+    assert rows["http://a.test/1"]["text"] == "hello world"
+    assert rows["http://a.test/1"]["n_bytes"] == len("hello world")
+    ids = [r["doc_id"] for r in rows.values()]
+    assert len(set(ids)) == len(ids) and all(i > 0 for i in ids)

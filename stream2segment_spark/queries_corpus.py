@@ -859,3 +859,119 @@ def corpus_domain_cap(spark, sf_dir):
     out = cap_per_group(docs.select("doc_id", "source"), "source", 25,
                         id_col="doc_id", seed="cap")
     return out.select("doc_id", "source")
+
+
+# --- URL canonicalization (functions/url.py) -------------------------------
+# Both engines synthesize the same URL corpus from documents (varied
+# schemes, www/tracking-param/default-port/two-level-TLD cases), then
+# the oracle replays parse + canonicalization with its own regex/list
+# engine — proving the Java-regex/RE2 shared-subset claim.
+
+_URL_SYNTH_SQL = """CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN 'https://www.' || source || '.example.co.uk:443/p/'
+              || CAST(doc_id AS VARCHAR) || '?utm_source=f&b=2&a=1#x'
+  WHEN 1 THEN 'http://blog.' || source || '.org:80/post-'
+              || CAST(doc_id AS VARCHAR)
+  WHEN 2 THEN 'HTTP://API.' || upper(source)
+              || '.COM:8080/x?gclid=z&z=9&y=1'
+  WHEN 3 THEN 'https://' || source || '.example.com/a/b?fbclid=1'
+  ELSE 'https://cdn.static.' || source || '.co.jp/img-'
+       || CAST(doc_id AS VARCHAR) || '.png?x=1&utm_campaign=c&ref=h'
+END"""
+
+_URL_TRACK_RX = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+
+_URL_ORACLE = f"""WITH u AS (
+    SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents),
+  parts AS (SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1))
+        AS scheme,
+    lower(regexp_extract(url,
+        '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^:/?#]+)', 1))
+        AS host,
+    TRY_CAST(regexp_extract(url,
+        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:([0-9]+)', 1) AS INT)
+        AS port,
+    regexp_extract(url,
+        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+    coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS q
+    FROM u),
+  norm AS (SELECT doc_id, url, scheme, host,
+    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+    regexp_replace(host, '^www\\.', '') AS chost,
+    CASE WHEN port IS NULL
+              OR port IS NOT DISTINCT FROM
+                 (CASE scheme WHEN 'http' THEN 80
+                              WHEN 'https' THEN 443 END)
+         THEN '' ELSE ':' || CAST(port AS VARCHAR) END AS pport,
+    coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+        x -> length(x) > 0
+             AND NOT regexp_matches(x, '{_URL_TRACK_RX}'))), '&'), '')
+        AS cq
+    FROM parts),
+  dom AS (SELECT *,
+    string_split(host, '.') AS ls,
+    len(string_split(host, '.')) AS nl
+    FROM norm)
+SELECT doc_id, url, scheme, host,
+  CASE WHEN nl <= 2 THEN host
+       WHEN (ls[-2] || '.' || ls[-1]) IN
+            ('co.uk','org.uk','ac.uk','gov.uk','co.jp','ne.jp','or.jp',
+             'com.au','net.au','org.au','co.in','com.br','com.cn',
+             'co.nz','co.za','com.mx','com.ar','com.tr')
+            AND nl >= 3
+       THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+       ELSE ls[-2] || '.' || ls[-1] END AS domain,
+  path,
+  scheme || '://' || chost || pport || path
+    || (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS canonical
+FROM dom"""
+
+
+@register("corpus_url_canonical", _URL_ORACLE, gate=False)
+def corpus_url_canonical(spark, sf_dir):
+    """URL parse + canonicalization + registrable domain
+    (functions/url.py) over a deterministic synthetic URL corpus
+    covering the canonicalization contract's cases: www-strip, default
+    ports (explicit :443/:80 dropped, :8080 kept), uppercase
+    scheme/host folding, tracking-param removal (utm_*/fbclid/gclid/
+    ref), query-param sorting, empty-path -> '/', fragment drop, and
+    two-level public suffixes (co.uk/co.jp keep three labels). All
+    scan-stage built-ins (regexp_extract + array HOFs, no UDF, no
+    shuffle): URL-keyed curation at 100 TB — canonical-URL dedup,
+    per-domain caps, blocklist joins — stays at text-scan speed. The
+    oracle re-implements the whole contract in DuckDB's regex/list
+    engine, pinning the Java-regex/RE2 shared-subset portability
+    claim. Beyond-reference (the reference's URLs are fixed FDSN
+    endpoints: stream2segment/download/modules/datacenters.py)."""
+    from stream2segment_spark.functions import url as U
+    from stream2segment_spark.schema import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    five = (F.col("doc_id") % 5).cast("int")
+    synth = (F.when(five == 0, F.concat(
+                 F.lit("https://www."), F.col("source"),
+                 F.lit(".example.co.uk:443/p/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("?utm_source=f&b=2&a=1#x")))
+             .when(five == 1, F.concat(
+                 F.lit("http://blog."), F.col("source"),
+                 F.lit(".org:80/post-"), F.col("doc_id").cast("string")))
+             .when(five == 2, F.concat(
+                 F.lit("HTTP://API."), F.upper("source"),
+                 F.lit(".COM:8080/x?gclid=z&z=9&y=1")))
+             .when(five == 3, F.concat(
+                 F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/a/b?fbclid=1")))
+             .otherwise(F.concat(
+                 F.lit("https://cdn.static."), F.col("source"),
+                 F.lit(".co.jp/img-"), F.col("doc_id").cast("string"),
+                 F.lit(".png?x=1&utm_campaign=c&ref=h"))))
+    u = docs.select("doc_id", synth.alias("url"))
+    return u.select(
+        "doc_id", "url",
+        U.url_scheme(F.col("url")).alias("scheme"),
+        U.url_host(F.col("url")).alias("host"),
+        U.url_registrable_domain(U.url_host(F.col("url")))
+         .alias("domain"),
+        U.url_path(F.col("url")).alias("path"),
+        U.url_canonical(F.col("url")).alias("canonical"))

@@ -122,6 +122,22 @@ def url_canonical(url: Column) -> Column:
                  url_path(url), q_part))
 
 
+def filter_blocklist(df, url_col: str, blocked, *,
+                     keep_blocked: bool = False):
+    """Drop (or, with ``keep_blocked``, keep only) rows whose URL's
+    registrable domain appears in ``blocked`` — a DataFrame with a
+    ``domain`` column (UT1-style blocklist). The blocklist is broadcast
+    (even the full UT1 adult list is a few MB), so the corpus never
+    shuffles: scan-stage parse + broadcast hash anti-join, the only
+    shape that survives 100 TB."""
+    dom = url_registrable_domain(url_host(F.col(url_col)))
+    b = F.broadcast(blocked.select(F.col("domain")).distinct())
+    how = "left_semi" if keep_blocked else "left_anti"
+    return (df.withColumn("__dom", dom)
+            .join(b, F.col("__dom") == b["domain"], how)
+            .drop("__dom"))
+
+
 def add_url_columns(df, url_col: str, prefix: str = "url_"):
     """Enrichment projection: scheme/host/domain/path/canonical columns
     in one scan-stage select (write-once at ingest; every downstream

@@ -66,3 +66,24 @@ def test_add_url_columns_scan_stage(spark):
     assert r["url_canonical"] == "https://a.example.org/x?b=1"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_filter_blocklist_broadcast_anti(spark):
+    from stream2segment_spark.functions.url import filter_blocklist
+    docs = spark.createDataFrame([
+        Row(i=1, u="https://www.bad.co.uk/x"),
+        Row(i=2, u="https://sub.bad.co.uk/y?a=1"),
+        Row(i=3, u="http://fine.org/z"),
+        Row(i=4, u="http://also-bad.com/q"),
+    ])
+    blocked = spark.createDataFrame(
+        [Row(domain="bad.co.uk"), Row(domain="also-bad.com")])
+    kept = filter_blocklist(docs, "u", blocked)
+    assert {r["i"] for r in kept.collect()} == {3}
+    only = filter_blocklist(docs, "u", blocked, keep_blocked=True)
+    assert {r["i"] for r in only.collect()} == {1, 2, 4}
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the corpus side is never shuffle-joined (the only exchanges are
+    # the broadcast itself + the tiny blocklist-side distinct)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

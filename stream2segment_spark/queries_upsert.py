@@ -339,3 +339,71 @@ def source_wet_roundtrip(spark, sf_dir):
     return parsed.select(
         "uri", "warc_type", "warc_date", "record_id", "content_length",
         F.md5("text").alias("text_md5"), "len_ok")
+
+
+@register(
+    "source_isf_roundtrip",
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+                   FROM events),
+        src AS (SELECT CAST(event_id AS VARCHAR) AS eid,
+                       event_id AS k, ts
+                FROM ev WHERE event_id % 7 = 0)
+       SELECT eid AS event_id,
+              strftime(ts, '%Y-%m-%dT%H:%M:%S') AS time,
+              CAST(k % 17000 - 8500 AS DOUBLE) / 100 AS latitude,
+              CAST(k % 35000 - 17500 AS DOUBLE) / 100 AS longitude,
+              CAST(k % 6500 AS DOUBLE) / 10 AS depth_km,
+              'TSTBULL' AS author,
+              'o' || CAST(k % 1000000 AS VARCHAR) AS contributor_id,
+              CASE CAST(k % 3 AS INT) WHEN 0 THEN 'mb'
+                   WHEN 1 THEN 'ML' ELSE 'MW' END AS mag_type,
+              CAST(k % 85 + 5 AS DOUBLE) / 10 AS magnitude,
+              'MAGAUT' AS mag_author,
+              'REGION_' || CAST(k % 10 AS VARCHAR) AS location_name
+       FROM src""",
+    gate=False,
+)
+def source_isf_roundtrip(spark, sf_dir):
+    """ISF bulletin round-trip (SURVEY S2, sources/isf.py): a
+    deterministic bulletin is built from the events table with
+    format_isf_events (spec fixed columns), then re-parsed with the
+    REAL parser (parse_isf_events — the reference's ISF->event path,
+    stream2segment/download/modules/events.py:381-473) and compared
+    field-for-field by the oracle. Driver-side by design: events are
+    the small dimension (the reference parses bulletins in the driver
+    too); the fixed-point /100 (/10) value grid makes every float
+    survive format+parse bit-exactly, so the oracle recomputes parsed
+    values directly from the table. Same roundtrip pattern as
+    fdsn_text_roundtrip (S1) and source_wet_roundtrip."""
+    from stream2segment_spark.sources.isf import (
+        IsfEvent, format_isf_events, parse_isf_events)
+    ev = load_table(spark, sf_dir, "events")
+    rows = (ev.where(F.col("event_id") % 7 == 0)
+            .select(
+                F.col("event_id").cast("string").alias("eid"),
+                F.col("event_id").alias("k"),
+                F.concat(F.date_format("ts", "yyyy-MM-dd"), F.lit("T"),
+                         F.date_format("ts", "HH:mm:ss")).alias("iso"))
+            .orderBy("k").collect())
+    evs = [IsfEvent(
+        event_id=r["eid"], time=r["iso"],
+        latitude=(r["k"] % 17000 - 8500) / 100,
+        longitude=(r["k"] % 35000 - 17500) / 100,
+        depth_km=(r["k"] % 6500) / 10,
+        author="TSTBULL",
+        contributor_id=f"o{r['k'] % 1000000}",
+        mag_type=("mb", "ML", "MW")[r["k"] % 3],
+        magnitude=(r["k"] % 85 + 5) / 10,
+        mag_author="MAGAUT",
+        location_name=f"REGION_{r['k'] % 10}",
+    ) for r in rows]
+    parsed = parse_isf_events(format_isf_events(evs))
+    schema = ("event_id string, time string, latitude double, "
+              "longitude double, depth_km double, author string, "
+              "contributor_id string, mag_type string, "
+              "magnitude double, mag_author string, "
+              "location_name string")
+    return spark.createDataFrame(
+        [(p.event_id, p.time, p.latitude, p.longitude, p.depth_km,
+          p.author, p.contributor_id, p.mag_type, p.magnitude,
+          p.mag_author, p.location_name) for p in parsed], schema)

@@ -219,3 +219,52 @@ def isf_to_fdsn_rows(text: str) -> list[tuple]:
                     e.depth_km, e.author, "ISC", None, e.contributor_id,
                     e.mag_type, e.magnitude, e.mag_author, e.location_name))
     return out
+
+
+def format_isf_events(events) -> str:
+    """Serialize :class:`IsfEvent` rows into a spec-shaped ISF 2.x
+    bulletin (the inverse of :func:`parse_isf_events`, same fixed
+    columns — reference layout documented in the module docstring).
+    Floats print at the layout's natural precision (lat/lon %.2f,
+    depth/magnitude %.1f): a value produced by /100 (or /10) integer
+    scaling round-trips bit-exactly through format+parse, which is what
+    lets the gate oracle recompute parsed values directly. Used by the
+    ``source_isf_roundtrip`` gate entry and as a test-fixture builder."""
+    def put(buf: list, lo: int, s: str) -> None:
+        need = lo - 1 + len(s)
+        while len(buf) < need:
+            buf.append(" ")
+        buf[lo - 1:lo - 1 + len(s)] = list(s)
+
+    out = ["DATA_TYPE BULLETIN ISF2.0"]
+    for e in events:
+        out.append(f"Event {e.event_id} {e.location_name or ''}".rstrip())
+        out.append("   Date       Time        Err   RMS Latitude "
+                   "Longitude  Smaj  Smin  Az Depth")
+        line: list = []
+        date, time = (e.time or "T").split("T")
+        put(line, 1, date.replace("-", "/"))
+        put(line, 12, time)
+        if e.latitude is not None:
+            put(line, 37, f"{e.latitude:8.2f}")
+        if e.longitude is not None:
+            put(line, 46, f"{e.longitude:9.2f}")
+        if e.depth_km is not None:
+            put(line, 72, f"{e.depth_km:5.1f}")
+        if e.author:
+            put(line, 119, f"{e.author:<9.9s}")
+        if e.contributor_id:
+            put(line, 129, f"{e.contributor_id:<8.8s}")
+        out.append("".join(line).rstrip())
+        out.append("Magnitude  Err Nsta Author      OrigID")
+        mline: list = []
+        if e.mag_type:
+            put(mline, 1, f"{e.mag_type:<5.5s}")
+        if e.magnitude is not None:
+            put(mline, 7, f"{e.magnitude:4.1f}")
+        if e.mag_author:
+            put(mline, 21, f"{e.mag_author:<9.9s}")
+        out.append("".join(mline).rstrip())
+        out.append("")
+    out.append("STOP")
+    return "\n".join(out)

@@ -176,3 +176,27 @@ def test_parse_isf_phases_side_table(spark):
     assert df.filter("sta = 'APE' AND amp = 31.5").count() == 1
     # a bulletin without phase blocks yields an empty, well-typed frame
     assert isf_phases_df(spark, ISF).count() == 0
+
+
+def test_format_isf_events_roundtrip():
+    from stream2segment_spark.sources.isf import (
+        IsfEvent, format_isf_events, parse_isf_events)
+    evs = [
+        IsfEvent(event_id="42", time="2021-03-04T05:06:07",
+                 latitude=-85.25, longitude=179.5, depth_km=33.0,
+                 author="TSTBULL", contributor_id="o42",
+                 mag_type="MW", magnitude=6.5, mag_author="MAGAUT",
+                 location_name="Somewhere Deep"),
+        # sparse event: only id + time survive serialization
+        IsfEvent(event_id="x7", time="1999-12-31T23:59:59"),
+    ]
+    back = parse_isf_events(format_isf_events(evs))
+    assert len(back) == 2
+    a, b = back
+    assert (a.event_id, a.time, a.latitude, a.longitude, a.depth_km) == \
+        ("42", "2021-03-04T05:06:07", -85.25, 179.5, 33.0)
+    assert (a.author, a.contributor_id, a.mag_type, a.magnitude,
+            a.mag_author, a.location_name) == \
+        ("TSTBULL", "o42", "MW", 6.5, "MAGAUT", "Somewhere Deep")
+    assert (b.event_id, b.time) == ("x7", "1999-12-31T23:59:59")
+    assert b.latitude is None and b.magnitude is None

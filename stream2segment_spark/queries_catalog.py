@@ -581,7 +581,7 @@ def scalar_datetime_math(spark, sf_dir):
     # the same formula in SQL on the rounded dist_deg column)
     "scalar_great_circle",
     gate=False,
-    oracle="""SELECT c_custkey,
+    oracle="""WITH d AS (SELECT c_custkey,
               round(degrees(atan2(
                 sqrt(pow(cos(radians(((c_custkey * 7) % 180) - 90)) *
                          sin(radians(((c_custkey * 13) % 360) - 180) - radians(12.5)), 2)
@@ -592,16 +592,22 @@ def scalar_datetime_math(spark, sf_dir):
                 + cos(radians(48.0)) * cos(radians(((c_custkey * 7) % 180) - 90))
                   * cos(radians(((c_custkey * 13) % 360) - 180) - radians(12.5)))), 6)
               AS dist_deg
-       FROM customer""",
+       FROM customer) SELECT c_custkey, dist_deg,
+              round(dist_deg * 111.19492664455873, 6) AS dist_km FROM d""",
 )
 def scalar_great_circle(spark, sf_dir):
-    """F7: spherical great-circle distance (stationsearch.py:157-189) as pure
+    """F7 + F6: spherical great-circle distance (stationsearch.py:157-189)
+    and deg2km (columns.deg2km; reference utils.py deg-to-km) as pure
     built-ins (codegen, no UDF). Synthetic coordinates derived from keys."""
     cu = load_table(spark, sf_dir, "customer")
     lat = ((F.col("c_custkey") * 7) % 180 - 90).cast("double")
     lon = ((F.col("c_custkey") * 13) % 360 - 180).cast("double")
-    d = C.great_circle_distance_deg(lat, lon, F.lit(48.0), F.lit(12.5))
-    return cu.select("c_custkey", F.round(d, 6).alias("dist_deg"))
+    d = F.round(C.great_circle_distance_deg(lat, lon, F.lit(48.0),
+                                            F.lit(12.5)), 6)
+    # F6: deg->km on the rounded degrees (one shared double literal),
+    # so the km value replays exactly from the already-pinned dist_deg
+    return cu.select("c_custkey", d.alias("dist_deg"),
+                     F.round(C.deg2km(d), 6).alias("dist_km"))
 
 
 @register(

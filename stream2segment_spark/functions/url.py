@@ -14,7 +14,8 @@ oracle (or a Trino/DuckDB twin pipeline) replays it character for
 character.
 
 Canonicalization contract (the industry-standard conservative set):
-lowercase scheme and host, strip a single leading ``www.``, drop the
+lowercase scheme and host, strip leading ``www.`` labels (never below
+two labels — idempotence-tested by property), drop the
 default port (80/443), empty path -> ``/``, drop the fragment, drop
 tracking parameters (``utm_*``, ``fbclid``, ``gclid``, ``ref``), and
 SORT the surviving query parameters (param order is presentation, not
@@ -107,7 +108,17 @@ def url_canonical(url: Column) -> Column:
     """The deterministic canonical form (contract in the module
     docstring). NULL input -> NULL."""
     scheme = url_scheme(url)
-    host = F.regexp_replace(url_host(url), r"^www\.", "")
+    raw_host = url_host(url)
+    # strip ALL leading 'www.' labels, but never below 2 labels —
+    # 'www.com' IS a registrable domain. The single-strip form is
+    # non-idempotent on stacked hosts like 'www.www.ex.com' (found by
+    # the hypothesis idempotence property, test_url_property.py).
+    stripped = F.regexp_replace(raw_host, r"^(www\.)+", "")
+    labels = F.split(raw_host, r"\.")
+    last2 = F.concat_ws(".", F.element_at(labels, -2),
+                        F.element_at(labels, -1))
+    host = F.when(F.size(F.split(stripped, r"\.")) >= 2, stripped) \
+            .otherwise(last2)
     port = url_port(url)
     default = F.when(scheme == "http", F.lit(80)) \
                .when(scheme == "https", F.lit(443))

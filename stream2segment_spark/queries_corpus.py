@@ -898,7 +898,11 @@ _URL_ORACLE = f"""WITH u AS (
     FROM u),
   norm AS (SELECT doc_id, url, scheme, host,
     CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
-    regexp_replace(host, '^www\\.', '') AS chost,
+    CASE WHEN len(string_split(
+                regexp_replace(host, '^(www\\.)+', ''), '.')) >= 2
+         THEN regexp_replace(host, '^(www\\.)+', '')
+         ELSE string_split(host, '.')[-2] || '.'
+              || string_split(host, '.')[-1] END AS chost,
     CASE WHEN port IS NULL
               OR port IS NOT DISTINCT FROM
                  (CASE scheme WHEN 'http' THEN 80

@@ -248,3 +248,29 @@ def test_hist_single_shuffle_plan(prices):
     plan = hist_sketch(prices, "x", 0.0, 1000.0, 64,
                        ["grp"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_hist_matches_numpy_and_quantiles_monotone(spark):
+    import numpy as np
+
+    from stream2segment_spark.operators.sketch import (
+        hist_quantiles, hist_sketch)
+    rng = np.random.default_rng(11)
+    xs = np.concatenate([rng.normal(40, 15, 1500),
+                         rng.uniform(-20, 120, 500)])  # includes clamps
+    lo, hi, nb = 0.0, 100.0, 50
+    df = spark.createDataFrame([Row(x=float(v)) for v in xs])
+    got = {r["bin"]: r["cnt"]
+           for r in hist_sketch(df, "x", lo, hi, nb).collect()}
+    edges = np.linspace(lo, hi, nb + 1)
+    want = np.histogram(np.clip(xs, lo, np.nextafter(hi, lo)),
+                        bins=edges)[0]
+    for b in range(nb):
+        assert got.get(b, 0) == int(want[b]), b
+    qs = (0.05, 0.25, 0.5, 0.75, 0.95, 1.0)
+    est = {r["q"]: r["q_value"]
+           for r in hist_quantiles(hist_sketch(df, "x", lo, hi, nb),
+                                   qs, lo, hi, nb).collect()}
+    vals = [est[q] for q in qs]
+    assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:])), vals
+    assert lo <= vals[0] and vals[-1] <= hi

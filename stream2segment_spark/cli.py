@@ -674,6 +674,28 @@ def cmd_export_jsonl(spark, infile: str, outdir: str,
     return 0
 
 
+def cmd_corr(spark, infile: str, cols: str, scale: int,
+             group_by: str | None) -> int:
+    """'s2s corr': exact single-pass correlation matrix
+    (operators/stats.corr_matrix_exact) of the given numeric columns,
+    optionally per group; one JSON line per pair on stdout."""
+    import json as _json
+
+    from stream2segment_spark.operators.stats import corr_matrix_exact
+    df = spark.read.parquet(infile)
+    names = [c for c in cols.split(",") if c]
+    gcols = [c for c in (group_by or "").split(",") if c]
+    missing = [c for c in names + gcols if c not in df.columns]
+    if missing or len(names) < 2:
+        print(f"error: need >= 2 existing columns; missing={missing}",
+              file=sys.stderr)
+        return 2
+    out = corr_matrix_exact(df, {c: scale for c in names}, gcols)
+    for r in out.collect():
+        print(_json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def cmd_ingest_wet(spark, inpath: str, outfile: str,
                    keep_bad: bool) -> int:
     """'s2s ingest-wet': WARC/WET archive(s) -> documents parquet
@@ -1029,6 +1051,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bits", type=int, default=12,
                    help="Z-order bits per dimension (default 12)")
     p = sub.add_parser(
+        "corr",
+        help="exact single-pass correlation matrix of numeric columns "
+             "(fixed-point co-moments: deterministic under any "
+             "partitioning, unlike double accumulators)")
+    p.add_argument("-i", "--infile", required=True, help="input parquet")
+    p.add_argument("--cols", required=True,
+                   help="comma-separated numeric columns (>= 2)")
+    p.add_argument("--scale", type=int, default=6,
+                   help="fixed-point decimal digits kept (default 6)")
+    p.add_argument("--group-by", default=None,
+                   help="optional comma-separated grouping columns")
+    p = sub.add_parser(
         "ingest-wet",
         help="ingest Common Crawl WARC/WET archive(s) into a documents "
              "parquet (scan-stage expression parse; doc_id derived from "
@@ -1373,6 +1407,16 @@ def main(argv: list[str] | None = None) -> int:
                 for k in keys
                 for f, lo, hi in file_key_ranges(args.outdir, k)]))
             return 0
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "corr":  # no config file: all-flags command
+        from stream2segment_spark.session import get_spark
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-corr")
+        try:
+            return cmd_corr(spark, args.infile, args.cols, args.scale,
+                            args.group_by)
         finally:
             if not preexisting:
                 spark.stop()

@@ -34,18 +34,20 @@ from pyspark.sql import functions as F
 _DEC = "decimal(38,0)"
 
 
-def moment_sums(df: DataFrame, scales: dict[str, int]) -> DataFrame:
-    """One row of exact co-moment sums for the given columns:
-    ``n`` plus ``s_<c>`` (Σ of the fixed-point value) and ``s_<a>_<b>``
-    (Σ of products, ``a <= b`` in dict order) — every value
-    DECIMAL(38,0). ``scales`` maps column -> decimal digits to keep
-    (``2`` = quantize to hundredths). Rows with a NULL in ANY column are
-    dropped (the matrix must be over one common row set). Moment rows
-    for disjoint slices merge by plain addition (:func:`merge_moments`).
-    """
+def moment_sums(df: DataFrame, scales: dict[str, int],
+                group_cols: list[str] | None = None) -> DataFrame:
+    """One row (per group) of exact co-moment sums for the given
+    columns: ``n`` plus ``s_<c>`` (Σ of the fixed-point value) and
+    ``s_<a>_<b>`` (Σ of products, ``a <= b`` in dict order) — every
+    value DECIMAL(38,0). ``scales`` maps column -> decimal digits to
+    keep (``2`` = quantize to hundredths). Rows with a NULL in ANY
+    measure column are dropped (the matrix must be over one common row
+    set). Moment rows for disjoint slices merge by plain addition
+    (:func:`merge_moments`)."""
     if len(scales) < 2:
         raise ValueError(f"need at least 2 columns, got {list(scales)}")
     cols = list(scales)
+    group_cols = list(group_cols or [])
     base = df.na.drop(subset=cols)
     q = {c: F.round(F.col(c).cast("double") * F.lit(float(10 ** s)), 0)
          .cast("long") for c, s in scales.items()}
@@ -54,27 +56,34 @@ def moment_sums(df: DataFrame, scales: dict[str, int]) -> DataFrame:
     aggs += [F.sum((q[a].cast(_DEC) * q[b].cast(_DEC)).cast(_DEC))
              .alias(f"s_{a}_{b}")
              for i, a in enumerate(cols) for b in cols[i:]]
-    return base.agg(*aggs)
+    return base.groupBy(*group_cols).agg(*aggs)
 
 
-def merge_moments(*moment_rows: DataFrame) -> DataFrame:
-    """Sum per-slice moment rows into one — the lossless merge that makes
-    persisting a moment row per ingest batch worthwhile."""
+def merge_moments(*moment_rows: DataFrame,
+                  group_cols: list[str] | None = None) -> DataFrame:
+    """Sum per-slice moment rows (per group) into one — the lossless
+    merge that makes persisting a moment row per ingest batch
+    worthwhile."""
     if not moment_rows:
         raise ValueError("need at least one moment row")
+    group_cols = list(group_cols or [])
     u = moment_rows[0]
     for t in moment_rows[1:]:
         u = u.unionByName(t)
-    return u.agg(*[F.sum(c).cast(_DEC).alias(c) for c in u.columns])
+    sums = [F.sum(c).cast(_DEC).alias(c) for c in u.columns
+            if c not in group_cols]
+    return u.groupBy(*group_cols).agg(*sums)
 
 
-def corr_from_moments(moments: DataFrame,
-                      cols: list[str]) -> DataFrame:
-    """Expand a :func:`moment_sums` row into the long-format correlation
-    matrix ``(col_x, col_y, n, corr)`` for every unordered pair. All
-    arithmetic up to the final casts stays DECIMAL (exact); ``corr`` is
-    ``CAST(cov) / (sqrt(CAST(varx)) * sqrt(CAST(vary)))`` — replayable
-    bit-for-bit. A zero-variance column yields NULL corr (0/0)."""
+def corr_from_moments(moments: DataFrame, cols: list[str],
+                      group_cols: list[str] | None = None) -> DataFrame:
+    """Expand :func:`moment_sums` rows into the long-format correlation
+    matrix ``(*group_cols, col_x, col_y, n, corr)`` for every unordered
+    pair. All arithmetic up to the final casts stays DECIMAL (exact);
+    ``corr`` is ``CAST(cov) / (sqrt(CAST(varx)) * sqrt(CAST(vary)))``
+    — replayable bit-for-bit. A zero-variance column yields NULL corr
+    (0/0)."""
+    group_cols = list(group_cols or [])
     pairs = []
     for a, b in combinations(cols, 2):
         sab = f"s_{a}_{b}"
@@ -89,13 +98,16 @@ def corr_from_moments(moments: DataFrame,
         pairs.append(F.struct(
             F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
             corr.alias("corr")))
-    return (moments.select(F.col("n").cast("long").alias("n"),
+    return (moments.select(*group_cols,
+                           F.col("n").cast("long").alias("n"),
                            F.explode(F.array(*pairs)).alias("p"))
-            .select("p.col_x", "p.col_y", "n", "p.corr"))
+            .select(*group_cols, "p.col_x", "p.col_y", "n", "p.corr"))
 
 
-def corr_matrix_exact(df: DataFrame,
-                      scales: dict[str, int]) -> DataFrame:
+def corr_matrix_exact(df: DataFrame, scales: dict[str, int],
+                      group_cols: list[str] | None = None) -> DataFrame:
     """:func:`moment_sums` |> :func:`corr_from_moments`: the exact,
-    engine-replayable correlation matrix in one aggregation pass."""
-    return corr_from_moments(moment_sums(df, scales), list(scales))
+    engine-replayable correlation matrix (optionally per group) in one
+    aggregation pass."""
+    return corr_from_moments(moment_sums(df, scales, group_cols),
+                             list(scales), group_cols)

@@ -68,3 +68,49 @@ def test_single_pass_plan(frame):
     # one partial+final aggregate pair around a single exchange; no join
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan
+
+
+def test_grouped_corr(spark):
+    import numpy as np
+    rng = np.random.default_rng(3)
+    rows = []
+    for g, rho in (("a", 0.9), ("b", -0.9)):
+        x = rng.normal(0, 1, 500)
+        y = rho * x + np.sqrt(1 - rho * rho) * rng.normal(0, 1, 500)
+        rows += [Row(g=g, x=round(float(a), 3), y=round(float(b), 3))
+                 for a, b in zip(x, y)]
+    df = spark.createDataFrame(rows)
+    got = {r["g"]: r["corr"] for r in corr_matrix_exact(
+        df, {"x": 3, "y": 3}, ["g"]).collect()}
+    assert got["a"] > 0.8 and got["b"] < -0.8
+    # grouped merge is lossless too
+    m = [moment_sums(df.where(F.col("x") > 0), {"x": 3, "y": 3}, ["g"]),
+         moment_sums(df.where(F.col("x") <= 0), {"x": 3, "y": 3}, ["g"])]
+    whole = moment_sums(df, {"x": 3, "y": 3}, ["g"])
+    merged = merge_moments(*m, group_cols=["g"])
+    key = lambda r: r["g"]  # noqa: E731
+    assert sorted(whole.collect(), key=key) == \
+        sorted(merged.collect(), key=key)
+
+
+def test_corr_cli(spark, tmp_path, capsys):
+    import json
+
+    from stream2segment_spark.cli import main as cli_main
+    src = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [Row(g="a", x=float(i), y=float(2 * i)) for i in range(50)]
+    ).write.parquet(src)
+    rc = cli_main(["corr", "-i", src, "--cols", "x,y", "--scale", "2"])
+    assert rc == 0
+    rows = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 1 and abs(rows[0]["corr"] - 1.0) < 1e-12
+    rc = cli_main(["corr", "-i", src, "--cols", "x,y",
+                   "--group-by", "g"])
+    assert rc == 0
+    rows = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows[0]["g"] == "a"
+    assert cli_main(["corr", "-i", src, "--cols", "x"]) == 2
+    assert cli_main(["corr", "-i", src, "--cols", "x,nope"]) == 2

@@ -696,6 +696,46 @@ def cmd_corr(spark, infile: str, cols: str, scale: int,
     return 0
 
 
+def cmd_hist(spark, infile: str, col: str, bins: int, quantiles: str,
+             lo: float | None, hi: float | None,
+             group_by: str | None) -> int:
+    """'s2s hist': equi-width histogram sketch + quantile estimates of a
+    numeric column (operators/sketch.hist_sketch |> hist_quantiles).
+    Range comes from --lo/--hi or one min/max pre-pass (two scans
+    total — still the bounded-state path; an exact percentile would
+    sort the table). One JSON line per (group, quantile)."""
+    import json as _json
+
+    from stream2segment_spark.operators.sketch import (
+        hist_quantiles, hist_sketch)
+    df = spark.read.parquet(infile)
+    gcols = [c for c in (group_by or "").split(",") if c]
+    missing = [c for c in [col] + gcols if c not in df.columns]
+    if missing:
+        print(f"error: {infile} lacks column(s) {missing}",
+              file=sys.stderr)
+        return 2
+    try:
+        qs = tuple(float(q) for q in quantiles.split(",") if q)
+    except ValueError:
+        print(f"error: bad --quantiles {quantiles!r}", file=sys.stderr)
+        return 2
+    if lo is None or hi is None:
+        r = df.agg(F.min(F.col(col).cast("double")),
+                   F.max(F.col(col).cast("double"))).first()
+        lo = lo if lo is not None else r[0]
+        hi = hi if hi is not None else r[1]
+    if lo is None or hi is None or not hi > lo:
+        print(f"error: degenerate range [{lo}, {hi}] for {col!r}",
+              file=sys.stderr)
+        return 2
+    h = hist_sketch(df, col, lo, hi, bins, gcols)
+    out = hist_quantiles(h, qs, lo, hi, bins, gcols)
+    for r in out.orderBy(*gcols, "q").collect():
+        print(_json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def cmd_ingest_wet(spark, inpath: str, outfile: str,
                    keep_bad: bool) -> int:
     """'s2s ingest-wet': WARC/WET archive(s) -> documents parquet
@@ -1050,6 +1090,20 @@ def main(argv: list[str] | None = None) -> int:
                         "clamp to edge cells), e.g. '0:1500000,0:200000'")
     p.add_argument("--bits", type=int, default=12,
                    help="Z-order bits per dimension (default 12)")
+    p = sub.add_parser(
+        "hist",
+        help="histogram-sketch quantile estimates of a numeric column "
+             "(bounded state; auto-ranges with one min/max pre-pass)")
+    p.add_argument("-i", "--infile", required=True, help="input parquet")
+    p.add_argument("--col", required=True, help="numeric column")
+    p.add_argument("--bins", type=int, default=256)
+    p.add_argument("--quantiles", default="0.25,0.5,0.75,0.95,0.99")
+    p.add_argument("--lo", type=float, default=None,
+                   help="range lower bound (default: min pre-pass)")
+    p.add_argument("--hi", type=float, default=None,
+                   help="range upper bound (default: max pre-pass)")
+    p.add_argument("--group-by", default=None,
+                   help="optional comma-separated grouping columns")
     p = sub.add_parser(
         "corr",
         help="exact single-pass correlation matrix of numeric columns "
@@ -1407,6 +1461,17 @@ def main(argv: list[str] | None = None) -> int:
                 for k in keys
                 for f, lo, hi in file_key_ranges(args.outdir, k)]))
             return 0
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "hist":  # no config file: all-flags command
+        from stream2segment_spark.session import get_spark
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-hist")
+        try:
+            return cmd_hist(spark, args.infile, args.col, args.bins,
+                            args.quantiles, args.lo, args.hi,
+                            args.group_by)
         finally:
             if not preexisting:
                 spark.stop()

@@ -274,3 +274,29 @@ def test_hist_matches_numpy_and_quantiles_monotone(spark):
     vals = [est[q] for q in qs]
     assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:])), vals
     assert lo <= vals[0] and vals[-1] <= hi
+
+
+def test_hist_cli(spark, tmp_path, capsys):
+    import json
+
+    from stream2segment_spark.cli import main as cli_main
+    src = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [Row(g="a", x=float(i)) for i in range(100)]
+    ).write.parquet(src)
+    rc = cli_main(["hist", "-i", src, "--col", "x", "--bins", "50",
+                   "--quantiles", "0.5,0.9"])
+    assert rc == 0
+    rows = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    med = next(r for r in rows if r["q"] == 0.5)
+    assert abs(med["q_value"] - 49.5) <= (99 / 50) + 1e-9
+    rc = cli_main(["hist", "-i", src, "--col", "x", "--group-by", "g"])
+    assert rc == 0
+    assert all(json.loads(l)["g"] == "a" for l in
+               capsys.readouterr().out.strip().splitlines())
+    assert cli_main(["hist", "-i", src, "--col", "nope"]) == 2
+    assert cli_main(["hist", "-i", src, "--col", "x",
+                     "--quantiles", "abc"]) == 2
+    assert cli_main(["hist", "-i", src, "--col", "x",
+                     "--lo", "5", "--hi", "5"]) == 2

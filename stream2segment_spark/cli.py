@@ -696,6 +696,27 @@ def cmd_corr(spark, infile: str, cols: str, scale: int,
     return 0
 
 
+def cmd_validate(spark, infile: str, rules_path: str) -> int:
+    """'s2s validate': assert a JSON rule contract over a parquet table
+    (operators/validate.validate_table, one aggregation pass); prints
+    one JSON line per rule and exits 1 if any rule failed (the CI
+    gate shape), 2 on a bad contract."""
+    import json as _json
+
+    from stream2segment_spark.operators.validate import validate_table
+    with open(rules_path) as fh:
+        rules = _json.load(fh)
+    df = spark.read.parquet(infile)
+    try:
+        report = validate_table(df, rules).collect()
+    except ValueError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+    for r in report:
+        print(_json.dumps(r.asDict(), default=str))
+    return 0 if all(r["ok"] for r in report) else 1
+
+
 def cmd_hist(spark, infile: str, col: str, bins: int, quantiles: str,
              lo: float | None, hi: float | None,
              group_by: str | None) -> int:
@@ -1091,6 +1112,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bits", type=int, default=12,
                    help="Z-order bits per dimension (default 12)")
     p = sub.add_parser(
+        "validate",
+        help="assert a JSON data-quality contract over a parquet table "
+             "(not_null_frac/min_ge/max_le/unique/allowed_values/"
+             "matches per column; one aggregation pass); exit 1 on "
+             "any failed rule")
+    p.add_argument("-i", "--infile", required=True, help="input parquet")
+    p.add_argument("-r", "--rules", required=True,
+                   help='JSON file: {"col": {"rule": threshold, ...}}')
+    p = sub.add_parser(
         "hist",
         help="histogram-sketch quantile estimates of a numeric column "
              "(bounded state; auto-ranges with one min/max pre-pass)")
@@ -1461,6 +1491,15 @@ def main(argv: list[str] | None = None) -> int:
                 for k in keys
                 for f, lo, hi in file_key_ranges(args.outdir, k)]))
             return 0
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "validate":  # no config file: all-flags command
+        from stream2segment_spark.session import get_spark
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-validate")
+        try:
+            return cmd_validate(spark, args.infile, args.rules)
         finally:
             if not preexisting:
                 spark.stop()

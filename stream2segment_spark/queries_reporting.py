@@ -411,3 +411,62 @@ def agg_corr_matrix(spark, sf_dir):
     from stream2segment_spark.operators.stats import corr_matrix_exact
     li = load_table(spark, sf_dir, "lineitem")
     return corr_matrix_exact(li, _CORR_SCALES)
+
+
+@register(
+    "table_validate",
+    """SELECT 'o_orderkey' AS col_name, 'unique' AS rule,
+              CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+                   AS DOUBLE) AS value,
+              0.0::DOUBLE AS threshold,
+              count(o_orderkey) = count(DISTINCT o_orderkey) AS ok
+       FROM orders
+       UNION ALL
+       SELECT 'o_orderkey', 'min_ge',
+              CAST(min(o_orderkey) AS DOUBLE), 0.0::DOUBLE,
+              min(o_orderkey) >= 0 FROM orders
+       UNION ALL
+       SELECT 'o_orderstatus', 'allowed_values',
+              CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                            AND o_orderstatus IS NOT NULL
+                            THEN 1 ELSE 0 END) AS DOUBLE),
+              0.0::DOUBLE,
+              sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                       AND o_orderstatus IS NOT NULL
+                       THEN 1 ELSE 0 END) = 0 FROM orders
+       UNION ALL
+       SELECT 'o_totalprice', 'not_null_frac',
+              count(o_totalprice) / count(*),
+              0.9::DOUBLE,
+              count(o_totalprice) / count(*) >= 0.9 FROM orders
+       UNION ALL
+       SELECT 'o_orderpriority', 'matches',
+              CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority,
+                                 '^[1-5]-[A-Z ]+$')
+                            AND o_orderpriority IS NOT NULL
+                            THEN 1 ELSE 0 END) AS DOUBLE),
+              0.0::DOUBLE,
+              sum(CASE WHEN NOT regexp_matches(o_orderpriority,
+                            '^[1-5]-[A-Z ]+$')
+                       AND o_orderpriority IS NOT NULL
+                       THEN 1 ELSE 0 END) = 0 FROM orders""",
+    gate=False,
+)
+def table_validate(spark, sf_dir):
+    """Data-quality contract over the orders table
+    (operators/validate.validate_table + 's2s validate'): uniqueness,
+    bounds, null-fraction, allowed-values and regex rules ALL measured
+    in one aggregation pass (map-side combined — rule count does not
+    change the scan count at 100 TB), reported long-format with the
+    measured value so failures are diagnosable, not just red. The
+    oracle recomputes every rule in SQL. Replaces the RDBMS constraints
+    the reference relies on (io/db models) for immutable columnar
+    storage."""
+    from stream2segment_spark.operators.validate import validate_table
+    orders = load_table(spark, sf_dir, "orders")
+    return validate_table(orders, {
+        "o_orderkey": {"unique": True, "min_ge": 0},
+        "o_orderstatus": {"allowed_values": ["F", "O", "P"]},
+        "o_totalprice": {"not_null_frac": 0.9},
+        "o_orderpriority": {"matches": r"^[1-5]-[A-Z ]+$"},
+    })

@@ -382,3 +382,85 @@ def stream_hopping_stats(spark, sf_dir):
                                     name, path_glob="events.parquet")
     except Exception:
         return hopping_stats(batch)
+
+
+_SH_LO, _SH_HI, _SH_BINS = 0.0, 500.0, 40
+_SH_BW = (_SH_HI - _SH_LO) / _SH_BINS   # 12.5 — exact binary double
+_SH_QS = (0.5, 0.9)
+
+
+@register(
+    "stream_hist_quantiles",
+    f"""WITH ev AS (SELECT date_trunc('hour', ts) AS window_start, value
+                    FROM {_TS_EVENTS_SK} WHERE value IS NOT NULL),
+         b AS (SELECT window_start,
+                      CAST(least(greatest(floor(
+                          (CAST(value AS DOUBLE) - {_SH_LO!r})
+                          / {_SH_BW!r}), 0), {_SH_BINS - 1}) AS INT)
+                          AS bin
+               FROM ev),
+         hist AS (SELECT window_start, bin, count(*) AS cnt
+                  FROM b GROUP BY window_start, bin),
+         cum AS (SELECT window_start, bin, cnt,
+                        sum(cnt) OVER (PARTITION BY window_start
+                                       ORDER BY bin) - cnt AS cum_before,
+                        sum(cnt) OVER (PARTITION BY window_start
+                                       ORDER BY bin) AS cum_after,
+                        sum(cnt) OVER (PARTITION BY window_start)
+                            AS n_total
+                 FROM hist),
+         probes AS (SELECT *, q
+                    FROM cum, unnest([{', '.join(f'{q!r}::DOUBLE'
+                                                 for q in _SH_QS)}])
+                         AS t(q)),
+         hit AS (SELECT *, row_number() OVER (PARTITION BY window_start,
+                                              q ORDER BY bin) AS rn
+                 FROM probes
+                 WHERE CAST(cum_after AS DOUBLE)
+                       >= q * CAST(n_total AS DOUBLE))
+       SELECT window_start, q, CAST(bin AS INT) AS q_bin,
+              round({_SH_LO!r} + ({_SH_BW!r} * CAST(bin AS DOUBLE))
+                    + {_SH_BW!r} * ((q * CAST(n_total AS DOUBLE)
+                                     - CAST(cum_before AS DOUBLE))
+                                    / CAST(cnt AS DOUBLE)), 6) AS q_value
+       FROM hit WHERE rn = 1""",
+    gate=False,
+)
+def stream_hist_quantiles(spark, sf_dir):
+    """Streaming distribution monitoring: per-hour histogram counters of
+    events.value run as a REAL Structured Streaming query
+    (streaming/incremental.windowed_hist — parquet source ->
+    availableNow -> memory sink), collapsed to p50/p90 estimates with
+    the batch sketch machinery (operators/sketch.hist_quantiles). Exact
+    streaming percentiles hold every value per window until the
+    watermark closes it; the counter table caps state at n_bins=40
+    integers per window and the sum update is watermark-evictable. The
+    oracle replays binning, per-window cumulative ranks and the
+    interpolation bit-for-bit — so the gate proves stream state == the
+    batch sketch, value-for-value. Completes the streaming sketch
+    family (stream_distinct_approx = HLL, this = distribution)."""
+    from stream2segment_spark.operators.sketch import hist_quantiles
+    from stream2segment_spark.streaming.incremental import (
+        run_stream_to_memory, windowed_hist)
+
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream_df):
+        from stream2segment_spark.schema import normalize_event_ts
+        return windowed_hist(normalize_event_ts(stream_df),
+                             value_col="value", lo=_SH_LO, hi=_SH_HI,
+                             n_bins=_SH_BINS)
+
+    import uuid
+    name = "histwin_" + uuid.uuid4().hex[:8]
+    try:
+        h = run_stream_to_memory(spark, sf_dir, raw_schema, transform,
+                                 name, path_glob="events.parquet")
+    except Exception:
+        h = windowed_hist(batch, value_col="value", lo=_SH_LO,
+                          hi=_SH_HI, n_bins=_SH_BINS)
+    out = hist_quantiles(h, _SH_QS, _SH_LO, _SH_HI, _SH_BINS,
+                         ["window_start"])
+    return out.select("window_start", "q", "q_bin",
+                      F.round("q_value", 6).alias("q_value"))

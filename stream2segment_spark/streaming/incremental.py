@@ -173,3 +173,50 @@ def hopping_stats(
                  F.round(F.sum("value"), 2).alias("total_value"))
             .select(F.col("w.start").alias("window_start"), key_col,
                     "n", "total_value"))
+
+
+def windowed_hist(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "24 hours",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_bins: int = 32,
+) -> DataFrame:
+    """Per-tumbling-window equi-width histogram counters for streaming
+    quantile/distribution monitoring — the histogram twin of
+    :func:`windowed_distinct_approx` (sketch family: HLL = distinct,
+    histogram = distribution).
+
+    Exact streaming percentiles would hold every value per window until
+    the watermark closes it; the counter table caps state at ``n_bins``
+    integers per window, and the update is a plain ``sum`` — an
+    associative/commutative aggregate Structured Streaming evicts
+    normally with a watermark. Collapse with
+    ``operators.sketch.hist_quantiles(h, qs, lo, hi, n_bins,
+    ["window_start"])`` (batch post-pass over the tiny counter table).
+    Binning is identical to :func:`operators.sketch.hist_sketch` (one
+    shared bin-width literal, clamped edges, NULLs skipped), so batch
+    and stream produce the same counters bin-for-bin.
+
+    Works identically on a batch frame (the batch twin for gate
+    checking). Returns ``(window_start, bin, cnt)``."""
+    if n_bins < 2 or n_bins > 65536:
+        raise ValueError(f"n_bins must be in [2, 65536], got {n_bins}")
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    bw = (hi - lo) / n_bins
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    x = F.col(value_col).cast("double")
+    raw = F.floor((x - F.lit(lo)) / F.lit(bw))
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (src.where(F.col(value_col).isNotNull())
+            .select(F.col(ts_col), b.cast("int").alias("bin"))
+            .groupBy(F.window(ts_col, window).alias("w"), "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("window_start"), "bin",
+                    "cnt"))

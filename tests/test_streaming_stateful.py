@@ -170,3 +170,36 @@ def test_hopping_stats_stream_equals_batch(spark, tmp_path):
     assert streamed == expected
     # 5 events x 2 windows each = total n across all rows is 10
     assert sum(r[2] for r in streamed) == 10
+
+
+def test_windowed_hist_stream_equals_batch(spark, tmp_path):
+    """The per-window histogram counters computed incrementally across
+    micro-batches must equal the batch sketch over the union —
+    bin-for-bin (sum is associative: the mergeability guarantee under
+    real streaming state). Includes out-of-range clamps and a NULL."""
+    from stream2segment_spark.streaming.incremental import windowed_hist
+    schema = "ts timestamp, value double"
+    batches = [
+        [(_ts(0), 5.0), (_ts(1), 55.0), (_ts(2), -3.0), (_ts(61), 5.0)],
+        [(_ts(3), 99.9), (_ts(4), 250.0), (_ts(62), None)],
+        [(_ts(6), 5.0), (_ts(63), 42.0)],
+    ]
+    src = _write_batches(spark, tmp_path, batches, schema)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    out = windowed_hist(stream, value_col="value", lo=0.0, hi=100.0,
+                        n_bins=10)
+    name = "histreg_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = sorted(map(tuple, spark.table(name).collect()))
+    batch_df = spark.createDataFrame(
+        [r for b in batches for r in b], schema)
+    expected = sorted(map(tuple,
+                          windowed_hist(batch_df, value_col="value",
+                                        lo=0.0, hi=100.0, n_bins=10)
+                          .collect()))
+    assert streamed == expected
+    total = sum(r[2] for r in streamed)
+    assert total == 8  # NULL skipped; clamps counted in edge bins

@@ -1003,13 +1003,22 @@ def main(argv: list[str] | None = None) -> int:
         help="keyword search over a corpus parquet: BM25-style "
              "inverted-index scoring, top-k per query term "
              "(beyond-reference)")
-    p.add_argument("-i", "--infile", required=True,
-                   help="corpus parquet (needs id + text columns)")
-    p.add_argument("-q", "--query", required=True,
+    p.add_argument("-i", "--infile", default=None,
+                   help="corpus parquet (needs id + text columns); "
+                        "not needed when querying via --index")
+    p.add_argument("-q", "--query", default="",
                    help="space-separated query terms")
     p.add_argument("-k", "--topk", type=int, default=10)
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
+    p.add_argument("--build-index", default=None, metavar="DIR",
+                   help="materialize the full inverted index at DIR "
+                        "(postings range-clustered by term + term df + "
+                        "stats) and exit; later queries with --index "
+                        "never re-tokenize the corpus")
+    p.add_argument("--index", default=None, metavar="DIR",
+                   help="query a previously built index: file-pruned "
+                        "postings scan + broadcast joins")
     p = sub.add_parser(
         "bpe-train",
         help="train a BPE merge table over a corpus parquet and write "
@@ -1760,15 +1769,39 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "search":  # no config file: all-flags command
         import json
 
-        from stream2segment_spark.operators.search import search_topk
+        from stream2segment_spark.operators.search import (
+            build_search_index, index_search_topk, search_topk)
         from stream2segment_spark.session import get_spark
         terms = args.query.split()
-        if not terms:
+        if not terms and not args.build_index:
             print("search: empty query", file=sys.stderr)
+            return 2
+        if not args.infile and not args.index:
+            print("search: need -i corpus or --index DIR",
+                  file=sys.stderr)
             return 2
         preexisting = SparkSession.getActiveSession() is not None
         spark = get_spark(app_name="s2s-search")
         try:
+            if args.build_index:
+                if not args.infile:
+                    print("search: --build-index needs -i corpus",
+                          file=sys.stderr)
+                    return 2
+                docs = spark.read.parquet(args.infile)
+                build_search_index(docs, args.id_col, args.text_col,
+                                   args.build_index)
+                print(json.dumps({"index": args.build_index}))
+                return 0
+            if args.index:
+                rows = index_search_topk(spark, args.index, terms,
+                                         k=args.topk).collect()
+                for r in rows:
+                    print(json.dumps({
+                        "term": r["term"], args.id_col: r["id"],
+                        "rank": r["rank"], "tf": r["tf"], "dl": r["dl"],
+                        "score": round(r["score"], 6)}))
+                return 0
             docs = spark.read.parquet(args.infile)
             missing = {args.id_col, args.text_col} - set(docs.columns)
             if missing:

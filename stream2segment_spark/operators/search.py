@@ -136,3 +136,76 @@ def search_topk(docs: DataFrame, id_col: str, text_col: str,
         F.col("score").desc(), F.col(id_col).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index: build once, query many
+# ---------------------------------------------------------------------------
+
+def build_search_index(docs: DataFrame, id_col: str, text_col: str,
+                       path: str, *, index_files: int = 16) -> None:
+    """Materialize the FULL inverted index at ``path``: postings
+    ``(term, id, tf, dl)`` range-clustered by term (``postings/``), the
+    per-term document frequencies (``terms/``), and the corpus stats
+    row (``stats/``) — the production search shape. The one-off build
+    pays the full explode shuffle; every later query is then a
+    file-PRUNED scan of the term's postings (the range layout gives
+    each parquet file a tight term interval — sinks/layout.py) plus two
+    broadcast joins. Query-time never re-tokenizes text.
+
+    df (document frequency) is precomputed per term at build time so the
+    query path needs no window over posting lists; ties to
+    :func:`bm25ish_scores`' contract: scores from the index equal the
+    on-the-fly scores exactly (equivalence-tested)."""
+    from stream2segment_spark.sinks.layout import write_range_layout
+    toked = docs.select(
+        F.col(id_col).alias("id"),
+        word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"))
+    postings = (toked
+                .select("id", F.size("__toks").alias("dl"),
+                        F.explode("__toks").alias("term"))
+                .groupBy("term", "id", "dl")
+                .agg(F.count("*").alias("tf")))
+    write_range_layout(postings, f"{path}/postings", "term", index_files)
+    pt = docs.sparkSession.read.parquet(f"{path}/postings")
+    (pt.groupBy("term").agg(F.count("*").alias("df"))
+       .coalesce(1).write.mode("overwrite").parquet(f"{path}/terms"))
+    (toked.agg(F.count("*").alias("n_docs"),
+               (F.sum(F.size("__toks")).cast("double") / F.count("*"))
+               .alias("avgdl"))
+     .write.mode("overwrite").parquet(f"{path}/stats"))
+
+
+def index_search_topk(spark, path: str, terms: list[str], k: int = 10,
+                      k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Query a :func:`build_search_index` index: term-filtered postings
+    scan (the filter prunes whole files via the range layout's footer
+    intervals and row groups via the in-file sort), broadcast term-df
+    and stats joins, the identical fixed-order BM25-ish arithmetic, and
+    the deterministic per-term top-k. Returns
+    ``(term, id, tf, dl, score, rank)``."""
+    qterms = normalize_terms(terms)
+    if not qterms:
+        raise ValueError("index_search_topk needs at least one query "
+                         "term that survives tokenization")
+    postings = (spark.read.parquet(f"{path}/postings")
+                .where(F.col("term").isin(*qterms)))
+    tdf = (spark.read.parquet(f"{path}/terms")
+           .where(F.col("term").isin(*qterms)))
+    stats = spark.read.parquet(f"{path}/stats")
+    scored = (postings.join(F.broadcast(tdf), "term")
+              .crossJoin(F.broadcast(stats)))
+    idf = (((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+           / (F.col("df").cast("double") + F.lit(0.5)))
+    denom = (F.col("tf").cast("double")
+             + F.lit(k1) * ((F.lit(1.0) - F.lit(b))
+                            + F.lit(b) * (F.col("dl").cast("double")
+                                          / F.col("avgdl"))))
+    score = idf * ((F.col("tf").cast("double")
+                    * (F.lit(k1) + F.lit(1.0))) / denom)
+    w = Window.partitionBy("term").orderBy(
+        F.col("score").desc(), F.col("id").asc())
+    return (scored.select("term", "id", "tf", "dl",
+                          score.alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -73,3 +73,57 @@ def test_search_normalizes_query_terms(spark):
     assert [r["doc_id"] for r in out] == [1]
     with pytest.raises(ValueError, match="term"):
         S.bm25ish_scores(docs, "doc_id", "text", ["!!!", "--"])
+
+
+def test_index_equals_online_search(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from stream2segment_spark.operators.search import (
+        build_search_index, index_search_topk, search_topk)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate([
+            "spark shuffles data across the cluster",
+            "the shuffle service moves shuffle blocks",
+            "no relevant words here at all",
+            "spark spark spark tiny doc",
+            None,
+        ])])
+    idx = str(tmp_path / "idx")
+    build_search_index(docs, "doc_id", "text", idx, index_files=4)
+    online = {(r["term"], r["doc_id"]): (r["score"], r["rank"])
+              for r in search_topk(docs, "doc_id", "text",
+                                   ["Spark", "shuffle"], k=3).collect()}
+    viaidx = {(r["term"], r["id"]): (r["score"], r["rank"])
+              for r in index_search_topk(spark, idx,
+                                         ["Spark", "shuffle"],
+                                         k=3).collect()}
+    assert viaidx == online          # scores bit-equal, same ranking
+    # the query path is pruned + broadcast: no text scan, no shuffle
+    # joins; the only window is the per-term top-k
+    plan = index_search_topk(spark, idx, ["spark"], k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [" in plan or "In(term" in plan, plan
+    with pytest.raises(ValueError, match="at least one"):
+        index_search_topk(spark, idx, ["..."])
+
+
+def test_search_cli_index_lifecycle(spark, tmp_path, capsys):
+    import json
+
+    from pyspark.sql import Row
+
+    from stream2segment_spark.cli import main as cli_main
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [Row(doc_id=1, text="spark moves data"),
+         Row(doc_id=2, text="spark spark again")]).write.parquet(src)
+    idx = str(tmp_path / "idx")
+    assert cli_main(["search", "-i", src, "--build-index", idx]) == 0
+    capsys.readouterr()
+    assert cli_main(["search", "--index", idx, "-q", "spark"]) == 0
+    rows = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [r["doc_id"] for r in rows] == [2, 1]  # tf 2 beats tf 1
+    assert cli_main(["search", "-q", "spark"]) == 2      # no source
+    assert cli_main(["search", "--build-index", idx]) == 2  # no corpus

@@ -170,7 +170,10 @@ def build_search_index(docs: DataFrame, id_col: str, text_col: str,
     pt = docs.sparkSession.read.parquet(f"{path}/postings")
     (pt.groupBy("term").agg(F.count("*").alias("df"))
        .coalesce(1).write.mode("overwrite").parquet(f"{path}/terms"))
+    # total_tokens rides along as the EXACT integer so incremental
+    # appends can recompute avgdl without float round-trip drift
     (toked.agg(F.count("*").alias("n_docs"),
+               F.sum(F.size("__toks")).alias("total_tokens"),
                (F.sum(F.size("__toks")).cast("double") / F.count("*"))
                .alias("avgdl"))
      .write.mode("overwrite").parquet(f"{path}/stats"))
@@ -209,3 +212,49 @@ def index_search_topk(spark, path: str, terms: list[str], k: int = 10,
                           score.alias("score"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def append_to_search_index(docs: DataFrame, id_col: str, text_col: str,
+                           path: str, *, index_files: int = 16) -> None:
+    """Fold a NEW batch of documents into an existing
+    :func:`build_search_index` index without re-tokenizing the corpus:
+    the batch's postings union the stored ones (re-range-clustered —
+    one shuffle of postings rows, never of text), term df merges by
+    addition, and the stats row merges by count/length sums. After the
+    append, the index is IDENTICAL to one built from the unioned corpus
+    (equivalence-tested), because every component is an associative
+    merge — the same contract as hll_merge/hist_merge/merge_moments.
+
+    Caller contract: batch ids must be new (the incremental-ingest
+    pipeline dedups first); re-appending an id double-counts it."""
+    from stream2segment_spark.sinks.layout import write_range_layout
+    spark = docs.sparkSession
+    toked = docs.select(
+        F.col(id_col).alias("id"),
+        word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"))
+    new_post = (toked
+                .select("id", F.size("__toks").alias("dl"),
+                        F.explode("__toks").alias("term"))
+                .groupBy("term", "id", "dl")
+                .agg(F.count("*").alias("tf")))
+    merged = spark.read.parquet(f"{path}/postings").unionByName(new_post)
+    # stage next to the live index, then swap via overwrite reads
+    write_range_layout(merged, f"{path}/postings_new", "term",
+                       index_files)
+    pt = spark.read.parquet(f"{path}/postings_new")
+    pt.write.mode("overwrite").parquet(f"{path}/postings")
+    (spark.read.parquet(f"{path}/postings")
+     .groupBy("term").agg(F.count("*").alias("df"))
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/terms"))
+    old = spark.read.parquet(f"{path}/stats").first()
+    add = toked.agg(F.count("*").alias("n"),
+                    F.sum(F.size("__toks")).alias("t")).first()
+    n = int(old["n_docs"]) + int(add["n"])
+    tot = int(old["total_tokens"]) + int(add["t"] or 0)
+    # exact integer merge -> the same int/int double division a fresh
+    # build performs: appended index == rebuilt index, bit-for-bit
+    spark.createDataFrame([(n, tot, tot / n)],
+                          "n_docs long, total_tokens long, avgdl double") \
+        .write.mode("overwrite").parquet(f"{path}/stats")
+    import shutil
+    shutil.rmtree(f"{path}/postings_new", ignore_errors=True)

@@ -127,3 +127,32 @@ def test_search_cli_index_lifecycle(spark, tmp_path, capsys):
     assert [r["doc_id"] for r in rows] == [2, 1]  # tf 2 beats tf 1
     assert cli_main(["search", "-q", "spark"]) == 2      # no source
     assert cli_main(["search", "--build-index", idx]) == 2  # no corpus
+
+
+def test_append_equals_rebuild(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from stream2segment_spark.operators.search import (
+        append_to_search_index, build_search_index, index_search_topk)
+    a = spark.createDataFrame(
+        [Row(doc_id=1, text="spark moves data"),
+         Row(doc_id=2, text="shuffle shuffle blocks")])
+    b = spark.createDataFrame(
+        [Row(doc_id=3, text="spark again and again"),
+         Row(doc_id=4, text=None)])
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_search_index(a, "doc_id", "text", inc, index_files=2)
+    append_to_search_index(b, "doc_id", "text", inc, index_files=2)
+    build_search_index(a.unionByName(b), "doc_id", "text", full,
+                       index_files=2)
+    for part in ("postings", "terms", "stats"):
+        got = {tuple(r) for r in
+               spark.read.parquet(f"{inc}/{part}").collect()}
+        want = {tuple(r) for r in
+                spark.read.parquet(f"{full}/{part}").collect()}
+        assert got == want, part
+    qi = sorted(map(tuple, index_search_topk(
+        spark, inc, ["spark", "shuffle"], k=5).collect()))
+    qf = sorted(map(tuple, index_search_topk(
+        spark, full, ["spark", "shuffle"], k=5).collect()))
+    assert qi == qf  # appended index answers bit-equal to a rebuild

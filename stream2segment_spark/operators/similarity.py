@@ -55,11 +55,12 @@ def ann_topk_bruteforce(
     cross join materialization.
     """
     qpdf = queries.select(query_id_col, vec_col).toPandas()
+    out_schema = f"{query_id_col} long, {id_col} long, cosine double"
+    if not len(qpdf):   # empty query set: empty result, not np.stack
+        return corpus.sparkSession.createDataFrame([], out_schema)
     q_ids = qpdf[query_id_col].to_numpy()
     qm = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
-
-    out_schema = f"{query_id_col} long, {id_col} long, cosine double"
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -191,6 +192,8 @@ def kmeans_centroids(
     ``operators.clustering.kmeans_quantized`` — its centroids slot in
     here after an L2 normalize."""
     rows = (df.select(vec_col).limit(sample_size).collect())
+    if not rows:
+        raise ValueError("kmeans_centroids needs a non-empty corpus")
     x = np.array([r[0] for r in rows], dtype=float)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -708,9 +711,10 @@ def pq_sample_codebook(corpus: DataFrame, id_col: str = "vec_id",
     identical). Returns (m, ksub, dsub) float64."""
     pdf = (corpus.orderBy(id_col).limit(ksub)
            .select(vec_col).toPandas())
+    if len(pdf) < ksub:
+        raise ValueError(f"corpus smaller than ksub={ksub} "
+                         f"(got {len(pdf)} vectors)")
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-    if mat.shape[0] < ksub:
-        raise ValueError(f"corpus smaller than ksub={ksub}")
     d = mat.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")

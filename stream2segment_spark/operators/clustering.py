@@ -209,8 +209,11 @@ def kmeans_quantized(
         raise ValueError(f"k and iters must be positive, got {k}, {iters}")
     if init not in ("hash", "farthest", "parallel"):
         raise ValueError(f"unknown init {init!r}")
-    q = df.select(F.col(id_col), quantize_vec(F.col(vec_col), scale)
-                  .alias("__qvec")).persist()
+    # NULL vectors carry no geometry: drop them up front (the same
+    # dirty-data contract as similarity._drop_null_vecs)
+    q = (df.where(F.col(vec_col).isNotNull())
+         .select(F.col(id_col), quantize_vec(F.col(vec_col), scale)
+                 .alias("__qvec")).persist())
     # deterministic seeds: k smallest (md5 bucket, id) rows
     n_first = 1 if init in ("farthest", "parallel") else k
     seeds = (q.withColumn("__b", hash_bucket(F.col(id_col), seed))

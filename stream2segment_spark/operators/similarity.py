@@ -40,6 +40,13 @@ def cosine_expr(a, b):
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def _drop_null_vecs(df: DataFrame, vec_col: str) -> DataFrame:
+    """NULL vectors carry no geometry: every public operator here drops
+    them up front (the dirty-data contract — the alternatives are a
+    numpy crash in an Arrow batch or a silent all-nulls LSH bucket)."""
+    return df.where(F.col(vec_col).isNotNull())
+
+
 def ann_topk_bruteforce(
     corpus: DataFrame, queries: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -54,7 +61,9 @@ def ann_topk_bruteforce(
     narrow shuffle + window yields the global top-k. No corpus collect, no
     cross join materialization.
     """
-    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    corpus = _drop_null_vecs(corpus, vec_col)
+    qpdf = _drop_null_vecs(queries, vec_col) \
+        .select(query_id_col, vec_col).toPandas()
     out_schema = f"{query_id_col} long, {id_col} long, cosine double"
     if not len(qpdf):   # empty query set: empty result, not np.stack
         return corpus.sparkSession.createDataFrame([], out_schema)
@@ -99,6 +108,7 @@ def add_hyperplane_buckets(
     The plane matrix is generated deterministically on the driver and
     inlined as literal arrays — pure expressions, broadcast with the plan.
     """
+    df = _drop_null_vecs(df, vec_col)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_planes, dim))
     bucket = None
@@ -191,7 +201,8 @@ def kmeans_centroids(
     For FULL-corpus distributed training (exact, deterministic), see
     ``operators.clustering.kmeans_quantized`` — its centroids slot in
     here after an L2 normalize."""
-    rows = (df.select(vec_col).limit(sample_size).collect())
+    rows = (_drop_null_vecs(df, vec_col)
+            .select(vec_col).limit(sample_size).collect())
     if not rows:
         raise ValueError("kmeans_centroids needs a non-empty corpus")
     x = np.array([r[0] for r in rows], dtype=float)
@@ -229,7 +240,8 @@ def kmeans_centroids_full(
     spread (clustering._kmeans_parallel_init)."""
     from stream2segment_spark.operators.clustering import kmeans_quantized
 
-    _, cents = kmeans_quantized(df, id_col, vec_col, k=k, iters=iters,
+    _, cents = kmeans_quantized(_drop_null_vecs(df, vec_col), id_col,
+                                vec_col, k=k, iters=iters,
                                 scale=scale, seed=seed, init=init)
     c = np.asarray(cents, dtype=float) / scale
     return c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
@@ -275,6 +287,8 @@ def ann_topk_ivf(
 
     nprobe = n_cells degenerates to exact brute force (recall 1)."""
     from pyspark.sql import Window
+    corpus = _drop_null_vecs(corpus, vec_col)
+    queries = _drop_null_vecs(queries, vec_col)
     cell_corpus = corpus.withColumn("__cell",
                                     ivf_assign_udf(centroids)(F.col(vec_col)))
     probes = queries.withColumn(
@@ -306,6 +320,7 @@ def build_ivf_index(
     n cells of a cell-partitioned table is static partition PRUNING (the
     scan never touches unprobed cells; see ``ann_topk_ivf_index``).
     Returns the centroid matrix."""
+    corpus = _drop_null_vecs(corpus, vec_col)
     cents = kmeans_centroids(corpus, vec_col, n_cells,
                              sample_size=sample_size)
     assigned = corpus.withColumn("cell",
@@ -493,6 +508,7 @@ def cosine_pairs_blocked(
     near-exact recall at high thresholds. Cross-table duplicate hits are
     dropped by a final distinct on (id_a, id_b).
     """
+    df = _drop_null_vecs(df, vec_col)
     if lsh_planes:
         grouped = _lsh_table_groups(df, id_col, vec_col,
                                     lsh_planes, lsh_tables, lsh_seed)
@@ -653,7 +669,8 @@ def ann_topk_ivfpq_index(
     codebook = load_pq_codebook(spark, path)
     mm, kk, dsub = codebook.shape
     out_ddl = f"{query_id_col} long, {id_col} long, adc_dist double"
-    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    qpdf = _drop_null_vecs(queries, vec_col) \
+        .select(query_id_col, vec_col).toPandas()
     if not len(qpdf):       # empty query set: empty result, not np.stack
         return spark.createDataFrame([], out_ddl)
     q_ids = qpdf[query_id_col].to_numpy()
@@ -709,7 +726,7 @@ def pq_sample_codebook(corpus: DataFrame, id_col: str = "vec_id",
     sample-only variant trades quantization error for a deterministic,
     engine-replayable codebook, and the encode/ADC machinery is
     identical). Returns (m, ksub, dsub) float64."""
-    pdf = (corpus.orderBy(id_col).limit(ksub)
+    pdf = (_drop_null_vecs(corpus, vec_col).orderBy(id_col).limit(ksub)
            .select(vec_col).toPandas())
     if len(pdf) < ksub:
         raise ValueError(f"corpus smaller than ksub={ksub} "
@@ -729,6 +746,7 @@ def pq_encode(corpus: DataFrame, codebook: np.ndarray,
     the persisted-index shape at 100 TB: d*4 bytes/vector compress to
     m bytes, so a 64-dim float corpus shrinks 32x and the ADC scan
     reads codes, not vectors."""
+    corpus = _drop_null_vecs(corpus, vec_col)
     mm, ksub, dsub = codebook.shape
 
     def enc(batches):
@@ -764,7 +782,8 @@ def pq_topk_adc(corpus: DataFrame, queries: DataFrame,
     at scale persist ``pq_encode`` output once and scan codes instead
     (32x less IO), exactly like the persisted IVF index above."""
     mm, ksub, dsub = codebook.shape
-    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    qpdf = _drop_null_vecs(queries, vec_col) \
+        .select(query_id_col, vec_col).toPandas()
     q_ids = qpdf[query_id_col].to_numpy()
     qm = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
     qs = qm.reshape(len(q_ids), mm, dsub)
@@ -834,6 +853,7 @@ def semantic_dedup(
     from stream2segment_spark.operators.clustering import (
         kmeans_quantized, quantize_vec)
 
+    df = _drop_null_vecs(df, vec_col)
     assigned, _ = kmeans_quantized(df, id_col, vec_col, k=k, iters=iters,
                                    scale=scale, seed=seed, init=init)
     wc = (df.select(F.col(id_col),

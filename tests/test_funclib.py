@@ -298,3 +298,32 @@ def test_multievent_flags():
     res2 = multievent_flags(two, delta)
     assert res2["flag_after"]
     assert res2["score_after"] > res1["score_after"] * 5
+
+
+def test_kernel_udfs_null_rows_pass_through(spark):
+    """NULL waveform rows (failed downloads) yield NULL kernel outputs,
+    never a batch crash; non-null rows are unaffected by the mixing."""
+    from pyspark.sql import Row, functions as F
+
+    from stream2segment_spark.funclib.udfs import (
+        ampspec_udf, cumsumsq_udf, moving_average_udf, quantile_index_udf,
+        snr_amp_udf, sta_lta_udf)
+    df = spark.createDataFrame(
+        [Row(i=0, a=[1.0, 2.0, 3.0, 4.0], b=[1.0, 1.0, 1.0, 1.0]),
+         Row(i=1, a=None, b=[1.0, 1.0, 1.0, 1.0]),
+         Row(i=2, a=[2.0, 2.0, 2.0, 2.0], b=None)])
+    out = df.select(
+        "i",
+        cumsumsq_udf()(F.col("a")).alias("c"),
+        ampspec_udf()(F.col("a")).alias("sp"),
+        quantile_index_udf(0.5)(F.col("a")).alias("qi"),
+        snr_amp_udf()(F.col("a"), F.col("b")).alias("snr"),
+        moving_average_udf(3)(F.col("a")).alias("ma"),
+        sta_lta_udf(2, 4)(F.col("a")).alias("sl"),
+    ).orderBy("i").collect()
+    ok, nul_a, nul_b = out
+    assert ok["c"] is not None and ok["snr"] is not None
+    assert all(nul_a[c] is None for c in ("c", "sp", "qi", "snr", "ma",
+                                          "sl"))
+    assert nul_b["snr"] is None          # either side NULL -> NULL
+    assert nul_b["c"] is not None        # but a-only kernels still run

@@ -102,13 +102,18 @@ def train_linear_classifier(
         raise ValueError(f"iters must be positive, got {iters}")
     if not float(lr * 4).is_integer():
         raise ValueError(f"lr must be a multiple of 0.25, got {lr}")
-    q = df.select(F.col(id_col),
-                  quantize_vec(F.col(vec_col), scale).alias("__qx"),
-                  F.col(label_col).cast("double").alias("__y")).persist()
+    # rows with a NULL feature vector or NULL label carry no gradient:
+    # drop them up front (the same dirty-data contract as the ANN stack)
+    q = (df.where(F.col(vec_col).isNotNull()
+                  & F.col(label_col).isNotNull())
+         .select(F.col(id_col),
+                 quantize_vec(F.col(vec_col), scale).alias("__qx"),
+                 F.col(label_col).cast("double").alias("__y")).persist())
     n = q.count()
     if n == 0:
         q.unpersist()
-        raise ValueError("classifier needs a non-empty input")
+        raise ValueError("classifier needs a non-empty input "
+                         "(after dropping NULL-feature/label rows)")
     dim = len(q.select("__qx").first()["__qx"])
     weights = [0] * dim
     for _ in range(iters):

@@ -387,6 +387,8 @@ def funclib_spectra(spark, sf_dir):
         for pdf in batches:
             rows = []
             for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                if vec is None:     # dirty-data: no waveform, no row
+                    continue
                 x = np.asarray(vec, dtype=np.float64)
                 sp = fft(x)
                 amp = ampspec(sp, signal_is_fft=True)

@@ -1251,6 +1251,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated columns (default: all)")
     p.add_argument("--top", type=int, default=3,
                    help="top-k most frequent values per column")
+    p.add_argument("--emit-rules", default=None, metavar="OUT.json",
+                   help="also write a data-quality contract inferred "
+                        "from the observed stats (numeric min_ge/"
+                        "max_le, observed not_null_frac floored to 2 "
+                        "decimals) for 's2s validate' — profile once, "
+                        "gate every later ingest")
     p.add_argument("--hll-m", type=int, default=256,
                    help="HLL registers (power of two; se ~ 1.04/sqrt(m))")
     p = sub.add_parser(
@@ -1397,11 +1403,33 @@ def main(argv: list[str] | None = None) -> int:
             prof = profile_table(df, cols, hll_m=args.hll_m,
                                  top_k=args.top)
             # rows bounded by n_columns * top_k — presentation collect
-            for r in prof.orderBy("col_name", "top_rank").collect():
+            rows = prof.orderBy("col_name", "top_rank").collect()
+            for r in rows:
                 d = r.asDict()
                 d["n_distinct_est"] = round(d["n_distinct_est"], 1) \
                     if d["n_distinct_est"] is not None else None
                 print(_json.dumps(d))
+            if args.emit_rules:
+                import math
+                numeric = {f.name for f in df.schema.fields
+                           if f.dataType.typeName() in
+                           ("integer", "long", "short", "byte", "float",
+                            "double", "decimal")}
+                rules: dict = {}
+                for r in rows:
+                    if r["top_rank"] != 1:
+                        continue
+                    c, n = r["col_name"], r["n_rows"]
+                    nn = (n - r["n_nulls"]) / n if n else 1.0
+                    rc = {"not_null_frac": math.floor(nn * 100) / 100}
+                    if c in numeric and r["min_str"] is not None:
+                        rc["min_ge"] = float(r["min_str"])
+                        rc["max_le"] = float(r["max_str"])
+                    rules[c] = rc
+                with open(args.emit_rules, "w") as fh:
+                    _json.dump(rules, fh, indent=1, sort_keys=True)
+                print(_json.dumps({"rules": args.emit_rules,
+                                   "columns": len(rules)}))
             return 0
         finally:
             if not preexisting:

@@ -74,3 +74,29 @@ def test_validate_cli(spark, table, tmp_path, capsys):
     assert cli_main(["validate", "-i", src, "-r", str(bad)]) == 1
     capsys.readouterr()
     assert cli_main(["validate", "-i", src, "-r", str(typo)]) == 2
+
+
+def test_profile_emit_rules_then_validate(spark, table, tmp_path, capsys):
+    """The profile -> contract -> validate loop: rules inferred from a
+    table pass against the SAME table, and catch a degraded ingest."""
+    from pyspark.sql import Row
+
+    from stream2segment_spark.cli import main as cli_main
+    src = str(tmp_path / "t.parquet")
+    table.write.parquet(src)
+    rules = str(tmp_path / "rules.json")
+    assert cli_main(["profile", "-i", src, "--emit-rules", rules]) == 0
+    capsys.readouterr()
+    contract = json.loads(open(rules).read())
+    assert contract["score"]["max_le"] == 1.5
+    assert contract["id"]["min_ge"] == 1.0
+    assert 0 < contract["score"]["not_null_frac"] <= 0.75
+    # the source table satisfies its own inferred contract
+    assert cli_main(["validate", "-i", src, "-r", rules]) == 0
+    capsys.readouterr()
+    # a degraded ingest (all scores null, out-of-range id) fails it
+    bad = str(tmp_path / "bad.parquet")
+    spark.createDataFrame(
+        [Row(id=0, status="A", score=None, email=None)] * 4,
+        table.schema).write.parquet(bad)
+    assert cli_main(["validate", "-i", bad, "-r", rules]) == 1

@@ -564,3 +564,121 @@ def sample_raw_frames(
                  "frame": frames})
 
     return df.select(id_col, content_col).mapInPandas(_gen, out_ddl)
+
+
+# ---------------------------------------------------------------------------
+# Video containers: ISO-BMFF (MP4) and RIFF/AVI metadata planes
+# ---------------------------------------------------------------------------
+# Public byte layouts (ISO/IEC 14496-12 box structure; the classic
+# Microsoft RIFF AVIMAINHEADER): like the image/audio probes above, the
+# METADATA plane parses for real — duration/timescale/track count from
+# moov/mvhd, frame geometry from avih — while the entropy-coded sample
+# data stays behind the documented codec boundary.
+
+def build_mp4_bytes(duration: int, timescale: int = 600,
+                    n_tracks: int = 1,
+                    major_brand: bytes = b"isom") -> bytes:
+    """Minimal spec-shaped ISO-BMFF file: ftyp + moov(mvhd v0 + empty
+    trak boxes). Deterministic serializer for tests/gates (the WET/ISF
+    roundtrip pattern applied to video)."""
+    # 8B header + major_brand + minor_version + one compat brand = 20B
+    ftyp = struct.pack(">I4s4sI4s", 20, b"ftyp", major_brand, 0, b"mp42")
+    # box = 8B header + 4B ver/flags + creation/modification/timescale/
+    # duration u32 each = 28 bytes
+    mvhd = struct.pack(">I4sB3x4I", 28, b"mvhd", 0, 0, 0,
+                       timescale, duration)
+    traks = b"".join(struct.pack(">I4s", 8, b"trak")
+                     for _ in range(n_tracks))
+    moov = struct.pack(">I4s", 8 + len(mvhd) + len(traks), b"moov") \
+        + mvhd + traks
+    return ftyp + moov
+
+
+def build_avi_bytes(width: int, height: int, n_frames: int,
+                    usec_per_frame: int = 33333) -> bytes:
+    """Minimal spec-shaped RIFF/AVI file: LIST hdrl with one
+    AVIMAINHEADER (avih) chunk."""
+    avih = struct.pack("<4sI14I", b"avih", 56, usec_per_frame, 0, 0, 0,
+                       n_frames, 0, 1, 0, width, height, 0, 0, 0, 0)
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+
+
+_VIDEO_EMPTY = dict(media_type=None, duration_sec=None, timescale=None,
+                    n_tracks=None, width=None, height=None,
+                    n_frames=None, n_bytes=None, error=None)
+
+VIDEO_PROBE_DDL = ("media_type string, duration_sec double, "
+                   "timescale int, n_tracks int, width int, height int, "
+                   "n_frames int, n_bytes int, error string")
+
+
+def probe_video_bytes(b: bytes | None) -> dict:
+    """Parse one video container's metadata plane: ISO-BMFF box walk to
+    moov/mvhd (duration, timescale, trak count; mvhd v0 and v1) or
+    RIFF/AVI avih (geometry, frame count, fps-derived duration)."""
+    out = dict(_VIDEO_EMPTY)
+    if b is None:
+        out["error"] = "null content"
+        return out
+    b = bytes(b)
+    out["n_bytes"] = len(b)
+    try:
+        if len(b) >= 12 and b[4:8] == b"ftyp":
+            out["media_type"] = "video/mp4"
+            i = 0
+            while i + 8 <= len(b):
+                size, typ = struct.unpack(">I4s", b[i:i + 8])
+                if size < 8:
+                    out["error"] = "truncated box"
+                    return out
+                if typ == b"moov":
+                    j, end = i + 8, i + size
+                    n_tracks = 0
+                    while j + 8 <= min(end, len(b)):
+                        csize, ctyp = struct.unpack(">I4s", b[j:j + 8])
+                        if csize < 8:
+                            out["error"] = "truncated box"
+                            return out
+                        if ctyp == b"mvhd":
+                            ver = b[j + 8]
+                            if ver == 0:
+                                ts, dur = struct.unpack(
+                                    ">II", b[j + 20:j + 28])
+                            else:   # v1: 64-bit times
+                                ts, = struct.unpack(
+                                    ">I", b[j + 28:j + 32])
+                                dur, = struct.unpack(
+                                    ">Q", b[j + 32:j + 40])
+                            out["timescale"] = ts
+                            out["duration_sec"] = dur / ts if ts else None
+                        elif ctyp == b"trak":
+                            n_tracks += 1
+                        j += csize
+                    out["n_tracks"] = n_tracks
+                i += size
+            if out["timescale"] is None:
+                out["error"] = "no mvhd box"
+        elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            out["media_type"] = "video/x-msvideo"
+            k = b.find(b"avih")
+            if k < 0 or k + 64 > len(b):
+                out["error"] = "no avih chunk"
+                return out
+            (usec, _mb, _pad, _fl, frames, _init, _streams, _buf,
+             w, h) = struct.unpack("<10I", b[k + 8:k + 48])
+            out.update(width=w, height=h, n_frames=frames,
+                       duration_sec=(frames * usec) / 1_000_000.0)
+        else:
+            out["error"] = "not a video container"
+    except (struct.error, IndexError) as exc:
+        out["error"] = f"truncated: {exc}"
+    return out
+
+
+def probe_video_udf():
+    """Arrow-batched probe over a binary column -> VIDEO_PROBE_DDL."""
+    @F.pandas_udf(f"struct<{VIDEO_PROBE_DDL}>")
+    def _udf(content: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([probe_video_bytes(v) for v in content])
+    return _udf

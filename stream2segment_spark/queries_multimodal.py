@@ -290,3 +290,84 @@ def multimodal_audio_features(spark, sf_dir):
     return dec.select("doc_id", "f.n_frames", "f.zero_crossings",
                       "f.peak", "f.ssq",
                       F.round(F.col("f.rms"), 6).alias("rms"))
+
+
+def _mp4_blob(duration, tracks):
+    """Minimal ISO-BMFF: ftyp + moov(mvhd v0 + `tracks` empty traks),
+    JVM-built (big-endian box sizes via _be). tracks must be < 4."""
+    moov_size = _be(F.lit(36) + tracks * 8, 4)
+    mvhd_head = F.lit(b"\x00\x00\x00\x1cmvhd" + b"\x00" * 12)
+    trak = b"\x00\x00\x00\x08trak"
+    traks = F.concat(*[
+        F.when(tracks > i, F.lit(trak)).otherwise(F.lit(b""))
+        for i in range(3)])
+    return F.concat(
+        F.lit(b"\x00\x00\x00\x14ftypisom\x00\x00\x00\x00mp42"),
+        moov_size, F.lit(b"moov"),
+        mvhd_head, _be(F.lit(600), 4), _be(duration, 4),
+        traks)
+
+
+def _avi_blob(width, height, n_frames, usec: int = 40000):
+    """Minimal RIFF/AVI: LIST hdrl with one AVIMAINHEADER chunk
+    (little-endian fields via _le)."""
+    zero4 = F.lit(b"\x00\x00\x00\x00")
+    return F.concat(
+        F.lit(b"RIFF"), _le(F.lit(80), 4), F.lit(b"AVI "),
+        F.lit(b"LIST"), _le(F.lit(68), 4), F.lit(b"hdrl"),
+        F.lit(b"avih"), _le(F.lit(56), 4),
+        _le(F.lit(usec), 4), zero4, zero4, zero4,
+        _le(n_frames, 4), zero4, _le(F.lit(1), 4), zero4,
+        _le(width, 4), _le(height, 4), zero4, zero4, zero4, zero4)
+
+
+@register(
+    "multimodal_video",
+    """SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'video/mp4'
+                   ELSE 'video/x-msvideo' END AS media_type,
+              CASE WHEN doc_id % 2 = 0
+                   THEN CAST(doc_id % 36000 + 1 AS DOUBLE)
+                        / CAST(600 AS DOUBLE)
+                   ELSE CAST((doc_id % 900 + 1) * 40000 AS DOUBLE)
+                        / CAST(1000000 AS DOUBLE) END AS duration_sec,
+              CASE WHEN doc_id % 2 = 0 THEN CAST(600 AS INT) END
+                  AS timescale,
+              CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 4 AS INT) END
+                  AS n_tracks,
+              CASE WHEN doc_id % 2 = 1
+                   THEN CAST(320 + (doc_id % 17) * 16 AS INT) END AS width,
+              CASE WHEN doc_id % 2 = 1
+                   THEN CAST(240 + (doc_id % 9) * 16 AS INT) END AS height,
+              CASE WHEN doc_id % 2 = 1
+                   THEN CAST(doc_id % 900 + 1 AS INT) END AS n_frames,
+              CASE WHEN doc_id % 2 = 0
+                   THEN CAST(56 + 8 * (doc_id % 4) AS INT)
+                   ELSE 88 END AS n_bytes
+       FROM documents""",
+    gate=False,
+)
+def multimodal_video(spark, sf_dir):
+    """Video-container metadata probing (multimodal.probe_video_bytes):
+    spec-shaped ISO-BMFF (ftyp + moov/mvhd box walk -> duration,
+    timescale, trak count) and RIFF/AVI (AVIMAINHEADER -> geometry,
+    frame count, fps-derived duration) blobs are BUILT with pure JVM
+    byte expressions from each doc_id, then parsed back by the real
+    Arrow-batched probe UDF — the oracle recomputes every field from
+    the ids (same construction-roundtrip contract as multimodal_probe;
+    the entropy-coded sample data stays behind the documented codec
+    boundary). Completes the metadata plane for the third modality:
+    image (PNG/JPEG/GIF/BMP/PNM), audio (WAV), video (MP4/AVI)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id")
+    blob = F.when(k % 2 == 0,
+                  _mp4_blob((k % 36000 + 1).cast("int"),
+                            (k % 4).cast("int"))) \
+            .otherwise(_avi_blob((320 + (k % 17) * 16).cast("int"),
+                                 (240 + (k % 9) * 16).cast("int"),
+                                 (k % 900 + 1).cast("int")))
+    probed = docs.select("doc_id",
+                         MM.probe_video_udf()(blob).alias("p"))
+    return probed.select(
+        "doc_id", "p.media_type", "p.duration_sec", "p.timescale",
+        "p.n_tracks", "p.width", "p.height", "p.n_frames", "p.n_bytes")

@@ -409,3 +409,42 @@ def test_image_and_audio_features(spark):
     assert a["n_frames"] == 5 and a["peak"] == 100
     assert a["zero_crossings"] == 2          # 100->-50, -50->25 (0 breaks)
     assert a["ssq"] == 100**2 + 50**2 + 25**2 + 0 + 10**2
+
+
+def test_probe_video_mp4_and_avi():
+    import struct
+
+    from stream2segment_spark.multimodal import (
+        build_avi_bytes, build_mp4_bytes, probe_video_bytes)
+    m = probe_video_bytes(build_mp4_bytes(1800, 600, 3))
+    assert (m["media_type"], m["duration_sec"], m["timescale"],
+            m["n_tracks"]) == ("video/mp4", 3.0, 600, 3)
+    a = probe_video_bytes(build_avi_bytes(640, 480, 120, 40000))
+    assert (a["media_type"], a["width"], a["height"], a["n_frames"],
+            a["duration_sec"]) == ("video/x-msvideo", 640, 480, 120, 4.8)
+    # mvhd v1 (64-bit times)
+    mvhd1 = struct.pack(">I4sB3xQQIQ", 40, b"mvhd", 1, 5, 6, 600, 1200)
+    moov = struct.pack(">I4s", 48, b"moov") + mvhd1
+    ftyp = struct.pack(">I4s4sI4s", 20, b"ftyp", b"isom", 0, b"mp42")
+    v1 = probe_video_bytes(ftyp + moov)
+    assert v1["duration_sec"] == 2.0 and v1["timescale"] == 600
+    # zero tracks / zero duration still parse
+    z = probe_video_bytes(build_mp4_bytes(0, 600, 0))
+    assert z["n_tracks"] == 0 and z["duration_sec"] == 0.0
+
+
+def test_probe_video_edge_cases():
+    from stream2segment_spark.multimodal import (
+        build_mp4_bytes, probe_video_bytes)
+    assert probe_video_bytes(None)["error"] == "null content"
+    assert probe_video_bytes(b"garbage!!!!!")["error"] \
+        == "not a video container"
+    good = build_mp4_bytes(600, 600, 1)
+    # corrupt a box size to < 8: flagged, not an infinite loop/crash
+    bad = good[:20] + b"\x00\x00\x00\x02" + good[24:]
+    assert probe_video_bytes(bad)["error"] == "truncated box"
+    # ftyp without any moov
+    assert probe_video_bytes(good[:20])["error"] == "no mvhd box"
+    # RIFF AVI without avih
+    assert probe_video_bytes(b"RIFF\x10\x00\x00\x00AVI LIST")["error"] \
+        == "no avih chunk"

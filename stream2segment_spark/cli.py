@@ -696,6 +696,47 @@ def cmd_corr(spark, infile: str, cols: str, scale: int,
     return 0
 
 
+def cmd_media_probe(spark, infile: str, content_col: str,
+                    id_col: str, outfile: str | None, limit: int) -> int:
+    """'s2s media-probe': parse image/audio/video container headers of
+    a binary column (multimodal.probe_media_udf + probe_video_udf —
+    scan-stage Arrow UDFs, no codecs); writes parquet or prints JSON
+    rows. Rows an image/audio probe can't identify fall through to the
+    video probe, so one command covers all three modalities."""
+    import json as _json
+
+    from stream2segment_spark import multimodal as MM
+    df = spark.read.parquet(infile)
+    missing = [c for c in (content_col, id_col) if c not in df.columns]
+    if missing:
+        print(f"error: {infile} lacks column(s) {missing}",
+              file=sys.stderr)
+        return 2
+    blob = F.col(content_col)
+    out = df.select(
+        F.col(id_col),
+        MM.probe_media_udf()(blob).alias("media"),
+        MM.probe_video_udf()(blob).alias("video"))
+    out = out.select(
+        id_col,
+        F.coalesce("media.media_type", "video.media_type")
+        .alias("media_type"),
+        "media.width", "media.height", "media.n_channels",
+        "media.sample_rate", "media.bit_depth",
+        "video.duration_sec", "video.n_tracks", "video.n_frames",
+        "media.n_bytes",
+        F.when(F.col("media.media_type").isNotNull()
+               | F.col("video.media_type").isNotNull(), F.lit(None))
+         .otherwise(F.col("media.error")).alias("error"))
+    if outfile:
+        out.write.mode("overwrite").parquet(outfile)
+        print(_json.dumps({"written": outfile}))
+        return 0
+    for r in out.limit(limit).collect():
+        print(_json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def cmd_validate(spark, infile: str, rules_path: str) -> int:
     """'s2s validate': assert a JSON rule contract over a parquet table
     (operators/validate.validate_table, one aggregation pass); prints
@@ -1121,6 +1162,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bits", type=int, default=12,
                    help="Z-order bits per dimension (default 12)")
     p = sub.add_parser(
+        "media-probe",
+        help="parse image/audio/video container headers of a binary "
+             "column (PNG/JPEG/GIF/WAV/MP4/AVI metadata planes, no "
+             "codecs); prints JSON rows or writes parquet")
+    p.add_argument("-i", "--infile", required=True, help="input parquet")
+    p.add_argument("--col", default="content", dest="content_col",
+                   help="binary column (default 'content')")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("-o", "--outfile", default=None,
+                   help="write parquet instead of printing")
+    p.add_argument("--limit", type=int, default=100,
+                   help="max rows to print (ignored with -o)")
+    p = sub.add_parser(
         "validate",
         help="assert a JSON data-quality contract over a parquet table "
              "(not_null_frac/min_ge/max_le/unique/allowed_values/"
@@ -1528,6 +1582,16 @@ def main(argv: list[str] | None = None) -> int:
                 for k in keys
                 for f, lo, hi in file_key_ranges(args.outdir, k)]))
             return 0
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "media-probe":  # no config file: all-flags command
+        from stream2segment_spark.session import get_spark
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-media-probe")
+        try:
+            return cmd_media_probe(spark, args.infile, args.content_col,
+                                   args.id_col, args.outfile, args.limit)
         finally:
             if not preexisting:
                 spark.stop()

@@ -448,3 +448,32 @@ def test_probe_video_edge_cases():
     # RIFF AVI without avih
     assert probe_video_bytes(b"RIFF\x10\x00\x00\x00AVI LIST")["error"] \
         == "no avih chunk"
+
+
+def test_media_probe_cli(spark, tmp_path, capsys):
+    import json
+
+    from pyspark.sql import Row
+
+    from stream2segment_spark.cli import main as cli_main
+    from stream2segment_spark.multimodal import build_mp4_bytes
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+           + (64).to_bytes(4, "big") + (32).to_bytes(4, "big")
+           + b"\x08\x02")
+    rows = [Row(doc_id=1, content=bytearray(png)),
+            Row(doc_id=2, content=bytearray(build_mp4_bytes(1200, 600, 2))),
+            Row(doc_id=3, content=bytearray(b"not a container")),
+            Row(doc_id=4, content=None)]
+    src = str(tmp_path / "m.parquet")
+    spark.createDataFrame(rows, "doc_id long, content binary") \
+        .write.parquet(src)
+    assert cli_main(["media-probe", "-i", src]) == 0
+    out = {json.loads(l)["doc_id"]: json.loads(l) for l in
+           capsys.readouterr().out.strip().splitlines()}
+    assert out[1]["media_type"] == "image/png" and out[1]["width"] == 64
+    assert out[2]["media_type"] == "video/mp4"
+    assert out[2]["duration_sec"] == 2.0 and out[2]["n_tracks"] == 2
+    assert out[3]["media_type"] is None and out[3]["error"]
+    assert out[4]["media_type"] is None
+    assert cli_main(["media-probe", "-i", src, "--col", "nope"]) == 2

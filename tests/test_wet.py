@@ -99,3 +99,38 @@ def test_ingest_wet_cli(spark, wet_file, tmp_path, capsys):
     assert rows["http://a.test/1"]["n_bytes"] == len("hello world")
     ids = [r["doc_id"] for r in rows.values()]
     assert len(set(ids)) == len(ids) and all(i > 0 for i in ids)
+
+
+def test_wet_roundtrip_property(spark):
+    """Hypothesis: any payload without the marker string survives
+    serialize->parse with trailing newlines normalized (batched: one
+    Spark job per example set)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",),
+                               blacklist_characters=""),
+        max_size=80,
+    ).filter(lambda t: "WARC/1.0" not in t)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(text, min_size=1, max_size=6))
+    def run(payloads):
+        df = spark.createDataFrame(
+            [Row(uri=f"http://p.test/{i}", text=t)
+             for i, t in enumerate(payloads)])
+        recs = to_wet_lines(df, "uri", "text") \
+            .where(F.col("value").isNotNull())
+        # parse the serialized records directly (marker intact: the
+        # header regex is multiline, instr finds the same separator)
+        back = {r["uri"]: r for r in parse_wet_records(recs).collect()}
+        for i, t in enumerate(payloads):
+            r = back[f"http://p.test/{i}"]
+            want = t.rstrip("\r\n")
+            assert r["text"] == want
+            assert r["len_ok"] is True
+            assert r["content_length"] == len(want.encode("utf-8"))
+
+    run()

@@ -81,6 +81,9 @@ def _graph(dfs):
        UNION ALL
        SELECT 'orderby' AS op, event_id, event_type, value FROM ev
        WHERE value > 190""",
+    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
+    # slot for a never-driver-checked entry (VERDICT r4 item #1).
+    gate=False,
 )
 def selection_predicates(spark, sf_dir):
     """P1-P3/O3 in one tagged entry (the gate caps the checked-query count,
@@ -196,6 +199,9 @@ def agg_pricing_summary(spark, sf_dir):
               count(*) FILTER (WHERE event_type = 'signup')   AS signup,
               count(*) FILTER (WHERE event_type = 'error')    AS error
        FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events GROUP BY user_id""",
+    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
+    # slot for a never-driver-checked entry (VERDICT r4 item #1).
+    gate=False,
 )
 def agg_stats_pivot(spark, sf_dir):
     """A1/A2: the download-stats url x code matrix
@@ -470,6 +476,9 @@ def join_download_diff(spark, sf_dir):
                     OR o.o_orderdate + INTERVAL 60 DAY
                        >= l.l_shipdate + INTERVAL 1 DAY)) AS valid
        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
+    # slot for a never-driver-checked entry (VERDICT r4 item #1).
+    gate=False,
 )
 def pred_epoch_validity(spark, sf_dir):
     """P8: station epoch validity (reference stationsearch.py:84-86)

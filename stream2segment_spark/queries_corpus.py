@@ -89,7 +89,9 @@ def corpus_longest_dup(spark, sf_dir):
                   FILTER (f.line_df <= 2), chr(10)), '')) AS kept_md5
        FROM l JOIN f USING (ln)
        GROUP BY l.doc_id""",
-    # gate-checked: the slot freed by the sim_pairs_threshold rotation.
+    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
+    # slot for a never-driver-checked entry (VERDICT r4 item #1).
+    gate=False,
 )
 def corpus_line_dedup(spark, sf_dir):
     """CCNet/RefinedWeb-style line-level boilerplate removal
@@ -388,7 +390,9 @@ _KM_ASSIGN_SQL = f"""q AS (SELECT vec_id,
     f"""WITH {_KM_ASSIGN_SQL}
        SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id, d2 AS dist2
        FROM asn""",
-    # gate-checked: the slot freed by the dedup_exact_docs rotation.
+    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
+    # slot for a never-driver-checked entry (VERDICT r4 item #1).
+    gate=False,
 )
 def cluster_kmeans(spark, sf_dir):
     """Distributed Lloyd k-means over the embedding column
@@ -621,9 +625,7 @@ def corpus_bloom_ingest(spark, sf_dir):
           FROM d)
         SELECT doc_id, source, n_tokens, mix_start
         FROM w WHERE mix_start < 3000""",
-    # registered past the driver window (full at 50 this round):
-    # mirror-checked + benched; rotate into the window next round
-    gate=False,
+    # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
 )
 def corpus_token_mix(spark, sf_dir):
     """Token-budget source mixing (functions/sampling.token_budget_mix —
@@ -656,9 +658,7 @@ def corpus_token_mix(spark, sf_dir):
                coalesce(array_to_string(w[i*12+1 : i*12+16], ' '), '')
                  AS chunk_text
         FROM e""",
-    # registered past the driver window (full at 50 this round):
-    # mirror-checked + benched; rotate into the window next round
-    gate=False,
+    # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
 )
 def corpus_chunking(spark, sf_dir):
     """Overlapping token-window chunking (functions/packing.
@@ -727,9 +727,7 @@ def _classifier_oracle() -> str:
 
 @register(
     "corpus_quality_classifier", _classifier_oracle(),
-    # registered past the driver window (full at 50 this round):
-    # mirror-checked + benched; rotate into the window next round
-    gate=False,
+    # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
 )
 def corpus_quality_classifier(spark, sf_dir):
     """Distributed linear quality classifier (operators/classifier.py —
@@ -842,8 +840,7 @@ def corpus_shuffle_shards(spark, sf_dir):
                                          ORDER BY h, doc_id) AS rn
                FROM h)
        SELECT doc_id, source FROM r WHERE rn <= 25""",
-    # registered past the 50-entry window (full); rotate in next round
-    gate=False,
+    # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
 )
 def corpus_domain_cap(spark, sf_dir):
     """Per-source document cap (functions/sampling.cap_per_group): at
@@ -932,7 +929,7 @@ SELECT doc_id, url, scheme, host,
 FROM dom"""
 
 
-@register("corpus_url_canonical", _URL_ORACLE, gate=False)
+@register("corpus_url_canonical", _URL_ORACLE)
 def corpus_url_canonical(spark, sf_dir):
     """URL parse + canonicalization + registrable domain
     (functions/url.py) over a deterministic synthetic URL corpus

@@ -449,6 +449,9 @@ def funclib_spectra(spark, sf_dir):
                 PARTITION BY user_id
                 ORDER BY ts NULLS FIRST, event_id) AS first_event_id
        FROM ev""",
+    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
+    # slot for a never-driver-checked entry (VERDICT r4 item #1).
+    gate=False,
 )
 def scalar_seed_id(spark, sf_dir):
     """J11/F14: seed-id build with the stored-value fallback
@@ -482,6 +485,9 @@ def scalar_seed_id(spark, sf_dir):
                        ELSE coalesce(text, '') END) AS payload_md5,
               doc_id % 7 != 0 AS has_data
        FROM documents""",
+    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
+    # slot for a never-driver-checked entry (VERDICT r4 item #1).
+    gate=False,
 )
 def source_sniff(spark, sf_dir):
     """K7 + P4: each document's text is compressed with a per-row method
@@ -591,6 +597,9 @@ def _sg_terms(n: int = 64, half: int = 2, order: int = 2) -> str:
               round(sg.sg, 6) AS sgsmooth
        FROM s JOIN t ON s.vec_id = t.vec_id AND s.pos = t.pos
               JOIN sg ON s.vec_id = sg.vec_id AND s.pos = sg.pos""",
+    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
+    # slot for a never-driver-checked entry (VERDICT r4 item #1).
+    gate=False,
 )
 def funclib_coda_smooth(spark, sf_dir):
     """W4 + N10 building blocks through the REAL kernels on the Arrow

@@ -64,6 +64,9 @@ def _wav_blob(channels, sample_rate):
               CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bit_depth,
               CASE WHEN doc_id % 2 = 0 THEN 26 ELSE 36 END AS n_bytes
        FROM documents""",
+    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
+    # slot for a never-driver-checked entry (VERDICT r4 item #1).
+    gate=False,
 )
 def multimodal_probe(spark, sf_dir):
     """Media metadata probe: build PNG headers for even ids and WAV headers
@@ -345,7 +348,6 @@ def _avi_blob(width, height, n_frames, usec: int = 40000):
                    THEN CAST(56 + 8 * (doc_id % 4) AS INT)
                    ELSE 88 END AS n_bytes
        FROM documents""",
-    gate=False,
 )
 def multimodal_video(spark, sf_dir):
     """Video-container metadata probing (multimodal.probe_video_bytes):

@@ -258,9 +258,7 @@ def join_asof_backward(spark, sf_dir):
        FROM clicks c
        ASOF LEFT JOIN marks m
          ON c.user_id = m.user_id AND c.ts <= m.ts""",
-    # registered past the driver window (full at 50 this round):
-    # mirror-checked + benched; rotate into the window next round
-    gate=False,
+    # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
 )
 def join_asof_forward(spark, sf_dir):
     """Forward as-of join (pandas merge_asof direction='forward';
@@ -301,9 +299,7 @@ def join_asof_forward(spark, sf_dir):
                    WHEN (ft - b.ts) < (b.ts - bt) THEN ft
                    ELSE bt END AS ts_asof
        FROM b JOIN f USING (event_id)""",
-    # registered past the driver window (full at 50 this round):
-    # mirror-checked + benched; rotate into the window next round
-    gate=False,
+    # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
 )
 def join_asof_nearest(spark, sf_dir):
     """Nearest as-of join (pandas merge_asof direction='nearest', ties
@@ -393,7 +389,6 @@ _CORR_PAIRS = " UNION ALL ".join(
                                        for c in _CORR_COLS)}),
          m AS (SELECT {_CORR_SUMS} FROM q)
        {_CORR_PAIRS}""",
-    gate=False,
 )
 def agg_corr_matrix(spark, sf_dir):
     """Exact single-pass correlation matrix of four lineitem measures
@@ -450,7 +445,6 @@ def agg_corr_matrix(spark, sf_dir):
                             '^[1-5]-[A-Z ]+$')
                        AND o_orderpriority IS NOT NULL
                        THEN 1 ELSE 0 END) = 0 FROM orders""",
-    gate=False,
 )
 def table_validate(spark, sf_dir):
     """Data-quality contract over the orders table

@@ -122,7 +122,9 @@ def _lsh_oracle(num_planes: int = 12, seed: int = 7, threshold: float = 0.4) -> 
         WHERE list_cosine_similarity(a.v, c.v) >= {threshold}"""
 
 
-@register("sim_lsh_neardup", _lsh_oracle(num_planes=5))
+# r5 gate rotation: deferred (driver-green >=2 rounds) to free a
+# slot for a never-driver-checked entry (VERDICT r4 item #1).
+@register("sim_lsh_neardup", _lsh_oracle(num_planes=5), gate=False)
 def sim_lsh_neardup(spark, sf_dir):
     """Random-hyperplane LSH near-dup: bucket join (one shuffle on the
     bucket key, no cross join) + exact cosine on candidates. The oracle
@@ -174,6 +176,9 @@ _PQ_M, _PQ_KSUB, _PQ_DSUB, _PQ_K = 8, 16, 8, 5
               FROM adc)
         SELECT query_id, vec_id, round(d2, 6) AS adc_dist
         FROM r WHERE rn <= {_PQ_K}""",
+    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
+    # slot for a never-driver-checked entry (VERDICT r4 item #1).
+    gate=False,
 )
 def sim_pq_adc(spark, sf_dir):
     """Product-quantization ANN (Jegou et al. 2011) with an exact oracle:
@@ -242,9 +247,7 @@ _PQ_REFINE = 4
         SELECT query_id, vec_id, round(d2, 6) AS adc_dist,
                round(e2, 6) AS exact_d2
         FROM rr WHERE rn <= {_PQ_K}""",
-    # registered past the driver window (full at 50 this round):
-    # mirror-checked + benched; rotate into the window next round
-    gate=False,
+    # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
 )
 def sim_pq_refine(spark, sf_dir):
     """ADC + exact re-rank (IVFADC+R, Jegou et al. 2011 §V —

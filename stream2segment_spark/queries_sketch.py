@@ -234,7 +234,6 @@ _QH_QS = (0.25, 0.5, 0.9, 0.99)
                                      - CAST(cum_before AS DOUBLE))
                                     / CAST(cnt AS DOUBLE)), 6) AS q_value
        FROM hit WHERE rn = 1""",
-    gate=False,
 )
 def sketch_quantile_hist(spark, sf_dir):
     """Mergeable equi-width histogram sketch -> quantile estimates
@@ -424,7 +423,6 @@ _SH_QS = (0.5, 0.9)
                                      - CAST(cum_before AS DOUBLE))
                                     / CAST(cnt AS DOUBLE)), 6) AS q_value
        FROM hit WHERE rn = 1""",
-    gate=False,
 )
 def stream_hist_quantiles(spark, sf_dir):
     """Streaming distribution monitoring: per-hour histogram counters of

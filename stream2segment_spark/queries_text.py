@@ -94,7 +94,9 @@ def _text_analysis_oracle() -> str:
                   % 10000 AS bkt FROM m) m"""
 
 
-@register("text_analysis", _text_analysis_oracle())
+# r5 gate rotation: deferred (driver-green >=2 rounds) to free a
+# slot for a never-driver-checked entry (VERDICT r4 item #1).
+@register("text_analysis", _text_analysis_oracle(), gate=False)
 def text_analysis(spark, sf_dir):
     """The text-analysis family in one documents-grain entry (the gate caps
     the checked-query count): token counting (whitespace tokens + BPE-ish
@@ -179,6 +181,9 @@ def dedup_exact_docs(spark, sf_dir):
                   FROM reach GROUP BY a)
         SELECT p.id_a, p.id_b, p.jaccard, l.cluster_id
         FROM pairs p JOIN label l ON l.a = p.id_a""",
+    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
+    # slot for a never-driver-checked entry (VERDICT r4 item #1).
+    gate=False,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (threshold 0.5) with inverted-
@@ -277,6 +282,9 @@ def dedup_canonical_best(spark, sf_dir):
         FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
         WHERE len(list_intersect(x.s, y.s))::DOUBLE
               / len(list_distinct(list_concat(x.s, y.s))) >= 0.5""",
+    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
+    # slot for a never-driver-checked entry (VERDICT r4 item #1).
+    gate=False,
 )
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(64 hashes) + LSH(32 bands of 2 rows) candidates, VERIFIED by
@@ -324,7 +332,9 @@ def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
         WHERE bit_count(xor(a.simhash, c.simhash)) <= {max_hamming}"""
 
 
-@register("dedup_simhash", _simhash_oracle())
+# r5 gate rotation: deferred (driver-green >=2 rounds) to free a
+# slot for a never-driver-checked entry (VERDICT r4 item #1).
+@register("dedup_simhash", _simhash_oracle(), gate=False)
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3) via the pigeonhole 4-block
     equi-join (no cross join). The gate variant hashes tokens with md5
@@ -386,6 +396,9 @@ _PII_PHONE = TX.PII_PATTERNS["phone"]
               h.n_shingles, h.n_contam,
               round(h.n_contam / h.n_shingles, 6) AS contam_frac
        FROM pii p JOIN hits h USING (doc_id)""",
+    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
+    # slot for a never-driver-checked entry (VERDICT r4 item #1).
+    gate=False,
 )
 def text_curation(spark, sf_dir):
     """Training-data curation stage beyond the reference: PII
@@ -800,9 +813,7 @@ def _gopher_oracle() -> str:
 
 @register(
     "corpus_gopher_quality", _gopher_oracle(),
-    # registered past the driver window (full at 50 this round):
-    # mirror-checked + benched; rotate into the window next round
-    gate=False,
+    # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
 )
 def corpus_gopher_quality(spark, sf_dir):
     """Gopher document-quality rules (Rae et al. 2021 table A1 §A1.1,
@@ -853,9 +864,7 @@ def corpus_gopher_quality(spark, sf_dir):
                                AND g.pos BETWEEN w.j AND w.j + 3)
           WHERE rn = 1)
         SELECT DISTINCT doc_id, pos::INT AS pos, h AS fp FROM sel""",
-    # registered past the driver window (full at 50 this round):
-    # mirror-checked + benched; rotate into the window next round
-    gate=False,
+    # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
 )
 def corpus_winnowing(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al. SIGMOD 2003 —

@@ -156,6 +156,9 @@ def fdsn_text_roundtrip(spark, sf_dir):
        WHERE channel LIKE 'HH%'
          AND NOT regexp_matches(channel, '.*N$')
          AND sample_rate >= 20""",
+    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
+    # slot for a never-driver-checked entry (VERDICT r4 item #1).
+    gate=False,
 )
 def source_nslc_filters(spark, sf_dir):
     """S5 + P7: the channel-selection stage of the download — FDSN
@@ -261,7 +264,6 @@ _Z_KEY_SQL = " + ".join(
               CAST(c1 AS BIGINT) AS cell_partkey,
               CAST({_Z_KEY_SQL} AS BIGINT) AS zkey
        FROM cells""",
-    gate=False,
 )
 def layout_zorder(spark, sf_dir):
     """Z-order (Morton) clustering key for multi-column data skipping
@@ -304,7 +306,6 @@ def layout_zorder(spark, sf_dir):
                   AS content_length,
               md5(txt) AS text_md5, TRUE AS len_ok
        FROM ok""",
-    gate=False,
 )
 def source_wet_roundtrip(spark, sf_dir):
     """Common Crawl WET source round-trip (sources/wet.py): the
@@ -361,7 +362,6 @@ def source_wet_roundtrip(spark, sf_dir):
               'MAGAUT' AS mag_author,
               'REGION_' || CAST(k % 10 AS VARCHAR) AS location_name
        FROM src""",
-    gate=False,
 )
 def source_isf_roundtrip(spark, sf_dir):
     """ISF bulletin round-trip (SURVEY S2, sources/isf.py): a

@@ -67,13 +67,21 @@ def probe_media_bytes(b: bytes | None) -> dict:
         elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
             w, h = struct.unpack("<HH", b[6:10])
             out.update(media_type="image/gif", width=w, height=h)
-        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 36:
-            # canonical fmt chunk: channels u16le @22, rate u32le @24,
-            # bits u16le @34
-            ch, rate = struct.unpack("<HI", b[22:28])
-            bits = struct.unpack("<H", b[34:36])[0] if len(b) >= 36 else None
-            out.update(media_type="audio/wav", n_channels=ch,
-                       sample_rate=rate, bit_depth=bits)
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            # walk RIFF chunks to the fmt chunk — files may carry a
+            # JUNK/LIST chunk before it, so fixed offsets would read
+            # garbage silently (decode_audio_bytes already walks)
+            fmt = next((b[off:off + ln]
+                        for cid, off, ln in _iter_riff_chunks(b)
+                        if cid == b"fmt "), None)
+            if fmt is None or len(fmt) < 16:
+                out.update(media_type="audio/wav",
+                           error="missing/short fmt chunk")
+            else:
+                ch, rate = struct.unpack("<HI", fmt[2:8])
+                bits = struct.unpack("<H", fmt[14:16])[0]
+                out.update(media_type="audio/wav", n_channels=ch,
+                           sample_rate=rate, bit_depth=bits)
         else:
             out["error"] = "unknown container"
     except (struct.error, IndexError) as exc:  # truncated header

@@ -33,6 +33,16 @@ from pyspark.sql import functions as F
 from stream2segment_spark.operators.dedup import word_tokens
 
 
+def _fs_delete(spark, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API — works on any
+    filesystem the index lives on (local/HDFS/object store), unlike
+    shutil which only handles local paths."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
 def normalize_terms(terms: list[str]) -> list[str]:
     """Apply the corpus tokenization to the QUERY side: lowercase, split
     on non-alphanumeric runs, drop empties, dedupe preserving order.
@@ -238,14 +248,17 @@ def append_to_search_index(docs: DataFrame, id_col: str, text_col: str,
                 .groupBy("term", "id", "dl")
                 .agg(F.count("*").alias("tf")))
     merged = spark.read.parquet(f"{path}/postings").unionByName(new_post)
-    # stage next to the live index, then swap via overwrite reads
+    # Stage ALL THREE components next to the live index first, each
+    # derived from the staged postings — a failure anywhere in the
+    # staging phase leaves the live index untouched; the swap phase at
+    # the end only copies already-materialized staged data, so the
+    # inconsistency window (stale terms/stats against new postings) is
+    # three bulk copies, not a recompute.
     write_range_layout(merged, f"{path}/postings_new", "term",
                        index_files)
     pt = spark.read.parquet(f"{path}/postings_new")
-    pt.write.mode("overwrite").parquet(f"{path}/postings")
-    (spark.read.parquet(f"{path}/postings")
-     .groupBy("term").agg(F.count("*").alias("df"))
-     .coalesce(1).write.mode("overwrite").parquet(f"{path}/terms"))
+    (pt.groupBy("term").agg(F.count("*").alias("df"))
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/terms_new"))
     old = spark.read.parquet(f"{path}/stats").first()
     add = toked.agg(F.count("*").alias("n"),
                     F.sum(F.size("__toks")).alias("t")).first()
@@ -255,6 +268,12 @@ def append_to_search_index(docs: DataFrame, id_col: str, text_col: str,
     # build performs: appended index == rebuilt index, bit-for-bit
     spark.createDataFrame([(n, tot, tot / n)],
                           "n_docs long, total_tokens long, avgdl double") \
-        .write.mode("overwrite").parquet(f"{path}/stats")
-    import shutil
-    shutil.rmtree(f"{path}/postings_new", ignore_errors=True)
+        .write.mode("overwrite").parquet(f"{path}/stats_new")
+    # swap: copy staged -> live (Spark overwrite), then drop staging
+    pt.write.mode("overwrite").parquet(f"{path}/postings")
+    (spark.read.parquet(f"{path}/terms_new")
+     .write.mode("overwrite").parquet(f"{path}/terms"))
+    (spark.read.parquet(f"{path}/stats_new")
+     .write.mode("overwrite").parquet(f"{path}/stats"))
+    for staged in ("postings_new", "terms_new", "stats_new"):
+        _fs_delete(spark, f"{path}/{staged}")

@@ -60,7 +60,9 @@ def validate_table(df: DataFrame, rules: dict[str, dict]) -> DataFrame:
             aggs.append(F.sum((~col.isin(*vals) & col.isNotNull())
                               .cast("long")).alias(f"__bad_{c}"))
         if "matches" in rs:
-            rx = rs["matches"]
+            # rlike is find-anywhere; anchor so 'matches' asserts a
+            # FULL-string match ('[0-9]+' must not pass 'a1b')
+            rx = f"^(?:{rs['matches']})$"
             aggs.append(F.sum((~col.cast("string").rlike(rx)
                                & col.isNotNull()).cast("long"))
                         .alias(f"__rx_{c}"))

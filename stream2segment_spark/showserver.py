@@ -73,12 +73,17 @@ class ShowApp:
         # optional live-selection hook (the reference GUI's
         # set_selection route): conditions dict -> a new segments frame
         self.select_fn = select_fn
+        # writers serialize on this lock; readers take ONE atomic
+        # snapshot of the (segments, seg_ids, label_cols) tuple per
+        # request, so a GET racing a POST /api/selection sees either
+        # the whole old selection or the whole new one — never new ids
+        # indexed with a stale bound or plots from a half-swapped state
+        self._select_lock = threading.Lock()
         self._install(segments)
 
     def _install(self, segments: DataFrame) -> None:
-        self.segments = segments
-        self.label_cols = tuple(c for c in ("seed_id",)
-                                if c in segments.columns)
+        label_cols = tuple(c for c in ("seed_id",)
+                           if c in segments.columns)
         # the navigation array, like the reference's g_segment_ids
         # (core.py:240+): ordered ids of the CURRENT selection, bounded
         ids = [r[0] for r in segments.select(self.id_col)
@@ -88,7 +93,23 @@ class ShowApp:
             raise ValueError(
                 f"selection exceeds {self.max_segments} segments; narrow "
                 f"segments_selection or raise max_segments")
-        self.seg_ids = ids
+        # single reference assignment = the atomic swap point
+        self._state = (segments, ids, label_cols)
+
+    # read-only views over the current atomic snapshot (each property
+    # access is one read of self._state; request handlers that need a
+    # CONSISTENT segments+seg_ids pair unpack _state once instead)
+    @property
+    def segments(self) -> DataFrame:
+        return self._state[0]
+
+    @property
+    def seg_ids(self) -> list:
+        return self._state[1]
+
+    @property
+    def label_cols(self) -> tuple:
+        return self._state[2]
 
     def set_selection(self, conditions: dict | None) -> dict:
         """Re-run the selection with new conditions (reference
@@ -98,13 +119,14 @@ class ShowApp:
             raise ValueError("this viewer has no live-selection hook")
         conditions = {k: v for k, v in (conditions or {}).items()
                       if isinstance(v, str) and v.strip()}
-        segments = self.select_fn(conditions)
-        ids = [r[0] for r in segments.select(self.id_col)
-               .orderBy(self.id_col).limit(1).collect()]
-        if not ids:
-            raise ValueError("no segment matching the current selection")
-        self._install(segments)
-        return {"num_segments": len(self.seg_ids)}
+        with self._select_lock:
+            segments = self.select_fn(conditions)
+            ids = [r[0] for r in segments.select(self.id_col)
+                   .orderBy(self.id_col).limit(1).collect()]
+            if not ids:
+                raise ValueError("no segment matching the current selection")
+            self._install(segments)
+            return {"num_segments": len(self.seg_ids)}
 
     # -- API payloads ---------------------------------------------------
 
@@ -118,21 +140,26 @@ class ShowApp:
                 "classes": classes,
                 "plots": list(self.plots)}
 
-    def _seg_id(self, index: int) -> int:
-        if not (0 <= index < len(self.seg_ids)):
+    @staticmethod
+    def _pick(seg_ids: list, index: int) -> int:
+        if not (0 <= index < len(seg_ids)):
             raise IndexError(f"segment index {index} out of range "
-                             f"[0, {len(self.seg_ids)})")
-        return self.seg_ids[index]
+                             f"[0, {len(seg_ids)})")
+        return seg_ids[index]
+
+    def _seg_id(self, index: int) -> int:
+        return self._pick(self.seg_ids, index)
 
     def segment_data(self, index: int,
                      plots: tuple[str, ...] | None = None) -> dict:
         """``plots`` overrides the default plot set for this request —
         the reference GUI's per-request ``plot_names`` field."""
         plots = tuple(plots) if plots else self.plots
-        seg_id = self._seg_id(index)
-        one = self.segments.filter(F.col(self.id_col) == seg_id)
+        segments, seg_ids, label_cols = self._state  # one snapshot
+        seg_id = self._pick(seg_ids, index)
+        one = segments.filter(F.col(self.id_col) == seg_id)
         row = (segment_plots_df(
-                   one, id_col=self.id_col, label_cols=self.label_cols,
+                   one, id_col=self.id_col, label_cols=label_cols,
                    plots=plots, n_buckets=self.n_buckets,
                    extra_producers=self.extra_producers)
                .collect())
@@ -141,7 +168,7 @@ class ShowApp:
         d = row[0].asDict(recursive=True)
         out = {"index": index, "segment_id": seg_id,
                "plots": {p: d[p] for p in plots},
-               **{c: d[c] for c in self.label_cols}}
+               **{c: d[c] for c in label_cols}}
         if self.warehouse:
             classes = {r["id"]: r["label"] for r in
                        WH.read_small(self.warehouse,

@@ -840,3 +840,16 @@ def test_winnow_candidate_pairs(spark):
     import pytest
     with pytest.raises(ValueError, match="min_shared"):
         winnow_candidate_pairs(fps, min_shared=0)
+
+
+def test_winnowing_preserves_id_type(spark):
+    """Output id column mirrors the input id type (string ids used to be
+    hardcoded to long and miscast at the mapInPandas boundary)."""
+    from stream2segment_spark.operators.dedup import winnow_fingerprints
+    txt = " ".join(f"t{i}" for i in range(20))
+    df = spark.createDataFrame([("docA", txt), ("docB", txt)],
+                               "doc_id string, text string")
+    out = winnow_fingerprints(df, "doc_id", "text", k=5, w=4)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    rows = out.collect()
+    assert rows and {r["doc_id"] for r in rows} == {"docA", "docB"}

@@ -477,3 +477,24 @@ def test_media_probe_cli(spark, tmp_path, capsys):
     assert out[3]["media_type"] is None and out[3]["error"]
     assert out[4]["media_type"] is None
     assert cli_main(["media-probe", "-i", src, "--col", "nope"]) == 2
+
+
+def test_probe_wav_walks_riff_chunks():
+    """Probe must locate fmt by WALKING RIFF chunks: a JUNK chunk before
+    fmt used to yield garbage channels/rate silently at fixed offsets."""
+    fmt_payload = (b"\x01\x00" + struct.pack("<HI", 2, 48000)
+                   + struct.pack("<IH", 48000 * 2 * 2, 4)
+                   + struct.pack("<H", 16))
+    junk = b"JUNK" + struct.pack("<I", 6) + b"\x00" * 6
+    body = (b"WAVE" + junk + b"fmt " + struct.pack("<I", len(fmt_payload))
+            + fmt_payload)
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    m = MM.probe_media_bytes(blob)
+    assert (m["media_type"], m["n_channels"], m["sample_rate"],
+            m["bit_depth"]) == ("audio/wav", 2, 48000, 16)
+    assert m["error"] is None
+    # a WAVE container with NO fmt chunk flags the error field
+    body = b"WAVE" + junk
+    m = MM.probe_media_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert m["media_type"] == "audio/wav"
+    assert "fmt" in m["error"]

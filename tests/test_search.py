@@ -156,3 +156,8 @@ def test_append_equals_rebuild(spark, tmp_path):
     qf = sorted(map(tuple, index_search_topk(
         spark, full, ["spark", "shuffle"], k=5).collect()))
     assert qi == qf  # appended index answers bit-equal to a rebuild
+    # staging dirs (all three components are staged before the swap so
+    # a mid-append failure can't leave stale terms/stats live) are gone
+    import os
+    for staged in ("postings_new", "terms_new", "stats_new"):
+        assert not os.path.exists(f"{inc}/{staged}"), staged

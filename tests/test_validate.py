@@ -100,3 +100,18 @@ def test_profile_emit_rules_then_validate(spark, table, tmp_path, capsys):
         [Row(id=0, status="A", score=None, email=None)] * 4,
         table.schema).write.parquet(bad)
     assert cli_main(["validate", "-i", bad, "-r", rules]) == 1
+
+
+def test_matches_is_full_string_match(spark):
+    """'matches' must assert a FULL-string match: an unanchored pattern
+    like '[0-9]+' must not pass values that merely CONTAIN a digit."""
+    from pyspark.sql import Row as R
+    df = spark.createDataFrame([R(v="123"), R(v="a1b"), R(v="456")])
+    rep = {r["rule"]: r for r in
+           validate_table(df, {"v": {"matches": "[0-9]+"}}).collect()}
+    assert rep["matches"]["ok"] is False
+    assert rep["matches"]["value"] == 1.0        # only 'a1b' violates
+    # already-anchored patterns keep working (double anchors are inert)
+    rep = {r["rule"]: r for r in
+           validate_table(df, {"v": {"matches": "^[0-9a-z]+$"}}).collect()}
+    assert rep["matches"]["ok"] is True

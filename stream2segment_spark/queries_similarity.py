@@ -29,11 +29,7 @@ def _rerank_drop_self(out, k):
             .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine")))
 
 
-@register(
-    "sim_topk",
-    # driver-green r2+r3; deferred for the round-4 table_profile
-    gate=False,
-    oracle=f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+_TOPK_ORACLE = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
         s AS (SELECT q.query_id, e.vec_id,
                      list_cosine_similarity(e.v, q.qv) AS c
@@ -41,35 +37,53 @@ def _rerank_drop_self(out, k):
         r AS (SELECT query_id, vec_id, c,
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY c DESC, vec_id) AS rn
-              FROM s),
-        t AS (SELECT query_id, vec_id, round(c, 6) AS cosine
-              FROM r WHERE rn <= {_K})
-        SELECT 'bruteforce' AS op, * FROM t
-        UNION ALL
-        SELECT 'ivf' AS op, * FROM t""",
+              FROM s)
+        SELECT query_id, vec_id, round(c, 6) AS cosine
+        FROM r WHERE rn <= {_K}"""
+
+
+@register(
+    "sim_topk",
+    # driver-green r2+r3; deferred for the round-4 table_profile
+    gate=False,
+    oracle=_TOPK_ORACLE,
 )
 def sim_topk(spark, sf_dir):
-    """Exact ANN baseline AND the IVF scale path in one tagged entry,
-    both against the same exact top-k oracle:
-
-    - bruteforce: mapInPandas matmul + per-partition local top-k (the
-      shuffle is k*|Q| rows, never the corpus);
-    - ivf: 8 k-means cells, nprobe=8 (full probe -> recall 1, so the exact
-      oracle applies verbatim; the approximate regime nprobe<cells is
-      covered by the recall unit test). The cell assign/probe/equi-join/
-      top-k path is identical either way — only nprobe changes at scale."""
+    """Exact ANN baseline: mapInPandas matmul + per-partition local
+    top-k (the shuffle is k*|Q| rows, never the corpus). Benched as
+    its OWN label — round 4 folded the IVF path into this entry and
+    its timing grew from ~1.1 s to ~2.5 s; the split restores the
+    r2/r3 measurement grain (see sim_topk_ivf for the added work)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < _N_QUERIES)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    bf = _rerank_drop_self(
+    return _rerank_drop_self(
         SIM.ann_topk_bruteforce(emb, queries, id_col="vec_id",
                                 vec_col="embedding", query_id_col="query_id",
                                 k=_K + 1), _K)
+
+
+@register(
+    "sim_topk_ivf",
+    # new entry (split out of sim_topk): gate=False until its first
+    # driver CORRECTNESS row lands, per the window-honesty rule
+    gate=False,
+    oracle=_TOPK_ORACLE,
+)
+def sim_topk_ivf(spark, sf_dir):
+    """IVF scale path, separately timed from the brute-force baseline:
+    8 k-means cells, nprobe=8 (full probe -> recall 1, so the exact
+    top-k oracle applies verbatim; the approximate regime nprobe<cells
+    is covered by the recall unit test). The extra cost over sim_topk
+    is the k-means training pass (kmeans_centroids) + cell assign/
+    probe/equi-join — this is the r4 'sim_topk regression' explained:
+    added work inside one timed label, not a slower operator."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < _N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
     cents = SIM.kmeans_centroids(emb, "embedding", k=8, seed=7)
-    ivf = _rerank_drop_self(
+    return _rerank_drop_self(
         SIM.ann_topk_ivf(emb, queries, cents, k=_K + 1, nprobe=8), _K)
-    return (bf.select(F.lit("bruteforce").alias("op"), "*")
-            .unionByName(ivf.select(F.lit("ivf").alias("op"), "*")))
 
 
 @register(

@@ -203,3 +203,61 @@ def test_windowed_hist_stream_equals_batch(spark, tmp_path):
     assert streamed == expected
     total = sum(r[2] for r in streamed)
     assert total == 8  # NULL skipped; clamps counted in edge bins
+
+
+def test_watermark_evicts_closed_window_state(spark, tmp_path):
+    """Update-mode multi-batch proof that state for windows past the
+    watermark is actually DROPPED — the 100 TB state-bound claim for the
+    streaming sketch family (complete-mode gate runs never exercise
+    eviction). Three micro-batches: window 10:00 fills, an event at
+    13:00 advances the watermark to 12:30, and the final batch evicts
+    the closed 10:00 window's state rows (numRowsRemoved). A 10:10
+    straggler in the last batch is aggregated transiently (update mode
+    emits it once) but its state row is evicted in the SAME batch
+    commit — the conservation assertion proves nothing past the
+    watermark lingers in the store."""
+    import json as _json
+
+    from stream2segment_spark.streaming.incremental import (
+        windowed_distinct_approx, windowed_hist)
+    schema = "ts timestamp, user_id long, value double"
+    batches = [
+        [(_ts(m), m + 1, 10.0 * m) for m in range(6)],   # window 10:00
+        [(_ts(180), 100, 50.0)],                         # 13:00
+        [(_ts(300), 101, 60.0),                          # 15:00
+         (_ts(10), 999, 70.0)],                          # late -> dropped
+    ]
+    src = _write_batches(spark, tmp_path, batches, schema)
+    factories = {
+        "hist": lambda s: windowed_hist(
+            s, watermark="30 minutes", n_bins=16),
+        "hll": lambda s: windowed_distinct_approx(
+            s, watermark="30 minutes", m=16),
+    }
+    for label, factory in factories.items():
+        name = "ev" + uuid.uuid4().hex[:8]
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+        q = (factory(stream).writeStream.outputMode("update")
+             .format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        prog = [p if isinstance(p, dict) else _json.loads(p.json)
+                for p in q.recentProgress]
+        ops = [p["stateOperators"][0] for p in prog
+               if p.get("stateOperators")]
+        rows = [o["numRowsTotal"] for o in ops]
+        removed = sum(o["numRowsRemoved"] for o in ops)
+        # state grew while both windows were open, then SHRANK once the
+        # watermark passed each closed window's end (observed sequence
+        # e.g. [6, 7, 2, 1]: the availableNow finalization batch also
+        # evicts the 13:00 window once 15:00 advances the watermark)
+        assert rows[-1] < max(rows), (label, rows)
+        assert rows[-1] >= 1, (label, rows)   # open window kept
+        assert removed >= 6, (label, removed)  # 10:00's rows evicted
+        # conservation: every state row ever written that fell behind
+        # the watermark was physically REMOVED — the store ends bounded
+        # by the open windows only (updated - removed == final total)
+        updated = sum(o["numRowsUpdated"] for o in ops)
+        assert updated - removed == rows[-1], (label, updated, removed)
+        assert rows[-1] <= 2, (label, rows)   # only open windows remain

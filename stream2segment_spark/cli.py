@@ -339,15 +339,21 @@ def _decoded_selection(spark: SparkSession, cfg: dict,
     if plot_module:  # 's2s show -p gui.py': user-defined plot functions
         import importlib.util as ilu
 
-        from stream2segment_spark.plots import collect_custom_producers
+        from stream2segment_spark.plots import (
+            collect_custom_specs, collect_preprocess, make_producer)
         spec = ilu.spec_from_file_location("__s2s_gui__", plot_module)
         mod = ilu.module_from_spec(spec)
         spec.loader.exec_module(mod)
-        extra = collect_custom_producers(mod)
-        if not extra:
+        specs = collect_custom_specs(mod)
+        pre_fn = collect_preprocess(mod)
+        if not specs and pre_fn is None:
             raise SystemExit(f"{plot_module} defines no @segment_plot "
-                             "functions")
+                             "or @segment_preprocess functions")
+        extra = {label: make_producer(label, fn, dx_fn=dx_fn)
+                 for label, (fn, dx_fn) in specs.items()}
         plots_kwargs = {"extra_producers": extra,
+                        "extra_specs": specs,
+                        "preprocess_fn": pre_fn,
                         "plots": ("trace", *extra)}
 
     # the same selection grammar as process (the reference GUI shows the
@@ -373,9 +379,13 @@ def cmd_show(spark: SparkSession, cfg: dict, outfile: str,
     from stream2segment_spark.report import write_segment_report
 
     decoded, plots_kwargs = _decoded_selection(spark, cfg, plot_module)
+    # the static report always renders the raw view; preprocess is a
+    # per-request toggle of the interactive server only
+    report_kwargs = {k: v for k, v in plots_kwargs.items()
+                     if k in ("extra_producers", "plots")}
     n = write_segment_report(decoded, outfile, title=cfg.get(
         "title", "segment report"), max_segments=max_segments,
-        label_cols=("seed_id",), **plots_kwargs)
+        label_cols=("seed_id",), **report_kwargs)
     print(f"wrote {n} segment(s) to {outfile}")
     return 0
 
@@ -401,6 +411,8 @@ def cmd_show_serve(spark: SparkSession, cfg: dict, port: int,
                   plots=plots_kwargs.get(
                       "plots", ("trace", "cumulative", "spectrum")),
                   extra_producers=plots_kwargs.get("extra_producers"),
+                  extra_specs=plots_kwargs.get("extra_specs"),
+                  preprocess_fn=plots_kwargs.get("preprocess_fn"),
                   select_fn=_reselect)
     serve(app, port=port)
     return 0

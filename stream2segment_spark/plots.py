@@ -38,11 +38,20 @@ PLOT_DDL = ("x0 double, dx double, y array<double>, n_raw int, "
             "label string")
 
 
-def make_producer(label: str, transform, dx_fn=None, n_buckets: int = 512):
+def make_producer(label: str, transform, dx_fn=None, n_buckets: int = 512,
+                  preprocess=None):
     """Wrap a per-segment ``(samples: np.ndarray, delta: float) -> y``
     function into an Arrow-batched plot-struct UDF (x0, dx, downsampled
     y, raw length, label). ``dx_fn(x, dt)`` overrides the x-spacing of
-    the produced series (default: the sample spacing ``dt``)."""
+    the produced series (default: the sample spacing ``dt``).
+
+    ``preprocess`` (``(samples, delta) -> samples``) is applied to the
+    raw samples BEFORE the transform — the reference GUI's
+    ``@gui.preprocess`` toggle (core.py:380-415 runs plot functions on
+    the pre-processed stream when the browser checkbox is on). A
+    preprocess exception becomes the plot payload's label
+    (``(@preprocess) ...``) with null data, mirroring the reference's
+    error-string plot (core.py:398-405)."""
     if dx_fn is None:
         dx_fn = lambda x, dt: dt  # noqa: E731
 
@@ -55,6 +64,14 @@ def make_producer(label: str, transform, dx_fn=None, n_buckets: int = 512):
                              "n_raw": None, "label": label})
                 continue
             x = np.asarray(arr, dtype=float)
+            if preprocess is not None:
+                try:
+                    x = np.asarray(preprocess(x, float(dt)), dtype=float)
+                except Exception as exc:  # noqa: BLE001 — per-row error row
+                    rows.append({"x0": None, "dx": None, "y": None,
+                                 "n_raw": None,
+                                 "label": f"{label}: (@preprocess) {exc}"})
+                    continue
             y = np.asarray(transform(x, float(dt)), dtype=float)
             rows.append({
                 "x0": 0.0,
@@ -67,20 +84,23 @@ def make_producer(label: str, transform, dx_fn=None, n_buckets: int = 512):
     return _udf
 
 
-def plot_producers(n_buckets: int = 512):
+def plot_producers(n_buckets: int = 512, preprocess=None):
     """The reference GUI's three standard plots as (samples, delta) ->
     struct producers: raw trace, normalized cumulative energy, amplitude
-    spectrum."""
+    spectrum. ``preprocess`` builds the pre-processed variants (the
+    reference GUI's on-demand toggle)."""
     return {
         "trace": make_producer("trace", lambda x, dt: x,
-                               n_buckets=n_buckets),
+                               n_buckets=n_buckets, preprocess=preprocess),
         "cumulative": make_producer("cumulative",
                                     lambda x, dt: cumsumsq(x),
-                                    n_buckets=n_buckets),
+                                    n_buckets=n_buckets,
+                                    preprocess=preprocess),
         "spectrum": make_producer(
             "spectrum", lambda x, dt: ampspec(x),
             dx_fn=lambda x, dt: float(freqs(len(x), dt)[1])
-            if len(x) > 1 else 0.0, n_buckets=n_buckets),
+            if len(x) > 1 else 0.0, n_buckets=n_buckets,
+            preprocess=preprocess),
     }
 
 
@@ -104,15 +124,54 @@ def segment_plot(label: str | None = None, dx=None):
     return deco
 
 
-def collect_custom_producers(module, n_buckets: int = 512) -> dict:
-    """All ``@segment_plot``-tagged functions of a user module, wrapped
-    as plot-struct UDFs keyed by their label."""
+def segment_preprocess(fn):
+    """Decorator marking a user function as THE pre-processing step —
+    the analogue of the reference GUI's ``@gui.preprocess`` hook
+    (process/gui/__init__.py:11-14; applied on demand by the browser
+    toggle, core.py:380-415). The function receives the decoded
+    ``(samples: np.ndarray, delta: float)`` of one segment and returns
+    the replacement samples every plot producer then runs on::
+
+        @segment_preprocess
+        def bandpassed(samples, delta):
+            return bandpass(samples, delta, 0.1, 20.0)
+    """
+    fn.__s2s_preprocess__ = True
+    return fn
+
+
+def collect_preprocess(module):
+    """The single ``@segment_preprocess``-tagged function of a user
+    module, or None. Raises if the module tags more than one (the
+    reference allows exactly one ``@gui.preprocess``)."""
+    found = [getattr(module, name) for name in dir(module)
+             if getattr(getattr(module, name), "__s2s_preprocess__",
+                        False)]
+    if len(found) > 1:
+        raise ValueError(
+            "more than one @segment_preprocess function: "
+            f"{sorted(f.__name__ for f in found)}")
+    return found[0] if found else None
+
+
+def collect_custom_specs(module) -> dict:
+    """Raw ``{label: (fn, dx_fn)}`` specs of a user module's
+    ``@segment_plot`` functions — the un-wrapped form, so callers can
+    build both raw and pre-processed producer variants."""
     out = {}
     for name in dir(module):
         fn = getattr(module, name)
         label = getattr(fn, "__s2s_plot__", None)
         if label is not None and callable(fn):
-            out[label] = make_producer(
-                label, fn, dx_fn=getattr(fn, "__s2s_plot_dx__", None),
-                n_buckets=n_buckets)
+            out[label] = (fn, getattr(fn, "__s2s_plot_dx__", None))
     return out
+
+
+def collect_custom_producers(module, n_buckets: int = 512,
+                             preprocess=None) -> dict:
+    """All ``@segment_plot``-tagged functions of a user module, wrapped
+    as plot-struct UDFs keyed by their label."""
+    return {label: make_producer(label, fn, dx_fn=dx_fn,
+                                 n_buckets=n_buckets,
+                                 preprocess=preprocess)
+            for label, (fn, dx_fn) in collect_custom_specs(module).items()}

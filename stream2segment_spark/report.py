@@ -38,13 +38,28 @@ def segment_plots_df(
     plots: tuple[str, ...] = ("trace", "cumulative", "spectrum"),
     n_buckets: int = 512,
     extra_producers: dict | None = None,
+    extra_specs: dict | None = None,
+    preprocess=None,
 ) -> DataFrame:
     """Distributed plot payloads: one row per segment with one struct
     column per plot (x0, dx, downsampled y, n_raw, label). Runs on all
     segments; callers bound the set BEFORE collecting for render.
     ``extra_producers`` (e.g. from ``plots.collect_custom_producers``)
-    extend/override the builtin set; pass their labels in ``plots``."""
-    producers = plot_producers(n_buckets)
+    extend/override the builtin set; pass their labels in ``plots``.
+    ``extra_specs`` (``plots.collect_custom_specs``) are raw
+    ``{label: (fn, dx_fn)}`` pairs built here — use them instead of
+    prebuilt producers when ``preprocess`` matters: ``preprocess``
+    (the reference GUI's ``@gui.preprocess`` toggle, core.py:380-415)
+    is bound into every producer built by THIS call, but cannot be
+    injected into already-built ``extra_producers``."""
+    from stream2segment_spark.plots import make_producer
+    producers = plot_producers(n_buckets, preprocess=preprocess)
+    if extra_specs:
+        producers.update({
+            label: make_producer(label, fn, dx_fn=dx_fn,
+                                 n_buckets=n_buckets,
+                                 preprocess=preprocess)
+            for label, (fn, dx_fn) in extra_specs.items()})
     if extra_producers:
         producers.update(extra_producers)
     unknown = set(plots) - set(producers)

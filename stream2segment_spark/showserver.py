@@ -22,7 +22,11 @@ drawing SVG polylines from the JSON API. Routes (all JSON):
 ====================================  =====================================
 ``GET  /api/init``                    num_segments, class labels, plot names
 ``GET  /api/segment/<idx>``           plots + seed_id + set labels of the
-                                      idx-th selected segment (0-based)
+                                      idx-th selected segment (0-based);
+                                      ``?preprocess=1`` runs producers on
+                                      the ``@segment_preprocess`` output
+                                      (the reference GUI's preprocess
+                                      checkbox, core.py:240-415)
 ``POST /api/segment/<idx>/class``     body ``{"label": L, "value": bool}``
                                       -> toggles the labelling, returns the
                                       segment's labels
@@ -59,6 +63,8 @@ class ShowApp:
         plots: tuple[str, ...] = ("trace", "cumulative", "spectrum"),
         n_buckets: int = 512,
         extra_producers: dict | None = None,
+        extra_specs: dict | None = None,
+        preprocess_fn=None,
         annotator: str | None = None,
         max_segments: int = 100_000,
         select_fn=None,
@@ -68,6 +74,14 @@ class ShowApp:
         self.plots = plots
         self.n_buckets = n_buckets
         self.extra_producers = extra_producers
+        # raw {label: (fn, dx_fn)} specs (plots.collect_custom_specs):
+        # unlike prebuilt extra_producers these can be rebuilt with the
+        # preprocess function bound when the browser toggle is on
+        self.extra_specs = extra_specs
+        # the @segment_preprocess function (reference @gui.preprocess,
+        # core.py:380-415): applied on demand per request, never baked
+        # into the default producers
+        self.preprocess_fn = preprocess_fn
         self.annotator = annotator
         self.max_segments = max_segments
         # optional live-selection hook (the reference GUI's
@@ -138,7 +152,10 @@ class ShowApp:
                                      "class_labels").to_pylist()}
         return {"num_segments": len(self.seg_ids),
                 "classes": classes,
-                "plots": list(self.plots)}
+                "plots": list(self.plots),
+                # the reference GUI only renders the preprocess
+                # checkbox when a @gui.preprocess function exists
+                "has_preprocess": self.preprocess_fn is not None}
 
     @staticmethod
     def _pick(seg_ids: list, index: int) -> int:
@@ -151,22 +168,38 @@ class ShowApp:
         return self._pick(self.seg_ids, index)
 
     def segment_data(self, index: int,
-                     plots: tuple[str, ...] | None = None) -> dict:
+                     plots: tuple[str, ...] | None = None,
+                     preprocessed: bool = False) -> dict:
         """``plots`` overrides the default plot set for this request —
-        the reference GUI's per-request ``plot_names`` field."""
+        the reference GUI's per-request ``plot_names`` field.
+        ``preprocessed`` runs every producer on the
+        ``@segment_preprocess`` output instead of the raw samples (the
+        reference GUI's preprocess checkbox, core.py:240-415 —
+        ``get_segment_data(..., preprocessed)``)."""
         plots = tuple(plots) if plots else self.plots
+        pre = None
+        if preprocessed:
+            if self.preprocess_fn is None:
+                raise ValueError(
+                    "preprocess requested but no @segment_preprocess "
+                    "function was loaded (pass one in the -p module)")
+            pre = self.preprocess_fn
         segments, seg_ids, label_cols = self._state  # one snapshot
         seg_id = self._pick(seg_ids, index)
         one = segments.filter(F.col(self.id_col) == seg_id)
         row = (segment_plots_df(
                    one, id_col=self.id_col, label_cols=label_cols,
                    plots=plots, n_buckets=self.n_buckets,
-                   extra_producers=self.extra_producers)
+                   extra_producers=(None if preprocessed
+                                    else self.extra_producers),
+                   extra_specs=self.extra_specs,
+                   preprocess=pre)
                .collect())
         if not row:
             raise KeyError(f"segment {seg_id} vanished from the source")
         d = row[0].asDict(recursive=True)
         out = {"index": index, "segment_id": seg_id,
+               "preprocessed": bool(preprocessed),
                "plots": {p: d[p] for p in plots},
                **{c: d[c] for c in label_cols}}
         if self.warehouse:
@@ -197,7 +230,9 @@ svg{border:1px solid #ccc;background:#fff}.nav button{margin-right:.5em}
 <h1>s2s show</h1>
 <div class="nav"><button id="prev">&#8592; prev</button>
 <button id="next">next &#8594;</button>
-<span id="pos" class="meta"></span> <span id="seed" class="meta"></span></div>
+<span id="pos" class="meta"></span> <span id="seed" class="meta"></span>
+<label id="pplab" style="display:none;margin-left:1em">
+<input type="checkbox" id="pp"/> preprocess</label></div>
 <div class="cls" id="classes"></div><div id="plots"></div>
 <script>
 let idx=0,num=0,classes={};
@@ -208,7 +243,8 @@ function svg(y,w,h){if(!y||!y.length)return "<svg width='"+w+"' height='"+h+"'><
  return "<svg width='"+w+"' height='"+h+"'><polyline fill='none' "+
    "stroke='#36c' stroke-width='1' points='"+pts+"'/></svg>";}
 async function load(){
- const r=await fetch("/api/segment/"+idx);if(!r.ok){return}
+ const pp=document.getElementById("pp").checked?"?preprocess=1":"";
+ const r=await fetch("/api/segment/"+idx+pp);if(!r.ok){return}
  const d=await r.json();
  document.getElementById("pos").textContent=(idx+1)+" / "+num;
  document.getElementById("seed").textContent=d.seed_id||"";
@@ -230,8 +266,11 @@ async function load(){
   C.appendChild(lab);}}
 document.getElementById("prev").onclick=()=>{if(idx>0){idx--;load();}};
 document.getElementById("next").onclick=()=>{if(idx<num-1){idx++;load();}};
+document.getElementById("pp").onchange=()=>load();
 fetch("/api/init").then(r=>r.json()).then(d=>{
- num=d.num_segments;classes=d.classes||{};load();});
+ num=d.num_segments;classes=d.classes||{};
+ if(d.has_preprocess){document.getElementById("pplab").style.display="";}
+ load();});
 </script></body></html>"""
 
 
@@ -268,8 +307,11 @@ def _make_handler(app: ShowApp):
                 if parts[:2] == ["api", "segment"] and len(parts) == 3:
                     sel = tuple(p for raw in qs.get("plots", [])
                                 for p in raw.split(",") if p)
-                    return self._json(app.segment_data(int(parts[2]),
-                                                       plots=sel or None))
+                    pre = (qs.get("preprocess", ["0"])[0].lower()
+                           in ("1", "true", "yes", "on"))
+                    return self._json(app.segment_data(
+                        int(parts[2]), plots=sel or None,
+                        preprocessed=pre))
                 if (parts[:2] == ["api", "segment"] and len(parts) == 4
                         and parts[3] == "class"):
                     return self._json(app.set_class(

@@ -179,3 +179,79 @@ def test_show_app_without_hook_rejects_selection(spark, segs):
     app = ShowApp(segs)
     with pytest.raises(ValueError, match="no live-selection hook"):
         app.set_selection({"id": "<2"})
+
+
+def test_preprocess_toggle_e2e(spark, segs):
+    """The reference GUI's @gui.preprocess on-demand toggle
+    (core.py:240-415): ?preprocess=1 runs every producer on the
+    preprocess output; raw requests are untouched; a missing preprocess
+    function is a clean 400; preprocess errors become the plot label."""
+    from stream2segment_spark.plots import (
+        collect_custom_specs, collect_preprocess, segment_plot,
+        segment_preprocess)
+
+    class Mod:  # stand-in for an imported -p module
+        @staticmethod
+        @segment_preprocess
+        def squared(samples, delta):
+            return samples * samples        # strictly >= 0
+
+        @staticmethod
+        @segment_plot(label="envelope")
+        def env(samples, delta):
+            return np.abs(samples)
+
+    pre = collect_preprocess(Mod)
+    specs = collect_custom_specs(Mod)
+    assert pre is not None and set(specs) == {"envelope"}
+
+    app = ShowApp(segs, plots=("trace", "envelope"),
+                  extra_specs=specs, preprocess_fn=pre)
+    httpd = serve(app, port=0, background=True)
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        assert _get(base + "/api/init")["has_preprocess"] is True
+        raw = _get(base + "/api/segment/0")
+        pp = _get(base + "/api/segment/0?preprocess=1")
+        assert raw["preprocessed"] is False and pp["preprocessed"] is True
+        # the sine trace spans negatives raw, is non-negative squared —
+        # different payloads, and BOTH the builtin and custom producers
+        # saw the preprocessed samples
+        assert min(raw["plots"]["trace"]["y"]) < 0
+        assert min(pp["plots"]["trace"]["y"]) >= 0
+        assert pp["plots"]["trace"]["y"] != raw["plots"]["trace"]["y"]
+        assert pp["plots"]["envelope"]["y"] != raw["plots"]["envelope"]["y"]
+        # toggling back returns the raw view (nothing cached/mutated)
+        again = _get(base + "/api/segment/0")
+        assert again["plots"]["trace"]["y"] == raw["plots"]["trace"]["y"]
+    finally:
+        httpd.server_close()
+
+    # no @segment_preprocess loaded -> clean JSON 400, not a traceback
+    app2 = ShowApp(segs)
+    httpd = serve(app2, port=0, background=True)
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        assert _get(base + "/api/init")["has_preprocess"] is False
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(base + "/api/segment/0?preprocess=1")
+        assert ei.value.code == 400
+        body = json.loads(ei.value.read())
+        assert "preprocess" in body["error"]
+    finally:
+        httpd.server_close()
+
+
+def test_preprocess_error_becomes_plot_label(spark, segs):
+    """A raising preprocess function yields an error-string plot payload
+    (reference core.py:398-405 wraps @gui.preprocess exceptions), not a
+    failed request."""
+    def bad(samples, delta):
+        raise RuntimeError("boom")
+
+    app = ShowApp(segs, preprocess_fn=bad)
+    d = app.segment_data(0, preprocessed=True)
+    tr = d["plots"]["trace"]
+    assert tr["y"] is None
+    assert "(@preprocess)" in tr["label"] and "boom" in tr["label"]

@@ -35,7 +35,8 @@ _DEC = "decimal(38,0)"
 
 
 def moment_sums(df: DataFrame, scales: dict[str, int],
-                group_cols: list[str] | None = None) -> DataFrame:
+                group_cols: list[str] | None = None,
+                method: str = "long") -> DataFrame:
     """One row (per group) of exact co-moment sums for the given
     columns: ``n`` plus ``s_<c>`` (Σ of the fixed-point value) and
     ``s_<a>_<b>`` (Σ of products, ``a <= b`` in dict order) — every
@@ -43,18 +44,45 @@ def moment_sums(df: DataFrame, scales: dict[str, int],
     keep (``2`` = quantize to hundredths). Rows with a NULL in ANY
     measure column are dropped (the matrix must be over one common row
     set). Moment rows for disjoint slices merge by plain addition
-    (:func:`merge_moments`)."""
+    (:func:`merge_moments`).
+
+    ``method`` picks the product arithmetic (OUTPUT is bit-identical
+    either way — same exact integer sums):
+
+    - ``"long"`` (default): per-row products ``q_a * q_b`` are computed
+      in int64 (whole-stage-codegen multiply) and cast to
+      DECIMAL(38,0) only at the accumulator; the per-row BigDecimal
+      multiply is what dominates the full-decimal pass (measured 1.8x
+      at 6M rows, PLANS.md round-5 A/B). Sums stay DECIMAL — no
+      row-count bound; the ONLY bound is the per-row product fitting
+      int64 (|q| up to ~3e9 is always safe). Requires ANSI mode
+      (Spark 4 default), where the engine raises ARITHMETIC_OVERFLOW
+      on the product instead of wrapping; with ANSI off this function
+      silently selects the decimal path, because a wrapped product
+      would corrupt the sums undetectably.
+    - ``"decimal"``: products in DECIMAL(38,0) too — no bound at all.
+    """
     if len(scales) < 2:
         raise ValueError(f"need at least 2 columns, got {list(scales)}")
+    if method not in ("long", "decimal"):
+        raise ValueError(f"method must be 'long' or 'decimal': {method!r}")
     cols = list(scales)
     group_cols = list(group_cols or [])
     base = df.na.drop(subset=cols)
     q = {c: F.round(F.col(c).cast("double") * F.lit(float(10 ** s)), 0)
          .cast("long") for c, s in scales.items()}
+    ansi = str(df.sparkSession.conf.get(
+        "spark.sql.ansi.enabled", "true")).lower() == "true"
+    long_products = method == "long" and ansi
+
+    def prod(a, b):
+        if long_products:
+            return (q[a] * q[b]).cast(_DEC)
+        return (q[a].cast(_DEC) * q[b].cast(_DEC)).cast(_DEC)
+
     aggs = [F.count(F.lit(1)).cast(_DEC).alias("n")]
     aggs += [F.sum(q[c].cast(_DEC)).alias(f"s_{c}") for c in cols]
-    aggs += [F.sum((q[a].cast(_DEC) * q[b].cast(_DEC)).cast(_DEC))
-             .alias(f"s_{a}_{b}")
+    aggs += [F.sum(prod(a, b)).alias(f"s_{a}_{b}")
              for i, a in enumerate(cols) for b in cols[i:]]
     return base.groupBy(*group_cols).agg(*aggs)
 
@@ -105,9 +133,12 @@ def corr_from_moments(moments: DataFrame, cols: list[str],
 
 
 def corr_matrix_exact(df: DataFrame, scales: dict[str, int],
-                      group_cols: list[str] | None = None) -> DataFrame:
+                      group_cols: list[str] | None = None,
+                      method: str = "long") -> DataFrame:
     """:func:`moment_sums` |> :func:`corr_from_moments`: the exact,
     engine-replayable correlation matrix (optionally per group) in one
-    aggregation pass."""
-    return corr_from_moments(moment_sums(df, scales, group_cols),
+    aggregation pass. ``method`` as in :func:`moment_sums` (int64
+    per-row products by default under ANSI; ``"decimal"`` for
+    quantized magnitudes beyond ~3e9)."""
+    return corr_from_moments(moment_sums(df, scales, group_cols, method),
                              list(scales), group_cols)

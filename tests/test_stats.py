@@ -114,3 +114,57 @@ def test_corr_cli(spark, tmp_path, capsys):
     assert rows[0]["g"] == "a"
     assert cli_main(["corr", "-i", src, "--cols", "x"]) == 2
     assert cli_main(["corr", "-i", src, "--cols", "x,nope"]) == 2
+
+
+def test_long_fast_path_bit_equals_decimal(frame):
+    """The guarded hi/lo long-split accumulator reconstructs the SAME
+    DECIMAL(38,0) moment row as the decimal path — schema and values."""
+    fast = moment_sums(frame, SCALES, method="long")
+    slow = moment_sums(frame, SCALES, method="decimal")
+    # same names and types (nullability differs: the guard's
+    # when/otherwise makes the long path's columns nullable)
+    assert [(f.name, f.dataType) for f in fast.schema] == \
+        [(f.name, f.dataType) for f in slow.schema]
+    assert fast.collect() == slow.collect()
+    assert (corr_matrix_exact(frame, SCALES, method="long").collect()
+            == corr_matrix_exact(frame, SCALES, method="decimal")
+            .collect())
+
+
+def test_long_fast_path_never_wraps(spark):
+    """Values whose per-row product cannot fit int64 must never corrupt
+    the sums: under ANSI (Spark 4 default) the int64 multiply throws
+    ARITHMETIC_OVERFLOW; with ANSI off method='long' silently selects
+    the decimal path (a wrapped product would be undetectable), so the
+    result is exact either way."""
+    big = 4.0e9   # q = 4e11 at scale 2; q*q ~ 1.6e23 >> 2^63
+    df = spark.createDataFrame(
+        [Row(a=big, b=big), Row(a=big + 1, b=big - 1)])
+    want = (int(big * 100) * int(big * 100)
+            + int((big + 1) * 100) * int((big - 1) * 100))
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+        moment_sums(df, {"a": 2, "b": 2}, method="long").collect()
+    row = moment_sums(df, {"a": 2, "b": 2}, method="decimal").collect()[0]
+    assert int(row["s_a_b"]) == want
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        row = moment_sums(df, {"a": 2, "b": 2}, method="long").collect()[0]
+        assert int(row["s_a_b"]) == want      # decimal fallback kicked in
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_long_fast_path_grouped_and_merge(spark, frame):
+    """Grouped long-path moments merge losslessly, same as decimal."""
+    g = frame.withColumn("grp", (F.col("i") % 2).cast("int"))
+    fast = moment_sums(g, SCALES, ["grp"], method="long")
+    slow = moment_sums(g, SCALES, ["grp"], method="decimal")
+    key = lambda r: r["grp"]  # noqa: E731
+    assert sorted(fast.collect(), key=key) == \
+        sorted(slow.collect(), key=key)
+    merged = merge_moments(fast, group_cols=[]).drop("grp")
+    # summing the two group rows reproduces the whole-frame row
+    whole = moment_sums(frame, SCALES, method="long")
+    m = merge_moments(fast.drop("grp"))
+    assert m.collect() == whole.collect()

@@ -32,9 +32,15 @@ sys.path.insert(0, str(REPO))
 SF_BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEAVY = ("dedup_minhash_lsh", "dedup_ngram_jaccard", "corpus_substring_dup",
          "funclib_spectra", "cluster_kmeans", "spatial_join_traveltime")
-SCALED_TABLES = ("documents", "embeddings", "events")
+# lineitem is fact-like too (the measure columns agg_corr_matrix scans);
+# replicated with disjoint order keys. Real dims (TPC-H dims, customer
+# as the station side) stay 1x — at 100 TB the fact stream grows, the
+# station list does not.
+SCALED_TABLES = ("documents", "embeddings", "events", "lineitem")
 ID_COLS = {"documents": "doc_id", "embeddings": "vec_id",
-           "events": "event_id"}
+           "events": "event_id", "lineitem": "l_orderkey"}
+ALL_TABLES = ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings")
 
 
 def build_scaled(spark, factor: int, out_dir: str) -> None:
@@ -42,8 +48,9 @@ def build_scaled(spark, factor: int, out_dir: str) -> None:
 
     from stream2segment_spark.schema import load_table
     os.makedirs(out_dir, exist_ok=True)
-    for name in ("region", "nation", "customer", "supplier", "part",
-                 "orders", "lineitem"):
+    for name in ALL_TABLES:
+        if name in SCALED_TABLES:
+            continue
         src, dst = f"{SF_BASE}/{name}.parquet", f"{out_dir}/{name}.parquet"
         if not os.path.exists(dst):
             (shutil.copytree if os.path.isdir(src) else shutil.copyfile)(

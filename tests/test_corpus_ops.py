@@ -853,3 +853,28 @@ def test_winnowing_preserves_id_type(spark):
     assert out.schema["doc_id"].dataType.simpleString() == "string"
     rows = out.collect()
     assert rows and {r["doc_id"] for r in rows} == {"docA", "docB"}
+
+
+def test_longest_dup_rolling_probe_agrees_with_md5(spark):
+    """probe='rolling' (Karp-Rabin over token xxhash64, the long-doc
+    scale path) returns exactly what probe='md5' returns on every
+    engineered fixture, including ties and in-doc repeats; string ids
+    exercise the id-type mirror in the Arrow probe schema."""
+    shared_a = "one two three four"
+    shared_b = "red green blue white"
+    rows = [Row(doc_id="d0", text=shared_a + " mid " + shared_b),
+            Row(doc_id="d1", text=shared_b + " x " + shared_a),
+            Row(doc_id="d2", text="p q r p q unrelated")]
+    from stream2segment_spark.operators.dedup import (
+        longest_duplicated_substring)
+    df = spark.createDataFrame(rows).select(
+        "doc_id", F.split("text", " ").alias("toks"))
+    got = {}
+    for probe in ("rolling", "md5"):
+        got[probe] = {(r.length, r.text, r.n_docs, r.n_occ) for r in
+                      longest_duplicated_substring(
+                          df, "doc_id", "toks", probe=probe).collect()}
+    assert got["rolling"] == got["md5"]
+    assert {t for _, t, _, _ in got["rolling"]} == {shared_a, shared_b}
+    with pytest.raises(ValueError, match="probe"):
+        longest_duplicated_substring(df, "doc_id", "toks", probe="nope")

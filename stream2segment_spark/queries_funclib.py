@@ -634,3 +634,96 @@ def funclib_coda_smooth(spark, sf_dir):
         F.round(F.col("v.st"), 6).alias("stalta"),
         F.round(F.col("v.ts"), 6).alias("tsmooth"),
         F.round(F.col("v.sg"), 6).alias("sgsmooth"))
+
+
+# ---------------------------------------------------------------------------
+# plot_downsample — X4 (plot producers) driver-verified (r5)
+# ---------------------------------------------------------------------------
+# The plots layer (plots.make_producer + downsample_minmax, the data side
+# of the reference GUI core.py:240-415) previously had only pytest
+# coverage. This entry pushes the embeddings vectors through the REAL
+# Arrow producer UDFs and replays every struct field in SQL:
+# - trace: min/max-per-bucket downsampling (dim 64, 16 buckets -> the
+#   linspace edges are the exact integers 0,4,...,64, so the bucket of
+#   element i is i // 4; y is interleaved (min, max) per bucket);
+# - cumulative: cumsumsq (running sum of squares, min-max normalized,
+#   then the same min/max downsample) — the oracle's running window sum
+#   adds in the same left-to-right order as np.cumsum.
+
+_PD_BUCKETS = 16
+
+
+@register(
+    "plot_downsample",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE vec_id < 2000),
+        x AS (SELECT vec_id, unnest(v) AS s,
+                     unnest(range(len(v))) AS i FROM e),
+        tr AS (SELECT vec_id, i // 4 AS b, min(s) AS mn, max(s) AS mx
+               FROM x GROUP BY vec_id, i // 4),
+        trace_rows AS (
+          SELECT vec_id, CAST(2 * b AS INT) AS pos, mn AS y FROM tr
+          UNION ALL
+          SELECT vec_id, CAST(2 * b + 1 AS INT) AS pos, mx AS y FROM tr),
+        cs AS (SELECT vec_id, i,
+                      sum(s * s) OVER (PARTITION BY vec_id ORDER BY i
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS c
+               FROM x),
+        nrm AS (SELECT vec_id, i,
+                       (c - first_value(c) OVER w)
+                       / (last_value(c) OVER w
+                          - first_value(c) OVER w) AS y
+                FROM cs
+                WINDOW w AS (PARTITION BY vec_id ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)),
+        cb AS (SELECT vec_id, i // 4 AS b, min(y) AS mn, max(y) AS mx
+               FROM nrm GROUP BY vec_id, i // 4),
+        cum_rows AS (
+          SELECT vec_id, CAST(2 * b AS INT) AS pos, mn AS y FROM cb
+          UNION ALL
+          SELECT vec_id, CAST(2 * b + 1 AS INT) AS pos, mx AS y FROM cb)
+       SELECT 'trace' AS op, vec_id, pos, round(y, 6) AS y,
+              64 AS n_raw, 0.5 AS dx, 'trace' AS label
+       FROM trace_rows
+       UNION ALL
+       SELECT 'cumulative' AS op, vec_id, pos, round(y, 6) AS y,
+              64 AS n_raw, 0.5 AS dx, 'cumulative' AS label
+       FROM cum_rows""",
+    gate=False,   # new r5 entry: outside the window until first green
+)
+def plot_downsample(spark, sf_dir):
+    """X4 via the real producer UDFs (plots.make_producer): the trace
+    producer exercises downsample_minmax (peak-preserving min/max
+    interleave), the cumulative producer exercises
+    funclib.ndarrays.cumsumsq through the same Arrow batch path the GUI
+    and the HTML report use; x0/dx/n_raw/label fields of the plot
+    struct are all value-checked. Scale shape: map-only Arrow stage per
+    producer, no shuffle (the same per-segment independence that lets
+    the report run on millions of segments)."""
+    from stream2segment_spark.funclib.ndarrays import cumsumsq
+    from stream2segment_spark.plots import make_producer
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 2000).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("samples"),
+        F.lit(0.5).alias("delta"))
+    trace = make_producer("trace", lambda x, dt: x,
+                          n_buckets=_PD_BUCKETS)
+    cum = make_producer("cumulative", lambda x, dt: cumsumsq(x),
+                        n_buckets=_PD_BUCKETS)
+
+    def rows(producer, op):
+        p = producer(F.col("samples"), F.col("delta"))
+        return (base.select("vec_id", p.alias("p"))
+                .select(F.lit(op).alias("op"), "vec_id",
+                        F.posexplode("p.y").alias("pos", "y"),
+                        F.col("p.n_raw").alias("n_raw"),
+                        F.col("p.dx").alias("dx"),
+                        F.col("p.label").alias("label"))
+                .select("op", "vec_id", "pos", F.round("y", 6).alias("y"),
+                        "n_raw", "dx", "label"))
+
+    return rows(trace, "trace").unionByName(rows(cum, "cumulative"))

@@ -407,3 +407,95 @@ def source_isf_roundtrip(spark, sf_dir):
         [(p.event_id, p.time, p.latitude, p.longitude, p.depth_km,
           p.author, p.contributor_id, p.mag_type, p.magnitude,
           p.mag_author, p.location_name) for p in parsed], schema)
+
+
+# ---------------------------------------------------------------------------
+# source_routing — S6 (EIDA datacenter routing) driver-verified (r5)
+# ---------------------------------------------------------------------------
+# The routing stage (sources/routing.py; reference behavior
+# download/modules/datacenters.py:28-247) previously had only pytest +
+# pipeline-e2e coverage. This entry puts BOTH halves in the checked
+# path: the plain-text routing-response parser (a deterministic literal
+# response, parsed by the REAL parse_routing_response — a parse bug
+# changes the generated CASE chain and the hash) and the distributed
+# first-match-wins NSLC resolution (routed_datacenter_expr, a pure
+# Column CASE chain — no UDF). The oracle's regex literals are produced
+# by the SAME wildcard_to_regex helper the expression uses.
+
+_ROUTING_TEXT = """http://dc1.example.org/fdsnws/dataselect/1/query
+N0 * * HH? 1990-01-01T00:00:00 2100-01-01T00:00:00
+N? S1* -- *
+
+http://dc2.example.org/fdsnws/dataselect/1/query
+N* * * HH*
+short line
+"""
+
+
+def _routing_case() -> str:
+    from stream2segment_spark.columns import wildcard_to_regex as w2r
+    from stream2segment_spark.sources.routing import parse_routing_response
+    whens = []
+    for r in parse_routing_response(_ROUTING_TEXT):
+        rloc = "" if r.location == "--" else r.location
+        whens.append(
+            f"WHEN regexp_matches(network, '{w2r(r.network)}') "
+            f"AND regexp_matches(station, '{w2r(r.station)}') "
+            f"AND regexp_matches(location, '{w2r(rloc)}') "
+            f"AND regexp_matches(channel, '{w2r(r.channel)}') "
+            f"THEN '{r.dataselect_url}'")
+    return "CASE " + " ".join(whens) + " ELSE NULL END"
+
+
+@register(
+    "source_routing",
+    f"""WITH ch AS (
+         SELECT concat('N', p_partkey % 3) AS network,
+                concat('S', p_partkey % 7) AS station,
+                CASE WHEN p_partkey % 2 = 0 THEN ''
+                     ELSE '00' END AS location,
+                CASE p_partkey % 4 WHEN 0 THEN 'HHZ' WHEN 1 THEN 'HHN'
+                     WHEN 2 THEN 'BHZ' ELSE 'LHE' END AS channel,
+                p_partkey
+         FROM part),
+        routed AS (SELECT *, {_routing_case()} AS datacenter FROM ch)
+       SELECT p_partkey, network, station, location, channel, datacenter,
+              replace(datacenter, '/dataselect/', '/station/')
+                AS station_url
+       FROM routed""",
+    gate=False,   # new r5 entry: outside the window until first green
+)
+def source_routing(spark, sf_dir):
+    """S6: EIDA routing — the real parse_routing_response on a
+    deterministic routing-service response (epoch'd rules, '--' empty
+    location, '?'/'*' wildcards, a malformed line the parser must
+    skip), then routed_datacenter_expr's first-match-wins CASE chain
+    over part-derived NSLC rows, plus station_url_of's FDSN URL
+    convention broadcast as a tiny literal map. Scale shape: the
+    routing table is a tiny dimension inlined into the plan — channels
+    never shuffle, no UDF (plan-audited)."""
+    from stream2segment_spark.sources.routing import (
+        parse_routing_response, routed_datacenter_expr, station_url_of)
+    rules = parse_routing_response(_ROUTING_TEXT)
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ch = part.select(
+        k.alias("p_partkey"),
+        F.concat(F.lit("N"), (k % 3).cast("string")).alias("network"),
+        F.concat(F.lit("S"), (k % 7).cast("string")).alias("station"),
+        F.when(k % 2 == 0, F.lit("")).otherwise(F.lit("00"))
+         .alias("location"),
+        F.element_at(F.array(F.lit("HHZ"), F.lit("HHN"), F.lit("BHZ"),
+                             F.lit("LHE")), (k % 4 + 1).cast("int"))
+         .alias("channel"))
+    routed = ch.withColumn("datacenter", routed_datacenter_expr(rules))
+    # station_url_of applied driver-side to the tiny rule set, shipped
+    # as a literal map (the FDSN dataselect->station convention)
+    url_map = {}
+    for r in rules:
+        url_map[r.dataselect_url] = station_url_of(r.dataselect_url)
+    map_lits = [x for kv in url_map.items() for x in
+                (F.lit(kv[0]), F.lit(kv[1]))]
+    return routed.withColumn(
+        "station_url",
+        F.element_at(F.create_map(*map_lits), F.col("datacenter")))

@@ -554,10 +554,16 @@ def corpus_lm_score(spark, sf_dir):
     discount normalization), replayed in SQL through the same trigram/
     bigram/unigram left-join chain and position-ordered fold."""
     from stream2segment_spark.functions.lm import (
-        lm_transition_scores, stupid_backoff_scores)
+        lm_transition_scores, stupid_backoff_scores, trigram_model)
     docs = load_table(spark, sf_dir, "documents")
-    b = lm_transition_scores(docs, "doc_id", "text")
-    s = stupid_backoff_scores(docs, "doc_id", "text")
+    # one trained model feeds BOTH scorers: trigram_model's uni/bi/vocab
+    # are exactly what bigram_model would recount (still persist-free —
+    # the gate's no-persist discipline — but no duplicated count plans)
+    uni, bi, tri, vocab, total = trigram_model(docs, "text")
+    b = lm_transition_scores(docs, "doc_id", "text",
+                             model=(uni, bi, vocab))
+    s = stupid_backoff_scores(docs, "doc_id", "text",
+                              model=(uni, bi, tri, vocab, total))
     return b.join(s.select("doc_id", "sb_score"), "doc_id")
 
 

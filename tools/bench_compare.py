@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Compare two bench JSON artifacts (driver BENCH_r{N}.json or local
+BENCH_local_r{N}.json) per entry and flag regressions.
+
+Host-load noise inflates totals up to ~2x uniformly (see NOTES.md), so
+the comparison normalizes by the MEDIAN ratio across common entries
+first: a real per-entry regression stands out from the uniform-load
+fingerprint, which a raw ratio cannot distinguish.
+
+Usage: python tools/bench_compare.py OLD.json NEW.json [--flag 1.5]
+Exit 1 if any entry's load-normalized ratio exceeds the flag threshold.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+
+
+def load(path: str) -> dict[str, float]:
+    with open(path) as fh:
+        d = json.load(fh)
+    qs = d.get("queries")
+    if not isinstance(qs, dict):          # driver truncated-tail fallback
+        import re
+        qs = {k: float(v) for k, v in
+              re.findall(r'"(\w+)":\s*([0-9.]+)', d.get("tail", ""))
+              if k not in ("n", "rc", "cpus", "sf", "value")}
+    return {k: float(v) for k, v in qs.items()}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--flag", type=float, default=1.5,
+                    help="load-normalized ratio that flags a regression")
+    args = ap.parse_args()
+    old, new = load(args.old), load(args.new)
+    common = sorted(set(old) & set(new))
+    if not common:
+        print("no common entries")
+        return 1
+    ratios = {k: new[k] / old[k] for k in common if old[k] > 0}
+    med = statistics.median(ratios.values())
+    print(f"{len(common)} common entries; median ratio {med:.2f} "
+          f"(uniform-load component)  old-only={sorted(set(old)-set(new))} "
+          f"new-only={sorted(set(new)-set(old))}")
+    flagged = []
+    for k in sorted(ratios, key=lambda k: -ratios[k] / med):
+        norm = ratios[k] / med
+        mark = " <-- REGRESSION" if norm > args.flag and new[k] > 0.5 else ""
+        if mark or norm > 1.2:
+            print(f"{k:30s} {old[k]:7.2f} -> {new[k]:7.2f}  "
+                  f"raw {ratios[k]:5.2f}  norm {norm:5.2f}{mark}")
+        if mark:
+            flagged.append(k)
+    print(f"\n{len(flagged)} flagged (norm ratio > {args.flag}, "
+          f"new time > 0.5 s)")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

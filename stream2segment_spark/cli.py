@@ -340,7 +340,8 @@ def _decoded_selection(spark: SparkSession, cfg: dict,
         import importlib.util as ilu
 
         from stream2segment_spark.plots import (
-            collect_custom_specs, collect_preprocess, make_producer)
+            collect_custom_producers, collect_custom_specs,
+            collect_preprocess)
         spec = ilu.spec_from_file_location("__s2s_gui__", plot_module)
         mod = ilu.module_from_spec(spec)
         spec.loader.exec_module(mod)
@@ -349,12 +350,12 @@ def _decoded_selection(spark: SparkSession, cfg: dict,
         if not specs and pre_fn is None:
             raise SystemExit(f"{plot_module} defines no @segment_plot "
                              "or @segment_preprocess functions")
-        extra = {label: make_producer(label, fn, dx_fn=dx_fn)
-                 for label, (fn, dx_fn) in specs.items()}
-        plots_kwargs = {"extra_producers": extra,
-                        "extra_specs": specs,
-                        "preprocess_fn": pre_fn,
-                        "plots": ("trace", *extra)}
+        plots_kwargs = {"preprocess_fn": pre_fn}
+        if specs:  # a preprocess-only module keeps the default plot set
+            plots_kwargs.update(
+                extra_producers=collect_custom_producers(mod),
+                extra_specs=specs,
+                plots=("trace", *specs))
 
     # the same selection grammar as process (the reference GUI shows the
     # config's selected segments), then the has-data floor
@@ -687,7 +688,7 @@ def cmd_export_jsonl(spark, infile: str, outdir: str,
 
 
 def cmd_corr(spark, infile: str, cols: str, scale: int,
-             group_by: str | None) -> int:
+             group_by: str | None, method: str = "long") -> int:
     """'s2s corr': exact single-pass correlation matrix
     (operators/stats.corr_matrix_exact) of the given numeric columns,
     optionally per group; one JSON line per pair on stdout."""
@@ -702,7 +703,8 @@ def cmd_corr(spark, infile: str, cols: str, scale: int,
         print(f"error: need >= 2 existing columns; missing={missing}",
               file=sys.stderr)
         return 2
-    out = corr_matrix_exact(df, {c: scale for c in names}, gcols)
+    out = corr_matrix_exact(df, {c: scale for c in names}, gcols,
+                            method=method)
     for r in out.collect():
         print(_json.dumps(r.asDict(), default=str))
     return 0
@@ -1221,6 +1223,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="fixed-point decimal digits kept (default 6)")
     p.add_argument("--group-by", default=None,
                    help="optional comma-separated grouping columns")
+    p.add_argument("--method", choices=("long", "decimal"),
+                   default="long",
+                   help="co-moment arithmetic: 'long' (fast; per-row "
+                        "products must fit int64 — quantized magnitudes "
+                        "up to ~3e9) or 'decimal' (unbounded)")
     p = sub.add_parser(
         "ingest-wet",
         help="ingest Common Crawl WARC/WET archive(s) into a documents "
@@ -1633,7 +1640,7 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name="s2s-corr")
         try:
             return cmd_corr(spark, args.infile, args.cols, args.scale,
-                            args.group_by)
+                            args.group_by, method=args.method)
         finally:
             if not preexisting:
                 spark.stop()

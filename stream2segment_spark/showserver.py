@@ -82,6 +82,14 @@ class ShowApp:
         # core.py:380-415): applied on demand per request, never baked
         # into the default producers
         self.preprocess_fn = preprocess_fn
+        if preprocess_fn is not None and extra_producers and not extra_specs:
+            # prebuilt producer UDFs cannot be rebuilt with the
+            # preprocess bound — every ?preprocess=1 request would 400
+            # on the custom plot names; fail loudly at construction
+            raise ValueError(
+                "preprocess_fn with extra_producers needs extra_specs "
+                "(plots.collect_custom_specs) so custom plots can be "
+                "rebuilt on the preprocessed samples")
         self.annotator = annotator
         self.max_segments = max_segments
         # optional live-selection hook (the reference GUI's

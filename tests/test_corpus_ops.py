@@ -878,3 +878,28 @@ def test_longest_dup_rolling_probe_agrees_with_md5(spark):
     assert {t for _, t, _, _ in got["rolling"]} == {shared_a, shared_b}
     with pytest.raises(ValueError, match="probe"):
         longest_duplicated_substring(df, "doc_id", "toks", probe="nope")
+
+
+def test_longest_dup_window_identity_is_token_sequence(spark):
+    """Window identity is the token SEQUENCE, not the joined text: two
+    docs whose different token arrays join to the same string ('a b'+
+    'c' vs 'a'+'b c') are NOT duplicates — and both probe modes agree
+    (the md5 probe's join-collision false positive is absorbed by the
+    sequence-grouped report's step-down guard)."""
+    from stream2segment_spark.operators.dedup import (
+        longest_duplicated_substring)
+    rows = [("d0", ["a b", "c", "x0", "y0"]),
+            ("d1", ["a", "b c", "x1", "y1"])]
+    df = spark.createDataFrame(rows, "doc_id string, toks array<string>")
+    for probe in ("md5", "rolling"):
+        out = longest_duplicated_substring(
+            df, "doc_id", "toks", min_len=1, probe=probe).collect()
+        assert out == [], (probe, out)
+    # a REAL shared sequence is still found identically by both modes
+    rows = [("d0", ["a b", "c", "k", "k2"]), ("d1", ["z", "a b", "c"])]
+    df = spark.createDataFrame(rows, "doc_id string, toks array<string>")
+    for probe in ("md5", "rolling"):
+        out = longest_duplicated_substring(
+            df, "doc_id", "toks", min_len=1, probe=probe).collect()
+        assert [(r.length, r.text, r.n_docs) for r in out] \
+            == [(2, "a b c", 2)], probe

@@ -117,12 +117,11 @@ def test_corr_cli(spark, tmp_path, capsys):
 
 
 def test_long_fast_path_bit_equals_decimal(frame):
-    """The guarded hi/lo long-split accumulator reconstructs the SAME
-    DECIMAL(38,0) moment row as the decimal path — schema and values."""
+    """int64 per-row products + DECIMAL sums reconstruct the SAME
+    DECIMAL(38,0) moment row as the all-decimal path — names, types
+    and values."""
     fast = moment_sums(frame, SCALES, method="long")
     slow = moment_sums(frame, SCALES, method="decimal")
-    # same names and types (nullability differs: the guard's
-    # when/otherwise makes the long path's columns nullable)
     assert [(f.name, f.dataType) for f in fast.schema] == \
         [(f.name, f.dataType) for f in slow.schema]
     assert fast.collect() == slow.collect()
@@ -163,7 +162,6 @@ def test_long_fast_path_grouped_and_merge(spark, frame):
     key = lambda r: r["grp"]  # noqa: E731
     assert sorted(fast.collect(), key=key) == \
         sorted(slow.collect(), key=key)
-    merged = merge_moments(fast, group_cols=[]).drop("grp")
     # summing the two group rows reproduces the whole-frame row
     whole = moment_sums(frame, SCALES, method="long")
     m = merge_moments(fast.drop("grp"))

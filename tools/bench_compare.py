@@ -43,8 +43,12 @@ def main() -> int:
     if not common:
         print("no common entries")
         return 1
-    ratios = {k: new[k] / old[k] for k in common if old[k] > 0}
-    med = statistics.median(ratios.values())
+    ratios = {k: new[k] / old[k] for k in common
+              if old[k] > 0 and new[k] > 0}
+    if not ratios:
+        print("no comparable entries (all zero/sub-resolution timings)")
+        return 1
+    med = statistics.median(ratios.values()) or 1.0
     print(f"{len(common)} common entries; median ratio {med:.2f} "
           f"(uniform-load component)  old-only={sorted(set(old)-set(new))} "
           f"new-only={sorted(set(new)-set(old))}")

@@ -32,13 +32,19 @@ sys.path.insert(0, str(REPO))
 SF_BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEAVY = ("dedup_minhash_lsh", "dedup_ngram_jaccard", "corpus_substring_dup",
          "funclib_spectra", "cluster_kmeans", "spatial_join_traveltime")
-# lineitem is fact-like too (the measure columns agg_corr_matrix scans);
-# replicated with disjoint order keys. Real dims (TPC-H dims, customer
-# as the station side) stay 1x — at 100 TB the fact stream grows, the
-# station list does not.
-SCALED_TABLES = ("documents", "embeddings", "events", "lineitem")
+# lineitem AND orders are fact-like too (the measure columns
+# agg_corr_matrix scans; the candidate/existing sides of the download
+# diff). Both replicate with the SAME order-key offset (their key
+# domains coincide, so max+1 offsets stay consistent and scaled
+# lineitem rows never dangle against orders — a dangling fact side
+# would understate join-scaling alphas). Real dims (TPC-H dims,
+# customer as the station side) stay 1x — at 100 TB the fact stream
+# grows, the station list does not.
+SCALED_TABLES = ("documents", "embeddings", "events", "lineitem",
+                 "orders")
 ID_COLS = {"documents": "doc_id", "embeddings": "vec_id",
-           "events": "event_id", "lineitem": "l_orderkey"}
+           "events": "event_id", "lineitem": "l_orderkey",
+           "orders": "o_orderkey"}
 ALL_TABLES = ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings")
 
@@ -55,10 +61,20 @@ def build_scaled(spark, factor: int, out_dir: str) -> None:
         if not os.path.exists(dst):
             (shutil.copytree if os.path.isdir(src) else shutil.copyfile)(
                 src, dst)
+    # lineitem/orders must shift by the SAME offset or copy i's lineitem
+    # rows would reference copy j's orders: use the shared key-domain max
+    order_off = max(
+        load_table(spark, SF_BASE, "orders")
+        .agg(F.max("o_orderkey")).collect()[0][0],
+        load_table(spark, SF_BASE, "lineitem")
+        .agg(F.max("l_orderkey")).collect()[0][0]) + 1
     for name in SCALED_TABLES:
         df = load_table(spark, SF_BASE, name)
         idc = ID_COLS[name]
-        off = df.agg(F.max(idc)).collect()[0][0] + 1
+        if name in ("lineitem", "orders"):
+            off = order_off
+        else:
+            off = df.agg(F.max(idc)).collect()[0][0] + 1
         copies = []
         for i in range(factor):
             c = df.withColumn(idc, F.col(idc) + i * off)

@@ -818,3 +818,48 @@ def test_cli_explain_unknown_entry(capsys):
     from stream2segment_spark.cli import main
     assert main(["explain", "no_such_entry"]) == 2
     assert "unknown entry" in capsys.readouterr().err
+
+
+PREPROCESS_ONLY_MODULE = """
+from stream2segment_spark.plots import segment_preprocess
+
+@segment_preprocess
+def squared(samples, delta):
+    return samples * samples
+"""
+
+
+def test_show_preprocess_only_module_keeps_default_plots(
+        warehouse, capsys, tmp_path):
+    """A -p module with ONLY @segment_preprocess (no @segment_plot) must
+    keep the default trace/cumulative/spectrum plot set in the static
+    report (it used to silently narrow the report to one plot), and the
+    preprocess function must reach the interactive viewer wiring."""
+    _, cfg_path = warehouse
+    # populate the warehouse (idempotent upsert) so the test also runs
+    # standalone, not only after the module's download test
+    assert cli.main(["download", "-c", str(cfg_path)]) == 0
+    capsys.readouterr()
+    gui_py = tmp_path / "pre.py"
+    gui_py.write_text(PREPROCESS_ONLY_MODULE)
+    out_html = tmp_path / "pre.html"
+    assert cli.main(["show", "-c", str(cfg_path), "-o", str(out_html),
+                     "-p", str(gui_py)]) == 0
+    html = out_html.read_text()
+    assert "cumulative" in html and "spectrum" in html
+
+    # the serve wiring gets the preprocess hook (construct the app the
+    # way cmd_show_serve does, without binding a port)
+    import importlib.util as ilu
+    from stream2segment_spark.cli import _decoded_selection, _load_cfg
+    from stream2segment_spark.showserver import ShowApp
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    cfg = _load_cfg(str(cfg_path))
+    decoded, plots_kwargs = _decoded_selection(spark, cfg, str(gui_py))
+    assert plots_kwargs.get("preprocess_fn") is not None
+    assert "plots" not in plots_kwargs   # default plot set preserved
+    app = ShowApp(decoded, preprocess_fn=plots_kwargs["preprocess_fn"])
+    raw = app.segment_data(0)
+    pp = app.segment_data(0, preprocessed=True)
+    assert pp["plots"]["trace"]["y"] != raw["plots"]["trace"]["y"]

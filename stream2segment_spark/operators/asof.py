@@ -57,7 +57,12 @@ def asof_join_backward(
         *[F.col(c) for c in left.columns if c not in by and c != on])
     u = r.unionByName(l)
 
-    w = (Window.partitionBy(*by).orderBy(F.col(on), F.col("__tag"))
+    # __payload as the final sort key makes ties among right rows with
+    # EQUAL timestamps deterministic (last -> greatest payload wins) —
+    # without it the matched payload depends on shuffle order, breaking
+    # replayability; value columns must be orderable types (no maps)
+    w = (Window.partitionBy(*by)
+         .orderBy(F.col(on), F.col("__tag"), F.col("__payload"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     u = u.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
     out = u.filter(F.col("__tag") == 1)
@@ -195,7 +200,10 @@ def asof_join_forward(
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
         *[F.col(c) for c in left.columns if c not in by and c != on])
     u = r.unionByName(l)
-    w = (Window.partitionBy(*by).orderBy(F.col(on), F.col("__tag"))
+    # deterministic tie-break on equal right timestamps (first ->
+    # least payload wins); see asof_join_backward
+    w = (Window.partitionBy(*by)
+         .orderBy(F.col(on), F.col("__tag"), F.col("__payload"))
          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
     u = u.withColumn("__m", F.first("__payload", ignorenulls=True).over(w))
     out = u.filter(F.col("__tag") == 1)
@@ -250,7 +258,9 @@ def asof_join_nearest(
     u = r0.unionByName(tagged_right(2)).unionByName(l)
     back_payload = F.when(F.col("__tag") == 0, F.col("__payload"))
     fwd_payload = F.when(F.col("__tag") == 2, F.col("__payload"))
-    order = [F.col(on), F.col("__tag")]
+    # __payload tie-break: deterministic winner among right rows with
+    # equal timestamps (see asof_join_backward)
+    order = [F.col(on), F.col("__tag"), F.col("__payload")]
     wb = (Window.partitionBy(*by).orderBy(*order)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     wf = (Window.partitionBy(*by).orderBy(*order)

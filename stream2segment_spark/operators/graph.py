@@ -108,6 +108,11 @@ def connected_components(
         if changed == 0:
             break
     else:
+        # release the caches on the failure path too: the persisted
+        # symmetric edge list and the last round's checkpoint blocks
+        # would otherwise stay pinned for the session lifetime
+        sym.unpersist()
+        _unpersist_id(prev_ckpt_id)
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             f"iterations; component diameter exceeds the cap")

@@ -43,6 +43,23 @@ def _fs_delete(spark, path: str) -> None:
     fs.delete(p, True)
 
 
+def _fs_swap(spark, staged: str, live: str) -> None:
+    """Replace ``live`` with ``staged`` via filesystem rename (metadata
+    operation on local/HDFS) instead of a Spark read+rewrite: preserves
+    the staged files EXACTLY — in particular the tight per-file term
+    intervals of a range layout, which a rewrite's size-based bin
+    packing would destroy — and shrinks the swap window from a bulk
+    copy to two directory operations."""
+    jvm = spark._jvm
+    src = jvm.org.apache.hadoop.fs.Path(staged)
+    dst = jvm.org.apache.hadoop.fs.Path(live)
+    fs = src.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise IOError(f"rename {staged} -> {live} failed; the live "
+                      f"index was deleted — restore from {staged}")
+
+
 def normalize_terms(terms: list[str]) -> list[str]:
     """Apply the corpus tokenization to the QUERY side: lowercase, split
     on non-alphanumeric runs, drop empties, dedupe preserving order.
@@ -269,11 +286,11 @@ def append_to_search_index(docs: DataFrame, id_col: str, text_col: str,
     spark.createDataFrame([(n, tot, tot / n)],
                           "n_docs long, total_tokens long, avgdl double") \
         .write.mode("overwrite").parquet(f"{path}/stats_new")
-    # swap: copy staged -> live (Spark overwrite), then drop staging
-    pt.write.mode("overwrite").parquet(f"{path}/postings")
-    (spark.read.parquet(f"{path}/terms_new")
-     .write.mode("overwrite").parquet(f"{path}/terms"))
-    (spark.read.parquet(f"{path}/stats_new")
-     .write.mode("overwrite").parquet(f"{path}/stats"))
-    for staged in ("postings_new", "terms_new", "stats_new"):
-        _fs_delete(spark, f"{path}/{staged}")
+    # swap: rename staged -> live (metadata ops — keeps the staged
+    # range-clustered postings files byte-identical, so footer-interval
+    # file pruning survives the append; a Spark rewrite would re-pack
+    # them by size and mix term intervals across files)
+    for staged, live in (("postings_new", "postings"),
+                         ("terms_new", "terms"),
+                         ("stats_new", "stats")):
+        _fs_swap(spark, f"{path}/{staged}", f"{path}/{live}")

@@ -69,7 +69,9 @@ def ann_topk_bruteforce(
         return corpus.sparkSession.createDataFrame([], out_schema)
     q_ids = qpdf[query_id_col].to_numpy()
     qm = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    # zero-norm guard: an all-zero vector must yield cosine 0, not a
+    # NaN that Spark's desc window would rank ABOVE every real neighbor
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -77,7 +79,8 @@ def ann_topk_bruteforce(
                 continue
             ids = pdf[id_col].to_numpy()
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                            1e-12)
             sims = m @ qm.T  # (batch, |Q|)
             kk = min(k, len(ids))
             rows = {query_id_col: [], id_col: [], "cosine": []}
@@ -784,12 +787,14 @@ def pq_topk_adc(corpus: DataFrame, queries: DataFrame,
     mm, ksub, dsub = codebook.shape
     qpdf = _drop_null_vecs(queries, vec_col) \
         .select(query_id_col, vec_col).toPandas()
+    out_schema = f"{query_id_col} long, {id_col} long, adc_dist double"
+    if not len(qpdf):   # empty query set: empty result, not np.stack
+        return corpus.sparkSession.createDataFrame([], out_schema)
     q_ids = qpdf[query_id_col].to_numpy()
     qm = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
     qs = qm.reshape(len(q_ids), mm, dsub)
     lut = ((qs[:, :, None, :] - codebook[None]) ** 2).sum(-1)  # (Q,m,ksub)
     lut_t = lut.transpose(1, 2, 0)                             # (m,ksub,Q)
-    out_schema = f"{query_id_col} long, {id_col} long, adc_dist double"
 
     def scan(batches):
         for pdf in batches:

@@ -31,7 +31,21 @@ def salted_join(
     """Equi-join ``big`` with ``small`` on ``on``, salted with ``n_salts``
     buckets per key. ``salt_source``: columns of ``big`` that determine the
     salt (defaults to all non-key columns, keeping the salt deterministic
-    and well-spread; a monotonic id works too)."""
+    and well-spread; a monotonic id works too).
+
+    ``how`` is restricted to the join types where replicating the small
+    side preserves row-for-row equivalence with the unsalted join:
+    unmatched SMALL-side rows exist ``n_salts`` times after the explode,
+    so right/full outer (which emit them) would duplicate each one
+    ``n_salts``-fold."""
+    ok_how = ("inner", "left", "leftouter", "left_outer", "semi",
+              "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
+              "cross")
+    if how.lower() not in ok_how:
+        raise ValueError(
+            f"salted_join does not preserve {how!r} semantics (the "
+            f"replicated small side would emit unmatched rows "
+            f"{n_salts}x); use one of {ok_how} or an unsalted join")
     src = salt_source or [c for c in big.columns if c not in on] or on
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in src]), F.lit(n_salts))
     b = big.withColumn("__salt", salt.cast("int"))

@@ -70,11 +70,21 @@ def merge_latest_wins(
     One shuffle on the natural key. At 100 TB the result is written back
     partition-wise (overwrite-by-partition is idempotent); with Delta
     available, use ``try_delta_merge`` instead.
+
+    Duplicate keys WITHIN a side (two incoming rows for one natural
+    key) tie-break deterministically on a content hash of the non-key
+    columns — without it row_number's winner depends on shuffle order
+    and a backfill would not reproduce the merged table byte-for-byte.
     """
     ex = existing.withColumn(order_col, F.lit(0))
     inc = incoming.withColumn(order_col, F.lit(1))
     all_rows = ex.unionByName(inc, allowMissingColumns=True)
-    w = Window.partitionBy(*natural_key).orderBy(F.col(order_col).desc())
+    payload_cols = [c for c in all_rows.columns
+                    if c not in natural_key and c != order_col]
+    tiebreak = (F.xxhash64(*[F.col(c) for c in payload_cols])
+                if payload_cols else F.lit(0))
+    w = Window.partitionBy(*natural_key).orderBy(
+        F.col(order_col).desc(), tiebreak.desc())
     return (all_rows.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn", order_col))
 

@@ -903,3 +903,18 @@ def test_longest_dup_window_identity_is_token_sequence(spark):
             df, "doc_id", "toks", min_len=1, probe=probe).collect()
         assert [(r.length, r.text, r.n_docs) for r in out] \
             == [(2, "a b c", 2)], probe
+
+
+def test_line_dedup_null_line_elements_dropped_explicitly(spark):
+    """NULL line elements are dropped up front with documented
+    semantics: n_lines counts non-null lines, cleaned_text never
+    contains them, and the remaining lines keep their behavior."""
+    from stream2segment_spark.operators.dedup import line_dedup
+    rows = [(1, [None, "keep me", "boiler"]),
+            (2, ["boiler", "other"]),
+            (3, ["boiler", None])]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    out = {r["doc_id"]: r for r in
+           line_dedup(df, "doc_id", "lines", max_df=1).collect()}
+    assert out[1]["n_lines"] == 2 and out[1]["cleaned_text"] == "keep me"
+    assert out[3]["n_lines"] == 1 and out[3]["n_kept"] == 0

@@ -693,3 +693,35 @@ def test_keep_canonical_one_winner_per_cluster(spark):
     per = out.groupBy("cluster_id").agg(
         F.sum(F.col("is_canonical").cast("int")).alias("n")).collect()
     assert all(r["n"] == 1 for r in per)
+
+
+def test_simhash_md5_path_accepts_default_bits(spark):
+    """token_hash='md5' with the function's own default bits=64 clamps
+    to the md5 path's 60 usable bits instead of rejecting itself."""
+    from pyspark.sql import Row
+
+    from stream2segment_spark.operators.dedup import simhash_neardup_pairs
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="the quick brown fox jumps over the dog"),
+         Row(doc_id=2, text="the quick brown fox jumps over the dog"),
+         Row(doc_id=3, text="completely different words entirely here")])
+    out = simhash_neardup_pairs(df, "text", "doc_id",
+                                token_hash="md5").collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+
+
+def test_contamination_fractions_string_ids(spark):
+    """The shingle Arrow stage mirrors the input id type (string ids
+    used to be hardcoded long and fail the Arrow conversion)."""
+    from pyspark.sql import Row
+
+    from stream2segment_spark.operators.dedup import (
+        contamination_fractions)
+    docs = spark.createDataFrame(
+        [Row(doc_id="d1", text="alpha beta gamma delta epsilon zeta"),
+         Row(doc_id="d2", text="totally clean text nothing shared here")])
+    bench = spark.createDataFrame(
+        [Row(doc_id="b1", text="alpha beta gamma delta epsilon")])
+    out = {r["doc_id"]: r["contam_frac"] for r in
+           contamination_fractions(docs, bench).collect()}
+    assert out["d1"] > 0 and out["d2"] == 0.0

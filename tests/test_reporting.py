@@ -109,3 +109,27 @@ def test_retired_gate_entries_still_correct(spark, testdata_duck):
            FROM (SELECT event_type, user_id % 10 AS bucket FROM events)
            GROUP BY CUBE (event_type, bucket)""").fetchall()
     assert dict(((et, b), n) for et, b, n in want) == cube
+
+
+def test_asof_duplicate_right_ts_deterministic(spark):
+    """Two right rows with the SAME (by, ts) but different payloads:
+    the matched payload must be identical under any partitioning
+    (payload tie-break), for all three directions."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from stream2segment_spark.operators.asof import (
+        asof_join_backward, asof_join_forward, asof_join_nearest)
+    t = datetime(2024, 1, 1, 10)
+    left = spark.createDataFrame([Row(u=1, ts=t)])
+    right_rows = [Row(u=1, ts=t, val="a"), Row(u=1, ts=t, val="b")]
+    for fn in (asof_join_backward, asof_join_forward, asof_join_nearest):
+        got = set()
+        for arranged in (spark.createDataFrame(right_rows).repartition(5),
+                         spark.createDataFrame(right_rows[::-1])
+                         .coalesce(1)):
+            r = fn(left, arranged, on="ts", by=["u"]).collect()
+            assert len(r) == 1
+            got.add(r[0]["val_asof"])
+        assert len(got) == 1, (fn.__name__, got)

@@ -47,3 +47,42 @@ def test_null_vectors_ignored_not_fatal(spark):
     assert a == b
     sd = semantic_dedup(dirty, k=2, threshold=0.99)
     assert sd.count() == 12  # the two NULL rows are excluded, not fatal
+
+
+def test_bruteforce_zero_vector_never_ranks_first(spark):
+    """An all-zero vector (failure-fill) must yield cosine 0, not a NaN
+    that Spark's desc window ranks above every real neighbor."""
+    from pyspark.sql import Row
+
+    from stream2segment_spark.operators.similarity import (
+        ann_topk_bruteforce)
+    rows = [Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.9, 0.1]),
+            Row(vec_id=2, embedding=[0.0, 0.0])]   # zero vector
+    df = spark.createDataFrame(rows)
+    q = df.filter("vec_id = 0").selectExpr("vec_id AS query_id",
+                                           "embedding")
+    out = ann_topk_bruteforce(df, q, id_col="vec_id",
+                              vec_col="embedding",
+                              query_id_col="query_id", k=2).collect()
+    ranked = [r["vec_id"] for r in
+              sorted(out, key=lambda r: -r["cosine"])]
+    assert ranked[0] == 0 and 2 not in ranked[:2]
+    assert all(not (r["cosine"] != r["cosine"]) for r in out)  # no NaN
+
+
+def test_pq_topk_adc_empty_queries(spark):
+    """Empty query set returns an empty typed frame, not an np.stack
+    crash (same contract as ann_topk_bruteforce)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from stream2segment_spark.operators.similarity import pq_topk_adc
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0, 0.0, 2.0])
+         for i in range(8)])
+    cb = np.zeros((2, 4, 2))
+    out = pq_topk_adc(df, df.limit(0).selectExpr(
+        "vec_id AS query_id", "embedding"), cb, k=3)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "vec_id", "adc_dist"}

@@ -190,3 +190,39 @@ def test_interval_overlap_wide_row_guard(spark):
     pairs = sorted((r["lid"], r["rid"]) for r in out)
     assert pairs == [(1, 10), (1, 12), (2, 12),
                      (3, 10), (3, 11), (3, 12)]
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    """right/full outer would emit each unmatched small-side row
+    n_salts times (the small side is replicated); reject loudly."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from stream2segment_spark.operators.skew import salted_join
+    big = spark.createDataFrame([Row(k=1, v=1.0)])
+    small = spark.createDataFrame([Row(k=2, name="unmatched")])
+    with _pytest.raises(ValueError, match="does not preserve"):
+        salted_join(big, small, ["k"], n_salts=4, how="full")
+    with _pytest.raises(ValueError, match="does not preserve"):
+        salted_join(big, small, ["k"], n_salts=4, how="right")
+    # left stays allowed and row-for-row equal to the plain join
+    got = salted_join(big, small, ["k"], n_salts=4, how="left").collect()
+    assert len(got) == 1 and got[0]["name"] is None
+
+
+def test_merge_latest_wins_tie_is_partitioning_invariant(spark):
+    """Two incoming rows for ONE natural key: the surviving row must be
+    the same under any partitioning (content-hash tie-break), not
+    whichever the shuffle happened to sort first."""
+    from pyspark.sql import Row
+
+    from stream2segment_spark.operators.upsert import merge_latest_wins
+    ex = spark.createDataFrame([Row(k=1, v="old")])
+    inc = spark.createDataFrame([Row(k=1, v="a"), Row(k=1, v="b")])
+    winners = set()
+    for arranged in (inc.repartition(7), inc.coalesce(1),
+                     inc.orderBy(F.col("v").desc())):
+        r = merge_latest_wins(ex, arranged, ["k"]).collect()
+        assert len(r) == 1
+        winners.add(r[0]["v"])
+    assert len(winners) == 1 and winners != {"old"}

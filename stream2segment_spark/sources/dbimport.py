@@ -151,12 +151,22 @@ def import_jdbc(spark, url: str, warehouse: str,
             bounds = spark.read.jdbc(
                 url, f"(SELECT min(id) lo, max(id) hi FROM {src}) b",
                 properties=props).collect()[0]
-        except Exception as exc:  # missing table OR missing driver
-            if "No suitable driver" in str(exc):
+        except Exception as exc:
+            msg = str(exc)
+            if "No suitable driver" in msg:
                 raise RuntimeError(
                     f"no JDBC driver for {url!r}: add the driver jar via "
                     "spark.jars (e.g. the PostgreSQL JDBC jar)") from exc
-            continue
+            # ONLY a genuinely absent table is skippable; auth/network/
+            # SQL failures must not be silently read as "empty database"
+            # (a failed import would otherwise return {} as success)
+            missing = ("does not exist", "no such table", "not found",
+                       "doesn't exist", "unknown relation")
+            if any(m in msg.lower() for m in missing):
+                continue
+            raise RuntimeError(
+                f"JDBC probe of table {src!r} failed (not a "
+                f"missing-table error): {msg.splitlines()[0]}") from exc
         if bounds["lo"] is None:
             df = spark.read.jdbc(url, src, properties=props)
         else:
@@ -183,5 +193,22 @@ def import_db(spark, db: str, warehouse: str, **kwargs) -> dict[str, int]:
         return import_sqlite(db[len("sqlite:///"):], warehouse, **kwargs)
     if "://" not in db:
         return import_sqlite(db, warehouse, **kwargs)
-    url = db if db.startswith("jdbc:") else "jdbc:" + db
-    return import_jdbc(spark, url, warehouse, **kwargs)
+    # JDBC URLs carry no userinfo (pgjdbc parses 'user:pw@host' as the
+    # host): split credentials out of the reference-style dburl into
+    # connection properties
+    from urllib.parse import urlsplit, urlunsplit
+    raw = db[len("jdbc:"):] if db.startswith("jdbc:") else db
+    parts = urlsplit(raw)
+    props = dict(kwargs.pop("properties", None) or {})
+    if parts.username:
+        props.setdefault("user", parts.username)
+    if parts.password:
+        props.setdefault("password", parts.password)
+    if parts.username or parts.password:
+        host = parts.hostname or ""
+        if parts.port:
+            host += f":{parts.port}"
+        raw = urlunsplit((parts.scheme, host, parts.path,
+                          parts.query, parts.fragment))
+    return import_jdbc(spark, "jdbc:" + raw, warehouse,
+                       properties=props or None, **kwargs)

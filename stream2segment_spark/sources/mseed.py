@@ -86,6 +86,9 @@ def _decode_steim1(payload: bytes, n_samples: int, bo: str) -> np.ndarray:
     decoded diffs into the output with a repeat-offset index — no
     per-word Python loop (the earlier form topped out ~18k records/s/core;
     this is the decode-throughput hot path of the streaming stage)."""
+    if n_samples <= 0:
+        # header-only record: cumsum([]) has no out[0] to anchor
+        return np.zeros(0)
     words = np.frombuffer(payload, dtype=">u4" if bo == ">" else "<u4")
     n_frames = len(words) // 16
     if n_frames == 0:
@@ -162,6 +165,9 @@ def _decode_steim2(payload: bytes, n_samples: int, bo: str) -> np.ndarray:
     31-30) selecting among 30/15/10-bit and 6/5/4-bit packed differences.
     Vectorized like :func:`_decode_steim1`: one mask + broadcast
     shift/mask/sign-extend per class, scatter by cumsum offsets."""
+    if n_samples <= 0:
+        # header-only record: cumsum([]) has no out[0] to anchor
+        return np.zeros(0)
     words = np.frombuffer(payload, dtype=">u4" if bo == ">" else "<u4")
     n_frames = len(words) // 16
     if n_frames == 0:
@@ -238,14 +244,21 @@ def parse_record(buf: bytes, offset: int) -> tuple[_Record, int]:
     data_offset, blk_offset = struct.unpack(bo + "HH", hdr[44:48])
 
     # walk blockettes for 1000 (encoding, word order, record length)
-    encoding, rec_len = None, None
+    encoding, rec_len, word_order = None, None, 1
+    avail = len(buf) - offset
     pos = blk_offset
     for _ in range(n_blockettes):
-        if pos == 0 or pos + 4 > len(buf) - offset:
+        if pos == 0 or pos + 4 > avail:
             break
         btype, nxt = struct.unpack(bo + "HH", buf[offset + pos:offset + pos + 4])
         if btype == 1000:
+            # type(2) next(2) encoding(1) word-order(1) reclen-pow(1):
+            # the payload bytes live at pos+4..pos+6 — bound-check THEM,
+            # not just the 4-byte blockette header
+            if pos + 7 > avail:
+                raise MSeedError("truncated blockette 1000")
             encoding = buf[offset + pos + 4]
+            word_order = buf[offset + pos + 5]
             rec_len = 1 << buf[offset + pos + 6]
         pos = nxt
         if nxt == 0:
@@ -256,17 +269,25 @@ def parse_record(buf: bytes, offset: int) -> tuple[_Record, int]:
         raise MSeedError("no data encoding in blockette 1000")
 
     rate = _sample_rate(factor, multiplier)
+    if rate <= 0:
+        # factor 0 = irregular/opaque channel (spec-legal, unsupported
+        # here): an error ROW, not a ZeroDivisionError in _Record.end
+        raise MSeedError(
+            f"non-positive sample rate (factor={factor}, "
+            f"multiplier={multiplier}): irregular/opaque data")
+    # blockette-1000 word order governs the DATA section (1 = big)
+    data_bo = ">" if word_order else "<"
     payload = buf[offset + data_offset:offset + rec_len]
     if encoding in _PLAIN_DTYPES:
-        dt = np.dtype(bo + _PLAIN_DTYPES[encoding])
+        dt = np.dtype(data_bo + _PLAIN_DTYPES[encoding])
         samples = np.frombuffer(
             payload[:n_samples * dt.itemsize], dtype=dt).astype(np.float64)
         if len(samples) < n_samples:
             raise MSeedError("payload shorter than sample count")
     elif encoding == 10:
-        samples = _decode_steim1(payload, n_samples, ">")
+        samples = _decode_steim1(payload, n_samples, data_bo)
     elif encoding == 11:
-        samples = _decode_steim2(payload, n_samples, ">")
+        samples = _decode_steim2(payload, n_samples, data_bo)
     else:
         raise MSeedError(f"unsupported encoding {encoding}")
     rec = _Record(seed_id=f"{net}.{sta}.{loc}.{cha}", start=start,
@@ -355,7 +376,8 @@ def unpack_mseed_udf(window_start: datetime | None = None,
             try:
                 out.append(unpack_blob(bytes(b), window_start, window_end,
                                        include_samples))
-            except (MSeedError, ValueError, struct.error) as exc:
+            except (MSeedError, ValueError, struct.error,
+                    IndexError, ZeroDivisionError) as exc:
                 out.append([{
                     "seed_id": None, "sample_rate": None, "start_time": None,
                     "end_time": None, "n_samples": None,
@@ -368,6 +390,24 @@ def unpack_mseed_udf(window_start: datetime | None = None,
 # --------------------------------------------------------------------------
 # Encoder (sink side + test fixture generator). Big-endian, blockette 1000.
 # --------------------------------------------------------------------------
+
+def _factor_multiplier(rate: float) -> tuple[int, int]:
+    """SEED sample-rate factor/multiplier for ``rate``: positive factor
+    for integer rates, negative factor (seconds per sample) for
+    integer-period sub-1 Hz rates. Anything else raises — silently
+    truncating 40.5 Hz to 40 would corrupt every timestamp downstream,
+    and factor 0 is the irregular-data sentinel the decoder rejects."""
+    if rate <= 0:
+        raise MSeedError(f"sample rate must be positive, got {rate}")
+    if abs(rate - round(rate)) < 1e-9 and round(rate) <= 32767:
+        return int(round(rate)), 1
+    period = 1.0 / rate
+    if abs(period - round(period)) < 1e-9 and round(period) <= 32767:
+        return -int(round(period)), 1
+    raise MSeedError(
+        f"sample rate {rate} not representable as a SEED "
+        f"factor/multiplier (integer rate or integer period required)")
+
 
 def encode_record(
     net: str, sta: str, loc: str, cha: str,
@@ -395,7 +435,8 @@ def encode_record(
            + f"{sta:<5.5}{loc:<2.2}{cha:<3.3}{net:<2.2}".encode()
            + struct.pack(">HHBBBBH", t.year, doy, t.hour, t.minute, t.second,
                          0, round(frac * 10000))
-           + struct.pack(">Hhh", len(samples), int(sample_rate), 1)
+           + struct.pack(">Hhh", len(samples),
+                         *_factor_multiplier(sample_rate))
            + bytes([0, 0, 0, 1])      # flags x3, 1 blockette
            + struct.pack(">iHH", 0, 64, 48))
     blk1000 = struct.pack(">HHBBBB", 1000, 0, encoding, 1,
@@ -415,6 +456,9 @@ def _encode_steim2(x: np.ndarray) -> bytes:
     next k differences all fit its bit width (the standard compressor
     strategy), so real payloads exercise every word class. Raises when a
     difference exceeds 30 bits (Steim2's limit)."""
+    if len(x) == 0:
+        # header-only record: one frame of integration constants 0
+        return np.zeros((1, 16), dtype=">u4").tobytes()
     d = np.diff(x, prepend=x[:1]).astype(np.int64)
     d[0] = 0  # x0 carries the absolute value
     n = len(d)
@@ -462,6 +506,9 @@ def _encode_steim1(x: np.ndarray) -> bytes:
     """All-int32 (nibble 3) Steim1 — numpy-vectorized: one (n_frames, 16)
     u32 matrix, nibble words from per-frame fill counts, one big-endian
     tobytes. Byte-identical to the former per-word loop."""
+    if len(x) == 0:
+        # header-only record: one frame of integration constants 0
+        return np.zeros((1, 16), dtype=">u4").tobytes()
     d = np.diff(x, prepend=x[:1]).astype(np.int64)
     d[0] = 0  # x0 carries the absolute value
     n = len(d)

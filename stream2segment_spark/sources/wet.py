@@ -66,16 +66,23 @@ def parse_wet_records(records: DataFrame,
     trailing CR/LF removed (the record frame is newline-delimited, so
     payload-final newlines are not preservable — the serializer
     normalizes them away symmetrically); ``len_ok`` cross-checks the
-    framed byte count against the Content-Length header (the WET spec
-    counts octets, so the check is on ``octet_length``). Chunks with no
-    blank-line separator (truncated records) are dropped."""
+    Content-Length header against the framed octet count, accepted when
+    it lies between the stripped payload and the raw frame — the spec
+    counts payload-final newline octets that the newline-delimited
+    frame cannot preserve, so exact equality would mis-flag every real
+    newline-terminated Common Crawl record. Chunks with no blank-line
+    separator (truncated records) are dropped."""
     raw = F.col(value_col)
     split_at = F.instr(raw, _HDR_SEP)
+    rawpay = F.substring(raw, split_at + len(_HDR_SEP), 2_000_000_000)
     rec = records.where(split_at > 0).select(
         F.substring(raw, 1, split_at - 1).alias("__hdrs"),
-        F.regexp_replace(
-            F.substring(raw, split_at + len(_HDR_SEP), 2_000_000_000),
-            r"[\r\n]+$", "").alias("text"))
+        F.regexp_replace(rawpay, r"[\r\n]+$", "").alias("text"),
+        # real Common Crawl Content-Length counts payload-final newline
+        # octets that the frame strip removes — keep the pre-strip octet
+        # count so len_ok can bound-check instead of mis-flagging every
+        # newline-terminated record
+        F.octet_length(rawpay).alias("__raw_octets"))
     return rec.select(
         _hdr("WARC-Type").alias("warc_type"),
         _hdr("WARC-Target-URI").alias("uri"),
@@ -88,8 +95,13 @@ def parse_wet_records(records: DataFrame,
         _hdr("Content-Length").try_cast("long")
         .alias("content_length"),
         F.col("text"),
-        (F.octet_length("text")
-         == _hdr("Content-Length").try_cast("long")).alias("len_ok"))
+        # well-framed iff the declared octet count sits between the
+        # stripped payload and the raw frame (the difference is the
+        # trailing CR/LF octets the frame strip removed, which the spec
+        # counts but the newline-delimited frame cannot preserve)
+        (_hdr("Content-Length").try_cast("long")
+         .between(F.octet_length("text"), F.col("__raw_octets")))
+        .alias("len_ok"))
 
 
 def read_wet(spark: SparkSession, path: str) -> DataFrame:

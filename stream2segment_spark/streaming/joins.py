@@ -96,10 +96,18 @@ def run_upsert_sink(
     from stream2segment_spark.operators.upsert import merge_latest_wins
 
     def flush(batch_df: DataFrame, _batch_id: int) -> None:
-        import os
+        from pyspark.errors.exceptions.captured import AnalysisException
         batch_df = batch_df.localCheckpoint(eager=True)
-        if os.path.exists(path):
+        # probe the target by READING, never os.path.exists — the table
+        # may live on any Hadoop filesystem (hdfs://, s3a://, ...),
+        # where a driver-local stat is always False and every batch
+        # would silently overwrite all previously merged data (the
+        # streaming/corpus.py _read_corpus pattern)
+        try:
             current = batch_df.sparkSession.read.parquet(path)
+        except AnalysisException:
+            current = None
+        if current is not None:
             merged = merge_latest_wins(current, batch_df, natural_key)
             merged = merged.localCheckpoint(eager=True)
         else:

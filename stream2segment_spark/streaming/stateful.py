@@ -78,8 +78,11 @@ def streaming_sessionize(
 
     Batch twin: streaming/incremental.sessionize (lag + cumsum) — same
     session boundaries, used as the oracle in tests."""
+    # the key column mirrors user_col's NAME and TYPE (a hardcoded
+    # 'user_id long' would miscast string/renamed keys at the Arrow
+    # boundary — the winnow_fingerprints lesson)
     out_schema = StructType([
-        StructField("user_id", LongType()),
+        StructField(user_col, df.schema[user_col].dataType),
         StructField("session_start", TimestampType()),
         StructField("session_end", TimestampType()),
         StructField("n_events", LongType()),

@@ -36,7 +36,13 @@ def decode_segments(
         F.col("ch.sample_rate").alias("sample_rate"),
         F.col("ch.n_samples").alias("n_samples"),
         F.col("ch.max_gap_overlap_ratio").alias("max_gap"),
-        F.col("ch.error").alias("decode_error"))
+        # a NULL blob decodes to a NULL channel struct (explode_outer
+        # keeps the row): surface it as an error row per the docstring,
+        # or windowed_quality_stats would count never-downloaded
+        # segments as 'ok' (all-null metrics fall through its CASE)
+        F.coalesce(F.col("ch.error"),
+                   F.when(F.col("ch").isNull(), F.lit("missing blob")))
+        .alias("decode_error"))
 
 
 def windowed_quality_stats(

@@ -149,3 +149,81 @@ def test_unpack_udf_on_spark(spark):
     assert rows[1]["error"] is None
     assert rows[2]["error"] is not None        # decode error -> row, not crash
     assert rows[3]["seed_id"] is None          # null blob -> null struct
+
+
+def test_factor_zero_record_is_error_row_not_crash():
+    """factor=0 (irregular/opaque SEED data) must yield a named
+    MSeedError, never a ZeroDivisionError from _Record.end."""
+    import struct
+
+    import pytest as _pytest
+
+    from stream2segment_spark.sources.mseed import (
+        MSeedError, encode_record, parse_record)
+    from datetime import datetime, timezone
+    rec = bytearray(encode_record(
+        "GE", "APE", "", "HHZ", datetime(2024, 1, 1, tzinfo=timezone.utc),
+        100.0, np.arange(10.0), encoding=3))
+    rec[32:36] = struct.pack(">hh", 0, 1)       # factor=0
+    with _pytest.raises(MSeedError, match="non-positive sample rate"):
+        parse_record(bytes(rec), 0)
+
+
+def test_zero_sample_steim_record_decodes_empty():
+    """n_samples=0 Steim record (header-only) returns an empty record
+    instead of IndexError on the cumsum anchor."""
+    from datetime import datetime, timezone
+
+    from stream2segment_spark.sources.mseed import (
+        encode_record, parse_record)
+    blob = encode_record(
+        "GE", "APE", "", "HHZ", datetime(2024, 1, 1, tzinfo=timezone.utc),
+        100.0, np.zeros(0), encoding=10)
+    rec, _ = parse_record(blob, 0)
+    assert len(rec.samples) == 0
+
+
+def test_encode_fractional_rates():
+    """Integer-period sub-1 Hz rates use the SEED negative factor and
+    round-trip; non-representable rates raise instead of silently
+    truncating (40.5 -> 40 would corrupt every timestamp)."""
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    from stream2segment_spark.sources.mseed import (
+        MSeedError, encode_record, parse_record)
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    blob = encode_record("GE", "APE", "", "LHZ", t0, 0.1,
+                         np.arange(5.0), encoding=3)
+    rec, _ = parse_record(blob, 0)
+    assert rec.sample_rate == 0.1
+    with _pytest.raises(MSeedError, match="not representable"):
+        encode_record("GE", "APE", "", "HHZ", t0, 40.5,
+                      np.arange(5.0), encoding=3)
+
+
+def test_little_endian_record_decodes():
+    """A record whose header and blockette declare little-endian (word
+    order 0) decodes through the sniffed byte order — previously the
+    Steim/plain data path hardcoded big-endian."""
+    import struct
+    from datetime import datetime, timezone
+
+    from stream2segment_spark.sources.mseed import parse_record
+    samples = np.array([3, -1, 4, 1, -5], dtype=np.int64)
+    payload = samples.astype("<i4").tobytes()
+    t = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    doy = 1
+    hdr = (b"000001D " + b"APE  " + b"  " + b"HHZ" + b"GE"
+           + struct.pack("<HHBBBBH", t.year, doy, 0, 0, 0, 0, 0)
+           + struct.pack("<Hhh", len(samples), 100, 1)
+           + bytes([0, 0, 0, 1])
+           + struct.pack("<iHH", 0, 64, 48))
+    blk1000 = struct.pack("<HHBBBB", 1000, 0, 3, 0, 9, 0)  # word order 0
+    body = hdr + blk1000
+    blob = body + b"\x00" * (64 - len(body)) + payload \
+        + b"\x00" * (512 - 64 - len(payload))
+    rec, nxt = parse_record(blob, 0)
+    assert nxt == 512 and rec.sample_rate == 100.0
+    assert list(rec.samples) == [3.0, -1.0, 4.0, 1.0, -5.0]

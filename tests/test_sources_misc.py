@@ -200,3 +200,28 @@ def test_format_isf_events_roundtrip():
         ("TSTBULL", "o42", "MW", 6.5, "MAGAUT", "Somewhere Deep")
     assert (b.event_id, b.time) == ("x7", "1999-12-31T23:59:59")
     assert b.latitude is None and b.magnitude is None
+
+
+def test_wet_len_ok_accepts_payload_final_newline(spark):
+    """Real Common Crawl Content-Length counts payload-final newline
+    octets the newline-delimited frame strips: such records are
+    well-framed (len_ok=true); genuinely mis-framed records stay
+    flagged."""
+    from stream2segment_spark.sources.wet import parse_wet_records
+
+    def chunk(text_bytes: bytes, declared: int) -> str:
+        return ("WARC-Type: conversion\r\n"
+                "WARC-Target-URI: http://x.org/\r\n"
+                "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                "WARC-Record-ID: <urn:uuid:1>\r\n"
+                "Content-Type: text/plain\r\n"
+                f"Content-Length: {declared}\r\n"
+                "\r\n" + text_bytes.decode())
+
+    body = b"hello world\n"             # spec counts the final newline
+    rows = [(chunk(body, len(body)),),           # newline-terminated: ok
+            (chunk(b"hello world", 11),),        # exact: ok
+            (chunk(b"hello world", 5),)]         # mis-framed: flagged
+    df = spark.createDataFrame(rows, "value string")
+    got = [r["len_ok"] for r in parse_wet_records(df).collect()]
+    assert got == [True, True, False]

@@ -261,3 +261,22 @@ def test_watermark_evicts_closed_window_state(spark, tmp_path):
         updated = sum(o["numRowsUpdated"] for o in ops)
         assert updated - removed == rows[-1], (label, updated, removed)
         assert rows[-1] <= 2, (label, rows)   # only open windows remain
+
+
+def test_sessionize_string_keys_and_renamed_col(spark, tmp_path):
+    """The output key column mirrors user_col's NAME and TYPE (was
+    hardcoded 'user_id long', which miscast string/renamed keys at the
+    Arrow boundary)."""
+    schema = "device_id string, ts timestamp, value double"
+    batches = [
+        [("devA", _ts(0), 1.0), ("devA", _ts(1), 2.0)],
+        [("devA", _ts(90), 3.0)],       # > gap -> closes session 1
+        [("devB", _ts(95), 4.0), ("devA", _ts(300), 5.0)],
+    ]
+    src = _write_batches(spark, tmp_path, batches, schema)
+    out = _run(spark, src, schema,
+               lambda s: streaming_sessionize(s, user_col="device_id",
+                                              gap_minutes=30.0))
+    assert out.schema["device_id"].dataType.simpleString() == "string"
+    rows = [(r["device_id"], r["n_events"]) for r in out.collect()]
+    assert ("devA", 2) in rows          # the closed first session

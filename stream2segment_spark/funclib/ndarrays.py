@@ -163,7 +163,16 @@ def triangsmooth(array, winlen_ratio: float) -> np.ndarray:
     half-width is round(i * winlen_ratio), shrunk near the right edge so the
     window fits; weights are (n - |offset|) for offsets in [-(n-1), n-1]
     with normalizer n^2 (n = half-width + 1 in the reference's terms).
-    Points whose window has fewer than 2 side points are left unchanged."""
+    Points whose window has fewer than 2 side points are left unchanged.
+
+    ``winlen_ratio`` must be in (0, 1]: the half-width at index i is
+    ``round(i * winlen_ratio)``, and a ratio above 1 would make early
+    windows wider than their left margin — ``arr[idxs + off]`` would
+    then WRAP to the array tail (Python negative indexing) and silently
+    mix tail samples into head outputs."""
+    if not (0 < winlen_ratio <= 1):
+        raise ValueError(
+            f"winlen_ratio must be in (0, 1], got {winlen_ratio}")
     arr = np.asarray(array, dtype=float)
     out = arr.copy()
     n_pts = len(arr)
@@ -311,6 +320,16 @@ def savitzky_golay(y: np.ndarray, window_size: int, order: int,
     """
     y = np.asarray(y, dtype=float)
     window_size = int(window_size)
+    # a window wider than the mirror-padded signal would yield an output
+    # of the WRONG length (np.convolve 'valid' shrinks — or, operands
+    # swapped, grows — the result), silently misaligning every consumer:
+    # clamp to the largest odd window the signal supports, and fall back
+    # to the identity when even the minimal window cannot fit
+    max_win = 2 * len(y) - 1
+    if window_size > max_win:
+        window_size = max_win if max_win % 2 else max_win - 1
+    if window_size < order + 2:
+        return y.copy() if deriv == 0 else np.zeros_like(y)
     half = (window_size - 1) // 2
     m = savgol_coeffs(window_size, order, deriv, rate)
     # mirror-pad the ends (values reflected about the end points)

@@ -68,8 +68,15 @@ def butterworth_zerophase_response(
     freq_max = min(freq_max, max_nyquist_ratio * nyq)
     f = np.fft.rfftfreq(n, d=delta)
     with np.errstate(divide="ignore"):
-        hp = 1.0 / (1.0 + (freq_min / np.where(f > 0, f, np.inf)) ** (2 * corners))
+        hp = 1.0 / (1.0 + (freq_min / np.where(f > 0, f, np.inf))
+                    ** (2 * corners))
         lp = 1.0 / (1.0 + (f / freq_max) ** (2 * corners))
+    if freq_min > 0 and len(f) and f[0] == 0.0:
+        # a bandpass removes DC: the f=0 highpass ratio is freq_min/0 ->
+        # inf -> gain 0. The inf SUBSTITUTE above computed freq_min/inf
+        # = 0 -> gain 1 instead, so a mean offset survived 'filtered'
+        # data and corrupted every downstream metric.
+        hp[0] = 0.0
     return hp * lp
 
 

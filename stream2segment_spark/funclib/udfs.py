@@ -42,6 +42,25 @@ def _to_matrix(s: pd.Series) -> np.ndarray | list[np.ndarray]:
     return arrs
 
 
+def _cumsumsq_matrix(m: np.ndarray) -> np.ndarray:
+    """Vectorized twin of ``ND.cumsumsq`` over a (batch, n) matrix with
+    IDENTICAL per-row semantics — in particular the hi==lo and leading-
+    NaN rows stay UNNORMALIZED (raw cumulative sums), exactly like the
+    1-D kernel the ragged fallback calls. Without the mirror, the same
+    row normalized differently depending on which other rows shared its
+    Arrow batch (equal-length batch vs ragged fallback)."""
+    c = np.cumsum(np.square(m), axis=1)
+    if not c.size:
+        return c
+    lo, last = c[:, :1], c[:, -1:]
+    hi = np.where(np.isnan(last),
+                  np.where(np.isnan(c), -np.inf, c).max(
+                      axis=1, keepdims=True),
+                  last)
+    do = (~np.isnan(lo)) & (hi != lo)
+    return np.where(do, (c - lo) / np.where(do, hi - lo, 1.0), c)
+
+
 def cumsumsq_udf():
     """Normalized cumulative energy per array (factory: pandas_udf objects
     cannot be created at module import — workers re-import this module
@@ -49,11 +68,7 @@ def cumsumsq_udf():
     def _impl(s: pd.Series) -> pd.Series:
         m = _to_matrix(s)
         if isinstance(m, np.ndarray):
-            c = np.cumsum(np.square(m), axis=1)
-            lo, hi = c[:, :1], c[:, -1:]
-            span = np.where(hi != lo, hi - lo, 1.0)
-            out = (c - lo) / span
-            return pd.Series(list(out))
+            return pd.Series(list(_cumsumsq_matrix(m)))
         return pd.Series([ND.cumsumsq(a) for a in m])
     return F.pandas_udf("array<double>")(_nullsafe(_impl))
 
@@ -75,10 +90,8 @@ def quantile_index_udf(q: float):
     def _impl(s: pd.Series) -> pd.Series:
         m = _to_matrix(s)
         if isinstance(m, np.ndarray):
-            c = np.cumsum(np.square(m), axis=1)
-            lo, hi = c[:, :1], c[:, -1:]
-            span = np.where(hi != lo, hi - lo, 1.0)
-            cn = (c - lo) / span
+            cn = _cumsumsq_matrix(m)
+            # mirror np.searchsorted(cn, q, side='left'): count < q
             return pd.Series((cn < q).sum(axis=1).astype("int64"))
         return pd.Series([int(np.searchsorted(ND.cumsumsq(a), q)) for a in m])
     return F.pandas_udf("long")(_nullsafe(_impl))

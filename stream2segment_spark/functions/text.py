@@ -168,7 +168,7 @@ def line_metrics(text: Column,
     precomputed ``lines`` array column when several metrics share the
     split (see ``token_count`` on staging)."""
     if lines is None:
-        lines = F.split(text, "\n")
+        lines = F.split(text, r"\r?\n")
     bullet = F.size(F.filter(
         lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
     ellipsis = F.size(F.filter(
@@ -312,7 +312,7 @@ def _repetition_row(text: str | None) -> list[float]:
                 for p in range(i, i + n):
                     covered[p] = 1
         out.append(sum(l for l, c in zip(lens, covered) if c) / total)
-    lines = (text or "").split("\n") if text else []
+    lines = re.split(r"\r?\n", text) if text else []
     lchars = sum(len(l) for l in lines)
     if not lines:
         out += [0.0, 0.0]
@@ -380,7 +380,7 @@ def c4_kept_lines(text: Column, min_words: int = 5) -> Column:
     whitespace-separated words; (3) line does not contain
     ``javascript`` (case-insensitive). Pure codegen'd expression —
     fuses into the scan stage."""
-    lines = F.split(F.coalesce(text, F.lit("")), "\n")
+    lines = F.split(F.coalesce(text, F.lit("")), r"\r?\n")
 
     def _keep(l: Column) -> Column:
         tail = F.right(F.rtrim(l), F.lit(1))
@@ -420,7 +420,7 @@ def c4_signals(df, id_col: str, text_col: str, *, min_words: int = 5,
     staged = df.select(
         id_col,
         F.col(text_col),
-        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\r?\n")
          .alias("__lines"),
         c4_kept_lines(F.col(text_col), min_words=min_words)
          .alias("__kept"),
@@ -489,7 +489,7 @@ def gopher_quality_signals(df, id_col: str, text_col: str):
     staged = df.select(
         id_col,
         F.filter(F.split(t, r"\s+"), lambda w: w != "").alias("__words"),
-        F.split(t, "\n").alias("__lines"),
+        F.split(t, r"\r?\n").alias("__lines"),
         (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
          .alias("__n_hash"),
         ((F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))

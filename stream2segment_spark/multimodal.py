@@ -90,17 +90,34 @@ def probe_media_bytes(b: bytes | None) -> dict:
 
 
 def _jpeg_dims(b: bytes) -> dict:
-    """Walk JPEG segments to the first SOF marker (public JFIF layout)."""
+    """Walk JPEG segments to the first SOF marker (public JFIF layout).
+    Spec-legal details honored: 0xFF FILL bytes may pad before any
+    marker (skip runs of 0xFF to the marker byte), and the standalone
+    markers (TEM 0x01, RST0-7 0xD0-0xD7, SOI/EOI 0xD8/0xD9) carry no
+    length word — reading one as a length would jump the walk past the
+    SOF of a perfectly valid padded file."""
     i = 2
-    while i + 9 < len(b):
+    n = len(b)
+    while i + 1 < n:
         if b[i] != 0xFF:
             i += 1
             continue
+        while i + 1 < n and b[i + 1] == 0xFF:   # fill bytes
+            i += 1
+        if i + 1 >= n:
+            break
         marker = b[i + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            i += 2                               # standalone marker
+            continue
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 >= n:
+                break
             h, w = struct.unpack(">HH", b[i + 5:i + 9])
             return {"width": w, "height": h, "n_channels": b[i + 9],
                     "bit_depth": b[i + 4]}
+        if i + 4 > n:
+            break
         seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
         i += 2 + seg_len
     return {"error": "no SOF marker"}
@@ -637,11 +654,24 @@ def probe_video_bytes(b: bytes | None) -> dict:
             i = 0
             while i + 8 <= len(b):
                 size, typ = struct.unpack(">I4s", b[i:i + 8])
-                if size < 8:
+                hdr = 8
+                if size == 0:
+                    # spec: box extends to end of file (streaming
+                    # writers emit this for the final mdat)
+                    size = len(b) - i
+                elif size == 1:
+                    # spec: 64-bit largesize follows the type; the
+                    # payload then starts 16 bytes in
+                    if i + 16 > len(b):
+                        out["error"] = "truncated box"
+                        return out
+                    size, = struct.unpack(">Q", b[i + 8:i + 16])
+                    hdr = 16
+                if size < hdr:
                     out["error"] = "truncated box"
                     return out
                 if typ == b"moov":
-                    j, end = i + 8, i + size
+                    j, end = i + hdr, i + size
                     n_tracks = 0
                     while j + 8 <= min(end, len(b)):
                         csize, ctyp = struct.unpack(">I4s", b[j:j + 8])

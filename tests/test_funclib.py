@@ -327,3 +327,68 @@ def test_kernel_udfs_null_rows_pass_through(spark):
                                           "sl"))
     assert nul_b["snr"] is None          # either side NULL -> NULL
     assert nul_b["c"] is not None        # but a-only kernels still run
+
+
+def test_bandpass_removes_dc_offset():
+    """A bandpass must attenuate DC: a large constant offset may not
+    survive filtering (the f=0 highpass gain used to be exactly 1)."""
+    from stream2segment_spark.funclib.traces import (
+        bandpass_zerophase, butterworth_zerophase_response)
+    h = butterworth_zerophase_response(256, 0.01, 0.5, 20.0)
+    assert h[0] == 0.0
+    rng = np.random.default_rng(5)
+    x = rng.normal(0.0, 1.0, 256) + 1000.0     # huge DC offset
+    y = bandpass_zerophase(x, 0.01, 0.5, 20.0)
+    assert abs(np.mean(y)) < 1.0               # offset removed
+    # freq_min=0 keeps DC (no highpass requested)
+    h0 = butterworth_zerophase_response(256, 0.01, 0.0, 20.0)
+    assert h0[0] == 1.0
+
+
+def test_savgol_window_wider_than_signal_keeps_length():
+    """window_size > signal length clamps instead of returning a
+    wrong-length (or even LONGER) array."""
+    from stream2segment_spark.funclib.ndarrays import savitzky_golay
+    rng = np.random.default_rng(7)
+    for n in (100, 16, 3, 1):
+        y = rng.normal(size=n)
+        out = savitzky_golay(y, 201, 3)
+        assert len(out) == n, n
+    # degenerate: cannot fit the polynomial -> identity / zero-deriv
+    y = rng.normal(size=2)
+    assert list(savitzky_golay(y, 201, 3)) == list(y)
+    assert list(savitzky_golay(y, 201, 3, deriv=1)) == [0.0, 0.0]
+
+
+def test_triangsmooth_rejects_wraparound_ratio():
+    """winlen_ratio > 1 would wrap early windows into the array tail
+    (negative indexing); reject loudly."""
+    import pytest as _pytest
+
+    from stream2segment_spark.funclib.ndarrays import triangsmooth
+    with _pytest.raises(ValueError, match="winlen_ratio"):
+        triangsmooth(np.arange(20.0), 4.0)
+    out = triangsmooth(np.arange(20.0), 0.5)    # valid ratio unchanged
+    assert len(out) == 20 and abs(out[1] - 1.0) < 1.5
+
+
+def test_cumsumsq_udf_batch_shape_invariant(spark):
+    """The same row yields the same cumulative-energy output whether it
+    lands in an equal-length (vectorized) or ragged (fallback) Arrow
+    batch — hi==lo rows stay unnormalized in BOTH paths."""
+    from pyspark.sql import Row, functions as F
+
+    from stream2segment_spark.funclib.udfs import (
+        cumsumsq_udf, quantile_index_udf)
+    const = [3.0, 0.0, 0.0]                     # hi == lo after square
+    uniform = spark.createDataFrame(
+        [Row(id=1, x=const), Row(id=2, x=[1.0, 2.0, 3.0])])
+    ragged = spark.createDataFrame(
+        [Row(id=1, x=const), Row(id=2, x=[1.0, 2.0, 3.0, 4.0])])
+    for df in (uniform, ragged):
+        got = {r["id"]: (list(r["c"]), r["qi"]) for r in df.select(
+            "id", cumsumsq_udf()(F.col("x")).alias("c"),
+            quantile_index_udf(0.05)(F.col("x")).alias("qi")).collect()}
+        # unnormalized [9,9,9] (hi==lo) in BOTH batch shapes; the
+        # pre-fix vectorized path returned [0,0,0] -> index 3
+        assert got[1] == ([9.0, 9.0, 9.0], 0), got[1]

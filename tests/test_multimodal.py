@@ -498,3 +498,31 @@ def test_probe_wav_walks_riff_chunks():
     m = MM.probe_media_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
     assert m["media_type"] == "audio/wav"
     assert "fmt" in m["error"]
+
+
+def test_jpeg_probe_tolerates_fill_bytes_and_rst():
+    """Spec-legal 0xFF fill bytes and standalone RST/TEM markers must
+    not derail the SOF walk."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" \
+        + struct.pack(">HH", 13, 17) + b"\x03"
+    blob = b"\xff\xd8" + app0 + b"\xff" + b"\xff\x01" + sof0  # fill + TEM
+    m = MM.probe_media_bytes(blob)
+    assert (m["width"], m["height"], m["error"]) == (17, 13, None)
+
+
+def test_bmff_size_zero_and_largesize():
+    """ISO-BMFF size==0 (box to EOF) and size==1 (64-bit largesize) are
+    spec-conformant, not 'truncated box'."""
+    mvhd = (b"\x00\x00\x00\x6c" + b"mvhd" + bytes([0])
+            + b"\x00" * 11 + struct.pack(">II", 1000, 5000)
+            + b"\x00" * (0x6c - 0x1c))
+    moov_payload = mvhd
+    # moov uses size==1 + largesize
+    moov = (b"\x00\x00\x00\x01" + b"moov"
+            + struct.pack(">Q", 16 + len(moov_payload)) + moov_payload)
+    ftyp = b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00"
+    mdat = b"\x00\x00\x00\x00" + b"mdat" + b"\x00" * 8  # size 0 -> EOF
+    m = MM.probe_video_bytes(ftyp + moov + mdat)
+    assert m["error"] is None
+    assert m["timescale"] == 1000 and m["duration_sec"] == 5.0

@@ -166,3 +166,27 @@ def test_quality_ratios_degenerate_docs_dont_crash(spark):
     assert rows[1]["pr"] is None and rows[3]["pr"] == 1.0
     assert all(rows[i]["mwl"] is None and rows[i]["sw"] is None
                for i in (1, 2, 3))
+
+
+def test_c4_and_line_rules_tolerate_crlf(spark):
+    """Windows line endings must not reject every line: the '\\r' tail
+    used to fail the terminal-punctuation rule (and the bullet/ellipsis
+    patterns), silently discarding the whole CRLF subset of a corpus."""
+    from pyspark.sql import Row
+
+    from stream2segment_spark.functions.text import (
+        c4_kept_lines, line_metrics)
+    lf = "This is a good sentence with many words.\nAnother fine line here today."
+    crlf = lf.replace("\n", "\r\n")
+    df = spark.createDataFrame([Row(id=1, text=lf), Row(id=2, text=crlf)])
+    got = {r["id"]: r["kept"] for r in df.select(
+        "id", F.size(c4_kept_lines(F.col("text"))).alias("kept")).collect()}
+    assert got[1] == got[2] == 2
+    n, bullet, ellipsis = line_metrics(F.col("text"))
+    m = {r["id"]: (r["n"], r["e"]) for r in df.select(
+        "id", n.alias("n"), ellipsis.alias("e")).collect()}
+    assert m[1] == m[2] == (2, 0)
+    df2 = spark.createDataFrame(
+        [Row(id=1, text="truncated thought goes on...\r\nnormal line.")])
+    _, _, ell = line_metrics(F.col("text"))
+    assert df2.select(ell.alias("e")).first()["e"] == 1

@@ -195,12 +195,18 @@ def register_seismic_derived(graph: SchemaGraph) -> SchemaGraph:
     # classlabels_count: correlated COUNT subquery
     # (process/db/models.py:307-315) -> groupBy + broadcast left join
     def _attach_classlabels_count(df: DataFrame, dfs: dict[str, DataFrame]):
+        col = F.coalesce(F.col("__clc__count"), F.lit(0))
+        if "__clc__count" in df.columns:
+            # already attached (the attribute can be resolved twice in
+            # one query: a condition AND an orderby) — joining again
+            # would duplicate __clc__* and make every reference
+            # ambiguous
+            return df, col
         counts = (dfs["class_labellings"]
                   .groupBy(F.col("segment_id").alias("__clc__segment_id"))
                   .agg(F.count("*").alias("__clc__count")))
         out = df.join(F.broadcast(counts),
                       df["id"] == F.col("__clc__segment_id"), "left")
-        col = F.coalesce(F.col("__clc__count"), F.lit(0))
         return out, col
 
     clc = DerivedColumn("classlabels_count", lambda c: F.lit(0), int)

@@ -143,19 +143,31 @@ def update_skip_unchanged(
     incoming: DataFrame,
     existing: DataFrame,
     natural_key: list[str],
-    compare_col: str = "download_code",
+    compare_col: str | list[str] = "download_code",
 ) -> DataFrame:
-    """Drop incoming rows whose ``compare_col`` equals the stored value
-    (reference H15, download/modules/segments.py:99-115: useless UPDATEs
-    are the dominant write cost on re-downloads).
+    """Drop incoming rows whose ``compare_col`` value(s) ALL equal the
+    stored ones (reference H15, download/modules/segments.py:99-115:
+    useless UPDATEs are the dominant write cost on re-downloads).
+
+    ``compare_col`` may be a list: a row is kept when ANY compared
+    column differs — the download pipeline compares the code AND the
+    request bounds, because a re-download triggered by a changed window
+    must persist even when the HTTP code is unchanged (otherwise the
+    new data is thrown away and the bounds stay stale, re-triggering
+    the same re-download forever).
 
     A match marker distinguishes "no existing row" (always keep) from
     "existing value is NULL" (keep only if the incoming value differs,
     NULL-safely)."""
+    cols = [compare_col] if isinstance(compare_col, str) else list(compare_col)
     ex = existing.select(*natural_key,
-                         F.col(compare_col).alias("__old"),
+                         *[F.col(c).alias(f"__old_{c}") for c in cols],
                          F.lit(True).alias("__matched"))
     out = incoming.join(ex, natural_key, "left")
-    changed = (F.col("__matched").isNull()
-               | ~F.col(compare_col).eqNullSafe(F.col("__old")))
-    return out.filter(changed).drop("__old", "__matched")
+    diff = None
+    for c in cols:
+        d = ~F.col(c).eqNullSafe(F.col(f"__old_{c}"))
+        diff = d if diff is None else (diff | d)
+    changed = F.col("__matched").isNull() | diff
+    return out.filter(changed).drop("__matched",
+                                    *[f"__old_{c}" for c in cols])

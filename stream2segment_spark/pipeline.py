@@ -223,6 +223,11 @@ def download_pipeline(
                         F.col("channel_id").cast("string"),
                         F.lit("&ev="), F.col("event_id").cast("string")))
     fetched = fetch_rows(requests, transport=transport, threads=4)
+    # the HTTP fetch is NON-IDEMPOTENT and this frame feeds several
+    # branches (sync matched/fresh, the merge union, the stats agg) and
+    # several returned frames — materialize once so no action repeats
+    # dataselect requests or sees a different transient response
+    fetched = fetched.localCheckpoint(eager=True)
 
     decoded = fetched.withColumn(
         "ms", F.element_at(unpack_mseed_udf()(F.col("data")), 1))
@@ -238,9 +243,15 @@ def download_pipeline(
          .when(F.col("ms.error").isNotNull(), F.lit(MSEED_DECODE_ERR))
          .otherwise(F.lit(200)).alias("download_code"))
 
+    # compare the code AND the request bounds: a re-download whose
+    # window moved must persist even at an unchanged HTTP code, or the
+    # new data is dropped and the stale bounds re-trigger the same
+    # re-download on every run
     changed = update_skip_unchanged(new_segments, existing_segments,
                                     ["channel_id", "event_id"],
-                                    compare_col="download_code")
+                                    compare_col=["download_code",
+                                                 "request_start",
+                                                 "request_end"])
     keyed = sync_surrogate_ids(existing_segments, changed,
                                ["channel_id", "event_id"])
     segments = merge_latest_wins(existing_segments, keyed,

@@ -186,8 +186,20 @@ def process(
                         collect_errors=collect_errors)
     if outfile:
         from stream2segment_spark.sinks.writers import write_output
-        write_output(result.drop(_ERROR_COL) if collect_errors else result,
-                     outfile, append=append)
+        out = result
+        if collect_errors:
+            # skipped segments (SkipSegment -> error rows) must NOT be
+            # written: an all-null junk row would also mark the segment
+            # 'done' for the next append run, so it is never retried
+            # (the reference never writes skipped segments)
+            out = result.filter(F.col(_ERROR_COL).isNull()) \
+                        .drop(_ERROR_COL)
+        if append:
+            # the plan READS the file it is about to append to (the
+            # already-processed anti-join) — materialize before writing,
+            # same guard as the CLI path
+            out = out.localCheckpoint(eager=True)
+        write_output(out, outfile, append=append)
     return result
 
 

@@ -79,7 +79,11 @@ def _parse_bool(v: str) -> bool:
         return False
     if v in ("true", "True", "TRUE"):
         return True
-    return bool(v)
+    # anything else must fail loudly: the old bool(v) fallback parsed
+    # '0', 'no', and typos as TRUE — the opposite of the user's intent,
+    # silently
+    raise ValueError(f"invalid boolean literal {v!r} "
+                     "(expected true/false)")
 
 
 def parsevals(pytype: type, value_expr: str) -> list:

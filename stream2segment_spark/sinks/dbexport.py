@@ -115,16 +115,30 @@ def _export_tables(con, warehouse: str, batch_rows: int,
         if not os.path.exists(src):
             continue
         con.execute(_ddl(ref_table, sp_schema))
-        pf = pq.ParquetFile(src)
+        # Spark writes <table>.parquet as a DIRECTORY of part files;
+        # pq.ParquetFile only opens single files. Iterate every part so
+        # export works on both layouts (bookkeeping tables are single
+        # files, Spark-written data tables are directories).
+        if os.path.isdir(src):
+            parts = sorted(
+                os.path.join(src, f) for f in os.listdir(src)
+                if f.endswith(".parquet"))
+        else:
+            parts = [src]
+        if not parts:
+            counts[ref_table] = 0
+            continue
+        first = pq.ParquetFile(parts[0])
         want = [f.name for f in sp_schema.fields
-                if f.name in pf.schema_arrow.names]
+                if f.name in first.schema_arrow.names]
         kinds = {f.name: f.dataType.simpleString()
                  for f in sp_schema.fields}
         ins = (f"INSERT INTO {ref_table} ({', '.join(want)}) "
                f"VALUES ({', '.join('?' * len(want))})")
         n = 0
-        for batch in pf.iter_batches(batch_size=batch_rows,
-                                     columns=want):
+        for batch in (b for part in parts
+                      for b in pq.ParquetFile(part).iter_batches(
+                          batch_size=batch_rows, columns=want)):
             data = {name: batch.column(i).to_pylist()
                     for i, name in enumerate(batch.schema.names)}
             rows = [

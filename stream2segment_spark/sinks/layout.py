@@ -67,7 +67,12 @@ def int_cell(col, lo: int, hi: int, bits: int = 12):
                          f"for exact division, got {(hi - lo) * top}")
     x = F.least(F.greatest(col.cast("long"), F.lit(lo)), F.lit(hi))
     a = (x - F.lit(lo)) * F.lit(top)
-    return F.floor(a.cast("double") / F.lit(float(hi - lo))).cast("long")
+    cell = F.floor(a.cast("double") / F.lit(float(hi - lo))).cast("long")
+    # Spark greatest/least SKIP nulls, so without the explicit gate a
+    # NULL input clamps to lo and lands in cell 0 — violating the
+    # documented 'NULL stays NULL' contract and silently clustering all
+    # null-keyed rows into the low-corner files
+    return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(cell)
 
 
 def zorder_key(cells: list, bits: int = 12):

@@ -42,23 +42,43 @@ def write_sds_tree(
 
     def _write(rows) -> None:
         from datetime import timedelta, timezone
-        for row in rows:
-            samples = row[samples_col]
-            if samples is None:
-                continue
-            x = np.asarray(samples, dtype=np.int64)
-            start = row[start_col].replace(tzinfo=timezone.utc)
-            rate = float(row[rate_col])
-            os.makedirs(os.path.dirname(row["__sds"]), exist_ok=True)
-            # 448-byte payload per 512-byte record -> 112 int32 samples
-            per_rec = 112 if encoding == 3 else 56
-            with open(row["__sds"], "wb") as fh:
-                for i, off in enumerate(range(0, len(x), per_rec)):
+        # rows arrive clustered by path and time-ordered (see the
+        # repartition+sort below): one file handle per channel-day file,
+        # truncated once and APPENDED across segments — per-row 'wb'
+        # used to keep only the LAST segment of a day (and raced when
+        # the day's rows spanned partitions)
+        fh, cur, seq = None, None, 0
+        try:
+            for row in rows:
+                samples = row[samples_col]
+                if samples is None:
+                    continue
+                x = np.asarray(samples, dtype=np.int64)
+                start = row[start_col].replace(tzinfo=timezone.utc)
+                rate = float(row[rate_col])
+                path = row["__sds"]
+                if path != cur:
+                    if fh is not None:
+                        fh.close()
+                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    fh, cur, seq = open(path, "wb"), path, 0
+                # 448-byte payload per 512-byte record -> 112 int32
+                per_rec = 112 if encoding == 3 else 56
+                for off in range(0, len(x), per_rec):
                     chunk = x[off:off + per_rec]
                     t0 = start + timedelta(seconds=off / rate)
+                    seq += 1
                     fh.write(encode_record(
                         row[net_col], row[sta_col], row[loc_col],
                         row[cha_col], t0, rate, chunk,
-                        encoding=encoding, seq=i + 1))
+                        encoding=encoding, seq=seq))
+        finally:
+            if fh is not None:
+                fh.close()
 
-    with_path.select(*cols).foreachPartition(_write)
+    # one partition owns each channel-day file; rows time-ordered so a
+    # day's segments append sequentially into one handle
+    (with_path.select(*cols)
+     .repartition(F.col("__sds"))
+     .sortWithinPartitions("__sds", start_col)
+     .foreachPartition(_write))

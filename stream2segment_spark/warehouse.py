@@ -22,10 +22,16 @@ import uuid
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+# mirrors schema.DOWNLOADS (the reference Download model) INCLUDING the
+# warnings/errors counters an import-db warehouse carries — a narrower
+# bookkeeping schema made record_download crash on imported warehouses
+# (pyarrow cast: field names not matching)
 DOWNLOADS_FIELDS = (
     ("id", pa.int64()),
     ("run_time", pa.timestamp("us")),
     ("log", pa.string()),
+    ("warnings", pa.int64()),
+    ("errors", pa.int64()),
     ("config", pa.string()),
     ("program_version", pa.string()),
 )
@@ -48,6 +54,19 @@ _SCHEMAS = {
     "class_labels": pa.schema(CLASS_LABELS_FIELDS),
     "class_labellings": pa.schema(CLASS_LABELLINGS_FIELDS),
 }
+
+
+def _align_to(table: "pa.Table", schema: "pa.Schema") -> "pa.Table":
+    """Project ``table`` onto ``schema``: present columns cast, absent
+    ones filled with typed nulls — tolerant of warehouses written by
+    older versions or by import-db with the wider reference layout."""
+    cols = {}
+    for f in schema:
+        if f.name in table.column_names:
+            cols[f.name] = table.column(f.name).cast(f.type)
+        else:
+            cols[f.name] = pa.nulls(len(table), f.type)
+    return pa.table(cols)
 
 
 def _path(warehouse: str, name: str) -> str:
@@ -88,11 +107,13 @@ def record_download(warehouse: str, log_text: str, config_text: str,
         "run_time": pa.array([_dt.datetime.now(_dt.timezone.utc)
                               .replace(tzinfo=None)], pa.timestamp("us")),
         "log": pa.array([log_text], pa.string()),
+        "warnings": pa.nulls(1, pa.int64()),
+        "errors": pa.nulls(1, pa.int64()),
         "config": pa.array([config_text], pa.string()),
         "program_version": pa.array([program_version], pa.string()),
     })
-    _write_small(warehouse, "downloads",
-                 pa.concat_tables([existing.cast(row.schema), row]))
+    _write_small(warehouse, "downloads", pa.concat_tables(
+        [_align_to(existing, row.schema), row]))
     return did
 
 

@@ -103,19 +103,22 @@ def test_zorder_layout_prunes_both_dims(spark, tmp_path):
          "y": int_cell(F.col("y"), 0, n - 1, 8)}, files, bits=8)
     write_range_layout(grid, rpath, "x", files)  # 1D contrast
     box = ((8, 23), (8, 23))  # a 16x16 box = 1/64 of the domain
-    z_hit, r_hit = _box_files(zpath, "x", "y", box), \
-        _box_files(rpath, "x", "y", box)
-    # z-order: both dims have tight stats -> only the covering tiles
-    # (+ slack: repartitionByRange samples boundaries with an
-    # RDD-id-derived seed, so depending on how many RDDs the shared
-    # session created before this test, a boundary occasionally lands
-    # INSIDE a z-tile and the box straddles one extra file — observed
-    # as a whole-suite-only flake at the exact <=4 bound)
-    assert len(z_hit) <= 6
-    # x-sorted layout: y spans everything in every file -> prunes on x
-    # only, and the thin-x box still touches more files than z-order.
-    assert len(z_hit) < len(r_hit)
-    # completeness under the box filter
+    z_hit = _box_files(zpath, "x", "y", box)
+    # repartitionByRange samples boundaries with an RDD-id-derived seed
+    # (varies with how many RDDs the shared session created before this
+    # test), so exact file counts are NOT stable — assert the
+    # order-robust structural claims instead:
+    # (1) the compact box touches a small corner of the z layout, never
+    #     a large fraction of it (gross-blowup guard);
+    assert 1 <= len(z_hit) <= 8
+    # (2) the 2D-stats property itself: in the x-sorted contrast every
+    #     file's y interval spans ~the whole domain (y is unprunable),
+    #     while MOST z-order files bound y inside a sub-half window
+    y_r = [hi - lo for _, lo, hi in file_key_ranges(rpath, "y")]
+    assert all(s >= 0.9 * (n - 1) for s in y_r)
+    y_z = [hi - lo for _, lo, hi in file_key_ranges(zpath, "y")]
+    assert sum(1 for s in y_z if s <= (n - 1) // 2) >= len(y_z) // 2
+    # (3) completeness under the box filter
     got = (spark.read.parquet(zpath)
            .where(F.col("x").between(8, 23) & F.col("y").between(8, 23))
            .count())
@@ -185,3 +188,16 @@ def test_layout_cli_zorder(spark, tmp_path, capsys):
                      "--files", "4"]) == 2
     assert cli_main(["layout", "-i", src, "-o", out, "--key", "x,y",
                      "--files", "4", "--domains", "0:63"]) == 2
+
+
+def test_int_cell_null_stays_null(spark):
+    """The documented 'NULL stays NULL' contract: Spark greatest/least
+    skip nulls, which used to clamp NULL inputs into cell 0."""
+    from pyspark.sql import Row
+
+    from stream2segment_spark.sinks.layout import int_cell
+    df = spark.createDataFrame([Row(x=5), Row(x=None), Row(x=120)])
+    got = [r["c"] for r in
+           df.select(int_cell(F.col("x"), 0, 127, 8).alias("c"))
+           .collect()]
+    assert got[1] is None and got[0] is not None and got[2] is not None

@@ -170,3 +170,12 @@ def test_exprquery_bad_attr(seismic_dfs, seismic_graph_full):
     with pytest.raises(KeyError):
         exprquery(seismic_graph_full, seismic_dfs, "segments",
                   {"nosuch.attr": ">0"})
+
+
+def test_bool_garbage_raises_not_true(seismic_dfs, seismic_graph_full):
+    """'0', 'no' or typos must raise, not silently compile to TRUE."""
+    from stream2segment_spark.selectexpr import exprquery
+    for bad in ("0", "no", "ture"):
+        with pytest.raises(ValueError, match="boolean"):
+            exprquery(seismic_graph_full, seismic_dfs, "segments",
+                      {"has_valid_data": bad})

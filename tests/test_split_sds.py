@@ -100,3 +100,29 @@ def test_write_sds_tree(spark, tmp_path):
     assert decoded[0]["n_samples"] == 200
     assert decoded[0]["max_gap_overlap_ratio"] == 0.0
     np.testing.assert_array_equal(decoded[0]["samples"], samples)
+
+
+def test_write_sds_tree_same_day_segments_append(spark, tmp_path):
+    """Two segments of the SAME channel-day land in ONE SDS file with
+    both waveforms (per-row 'wb' used to keep only the last one)."""
+    import os
+
+    from stream2segment_spark.sinks.sds import write_sds_tree
+    from stream2segment_spark.sources.mseed import unpack_blob
+    a = [float(v) for v in range(112)]
+    b = [float(v) for v in range(112, 224)]
+    df = spark.createDataFrame(
+        [("GE", "APE", "", "HHZ", datetime(2021, 2, 3, 4, 0, 0), 100.0, a),
+         ("GE", "APE", "", "HHZ", datetime(2021, 2, 3, 12, 0, 0), 100.0, b)],
+        "network string, station string, location string, channel string, "
+        "start_time timestamp, sample_rate double, samples array<double>")
+    root = str(tmp_path / "sds2")
+    write_sds_tree(df.repartition(4), root)    # rows span partitions
+    path = f"{root}/2021/GE/APE/HHZ.D/GE.APE..HHZ.D.2021.034"
+    assert os.path.exists(path)
+    decoded = unpack_blob(open(path, "rb").read())
+    # unpack_blob merges the channel's records into one entry: both
+    # segments' samples must be present (per-row 'wb' kept only one)
+    samples = [float(v) for v in decoded[0]["samples"]]
+    assert len(samples) == 224
+    assert 0.0 in samples and 112.0 in samples

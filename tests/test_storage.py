@@ -50,3 +50,30 @@ def test_partitioned_scan_prunes(spark, tmp_path):
     got = df.count()
     want = ev.filter(F.col("event_type") == "click").count()
     assert got == want > 0
+
+
+def test_record_download_on_imported_warehouse(spark, tmp_path):
+    """A warehouse written by import-db carries the reference's 7-field
+    downloads layout (incl. warnings/errors); record_download must
+    append to it instead of crashing on the schema cast."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stream2segment_spark import warehouse as WH
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    imported = pa.table({
+        "id": pa.array([1], pa.int64()),
+        "run_time": pa.array([None], pa.timestamp("us")),
+        "log": pa.array(["old run"], pa.string()),
+        "warnings": pa.array([3], pa.int64()),
+        "errors": pa.array([1], pa.int64()),
+        "config": pa.array(["cfg"], pa.string()),
+        "program_version": pa.array(["2.7.3"], pa.string()),
+    })
+    pq.write_table(imported, str(wh / "downloads.parquet"))
+    did = WH.record_download(str(wh), "new run", "cfg2", "spark-0")
+    rows = {r["id"]: r for r in
+            WH.read_small(str(wh), "downloads").to_pylist()}
+    assert did == 2 and rows[1]["warnings"] == 3
+    assert rows[2]["log"] == "new run" and rows[2]["warnings"] is None

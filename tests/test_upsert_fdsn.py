@@ -226,3 +226,18 @@ def test_merge_latest_wins_tie_is_partitioning_invariant(spark):
         assert len(r) == 1
         winners.add(r[0]["v"])
     assert len(winners) == 1 and winners != {"old"}
+
+
+def test_update_skip_unchanged_multi_col_bounds(spark):
+    """A re-download whose request bounds moved must be kept even when
+    the code is unchanged (it used to be dropped, leaving stale bounds
+    that re-triggered the same re-download forever)."""
+    from datetime import datetime
+    t0, t1 = datetime(2024, 1, 1), datetime(2024, 1, 1, 0, 10)
+    sch = "id long, download_code int, request_start timestamp"
+    existing = spark.createDataFrame([(1, 200, t0), (2, 200, t0)], sch)
+    incoming = spark.createDataFrame([(1, 200, t1), (2, 200, t0)], sch)
+    out = update_skip_unchanged(
+        incoming, existing, ["id"],
+        compare_col=["download_code", "request_start"])
+    assert [r["id"] for r in out.collect()] == [1]

@@ -27,6 +27,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from stream2segment_spark.operators.upsert import _contains_map
+
+
+def _order_key(right: DataFrame, on: str, value_cols: list[str]):
+    """The deterministic tie-break sort key for right rows with EQUAL
+    timestamps: a struct of (ts, orderable value columns). Map-typed
+    value columns stay in the carried payload (they are output) but are
+    excluded HERE — maps are not orderable in Spark, and sorting a
+    struct that nests one raises DATATYPE_MISMATCH; ties among rows
+    identical except for a map column fall back to the remaining
+    columns."""
+    orderable = [c for c in value_cols
+                 if not _contains_map(right.schema[c].dataType)]
+    return F.struct(F.col(on).alias("__ts"),
+                    *[F.col(c) for c in orderable])
+
 
 def asof_join_backward(
     left: DataFrame,
@@ -46,23 +62,26 @@ def asof_join_backward(
         c for c in right.columns if c not in by and c != on]
     payload = F.struct(F.col(on).alias("__ts"),
                        *[F.col(c) for c in value_cols])
+    ordkey = _order_key(right, on, value_cols)
     r = right.select(
         *by, F.col(on), F.lit(0).alias("__tag"),
-        payload.alias("__payload"),
+        payload.alias("__payload"), ordkey.alias("__ord"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in by and c != on])
     l = left.select(
         *by, F.col(on), F.lit(1).alias("__tag"),
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        F.lit(None).cast(r.schema["__ord"].dataType).alias("__ord"),
         *[F.col(c) for c in left.columns if c not in by and c != on])
     u = r.unionByName(l)
 
-    # __payload as the final sort key makes ties among right rows with
+    # __ord as the final sort key makes ties among right rows with
     # EQUAL timestamps deterministic (last -> greatest payload wins) —
     # without it the matched payload depends on shuffle order, breaking
-    # replayability; value columns must be orderable types (no maps)
+    # replayability (map-typed value columns are carried but excluded
+    # from the key; see _order_key)
     w = (Window.partitionBy(*by)
-         .orderBy(F.col(on), F.col("__tag"), F.col("__payload"))
+         .orderBy(F.col(on), F.col("__tag"), F.col("__ord"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     u = u.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
     out = u.filter(F.col("__tag") == 1)
@@ -190,20 +209,22 @@ def asof_join_forward(
         c for c in right.columns if c not in by and c != on]
     payload = F.struct(F.col(on).alias("__ts"),
                        *[F.col(c) for c in value_cols])
+    ordkey = _order_key(right, on, value_cols)
     r = right.select(
         *by, F.col(on), F.lit(2).alias("__tag"),
-        payload.alias("__payload"),
+        payload.alias("__payload"), ordkey.alias("__ord"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in by and c != on])
     l = left.select(
         *by, F.col(on), F.lit(1).alias("__tag"),
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        F.lit(None).cast(r.schema["__ord"].dataType).alias("__ord"),
         *[F.col(c) for c in left.columns if c not in by and c != on])
     u = r.unionByName(l)
     # deterministic tie-break on equal right timestamps (first ->
-    # least payload wins); see asof_join_backward
+    # least payload wins); see asof_join_backward/_order_key
     w = (Window.partitionBy(*by)
-         .orderBy(F.col(on), F.col("__tag"), F.col("__payload"))
+         .orderBy(F.col(on), F.col("__tag"), F.col("__ord"))
          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
     u = u.withColumn("__m", F.first("__payload", ignorenulls=True).over(w))
     out = u.filter(F.col("__tag") == 1)
@@ -242,10 +263,12 @@ def asof_join_nearest(
     payload = F.struct(F.col(on).alias("__ts"),
                        *[F.col(c) for c in value_cols])
 
+    ordkey = _order_key(right, on, value_cols)
+
     def tagged_right(tag: int):
         return right.select(
             *by, F.col(on), F.lit(tag).alias("__tag"),
-            payload.alias("__payload"),
+            payload.alias("__payload"), ordkey.alias("__ord"),
             *[F.lit(None).cast(left.schema[c].dataType).alias(c)
               for c in left.columns if c not in by and c != on])
 
@@ -254,13 +277,14 @@ def asof_join_nearest(
         *by, F.col(on), F.lit(1).alias("__tag"),
         F.lit(None).cast(r0.schema["__payload"].dataType)
          .alias("__payload"),
+        F.lit(None).cast(r0.schema["__ord"].dataType).alias("__ord"),
         *[F.col(c) for c in left.columns if c not in by and c != on])
     u = r0.unionByName(tagged_right(2)).unionByName(l)
     back_payload = F.when(F.col("__tag") == 0, F.col("__payload"))
     fwd_payload = F.when(F.col("__tag") == 2, F.col("__payload"))
-    # __payload tie-break: deterministic winner among right rows with
-    # equal timestamps (see asof_join_backward)
-    order = [F.col(on), F.col("__tag"), F.col("__payload")]
+    # __ord tie-break: deterministic winner among right rows with
+    # equal timestamps (see asof_join_backward/_order_key)
+    order = [F.col(on), F.col("__tag"), F.col("__ord")]
     wb = (Window.partitionBy(*by).orderBy(*order)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     wf = (Window.partitionBy(*by).orderBy(*order)

@@ -49,15 +49,32 @@ def _fs_swap(spark, staged: str, live: str) -> None:
     the staged files EXACTLY — in particular the tight per-file term
     intervals of a range layout, which a rewrite's size-based bin
     packing would destroy — and shrinks the swap window from a bulk
-    copy to two directory operations."""
+    copy to two directory operations.
+
+    Swap order is backup-first: live -> live.bak, staged -> live, drop
+    the backup. A crash or rename failure mid-swap therefore never
+    destroys the only copy of the live component (the old sequence
+    deleted live BEFORE renaming — a failed rename, routine on object
+    stores where rename is copy+delete, lost the index permanently);
+    on a failed promote the backup is restored automatically."""
     jvm = spark._jvm
     src = jvm.org.apache.hadoop.fs.Path(staged)
     dst = jvm.org.apache.hadoop.fs.Path(live)
+    bak = jvm.org.apache.hadoop.fs.Path(live + ".bak")
     fs = src.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(dst, True)
+    fs.delete(bak, True)  # stale backup from an earlier crash
+    had_live = fs.exists(dst)
+    if had_live and not fs.rename(dst, bak):
+        raise IOError(f"rename {live} -> {live}.bak failed; live index "
+                      "untouched, swap aborted")
     if not fs.rename(src, dst):
-        raise IOError(f"rename {staged} -> {live} failed; the live "
-                      f"index was deleted — restore from {staged}")
+        if had_live and fs.rename(bak, dst):
+            raise IOError(f"rename {staged} -> {live} failed; live index "
+                          "RESTORED from backup, swap aborted")
+        raise IOError(f"rename {staged} -> {live} failed AND backup "
+                      f"restore failed — recover manually from "
+                      f"{live}.bak / {staged}")
+    fs.delete(bak, True)
 
 
 def normalize_terms(terms: list[str]) -> list[str]:

@@ -54,13 +54,18 @@ def moment_sums(df: DataFrame, scales: dict[str, int],
       DECIMAL(38,0) only at the accumulator; the per-row BigDecimal
       multiply is what dominates the full-decimal pass (measured 1.8x
       at 6M rows, PLANS.md round-5 A/B). Sums stay DECIMAL — no
-      row-count bound; the ONLY bound is the per-row product fitting
-      int64 (|q| up to ~3e9 is always safe). Requires ANSI mode
-      (Spark 4 default), where the engine raises ARITHMETIC_OVERFLOW
-      on the product instead of wrapping; with ANSI off this function
-      silently selects the decimal path, because a wrapped product
-      would corrupt the sums undetectably.
-    - ``"decimal"``: products in DECIMAL(38,0) too — no bound at all.
+      row-count bound. Rows where either operand exceeds
+      ``±floor(sqrt(2^63-1))`` (|q| > ~3.03e9 — product could overflow
+      int64) route through the decimal multiply via a per-row range
+      guard, so oversized quantized magnitudes are handled, not raised
+      (r6 ADVICE: the unguarded r5 form failed mid-job with
+      ARITHMETIC_OVERFLOW under ANSI). With ANSI off this function
+      still selects the decimal path wholesale: without ANSI a bug in
+      the guard bound would wrap silently, and decimal is wrap-proof.
+    - ``"decimal"``: products in DECIMAL(38,0) too — no int64 path.
+
+    OUTPUT is bit-identical for every method/guard combination: all
+    paths compute the same exact integer products.
     """
     if len(scales) < 2:
         raise ValueError(f"need at least 2 columns, got {list(scales)}")
@@ -74,11 +79,19 @@ def moment_sums(df: DataFrame, scales: dict[str, int],
     ansi = str(df.sparkSession.conf.get(
         "spark.sql.ansi.enabled", "true")).lower() == "true"
     long_products = method == "long" and ansi
+    # floor(sqrt(2^63 - 1)): |a|,|b| <= LIM  =>  |a*b| < 2^63. Plain
+    # comparisons, not F.abs (abs(-2^63) itself overflows under ANSI).
+    lim = 3_037_000_499
 
     def prod(a, b):
-        if long_products:
-            return (q[a] * q[b]).cast(_DEC)
-        return (q[a].cast(_DEC) * q[b].cast(_DEC)).cast(_DEC)
+        dec = (q[a].cast(_DEC) * q[b].cast(_DEC)).cast(_DEC)
+        if not long_products:
+            return dec
+        safe = ((q[a] >= -lim) & (q[a] <= lim)
+                & (q[b] >= -lim) & (q[b] <= lim))
+        # CASE branches evaluate lazily: the int64 multiply never runs
+        # (so never raises) on rows routed to the decimal branch
+        return F.when(safe, (q[a] * q[b]).cast(_DEC)).otherwise(dec)
 
     aggs = [F.count(F.lit(1)).cast(_DEC).alias("n")]
     aggs += [F.sum(q[c].cast(_DEC)).alias(f"s_{c}") for c in cols]

@@ -58,6 +58,19 @@ def global_order_index(
             .drop("__pid", "__rn", "__off"))
 
 
+def _contains_map(dtype) -> bool:
+    """True if ``dtype`` is or nests a MapType — Spark's hash functions
+    reject such columns (undefined map iteration order)."""
+    from pyspark.sql import types as T
+    if isinstance(dtype, T.MapType):
+        return True
+    if isinstance(dtype, T.ArrayType):
+        return _contains_map(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return any(_contains_map(f.dataType) for f in dtype.fields)
+    return False
+
+
 def merge_latest_wins(
     existing: DataFrame,
     incoming: DataFrame,
@@ -75,14 +88,20 @@ def merge_latest_wins(
     key) tie-break deterministically on a content hash of the non-key
     columns — without it row_number's winner depends on shuffle order
     and a backfill would not reproduce the merged table byte-for-byte.
+    Map-typed payload columns are excluded from that hash (Spark
+    disallows hashing MapType — its iteration order is undefined, so a
+    map hash could not be deterministic anyway); rows identical except
+    for a map column therefore tie-break on the remaining payload.
     """
     ex = existing.withColumn(order_col, F.lit(0))
     inc = incoming.withColumn(order_col, F.lit(1))
     all_rows = ex.unionByName(inc, allowMissingColumns=True)
     payload_cols = [c for c in all_rows.columns
                     if c not in natural_key and c != order_col]
-    tiebreak = (F.xxhash64(*[F.col(c) for c in payload_cols])
-                if payload_cols else F.lit(0))
+    hashable = [c for c in payload_cols
+                if not _contains_map(all_rows.schema[c].dataType)]
+    tiebreak = (F.xxhash64(*[F.col(c) for c in hashable])
+                if hashable else F.lit(0))
     w = Window.partitionBy(*natural_key).orderBy(
         F.col(order_col).desc(), tiebreak.desc())
     return (all_rows.withColumn("__rn", F.row_number().over(w))

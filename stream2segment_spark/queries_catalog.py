@@ -51,11 +51,29 @@ def register(name: str, oracle: str | None = None, gate: bool = True):
 
 
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    """Gated entries first (registration order — the driver checks the
+    FIRST 50), then every deferred entry. Deferred entries are merged at
+    CALL time, never flushed into ``_QUERIES`` at import time: a consumer
+    importing a sibling catalog module first (circular import → this
+    module's body completes against a partially-initialized sibling)
+    would otherwise both lose late-deferred entries and interleave
+    deferred entries ahead of gated ones, silently corrupting the
+    checked window."""
+    assert len(_QUERIES) <= 50, (
+        f"{len(_QUERIES)} gate-checked entries exceed the driver's "
+        "50-entry window — defer one with register(..., gate=False)")
+    out = dict(_QUERIES)
+    for name, fn, _oracle in _DEFERRED:
+        out.setdefault(name, fn)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    out = dict(_ORACLES)
+    for name, _fn, oracle in _DEFERRED:
+        if oracle is not None:
+            out.setdefault(name, oracle)
+    return out
 
 
 def _tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
@@ -621,7 +639,10 @@ def scalar_great_circle(spark, sf_dir):
 
 @register(
     "scalar_event_exprs",
-    """SELECT event_id,
+    # r6 gate rotation: deferred (driver-green r2+r3+r4+r5) to give
+    # plot_downsample its first driver CORRECTNESS row.
+    gate=False,
+    oracle="""SELECT event_id,
               CASE WHEN value IS NOT NULL THEN
                 round(least(greatest(3.0 + (30.0 - 3.0) / (7.0 - 3.0)
                                      * (value/25.0 - 3.0), 3.0), 30.0), 6)
@@ -720,14 +741,15 @@ from stream2segment_spark import queries_sketch  # noqa: E402,F401
 
 # The driver checks the FIRST 50 registered entries: one more gate=True
 # registration would silently push entry #50 out of correctness
-# checking, so fail loudly at import instead.
+# checking, so fail loudly at import instead (queries() re-asserts at
+# call time, which also covers import-order-inverted loads where a
+# sibling module finishes registering after this line runs).
 assert len(_QUERIES) <= 50, (
     f"{len(_QUERIES)} gate-checked entries exceed the driver's 50-entry "
     "window — defer one with register(..., gate=False)")
 
-# Flush gate=False entries last: they land beyond the driver's 50-entry
-# checked window but stay in queries() for bench and pytest oracles.
-for _name, _fn, _oracle in _DEFERRED:
-    _QUERIES[_name] = _fn
-    if _oracle is not None:
-        _ORACLES[_name] = _oracle
+# gate=False entries are NOT flushed into _QUERIES here: queries() /
+# oracle_sql() merge _DEFERRED at call time so that (a) entries deferred
+# by modules that finish loading after this body (circular-import order
+# inversion) are never dropped, and (b) deferred entries can never
+# interleave ahead of gated ones in the first-50 checked window.

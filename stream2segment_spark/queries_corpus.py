@@ -616,12 +616,17 @@ def corpus_bloom_ingest(spark, sf_dir):
         w AS (
           -- ONE window replays the engine's distributed prefix sum
           -- exactly: its order (shard, bucket, id) IS the sharded
-          -- order, so shard offsets + local cumsums == this cumsum
+          -- order, so shard offsets + local cumsums == this cumsum.
+          -- CAST AS BIGINT is load-bearing: DuckDB sum(BIGINT) is
+          -- HUGEINT, which pandas renders as float64 — rows/schema
+          -- still match but any dtype-sensitive value hash diverges
+          -- from Spark's int64 (the r5 driver hash_match:false).
           SELECT doc_id, source, n_tokens,
-                 sum(n_tokens) OVER (PARTITION BY source
+                 CAST(sum(n_tokens) OVER (PARTITION BY source
                      ORDER BY {_BUCKET_SQL.format(seed='mix:shard')} % 64,
                               {_BUCKET_SQL.format(seed='mix')}, doc_id
-                     ROWS UNBOUNDED PRECEDING) - n_tokens AS mix_start
+                     ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                   AS mix_start
           FROM d)
         SELECT doc_id, source, n_tokens, mix_start
         FROM w WHERE mix_start < 3000""",

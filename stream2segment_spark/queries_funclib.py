@@ -691,7 +691,8 @@ _PD_BUCKETS = 16
        SELECT 'cumulative' AS op, vec_id, pos, round(y, 6) AS y,
               64 AS n_raw, 0.5 AS dx, 'cumulative' AS label
        FROM cum_rows""",
-    gate=False,   # new r5 entry: outside the window until first green
+    # r6 gate rotation: first driver CORRECTNESS row (window slot freed
+    # by scalar_event_exprs, driver-green r2+r3+r4+r5)
 )
 def plot_downsample(spark, sf_dir):
     """X4 via the real producer UDFs (plots.make_producer): the trace

@@ -111,6 +111,9 @@ def stream_tumbling_stats(spark, sf_dir):
         SELECT user_id, session_id, count(*) AS n_events,
                min(ts) AS session_start, max(ts) AS session_end
         FROM s GROUP BY user_id, session_id""",
+    # r6 gate rotation: deferred (driver-green r3+r4+r5) to give
+    # sim_topk_ivf its first driver CORRECTNESS row under the split name.
+    gate=False,
 )
 def stream_sessionize(spark, sf_dir):
     """Sessionization (gap > 30 min starts a new session) — lag + cumsum

@@ -65,9 +65,9 @@ def sim_topk(spark, sf_dir):
 
 @register(
     "sim_topk_ivf",
-    # new entry (split out of sim_topk): gate=False until its first
-    # driver CORRECTNESS row lands, per the window-honesty rule
-    gate=False,
+    # r6 gate rotation: first driver CORRECTNESS row under the split
+    # name (window slot freed by stream_sessionize, driver-green
+    # r3+r4+r5)
     oracle=_TOPK_ORACLE,
 )
 def sim_topk_ivf(spark, sf_dir):

@@ -463,7 +463,8 @@ def _routing_case() -> str:
               replace(datacenter, '/dataselect/', '/station/')
                 AS station_url
        FROM routed""",
-    gate=False,   # new r5 entry: outside the window until first green
+    # r6 gate rotation: first driver CORRECTNESS row (window slot freed
+    # by spatial_join_traveltime, driver-green r2+r3+r4+r5)
 )
 def source_routing(spark, sf_dir):
     """S6: EIDA routing — the real parse_routing_response on a

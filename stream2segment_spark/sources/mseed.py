@@ -13,9 +13,10 @@ Arrow-batched pandas UDF, exploded downstream. The parse is per-record
 Python over numpy payload vectors — record counts per blob are small; the
 batch dimension comes from Arrow.
 
-Supported encodings: 1 (int16 BE), 3 (int32 BE), 4 (float32 BE),
-5 (float64 BE), 10 (Steim1). Little-endian headers are detected by the
-BTIME year plausibility sniff.
+Supported encodings: 1 (int16), 3 (int32), 4 (float32), 5 (float64),
+10 (Steim1), 11 (Steim2, all 7 word classes). Payload byte order follows
+the blockette-1000 word-order flag (big or little endian); little-endian
+HEADERS are detected by the BTIME year plausibility sniff.
 """
 
 from __future__ import annotations

@@ -105,7 +105,19 @@ def run_upsert_sink(
         # streaming/corpus.py _read_corpus pattern)
         try:
             current = batch_df.sparkSession.read.parquet(path)
-        except AnalysisException:
+        except AnalysisException as exc:
+            # ONLY a missing target means "first batch, nothing to
+            # merge". Any other analysis failure (corrupt footer,
+            # schema/metadata problem, access error surfaced at
+            # analysis time) must abort the batch — treating it as
+            # not-exists would overwrite all previously merged data.
+            cls = exc.getErrorClass() if hasattr(exc, "getErrorClass") \
+                else None
+            if cls is not None and "PATH_NOT_FOUND" not in str(cls):
+                raise
+            if cls is None and "PATH_NOT_FOUND" not in str(exc) \
+                    and "Path does not exist" not in str(exc):
+                raise
             current = None
         if current is not None:
             merged = merge_latest_wins(current, batch_df, natural_key)

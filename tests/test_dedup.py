@@ -696,8 +696,16 @@ def test_keep_canonical_one_winner_per_cluster(spark):
 
 
 def test_simhash_md5_path_accepts_default_bits(spark):
-    """token_hash='md5' with the function's own default bits=64 clamps
-    to the md5 path's 60 usable bits instead of rejecting itself."""
+    """token_hash='md5' with the default bits=None resolves to the md5
+    path's 60 usable bits; an EXPLICIT bits=64 with md5 raises instead
+    of being silently narrowed (r6 ADVICE)."""
+    import pytest
+
+    from stream2segment_spark.operators.dedup import simhash_neardup_pairs
+    with pytest.raises(ValueError, match="60 signature bits"):
+        simhash_neardup_pairs(
+            spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+            "text", "doc_id", bits=64, token_hash="md5")
     from pyspark.sql import Row
 
     from stream2segment_spark.operators.dedup import simhash_neardup_pairs

@@ -161,3 +161,38 @@ def test_append_equals_rebuild(spark, tmp_path):
     import os
     for staged in ("postings_new", "terms_new", "stats_new"):
         assert not os.path.exists(f"{inc}/{staged}"), staged
+
+
+def test_fs_swap_backup_first(spark, tmp_path):
+    """_fs_swap must never delete the live component before the staged
+    one is safely promoted (r6 ADVICE): the swap goes live -> live.bak,
+    staged -> live, then drops the backup — verified here for the
+    existing-live, missing-live, and stale-backup-present cases."""
+    import os
+
+    from stream2segment_spark.operators.search import _fs_swap
+
+    def mkdir_with(p, content):
+        os.makedirs(p, exist_ok=True)
+        with open(f"{p}/part-0", "w") as f:
+            f.write(content)
+
+    live, staged = str(tmp_path / "live"), str(tmp_path / "staged")
+    # 1. normal promote over an existing live
+    mkdir_with(live, "old")
+    mkdir_with(staged, "new")
+    _fs_swap(spark, staged, live)
+    assert open(f"{live}/part-0").read() == "new"
+    assert not os.path.exists(staged)
+    assert not os.path.exists(live + ".bak")  # backup dropped on success
+    # 2. first-ever promote (no live yet)
+    live2, staged2 = str(tmp_path / "live2"), str(tmp_path / "staged2")
+    mkdir_with(staged2, "first")
+    _fs_swap(spark, staged2, live2)
+    assert open(f"{live2}/part-0").read() == "first"
+    # 3. a stale .bak from an earlier crash must not block the swap
+    mkdir_with(live + ".bak", "stale")
+    mkdir_with(staged, "newer")
+    _fs_swap(spark, staged, live)
+    assert open(f"{live}/part-0").read() == "newer"
+    assert not os.path.exists(live + ".bak")

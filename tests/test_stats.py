@@ -166,3 +166,17 @@ def test_long_fast_path_grouped_and_merge(spark, frame):
     whole = moment_sums(frame, SCALES, method="long")
     m = merge_moments(fast.drop("grp"))
     assert m.collect() == whole.collect()
+
+
+def test_moment_sums_long_handles_oversized_magnitudes(spark):
+    """r6 ADVICE regression: quantized magnitudes above ~3e9 previously
+    raised ARITHMETIC_OVERFLOW mid-job under ANSI with method='long';
+    the per-row range guard now routes those rows through the decimal
+    multiply — same exact sums, no failure."""
+    from stream2segment_spark.operators.stats import moment_sums
+    vals = [(6.0e9, 1.0), (7.1e9, 2.0), (-8.3e9, 3.0), (2.0, 4.0)]
+    big = spark.createDataFrame(vals, "x double, y double")
+    lo = moment_sums(big, {"x": 0, "y": 0}, method="long").collect()[0]
+    de = moment_sums(big, {"x": 0, "y": 0}, method="decimal").collect()[0]
+    assert lo == de
+    assert int(lo["s_x_x"]) == sum(int(x) ** 2 for x, _ in vals)

@@ -116,6 +116,24 @@ def test_upsert_sink_latest_wins_across_batches(spark, tmp_path):
     assert stored.count() == 3
 
 
+def test_upsert_sink_corrupt_target_aborts_not_overwrites(spark, tmp_path):
+    """r6 ADVICE: an AnalysisException that is NOT path-missing (here a
+    corrupt/unreadable parquet target) must abort the batch, not be
+    treated as 'table does not exist' and silently overwrite all
+    previously merged data."""
+    target = tmp_path / "wh" / "users.parquet"
+    target.mkdir(parents=True)
+    # a parquet "file" that fails schema inference at analysis time
+    (target / "part-00000.parquet").write_bytes(b"not a parquet file")
+    _write_batches(spark, tmp_path / "s", [[(1, _ts(0), 1.0)]], SCHEMA)
+    with pytest.raises(Exception):
+        run_upsert_sink(spark, _stream(spark, tmp_path / "s", SCHEMA),
+                        str(target), natural_key=["user_id"])
+    # the corrupt target was NOT overwritten
+    assert (target / "part-00000.parquet").read_bytes() \
+        == b"not a parquet file"
+
+
 def test_interval_overlap_join_validates_bucket_params(spark):
     import pytest
 

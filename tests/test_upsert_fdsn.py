@@ -241,3 +241,37 @@ def test_update_skip_unchanged_multi_col_bounds(spark):
         incoming, existing, ["id"],
         compare_col=["download_code", "request_start"])
     assert [r["id"] for r in out.collect()] == [1]
+
+
+def test_merge_latest_wins_accepts_map_payload(spark):
+    """r6 ADVICE regression: a map-typed payload column previously broke
+    the xxhash64 content-hash tie-break (hash on MapType is disallowed);
+    maps are now excluded from the hash but still merged through."""
+    from stream2segment_spark.operators.upsert import merge_latest_wins
+    schema = "k long, v double, props map<string,string>"
+    ex = spark.createDataFrame([(1, 1.0, {"a": "x"}), (2, 2.0, {})], schema)
+    inc = spark.createDataFrame([(1, 10.0, {"a": "y"}), (3, 3.0, {})],
+                                schema)
+    out = merge_latest_wins(ex, inc, ["k"])
+    got = {r["k"]: (r["v"], dict(r["props"])) for r in out.collect()}
+    assert got == {1: (10.0, {"a": "y"}), 2: (2.0, {}), 3: (3.0, {})}
+
+
+def test_asof_accepts_map_value_column(spark):
+    """r6 ADVICE regression: a map-typed right value column made the
+    __payload orderBy raise (maps are unorderable); the tie-break key now
+    excludes maps while the payload still carries them to the output."""
+    from stream2segment_spark.operators.asof import (
+        asof_join_backward, asof_join_forward, asof_join_nearest)
+    left = spark.createDataFrame([(1, "u", 10.0)],
+                                 "id long, k string, ts double")
+    right = spark.createDataFrame(
+        [("u", 8.0, "a", {"m": "1"}), ("u", 20.0, "b", {"m": "2"})],
+        "k string, ts double, val string, props map<string,string>")
+    for fn, want in ((asof_join_backward, "a"), (asof_join_forward, "b"),
+                     (asof_join_nearest, "a")):
+        rows = fn(left, right, on="ts", by=["k"]).collect()
+        assert len(rows) == 1
+        assert rows[0]["val_asof"] == want
+        assert dict(rows[0]["props_asof"]) == {"m": "1" if want == "a"
+                                               else "2"}

@@ -55,6 +55,15 @@ def compare(sdf, duck_df: pd.DataFrame) -> str | None:
     for c in left.columns:
         la, ra = left[c].to_numpy(), right[c].to_numpy()
         if la.dtype.kind == "f" or ra.dtype.kind == "f":
+            # int-on-one-side / float-on-the-other is NOT green: the
+            # driver's value hash is dtype/format-sensitive ("3000" vs
+            # "3000.0"), so a numeric-equal pair still hash-mismatches.
+            # Root-caused in r6: corpus_token_mix's oracle emitted a
+            # bare DuckDB HUGEINT window sum (pandas float64) against
+            # Spark int64 — rows/schema matched, hash failed.
+            if {la.dtype.kind, ra.dtype.kind} == {"f", "i"}:
+                return (f"dtype divergence col={c}: spark {la.dtype} vs "
+                        f"oracle {ra.dtype} (driver value-hash would differ)")
             la, ra = la.astype(float), ra.astype(float)
             eq = (la == ra) | (np.isnan(la) & np.isnan(ra))
         else:

@@ -248,9 +248,10 @@ def bpe_segment_udf(merges: list[tuple[str, str, int]]):
 
     @F.pandas_udf("array<array<string>>")
     def _seg(texts: pd.Series) -> pd.Series:
+        from stream2segment_spark.operators.dedup import py_fold
         return texts.map(
             lambda t: [encode_word(w)
-                       for w in tok_re.split((t or "").lower()) if w])
+                       for w in tok_re.split(py_fold(t or "")) if w])
 
     return _seg
 

@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from stream2segment_spark.operators.dedup import py_fold
+
 _NORM = re.compile(r"[^a-z0-9]+")
 
 
@@ -40,7 +42,7 @@ def embed_text(text: str | None, dim: int = 64, n: int = 3,
     Normalization: lowercase, collapse non-alphanumerics to single
     spaces, strip; n-grams over the padded string ``' text '`` so word
     boundaries contribute. Empty/null text -> the zero vector."""
-    s = _NORM.sub(" ", ("" if text is None else text).lower()).strip()
+    s = _NORM.sub(" ", py_fold("" if text is None else text)).strip()
     acc = np.zeros(dim, dtype=np.int64)
     if s:
         s = f" {s} "
@@ -86,7 +88,7 @@ def hashed_ngram_embeddings(
             vecs = []
             for txt in pdf[text_col]:
                 s = _NORM.sub(
-                    " ", ("" if txt is None else txt).lower()).strip()
+                    " ", py_fold("" if txt is None else txt)).strip()
                 acc = np.zeros(dim, dtype=np.int64)
                 if s:
                     s = f" {s} "

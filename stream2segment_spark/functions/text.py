@@ -40,8 +40,9 @@ def bpe_ish_token_count(text: Column) -> Column:
     """BPE-ish token estimate: count of regex word pieces (runs of letters,
     runs of digits, single punctuation marks) — a deterministic stand-in
     for a real tokenizer's token count."""
+    from stream2segment_spark.operators.dedup import ascii_fold
     pieces = F.regexp_extract_all(
-        F.lower(text), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), 1)
+        ascii_fold(text), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), 1)
     return F.size(pieces)
 
 
@@ -287,7 +288,8 @@ def _repetition_row(text: str | None) -> list[float]:
     from collections import Counter
 
     out: list[float] = []
-    toks = [t for t in _WORD_RE.split((text or "").lower()) if t]
+    from stream2segment_spark.operators.dedup import py_fold
+    toks = [t for t in _WORD_RE.split(py_fold(text or "")) if t]
     total = sum(len(t) for t in toks)
     lens = [len(t) for t in toks]
     for n in (2, 3, 4):

@@ -30,7 +30,7 @@ import re
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from stream2segment_spark.operators.dedup import word_tokens
+from stream2segment_spark.operators.dedup import py_fold, word_tokens
 
 
 def _fs_delete(spark, path: str) -> None:
@@ -85,7 +85,7 @@ def normalize_terms(terms: list[str]) -> list[str]:
     through the same normalization the documents did."""
     out: list[str] = []
     for t in terms:
-        for tok in re.split(r"[^a-z0-9]+", t.lower()):
+        for tok in re.split(r"[^a-z0-9]+", py_fold(t)):
             if tok and tok not in out:
                 out.append(tok)
     return out

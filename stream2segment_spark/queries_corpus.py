@@ -282,7 +282,8 @@ _EMB_COMPS = ", ".join(
 @register(
     "text_hash_embedding",
     f"""WITH t AS (SELECT doc_id,
-              trim(regexp_replace(lower(coalesce(text, '')),
+              trim(regexp_replace(lower(regexp_replace(
+                     coalesce(text, ''), '[^\\x00-\\x7F]+', ' ', 'g')),
                    '[^a-z0-9]+', ' ', 'g')) AS s
             FROM documents),
        pd AS (SELECT doc_id,
@@ -610,7 +611,9 @@ def corpus_bloom_ingest(spark, sf_dir):
     f"""WITH d AS (
           SELECT doc_id, source,
                  len(list_filter(string_split_regex(trim(regexp_replace(
-                     lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')),
+                     lower(regexp_replace(coalesce(text, ''),
+                           '[^\\x00-\\x7F]+', ' ', 'g')),
+                     '[^a-z0-9]+', ' ', 'g')),
                      ' '), x -> len(x) > 0)) AS n_tokens
           FROM documents WHERE source IS NOT NULL),
         w AS (

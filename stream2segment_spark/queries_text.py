@@ -18,7 +18,11 @@ from stream2segment_spark.queries_catalog import register
 from stream2segment_spark.schema import load_table
 
 # DuckDB fragment equivalent to operators.dedup.word_tokens(text)
-_WORDS_SQL = ("list_filter(string_split_regex(trim(regexp_replace(lower(text), "
+# the lower() sits behind the non-ASCII -> space pre-fold, matching
+# operators.dedup.ascii_fold (utf8proc vs Java case-mapping divergence;
+# see the r6 NON_ASCII note in dedup.py)
+_WORDS_SQL = ("list_filter(string_split_regex(trim(regexp_replace(lower("
+              "regexp_replace(text, '[^\\x00-\\x7F]+', ' ', 'g')), "
               "'[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0)")
 # DuckDB fragment equivalent to operators.dedup.word_shingles(text, 3)
 _SHINGLES_SQL = (
@@ -61,7 +65,9 @@ def _text_analysis_oracle() -> str:
           FROM t)
         SELECT doc_id,
                len(w) AS n_tokens,
-               len(regexp_extract_all(lower(text),
+               len(regexp_extract_all(
+                   lower(regexp_replace(text,
+                         '[^\\x00-\\x7F]+', ' ', 'g')),
                    '([a-z]+|[0-9]+|[^a-z0-9\\s])', 1)) AS n_pieces,
                coalesce((SELECT max(c) FROM
                    (SELECT count(*) AS c FROM unnest(m.w) AS u(x) GROUP BY x)
@@ -85,7 +91,7 @@ def _text_analysis_oracle() -> str:
                  (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.5 END)) / 4.0, 4)
                  AS quality,
                {_lang_case_sql()} AS lang_pred,
-               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               md5(trim(regexp_replace(lower(regexp_replace(text, '[^\\x00-\\x7F]+', ' ', 'g')), '[^a-z0-9]+', ' ', 'g')))
                  AS fingerprint,
                CASE WHEN bkt < 8000 THEN 'train'
                     WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
@@ -142,7 +148,7 @@ def text_analysis(spark, sf_dir):
 @register(
     "dedup_exact_docs",
     """SELECT min(doc_id) AS doc_id,
-              md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+              md5(trim(regexp_replace(lower(regexp_replace(text, '[^\\x00-\\x7F]+', ' ', 'g')), '[^a-z0-9]+', ' ', 'g')))
                 AS fingerprint
        FROM documents GROUP BY fingerprint""",
     # r3 gate rotation: deferred — A6 keep-first stays gate-checked via

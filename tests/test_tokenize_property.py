@@ -1,0 +1,92 @@
+"""Property tests for the engine-portable tokenization contract
+(VERDICT r5 item 1b, generalized in r6).
+
+The corpus tokenizer rule — non-ASCII runs become separators FIRST,
+then lowercase, then split on ``[^a-z0-9]+`` — exists precisely so that
+Spark (Java full case mapping), Python (same full mapping) and DuckDB
+(utf8proc 1:1 lower) produce IDENTICAL tokens. These tests drive the
+seam with adversarial unicode: the Turkish dotted İ (Java lowers to TWO
+codepoints), sharp s, final sigma, Kelvin/Angstrom signs, full-width
+forms, astral chars (surrogate pairs), combining accents, and exotic
+whitespace.
+
+Strategy: hypothesis drives DuckDB-vs-Python (cheap per example, many
+examples); one batched test then pins Spark-vs-Python over every
+generated corner (transitive with the first)."""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(max_examples=200, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+_EDGE = [
+    "İ", "ı", "ẞ", "ß", "Σ", "σ", "ς", "Ǆ", "ǅ", "ǆ",
+    "Ａ", "ｂ", "１", "K", "Å", "Ω", "😀", "𝐛", "é", "é",
+    " ", " ", " ", "\r\n", "\t", "Ⅳ", "ⅳ", "Ⱥ", "ⱥ",
+]
+_texts = st.lists(
+    st.one_of(st.sampled_from(_EDGE),
+              st.text(alphabet="aA zZ09 .-", min_size=0, max_size=6),
+              st.text(min_size=0, max_size=4)),  # arbitrary unicode
+    min_size=0, max_size=12).map("".join)
+
+_WORDS_TAIL = ("list_filter(string_split_regex(trim(regexp_replace(lower("
+               "regexp_replace(t, '[^\\x00-\\x7F]+', ' ', 'g')), "
+               "'[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0)")
+_SPLIT = re.compile(r"[^a-z0-9]+")
+
+
+def _py_tokens(text: str) -> list[str]:
+    from stream2segment_spark.operators.dedup import py_fold
+    return [t for t in _SPLIT.split(py_fold(text)) if t]
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_duckdb_tokens_match_python(text):
+    con = duckdb.connect()
+    got = con.execute(f"SELECT {_WORDS_TAIL} FROM (SELECT ? AS t)",
+                      [text]).fetchone()[0]
+    assert list(got) == _py_tokens(text), repr(text)
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_duckdb_fingerprint_matches_python(text):
+    """The exact-dedup fingerprint normalization (normalized_text /
+    md5-normalize oracle twin) under the same adversarial alphabet."""
+    from stream2segment_spark.operators.dedup import py_fold
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT trim(regexp_replace(lower(regexp_replace(t, "
+        "'[^\\x00-\\x7F]+', ' ', 'g')), '[^a-z0-9]+', ' ', 'g')) "
+        "FROM (SELECT ? AS t)", [text]).fetchone()[0]
+    want = _SPLIT.sub(" ", py_fold(text)).strip()
+    assert got == want, repr(text)
+
+
+def test_spark_tokens_match_python_over_edge_corpus(spark):
+    """One batched Spark job over a corpus that hits every edge char in
+    several positions — transitively pins Spark == DuckDB through the
+    hypothesis tests above."""
+    from pyspark.sql import functions as F
+
+    from stream2segment_spark.operators.dedup import word_tokens
+    corpus = (["".join(_EDGE), " ".join(_EDGE)]
+              + [f"a{c}b 1{c}2 {c}x{c}" for c in _EDGE]
+              + ["İstanbul ıssız I", "STRASSE Straße ẞ", "wİth the",
+                 "JAVASCRİPT javascript", "ＡＢＣ１２３", "", "   ",
+                 "𝐛𝐨𝐥𝐝 😀🌍 mix3d"])
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "id long, text string")
+    got = {r["id"]: list(r["toks"]) for r in df.select(
+        "id", word_tokens(F.col("text")).alias("toks")).collect()}
+    for i, t in enumerate(corpus):
+        assert got[i] == _py_tokens(t), (i, repr(t))

@@ -7,8 +7,12 @@ matching ``oracle_sql()`` in DuckDB over the same parquet files, and
 compares row count, schema (column names), and exact values with columns
 sorted by name — the same contract as CORRECTNESS_r{N}.json.
 
-Usage:  python tools/gate_mirror.py [query ...]   (no args = all)
-Exit 0 = all green.
+Usage:  python tools/gate_mirror.py [--sf-dir DIR] [query ...]
+(no query args = all). ``--sf-dir`` points the sweep at an alternative
+fixture — e.g. the adversarial-unicode copy built by
+tools/unicode_fixture.py — so Spark-vs-DuckDB divergences on non-ASCII
+case-fold edges (Java full case mapping vs utf8proc 1:1) surface
+locally instead of on driver data. Exit 0 = all green.
 """
 
 from __future__ import annotations
@@ -76,9 +80,15 @@ def compare(sdf, duck_df: pd.DataFrame) -> str | None:
 
 
 def main() -> int:
+    global SF_DIR
     mod = _load_entry()
     qs, osql = mod.queries(), mod.oracle_sql()
-    only = sys.argv[1:]
+    args = sys.argv[1:]
+    if "--sf-dir" in args:
+        i = args.index("--sf-dir")
+        SF_DIR = args[i + 1]
+        del args[i:i + 2]
+    only = args
     names = [n for n in qs if not only or n in only]
 
     from pyspark.sql import SparkSession

@@ -44,18 +44,24 @@ SCALED_TABLES = ("documents", "embeddings", "events", "lineitem",
                  "orders")
 ID_COLS = {"documents": "doc_id", "embeddings": "vec_id",
            "events": "event_id", "lineitem": "l_orderkey",
-           "orders": "o_orderkey"}
+           "orders": "o_orderkey", "part": "p_partkey"}
 ALL_TABLES = ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings")
 
 
-def build_scaled(spark, factor: int, out_dir: str) -> None:
+def build_scaled(spark, factor: int, out_dir: str,
+                 extra_scaled: tuple[str, ...] = ()) -> None:
+    """``extra_scaled`` promotes normally-dim tables (e.g. ``part`` for
+    the source_routing channel list) into the replicated set — station/
+    channel lists DO grow in an EIDA-wide routing table, unlike TPC-H
+    dims."""
     from pyspark.sql import functions as F
 
     from stream2segment_spark.schema import load_table
     os.makedirs(out_dir, exist_ok=True)
+    scaled = tuple(SCALED_TABLES) + tuple(extra_scaled)
     for name in ALL_TABLES:
-        if name in SCALED_TABLES:
+        if name in scaled:
             continue
         src, dst = f"{SF_BASE}/{name}.parquet", f"{out_dir}/{name}.parquet"
         if not os.path.exists(dst):
@@ -68,7 +74,7 @@ def build_scaled(spark, factor: int, out_dir: str) -> None:
         .agg(F.max("o_orderkey")).collect()[0][0],
         load_table(spark, SF_BASE, "lineitem")
         .agg(F.max("l_orderkey")).collect()[0][0]) + 1
-    for name in SCALED_TABLES:
+    for name in scaled:
         df = load_table(spark, SF_BASE, name)
         idc = ID_COLS[name]
         if name in ("lineitem", "orders"):
@@ -113,13 +119,16 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--queries", default=",".join(HEAVY))
+    ap.add_argument("--scale-tables", default="",
+                    help="comma-list of extra tables to replicate")
     args = ap.parse_args()
     names = [q for q in args.queries.split(",") if q]
+    extra = tuple(t for t in args.scale_tables.split(",") if t)
 
     from stream2segment_spark.session import get_spark
     spark = get_spark(app_name="scale-bench")
     scaled_dir = f"/tmp/s2s_scale{args.factor}"
-    build_scaled(spark, args.factor, scaled_dir)
+    build_scaled(spark, args.factor, scaled_dir, extra_scaled=extra)
 
     base = run(spark, SF_BASE, names)
     big = run(spark, scaled_dir, names)

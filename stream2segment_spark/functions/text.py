@@ -385,11 +385,15 @@ def c4_kept_lines(text: Column, min_words: int = 5) -> Column:
     lines = F.split(F.coalesce(text, F.lit("")), r"\r?\n")
 
     def _keep(l: Column) -> Column:
+        from stream2segment_spark.operators.dedup import ascii_fold
         tail = F.right(F.rtrim(l), F.lit(1))
         words = F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+        # ascii_fold, not plain lower: Java lowers İ to i+combining-dot,
+        # which breaks the ASCII needle exactly where utf8proc engines
+        # match it ('JAVASCRİPT' kept by Spark, dropped by DuckDB)
         return (tail.isin(*C4_TERMINALS)
                 & (words >= min_words)
-                & ~F.lower(l).contains("javascript"))
+                & ~ascii_fold(l).contains("javascript"))
 
     return F.filter(lines, _keep)
 
@@ -418,7 +422,8 @@ def c4_signals(df, id_col: str, text_col: str, *, min_words: int = 5,
     from functools import reduce
     from operator import or_
 
-    lower = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    from stream2segment_spark.operators.dedup import ascii_fold
+    lower = ascii_fold(F.coalesce(F.col(text_col), F.lit("")))
     staged = df.select(
         id_col,
         F.col(text_col),
@@ -487,10 +492,17 @@ def gopher_quality_signals(df, id_col: str, text_col: str):
     expression; words/lines arrays are projected ONCE into staging
     columns (multi-referenced aliases are not inlined, so the splits
     run once per row)."""
+    from stream2segment_spark.operators.dedup import ascii_fold
     t = F.coalesce(F.col(text_col), F.lit(""))
     staged = df.select(
         id_col,
         F.filter(F.split(t, r"\s+"), lambda w: w != "").alias("__words"),
+        # stopword membership domain: whitespace words of the ASCII-
+        # FOLDED text — identical to lower(words) on ASCII input, but
+        # portable on non-ASCII ('wİth' -> 'with' under utf8proc 1:1
+        # lower, a stopword DuckDB would count and Java would not)
+        F.filter(F.split(ascii_fold(t), r"\s+"), lambda w: w != "")
+         .alias("__fwords"),
         F.split(t, r"\r?\n").alias("__lines"),
         (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
          .alias("__n_hash"),
@@ -506,10 +518,9 @@ def gopher_quality_signals(df, id_col: str, text_col: str):
                           lambda a, w: a + F.length(w)).cast("double")
     _, n_bullet, n_ell = line_metrics(F.lit(""), lines=lines)
     n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    lower_words = F.transform(words, F.lower)
     n_stop = F.size(F.filter(
         F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
-        lambda s: F.array_contains(lower_words, s)))
+        lambda s: F.array_contains(F.col("__fwords"), s)))
     n_lines = F.size(lines).cast("double")
     mean_wl = F.when(n_words > 0, sum_len / wd).otherwise(0.0)
     sym = F.when(n_words > 0,

@@ -692,11 +692,13 @@ def _c4_oracle() -> str:
     whitespace words, no 'javascript'; doc keep = >= 3 kept lines and no
     lorem-ipsum / brace / blocklist hit. kept_frac is one int/int double
     division, so values hash-match without rounding."""
-    bad = " OR ".join(f"contains(lower(t), '{w}')" for w in TX.C4_BAD_WORDS)
+    fold_t = "lower(regexp_replace(t, '[^\\x00-\\x7F]+', ' ', 'g'))"
+    bad = " OR ".join(f"contains({fold_t}, '{w}')" for w in TX.C4_BAD_WORDS)
     keep = ("x -> right(rtrim(x), 1) IN ('.', '!', '?', '\"') "
             "AND len(list_filter(regexp_split_to_array(x, '\\s+'), "
             "w -> w != '')) >= 5 "
-            "AND NOT contains(lower(x), 'javascript')")
+            "AND NOT contains(lower(regexp_replace(x, "
+            "'[^\\x00-\\x7F]+', ' ', 'g')), 'javascript')")
     marks = "".join(
         f" || CASE WHEN doc_id % {m} = 0 THEN chr(10) || '{s}' "
         "ELSE '' END" for m, s in _C4_MARKERS)
@@ -708,7 +710,7 @@ def _c4_oracle() -> str:
           SELECT doc_id, t,
                  string_split(t, chr(10)) AS lines,
                  list_filter(string_split(t, chr(10)), {keep}) AS kept,
-                 contains(lower(t), 'lorem ipsum') AS has_lorem,
+                 contains(lower(regexp_replace(t, '[^\\x00-\\x7F]+', ' ', 'g')), 'lorem ipsum') AS has_lorem,
                  contains(t, '{{') AS has_brace,
                  ({bad}) AS has_bad_word
           FROM b)
@@ -797,8 +799,10 @@ def _gopher_oracle() -> str:
                      x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE AS n_alpha,
                  len(lines)::DOUBLE AS n_lines,
                  len(list_filter({stop_list},
-                     st -> list_contains(list_transform(w, x -> lower(x)),
-                                         st)))::BIGINT AS n_stopwords
+                     st -> list_contains(list_filter(
+                         regexp_split_to_array(lower(regexp_replace(t,
+                             '[^\\x00-\\x7F]+', ' ', 'g')), '\\s+'),
+                         x -> x != ''), st)))::BIGINT AS n_stopwords
           FROM s),
         f AS (
           SELECT doc_id, n_words,

@@ -38,6 +38,10 @@ SNIPPETS = [
     "nb sp thin space",      # exotic whitespace
     "crlf\r\nline\rmix\ttab",          # control whitespace
     "Ⱥⱥ Ⱦȿ ⅣⅻⅣ",                       # odd latin + roman numerals
+    # contains()-class seams: Java lower('İ') = i+combining-dot breaks
+    # an ASCII needle match that DuckDB's 1:1 lower would make
+    "JAVASCRİPT LOREM İPSUM wİth",
+    "javascrİpt lorem İpsum the İ",
 ]
 
 

@@ -256,6 +256,7 @@ REPETITION_DDL = (
     "dup_line_frac double, dup_line_char_frac double")
 
 _WORD_RE = None  # compiled lazily inside the worker
+_PY_FOLD = None  # dedup.py_fold, resolved lazily inside the worker
 
 
 def _repetition_row(text: str | None) -> list[float]:
@@ -282,14 +283,19 @@ def _repetition_row(text: str | None) -> list[float]:
     integers, so values are engine-portable without rounding.
     """
     import re
-    global _WORD_RE
+    # lazy module-level caches (same rationale for both: this function
+    # runs once per document row in the Arrow loop — a per-row module
+    # import or recompile is pure waste)
+    global _PY_FOLD, _WORD_RE
     if _WORD_RE is None:
         _WORD_RE = re.compile(r"[^a-z0-9]+")
+    if _PY_FOLD is None:
+        from stream2segment_spark.operators.dedup import py_fold
+        _PY_FOLD = py_fold
     from collections import Counter
 
     out: list[float] = []
-    from stream2segment_spark.operators.dedup import py_fold
-    toks = [t for t in _WORD_RE.split(py_fold(text or "")) if t]
+    toks = [t for t in _WORD_RE.split(_PY_FOLD(text or "")) if t]
     total = sum(len(t) for t in toks)
     lens = [len(t) for t in toks]
     for n in (2, 3, 4):
@@ -423,18 +429,27 @@ def c4_signals(df, id_col: str, text_col: str, *, min_words: int = 5,
     from operator import or_
 
     from stream2segment_spark.operators.dedup import ascii_fold
-    lower = ascii_fold(F.coalesce(F.col(text_col), F.lit("")))
-    staged = df.select(
+    # the folded text is a full-document regexp_replace scan and feeds
+    # has_lorem + every bad word: stage it ONCE (multi-referenced
+    # aliases are protected from CollapseProject inlining) instead of
+    # embedding the expression per contains()
+    pre = df.select(
+        id_col,
+        F.col(text_col),
+        ascii_fold(F.coalesce(F.col(text_col), F.lit("")))
+         .alias("__low"))
+    low = F.col("__low")
+    staged = pre.select(
         id_col,
         F.col(text_col),
         F.split(F.coalesce(F.col(text_col), F.lit("")), r"\r?\n")
          .alias("__lines"),
         c4_kept_lines(F.col(text_col), min_words=min_words)
          .alias("__kept"),
-        lower.contains("lorem ipsum").alias("has_lorem"),
+        low.contains("lorem ipsum").alias("has_lorem"),
         F.coalesce(F.col(text_col), F.lit("")).contains("{")
          .alias("has_brace"),
-        reduce(or_, [lower.contains(w) for w in bad_words])
+        reduce(or_, [low.contains(w) for w in bad_words])
          .alias("has_bad_word"),
     )
     n_lines = F.size("__lines")

@@ -40,6 +40,12 @@ def _order_key(right: DataFrame, on: str, value_cols: list[str]):
     columns."""
     orderable = [c for c in value_cols
                  if not _contains_map(right.schema[c].dataType)]
+    if value_cols and not orderable:
+        import warnings
+        warnings.warn(
+            "asof join: every value column is map-typed "
+            f"({value_cols}) — equal-timestamp ties have no "
+            "deterministic winner (NOT replayable)", stacklevel=3)
     return F.struct(F.col(on).alias("__ts"),
                     *[F.col(c) for c in orderable])
 

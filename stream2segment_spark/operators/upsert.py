@@ -100,6 +100,13 @@ def merge_latest_wins(
                     if c not in natural_key and c != order_col]
     hashable = [c for c in payload_cols
                 if not _contains_map(all_rows.schema[c].dataType)]
+    if payload_cols and not hashable:
+        import warnings
+        warnings.warn(
+            "merge_latest_wins: every payload column is map-typed "
+            f"({payload_cols}) — no content-hash tie-break is possible, "
+            "so the winner among same-side duplicate keys is "
+            "shuffle-order-dependent (NOT replayable)", stacklevel=2)
     tiebreak = (F.xxhash64(*[F.col(c) for c in hashable])
                 if hashable else F.lit(0))
     w = Window.partitionBy(*natural_key).orderBy(

@@ -77,11 +77,11 @@ def _text_analysis_oracle() -> str:
                    list_transform(range(1, len(w)),
                                   i -> array_to_string(w[i:i+1], ' '))))
                     ELSE 0 END AS n_dup_bigrams,
-               len(string_split(text, chr(10))) AS n_lines,
-               len(list_filter(string_split(text, chr(10)),
+               len(regexp_split_to_array(text, '\\r?\\n')) AS n_lines,
+               len(list_filter(regexp_split_to_array(text, '\\r?\\n'),
                    l -> regexp_matches(trim(l), '^[-*•]')))
                  AS n_bullet_lines,
-               len(list_filter(string_split(text, chr(10)),
+               len(list_filter(regexp_split_to_array(text, '\\r?\\n'),
                    l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
                  AS n_ellipsis_lines,
                round((
@@ -629,7 +629,7 @@ def _repetition_oracle() -> str:
         lstats AS (
           SELECT doc_id,
                  CASE WHEN text IS NULL OR text = '' THEN NULL
-                      ELSE string_split(text, chr(10)) END AS ls
+                      ELSE regexp_split_to_array(text, '\\r?\\n') END AS ls
           FROM documents),
         lsum AS (
           SELECT doc_id, ls,
@@ -708,8 +708,8 @@ def _c4_oracle() -> str:
         WITH b AS (SELECT doc_id, {derived} AS t FROM documents),
         k AS (
           SELECT doc_id, t,
-                 string_split(t, chr(10)) AS lines,
-                 list_filter(string_split(t, chr(10)), {keep}) AS kept,
+                 regexp_split_to_array(t, '\\r?\\n') AS lines,
+                 list_filter(regexp_split_to_array(t, '\\r?\\n'), {keep}) AS kept,
                  contains(lower(regexp_replace(t, '[^\\x00-\\x7F]+', ' ', 'g')), 'lorem ipsum') AS has_lorem,
                  contains(t, '{{') AS has_brace,
                  ({bad}) AS has_bad_word
@@ -778,7 +778,7 @@ def _gopher_oracle() -> str:
           SELECT doc_id, t,
                  list_filter(regexp_split_to_array(t, '\\s+'),
                              w -> w != '') AS w,
-                 string_split(t, chr(10)) AS lines,
+                 regexp_split_to_array(t, '\\r?\\n') AS lines,
                  len(t) - len(replace(t, '#', '')) AS n_hash,
                  (len(t) - len(replace(t, '...', ''))) // 3 AS n_dots,
                  len(t) - len(replace(t, '…', '')) AS n_uni

@@ -103,20 +103,42 @@ def run_upsert_sink(
         # where a driver-local stat is always False and every batch
         # would silently overwrite all previously merged data (the
         # streaming/corpus.py _read_corpus pattern)
+        def _target_is_dataless(spark) -> bool:
+            # an existing target directory with NO files carries no
+            # data to lose (e.g. a crash between mkdir and the first
+            # part-file commit): treat like not-exists so the sink
+            # self-heals instead of wedging on UNABLE_TO_INFER_SCHEMA
+            # forever. Hadoop FS, not os.path — hdfs/s3a targets.
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(jpath):
+                return True
+            it = fs.listFiles(jpath, True)
+            while it.hasNext():
+                f = it.next()
+                name = f.getPath().getName()
+                if f.getLen() > 0 and not name.startswith(("_", ".")):
+                    return False
+            return True
+
         try:
             current = batch_df.sparkSession.read.parquet(path)
         except AnalysisException as exc:
-            # ONLY a missing target means "first batch, nothing to
-            # merge". Any other analysis failure (corrupt footer,
-            # schema/metadata problem, access error surfaced at
-            # analysis time) must abort the batch — treating it as
-            # not-exists would overwrite all previously merged data.
+            # ONLY a missing or provably data-less target means "first
+            # batch, nothing to merge". Any other analysis failure
+            # (corrupt footer, schema/metadata problem, access error
+            # surfaced at analysis time) must abort the batch —
+            # treating it as not-exists would overwrite all previously
+            # merged data.
             cls = exc.getErrorClass() if hasattr(exc, "getErrorClass") \
                 else None
-            if cls is not None and "PATH_NOT_FOUND" not in str(cls):
-                raise
-            if cls is None and "PATH_NOT_FOUND" not in str(exc) \
-                    and "Path does not exist" not in str(exc):
+            missing = ("PATH_NOT_FOUND" in str(cls or "")
+                       or (cls is None
+                           and ("PATH_NOT_FOUND" in str(exc)
+                                or "Path does not exist" in str(exc))))
+            if not missing and not _target_is_dataless(
+                    batch_df.sparkSession):
                 raise
             current = None
         if current is not None:

@@ -132,17 +132,18 @@ def test_long_fast_path_bit_equals_decimal(frame):
 
 def test_long_fast_path_never_wraps(spark):
     """Values whose per-row product cannot fit int64 must never corrupt
-    the sums: under ANSI (Spark 4 default) the int64 multiply throws
-    ARITHMETIC_OVERFLOW; with ANSI off method='long' silently selects
-    the decimal path (a wrapped product would be undetectable), so the
-    result is exact either way."""
+    the sums. Since r6 (ADVICE), method='long' carries a per-row range
+    guard: operands beyond ±floor(sqrt(2^63-1)) route through the
+    decimal multiply, so oversized magnitudes SUCCEED exactly instead
+    of raising ARITHMETIC_OVERFLOW mid-job; with ANSI off method='long'
+    still selects the decimal path wholesale."""
     big = 4.0e9   # q = 4e11 at scale 2; q*q ~ 1.6e23 >> 2^63
     df = spark.createDataFrame(
         [Row(a=big, b=big), Row(a=big + 1, b=big - 1)])
     want = (int(big * 100) * int(big * 100)
             + int((big + 1) * 100) * int((big - 1) * 100))
-    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
-        moment_sums(df, {"a": 2, "b": 2}, method="long").collect()
+    row = moment_sums(df, {"a": 2, "b": 2}, method="long").collect()[0]
+    assert int(row["s_a_b"]) == want      # guard routed rows to decimal
     row = moment_sums(df, {"a": 2, "b": 2}, method="decimal").collect()[0]
     assert int(row["s_a_b"]) == want
     prev = spark.conf.get("spark.sql.ansi.enabled")

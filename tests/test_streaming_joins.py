@@ -198,3 +198,38 @@ def test_asof_forward_tolerance(spark):
     out = asof_join_forward(left, right, on="ts", by=["k"],
                             tolerance_sec=5.0).collect()[0]
     assert out["val_asof"] is None and out["ts_asof"] is None
+
+
+def test_upsert_sink_selfheals_empty_target_dir(spark, tmp_path):
+    """r6 review: a target directory that exists but holds no data files
+    (crash between mkdir and the first part-file commit) must be treated
+    as first-batch, not wedge every retry on UNABLE_TO_INFER_SCHEMA."""
+    target = tmp_path / "wh" / "users.parquet"
+    target.mkdir(parents=True)
+    (target / "_started").write_bytes(b"")  # marker-style leftover
+    _write_batches(spark, tmp_path / "s", [[(1, _ts(0), 1.0)]], SCHEMA)
+    final = run_upsert_sink(spark, _stream(spark, tmp_path / "s", SCHEMA),
+                            str(target), natural_key=["user_id"])
+    assert {r["user_id"] for r in final.collect()} == {1}
+
+
+def test_all_map_payload_warns_not_silent(spark):
+    """r6 review: when EVERY payload/value column is map-typed there is
+    no deterministic tie-break — that must warn, not silently degrade."""
+    import warnings as _w
+
+    from stream2segment_spark.operators.asof import asof_join_backward
+    from stream2segment_spark.operators.upsert import merge_latest_wins
+    ex = spark.createDataFrame([(1, {"a": "x"})],
+                               "k long, props map<string,string>")
+    inc = spark.createDataFrame([(1, {"a": "y"})],
+                                "k long, props map<string,string>")
+    with pytest.warns(UserWarning, match="map-typed"):
+        merge_latest_wins(ex, inc, ["k"])
+    left = spark.createDataFrame([(1, "u", 10.0)],
+                                 "id long, k string, ts double")
+    right = spark.createDataFrame(
+        [("u", 8.0, {"m": "1"})],
+        "k string, ts double, props map<string,string>")
+    with pytest.warns(UserWarning, match="map-typed"):
+        asof_join_backward(left, right, on="ts", by=["k"])

@@ -190,3 +190,18 @@ def test_c4_and_line_rules_tolerate_crlf(spark):
         [Row(id=1, text="truncated thought goes on...\r\nnormal line.")])
     _, _, ell = line_metrics(F.col("text"))
     assert df2.select(ell.alias("e")).first()["e"] == 1
+
+
+def test_repetition_line_metrics_crlf(spark):
+    """r6 review: line identity must treat CRLF like LF on BOTH engines
+    (the oracle used to split on chr(10), keeping the \r in the line)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from stream2segment_spark.functions.text import repetition_signals
+    txt = ("dup crlf line one two three.\r\ndup crlf line one two three."
+           "\r\ndup crlf line one two three.")
+    df = spark.createDataFrame([Row(doc_id=1, text=txt)])
+    r = repetition_signals(df, "text", "doc_id").collect()[0]
+    assert r["dup_line_frac"] == pytest.approx(2 / 3)
+    assert r["dup_line_char_frac"] == pytest.approx(2 / 3)

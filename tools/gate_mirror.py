@@ -86,8 +86,22 @@ def main() -> int:
     args = sys.argv[1:]
     if "--sf-dir" in args:
         i = args.index("--sf-dir")
+        if i + 1 >= len(args):
+            print("--sf-dir needs a directory operand", file=sys.stderr)
+            return 2
         SF_DIR = args[i + 1]
         del args[i:i + 2]
+    for a in args:
+        if a.startswith("--sf-dir="):
+            SF_DIR = a.split("=", 1)[1]
+    args = [a for a in args if not a.startswith("--sf-dir=")]
+    # an unmatched operand must be an ERROR, never a silent 0/0-green
+    # exit (a typo'd entry name or flag would otherwise report the
+    # gate as passing when nothing was checked)
+    unknown = [a for a in args if a not in qs]
+    if unknown:
+        print(f"unknown query/flag argument(s): {unknown}", file=sys.stderr)
+        return 2
     only = args
     names = [n for n in qs if not only or n in only]
 

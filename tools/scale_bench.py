@@ -60,13 +60,23 @@ def build_scaled(spark, factor: int, out_dir: str,
     from stream2segment_spark.schema import load_table
     os.makedirs(out_dir, exist_ok=True)
     scaled = tuple(SCALED_TABLES) + tuple(extra_scaled)
+    missing = [t for t in extra_scaled if t not in ID_COLS]
+    if missing:
+        raise ValueError(
+            f"--scale-tables entries without a known id column: {missing} "
+            f"(add them to ID_COLS)")
     for name in ALL_TABLES:
         if name in scaled:
             continue
         src, dst = f"{SF_BASE}/{name}.parquet", f"{out_dir}/{name}.parquet"
-        if not os.path.exists(dst):
-            (shutil.copytree if os.path.isdir(src) else shutil.copyfile)(
-                src, dst)
+        # ALWAYS refresh the dim copy: a table that moved between the
+        # scaled and dim sets across runs (--scale-tables) would
+        # otherwise silently reuse the previous run's replicated copy
+        # as the "1x dim" and corrupt every alpha touching it
+        if os.path.exists(dst):
+            (shutil.rmtree if os.path.isdir(dst) else os.remove)(dst)
+        (shutil.copytree if os.path.isdir(src) else shutil.copyfile)(
+            src, dst)
     # lineitem/orders must shift by the SAME offset or copy i's lineitem
     # rows would reference copy j's orders: use the shared key-domain max
     order_off = max(

@@ -42,6 +42,10 @@ SNIPPETS = [
     # an ASCII needle match that DuckDB's 1:1 lower would make
     "JAVASCRİPT LOREM İPSUM wİth",
     "javascrİpt lorem İpsum the İ",
+    # duplicate CRLF-terminated lines: line-identity + per-line char
+    # sums diverge if either engine splits lines on bare LF only
+    "dup crlf line one two three.\r\ndup crlf line one two three."
+    "\r\ndup crlf line one two three.",
 ]
 
 

@@ -28,8 +28,8 @@ import pandas as pd
 
 REPO = Path(__file__).resolve().parent.parent
 SF_DIR = "/root/testdata/sf0.01"
-TABLES = ("region nation customer supplier part orders lineitem events "
-          "documents embeddings").split()
+sys.path.insert(0, str(REPO))
+from stream2segment_spark.schema import TESTDATA_TABLES as TABLES  # noqa: E402
 
 
 def _load_entry():
@@ -108,6 +108,11 @@ def main() -> int:
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "8")
+             # pinned like the driver (and plan_audit): on a non-UTC
+             # host, toPandas() renders TimestampType in session-local
+             # tz and every timestamp entry would falsely FAIL against
+             # DuckDB's UTC view
+             .config("spark.sql.session.timeZone", "UTC")
              .appName("gate_mirror").getOrCreate())
 
     con = duckdb.connect()

@@ -96,6 +96,14 @@ def main() -> int:
     spark.stop()
 
     path = REPO / "PLANSHAPES.json"
+    # a PARTIAL run (explicit entry args) merges into the committed
+    # full-catalog artifact instead of truncating it to the subset —
+    # the artifact is the plan-shape regression baseline, and the
+    # documented per-entry invocation used to clobber it (r6 review)
+    if args.entries and path.exists():
+        merged = json.loads(path.read_text())
+        merged.update(out)
+        out = merged
     path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
     totals = {k: sum(r.get(k, 0) for r in out.values()) for k in COUNTERS}
     print(json.dumps({"entries": len(out), "totals": totals,

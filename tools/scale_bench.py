@@ -11,8 +11,9 @@ setup for dedup operators). Dimension-like tables (customer = the
 station side of the spatial join, TPC-H dims) stay at 1x: at 100 TB the
 event/doc stream grows, the station list does not.
 
-Usage: python tools/scale_bench.py [--factor 10] [--out PLANS-fragment]
-Writes the scaled data under /tmp/s2s_scale<factor>/.
+Usage: python tools/scale_bench.py [--factor 10] [--queries a,b,...]
+[--scale-tables t,...]. Writes the scaled data under
+/tmp/s2s_scale<factor>/ and the per-query alpha report to stdout.
 """
 
 from __future__ import annotations
@@ -45,8 +46,17 @@ SCALED_TABLES = ("documents", "embeddings", "events", "lineitem",
 ID_COLS = {"documents": "doc_id", "embeddings": "vec_id",
            "events": "event_id", "lineitem": "l_orderkey",
            "orders": "o_orderkey", "part": "p_partkey"}
-ALL_TABLES = ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "documents", "embeddings")
+# canonical list lives in schema.TESTDATA_TABLES (imported in main
+# after the sys.path insert); this module-level mirror is resolved there
+ALL_TABLES: tuple[str, ...] = ()
+
+
+def _all_tables() -> tuple[str, ...]:
+    global ALL_TABLES
+    if not ALL_TABLES:
+        from stream2segment_spark.schema import TESTDATA_TABLES
+        ALL_TABLES = tuple(TESTDATA_TABLES)
+    return ALL_TABLES
 
 
 def build_scaled(spark, factor: int, out_dir: str,
@@ -65,7 +75,7 @@ def build_scaled(spark, factor: int, out_dir: str,
         raise ValueError(
             f"--scale-tables entries without a known id column: {missing} "
             f"(add them to ID_COLS)")
-    for name in ALL_TABLES:
+    for name in _all_tables():
         if name in scaled:
             continue
         src, dst = f"{SF_BASE}/{name}.parquet", f"{out_dir}/{name}.parquet"
@@ -109,19 +119,37 @@ def build_scaled(spark, factor: int, out_dir: str,
             .write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
 
+_ENTRY_MOD = None
+
+
+def _entry_mod():
+    # cached: the old per-run() re-exec re-ran the module body (asserts,
+    # sys.path mutation) twice per invocation
+    global _ENTRY_MOD
+    if _ENTRY_MOD is None:
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "__spark_entry__", REPO / "__spark_entry__.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _ENTRY_MOD = mod
+    return _ENTRY_MOD
+
+
 def run(spark, sf_dir: str, names) -> dict[str, float]:
-    import importlib.util
-    spec = importlib.util.spec_from_file_location(
-        "__spark_entry__", REPO / "__spark_entry__.py")
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    qs = mod.queries()
+    qs = _entry_mod().queries()
     out = {}
     for n in names:
         spark.catalog.clearCache()
+        df = qs[n](spark, sf_dir)
         t0 = time.time()
-        cnt = qs[n](spark, sf_dir).count()
-        out[n] = {"sec": round(time.time() - t0, 2), "rows": cnt}
+        # noop write, NEVER .count(): Catalyst prunes aggregate/
+        # projection expressions under count() and the alpha would
+        # measure scan-only cost (the bench.py discipline; the r6
+        # review caught this tool still counting)
+        df.write.format("noop").mode("overwrite").save()
+        sec = round(time.time() - t0, 2)
+        out[n] = {"sec": sec, "rows": df.count()}
     return out
 
 

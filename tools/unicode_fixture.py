@@ -61,15 +61,15 @@ def main() -> int:
         for i, s in enumerate(SNIPPETS))
     # every 3rd doc gets a snippet spliced mid-text (after the first
     # word) so tokens both precede and follow the non-ASCII material
+    # SELECT * REPLACE keeps every column the testdata may gain later
     con.execute(f"""
         COPY (
-          SELECT doc_id,
+          SELECT * REPLACE (
                  CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL THEN
                    concat(split_part(text, ' ', 1), ' ',
                           CASE (doc_id // 3) % {len(SNIPPETS)} {cases} END,
                           ' ', text)
-                 ELSE text END AS text,
-                 lang, source, n_chars
+                 ELSE text END AS text)
           FROM read_parquet('{SRC}/documents.parquet')
         ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
     """)

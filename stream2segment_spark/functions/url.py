@@ -51,12 +51,31 @@ TWO_LEVEL_SUFFIXES = (
 )
 
 
+# ASCII-only case folding: F.lower applies Java's FULL case mapping,
+# which is 1:2 on U+0130 (İ) while DuckDB/utf8proc lowers 1:1 — a
+# non-ASCII host would hash-diverge cross-engine (r6 portability
+# contract). translate() maps codepoint-for-codepoint with no locale
+# rules on BOTH engines, lowers exactly A-Z, and passes every other
+# codepoint through untouched — so IDN hosts keep their characters
+# (folding them to spaces would merge distinct hosts).
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col: Column) -> Column:
+    """Lowercase ASCII A-Z only; 1:1 on every codepoint (engine-portable,
+    unlike full-case-mapping lower())."""
+    return F.translate(col, ASCII_UPPER, ASCII_LOWER)
+
+
 def url_scheme(url: Column) -> Column:
-    return F.lower(F.regexp_extract(url, _RX_SCHEME, 1))
+    # the scheme regex admits only ASCII, so this equals lower() by
+    # construction — translate keeps the whole module on one fold rule
+    return ascii_lower(F.regexp_extract(url, _RX_SCHEME, 1))
 
 
 def url_host(url: Column) -> Column:
-    return F.lower(F.regexp_extract(url, _RX_HOST, 1))
+    return ascii_lower(F.regexp_extract(url, _RX_HOST, 1))
 
 
 def url_port(url: Column) -> Column:

@@ -71,9 +71,16 @@ def _fs_swap(spark, staged: str, live: str) -> None:
         if had_live and fs.rename(bak, dst):
             raise IOError(f"rename {staged} -> {live} failed; live index "
                           "RESTORED from backup, swap aborted")
-        raise IOError(f"rename {staged} -> {live} failed AND backup "
-                      f"restore failed — recover manually from "
-                      f"{live}.bak / {staged}")
+        if had_live:
+            raise IOError(f"rename {staged} -> {live} failed AND backup "
+                          f"restore failed — recover manually from "
+                          f"{live}.bak / {staged}")
+        # no prior live index existed, so no backup was ever taken:
+        # pointing an operator at {live}.bak here would mislead an
+        # incident recovery (r6 ADVICE) — the staged dir is the only copy
+        raise IOError(f"rename {staged} -> {live} failed (no prior live "
+                      f"index, nothing lost) — the staged index remains "
+                      f"intact at {staged}")
     fs.delete(bak, True)
 
 

@@ -59,9 +59,10 @@ def queries() -> dict[str, QueryFn]:
     would otherwise both lose late-deferred entries and interleave
     deferred entries ahead of gated ones, silently corrupting the
     checked window."""
-    assert len(_QUERIES) <= 50, (
-        f"{len(_QUERIES)} gate-checked entries exceed the driver's "
-        "50-entry window — defer one with register(..., gate=False)")
+    if len(_QUERIES) > 50:  # not assert: stripped under python -O
+        raise RuntimeError(
+            f"{len(_QUERIES)} gate-checked entries exceed the driver's "
+            "50-entry window — defer one with register(..., gate=False)")
     out = dict(_QUERIES)
     for name, fn, _oracle in _DEFERRED:
         out.setdefault(name, fn)
@@ -741,12 +742,15 @@ from stream2segment_spark import queries_sketch  # noqa: E402,F401
 
 # The driver checks the FIRST 50 registered entries: one more gate=True
 # registration would silently push entry #50 out of correctness
-# checking, so fail loudly at import instead (queries() re-asserts at
+# checking, so fail loudly at import instead (queries() re-checks at
 # call time, which also covers import-order-inverted loads where a
-# sibling module finishes registering after this line runs).
-assert len(_QUERIES) <= 50, (
-    f"{len(_QUERIES)} gate-checked entries exceed the driver's 50-entry "
-    "window — defer one with register(..., gate=False)")
+# sibling module finishes registering after this line runs). Explicit
+# raise, not assert: asserts are stripped under python -O, which would
+# silently disable the window guard.
+if len(_QUERIES) > 50:
+    raise RuntimeError(
+        f"{len(_QUERIES)} gate-checked entries exceed the driver's 50-entry "
+        "window — defer one with register(..., gate=False)")
 
 # gate=False entries are NOT flushed into _QUERIES here: queries() /
 # oracle_sql() merge _DEFERRED at call time so that (a) entries deferred

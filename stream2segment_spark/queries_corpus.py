@@ -22,6 +22,8 @@ from stream2segment_spark.operators.clustering import kmeans_quantized
 from stream2segment_spark.operators.similarity import semantic_dedup
 from stream2segment_spark.functions.sampling import (
     BUCKETS, temperature_rates, temperature_sample, token_budget_mix)
+from stream2segment_spark.functions.url import (
+    ASCII_LOWER as U_ASCII_LO, ASCII_UPPER as U_ASCII_UP)
 from stream2segment_spark.operators import dedup as DD
 from stream2segment_spark.queries_catalog import register
 from stream2segment_spark.queries_text import _WORDS_SQL
@@ -877,7 +879,9 @@ _URL_SYNTH_SQL = """CASE CAST(doc_id % 5 AS INT)
               || CAST(doc_id AS VARCHAR) || '?utm_source=f&b=2&a=1#x'
   WHEN 1 THEN 'http://blog.' || source || '.org:80/post-'
               || CAST(doc_id AS VARCHAR)
-  WHEN 2 THEN 'HTTP://API.' || upper(source)
+  WHEN 2 THEN 'HTTP://API.'
+              || translate(source, 'abcdefghijklmnopqrstuvwxyz',
+                           'ABCDEFGHIJKLMNOPQRSTUVWXYZ')
               || '.COM:8080/x?gclid=z&z=9&y=1'
   WHEN 3 THEN 'https://' || source || '.example.com/a/b?fbclid=1'
   ELSE 'https://cdn.static.' || source || '.co.jp/img-'
@@ -889,10 +893,14 @@ _URL_TRACK_RX = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
 _URL_ORACLE = f"""WITH u AS (
     SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents),
   parts AS (SELECT doc_id, url,
-    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1))
+    translate(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1),
+              'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+              'abcdefghijklmnopqrstuvwxyz')
         AS scheme,
-    lower(regexp_extract(url,
-        '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^:/?#]+)', 1))
+    translate(regexp_extract(url,
+        '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^:/?#]+)', 1),
+              'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+              'abcdefghijklmnopqrstuvwxyz')
         AS host,
     TRY_CAST(regexp_extract(url,
         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:([0-9]+)', 1) AS INT)
@@ -966,7 +974,10 @@ def corpus_url_canonical(spark, sf_dir):
                  F.lit("http://blog."), F.col("source"),
                  F.lit(".org:80/post-"), F.col("doc_id").cast("string")))
              .when(five == 2, F.concat(
-                 F.lit("HTTP://API."), F.upper("source"),
+                 # ASCII-only upper (translate): F.upper's full case
+                 # mapping diverges from DuckDB on non-ASCII sources
+                 F.lit("HTTP://API."),
+                 F.translate(F.col("source"), U_ASCII_LO, U_ASCII_UP),
                  F.lit(".COM:8080/x?gclid=z&z=9&y=1")))
              .when(five == 3, F.concat(
                  F.lit("https://"), F.col("source"),

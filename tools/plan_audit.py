@@ -103,6 +103,10 @@ def main() -> int:
     if args.entries and path.exists():
         merged = json.loads(path.read_text())
         merged.update(out)
+        # drop keys for renamed/deleted catalog entries: a partial-run
+        # merge would otherwise keep them (and count them in the printed
+        # totals) forever until the next full run (r6 ADVICE)
+        merged = {k: v for k, v in merged.items() if k in qs}
         out = merged
     path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
     totals = {k: sum(r.get(k, 0) for r in out.values()) for k in COUNTERS}

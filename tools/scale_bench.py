@@ -137,11 +137,20 @@ def _entry_mod():
 
 
 def run(spark, sf_dir: str, names) -> dict[str, float]:
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
     qs = _entry_mod().queries()
     out = {}
     for n in names:
         spark.catalog.clearCache()
         df = qs[n](spark, sf_dir)
+        # row count via observe() on the TIMED run: the old separate
+        # df.count() re-executed every query a second time (under
+        # aggregate pruning, i.e. a different plan) — doubling tool
+        # runtime at scale for a metric the timed action already has
+        # (r6 ADVICE)
+        obs = Observation(f"rows_{n}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         t0 = time.time()
         # noop write, NEVER .count(): Catalyst prunes aggregate/
         # projection expressions under count() and the alpha would
@@ -149,7 +158,7 @@ def run(spark, sf_dir: str, names) -> dict[str, float]:
         # review caught this tool still counting)
         df.write.format("noop").mode("overwrite").save()
         sec = round(time.time() - t0, 2)
-        out[n] = {"sec": sec, "rows": df.count()}
+        out[n] = {"sec": sec, "rows": obs.get["n"]}
     return out
 
 

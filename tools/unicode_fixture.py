@@ -60,7 +60,12 @@ def main() -> int:
         f"WHEN {i} THEN '{s.replace(chr(39), chr(39) * 2)}'"
         for i, s in enumerate(SNIPPETS))
     # every 3rd doc gets a snippet spliced mid-text (after the first
-    # word) so tokens both precede and follow the non-ASCII material
+    # word) so tokens both precede and follow the non-ASCII material;
+    # every 7th doc gets non-ASCII spliced into SOURCE — source feeds
+    # the synthesized URL column (corpus_url_canonical), so this proves
+    # the url host/scheme ASCII-translate fold on a host that carries
+    # U+0130 and mixed-case ASCII (r6 ADVICE: lower() on a non-ASCII
+    # host would hash-diverge between Java and utf8proc).
     # SELECT * REPLACE keeps every column the testdata may gain later
     con.execute(f"""
         COPY (
@@ -69,7 +74,10 @@ def main() -> int:
                    concat(split_part(text, ' ', 1), ' ',
                           CASE (doc_id // 3) % {len(SNIPPETS)} {cases} END,
                           ' ', text)
-                 ELSE text END AS text)
+                 ELSE text END AS text,
+                 CASE WHEN doc_id % 7 = 2 AND source IS NOT NULL THEN
+                   concat(source, 'İş-Straße-CAFÉ')
+                 ELSE source END AS source)
           FROM read_parquet('{SRC}/documents.parquet')
         ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
     """)

@@ -102,7 +102,6 @@ def _graph(dfs):
        WHERE value > 190""",
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
-    gate=False,
 )
 def selection_predicates(spark, sf_dir):
     """P1-P3/O3 in one tagged entry (the gate caps the checked-query count,
@@ -135,7 +134,6 @@ def selection_predicates(spark, sf_dir):
     # r4 gate rotation (late session): deferred (driver-green r1+r2+r3) —
     # the exprquery compiler stays covered in-window by
     # selection_predicates; the freed slot gates corpus_c4_filters.
-    gate=False,
 )
 def selection_dotted_joins(spark, sf_dir):
     """P1/J1: dotted attributes auto-join the relationship path once;
@@ -158,7 +156,6 @@ def selection_dotted_joins(spark, sf_dir):
     # r4 late rotation: driver-green r1+r2+r3 (J2 family stays gated via
     # selection_predicates/selection_dotted_joins) — frees the slot that
     # gates sim_semantic_dedup.
-    gate=False,
 )
 def selection_two_hop(spark, sf_dir):
     """J2-style 2-hop relationship (lineitem->orders->customer), mirroring
@@ -178,7 +175,6 @@ def selection_two_hop(spark, sf_dir):
     # via agg_stats_pivot/agg_gap_recode/agg_download_summary; this TPC-H
     # Q1 shape remains benched and plan-asserted in test_plan_asserts)
     "agg_pricing_summary",
-    gate=False,
     oracle="""SELECT l_returnflag, l_linestatus,
               round(sum(l_quantity), 2)                                   AS sum_qty,
               round(sum(l_extendedprice), 2)                              AS sum_base_price,
@@ -245,7 +241,6 @@ def agg_stats_pivot(spark, sf_dir):
                    WHEN value > 150 THEN 'high' ELSE 'ok' END AS bucket,
               count(*) AS n
        FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events GROUP BY event_type, bucket""",
-    gate=False,
 )
 def agg_gap_recode(spark, sf_dir):
     """A1/A3: conditional recode before grouping (the reference's
@@ -261,7 +256,6 @@ def agg_gap_recode(spark, sf_dir):
 @register(
     "dedup_keep_first",
     # driver-green r1+r2+r3; deferred for the round-4 stream_hopping_stats
-    gate=False,
     oracle="""SELECT event_id, user_id, event_type, ts FROM (
          SELECT event_id, user_id, event_type, ts,
                 row_number() OVER (PARTITION BY user_id, event_type
@@ -285,7 +279,6 @@ def dedup_keep_first(spark, sf_dir):
     """SELECT user_id, event_type, n FROM (
          SELECT user_id, event_type, count(*) AS n
          FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events GROUP BY user_id, event_type) WHERE n > 1""",
-    gate=False,
 )
 def dedup_conflict_counts(spark, sf_dir):
     """A7/A8: suspicious-duplicate detection — groups with >1 member
@@ -346,7 +339,6 @@ def join_semi_prefilter(spark, sf_dir):
        LEFT JOIN (SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS rev
                   FROM lineitem GROUP BY l_orderkey) l
        ON o.o_orderkey = l.l_orderkey""",
-    gate=False,
 )
 def join_mergeupdate(spark, sf_dir):
     """J4: mergeupdate (io/db/pdsql.py:971-1085) — left merge where the
@@ -369,7 +361,6 @@ def join_mergeupdate(spark, sf_dir):
     # r3 gate rotation: deferred (J1/J2 multi-hop joins stay gate-checked
     # via selection_dotted_joins/selection_two_hop; still benched)
     "join_multihop_rollup",
-    gate=False,
     oracle="""SELECT r.r_name AS region, n.n_name AS nation,
               round(sum(o.o_totalprice), 2) AS total, count(*) AS n_orders
        FROM orders o
@@ -419,6 +410,9 @@ def join_siblings(spark, sf_dir):
 
 @register(
     "join_download_diff",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     """WITH cand AS (
          SELECT (o_orderkey % 97) AS channel_id, o_orderkey AS event_id,
                 o_orderdate AS request_start,
@@ -444,6 +438,7 @@ def join_siblings(spark, sf_dir):
           OR e.db_code BETWEEN 500 AND 599
           OR c.request_start != e.db_request_start
           OR c.request_end != e.db_request_end""",
+    gate=False,
 )
 def join_download_diff(spark, sf_dir):
     """J5: the prepare_for_download diff (reference
@@ -497,7 +492,6 @@ def join_download_diff(spark, sf_dir):
        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
-    gate=False,
 )
 def pred_epoch_validity(spark, sf_dir):
     """P8: station epoch validity (reference stationsearch.py:84-86)
@@ -585,7 +579,6 @@ def setop_family(spark, sf_dir):
               concat_ws('.', l.l_returnflag, l.l_linestatus) AS flag_status
        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
        WHERE l.l_linenumber = 1""",
-    gate=False,
 )
 def scalar_datetime_math(spark, sf_dir):
     """F1-F4/F14: duration_sec (timestamp diff with sub-second precision),
@@ -608,7 +601,6 @@ def scalar_datetime_math(spark, sf_dir):
     # hash-verified inside spatial_join_traveltime, whose oracle replays
     # the same formula in SQL on the rounded dist_deg column)
     "scalar_great_circle",
-    gate=False,
     oracle="""WITH d AS (SELECT c_custkey,
               round(degrees(atan2(
                 sqrt(pow(cos(radians(((c_custkey * 7) % 180) - 90)) *
@@ -703,7 +695,6 @@ def scalar_event_exprs(spark, sf_dir):
     # r3 gate rotation: deferred (P6/F12 wildcard->LIKE is exercised
     # inside source_nslc_filters' checked path; still benched)
     "scalar_wildcard_like",
-    gate=False,
     oracle="""SELECT p_partkey, p_name FROM part WHERE p_brand LIKE 'Brand_1%'""",
 )
 def scalar_wildcard_like(spark, sf_dir):

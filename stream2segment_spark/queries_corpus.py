@@ -47,6 +47,9 @@ _LINES_SQL = """
 
 @register(
     "corpus_longest_dup",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
        win AS (SELECT doc_id,
                  CAST(l.L AS INTEGER) AS L,
@@ -62,6 +65,7 @@ _LINES_SQL = """
        m AS (SELECT max(L) AS L FROM dup)
        SELECT d.L AS length, d.txt AS text, d.n_docs, d.n_occ
        FROM dup d JOIN m ON d.L = m.L""",
+    gate=False,
 )
 def corpus_longest_dup(spark, sf_dir):
     """EXACT longest duplicated token substring(s) across the corpus
@@ -93,7 +97,6 @@ def corpus_longest_dup(spark, sf_dir):
        GROUP BY l.doc_id""",
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
-    gate=False,
 )
 def corpus_line_dedup(spark, sf_dir):
     """CCNet/RefinedWeb-style line-level boilerplate removal
@@ -115,6 +118,9 @@ def corpus_line_dedup(spark, sf_dir):
 
 @register(
     "corpus_pack_chunks",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH d AS (SELECT doc_id,
                 len(string_split(coalesce(text, ''), ' ')) AS n_tok
               FROM documents),
@@ -131,6 +137,7 @@ def corpus_line_dedup(spark, sf_dir):
               CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
               min(doc_id) AS min_id, max(doc_id) AS max_id
        FROM c GROUP BY shard, chunk_id""",
+    gate=False,
 )
 def corpus_pack_chunks(spark, sf_dir):
     """Greedy sequence packing into fixed-token-budget training chunks
@@ -150,6 +157,9 @@ def corpus_pack_chunks(spark, sf_dir):
 
 @register(
     "corpus_substring_dup",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
        e AS (SELECT doc_id, len(w) AS n_tokens, p.pos,
                 md5(array_to_string(w[p.pos+1 : p.pos+8], ' ')) AS wh
@@ -180,6 +190,7 @@ def corpus_pack_chunks(spark, sf_dir):
               round(coalesce(p.dup_tokens, 0)
                     / greatest(len(t.w), 1), 6) AS dup_frac
        FROM t LEFT JOIN p USING (doc_id)""",
+    gate=False,
 )
 def corpus_substring_dup(spark, sf_dir):
     """Exact substring-duplication analysis (operators/dedup
@@ -199,6 +210,9 @@ def corpus_substring_dup(spark, sf_dir):
 
 @register(
     "corpus_substring_cut",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
        e AS (SELECT doc_id, p.pos,
                 md5(array_to_string(w[p.pos+1 : p.pos+8], ' ')) AS wh
@@ -232,6 +246,7 @@ def corpus_substring_dup(spark, sf_dir):
                   AS n_removed,
               coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
        FROM t LEFT JOIN agg USING (doc_id)""",
+    gate=False,
 )
 def corpus_substring_cut(spark, sf_dir):
     """Exact substring REMOVAL (operators/dedup.cut_duplicated_spans,
@@ -252,6 +267,9 @@ def corpus_substring_cut(spark, sf_dir):
 
 @register(
     "corpus_token_rarity",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
        t AS (SELECT DISTINCT doc_id, unnest(w) AS tok FROM w),
        f AS (SELECT tok, count(*) AS df FROM t GROUP BY tok)
@@ -260,6 +278,7 @@ def corpus_substring_cut(spark, sf_dir):
                   AS n_hapax,
               round(CAST(sum(f.df) AS DOUBLE) / count(*), 6) AS mean_df
        FROM t JOIN f USING (tok) GROUP BY t.doc_id""",
+    gate=False,
 )
 def corpus_token_rarity(spark, sf_dir):
     """Token-rarity quality signal (functions/text.token_rarity): per
@@ -283,6 +302,9 @@ _EMB_COMPS = ", ".join(
 
 @register(
     "text_hash_embedding",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH t AS (SELECT doc_id,
               trim(regexp_replace(lower(regexp_replace(
                      coalesce(text, ''), '[^\\x00-\\x7F]+', ' ', 'g')),
@@ -311,6 +333,7 @@ _EMB_COMPS = ", ".join(
        p AS (SELECT doc_id, {_EMB_PIVOT} FROM acc GROUP BY doc_id)
        SELECT t.doc_id, coalesce(n.nnz, 0) AS nnz, {_EMB_COMPS}
        FROM t LEFT JOIN n USING (doc_id) LEFT JOIN p USING (doc_id)""",
+    gate=False,
 )
 def text_hash_embedding(spark, sf_dir):
     """Feature-hashing text embeddings (functions/embeddings
@@ -415,6 +438,9 @@ def cluster_kmeans(spark, sf_dir):
 
 @register(
     "sim_semantic_dedup",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH {_KM_ASSIGN_SQL},
        vv AS (SELECT q.vec_id, q.v, asn.cid,
               list_sum(list_transform(q.v, x -> x * x)) AS n2
@@ -431,6 +457,7 @@ def cluster_kmeans(spark, sf_dir):
               round(p.ms, 6) AS max_sim_prev,
               coalesce(p.ms >= 0.35, FALSE) AS is_dup
        FROM vv LEFT JOIN p USING (vec_id)""",
+    gate=False,
 )
 def sim_semantic_dedup(spark, sf_dir):
     """SemDeDup (operators/similarity.semantic_dedup; Abbas et al. 2023):
@@ -455,6 +482,9 @@ def sim_semantic_dedup(spark, sf_dir):
 
 @register(
     "corpus_temperature_mix",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH c AS (SELECT source, count(*) AS n_total FROM documents
               GROUP BY source),
        m AS (SELECT min(n_total) AS n_min FROM c),
@@ -468,6 +498,7 @@ def sim_semantic_dedup(spark, sf_dir):
        SELECT r.source, r.n_total, round(r.rate, 6) AS rate,
               coalesce(k.n_kept, 0) AS n_kept
        FROM r LEFT JOIN k USING (source)""",
+    gate=False,
 )
 def corpus_temperature_mix(spark, sf_dir):
     """Temperature source-rebalancing (functions/sampling
@@ -534,6 +565,9 @@ def _bpe_round_sql(r: int) -> str:
 
 @register(
     "corpus_bpe",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH w AS (SELECT unnest({_WORDS_SQL}) AS word FROM documents),
        s0 AS (SELECT word, count(*) AS freq,
                 regexp_extract_all(word, '.') AS syms
@@ -545,6 +579,7 @@ def _bpe_round_sql(r: int) -> str:
        SELECT word, freq, CAST(len(syms) AS INTEGER) AS n_syms,
               array_to_string(syms, ' ') AS segmentation
        FROM s4""",
+    gate=False,
 )
 def corpus_bpe(spark, sf_dir):
     """Distributed BPE tokenizer training (functions/bpe.bpe_train,
@@ -573,6 +608,9 @@ def corpus_bpe(spark, sf_dir):
 
 @register(
     "corpus_bloom_ingest",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     # the Bloom stage is a pure prefilter: the result is EXACTLY the
     # anti-join, which the oracle states directly
     """SELECT d.doc_id,
@@ -582,6 +620,7 @@ def corpus_bpe(spark, sf_dir):
          AND NOT EXISTS (SELECT 1 FROM documents c
                          WHERE c.doc_id % 10 != 0
                            AND c.doc_id = d.doc_id)""",
+    gate=False,
 )
 def corpus_bloom_ingest(spark, sf_dir):
     """Bloom-prefiltered incremental dedup (K3/J6 anti-join semantics,
@@ -656,6 +695,9 @@ def corpus_token_mix(spark, sf_dir):
 
 @register(
     "corpus_chunking",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH d AS (SELECT doc_id, coalesce({_WORDS_SQL}, []) AS w
                    FROM documents),
         c AS (SELECT doc_id, w,
@@ -669,6 +711,7 @@ def corpus_token_mix(spark, sf_dir):
                  AS chunk_text
         FROM e""",
     # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
+    gate=False,
 )
 def corpus_chunking(spark, sf_dir):
     """Overlapping token-window chunking (functions/packing.
@@ -737,7 +780,11 @@ def _classifier_oracle() -> str:
 
 @register(
     "corpus_quality_classifier", _classifier_oracle(),
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
+    gate=False,
 )
 def corpus_quality_classifier(spark, sf_dir):
     """Distributed linear quality classifier (operators/classifier.py —
@@ -769,6 +816,9 @@ _DIFF_FP = "md5(coalesce(CAST(text AS VARCHAR), ''))"
 
 @register(
     "corpus_version_diff",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH old_ AS (SELECT doc_id, {_DIFF_FP} AS old_fp
                       FROM documents WHERE doc_id % 7 <> 0),
          new_ AS (SELECT doc_id,
@@ -784,6 +834,7 @@ _DIFF_FP = "md5(coalesce(CAST(text AS VARCHAR), ''))"
                    ELSE 'changed' END AS status,
               o.old_fp, n.new_fp
        FROM old_ o FULL OUTER JOIN new_ n ON o.doc_id = n.doc_id""",
+    gate=False,
 )
 def corpus_version_diff(spark, sf_dir):
     """Snapshot diff between two corpus versions
@@ -809,6 +860,9 @@ def corpus_version_diff(spark, sf_dir):
 
 @register(
     "corpus_shuffle_shards",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     """WITH h AS (SELECT doc_id,
                          CAST('0x' || substr(md5('shuf:' ||
                               CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
@@ -820,6 +874,7 @@ def corpus_version_diff(spark, sf_dir):
                                       ORDER BY h, doc_id) - 1
                    AS BIGINT) AS shard_pos
        FROM a""",
+    gate=False,
 )
 def corpus_shuffle_shards(spark, sf_dir):
     """Deterministic global training shuffle
@@ -840,6 +895,9 @@ def corpus_shuffle_shards(spark, sf_dir):
 
 @register(
     "corpus_domain_cap",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     """WITH h AS (SELECT doc_id, source,
                          CAST('0x' || substr(md5('cap:' ||
                               CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
@@ -851,6 +909,7 @@ def corpus_shuffle_shards(spark, sf_dir):
                FROM h)
        SELECT doc_id, source FROM r WHERE rn <= 25""",
     # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
+    gate=False,
 )
 def corpus_domain_cap(spark, sf_dir):
     """Per-source document cap (functions/sampling.cap_per_group): at
@@ -945,7 +1004,7 @@ SELECT doc_id, url, scheme, host,
 FROM dom"""
 
 
-@register("corpus_url_canonical", _URL_ORACLE)
+@register("corpus_url_canonical", _URL_ORACLE, gate=False)
 def corpus_url_canonical(spark, sf_dir):
     """URL parse + canonicalization + registrable domain
     (functions/url.py) over a deterministic synthetic URL corpus

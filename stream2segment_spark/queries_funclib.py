@@ -166,6 +166,9 @@ _MC_GRE, _MC_GIM, _MC_CHAIN = _mc_literals()
 
 @register(
     "funclib_spectra",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH RECURSIVE b AS (
           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS x
           FROM embeddings),
@@ -325,6 +328,7 @@ _MC_GRE, _MC_GIM, _MC_CHAIN = _mc_literals()
                JOIN rro rr ON rr.vec_id = t.vec_id
                JOIN wao wa ON wa.vec_id = t.vec_id
                JOIN mco mc ON mc.vec_id = t.vec_id""",
+    gate=False,
 )
 def funclib_spectra(spark, sf_dir):
     """N1-N3 + N5 + freqs/dfreq through the REAL funclib kernels on the
@@ -451,7 +455,6 @@ def funclib_spectra(spark, sf_dir):
        FROM ev""",
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
-    gate=False,
 )
 def scalar_seed_id(spark, sf_dir):
     """J11/F14: seed-id build with the stored-value fallback
@@ -487,7 +490,6 @@ def scalar_seed_id(spark, sf_dir):
        FROM documents""",
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
-    gate=False,
 )
 def source_sniff(spark, sf_dir):
     """K7 + P4: each document's text is compressed with a per-row method
@@ -599,7 +601,6 @@ def _sg_terms(n: int = 64, half: int = 2, order: int = 2) -> str:
               JOIN sg ON s.vec_id = sg.vec_id AND s.pos = sg.pos""",
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
-    gate=False,
 )
 def funclib_coda_smooth(spark, sf_dir):
     """W4 + N10 building blocks through the REAL kernels on the Arrow

@@ -19,7 +19,6 @@ from stream2segment_spark.schema import load_table
 @register(
     "kernel_metrics",
     # driver-green r2+r3; deferred for the round-4 dedup_canonical_best
-    gate=False,
     oracle="""WITH u AS (
          SELECT vec_id, i.i AS pos, (embedding[i.i]::DOUBLE)^2 AS sq
          FROM embeddings, range(1, 65) i(i)),

@@ -48,7 +48,6 @@ def _encode_udf():
 @register(
     "mseed_decode",
     # driver-green r1+r2+r3; deferred for the round-4 stream_distinct_approx
-    gate=False,
     oracle="""SELECT doc_id, 'SY.APE..HHZ' AS seed_id,
               CAST(25 + doc_id % 30 AS INT) AS n_samples,
               CAST(doc_id % 4 AS DOUBLE) AS max_gap,

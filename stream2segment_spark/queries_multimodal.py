@@ -66,7 +66,6 @@ def _wav_blob(channels, sample_rate):
        FROM documents""",
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
-    gate=False,
 )
 def multimodal_probe(spark, sf_dir):
     """Media metadata probe: build PNG headers for even ids and WAV headers
@@ -95,7 +94,6 @@ def multimodal_probe(spark, sf_dir):
             LATERAL (SELECT unnest(range(0, ((doc_id % 300) + 32) * 2 // 64, 2)) AS k) u""",
     # r4 late rotation: driver-green r2+r3 (multimodal family stays gated
     # via probe/audio/resize/features) — frees the slot gating corpus_search.
-    gate=False,
 )
 def multimodal_frames(spark, sf_dir):
     """Video-style frame sampling (every 2nd 64-byte frame) over a raw
@@ -113,6 +111,9 @@ def multimodal_frames(spark, sf_dir):
 
 @register(
     "multimodal_audio",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     """SELECT doc_id,
               CAST(8000 + (doc_id % 50) * 20 AS INT) AS sample_rate,
               1 AS n_channels, 4 AS n_samples,
@@ -125,6 +126,7 @@ def multimodal_frames(spark, sf_dir):
                (doc_id * 31 + 2 * 17) % 65536 - 32768 AS s2,
                (doc_id * 31 + 3 * 17) % 65536 - 32768 AS s3
              FROM documents)""",
+    gate=False,
 )
 def multimodal_audio(spark, sf_dir):
     """Audio SAMPLE decode through the real codec-free WAV path
@@ -179,12 +181,16 @@ _PGM_V = "(doc_id * 13 + {j} * 7) % 256"
 
 @register(
     "multimodal_resize",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""SELECT doc_id, 2 AS width, 2 AS height,
               CAST({_PGM_V.format(j=0)} AS BIGINT) AS p0,
               CAST({_PGM_V.format(j=2)} AS BIGINT) AS p1,
               CAST({_PGM_V.format(j=8)} AS BIGINT) AS p2,
               CAST({_PGM_V.format(j=10)} AS BIGINT) AS p3
        FROM documents""",
+    gate=False,
 )
 def multimodal_resize(spark, sf_dir):
     """Image RESIZE over really-decoded pixels: 4x4 PGM blobs built
@@ -213,6 +219,9 @@ _PGM_VALS = "SELECT doc_id, u.j AS j, (doc_id * 13 + u.j * 7) % 256 AS v" \
 
 @register(
     "multimodal_image_features",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH px AS ({_PGM_VALS}),
        tv AS (SELECT a.doc_id,
                 sum(CASE WHEN a.j % 4 < 3 THEN abs(b.v - a.v) ELSE 0 END)
@@ -229,6 +238,7 @@ _PGM_VALS = "SELECT doc_id, u.j AS j, (doc_id * 13 + u.j * 7) % 256 AS v" \
               round(avg(v), 6) AS mean_255
        FROM px JOIN tv USING (doc_id) JOIN tv2 USING (doc_id)
        GROUP BY px.doc_id""",
+    gate=False,
 )
 def multimodal_image_features(spark, sf_dir):
     """Image FEATURE EXTRACTION over really-decoded pixels
@@ -249,6 +259,9 @@ def multimodal_image_features(spark, sf_dir):
 
 @register(
     "multimodal_audio_features",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     """WITH s AS (SELECT doc_id, u.k AS k,
                (doc_id * 31 + u.k * 17) % 65536 - 32768 AS v
              FROM documents, LATERAL (SELECT unnest(range(0, 4)) AS k) u),
@@ -264,6 +277,7 @@ def multimodal_image_features(spark, sf_dir):
               round(sqrt(sum(CAST(v AS BIGINT) * v) / 4.0) / 32768.0, 6)
                   AS rms
        FROM s JOIN zc USING (doc_id) GROUP BY s.doc_id""",
+    gate=False,
 )
 def multimodal_audio_features(spark, sf_dir):
     """Audio FEATURE EXTRACTION over really-decoded samples
@@ -326,6 +340,9 @@ def _avi_blob(width, height, n_frames, usec: int = 40000):
 
 @register(
     "multimodal_video",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     """SELECT doc_id,
               CASE WHEN doc_id % 2 = 0 THEN 'video/mp4'
                    ELSE 'video/x-msvideo' END AS media_type,
@@ -348,6 +365,7 @@ def _avi_blob(width, height, n_frames, usec: int = 40000):
                    THEN CAST(56 + 8 * (doc_id % 4) AS INT)
                    ELSE 88 END AS n_bytes
        FROM documents""",
+    gate=False,
 )
 def multimodal_video(spark, sf_dir):
     """Video-container metadata probing (multimodal.probe_video_bytes):

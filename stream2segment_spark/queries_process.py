@@ -40,7 +40,6 @@ def _order_pyfunc(seg: SegmentView, config: dict):
        FROM orders WHERE o_orderstatus != 'F'""",
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
-    gate=False,
 )
 def process_pyfunc_engine(spark, sf_dir):
     """X1/X2: the per-segment processing engine — mapInPandas pyfunc with
@@ -55,7 +54,6 @@ def process_pyfunc_engine(spark, sf_dir):
 @register(
     "stream_tumbling_stats",
     # driver-green r2+r3; deferred for the round-4 sketch_cms_counts
-    gate=False,
     oracle=f"""SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n, round(sum(value), 2) AS total_value
         FROM {_TS_EVENTS}

@@ -30,7 +30,6 @@ from stream2segment_spark.schema import load_table
           OR (code BETWEEN 500 AND 599)""",
     # r4 late rotation: driver-green r2+r3 (P11 stays gated through
     # join_download_diff's retry mask) — frees the slot gating corpus_bpe.
-    gate=False,
 )
 def pred_retry_mask(spark, sf_dir):
     """P11: the retry-policy download_code mask — every selector class
@@ -72,7 +71,6 @@ def labels_count_join(spark, sf_dir):
     "agg_download_summary",
     # driver-green r2+r3; deferred for the round-4 corpus_lm_score
     # rotation (the window policy: defer only multi-round-green entries)
-    gate=False,
     oracle="""SELECT o_orderpriority AS run,
               count(*) AS n,
               min(o_orderdate) AS first_t, max(o_orderdate) AS last_t,
@@ -122,7 +120,6 @@ def topk_pagination(spark, sf_dir):
     # r3 gate rotation: deferred (beyond-reference rollup showcase;
     # oracle-checked in test_reporting, still benched)
     "agg_rollup_time",
-    gate=False,
     oracle="""SELECT CASE WHEN event_type IS NULL THEN '(all)' ELSE event_type END
               AS event_type,
               CAST(day AS TIMESTAMP) AS day, n, total
@@ -178,7 +175,6 @@ def agg_type_stats(spark, sf_dir):
     """SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority
        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
        WHERE l.l_quantity > 45""",
-    gate=False,
 )
 def join_salted_skew(spark, sf_dir):
     """Skew-handling salted join (operators/skew.py): the big side carries
@@ -226,7 +222,6 @@ def agg_cube(spark, sf_dir):
        FROM clicks c
        ASOF LEFT JOIN marks m
          ON c.user_id = m.user_id AND c.ts >= m.ts""",
-    gate=False,
 )
 def join_asof_backward(spark, sf_dir):
     """As-of join (absent from Spark's API; DuckDB's native ASOF JOIN is
@@ -247,6 +242,9 @@ def join_asof_backward(spark, sf_dir):
 
 @register(
     "join_asof_forward",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
        clicks AS (SELECT event_id, user_id, ts FROM ev
                   WHERE event_type = 'click'),
@@ -259,6 +257,7 @@ def join_asof_backward(spark, sf_dir):
        ASOF LEFT JOIN marks m
          ON c.user_id = m.user_id AND c.ts <= m.ts""",
     # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
+    gate=False,
 )
 def join_asof_forward(spark, sf_dir):
     """Forward as-of join (pandas merge_asof direction='forward';
@@ -278,6 +277,9 @@ def join_asof_forward(spark, sf_dir):
 
 @register(
     "join_asof_nearest",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
        clicks AS (SELECT event_id, user_id, ts FROM ev
                   WHERE event_type = 'click'),
@@ -300,6 +302,7 @@ def join_asof_forward(spark, sf_dir):
                    ELSE bt END AS ts_asof
        FROM b JOIN f USING (event_id)""",
     # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
+    gate=False,
 )
 def join_asof_nearest(spark, sf_dir):
     """Nearest as-of join (pandas merge_asof direction='nearest', ties
@@ -334,7 +337,6 @@ def join_asof_nearest(spark, sf_dir):
        SELECT a.event_id, a.user_id, a.s, a.e, b.event_id_r, b.s_r, b.e_r
        FROM a JOIN b ON a.user_id = b.user_id
                     AND a.s < b.e_r AND b.s_r < a.e""",
-    gate=False,
 )
 def join_interval_overlap(spark, sf_dir):
     """Interval-overlap join (banded; operators/asof.py): click windows
@@ -384,11 +386,15 @@ _CORR_PAIRS = " UNION ALL ".join(
 
 @register(
     "agg_corr_matrix",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH q AS (SELECT {_CORR_Q} FROM lineitem
                    WHERE {' AND '.join(f'{c} IS NOT NULL'
                                        for c in _CORR_COLS)}),
          m AS (SELECT {_CORR_SUMS} FROM q)
        {_CORR_PAIRS}""",
+    gate=False,
 )
 def agg_corr_matrix(spark, sf_dir):
     """Exact single-pass correlation matrix of four lineitem measures
@@ -410,6 +416,9 @@ def agg_corr_matrix(spark, sf_dir):
 
 @register(
     "table_validate",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     """SELECT 'o_orderkey' AS col_name, 'unique' AS rule,
               CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
                    AS DOUBLE) AS value,
@@ -445,6 +454,7 @@ def agg_corr_matrix(spark, sf_dir):
                             '^[1-5]-[A-Z ]+$')
                        AND o_orderpriority IS NOT NULL
                        THEN 1 ELSE 0 END) = 0 FROM orders""",
+    gate=False,
 )
 def table_validate(spark, sf_dir):
     """Data-quality contract over the orders table

@@ -45,7 +45,6 @@ _TOPK_ORACLE = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embed
 @register(
     "sim_topk",
     # driver-green r2+r3; deferred for the round-4 table_profile
-    gate=False,
     oracle=_TOPK_ORACLE,
 )
 def sim_topk(spark, sf_dir):
@@ -96,7 +95,6 @@ def sim_topk_ivf(spark, sf_dir):
     # r3 gate rotation: deferred (one of four similarity rows; exact
     # all-pairs stays mirror-green + pytest) — the freed slot gates
     # corpus_line_dedup.
-    gate=False,
 )
 def sim_pairs_threshold(spark, sf_dir):
     """Embedding-cosine near-dup, exact: all pairs above threshold, via
@@ -138,7 +136,7 @@ def _lsh_oracle(num_planes: int = 12, seed: int = 7, threshold: float = 0.4) -> 
 
 # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
 # slot for a never-driver-checked entry (VERDICT r4 item #1).
-@register("sim_lsh_neardup", _lsh_oracle(num_planes=5), gate=False)
+@register("sim_lsh_neardup", _lsh_oracle(num_planes=5))
 def sim_lsh_neardup(spark, sf_dir):
     """Random-hyperplane LSH near-dup: bucket join (one shuffle on the
     bucket key, no cross join) + exact cosine on candidates. The oracle
@@ -192,7 +190,6 @@ _PQ_M, _PQ_KSUB, _PQ_DSUB, _PQ_K = 8, 16, 8, 5
         FROM r WHERE rn <= {_PQ_K}""",
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
-    gate=False,
 )
 def sim_pq_adc(spark, sf_dir):
     """Product-quantization ANN (Jegou et al. 2011) with an exact oracle:
@@ -216,6 +213,9 @@ _PQ_REFINE = 4
 
 @register(
     "sim_pq_refine",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         cb AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
@@ -262,6 +262,7 @@ _PQ_REFINE = 4
                round(e2, 6) AS exact_d2
         FROM rr WHERE rn <= {_PQ_K}""",
     # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
+    gate=False,
 )
 def sim_pq_refine(spark, sf_dir):
     """ADC + exact re-rank (IVFADC+R, Jegou et al. 2011 §V —

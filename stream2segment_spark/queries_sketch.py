@@ -25,6 +25,9 @@ _H60 = ("CAST('0x' || substr(md5('{seed}:' || CAST({v} AS VARCHAR)), 1, 15) "
 
 @register(
     "sketch_hll_distinct",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH h AS (SELECT o_orderpriority AS grp,
                           {_H60.format(seed='hll', v='o_custkey')} AS h
                    FROM orders WHERE o_custkey IS NOT NULL),
@@ -50,6 +53,7 @@ _H60 = ("CAST('0x' || substr(md5('{seed}:' || CAST({v} AS VARCHAR)), 1, 15) "
                     6) AS est_distinct,
               CAST(exact_distinct AS BIGINT) AS exact_distinct
        FROM est JOIN ex ON ex.grp = est.grp""",
+    gate=False,
 )
 def sketch_hll_distinct(spark, sf_dir):
     """HyperLogLog distinct o_custkey per o_orderpriority
@@ -84,6 +88,9 @@ _CMS_CELL = (
 
 @register(
     "sketch_cms_counts",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH rows_ AS (SELECT unnest([0, 1, 2]) AS row),
          cells AS (SELECT row, {_CMS_CELL.format(v='o_custkey')} AS bucket
                    FROM orders, rows_
@@ -104,6 +111,7 @@ _CMS_CELL = (
        SELECT item, CAST(est_cnt AS BIGINT) AS est_cnt,
               CAST(true_cnt AS BIGINT) AS true_cnt
        FROM est JOIN tr USING (item)""",
+    gate=False,
 )
 def sketch_cms_counts(spark, sf_dir):
     """Count-Min frequency estimation (operators/sketch.cms_sketch |>
@@ -146,6 +154,9 @@ _PROF_STACK = " UNION ALL ".join(
 
 @register(
     "table_profile",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH stacked AS ({_PROF_STACK}),
          h AS (SELECT col_name,
                       {_H60.format(seed='hll', v='val')} AS h
@@ -178,6 +189,7 @@ _PROF_STACK = " UNION ALL ".join(
               t.top_value, t.top_count, CAST(t.top_rank AS INT) AS top_rank
        FROM base b LEFT JOIN est e ON e.col_name = b.col_name
             LEFT JOIN top t ON t.col_name = b.col_name""",
+    gate=False,
 )
 def table_profile(spark, sf_dir):
     """Per-column table profiling (operators/profile.profile_table):
@@ -206,6 +218,9 @@ _QH_QS = (0.25, 0.5, 0.9, 0.99)
 
 @register(
     "sketch_quantile_hist",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH h AS (SELECT l_returnflag AS grp,
                 CAST(least(greatest(floor(
                     (CAST(l_extendedprice AS DOUBLE) - {_QH_LO!r})
@@ -234,6 +249,7 @@ _QH_QS = (0.25, 0.5, 0.9, 0.99)
                                      - CAST(cum_before AS DOUBLE))
                                     / CAST(cnt AS DOUBLE)), 6) AS q_value
        FROM hit WHERE rn = 1""",
+    gate=False,
 )
 def sketch_quantile_hist(spark, sf_dir):
     """Mergeable equi-width histogram sketch -> quantile estimates
@@ -266,6 +282,9 @@ _TS_EVENTS_SK = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) ev
 
 @register(
     "stream_distinct_approx",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH ev AS (SELECT date_trunc('hour', ts) AS window_start, user_id
                     FROM {_TS_EVENTS_SK} WHERE user_id IS NOT NULL),
          h AS (SELECT window_start,
@@ -294,6 +313,7 @@ _TS_EVENTS_SK = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) ev
                     6) AS est_distinct,
               CAST(exact_distinct AS BIGINT) AS exact_distinct
        FROM est JOIN ex ON ex.window_start = est.window_start""",
+    gate=False,
 )
 def stream_distinct_approx(spark, sf_dir):
     """Streaming approximate COUNT(DISTINCT): per-hour HLL registers of
@@ -341,6 +361,9 @@ def stream_distinct_approx(spark, sf_dir):
 
 @register(
     "stream_hopping_stats",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH ev AS (SELECT ts, event_type, value FROM {_TS_EVENTS_SK}),
          b AS (SELECT ts, event_type, value,
                       time_bucket(INTERVAL '30 minutes', ts) AS bkt
@@ -351,6 +374,7 @@ def stream_distinct_approx(spark, sf_dir):
        SELECT window_start, event_type, count(*) AS n,
               round(sum(value), 2) AS total_value
        FROM x GROUP BY window_start, event_type""",
+    gate=False,
 )
 def stream_hopping_stats(spark, sf_dir):
     """Hopping (sliding) windows — 1-hour stats sliding every 30 min,
@@ -390,6 +414,9 @@ _SH_QS = (0.5, 0.9)
 
 @register(
     "stream_hist_quantiles",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH ev AS (SELECT date_trunc('hour', ts) AS window_start, value
                     FROM {_TS_EVENTS_SK} WHERE value IS NOT NULL),
          b AS (SELECT window_start,
@@ -423,6 +450,7 @@ _SH_QS = (0.5, 0.9)
                                      - CAST(cum_before AS DOUBLE))
                                     / CAST(cnt AS DOUBLE)), 6) AS q_value
        FROM hit WHERE rn = 1""",
+    gate=False,
 )
 def stream_hist_quantiles(spark, sf_dir):
     """Streaming distribution monitoring: per-hour histogram counters of

@@ -102,7 +102,7 @@ def _text_analysis_oracle() -> str:
 
 # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
 # slot for a never-driver-checked entry (VERDICT r4 item #1).
-@register("text_analysis", _text_analysis_oracle(), gate=False)
+@register("text_analysis", _text_analysis_oracle())
 def text_analysis(spark, sf_dir):
     """The text-analysis family in one documents-grain entry (the gate caps
     the checked-query count): token counting (whitespace tokens + BPE-ish
@@ -153,7 +153,6 @@ def text_analysis(spark, sf_dir):
        FROM documents GROUP BY fingerprint""",
     # r3 gate rotation: deferred — A6 keep-first stays gate-checked via
     # dedup_keep_first (events); the freed slot gates cluster_kmeans.
-    gate=False,
 )
 def dedup_exact_docs(spark, sf_dir):
     """Exact dedup by content fingerprint, keep-first by doc_id
@@ -189,7 +188,6 @@ def dedup_exact_docs(spark, sf_dir):
         FROM pairs p JOIN label l ON l.a = p.id_a""",
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
-    gate=False,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (threshold 0.5) with inverted-
@@ -213,6 +211,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @register(
     "dedup_canonical_best",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH RECURSIVE sh AS {_SHINGLES_SQL},
         inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -244,6 +245,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
         SELECT doc_id, n_tokens, cluster_id, canonical_id,
                doc_id = canonical_id AS is_canonical
         FROM ranked""",
+    gate=False,
 )
 def dedup_canonical_best(spark, sf_dir):
     """Canonical-document selection per near-dup cluster
@@ -290,7 +292,6 @@ def dedup_canonical_best(spark, sf_dir):
               / len(list_distinct(list_concat(x.s, y.s))) >= 0.5""",
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
-    gate=False,
 )
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(64 hashes) + LSH(32 bands of 2 rows) candidates, VERIFIED by
@@ -340,7 +341,7 @@ def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
 
 # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
 # slot for a never-driver-checked entry (VERDICT r4 item #1).
-@register("dedup_simhash", _simhash_oracle(), gate=False)
+@register("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3) via the pigeonhole 4-block
     equi-join (no cross join). The gate variant hashes tokens with md5
@@ -404,7 +405,6 @@ _PII_PHONE = TX.PII_PATTERNS["phone"]
        FROM pii p JOIN hits h USING (doc_id)""",
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
-    gate=False,
 )
 def text_curation(spark, sf_dir):
     """Training-data curation stage beyond the reference: PII
@@ -442,6 +442,9 @@ def text_curation(spark, sf_dir):
 
 @register(
     "corpus_search",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
        stats AS (SELECT count(*) AS n_docs,
                   CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl FROM t),
@@ -464,6 +467,7 @@ def text_curation(spark, sf_dir):
               CAST(row_number() OVER (PARTITION BY term
                    ORDER BY score DESC, doc_id) AS INTEGER) AS rank
        FROM s QUALIFY rank <= 10""",
+    gate=False,
 )
 def corpus_search(spark, sf_dir):
     """Inverted-index keyword search (operators/search.search_topk):
@@ -483,6 +487,9 @@ def corpus_search(spark, sf_dir):
 
 @register(
     "corpus_lm_score",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
          uni AS (SELECT w1, count(*) AS cu
                  FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY w1),
@@ -543,6 +550,7 @@ def corpus_search(spark, sf_dir):
               round(coalesce(a3.s / a3.n_trans, 0.0), 6) AS sb_score
        FROM documents d LEFT JOIN agg a USING (doc_id)
             LEFT JOIN agg3 a3 USING (doc_id)""",
+    gate=False,
 )
 def corpus_lm_score(spark, sf_dir):
     """Bigram LM fluency scoring (functions/lm.py — CCNet-style quality
@@ -656,7 +664,7 @@ def _repetition_oracle() -> str:
         GROUP BY b.doc_id, b.tc"""
 
 
-@register("corpus_repetition", _repetition_oracle())
+@register("corpus_repetition", _repetition_oracle(), gate=False)
 def corpus_repetition(spark, sf_dir):
     """Gopher repetition quality signals (Rae et al. 2021 table A1; the
     repetition half of the RedPajama-v2/Dolma filter set — beyond-
@@ -725,7 +733,7 @@ def _c4_oracle() -> str:
         FROM k"""
 
 
-@register("corpus_c4_filters", _c4_oracle())
+@register("corpus_c4_filters", _c4_oracle(), gate=False)
 def corpus_c4_filters(spark, sf_dir):
     """C4 heuristic cleaning (Raffel et al. 2020 §2.2 — beyond-reference
     LLM-pipeline): per-document line-rule survivors (terminal
@@ -829,7 +837,11 @@ def _gopher_oracle() -> str:
 
 @register(
     "corpus_gopher_quality", _gopher_oracle(),
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
+    gate=False,
 )
 def corpus_gopher_quality(spark, sf_dir):
     """Gopher document-quality rules (Rae et al. 2021 table A1 §A1.1,
@@ -854,6 +866,9 @@ def corpus_gopher_quality(spark, sf_dir):
 
 @register(
     "corpus_winnowing",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH t AS (SELECT doc_id, {_WORDS_SQL} AS wt FROM documents),
         g AS (
           SELECT doc_id, i.i - 1 AS pos,
@@ -881,6 +896,7 @@ def corpus_gopher_quality(spark, sf_dir):
           WHERE rn = 1)
         SELECT DISTINCT doc_id, pos::INT AS pos, h AS fp FROM sel""",
     # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
+    gate=False,
 )
 def corpus_winnowing(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al. SIGMOD 2003 —

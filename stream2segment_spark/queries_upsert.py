@@ -26,7 +26,6 @@ ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
 @register(
     "upsert_latest_wins",
     # driver-green r2+r3; deferred for the round-4 sketch_hll_distinct
-    gate=False,
     oracle="""SELECT o_orderkey, o_custkey, o_orderstatus,
               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
                    ELSE o_totalprice END AS o_totalprice,
@@ -67,7 +66,6 @@ def upsert_latest_wins(spark, sf_dir):
     # r4 gate rotation: deferred (driver-green r1+r2+r3) — K5 id-sync
     # stays covered by the upsert family's gated upsert_latest_wins; the
     # freed slot gates corpus_repetition (Gopher repetition signals).
-    gate=False,
 )
 def upsert_sync_ids(spark, sf_dir):
     """K5: fetch-or-create surrogate keys (reference syncdf,
@@ -87,7 +85,6 @@ def upsert_sync_ids(spark, sf_dir):
     # upsert_latest_wins/upsert_sync_ids; skip-unchanged remains
     # unit-tested in test_upsert_fdsn and benched)
     "upsert_skip_unchanged",
-    gate=False,
     oracle="""SELECT o_orderkey, concat(o_orderstatus, 'X') AS o_orderstatus
        FROM orders WHERE o_orderkey % 7 = 0""",
 )
@@ -117,7 +114,6 @@ _EVENTS_TEXT_COLS = [
 @register(
     "fdsn_text_roundtrip",
     # driver-green r2+r3; deferred for the round-4 corpus_version_diff
-    gate=False,
     oracle="""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
               coalesce(event_type, '') AS event_type,
               round(value, 4) AS value
@@ -158,7 +154,6 @@ def fdsn_text_roundtrip(spark, sf_dir):
          AND sample_rate >= 20""",
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
-    gate=False,
 )
 def source_nslc_filters(spark, sf_dir):
     """S5 + P7: the channel-selection stage of the download — FDSN
@@ -198,11 +193,15 @@ def source_nslc_filters(spark, sf_dir):
 
 @register(
     "sink_roundtrip",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     """SELECT fmt, o_orderkey AS segment_db_id, o_orderstatus,
               round(o_totalprice, 2) AS price
        FROM (SELECT 'csv' AS fmt FROM range(1) UNION ALL
              SELECT 'parquet' FROM range(1)) f,
             orders WHERE o_orderkey % 11 = 0""",
+    gate=False,
 )
 def sink_roundtrip(spark, sf_dir):
     """K1/K2: the CSV and parquet (HDF-analogue) sinks round-trip
@@ -255,6 +254,9 @@ _Z_KEY_SQL = " + ".join(
 
 @register(
     "layout_zorder",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     f"""WITH cells AS (SELECT l_orderkey, l_partkey, l_linenumber,
                 {_Z_CELLS_SQL['l_orderkey']} AS c0,
                 {_Z_CELLS_SQL['l_partkey']} AS c1
@@ -264,6 +266,7 @@ _Z_KEY_SQL = " + ".join(
               CAST(c1 AS BIGINT) AS cell_partkey,
               CAST({_Z_KEY_SQL} AS BIGINT) AS zkey
        FROM cells""",
+    gate=False,
 )
 def layout_zorder(spark, sf_dir):
     """Z-order (Morton) clustering key for multi-column data skipping
@@ -293,6 +296,9 @@ def layout_zorder(spark, sf_dir):
 
 @register(
     "source_wet_roundtrip",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     r"""WITH src AS (
          SELECT doc_id,
                 'http://crawl.test/' || CAST(doc_id AS VARCHAR) AS uri,
@@ -306,6 +312,7 @@ def layout_zorder(spark, sf_dir):
                   AS content_length,
               md5(txt) AS text_md5, TRUE AS len_ok
        FROM ok""",
+    gate=False,
 )
 def source_wet_roundtrip(spark, sf_dir):
     """Common Crawl WET source round-trip (sources/wet.py): the
@@ -344,6 +351,9 @@ def source_wet_roundtrip(spark, sf_dir):
 
 @register(
     "source_isf_roundtrip",
+    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
+    # freed for an entry whose module changed after its last gate row
+    # (tools/rotation_check.py selection)
     """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
                    FROM events),
         src AS (SELECT CAST(event_id AS VARCHAR) AS eid,
@@ -362,6 +372,7 @@ def source_wet_roundtrip(spark, sf_dir):
               'MAGAUT' AS mag_author,
               'REGION_' || CAST(k % 10 AS VARCHAR) AS location_name
        FROM src""",
+    gate=False,
 )
 def source_isf_roundtrip(spark, sf_dir):
     """ISF bulletin round-trip (SURVEY S2, sources/isf.py): a

@@ -1,0 +1,279 @@
+#!/usr/bin/env python3
+"""Stale-green audit: which catalog entries changed AFTER their last
+driver-verified CORRECTNESS row? (VERDICT r6 next-round item #3.)
+
+The driver's correctness gate checks only the first 50 registered
+entries per round, so an entry can be rotated out while green and then
+have its implementing module change — its latest driver row no longer
+covers the code that ships. This tool makes that set explicit so each
+round's gate rotation is selected by *changed-since-last-gate*, not
+just green-age.
+
+Method
+------
+- Entry -> implementing files: start from the registered query function
+  (the registry knows the function objects), collect the defining
+  module plus every ``stream2segment_spark`` module/function reachable
+  through its globals and its body's local imports, then close
+  transitively over each hit module's own intra-package imports (a
+  tokenizer-fold change in ``operators/dedup.py`` must flag an entry
+  that only calls ``functions/text.py``).
+- Entry -> last driver row: the newest ``CORRECTNESS_r*.json`` that
+  contains the entry with a fully-green row; that round's driver commit
+  ("round N: verdict/...") timestamps when the verified tree was cut.
+- Stale = some implementing file's last commit is NEWER than the
+  entry's last-green driver commit (uncommitted working-tree changes
+  count as "now"), or the entry has no green driver row at all.
+
+Exit 0 always (it is an audit, not a gate); ``--fail-on-stale`` exits 1
+when the stale set is non-empty. No driver state is written.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import importlib
+import importlib.util
+import inspect
+import json
+import re
+import subprocess
+import sys
+import time
+import types
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+PKG = "stream2segment_spark"
+sys.path.insert(0, str(REPO))
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(["git", *args], cwd=REPO, check=True,
+                          capture_output=True, text=True).stdout
+
+
+def _entry_module():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", REPO / "__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _relpath(f: str | None) -> str | None:
+    if not f or f"/{PKG}/" not in f.replace("\\", "/"):
+        return None
+    p = Path(f).resolve()
+    try:
+        return str(p.relative_to(REPO))
+    except ValueError:
+        return None
+
+
+_LOCAL_IMPORT_RX = re.compile(
+    rf"from ({PKG}[.\w]*) import ([\w, ]+)|import ({PKG}[.\w]*)")
+
+
+def _module_file(dotted: str) -> str | None:
+    try:
+        return _relpath(getattr(importlib.import_module(dotted),
+                                "__file__", None))
+    except ImportError:
+        return None
+
+
+# the registry module imports EVERY sibling queries module (import-order
+# guard), so treating it as a dependency would map every entry to the
+# whole catalog; it is pure registration infra — include it only when it
+# is the entry's own defining module.
+_REGISTRY_FILE = f"{PKG}/queries_catalog.py"
+
+
+def _is_entrypoint(relfile: str) -> bool:
+    return Path(relfile).name.startswith("queries_")
+
+
+def entry_files(fn) -> set[str]:
+    """Repo-relative files implementing one catalog entry (one hop:
+    defining module + globals the code references + local imports)."""
+    files: set[str] = set()
+    f = _relpath(inspect.getfile(fn))
+    if f:
+        files.add(f)
+    defining = f
+    g = getattr(fn, "__globals__", {})
+    for name in fn.__code__.co_names:
+        obj = g.get(name)
+        mf = None
+        if isinstance(obj, types.ModuleType):
+            mf = _relpath(getattr(obj, "__file__", None))
+        elif callable(obj) or isinstance(obj, type):
+            mod = sys.modules.get(getattr(obj, "__module__", "") or "")
+            mf = _relpath(getattr(mod, "__file__", None))
+        if mf:
+            files.add(mf)
+    try:
+        src = inspect.getsource(fn)
+    except OSError:
+        src = ""
+    for m in _LOCAL_IMPORT_RX.finditer(src):
+        base, names, plain = m.group(1), m.group(2), m.group(3)
+        if plain:
+            mf = _module_file(plain)
+            if mf:
+                files.add(mf)
+            continue
+        basef = _module_file(base)
+        if basef:
+            files.add(basef)
+        for n in (names or "").split(","):
+            n = n.strip().split(" as ")[0].strip()
+            sub = _module_file(f"{base}.{n}") if n else None
+            if sub:
+                files.add(sub)
+    return {x for x in files if x == defining or x != _REGISTRY_FILE}
+
+
+def _module_imports(relfile: str) -> set[str]:
+    """Intra-package files imported (module level OR nested) by one
+    repo file — the transitive-closure edge set."""
+    out: set[str] = set()
+    try:
+        tree = ast.parse((REPO / relfile).read_text())
+    except (OSError, SyntaxError):
+        return out
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module \
+                and node.module.startswith(PKG):
+            base = _module_file(node.module)
+            if base:
+                out.add(base)
+            for alias in node.names:
+                sub = _module_file(f"{node.module}.{alias.name}")
+                if sub:
+                    out.add(sub)
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.startswith(PKG):
+                    mf = _module_file(alias.name)
+                    if mf:
+                        out.add(mf)
+    return out
+
+
+def close_over_imports(files: set[str],
+                       edges: dict[str, set[str]]) -> set[str]:
+    """Transitive closure over library-module imports. queries_*.py
+    entry-point files are never EXPANDED (each imports the registry,
+    which imports every sibling — the closure would cover the whole
+    package); the per-entry deps of a queries module are already
+    captured precisely through the function's own globals."""
+    seen = set(files)
+    frontier = [f for f in files if not _is_entrypoint(f)]
+    while frontier:
+        f = frontier.pop()
+        if f not in edges:
+            edges[f] = {g for g in _module_imports(f)
+                        if not _is_entrypoint(g)}
+        for g in edges[f]:
+            if g not in seen:
+                seen.add(g)
+                frontier.append(g)
+    return seen
+
+
+def last_green_round(name: str) -> int | None:
+    best = None
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", p.stem).group(1))
+        row = json.loads(p.read_text()).get(name)
+        if row and row.get("rows_match") and row.get("schema_match") \
+                and row.get("hash_match") in (True, None) \
+                and not row.get("err"):
+            best = rnd if best is None else max(best, rnd)
+    return best
+
+
+def round_commit_time(rnd: int) -> int | None:
+    """Timestamp of the driver's round-N commit = when the tree that
+    round's CORRECTNESS rows verified was cut."""
+    log = _git("log", "--format=%ct %s")
+    for line in log.splitlines():
+        ct, _, subj = line.partition(" ")
+        if re.match(rf"round {rnd}\b.*(verdict|correctness)", subj):
+            return int(ct)
+    return None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fail-on-stale", action="store_true")
+    ap.add_argument("--json", action="store_true",
+                    help="machine-readable output")
+    args = ap.parse_args()
+
+    mod = _entry_module()
+    qs = mod.queries()
+    from stream2segment_spark import queries_catalog as qc
+    gated = set(qc._QUERIES)
+
+    dirty = {ln[3:].strip() for ln in
+             _git("status", "--porcelain").splitlines() if ln}
+    file_times: dict[str, int] = {}
+
+    def last_commit_time(relfile: str) -> int:
+        if relfile in dirty:
+            return int(time.time())
+        if relfile not in file_times:
+            out = _git("log", "-1", "--format=%ct", "--", relfile).strip()
+            file_times[relfile] = int(out) if out else 0
+        return file_times[relfile]
+
+    round_times: dict[int, int | None] = {}
+    edges: dict[str, set[str]] = {}
+    report = []
+    for name, fn in sorted(qs.items()):
+        files = close_over_imports(entry_files(fn), edges)
+        lg = last_green_round(name)
+        if lg is not None and lg not in round_times:
+            round_times[lg] = round_commit_time(lg)
+        gate_t = round_times.get(lg) if lg is not None else None
+        newer = sorted(
+            f for f in files
+            if gate_t is None or last_commit_time(f) > gate_t)
+        report.append({
+            "entry": name,
+            "gated": name in gated,
+            "last_green_round": lg,
+            "stale": bool(newer) or lg is None,
+            "changed_since_gate": newer if (lg is not None) else
+                sorted(files),
+        })
+
+    stale = [r for r in report if r["stale"]]
+    if args.json:
+        print(json.dumps(report, indent=1))
+    else:
+        print(f"{len(report)} entries; {len(stale)} stale "
+              f"(changed since last driver-green row):")
+        for r in stale:
+            mark = "GATED" if r["gated"] else "deferred"
+            files = ", ".join(r["changed_since_gate"][:4])
+            more = len(r["changed_since_gate"]) - 4
+            if more > 0:
+                files += f" (+{more})"
+            print(f"  {r['entry']:32s} last_green=r{r['last_green_round']}"
+                  f" [{mark}] {files}")
+        fresh_deferred = [r for r in report
+                          if not r["stale"] and not r["gated"]]
+        print(f"\nrotation guidance: stale GATED entries re-verify this "
+              f"round automatically; stale DEFERRED entries should rotate "
+              f"IN. {len(fresh_deferred)} deferred entries are fresh "
+              f"(safe to keep deferred).")
+    return 1 if (stale and args.fail_on_stale) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -177,7 +177,8 @@ def line_metrics(text: Column,
     return F.size(lines), bullet, ellipsis
 
 
-def token_rarity(df, text_col: str, id_col: str):
+def token_rarity(df, text_col: str, id_col: str,
+                 tokenizer: str = "ascii"):
     """Corpus-level token-rarity signal (DataFrame -> DataFrame, unlike
     this module's column functions — it needs a corpus aggregate): for
     every document, statistics of its DISTINCT tokens' document
@@ -193,10 +194,11 @@ def token_rarity(df, text_col: str, id_col: str):
     the hot keys), one doc regroup. All integer math: mean_df is the
     only division, so the result is engine-exact at round(6).
     Documents with no tokens (null/empty text) produce no row."""
-    from stream2segment_spark.operators.dedup import word_tokens
+    from stream2segment_spark.operators.dedup import get_tokenizer
 
+    tok_expr, _ = get_tokenizer(tokenizer)
     toks = (df.select(F.col(id_col),
-                      F.explode(word_tokens(F.col(text_col)))
+                      F.explode(tok_expr(F.col(text_col)))
                        .alias("tok"))
             .distinct())
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))

@@ -145,6 +145,98 @@ def text_analysis(spark, sf_dir):
         split_column(F.col("doc_id")).alias("split"))
 
 
+# Deterministic multilingual splice for the unicode-tokenizer entry:
+# the driver corpus is ASCII word soup, so non-ASCII material is
+# synthesized from doc_id with IDENTICAL literals on both engines
+# (same method as corpus_url_canonical's URL synth / c4's prose synth).
+# Every class the ascii fold erases is represented: Turkish dotted I
+# (the Java-vs-utf8proc case-mapping seam), CJK, Cyrillic, accented
+# Latin, Greek; index 5 keeps pure-ASCII control rows.
+_UNI_SNIPPETS = (
+    "İstanbul Diyarbakır ILIK ıssız",
+    "東京 こんにちは 世界 日本語",
+    "Привет МИР это тест",
+    "café naïve Zürich señor",
+    "ΣΙΣΥΦΟΣ σίσυφος τέλος",
+    "",
+)
+
+_UNI_CASE_SQL = ("CASE CAST(doc_id % 6 AS INT) "
+                 + " ".join(f"WHEN {i} THEN '{s}'"
+                            for i, s in enumerate(_UNI_SNIPPETS[:-1]))
+                 + " ELSE '' END")
+
+# DuckDB twin of operators.dedup.unicode_word_tokens: ASCII-only
+# lowercase via translate (1:1, no locale case mapping on either
+# engine), tokens = maximal \p{L}\p{N} runs (Java regex and RE2 agree
+# on stable scripts; three-engine property test pins it)
+_UWORDS_SQL = ("list_filter(string_split_regex("
+               "translate({col}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+               "'abcdefghijklmnopqrstuvwxyz'), "
+               "'[^\\p{{L}}\\p{{N}}]+'), x -> len(x) > 0)")
+
+_UNI_ASCII_TWIN_SQL = (
+    "list_filter(string_split_regex(trim(regexp_replace(lower("
+    "regexp_replace({col}, '[^\\x00-\\x7F]+', ' ', 'g')), "
+    "'[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0)")
+
+
+@register(
+    "text_analysis_unicode",
+    f"""WITH s AS (SELECT doc_id,
+              concat_ws(' ', coalesce(text, ''), {_UNI_CASE_SQL}) AS text
+            FROM documents),
+       t AS (SELECT doc_id,
+              {_UWORDS_SQL.format(col='text')} AS w,
+              {_UNI_ASCII_TWIN_SQL.format(col='text')} AS wa
+            FROM s)
+       SELECT doc_id,
+              len(w) AS n_tokens,
+              len(list_distinct(w)) AS n_uniq,
+              len(list_filter(w,
+                  x -> regexp_matches(x, '[^\\x00-\\x7F]'))) AS n_nonascii,
+              CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0)
+                   AS BIGINT) AS sum_len,
+              md5(array_to_string(w, ' ')) AS stream_md5,
+              len(wa) AS n_tokens_ascii
+       FROM t""",
+)
+def text_analysis_unicode(spark, sf_dir):
+    """The unicode-preserving tokenizer mode
+    (operators/dedup.unicode_word_tokens, opt-in via ``tokenizer=
+    'unicode'`` on the dedup/text surfaces): lowercase is an ASCII-only
+    1:1 translate, non-ASCII letters/digits stay token characters —
+    engine-portable by the same argument as the r6 ascii fold (no case
+    mapping ever touches a non-ASCII codepoint) while CJK / Cyrillic /
+    accented / Turkish tokens SURVIVE instead of vanishing. n_nonascii
+    proves the survival per row; n_tokens_ascii is the ascii-mode count
+    over the same text, pinning the two modes' divergence on non-ASCII
+    rows (and their identity on the pure-ASCII control rows). The md5
+    of the ordered token stream is the strong value check. Closes the
+    'token-derived signals are English-only' capability gap (VERDICT r6
+    next-round #2); no counterpart in the reference (seismic metadata
+    is ASCII)."""
+    docs = load_table(spark, sf_dir, "documents")
+    splice = F.element_at(F.array(*[F.lit(s) for s in _UNI_SNIPPETS]),
+                          (F.col("doc_id") % 6).cast("int") + 1)
+    synth = F.concat_ws(" ", F.coalesce(F.col("text"), F.lit("")), splice)
+    staged = docs.select(
+        "doc_id",
+        DD.unicode_word_tokens(synth).alias("__w"),
+        DD.word_tokens(synth).alias("__wa"))
+    w = F.col("__w")
+    return staged.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_uniq"),
+        F.size(F.filter(w, lambda t: t.rlike(r"[^\x00-\x7F]")))
+         .alias("n_nonascii"),
+        F.aggregate(w, F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t)).alias("sum_len"),
+        F.md5(F.array_join(w, " ")).alias("stream_md5"),
+        F.size("__wa").alias("n_tokens_ascii"))
+
+
 @register(
     "dedup_exact_docs",
     """SELECT min(doc_id) AS doc_id,

@@ -72,6 +72,16 @@ def test_duckdb_fingerprint_matches_python(text):
     assert got == want, repr(text)
 
 
+def _edge_corpus() -> list[str]:
+    return (["".join(_EDGE), " ".join(_EDGE)]
+            + [f"a{c}b 1{c}2 {c}x{c}" for c in _EDGE]
+            + ["İstanbul ıssız I", "STRASSE Straße ẞ", "wİth the",
+               "JAVASCRİPT javascript", "ＡＢＣ１２３", "", "   ",
+               "𝐛𝐨𝐥𝐝 😀🌍 mix3d",
+               "東京 こんにちは 世界", "Привет МИР тест", "한국어 테스트",
+               "ضثصثق عربى", "ΣΙΣΥΦΟΣ σίσυφος"])
+
+
 def test_spark_tokens_match_python_over_edge_corpus(spark):
     """One batched Spark job over a corpus that hits every edge char in
     several positions — transitively pins Spark == DuckDB through the
@@ -79,14 +89,62 @@ def test_spark_tokens_match_python_over_edge_corpus(spark):
     from pyspark.sql import functions as F
 
     from stream2segment_spark.operators.dedup import word_tokens
-    corpus = (["".join(_EDGE), " ".join(_EDGE)]
-              + [f"a{c}b 1{c}2 {c}x{c}" for c in _EDGE]
-              + ["İstanbul ıssız I", "STRASSE Straße ẞ", "wİth the",
-                 "JAVASCRİPT javascript", "ＡＢＣ１２３", "", "   ",
-                 "𝐛𝐨𝐥𝐝 😀🌍 mix3d"])
+    corpus = _edge_corpus()
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(corpus)], "id long, text string")
     got = {r["id"]: list(r["toks"]) for r in df.select(
         "id", word_tokens(F.col("text")).alias("toks")).collect()}
     for i, t in enumerate(corpus):
         assert got[i] == _py_tokens(t), (i, repr(t))
+
+
+# ---------------------------------------------------------------------------
+# Unicode-preserving tokenizer mode (r7): lowercase is ASCII-only
+# translate (1:1 on every engine), tokens are maximal \p{L}\p{N} runs —
+# same three-engine contract, but CJK/Cyrillic/accented tokens SURVIVE.
+# ---------------------------------------------------------------------------
+
+_UWORDS_TAIL = ("list_filter(string_split_regex("
+                "translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+                "'abcdefghijklmnopqrstuvwxyz'), "
+                "'[^\\p{L}\\p{N}]+'), x -> len(x) > 0)")
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_duckdb_unicode_tokens_match_python(text):
+    from stream2segment_spark.operators.dedup import py_unicode_tokens
+    con = duckdb.connect()
+    got = con.execute(f"SELECT {_UWORDS_TAIL} FROM (SELECT ? AS t)",
+                      [text]).fetchone()[0]
+    assert list(got) == py_unicode_tokens(text), repr(text)
+
+
+def test_spark_unicode_tokens_match_python_over_edge_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from stream2segment_spark.operators.dedup import (
+        py_unicode_tokens, unicode_word_tokens)
+    corpus = _edge_corpus()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "id long, text string")
+    got = {r["id"]: list(r["toks"]) for r in df.select(
+        "id", unicode_word_tokens(F.col("text")).alias("toks")).collect()}
+    for i, t in enumerate(corpus):
+        assert got[i] == py_unicode_tokens(t), (i, repr(t))
+
+
+def test_unicode_mode_preserves_nonascii_and_matches_ascii_on_ascii():
+    """The mode's contract: identical to ascii mode on pure-ASCII text;
+    non-ASCII letters survive as token characters; non-ASCII UPPERCASE
+    is NOT lowered (no case mapping on non-ASCII — the portability
+    invariant)."""
+    from stream2segment_spark.operators.dedup import (
+        py_unicode_tokens, py_word_tokens)
+    assert py_unicode_tokens("Hello WORLD-42 foo_bar") == \
+        py_word_tokens("Hello WORLD-42 foo_bar")
+    assert py_unicode_tokens("İstanbul 東京!") == ["İstanbul", "東京"]
+    assert py_unicode_tokens("Привет МИР") == ["Привет", "МИР"]
+    # ascii mode maps İ and the CJK run to separators: only the ASCII
+    # remainder of the word survives
+    assert py_word_tokens("İstanbul 東京!") == ["stanbul"]

@@ -283,6 +283,16 @@ def curate_corpus(
                                        threshold=neardup_threshold,
                                        candidates=cands,
                                        persists=persists)
+    elif neardup_mode == "jaccard":
+        # EXACT near-dedup: inverted-index candidate pairs (no LSH), so
+        # the survivor set is deterministic-by-construction — the mode a
+        # full-funnel oracle can replay (LSH recall, while ~1.0, is
+        # probabilistic). Prefer 'minhash' beyond mid-size corpora: the
+        # exact prefix-filtered pair join is the scale bound here.
+        pairs = DD.ngram_jaccard_pairs(exact, text_col, id_col,
+                                       shingle_k=3,
+                                       threshold=neardup_threshold,
+                                       persists=persists)
     elif neardup_mode == "cosine":
         from stream2segment_spark.functions.embeddings import (
             hashed_ngram_embeddings)

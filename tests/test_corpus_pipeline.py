@@ -142,6 +142,24 @@ def test_cosine_neardup_mode(spark):
         curate_corpus(docs, neardup_mode="nope")[0].count()
 
 
+def test_jaccard_neardup_mode_equals_minhash_on_full_recall(spark):
+    """neardup_mode='jaccard' (exact inverted-index pairs, the
+    oracle-replayable composition mode) keeps the SAME survivor set as
+    'minhash' wherever LSH recall is 1.0 — which it is on this corpus
+    (the gate proves it in dedup_minhash_lsh): same candidate threshold,
+    same exact-Jaccard verify, same CC/min-id policy."""
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    kw = dict(languages=("en", "und"), min_quality=0.0,
+              token_band=(1, 100_000), neardup_threshold=0.5)
+    exact_out, f1 = curate_corpus(docs, neardup_mode="jaccard", **kw)
+    lsh_out, f2 = curate_corpus(docs, neardup_mode="minhash", **kw)
+    a = {r.doc_id for r in exact_out.select("doc_id").collect()}
+    b = {r.doc_id for r in lsh_out.select("doc_id").collect()}
+    assert a == b
+    r1, r2 = f1.collect()[0], f2.collect()[0]
+    assert r1["near_dedup"] == r2["near_dedup"] < r1["exact_dedup"]
+
+
 def test_curate_cut_dup_substrings_cleans_not_drops(spark):
     """cut_dup_substrings removes the duplicated run from every doc but
     KEEPS the docs (unlike max_dup_frac which drops them)."""

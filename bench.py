@@ -61,12 +61,36 @@ def main() -> None:
      .select(_warm("id").alias("a")).select(_warm2(F.col("a") + 1))
      .write.format("noop").mode("overwrite").save())
 
+    def control_run() -> float:
+        """Fixed-size synthetic workload, constant regardless of sf: a
+        codegen'd hash aggregation over spark.range (20M rows, 32
+        partitions, xxhash64 keys/values). Its time is a direct probe of
+        this host's throughput during THIS bench run, so cross-round
+        artifact comparisons can normalize the uniform host-load
+        component out per-artifact instead of inferring it from the
+        median catalog ratio (tools/bench_compare.py consumes it)."""
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            # shiftright(hash, 32) bounds |v| <= 2^31 so the 20M-row sum
+            # stays far under int64 (ANSI mode overflows on raw hashes)
+            (spark.range(0, 20_000_000, 1, 32)
+             .select((F.xxhash64("id") % 997).alias("k"),
+                     F.shiftright(F.xxhash64("id", F.lit(1)), 32).alias("v"))
+             .groupBy("k")
+             .agg(F.sum("v").alias("s"), F.avg("v").alias("a"),
+                  F.count(F.lit(1)).alias("c"))
+             .write.format("noop").mode("overwrite").save())
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
     # min of N runs per query: single-JVM local mode has large run-to-run
     # noise (GC, JIT warmup, Python-worker churn); the min is the standard
     # low-variance estimator of a query's actual cost. 3 runs, because a
     # GC storm spans seconds and can hit two consecutive runs of the same
     # query (observed: a 2s query reading 16s under min-of-2).
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    control_pre = control_run()
     timings: dict[str, float] = {}
     for name in sorted(qs):
         best = float("inf")
@@ -84,11 +108,17 @@ def main() -> None:
         spark.catalog.clearCache()
         timings[name] = round(best, 4)
 
+    control_post = control_run()
     total = round(sum(timings.values()), 4)
+    # "control" sits BEFORE "queries" so a tail-truncated artifact (the
+    # driver has recorded those) still carries it. min(pre, post): the
+    # host component this run could have run at; the spread shows drift.
     print(json.dumps({
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
+        "control": min(control_pre, control_post),
+        "control_spread": [control_pre, control_post],
         "queries": timings,
         "sf": sf,
     }))

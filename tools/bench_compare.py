@@ -19,7 +19,7 @@ import statistics
 import sys
 
 
-def load(path: str) -> dict[str, float]:
+def load(path: str) -> tuple[dict[str, float], float | None]:
     with open(path) as fh:
         d = json.load(fh)
     qs = d.get("queries")
@@ -27,8 +27,10 @@ def load(path: str) -> dict[str, float]:
         import re
         qs = {k: float(v) for k, v in
               re.findall(r'"(\w+)":\s*([0-9.]+)', d.get("tail", ""))
-              if k not in ("n", "rc", "cpus", "sf", "value")}
-    return {k: float(v) for k, v in qs.items()}
+              if k not in ("n", "rc", "cpus", "sf", "value", "control")}
+    control = d.get("control")
+    return ({k: float(v) for k, v in qs.items()},
+            float(control) if control else None)
 
 
 def main() -> int:
@@ -38,7 +40,7 @@ def main() -> int:
     ap.add_argument("--flag", type=float, default=1.5,
                     help="load-normalized ratio that flags a regression")
     args = ap.parse_args()
-    old, new = load(args.old), load(args.new)
+    (old, old_ctl), (new, new_ctl) = load(args.old), load(args.new)
     common = sorted(set(old) & set(new))
     if not common:
         print("no common entries")
@@ -49,7 +51,22 @@ def main() -> int:
         print("no comparable entries (all zero/sub-resolution timings)")
         return 1
     med = statistics.median(ratios.values()) or 1.0
-    print(f"{len(common)} common entries; median ratio {med:.2f} "
+    # When both artifacts carry the fixed-size control workload, its
+    # ratio is a DIRECT per-artifact host-throughput measurement —
+    # prefer it to the median inference (the median conflates genuine
+    # broad code changes, e.g. a tokenizer-fold cost on 18 entries,
+    # with host load; the control cannot).
+    if old_ctl and new_ctl:
+        norm_base = new_ctl / old_ctl
+        print(f"control {old_ctl:.2f} -> {new_ctl:.2f} s "
+              f"(host component {norm_base:.2f}; "
+              f"median catalog ratio {med:.2f})")
+    else:
+        norm_base = med
+        print(f"no control in {'either' if not (old_ctl or new_ctl) else 'one'}"
+              " artifact; normalizing by median catalog ratio")
+    med = norm_base
+    print(f"{len(common)} common entries; normalizing ratio {med:.2f} "
           f"(uniform-load component)  old-only={sorted(set(old)-set(new))} "
           f"new-only={sorted(set(new)-set(old))}")
     flagged = []

@@ -1074,6 +1074,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--index", default=None, metavar="DIR",
                    help="query a previously built index: file-pruned "
                         "postings scan + broadcast joins")
+    p.add_argument("--tokenizer", default="ascii",
+                   choices=("ascii", "unicode"),
+                   help="corpus tokenization for --build-index and "
+                        "on-the-fly search ('unicode' keeps CJK/"
+                        "Cyrillic/accented tokens); --index queries "
+                        "read the mode stored in the index itself")
     p = sub.add_parser(
         "bpe-train",
         help="train a BPE merge table over a corpus parquet and write "
@@ -1901,8 +1907,10 @@ def main(argv: list[str] | None = None) -> int:
                     return 2
                 docs = spark.read.parquet(args.infile)
                 build_search_index(docs, args.id_col, args.text_col,
-                                   args.build_index)
-                print(json.dumps({"index": args.build_index}))
+                                   args.build_index,
+                                   tokenizer=args.tokenizer)
+                print(json.dumps({"index": args.build_index,
+                                  "tokenizer": args.tokenizer}))
                 return 0
             if args.index:
                 rows = index_search_topk(spark, args.index, terms,
@@ -1921,7 +1929,8 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
                 return 2
             rows = search_topk(docs, args.id_col, args.text_col, terms,
-                               k=args.topk).collect()
+                               k=args.topk,
+                               tokenizer=args.tokenizer).collect()
             for r in rows:
                 print(json.dumps({
                     "term": r["term"], args.id_col: r[args.id_col],

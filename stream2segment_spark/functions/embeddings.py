@@ -23,26 +23,27 @@ for collision noise exactly as in the published hashing-trick analyses.
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from stream2segment_spark.operators.dedup import py_fold
-
-_NORM = re.compile(r"[^a-z0-9]+")
-
+from stream2segment_spark.operators.dedup import get_tokenizer
 
 def embed_text(text: str | None, dim: int = 64, n: int = 3,
-               seed: str = "emb") -> np.ndarray:
+               seed: str = "emb", tokenizer: str = "ascii") -> np.ndarray:
     """One document -> L2-normalized float64 vector (driver-side twin of
     the UDF; the unit tests and the DuckDB oracle replay this exactly).
     Normalization: lowercase, collapse non-alphanumerics to single
     spaces, strip; n-grams over the padded string ``' text '`` so word
     boundaries contribute. Empty/null text -> the zero vector."""
-    s = _NORM.sub(" ", py_fold("" if text is None else text)).strip()
+    _, py_toks = get_tokenizer(tokenizer)
+    # " ".join(tokens) == the documented collapse-to-single-spaces form
+    # (tokens are the non-separator runs); with tokenizer='unicode' the
+    # n-grams keep CJK/Cyrillic/accented characters instead of erasing
+    # them, so non-English text embeds to a non-zero vector
+    s = " ".join(py_toks("" if text is None else text))
     acc = np.zeros(dim, dtype=np.int64)
     if s:
         s = f" {s} "
@@ -63,6 +64,7 @@ def hashed_ngram_embeddings(
     n: int = 3,
     seed: str = "emb",
     out_col: str = "embedding",
+    tokenizer: str = "ascii",
 ) -> DataFrame:
     """Append ``out_col`` (array<double>, L2-normalized) — map-only
     Arrow stage, bit-identical to :func:`embed_text` per row (asserted in
@@ -70,7 +72,12 @@ def hashed_ngram_embeddings(
     3-gram space over [a-z0-9 ] is at most 37^n entries (~50k at n=3),
     and corpus gram frequencies are Zipfian, so the md5 per OCCURRENCE
     of embed_text becomes an md5 per DISTINCT gram (~3x wall on the
-    synthetic corpus, more on natural text)."""
+    synthetic corpus, more on natural text). With tokenizer='unicode'
+    the gram space is open-ended (CJK), but the cache is still
+    bounded by the DISTINCT grams seen per task, the same bound any
+    hash-vectorizer batch job has."""
+    _, py_toks = get_tokenizer(tokenizer)
+
     def part(batches):
         cache: dict[str, tuple[int, int]] = {}
 
@@ -87,8 +94,7 @@ def hashed_ngram_embeddings(
         for pdf in batches:
             vecs = []
             for txt in pdf[text_col]:
-                s = _NORM.sub(
-                    " ", py_fold("" if txt is None else txt)).strip()
+                s = " ".join(py_toks("" if txt is None else txt))
                 acc = np.zeros(dim, dtype=np.int64)
                 if s:
                     s = f" {s} "

@@ -36,11 +36,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from stream2segment_spark.operators.dedup import word_tokens
+from stream2segment_spark.operators.dedup import get_tokenizer
 
 
 def _transitions(docs: DataFrame, text_col: str,
-                 id_col: str | None = None) -> DataFrame:
+                 id_col: str | None = None,
+                 tokenizer: str = "ascii") -> DataFrame:
     """One row per adjacent token pair: ``([id,] pos, w1, w2)`` with
     ``pos`` the 0-based transition index inside the document (``id``
     omitted when counting, kept when scoring).
@@ -51,9 +52,10 @@ def _transitions(docs: DataFrame, text_col: str,
     15 s instead of ~2 s for the gate entry at sf0.1; the same
     single-tokenize lesson the text_analysis plan assert pins)."""
     keep = [F.col(id_col)] if id_col else []
+    tok_expr, _ = get_tokenizer(tokenizer)
     staged = docs.select(
         *keep,
-        word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+        tok_expr(F.coalesce(F.col(text_col), F.lit("")))
         .alias("__toks"))
     toks = F.col("__toks")
     pairs = F.when(
@@ -70,30 +72,34 @@ def _transitions(docs: DataFrame, text_col: str,
 
 
 def bigram_model(docs: DataFrame, text_col: str = "text",
+                 tokenizer: str = "ascii",
                  ) -> tuple[DataFrame, DataFrame, int]:
     """Train the counts: returns ``(unigrams, bigrams, vocab_size)``
     with ``unigrams = (w1, cu)``, ``bigrams = (w1, w2, cb)``. Both
     frames are lazy and vocabulary-bounded; ``vocab_size`` is the one
     scalar that crosses the driver."""
-    tok = (docs.select(F.explode(word_tokens(
+    tok_expr, _ = get_tokenizer(tokenizer)
+    tok = (docs.select(F.explode(tok_expr(
         F.coalesce(F.col(text_col), F.lit("")))).alias("w1")))
     uni = tok.groupBy("w1").agg(F.count("*").alias("cu"))
-    bi = (_transitions(docs, text_col)
+    bi = (_transitions(docs, text_col, tokenizer=tokenizer)
           .groupBy("w1", "w2").agg(F.count("*").alias("cb")))
     vocab = uni.count()
     return uni, bi, vocab
 
 
 def _context_triples(docs: DataFrame, text_col: str,
-                     id_col: str | None = None) -> DataFrame:
+                     id_col: str | None = None,
+                     tokenizer: str = "ascii") -> DataFrame:
     """One row per PREDICTED token (positions 1..n-1): ``([id,] pos, a,
     b, c)`` where ``c`` is the predicted token, ``b`` its predecessor
     and ``a`` the token before that (NULL at position 1 — bigram-only
     context). Tokens staged first (the per-element HOF lesson)."""
     keep = [F.col(id_col)] if id_col else []
+    tok_expr, _ = get_tokenizer(tokenizer)
     staged = docs.select(
         *keep,
-        word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+        tok_expr(F.coalesce(F.col(text_col), F.lit("")))
         .alias("__toks"))
     toks = F.col("__toks")
     trip = F.when(
@@ -112,17 +118,19 @@ def _context_triples(docs: DataFrame, text_col: str,
 
 
 def trigram_model(docs: DataFrame, text_col: str = "text",
+                  tokenizer: str = "ascii",
                   ) -> tuple[DataFrame, DataFrame, DataFrame, int, int]:
     """Counts for stupid-backoff scoring: ``(unigrams, bigrams,
     trigrams, vocab_size, total_tokens)`` — unigrams ``(w1, cu)``,
     bigrams ``(w1, w2, cb)``, trigrams ``(w1, w2, w3, ct)``. Two
     scalars cross the driver; the count tables stay distributed."""
-    tok = (docs.select(F.explode(word_tokens(
+    tok_expr, _ = get_tokenizer(tokenizer)
+    tok = (docs.select(F.explode(tok_expr(
         F.coalesce(F.col(text_col), F.lit("")))).alias("w1")))
     uni = tok.groupBy("w1").agg(F.count("*").alias("cu"))
-    bi = (_transitions(docs, text_col)
+    bi = (_transitions(docs, text_col, tokenizer=tokenizer)
           .groupBy("w1", "w2").agg(F.count("*").alias("cb")))
-    tri = (_context_triples(docs, text_col)
+    tri = (_context_triples(docs, text_col, tokenizer=tokenizer)
            .filter(F.col("a").isNotNull())
            .groupBy(F.col("a").alias("w1"), F.col("b").alias("w2"),
                     F.col("c").alias("w3"))
@@ -136,6 +144,7 @@ def stupid_backoff_scores(
     model: tuple[DataFrame, DataFrame, DataFrame, int, int] | None = None,
     alpha: float = 0.4,
     persists: list | None = None,
+    tokenizer: str = "ascii",
 ) -> DataFrame:
     """Per-document mean stupid-backoff trigram score (Brants et al.
     2007 — the web-scale LM: no discount normalization, pure count
@@ -162,14 +171,14 @@ def stupid_backoff_scores(
     stays persist-free by design (corpus_bpe precedent) at a measured
     ~2x recompute cost."""
     if model is None:
-        model = trigram_model(docs, text_col)
+        model = trigram_model(docs, text_col, tokenizer=tokenizer)
         if persists is not None:
             uni0, bi0, tri0 = model[0].persist(), model[1].persist(), \
                 model[2].persist()
             persists.extend([uni0, bi0, tri0])
             model = (uni0, bi0, tri0, model[3], model[4])
     uni, bi, tri, _vocab, total = model
-    tr = _context_triples(docs, text_col, id_col)
+    tr = _context_triples(docs, text_col, id_col, tokenizer=tokenizer)
     c12 = bi.select(F.col("w1").alias("a"), F.col("w2").alias("b"),
                     F.col("cb").alias("c12"))
     c23 = bi.select(F.col("w1").alias("b"), F.col("w2").alias("c"),
@@ -209,7 +218,7 @@ def stupid_backoff_scores(
 
 
 def save_bigram_model(model: tuple[DataFrame, DataFrame, int],
-                      path: str) -> None:
+                      path: str, tokenizer: str = "ascii") -> None:
     """Persist a trained model as a directory: ``unigrams.parquet``,
     ``bigrams.parquet`` and ``meta.json`` (vocab size) — plain formats
     any Spark/DuckDB consumer can open, like the warehouse tables."""
@@ -223,8 +232,8 @@ def save_bigram_model(model: tuple[DataFrame, DataFrame, int],
                                                     "bigrams.parquet"))
     with open(os.path.join(path, "meta.json"), "w",
               encoding="utf-8") as fh:
-        json.dump({"vocab_size": int(vocab), "model": "bigram-addone"},
-                  fh)
+        json.dump({"vocab_size": int(vocab), "model": "bigram-addone",
+                   "tokenizer": tokenizer}, fh)
 
 
 def load_bigram_model(spark, path: str,
@@ -244,7 +253,7 @@ def load_bigram_model(spark, path: str,
 
 def save_trigram_model(
         model: tuple[DataFrame, DataFrame, DataFrame, int, int],
-        path: str) -> None:
+        path: str, tokenizer: str = "ascii") -> None:
     """Persist a :func:`trigram_model` like :func:`save_bigram_model`,
     plus ``trigrams.parquet`` and the token total in ``meta.json``."""
     import json
@@ -261,7 +270,20 @@ def save_trigram_model(
               encoding="utf-8") as fh:
         json.dump({"vocab_size": int(vocab),
                    "total_tokens": int(total),
-                   "model": "trigram-sb"}, fh)
+                   "model": "trigram-sb",
+                   "tokenizer": tokenizer}, fh)
+
+
+def lm_model_tokenizer(path: str) -> str:
+    """Tokenizer mode a saved model directory was trained with
+    ('ascii' for models saved before the mode existed). Scoring MUST
+    pass this same mode: a mismatched tokenizer makes every token of
+    the scored text OOV relative to the counts — a silent mis-score,
+    not an error."""
+    import json
+    import os
+    with open(os.path.join(path, "meta.json"), encoding="utf-8") as fh:
+        return json.load(fh).get("tokenizer", "ascii")
 
 
 def load_lm_model(spark, path: str):
@@ -286,6 +308,7 @@ def load_lm_model(spark, path: str):
 def lm_transition_scores(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text",
                          model: tuple[DataFrame, DataFrame, int] | None = None,
+                         tokenizer: str = "ascii",
                          ) -> DataFrame:
     """Per-document fluency: ``(id, n_trans, lm_score)`` where
     ``lm_score`` is the mean add-one-smoothed bigram transition
@@ -298,9 +321,9 @@ def lm_transition_scores(docs: DataFrame, id_col: str = "doc_id",
     transitions fall back to the smoothed floor ``1/V`` via the left
     joins, never drop rows."""
     if model is None:
-        model = bigram_model(docs, text_col)
+        model = bigram_model(docs, text_col, tokenizer=tokenizer)
     uni, bi, vocab = model
-    tr = _transitions(docs, text_col, id_col)
+    tr = _transitions(docs, text_col, id_col, tokenizer=tokenizer)
     p = (tr.join(bi, ["w1", "w2"], "left")
          .join(uni, ["w1"], "left")
          .select(id_col, "pos",

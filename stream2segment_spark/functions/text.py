@@ -108,6 +108,65 @@ def langid_heuristic(text: Column, *, toks: Column | None = None) -> Column:
     return expr
 
 
+# Unicode script blocks as LITERAL codepoint ranges, not named
+# \p{script} classes: literal BMP range endpoints behave identically in
+# Java regex (Spark), RE2 (DuckDB) and Python re, while script-name
+# syntax (\p{IsHan} vs \p{Han}) and membership tables differ across
+# engines. Core blocks per script — a heuristic ID, not full Unicode
+# coverage (extension blocks beyond these simply don't count).
+_SCRIPT_RANGES: dict[str, str] = {
+    "latin": "a-zA-Z",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿݐ-ݿ",
+    "hebrew": "֐-׿",
+    "devanagari": "ऀ-ॿ",
+    "han": "一-鿿㐀-䶿",
+    "kana": "぀-ゟ゠-ヿ",
+    "hangul": "가-힯ᄀ-ᇿ",
+    "thai": "฀-๿",
+}
+
+
+def script_count(text: Column, script: str) -> Column:
+    """Number of codepoints of ``script`` in the text (0 on NULL), via
+    a strip-and-length-diff — F.length counts codepoints like DuckDB's
+    length(), so the DuckDB twin is ``length(x) - length(regexp_replace
+    (x, '[ranges]', '', 'g'))`` with the same literal ranges."""
+    ranges = _SCRIPT_RANGES[script]
+    t = F.coalesce(text, F.lit(""))
+    return (F.length(t)
+            - F.length(F.regexp_replace(t, f"[{ranges}]", "")))
+
+
+def langid_script(text: Column, *, toks: Column | None = None) -> Column:
+    """Script-aware language ID: count codepoints per script block and,
+    when a non-Latin script outweighs Latin, label by script —
+    'zh'/'ja'/'ko'/'ru'/'el'/'ar'/'he'/'hi'/'th' (script-to-most-likely-
+    language mapping, the standard heuristic: Cyrillic text COULD be
+    Bulgarian — this is script ID, documented as such). Japanese is
+    distinguished from Chinese by kana presence (Han-dominant text with
+    ANY kana is 'ja'). Latin-dominant or script-less text falls back to
+    the marker-stopword heuristic (:func:`langid_heuristic` — en/de/fr/
+    es/und). Pure nested CASE over strip-length counts: codegen'd,
+    shuffle-free, SQL-replayable."""
+    counts = {s: script_count(text, s) for s in _SCRIPT_RANGES}
+    # script -> language-ish label; kana beats han on ties via the
+    # ja-override below, otherwise fixed precedence = dict order
+    lang_of = {"cyrillic": "ru", "greek": "el", "arabic": "ar",
+               "hebrew": "he", "devanagari": "hi", "han": "zh",
+               "kana": "ja", "hangul": "ko", "thai": "th"}
+    best = F.greatest(*(counts[s] for s in lang_of))
+    expr = F.lit("und")
+    for s in reversed(list(lang_of)):   # earlier keys win ties
+        expr = F.when(counts[s] == best, lang_of[s]).otherwise(expr)
+    # Han-dominant with ANY kana = Japanese (kanji-heavy prose)
+    expr = F.when((expr == F.lit("zh")) & (counts["kana"] > 0),
+                  F.lit("ja")).otherwise(expr)
+    return F.when(best > counts["latin"], expr).otherwise(
+        langid_heuristic(text, toks=toks))
+
+
 def max_token_run(text: Column, *, toks: Column | None = None) -> Column:
     """Count of the most frequent token (Gopher-style repetition signal:
     high counts flag boilerplate / keyword-stuffed documents). Computed

@@ -25,12 +25,11 @@ tf frame. The final top-k is a per-term window over candidate rows only.
 
 from __future__ import annotations
 
-import re
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from stream2segment_spark.operators.dedup import py_fold, word_tokens
+from stream2segment_spark.operators.dedup import get_tokenizer
 
 
 def _fs_delete(spark, path: str) -> None:
@@ -84,22 +83,26 @@ def _fs_swap(spark, staged: str, live: str) -> None:
     fs.delete(bak, True)
 
 
-def normalize_terms(terms: list[str]) -> list[str]:
+def normalize_terms(terms: list[str],
+                    tokenizer: str = "ascii") -> list[str]:
     """Apply the corpus tokenization to the QUERY side: lowercase, split
     on non-alphanumeric runs, drop empties, dedupe preserving order.
     Without this, 'Spark' or \"don't\" could never match a corpus whose
     tokens are all lowercase alphanumeric — raw user terms must go
-    through the same normalization the documents did."""
+    through the same normalization the documents did (and the SAME
+    ``tokenizer`` mode: an index built with 'unicode' tokens can only
+    be hit by 'unicode'-normalized terms)."""
+    _, py_toks = get_tokenizer(tokenizer)
     out: list[str] = []
     for t in terms:
-        for tok in re.split(r"[^a-z0-9]+", py_fold(t)):
+        for tok in py_toks(t):
             if tok and tok not in out:
                 out.append(tok)
     return out
 
 
 def term_postings(docs: DataFrame, id_col: str, text_col: str,
-                  terms: list[str]) -> DataFrame:
+                  terms: list[str], tokenizer: str = "ascii") -> DataFrame:
     """Posting rows ``(term, id, tf, dl)`` for the given query terms.
 
     dl (document length in tokens) rides along map-side so scoring needs
@@ -108,13 +111,14 @@ def term_postings(docs: DataFrame, id_col: str, text_col: str,
     text tokenizes as empty (dl 0, no hits) — without the coalesce,
     Spark's size(NULL)=-1 would poison avgdl while SQL sum() skips
     NULLs."""
-    terms = normalize_terms(terms)
+    terms = normalize_terms(terms, tokenizer)
     if not terms:
         raise ValueError("term_postings needs at least one query term "
                          "that survives tokenization")
+    tok_expr, _ = get_tokenizer(tokenizer)
     toked = docs.select(
         F.col(id_col),
-        word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"))
+        tok_expr(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"))
     hits = (toked
             .select(id_col, F.size("__toks").alias("dl"),
                     F.explode(F.filter(
@@ -125,10 +129,12 @@ def term_postings(docs: DataFrame, id_col: str, text_col: str,
     return hits
 
 
-def corpus_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def corpus_stats(docs: DataFrame, id_col: str, text_col: str,
+                 tokenizer: str = "ascii") -> DataFrame:
     """One-row frame ``(n_docs, avgdl)``; avgdl = total_tokens / n_docs
     as one exact integer-to-double division."""
-    toked = docs.select(F.size(word_tokens(
+    tok_expr, _ = get_tokenizer(tokenizer)
+    toked = docs.select(F.size(tok_expr(
         F.coalesce(F.col(text_col), F.lit("")))).alias("dl"))
     return toked.agg(
         F.count("*").alias("n_docs"),
@@ -137,7 +143,7 @@ def corpus_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def bm25ish_scores(docs: DataFrame, id_col: str, text_col: str,
                    terms: list[str], k1: float = 1.2, b: float = 0.75,
-                   ) -> DataFrame:
+                   tokenizer: str = "ascii") -> DataFrame:
     """Per-(term, doc) BM25-style scores:
 
         idf   = (N - df + 0.5) / (df + 0.5)        -- rational, no log
@@ -154,12 +160,13 @@ def bm25ish_scores(docs: DataFrame, id_col: str, text_col: str,
     and nothing else. (The window's partition is one term's posting
     list — bounded by the most common query term, the usual inverted-
     index skew contract.)"""
-    terms = normalize_terms(terms)
+    terms = normalize_terms(terms, tokenizer)
     if not terms:
         raise ValueError("bm25ish_scores needs at least one query term "
                          "that survives tokenization")
-    hits = term_postings(docs, id_col, text_col, terms)
-    stats = corpus_stats(docs, id_col, text_col)
+    hits = term_postings(docs, id_col, text_col, terms,
+                         tokenizer=tokenizer)
+    stats = corpus_stats(docs, id_col, text_col, tokenizer=tokenizer)
     scored = (hits
               .withColumn("df", F.count("*").over(
                   Window.partitionBy("term")))
@@ -178,11 +185,13 @@ def bm25ish_scores(docs: DataFrame, id_col: str, text_col: str,
 
 def search_topk(docs: DataFrame, id_col: str, text_col: str,
                 terms: list[str], k: int = 10,
-                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+                k1: float = 1.2, b: float = 0.75,
+                tokenizer: str = "ascii") -> DataFrame:
     """Top-k documents per query term by BM25-ish score, ties broken by
     ascending id — fully deterministic. Returns
     ``(term, id_col, tf, dl, score, rank)``."""
-    scored = bm25ish_scores(docs, id_col, text_col, terms, k1=k1, b=b)
+    scored = bm25ish_scores(docs, id_col, text_col, terms, k1=k1, b=b,
+                            tokenizer=tokenizer)
     w = Window.partitionBy("term").orderBy(
         F.col("score").desc(), F.col(id_col).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -194,7 +203,8 @@ def search_topk(docs: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 def build_search_index(docs: DataFrame, id_col: str, text_col: str,
-                       path: str, *, index_files: int = 16) -> None:
+                       path: str, *, index_files: int = 16,
+                       tokenizer: str = "ascii") -> None:
     """Materialize the FULL inverted index at ``path``: postings
     ``(term, id, tf, dl)`` range-clustered by term (``postings/``), the
     per-term document frequencies (``terms/``), and the corpus stats
@@ -209,9 +219,10 @@ def build_search_index(docs: DataFrame, id_col: str, text_col: str,
     :func:`bm25ish_scores`' contract: scores from the index equal the
     on-the-fly scores exactly (equivalence-tested)."""
     from stream2segment_spark.sinks.layout import write_range_layout
+    tok_expr, _ = get_tokenizer(tokenizer)
     toked = docs.select(
         F.col(id_col).alias("id"),
-        word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"))
+        tok_expr(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"))
     postings = (toked
                 .select("id", F.size("__toks").alias("dl"),
                         F.explode("__toks").alias("term"))
@@ -222,12 +233,25 @@ def build_search_index(docs: DataFrame, id_col: str, text_col: str,
     (pt.groupBy("term").agg(F.count("*").alias("df"))
        .coalesce(1).write.mode("overwrite").parquet(f"{path}/terms"))
     # total_tokens rides along as the EXACT integer so incremental
-    # appends can recompute avgdl without float round-trip drift
+    # appends can recompute avgdl without float round-trip drift; the
+    # tokenizer mode is part of the index identity (query terms MUST
+    # normalize the same way), so the stats row carries it and
+    # index_search_topk / append_to_search_index read it back — the
+    # index is self-describing, the caller cannot mismatch it
     (toked.agg(F.count("*").alias("n_docs"),
                F.sum(F.size("__toks")).alias("total_tokens"),
                (F.sum(F.size("__toks")).cast("double") / F.count("*"))
                .alias("avgdl"))
+     .withColumn("tokenizer", F.lit(tokenizer))
      .write.mode("overwrite").parquet(f"{path}/stats"))
+
+
+def index_tokenizer(stats: DataFrame) -> str:
+    """Tokenizer mode recorded in an index's stats row ('ascii' for
+    indexes built before the mode existed). One-row, one-file read."""
+    if "tokenizer" not in stats.columns:
+        return "ascii"
+    return stats.select("tokenizer").first()[0]
 
 
 def index_search_topk(spark, path: str, terms: list[str], k: int = 10,
@@ -238,7 +262,8 @@ def index_search_topk(spark, path: str, terms: list[str], k: int = 10,
     and stats joins, the identical fixed-order BM25-ish arithmetic, and
     the deterministic per-term top-k. Returns
     ``(term, id, tf, dl, score, rank)``."""
-    qterms = normalize_terms(terms)
+    stats = spark.read.parquet(f"{path}/stats")
+    qterms = normalize_terms(terms, index_tokenizer(stats))
     if not qterms:
         raise ValueError("index_search_topk needs at least one query "
                          "term that survives tokenization")
@@ -246,7 +271,7 @@ def index_search_topk(spark, path: str, terms: list[str], k: int = 10,
                 .where(F.col("term").isin(*qterms)))
     tdf = (spark.read.parquet(f"{path}/terms")
            .where(F.col("term").isin(*qterms)))
-    stats = spark.read.parquet(f"{path}/stats")
+    stats = stats.drop("tokenizer")
     scored = (postings.join(F.broadcast(tdf), "term")
               .crossJoin(F.broadcast(stats)))
     idf = (((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
@@ -267,6 +292,8 @@ def index_search_topk(spark, path: str, terms: list[str], k: int = 10,
 
 def append_to_search_index(docs: DataFrame, id_col: str, text_col: str,
                            path: str, *, index_files: int = 16) -> None:
+    # (tokenizer intentionally NOT a parameter: the batch must tokenize
+    # the way the index did, so the mode comes from the stored stats row)
     """Fold a NEW batch of documents into an existing
     :func:`build_search_index` index without re-tokenizing the corpus:
     the batch's postings union the stored ones (re-range-clustered —
@@ -280,9 +307,12 @@ def append_to_search_index(docs: DataFrame, id_col: str, text_col: str,
     pipeline dedups first); re-appending an id double-counts it."""
     from stream2segment_spark.sinks.layout import write_range_layout
     spark = docs.sparkSession
+    stats0 = spark.read.parquet(f"{path}/stats")
+    mode = index_tokenizer(stats0)
+    tok_expr, _ = get_tokenizer(mode)
     toked = docs.select(
         F.col(id_col).alias("id"),
-        word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"))
+        tok_expr(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"))
     new_post = (toked
                 .select("id", F.size("__toks").alias("dl"),
                         F.explode("__toks").alias("term"))
@@ -300,15 +330,16 @@ def append_to_search_index(docs: DataFrame, id_col: str, text_col: str,
     pt = spark.read.parquet(f"{path}/postings_new")
     (pt.groupBy("term").agg(F.count("*").alias("df"))
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/terms_new"))
-    old = spark.read.parquet(f"{path}/stats").first()
+    old = stats0.first()
     add = toked.agg(F.count("*").alias("n"),
                     F.sum(F.size("__toks")).alias("t")).first()
     n = int(old["n_docs"]) + int(add["n"])
     tot = int(old["total_tokens"]) + int(add["t"] or 0)
     # exact integer merge -> the same int/int double division a fresh
     # build performs: appended index == rebuilt index, bit-for-bit
-    spark.createDataFrame([(n, tot, tot / n)],
-                          "n_docs long, total_tokens long, avgdl double") \
+    spark.createDataFrame(
+        [(n, tot, tot / n, mode)],
+        "n_docs long, total_tokens long, avgdl double, tokenizer string") \
         .write.mode("overwrite").parquet(f"{path}/stats_new")
     # swap: rename staged -> live (metadata ops — keeps the staged
     # range-clustered postings files byte-identical, so footer-interval

@@ -237,6 +237,204 @@ def text_analysis_unicode(spark, sf_dir):
         F.size("__wa").alias("n_tokens_ascii"))
 
 
+# Deterministic per-script splice for the script-language-ID entry: one
+# snippet per classification branch (each non-Latin script, the
+# kana-presence ja-override on Han-dominant text, a Latin-dominant
+# mixed row that must FALL BACK to the stopword heuristic) plus the
+# empty slot that keeps the original ASCII corpus text. Unlike the
+# _UNI_SNIPPETS concat, these REPLACE the row text — a script row
+# concatenated onto ASCII word soup would always stay Latin-dominant.
+_SCRIPT_SNIPPETS = (
+    "Привет мир это тест на русском языке",
+    "東京は日本の首都です",
+    "中国的首都是北京市",
+    "한국의 수도는 서울입니다",
+    "Αθήνα είναι η πρωτεύουσα της Ελλάδας",
+    "القاهرة هي عاصمة مصر",
+    "ירושלים היא עיר הבירה",
+    "दिल्ली भारत की राजधानी है",
+    "กรุงเทพมหานครเป็นเมืองหลวง",
+    "日本語文章漢字多数の",                       # Han-dominant + 1 kana -> ja
+    "this page contains 少量 of chinese characters only",  # Latin-dominant
+    "",                                            # original corpus text
+)
+
+_SCRIPT_CASE_SQL = ("CASE CAST(doc_id % 12 AS INT) "
+                    + " ".join(f"WHEN {i} THEN '{s}'"
+                               for i, s in enumerate(_SCRIPT_SNIPPETS[:-1]))
+                    + " ELSE coalesce(text, '') END")
+
+
+def _langid_script_oracle() -> str:
+    # per-script strip-length counts with the same LITERAL codepoint
+    # ranges as functions/text._SCRIPT_RANGES (literal BMP ranges
+    # behave identically in Java regex and RE2; named \p{script}
+    # classes do not)
+    cnt = {s: ("length(text) - length(regexp_replace(text, "
+               f"'[{r}]', '', 'g'))")
+           for s, r in TX._SCRIPT_RANGES.items()}
+    abbr = {"cyrillic": "ru", "greek": "el", "arabic": "ar",
+            "hebrew": "he", "devanagari": "hi", "han": "zh",
+            "kana": "ja", "hangul": "ko", "thai": "th"}
+    best = "greatest(" + ", ".join(f"c_{s}" for s in abbr) + ")"
+    script_case = ("CASE " + " ".join(
+        f"WHEN c_{s} = best THEN '{abbr[s]}'" for s in abbr)
+        + " ELSE 'und' END")
+    return f"""
+        WITH s AS (SELECT doc_id, {_SCRIPT_CASE_SQL} AS text
+                   FROM documents),
+        c AS (SELECT doc_id, text,
+                {cnt['latin']} AS c_latin,
+                {', '.join(f"{cnt[s]} AS c_{s}" for s in abbr)},
+                {_WORDS_SQL} AS w
+              FROM s),
+        b AS (SELECT *, {best} AS best FROM c)
+        SELECT doc_id, c_latin AS n_latin, c_han AS n_han,
+               c_kana AS n_kana, c_cyrillic AS n_cyrillic,
+               CASE WHEN best > c_latin THEN
+                 CASE WHEN ({script_case}) = 'zh' AND c_kana > 0
+                      THEN 'ja' ELSE ({script_case}) END
+               ELSE {_lang_case_sql()} END AS lang
+        FROM b"""
+
+
+@register(
+    "langid_script",
+    _langid_script_oracle(),
+    # r7: new entry; gate window is full — deferred (mirror-verified;
+    # rotation candidate for the next round's window)
+    gate=False,
+)
+def langid_script(spark, sf_dir):
+    """Script-aware language ID (functions/text.langid_script): count
+    codepoints per Unicode script block via literal-range strip-length
+    (engine-portable: literal BMP ranges mean Java regex, RE2 and
+    Python agree; named \\p{script} classes differ), label non-Latin-
+    dominant text by script (zh/ja/ko/ru/el/ar/he/hi/th, kana presence
+    separating ja from zh), and fall back to the stopword-marker
+    heuristic for Latin text. Closes the 'language-ID is
+    Latin-alphabet-only' half of the multilingual gap (VERDICT r6);
+    pure codegen'd CASE over strip-lengths — shuffle-free at 100 TB.
+    No reference counterpart (seismic metadata is ASCII)."""
+    docs = load_table(spark, sf_dir, "documents")
+    splice = F.element_at(
+        F.array(*[F.lit(s) for s in _SCRIPT_SNIPPETS]),
+        (F.col("doc_id") % 12).cast("int") + 1)
+    synth = F.when(splice != "", splice).otherwise(
+        F.coalesce(F.col("text"), F.lit("")))
+    staged = docs.select("doc_id", synth.alias("__t"))
+    t = F.col("__t")
+    return staged.select(
+        "doc_id",
+        TX.script_count(t, "latin").alias("n_latin"),
+        TX.script_count(t, "han").alias("n_han"),
+        TX.script_count(t, "kana").alias("n_kana"),
+        TX.script_count(t, "cyrillic").alias("n_cyrillic"),
+        TX.langid_script(t).alias("lang"))
+
+
+@register(
+    "corpus_search_unicode",
+    # r7: new entry; gate window is full — deferred (mirror-verified;
+    # rotation candidate for the next round's window)
+    f"""WITH s AS (SELECT doc_id,
+              concat_ws(' ', coalesce(text, ''), {_UNI_CASE_SQL}) AS text
+            FROM documents),
+       t AS (SELECT doc_id, {_UWORDS_SQL.format(col='text')} AS w FROM s),
+       stats AS (SELECT count(*) AS n_docs,
+                  CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl FROM t),
+       hit AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM t),
+       tf AS (SELECT term, doc_id, dl, count(*) AS tf FROM hit
+              WHERE term IN ('join', '東京', 'мир')
+              GROUP BY term, doc_id, dl),
+       d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       s2 AS (SELECT tf.term, tf.doc_id, tf.tf,
+                    CAST(tf.dl AS INTEGER) AS dl,
+                    ((CAST(n_docs - df AS DOUBLE) + 0.5::DOUBLE)
+                     / (CAST(df AS DOUBLE) + 0.5::DOUBLE))
+                    * ((CAST(tf AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE))
+                       / (CAST(tf AS DOUBLE)
+                          + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE)
+                              + 0.75::DOUBLE * (CAST(tf.dl AS DOUBLE)
+                                                / avgdl)))) AS score
+             FROM tf JOIN d USING (term), stats)
+       SELECT term, doc_id, tf, dl, round(score, 6) AS score,
+              CAST(row_number() OVER (PARTITION BY term
+                   ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+       FROM s2 QUALIFY rank <= 10""",
+    gate=False,
+)
+def corpus_search_unicode(spark, sf_dir):
+    """BM25-ish retrieval with ``tokenizer='unicode'`` (operators/
+    search.search_topk): a CJK query term ('東京') and a Cyrillic one
+    ('мир') hit documents the ascii mode would tokenize to nothing —
+    the search half of the multilingual gap. Query terms normalize
+    through the SAME tokenizer as the corpus (normalize_terms mode
+    threading); scores use the identical fixed-order IEEE arithmetic as
+    corpus_search, replayed bit-for-bit by the oracle."""
+    from stream2segment_spark.operators.search import search_topk
+    docs = load_table(spark, sf_dir, "documents")
+    splice = F.element_at(F.array(*[F.lit(s) for s in _UNI_SNIPPETS]),
+                          (F.col("doc_id") % 6).cast("int") + 1)
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.coalesce(F.col("text"), F.lit("")), splice)
+         .alias("text"))
+    out = search_topk(synth, "doc_id", "text",
+                      ["join", "東京", "мир"], k=10,
+                      tokenizer="unicode")
+    return out.select("term", "doc_id", "tf", "dl",
+                      F.round("score", 6).alias("score"), "rank")
+
+
+@register(
+    "corpus_pack_unicode",
+    # r7: new entry; gate window is full — deferred (mirror-verified;
+    # rotation candidate for the next round's window)
+    f"""WITH s AS (SELECT doc_id,
+              concat_ws(' ', coalesce(text, ''), {_UNI_CASE_SQL}) AS text
+            FROM documents),
+       d AS (SELECT doc_id,
+                len({_UWORDS_SQL.format(col='text')}) AS n_tok
+             FROM s),
+       sh AS (SELECT doc_id, n_tok,
+                CAST(CAST('0x' || substr(md5('pack:' ||
+                     CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000
+                     AS INTEGER) % 8 AS shard
+             FROM d),
+       c AS (SELECT shard, n_tok,
+                sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                doc_id
+             FROM sh)
+       SELECT shard, CAST(floor((cum - n_tok) / 256) AS BIGINT) AS chunk_id,
+              count(*) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+              min(doc_id) AS min_id, max(doc_id) AS max_id
+       FROM c GROUP BY shard, chunk_id""",
+    gate=False,
+)
+def corpus_pack_unicode(spark, sf_dir):
+    """Greedy chunk packing where the token BUDGET counts unicode-mode
+    tokens (functions/packing.pack_greedy over unicode_word_tokens
+    counts): on multilingual text the ascii tokenizer undercounts CJK/
+    Cyrillic documents to near zero, silently overfilling chunks — the
+    token-accounting half of the multilingual gap. Same one-shuffle
+    md5-shard window shape as corpus_pack_chunks."""
+    from stream2segment_spark.functions.packing import (
+        chunk_summary, pack_greedy)
+    docs = load_table(spark, sf_dir, "documents")
+    splice = F.element_at(F.array(*[F.lit(s) for s in _UNI_SNIPPETS]),
+                          (F.col("doc_id") % 6).cast("int") + 1)
+    synth = F.concat_ws(" ", F.coalesce(F.col("text"), F.lit("")), splice)
+    d = docs.select(
+        "doc_id",
+        F.size(DD.unicode_word_tokens(synth)).alias("n_tok"))
+    packed = pack_greedy(d, "doc_id", "n_tok", budget=256, n_shards=8,
+                         seed="pack")
+    return chunk_summary(packed, "doc_id", "n_tok")
+
+
 @register(
     "dedup_exact_docs",
     """SELECT min(doc_id) AS doc_id,

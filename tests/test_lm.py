@@ -111,3 +111,36 @@ def test_stupid_backoff_backoff_levels(spark):
     assert out[12] == 0.0
     assert out[13] == pytest.approx(
         (1.0 + 0.4 * 0.4 * (2 / 6)) / 2, abs=1e-6)
+
+
+def test_lm_unicode_tokenizer_scores_cjk(spark):
+    """tokenizer='unicode' keeps CJK transitions alive end-to-end:
+    ascii mode sees zero transitions (every CJK doc tokenizes empty),
+    unicode mode trains and scores real ones."""
+    from stream2segment_spark.functions.lm import lm_transition_scores
+    docs = spark.createDataFrame(
+        [(1, "東京 は 日本 の 首都"), (2, "東京 は 大きい 都市"),
+         (3, "大阪 は 日本 の 都市")],
+        "doc_id long, text string")
+    ascii_out = {r["doc_id"]: r for r in
+                 lm_transition_scores(docs).collect()}
+    assert all(r["n_trans"] == 0 for r in ascii_out.values())
+    uni_out = {r["doc_id"]: r for r in
+               lm_transition_scores(docs, tokenizer="unicode").collect()}
+    assert {k: r["n_trans"] for k, r in uni_out.items()} == \
+        {1: 4, 2: 3, 3: 4}   # token count per doc minus one
+    assert all(r["lm_score"] > 0 for r in uni_out.values())
+
+
+def test_lm_model_meta_records_tokenizer(spark, tmp_path):
+    from stream2segment_spark.functions.lm import (
+        bigram_model, lm_model_tokenizer, save_bigram_model)
+    docs = spark.createDataFrame([(1, "один два три")],
+                                 "doc_id long, text string")
+    p_ascii = str(tmp_path / "m_ascii")
+    p_uni = str(tmp_path / "m_uni")
+    save_bigram_model(bigram_model(docs), p_ascii)
+    save_bigram_model(bigram_model(docs, tokenizer="unicode"), p_uni,
+                      tokenizer="unicode")
+    assert lm_model_tokenizer(p_ascii) == "ascii"
+    assert lm_model_tokenizer(p_uni) == "unicode"

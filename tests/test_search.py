@@ -196,3 +196,68 @@ def test_fs_swap_backup_first(spark, tmp_path):
     _fs_swap(spark, staged, live)
     assert open(f"{live}/part-0").read() == "newer"
     assert not os.path.exists(live + ".bak")
+
+
+def test_normalize_terms_unicode_mode():
+    from stream2segment_spark.operators.search import normalize_terms
+    # ascii mode erases non-ASCII terms entirely
+    assert normalize_terms(["東京", "Spark"]) == ["spark"]
+    # unicode mode keeps them, ASCII-lowering only A-Z
+    assert normalize_terms(["東京", "Spark"], tokenizer="unicode") == \
+        ["東京", "spark"]
+
+
+def test_unicode_index_self_describing(spark, tmp_path):
+    """An index built with tokenizer='unicode' records the mode in its
+    stats row; querying and appending read it back — the caller never
+    passes (and so can never mismatch) the tokenizer."""
+    from stream2segment_spark.operators.search import (
+        append_to_search_index, build_search_index, index_search_topk,
+        index_tokenizer)
+    docs = spark.createDataFrame(
+        [(1, "東京 は 首都"), (2, "plain english text"),
+         (3, "東京 タワー")],
+        "id long, text string")
+    path = str(tmp_path / "uidx")
+    build_search_index(docs, "id", "text", path, tokenizer="unicode")
+    stats = spark.read.parquet(f"{path}/stats")
+    assert index_tokenizer(stats) == "unicode"
+    hits = index_search_topk(spark, path, ["東京"]).collect()
+    assert sorted(r["id"] for r in hits) == [1, 3]
+    # append tokenizes with the STORED mode: the CJK doc must land in
+    # the postings (ascii mode would tokenize it to nothing)
+    batch = spark.createDataFrame([(4, "東京 再訪")], "id long, text string")
+    append_to_search_index(batch, "id", "text", path)
+    hits2 = index_search_topk(spark, path, ["東京"]).collect()
+    assert sorted(r["id"] for r in hits2) == [1, 3, 4]
+    assert index_tokenizer(spark.read.parquet(f"{path}/stats")) == "unicode"
+
+
+def test_pre_mode_index_reads_as_ascii(spark, tmp_path):
+    """Indexes written before the tokenizer column existed load as
+    'ascii' (the only mode that existed) — and an append upgrades the
+    stats row in place without changing behavior."""
+    from pyspark.sql import functions as F
+    from stream2segment_spark.operators.search import (
+        append_to_search_index, build_search_index, index_search_topk,
+        index_tokenizer)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "id long, text string")
+    path = str(tmp_path / "oldidx")
+    build_search_index(docs, "id", "text", path)
+    # simulate the pre-mode format: drop the tokenizer column
+    stats = spark.read.parquet(f"{path}/stats").drop("tokenizer")
+    stats.write.mode("overwrite").parquet(f"{path}/stats_tmp")
+    spark.read.parquet(f"{path}/stats_tmp").write.mode("overwrite") \
+        .parquet(f"{path}/stats")
+    assert index_tokenizer(spark.read.parquet(f"{path}/stats")) == "ascii"
+    assert [r["id"] for r in
+            index_search_topk(spark, path, ["gamma"]).collect()] == [2]
+    batch = spark.createDataFrame([(3, "gamma delta")],
+                                  "id long, text string")
+    append_to_search_index(batch, "id", "text", path)
+    st = spark.read.parquet(f"{path}/stats")
+    assert index_tokenizer(st) == "ascii"
+    assert sorted(r["id"] for r in
+                  index_search_topk(spark, path, ["gamma"]).collect()) \
+        == [2, 3]

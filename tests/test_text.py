@@ -205,3 +205,60 @@ def test_repetition_line_metrics_crlf(spark):
     r = repetition_signals(df, "text", "doc_id").collect()[0]
     assert r["dup_line_frac"] == pytest.approx(2 / 3)
     assert r["dup_line_char_frac"] == pytest.approx(2 / 3)
+
+
+def test_script_count_matches_python(spark):
+    import re
+    from pyspark.sql import functions as F
+    from stream2segment_spark.functions.text import (_SCRIPT_RANGES,
+                                                     script_count)
+    samples = ["Привет мир", "東京は日本", "한국의 수도", "mixed 東京 text",
+               "กรุงเทพ", "दिल्ली", "", None, "12345 !!!"]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    for script, ranges in _SCRIPT_RANGES.items():
+        got = [r[0] for r in
+               df.select(script_count(F.col("text"), script)).collect()]
+        want = [len(re.findall(f"[{ranges}]", s or "")) for s in samples]
+        assert got == want, script
+
+
+def test_langid_script_labels(spark):
+    from pyspark.sql import functions as F
+    from stream2segment_spark.functions.text import langid_script
+    rows = [
+        ("The quick brown fox and the lazy dog in that it is", "en"),
+        ("Der Hund ist nicht ein der die das und zu", "de"),
+        ("Привет мир это тест на русском языке", "ru"),
+        ("東京は日本の首都です", "ja"),          # han + kana
+        ("中国的首都是北京", "zh"),              # han only
+        ("日本語文章漢字多数の", "ja"),          # han-dominant + 1 kana
+        ("한국의 수도는 서울입니다", "ko"),
+        ("Αθήνα είναι η πρωτεύουσα", "el"),
+        ("القاهرة هي عاصمة مصر", "ar"),
+        ("ירושלים היא עיר הבירה", "he"),
+        ("दिल्ली भारत की राजधानी है", "hi"),
+        ("กรุงเทพมหานครเป็นเมืองหลวง", "th"),
+        # Latin-dominant with a CJK mention: heuristic fallback
+        ("the page about 東京 and its districts in the spring", "en"),
+        ("12345 67890 --- !!!", "und"),
+        ("", "und"),
+        (None, "und"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [r[0] for r in df.select(langid_script(F.col("text"))).collect()]
+    assert got == [want for _, want in rows]
+
+
+def test_embed_text_unicode_mode():
+    import numpy as np
+    from stream2segment_spark.functions.embeddings import embed_text
+    # ascii mode erases CJK entirely: same vector as the text without it
+    assert np.array_equal(embed_text("hello 東京 world"),
+                          embed_text("hello world"))
+    v_uni = embed_text("hello 東京 world", tokenizer="unicode")
+    assert not np.array_equal(v_uni, embed_text("hello world"))
+    # pure-CJK text embeds to a real unit vector in unicode mode,
+    # the zero vector in ascii mode
+    assert np.allclose(np.linalg.norm(
+        embed_text("東京 大阪 京都", tokenizer="unicode")), 1.0)
+    assert np.linalg.norm(embed_text("東京 大阪 京都")) == 0.0

@@ -255,3 +255,27 @@ def test_cap_per_group_keeps_all_columns_and_validates(spark):
     assert out.columns == ["doc_id", "domain", "text"]
     with pytest.raises(ValueError):
         cap_per_group(df, "domain", 0)
+
+
+def test_cap_per_group_salted_identical(spark):
+    """salts=N (the skew escalation: balanced (group, salt-bucket)
+    local top-cap window before the global one) returns the EXACT same
+    rows as the plain window — a group's global winners rank in the
+    top cap of whichever salt bucket they hash into, so stage 1 cannot
+    drop one."""
+    from pyspark.sql import functions as F
+    from stream2segment_spark.functions.sampling import cap_per_group
+    df = (spark.range(0, 5000, 1, 16)
+          .select(F.col("id").alias("doc_id"),
+                  # one dominant group (80%) + a uniform tail
+                  F.when(F.col("id") % 5 < 4, "big")
+                   .otherwise(F.concat(F.lit("s"),
+                                       (F.col("id") % 97).cast("string")))
+                   .alias("source")))
+    plain = cap_per_group(df, "source", 7, id_col="doc_id", seed="cap")
+    pre = cap_per_group(df, "source", 7, id_col="doc_id", seed="cap",
+                        salts=8)
+    a = sorted((r["source"], r["doc_id"]) for r in plain.collect())
+    b = sorted((r["source"], r["doc_id"]) for r in pre.collect())
+    assert a == b and len(a) > 0
+    assert plain.columns == pre.columns

@@ -606,7 +606,9 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
                max_contam_frac: float = 0.0,
                neardup_keep: str = "first",
                domain_cap: int | None = None,
-               domain_col: str = "source") -> int:
+               domain_col: str = "source",
+               tokenizer: str = "ascii",
+               langid_mode: str = "heuristic") -> int:
     """'s2s curate': the corpus-curation funnel (beyond-reference,
     examples/corpus_pipeline.curate_corpus) as a CLI: documents parquet
     in -> curated parquet + one funnel JSON line on stdout."""
@@ -641,7 +643,8 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
         cut_dup_substrings=cut_dup_substrings,
         mix_strata_col=mix_col, mix_alpha=mix_alpha,
         pack_budget=pack_budget, pack_shards=pack_shards,
-        persists=persists)
+        persists=persists, tokenizer=tokenizer,
+        langid_mode=langid_mode)
     out = os.path.join(outdir, "curated.parquet")
     # One materialization: the write warms curated's cache, the funnel
     # counts then hit the persisted stage frames instead of re-running
@@ -1053,6 +1056,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pack-budget", type=int, default=None,
                    help="token budget per training chunk")
     p.add_argument("--pack-shards", type=int, default=64)
+    p.add_argument("--tokenizer", default="ascii",
+                   choices=("ascii", "unicode"),
+                   help="token mode for every token-derived stage "
+                        "('unicode' keeps CJK/Cyrillic/accented tokens "
+                        "alive in counts, dedup, LM and mixing)")
+    p.add_argument("--langid", default="heuristic", dest="langid_mode",
+                   choices=("heuristic", "script"),
+                   help="'script' labels non-Latin text by Unicode "
+                        "script (zh/ja/ko/ru/el/ar/he/hi/th) so "
+                        "--languages can select them; 'heuristic' is "
+                        "the en/de/fr/es stopword-marker ID")
     p = sub.add_parser(
         "search",
         help="keyword search over a corpus parquet: BM25-style "
@@ -1959,7 +1973,9 @@ def main(argv: list[str] | None = None) -> int:
                               args.benchmark, args.max_contam_frac,
                               neardup_keep=args.neardup_keep,
                               domain_cap=args.domain_cap,
-                              domain_col=args.domain_col)
+                              domain_col=args.domain_col,
+                              tokenizer=args.tokenizer,
+                              langid_mode=args.langid_mode)
         finally:
             if not preexisting:
                 spark.stop()

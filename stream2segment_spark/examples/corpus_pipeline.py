@@ -85,6 +85,8 @@ def curate_corpus(
     pack_budget: int | None = None,
     pack_shards: int = 64,
     persists: list | None = None,
+    tokenizer: str = "ascii",
+    langid_mode: str = "heuristic",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the 5-stage curation funnel; returns (curated, funnel) where
     ``curated`` has the annotation columns + ``split`` and ``funnel`` is
@@ -106,6 +108,18 @@ def curate_corpus(
     if neardup_keep not in ("first", "best"):
         raise ValueError(f"neardup_keep must be 'first' or 'best', "
                          f"got {neardup_keep!r}")
+    if langid_mode not in ("heuristic", "script"):
+        raise ValueError(f"langid_mode must be 'heuristic' or 'script', "
+                         f"got {langid_mode!r}")
+    # every token-derived stage below tokenizes with this mode;
+    # tokenizer='unicode' + langid_mode='script' makes the funnel
+    # multilingual: languages=('en', 'ja', ...) can then actually match,
+    # token counts/budgets count CJK tokens, fingerprints and near-dup
+    # shingles distinguish non-ASCII documents. The C4/Gopher rule
+    # stages stay English-specific BY DESIGN (their stopword lists and
+    # prose heuristics are English — Raffel/Rae rules); run them only
+    # on the corpus's English slice.
+    tok_expr, _ = DD.get_tokenizer(tokenizer)
     # columns that must survive every text-rewriting stage: the mix
     # stratum and (when capping) the domain column
     carry = [c for c in dict.fromkeys(
@@ -178,7 +192,7 @@ def curate_corpus(
         strata_keep = carry
         cut = DD.cut_duplicated_spans(
             docs.select(id_col,
-                        DD.word_tokens(F.col(text_col)).alias("__ct")),
+                        tok_expr(F.col(text_col)).alias("__ct")),
             id_col, "__ct", k=cut_dup_substrings)
         docs = (docs.select(id_col, *strata_keep)
                 .join(cut.select(id_col, F.col("cleaned_text")
@@ -188,7 +202,7 @@ def curate_corpus(
     extra = carry
     staged = docs.select(
         id_col, text_col, *extra,
-        DD.word_tokens(F.col(text_col)).alias("__toks"))
+        tok_expr(F.col(text_col)).alias("__toks"))
     toks = F.col("__toks")
     ann = staged.select(
         id_col, text_col, *extra,
@@ -196,8 +210,12 @@ def curate_corpus(
         TX.max_token_run(F.col(text_col), toks=toks).alias("max_tok_run"),
         F.round(TX.quality_score(F.col(text_col), toks=toks), 4)
          .alias("quality"),
-        TX.langid_heuristic(F.col(text_col), toks=toks).alias("lang"),
-        TX.doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+        (TX.langid_script(F.col(text_col), toks=toks)
+         if langid_mode == "script"
+         else TX.langid_heuristic(F.col(text_col), toks=toks))
+        .alias("lang"),
+        TX.doc_fingerprint(F.col(text_col), tokenizer=tokenizer)
+        .alias("fingerprint"))
 
     # -- 2. filter ------------------------------------------------------
     lo, hi = token_band
@@ -211,7 +229,7 @@ def curate_corpus(
     if max_dup_frac is not None:
         spans = DD.duplicated_spans(
             filtered.select(id_col,
-                            DD.word_tokens(F.col(text_col)).alias("__t")),
+                            tok_expr(F.col(text_col)).alias("__t")),
             id_col, "__t", k=8, max_df=1)
         keep = spans.filter(F.col("dup_frac") <= max_dup_frac) \
                     .select(id_col)
@@ -224,7 +242,8 @@ def curate_corpus(
     if min_lm_score is not None:
         from stream2segment_spark.functions.lm import lm_transition_scores
         scores = lm_transition_scores(
-            filtered.select(id_col, text_col), id_col, text_col)
+            filtered.select(id_col, text_col), id_col, text_col,
+            tokenizer=tokenizer)
         fluent = scores.filter(F.col("lm_score") >= min_lm_score) \
                        .select(id_col)
         filtered = filtered.join(fluent, id_col, "left_semi")
@@ -236,7 +255,7 @@ def curate_corpus(
     if benchmark is not None:
         contam = DD.contamination_fractions(
             filtered.select(id_col, text_col), benchmark,
-            id_col=id_col, text_col=text_col)
+            id_col=id_col, text_col=text_col, tokenizer=tokenizer)
         clean = contam.filter(F.col("contam_frac") <= max_contam_frac) \
                       .select(id_col)
         filtered = filtered.join(clean, id_col, "left_semi")
@@ -275,14 +294,16 @@ def curate_corpus(
         persists.append(exact)
     if neardup_mode == "minhash":
         sigs = DD.add_minhash_maponly(exact, text_col, id_col,
-                                      num_hashes=64, shingle_k=3)
+                                      num_hashes=64, shingle_k=3,
+                                      tokenizer=tokenizer)
         cands = DD.lsh_candidate_pairs(sigs, id_col, num_hashes=64,
                                        bands=32)
         pairs = DD.ngram_jaccard_pairs(exact, text_col, id_col,
                                        shingle_k=3,
                                        threshold=neardup_threshold,
                                        candidates=cands,
-                                       persists=persists)
+                                       persists=persists,
+                                       tokenizer=tokenizer)
     elif neardup_mode == "jaccard":
         # EXACT near-dedup: inverted-index candidate pairs (no LSH), so
         # the survivor set is deterministic-by-construction — the mode a
@@ -292,14 +313,16 @@ def curate_corpus(
         pairs = DD.ngram_jaccard_pairs(exact, text_col, id_col,
                                        shingle_k=3,
                                        threshold=neardup_threshold,
-                                       persists=persists)
+                                       persists=persists,
+                                       tokenizer=tokenizer)
     elif neardup_mode == "cosine":
         from stream2segment_spark.functions.embeddings import (
             hashed_ngram_embeddings)
         from stream2segment_spark.operators.similarity import (
             lsh_bucket_neardup)
         emb = hashed_ngram_embeddings(
-            exact.select(id_col, text_col), text_col, id_col)
+            exact.select(id_col, text_col), text_col, id_col,
+            tokenizer=tokenizer)
         pairs = lsh_bucket_neardup(
             emb, id_col=id_col, vec_col="embedding", dim=64,
             num_planes=10, threshold=neardup_threshold, multiprobe=True)
@@ -315,7 +338,8 @@ def curate_corpus(
         # assignments and the final pair stage — uncached it would be
         # re-evaluated for each
         emb = hashed_ngram_embeddings(
-            exact.select(id_col, text_col), text_col, id_col).persist()
+            exact.select(id_col, text_col), text_col, id_col,
+            tokenizer=tokenizer).persist()
         if persists is not None:
             persists.append(emb)
         # one cached count serves the empty-corpus short-circuit AND the

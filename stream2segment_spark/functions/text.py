@@ -268,10 +268,18 @@ def token_rarity(df, text_col: str, id_col: str,
                  F.round(F.sum("df") / F.count("*"), 6).alias("mean_df")))
 
 
-def doc_fingerprint(text: Column) -> Column:
+def doc_fingerprint(text: Column, tokenizer: str = "ascii") -> Column:
     """Deterministic content fingerprint: md5 of normalized text
-    (stable across engines — used for exact-dup detection K-fingerprint)."""
-    return F.md5(normalized_text(text))
+    (stable across engines — used for exact-dup detection K-fingerprint).
+    With ``tokenizer='unicode'`` the normalization keeps non-ASCII
+    token characters (md5 of the space-joined unicode tokens), so two
+    CJK documents no longer collide on the empty fingerprint; the ascii
+    branch is byte-identical to the pre-mode behavior."""
+    if tokenizer == "ascii":
+        return F.md5(normalized_text(text))
+    from stream2segment_spark.operators.dedup import get_tokenizer
+    tok_expr, _ = get_tokenizer(tokenizer)
+    return F.md5(F.array_join(tok_expr(F.coalesce(text, F.lit(""))), " "))
 
 
 # --------------------------------------------------------------------------

@@ -383,3 +383,34 @@ def test_neardup_keep_validation(spark):
     docs = load_table(spark, SF_DIR_SMOKE, "documents")
     with pytest.raises(ValueError, match="neardup_keep"):
         curate_corpus(docs, neardup_keep="nope")
+
+
+def test_multilingual_funnel_unicode_script_mode(spark):
+    """tokenizer='unicode' + langid_mode='script' makes the funnel
+    multilingual end-to-end: Japanese/Russian documents get real token
+    counts, script language labels that --languages can select, and
+    distinct (non-colliding) fingerprints. The ascii default drops them
+    at the language filter (they tokenize to nothing -> 'und')."""
+    en = ("the project and the report is in the archive and it is "
+          "ready to read for everyone on the team this week again")
+    rows = [
+        (1, en),
+        (2, en.replace("again", "tomorrow")),
+        (3, "東京 は 日本 の 首都 です 大阪 は 大きい 都市 です"),
+        (4, "京都 は 古い 都 です 奈良 も 古い 都 です"),
+        (5, "Привет мир это тест на русском языке сегодня"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(token_band=(3, 1000), min_quality=0.0,
+              neardup_threshold=0.99)
+    curated, funnel = curate_corpus(
+        docs, languages=("en", "ja"), tokenizer="unicode",
+        langid_mode="script", **kw)
+    out = {r["doc_id"]: r for r in curated.collect()}
+    assert set(out) == {1, 2, 3, 4}          # ru dropped, ja kept
+    assert out[3]["lang"] == "ja" and out[1]["lang"] == "en"
+    assert out[3]["n_tokens"] == 11 and out[4]["n_tokens"] == 10
+    assert out[3]["fingerprint"] != out[4]["fingerprint"]
+    # ascii default: the ja/ru docs tokenize empty -> 'und' -> dropped
+    curated_a, _ = curate_corpus(docs, languages=("en", "ja"), **kw)
+    assert {r["doc_id"] for r in curated_a.collect()} == {1, 2}

@@ -156,6 +156,10 @@ def selection_dotted_joins(spark, sf_dir):
     # r4 late rotation: driver-green r1+r2+r3 (J2 family stays gated via
     # selection_predicates/selection_dotted_joins) — frees the slot that
     # gates sim_semantic_dedup.
+    # r7 rotation: deferred again (driver-green r1-r3 + judge mirror r6)
+    # — never-green entries outrank stale-green refreshes; frees the slot
+    # that gates langid_script.
+    gate=False,
 )
 def selection_two_hop(spark, sf_dir):
     """J2-style 2-hop relationship (lineitem->orders->customer), mirroring
@@ -614,6 +618,10 @@ def scalar_datetime_math(spark, sf_dir):
               AS dist_deg
        FROM customer) SELECT c_custkey, dist_deg,
               round(dist_deg * 111.19492664455873, 6) AS dist_km FROM d""",
+    # r7 rotation: deferred again (driver-green r1+r2; pure scalar path,
+    # F7 stays hash-verified inside spatial_join_traveltime) — frees the
+    # slot that gates corpus_search_unicode.
+    gate=False,
 )
 def scalar_great_circle(spark, sf_dir):
     """F7 + F6: spherical great-circle distance (stationsearch.py:157-189)
@@ -696,6 +704,10 @@ def scalar_event_exprs(spark, sf_dir):
     # inside source_nslc_filters' checked path; still benched)
     "scalar_wildcard_like",
     oracle="""SELECT p_partkey, p_name FROM part WHERE p_brand LIKE 'Brand_1%'""",
+    # r7 rotation: deferred again (driver-green r1+r2; P6/F12 stays
+    # exercised inside source_nslc_filters' checked path) — frees the
+    # slot that gates corpus_pack_unicode.
+    gate=False,
 )
 def scalar_wildcard_like(spark, sf_dir):
     """P6/F12: FDSN wildcard ('Brand?1*') -> SQL LIKE

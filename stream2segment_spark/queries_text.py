@@ -301,9 +301,8 @@ def _langid_script_oracle() -> str:
 @register(
     "langid_script",
     _langid_script_oracle(),
-    # r7: new entry; gate window is full — deferred (mirror-verified;
-    # rotation candidate for the next round's window)
-    gate=False,
+    # r7: new entry, gated (never-green outranks stale-green refresh;
+    # selection_two_hop deferred to free the slot)
 )
 def langid_script(spark, sf_dir):
     """Script-aware language ID (functions/text.langid_script): count
@@ -335,8 +334,8 @@ def langid_script(spark, sf_dir):
 
 @register(
     "corpus_search_unicode",
-    # r7: new entry; gate window is full — deferred (mirror-verified;
-    # rotation candidate for the next round's window)
+    # r7: new entry, gated (never-green outranks stale-green refresh;
+    # scalar_great_circle deferred to free the slot)
     f"""WITH s AS (SELECT doc_id,
               concat_ws(' ', coalesce(text, ''), {_UNI_CASE_SQL}) AS text
             FROM documents),
@@ -362,7 +361,6 @@ def langid_script(spark, sf_dir):
               CAST(row_number() OVER (PARTITION BY term
                    ORDER BY score DESC, doc_id) AS INTEGER) AS rank
        FROM s2 QUALIFY rank <= 10""",
-    gate=False,
 )
 def corpus_search_unicode(spark, sf_dir):
     """BM25-ish retrieval with ``tokenizer='unicode'`` (operators/
@@ -389,8 +387,8 @@ def corpus_search_unicode(spark, sf_dir):
 
 @register(
     "corpus_pack_unicode",
-    # r7: new entry; gate window is full — deferred (mirror-verified;
-    # rotation candidate for the next round's window)
+    # r7: new entry, gated (never-green outranks stale-green refresh;
+    # scalar_wildcard_like deferred to free the slot)
     f"""WITH s AS (SELECT doc_id,
               concat_ws(' ', coalesce(text, ''), {_UNI_CASE_SQL}) AS text
             FROM documents),
@@ -412,7 +410,6 @@ def corpus_search_unicode(spark, sf_dir):
               CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
               min(doc_id) AS min_id, max(doc_id) AS max_id
        FROM c GROUP BY shard, chunk_id""",
-    gate=False,
 )
 def corpus_pack_unicode(spark, sf_dir):
     """Greedy chunk packing where the token BUDGET counts unicode-mode

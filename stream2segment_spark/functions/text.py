@@ -631,3 +631,58 @@ def gopher_quality_signals(df, id_col: str, text_col: str):
             & (F.col("alpha_word_frac") >= 0.8)
             & (F.col("n_stopwords") >= 2))
     return out.withColumn("gopher_keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (ingest pre-stage)
+# ---------------------------------------------------------------------------
+
+# Extraction passes, in order. Engine-portable by construction: RE2
+# (DuckDB) has no backreferences, so script/style blocks are two separate
+# non-greedy (?is) passes instead of <(script|style)>.*?</\1>; the
+# whitespace class is explicit ([ \t\n\r\f]) because Java \s includes
+# \x0B and RE2 \s does not. Entities decode AFTER tag stripping (an
+# encoded "&lt;script&gt;" must surface as literal text, never execute a
+# second strip), with &amp; LAST (standard order: "&amp;lt;" -> "&lt;").
+HTML_STRIP_PATTERNS: tuple[str, ...] = (
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+    r"<[^>]*>",
+)
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+)
+
+
+def html_to_text(col: Column) -> Column:
+    """Plain text from an HTML document: drop script/style/comment blocks,
+    strip tags, decode the basic named entities, collapse whitespace.
+
+    A regex extractor, not an HTML parser — the standard first-pass web
+    ingest shape (boilerplate-line removal afterwards is
+    operators/dedup.line_dedup's job). Unterminated script/style blocks
+    keep their body text (the non-greedy match finds no close tag; the
+    tag-strip pass still removes the opening tag) — deterministic on
+    both engines. Pure codegen'd expression: runs inside the scan stage,
+    no UDF, no shuffle."""
+    out = col
+    for pat in HTML_STRIP_PATTERNS:
+        out = F.regexp_replace(out, pat, " ")
+    for ent, rep in HTML_ENTITIES:
+        # literal (non-regex) replace on both engines
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"[ \t\n\r\f]+", " "))
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`html_to_text` over SQL fragment ``expr`` —
+    same pattern constants, same pass order."""
+    out = expr
+    for pat in HTML_STRIP_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', ' ', 'g')"
+    for ent, rep in HTML_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{rep_sql}')"
+    return f"trim(regexp_replace({out}, '[ \\t\\n\\r\\f]+', ' ', 'g'))"

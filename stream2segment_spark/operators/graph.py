@@ -125,3 +125,107 @@ def connected_components(
                           F.coalesce("cluster_id", F.col(id_col))
                           .alias("cluster_id")))
     return labels
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = "w",
+    iterations: int = 3,
+    scale: int = 10**9,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    persist: bool = True,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Weighted PageRank in FIXED-POINT integer arithmetic: ``(id,
+    rank_q)`` with ranks quantized to ``scale`` (rank ~= rank_q/scale).
+
+    Floating-point PageRank is not engine-replayable — the incoming-
+    contribution sum is order-dependent in IEEE arithmetic, so two
+    engines (or two partitionings) can differ in the last ulp and a
+    hash-comparison oracle breaks. Quantizing to integers makes every
+    sum exact and order-free (the ``kmeans_quantized`` trick applied to
+    link analysis); the residual vs float PageRank is O(edges/scale),
+    irrelevant for the ranking/filter use the signal feeds.
+
+    Update rule, all BIGINT (``d = damping_num/damping_den``)::
+
+        out_j      = sum of outgoing edge weights of j
+        contrib_ji = (r_j * w_ji) div out_j          -- per edge
+        r'_i       = (scale*(den-num)) div (den*N)
+                     + (num * sum_j contrib_ji) div den
+
+    Dangling-node mass is DROPPED, not redistributed (the common
+    simplification; total rank decays slightly — fine for ranking).
+    Deterministic by construction: replayable in SQL as unrolled CTE
+    rounds with the same integer divisions.
+
+    Scale shape (100 TB corpus -> ~1e7-host graph): the graph is
+    host-sized, never corpus-sized — build ``edges`` with a corpus-side
+    groupBy first. Each round is one keyed join (ranks x edges on src;
+    both host-graph-sized, AQE broadcasts the rank side when it fits)
+    plus one map-side-combined groupBy(dst). Only the scalar N crosses
+    the driver. ``persist=False`` trades O(iterations^2) recomputation
+    for leaving no cache behind (lazy gate consumers);
+    ``localCheckpoint`` every ``checkpoint_every`` rounds bounds plan
+    growth like every iterative operator here.
+    """
+    if iterations <= 0:
+        raise ValueError(f"iterations must be positive, got {iterations}")
+    if not 0 < damping_num < damping_den:
+        raise ValueError(
+            f"need 0 < damping_num < damping_den, got "
+            f"{damping_num}/{damping_den}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    w_col = (F.col(weight) if weight is not None else F.lit(1))
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"),
+                     w_col.cast("long").alias("__w"))
+    n = (e.select(F.col("__src").alias(id_col))
+         .union(e.select(F.col("__dst").alias(id_col))))
+    if nodes is not None:
+        n = n.union(nodes.select(F.col(id_col)))
+    n = n.distinct()
+    outd = e.groupBy("__src").agg(F.sum("__w").alias("__outw"))
+    ej = e.join(outd, "__src")
+    if persist:
+        n = n.persist()
+        ej = ej.persist()
+    # N and the two bases are bounded driver scalars (node count ->
+    # plan literals), like k-means' k x dim centroids
+    big_n = n.count()
+    if big_n == 0:
+        if persist:
+            n.unpersist()
+            ej.unpersist()
+        return n.select(F.col(id_col), F.lit(0).cast("long").alias("rank_q"))
+    base = (scale * (damping_den - damping_num)) // (damping_den * big_n)
+    r = n.select(F.col(id_col),
+                 F.lit(scale // big_n).cast("long").alias("rank_q"))
+    for i in range(iterations):
+        contrib = (ej.join(r, ej["__src"] == r[id_col])
+                   .select(F.col("__dst").alias(id_col),
+                           F.expr("(rank_q * __w) div __outw")
+                            .alias("__c"))
+                   .groupBy(id_col)
+                   .agg(F.sum("__c").alias("__inr")))
+        r = (n.join(contrib, id_col, "left")
+             .select(F.col(id_col),
+                     (F.lit(base)
+                      + F.expr(f"({damping_num} * coalesce(__inr, 0L)) "
+                               f"div {damping_den}"))
+                     .cast("long").alias("rank_q")))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            r = r.localCheckpoint(eager=True)
+    if persist:
+        # materialize, then release the iteration caches — the returned
+        # frame is node-sized and self-contained after the checkpoint
+        # (same close-out shape as connected_components)
+        r = r.localCheckpoint(eager=True)
+        n.unpersist()
+        ej.unpersist()
+    return r

@@ -134,6 +134,9 @@ def selection_predicates(spark, sf_dir):
     # r4 gate rotation (late session): deferred (driver-green r1+r2+r3) —
     # the exprquery compiler stays covered in-window by
     # selection_predicates; the freed slot gates corpus_c4_filters.
+    # r7 rotation: deferred again (driver-green r1-r3; same in-window
+    # coverage argument) — frees the slot that gates text_html_extract.
+    gate=False,
 )
 def selection_dotted_joins(spark, sf_dir):
     """P1/J1: dotted attributes auto-join the relationship path once;

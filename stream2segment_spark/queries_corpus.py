@@ -607,6 +607,161 @@ def corpus_bpe(spark, sf_dir):
 
 
 @register(
+    "corpus_pack_bpe",
+    # r7: new entry, gated (never-green outranks stale-green refresh;
+    # sim_lsh_neardup deferred to free the slot). The oracle replays BPE
+    # training (the corpus_bpe round chain), joins each document's words
+    # against the trained segmentation lengths, and re-runs the
+    # start-offset pack replay from corpus_pack_chunks on the BPE counts.
+    f"""WITH w AS (SELECT unnest({_WORDS_SQL}) AS word FROM documents),
+       s0 AS (SELECT word, count(*) AS freq,
+                regexp_extract_all(word, '.') AS syms
+              FROM w GROUP BY word),
+       {_bpe_round_sql(1)},
+       {_bpe_round_sql(2)},
+       {_bpe_round_sql(3)},
+       {_bpe_round_sql(4)},
+       vocab AS (SELECT word, len(syms) AS n_syms FROM s4),
+       dt AS (SELECT doc_id, {_WORDS_SQL} AS wlist FROM documents),
+       dw AS (SELECT doc_id, unnest(wlist) AS word FROM dt),
+       tc AS (SELECT dw.doc_id, sum(v.n_syms) AS s
+              FROM dw JOIN vocab v USING (word) GROUP BY dw.doc_id),
+       d AS (SELECT dt.doc_id,
+                CAST(coalesce(tc.s, 0) AS BIGINT) AS n_tok
+             FROM dt LEFT JOIN tc USING (doc_id)),
+       sh AS (SELECT doc_id, n_tok,
+                CAST({_BUCKET_SQL.format(seed='packbpe')} AS INTEGER) % 8
+                    AS shard
+             FROM d),
+       c AS (SELECT shard, n_tok,
+                sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                doc_id
+             FROM sh)
+       SELECT shard, CAST(floor((cum - n_tok) / 256) AS BIGINT) AS chunk_id,
+              count(*) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+              min(doc_id) AS min_id, max(doc_id) AS max_id
+       FROM c GROUP BY shard, chunk_id""",
+)
+def corpus_pack_bpe(spark, sf_dir):
+    """Chunk packing budgeted by TRAINED-TOKENIZER token counts, not
+    whitespace words (functions/bpe.bpe_train + functions/packing
+    .pack_greedy): pretraining loaders budget in BPE tokens, and the
+    whitespace count under- or over-fills chunks wherever the two
+    diverge, so the packing stage must count what the tokenizer counts.
+    Token counts come from the trained segmentation table — every corpus
+    word is in the vocabulary by construction, and training's sequential
+    in-order merge application (bpe.apply_merge) is exactly what
+    bpe_segment would re-apply per occurrence, so the join is the
+    map-only re-encode without re-running 4 interpreted HOF folds per
+    word occurrence. Plan: one corpus pass trains (vocabulary-bounded
+    rounds, single-pair driver traffic); the count join BROADCASTS the
+    vocabulary (bounded like k-means centroids — at web-scale vocabs the
+    same join degrades gracefully to a keyed shuffle hash join, never a
+    cartesian); doc counts are a map-side-combined groupBy; packing adds
+    the one shard-window shuffle corpus_pack_chunks already documents.
+    Beyond-reference LLM-pipeline capability."""
+    from stream2segment_spark.functions.bpe import bpe_train
+    from stream2segment_spark.operators.dedup import word_tokens
+    docs = load_table(spark, sf_dir, "documents")
+    # persist=False: lazy return (the driver collects), so a cache could
+    # never be released — same persist-hygiene contract as corpus_bpe
+    _, words = bpe_train(docs, "text", 4, persist=False)
+    vocab = words.select(
+        "word", F.size("syms").cast("long").alias("n_syms"))
+    dw = docs.select(
+        "doc_id",
+        F.explode_outer(word_tokens(F.coalesce(F.col("text"), F.lit(""))))
+         .alias("word"))
+    d = (dw.join(F.broadcast(vocab), "word", "left")
+         .groupBy("doc_id")
+         .agg(F.coalesce(F.sum("n_syms"), F.lit(0)).cast("long")
+               .alias("n_tok")))
+    packed = pack_greedy(d, "doc_id", "n_tok", budget=256, n_shards=8,
+                         seed="packbpe")
+    return chunk_summary(packed, "doc_id", "n_tok")
+
+
+
+
+def _pr_round_sql(r: int) -> str:
+    """One unrolled fixed-point PageRank round (operators/graph
+    .pagerank_quantized update rule, N=nn, scale=1e9, d=85/100): per-edge
+    integer contributions, HUGEINT-safe because every round's rank is
+    CAST back to BIGINT."""
+    p = r - 1
+    return f"""
+   i{r} AS (SELECT e.dst AS host, sum((r.r * e.w) // o.outw) AS inr
+            FROM e JOIN r{p} r ON r.host = e.src
+                   JOIN o ON o.src = e.src
+            GROUP BY e.dst),
+   r{r} AS (SELECT n.host,
+              CAST((CAST(1000000000 AS BIGINT) * 15) // (100 * c.nn)
+                   + (85 * coalesce(i{r}.inr, 0)) // 100 AS BIGINT) AS r
+            FROM n CROSS JOIN c
+            LEFT JOIN i{r} ON i{r}.host = n.host)"""
+
+
+@register(
+    "corpus_host_rank",
+    # r7: new entry, gated (never-green outranks stale-green refresh;
+    # multimodal_probe deferred to free the slot). The oracle replays all
+    # three fixed-point iterations as unrolled CTE rounds — integer sums
+    # are order-independent, so the ranks are bit-exact cross-engine.
+    f"""WITH e0 AS (SELECT CAST(doc_id % 97 AS BIGINT) AS src,
+               unnest([CAST((doc_id * 3 + 1) % 97 AS BIGINT),
+                       CAST((doc_id * 5 + 2) % 97 AS BIGINT),
+                       CAST((doc_id * 7 + 3) % 97 AS BIGINT)]) AS dst
+            FROM documents),
+       e AS (SELECT src, dst, count(*) AS w FROM e0
+             WHERE src != dst GROUP BY src, dst),
+       n AS (SELECT DISTINCT h AS host FROM
+                (SELECT src AS h FROM e UNION ALL SELECT dst FROM e)),
+       c AS (SELECT count(*) AS nn FROM n),
+       o AS (SELECT src, sum(w) AS outw FROM e GROUP BY src),
+       r0 AS (SELECT host, CAST(CAST(1000000000 AS BIGINT) // nn AS BIGINT) AS r
+              FROM n CROSS JOIN c),
+       {_pr_round_sql(1)},
+       {_pr_round_sql(2)},
+       {_pr_round_sql(3)}
+       SELECT host, r AS rank_q,
+              round(CAST(r AS DOUBLE) / 1e9, 9) AS rank
+       FROM r3""",
+)
+def corpus_host_rank(spark, sf_dir):
+    """Link-graph quality propagation for web-corpus curation
+    (operators/graph.pagerank_quantized): domain/host centrality is a
+    standard corpus-filter signal (rank hosts by weighted in-links,
+    drop or downweight the tail), and PageRank is its canonical form.
+    Ranks are computed in fixed-point BIGINT arithmetic so the
+    order-dependent float summation never enters — bit-exact across
+    engines and partitionings (the kmeans_quantized trick). The host
+    link graph is synthesized deterministically from doc ids (97 hosts,
+    3 out-links per doc, self-links dropped, multiplicity = edge
+    weight). Plan: one corpus-sized groupBy builds the host-graph edge
+    table; the 3 iterations are host-graph-sized joins keyed on host
+    (AQE broadcasts the rank side) + map-side-combined sums; only the
+    scalar node count crosses the driver. Beyond-reference LLM-pipeline
+    capability (graph signal; complements connected_components)."""
+    from stream2segment_spark.operators.graph import pagerank_quantized
+    docs = load_table(spark, sf_dir, "documents")
+    host = (F.col("doc_id") % 97).cast("long")
+    links = F.array(*[((F.col("doc_id") * k + j) % 97).cast("long")
+                      for k, j in ((3, 1), (5, 2), (7, 3))])
+    e0 = (docs.select(host.alias("src"), F.explode(links).alias("dst"))
+          .filter(F.col("src") != F.col("dst")))
+    edges = e0.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    # persist=False: lazy return (the driver collects) — the
+    # persist-hygiene contract, same as corpus_bpe
+    ranks = pagerank_quantized(edges, iterations=3, persist=False,
+                               id_col="host")
+    return ranks.select(
+        "host", "rank_q",
+        F.round(F.col("rank_q") / F.lit(1e9), 9).alias("rank"))
+
+
+@register(
     "corpus_bloom_ingest",
     # r7 rotation: driver-green r4-r6 (freshest possible row); slot
     # freed for an entry whose module changed after its last gate row

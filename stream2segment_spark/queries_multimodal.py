@@ -66,6 +66,10 @@ def _wav_blob(channels, sample_rate):
        FROM documents""",
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
+    # r7 rotation: deferred again (driver-green r1-r4, the most-verified
+    # multimodal entry; the probe UDF plumbing stays exercised in-window
+    # by multimodal_frames) — frees the slot that gates corpus_host_rank.
+    gate=False,
 )
 def multimodal_probe(spark, sf_dir):
     """Media metadata probe: build PNG headers for even ids and WAV headers

@@ -136,7 +136,14 @@ def _lsh_oracle(num_planes: int = 12, seed: int = 7, threshold: float = 0.4) -> 
 
 # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
 # slot for a never-driver-checked entry (VERDICT r4 item #1).
-@register("sim_lsh_neardup", _lsh_oracle(num_planes=5))
+@register(
+    "sim_lsh_neardup", _lsh_oracle(num_planes=5),
+    # r7 rotation: deferred (driver-green r1-r4, the most-verified
+    # similarity entry; embedding-LSH semantics stay exercised alongside
+    # in-window sim_topk/sim_topk_ivf/sim_pq_adc/sim_pairs_threshold) —
+    # frees the slot that gates corpus_pack_bpe.
+    gate=False,
+)
 def sim_lsh_neardup(spark, sf_dir):
     """Random-hyperplane LSH near-dup: bucket join (one shuffle on the
     bucket key, no cross join) + exact cosine on candidates. The oracle

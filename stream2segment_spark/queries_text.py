@@ -181,6 +181,69 @@ _UNI_ASCII_TWIN_SQL = (
     "'[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0)")
 
 
+# the synthesized HTML wrapper for text_html_extract — one constant on
+# both sides; the body gets an entity + encoded-tag suffix so the decode
+# path (and its after-strip ordering) is value-checked on every row
+_HTML_PRE = '<html><head><title>d'
+_HTML_MID = ('</title><style media="x">p {color: red}</style></head>'
+             '<body data-x="1"><!-- hidden -->\n<p class="main">')
+_HTML_SUF = ('</p>\n<script type=text/javascript>var a = 1 < 2;'
+             '</script></body></html>')
+_HTML_BODY_TAIL = ' &amp; x &lt;keep&gt;'
+
+
+def _html_extract_oracle() -> str:
+    from stream2segment_spark.functions.text import html_to_text_sql
+    mid = _HTML_MID.replace("'", "''")
+    return f"""WITH h AS (SELECT doc_id,
+              '{_HTML_PRE}' || CAST(doc_id AS VARCHAR) || '{mid}'
+              || coalesce(text, '') || '{_HTML_BODY_TAIL}'
+              || '{_HTML_SUF}' AS html
+            FROM documents),
+       e AS (SELECT doc_id, html, {html_to_text_sql('html')} AS extracted
+             FROM h)
+       SELECT doc_id,
+              CAST(length(html) AS BIGINT) AS n_chars_html,
+              CAST(length(extracted) AS BIGINT) AS n_chars_text,
+              CAST(len({_WORDS_SQL.replace("(text", "(extracted")}) AS INTEGER)
+                  AS n_tok,
+              extracted
+       FROM e"""
+
+
+@register(
+    "text_html_extract",
+    _html_extract_oracle(),
+    # r7: new entry, gated (never-green outranks stale-green refresh;
+    # selection_dotted_joins deferred to free the slot)
+)
+def text_html_extract(spark, sf_dir):
+    """HTML -> text extraction (functions/text.html_to_text), the web
+    ingest pre-stage: script/style/comment blocks dropped, tags
+    stripped, basic entities decoded after stripping, whitespace
+    collapsed. Every document is wrapped in a deterministic HTML
+    skeleton (with an entity-bearing body suffix and a '1 < 2' script
+    body as adversarial content), extracted back, and the FULL
+    extracted string is value-hashed — so block removal, strip/decode
+    ordering and whitespace collapse are all pinned per row. Pure
+    codegen'd regex expressions in the scan stage: no UDF, no shuffle,
+    no join. Beyond-reference LLM-pipeline capability (raw-web
+    ingest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_PRE), F.col("doc_id").cast("string"), F.lit(_HTML_MID),
+        F.coalesce(F.col("text"), F.lit("")), F.lit(_HTML_BODY_TAIL),
+        F.lit(_HTML_SUF))
+    ext = TX.html_to_text(html)
+    out = docs.select("doc_id", html.alias("__html"),
+                      ext.alias("extracted"))
+    return out.select(
+        "doc_id",
+        F.length("__html").cast("long").alias("n_chars_html"),
+        F.length("extracted").cast("long").alias("n_chars_text"),
+        F.size(DD.word_tokens(F.col("extracted"))).alias("n_tok"),
+        "extracted")
+
 @register(
     "text_analysis_unicode",
     f"""WITH s AS (SELECT doc_id,

@@ -196,3 +196,56 @@ def test_bpe_batched_rounds(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="batch"):
         bpe.bpe_train_batched(docs, "text", 2, batch=0)
+
+
+def test_vocab_join_token_counts_match_python_bpe(spark):
+    """The corpus_pack_bpe counting shape: doc BPE-token counts via the
+    trained-vocab length join must equal a pure-Python sequential-merge
+    replay applied per word occurrence."""
+    from pyspark.sql import functions as F
+    from stream2segment_spark.functions import bpe
+    from stream2segment_spark.operators.dedup import word_tokens
+
+    texts = ["low lower lowest", "new newer newest low",
+             "the low new low", "", None, "aaa aa a"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges, words = bpe.bpe_train(docs, "text", 4, persist=False)
+
+    # pure-Python sequential in-order application (apply_merge semantics)
+    def seq_encode(word):
+        syms = list(word)
+        for left, right, _ in merges:
+            out, pend = [], None
+            for s in syms:
+                if pend is None:
+                    pend = s
+                elif pend == left and s == right:
+                    out.append(left + right)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            syms = out
+        return syms
+
+    import re
+    want = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in re.split(r"[^a-z0-9]+", (t or "").lower()) if w]
+        want[i] = sum(len(seq_encode(w)) for w in toks)
+
+    vocab = words.select("word", F.size("syms").cast("long").alias("n_syms"))
+    dw = docs.select(
+        "doc_id",
+        F.explode_outer(word_tokens(F.coalesce("text", F.lit("")))).alias("word"))
+    got = {r.doc_id: r.n_tok for r in
+           dw.join(F.broadcast(vocab), "word", "left")
+             .groupBy("doc_id")
+             .agg(F.coalesce(F.sum("n_syms"), F.lit(0)).cast("long")
+                   .alias("n_tok")).collect()}
+    assert got == want
+    # empty/null docs kept with zero tokens (explode_outer + left join)
+    assert got[3] == 0 and got[4] == 0

@@ -59,3 +59,81 @@ def test_no_edges_all_singletons(spark):
     got = {r.id: r.cluster_id for r in connected_components(
         empty, nodes=spark.range(5)).collect()}
     assert got == {i: i for i in range(5)}
+
+
+# ---------------------------------------------------------------------------
+# pagerank_quantized
+# ---------------------------------------------------------------------------
+
+def _pagerank_fixed_point(edges, iterations=3, scale=10**9,
+                          num=85, den=100, extra_nodes=()):
+    """Driver-side replay of the exact integer update rule."""
+    nodes = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges}
+                   | set(extra_nodes))
+    n = len(nodes)
+    outw = {}
+    for a, _, w in edges:
+        outw[a] = outw.get(a, 0) + w
+    r = {v: scale // n for v in nodes}
+    base = (scale * (den - num)) // (den * n)
+    for _ in range(iterations):
+        inr = {v: 0 for v in nodes}
+        for a, b, w in edges:
+            inr[b] += (r[a] * w) // outw[a]
+        r = {v: base + (num * inr[v]) // den for v in nodes}
+    return r
+
+
+def test_pagerank_matches_driver_replay(spark):
+    from stream2segment_spark.operators.graph import pagerank_quantized
+    rng = random.Random(7)
+    raw = {}
+    for _ in range(200):
+        a, b = rng.randrange(40), rng.randrange(40)
+        if a != b:
+            raw[(a, b)] = raw.get((a, b), 0) + 1
+    edges = [(a, b, w) for (a, b), w in raw.items()]
+    want = _pagerank_fixed_point(edges)
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r.id: r.rank_q for r in
+           pagerank_quantized(df, iterations=3).collect()}
+    assert got == want
+
+
+def test_pagerank_sink_accumulates_and_mass_decays(spark):
+    from stream2segment_spark.operators.graph import pagerank_quantized
+    # 0 -> 2, 1 -> 2: node 2 is a pure sink and must outrank the sources;
+    # its dangling mass is dropped, so total rank strictly decays
+    df = spark.createDataFrame([(0, 2, 1), (1, 2, 1)],
+                               "src long, dst long, w long")
+    got = {r.id: r.rank_q for r in
+           pagerank_quantized(df, iterations=2, persist=False).collect()}
+    assert got[2] > got[0] == got[1]
+    assert sum(got.values()) < 10**9
+
+
+def test_pagerank_nodes_param_and_weighting(spark):
+    from stream2segment_spark.operators.graph import pagerank_quantized
+    # 0 -> 1 (w=3), 0 -> 2 (w=1): rank must split 3:1 after one round
+    df = spark.createDataFrame([(0, 1, 3), (0, 2, 1)],
+                               "src long, dst long, w long")
+    nodes = spark.createDataFrame([(0,), (1,), (2,), (9,)], "id long")
+    got = {r.id: r.rank_q for r in
+           pagerank_quantized(df, iterations=1, nodes=nodes).collect()}
+    assert set(got) == {0, 1, 2, 9}
+    base = got[0]  # no in-links: base only
+    assert got[9] == base
+    s = 10**9 // 4
+    assert got[1] == base + (85 * ((s * 3) // 4)) // 100
+    assert got[2] == base + (85 * ((s * 1) // 4)) // 100
+
+
+def test_pagerank_validation(spark):
+    from stream2segment_spark.operators.graph import pagerank_quantized
+    df = spark.createDataFrame([(0, 1, 1)], "src long, dst long, w long")
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank_quantized(df, iterations=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank_quantized(df, damping_num=100, damping_den=100)
+    with pytest.raises(ValueError, match="scale"):
+        pagerank_quantized(df, scale=0)

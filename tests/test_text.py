@@ -262,3 +262,61 @@ def test_embed_text_unicode_mode():
     assert np.allclose(np.linalg.norm(
         embed_text("東京 大阪 京都", tokenizer="unicode")), 1.0)
     assert np.linalg.norm(embed_text("東京 大阪 京都")) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# html_to_text
+# ---------------------------------------------------------------------------
+
+def _py_html_to_text(html: str) -> str:
+    """Pure-Python reference replay of the documented pass order."""
+    import re
+    from stream2segment_spark.functions.text import (
+        HTML_ENTITIES, HTML_STRIP_PATTERNS)
+    out = html
+    for pat in HTML_STRIP_PATTERNS:
+        out = re.sub(pat, " ", out)
+    for ent, rep in HTML_ENTITIES:
+        out = out.replace(ent, rep)
+    return re.sub(r"[ \t\n\r\f]+", " ", out).strip()
+
+
+_HTML_CASES = [
+    '<html><body><p>plain text</p></body></html>',
+    '<p>Hi &amp; &lt;b&gt; bye</p><script>var a = 1 < 2;</script>',
+    '<style type="text/css">p { color: red }</style>kept',
+    'before<!-- comment\nspanning lines -->after',
+    '<SCRIPT>upper case();</SCRIPT>outside',
+    '<script>no close tag; body text survives tag strip',
+    'entities only: &quot;q&quot; &#39;a&#39; x&nbsp;y &amp;lt;',
+    'no markup at all',
+    '', 
+    'unicode 東京 &amp; Привет <b>bold</b>',
+    'a  \t b \n\n c',
+]
+
+
+def test_html_to_text_three_engines(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+    from stream2segment_spark.functions.text import (
+        html_to_text, html_to_text_sql)
+    want = [_py_html_to_text(h) for h in _HTML_CASES]
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(_HTML_CASES)],
+                               "i long, html string")
+    got_spark = [r.t for r in df.select(
+        html_to_text(F.col("html")).alias("t")).orderBy("i").collect()]
+    assert got_spark == want
+    con = duckdb.connect()
+    got_duck = [con.execute(
+        "SELECT " + html_to_text_sql("$1"), [h]).fetchone()[0]
+        for h in _HTML_CASES]
+    assert got_duck == want
+
+
+def test_html_to_text_ordering_pinned():
+    # decode AFTER strip: an encoded script tag is literal text
+    assert _py_html_to_text("&lt;script&gt;x&lt;/script&gt;") \
+        == "<script>x</script>"
+    # &amp; decodes LAST: "&amp;lt;" is the literal string "&lt;"
+    assert _py_html_to_text("&amp;lt;") == "&lt;"

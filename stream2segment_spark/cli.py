@@ -608,7 +608,8 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
                domain_cap: int | None = None,
                domain_col: str = "source",
                tokenizer: str = "ascii",
-               langid_mode: str = "heuristic") -> int:
+               langid_mode: str = "heuristic",
+               html_extract: bool = False) -> int:
     """'s2s curate': the corpus-curation funnel (beyond-reference,
     examples/corpus_pipeline.curate_corpus) as a CLI: documents parquet
     in -> curated parquet + one funnel JSON line on stdout."""
@@ -644,7 +645,7 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
         mix_strata_col=mix_col, mix_alpha=mix_alpha,
         pack_budget=pack_budget, pack_shards=pack_shards,
         persists=persists, tokenizer=tokenizer,
-        langid_mode=langid_mode)
+        langid_mode=langid_mode, html_extract=html_extract)
     out = os.path.join(outdir, "curated.parquet")
     # One materialization: the write warms curated's cache, the funnel
     # counts then hit the persisted stage frames instead of re-running
@@ -1067,6 +1068,11 @@ def main(argv: list[str] | None = None) -> int:
                         "script (zh/ja/ko/ru/el/ar/he/hi/th) so "
                         "--languages can select them; 'heuristic' is "
                         "the en/de/fr/es stopword-marker ID")
+    p.add_argument("--html", action="store_true", dest="html_extract",
+                   help="treat the text column as raw HTML: extract "
+                        "plain text (drop script/style/comments, strip "
+                        "tags, decode entities) before every other "
+                        "stage")
     p = sub.add_parser(
         "search",
         help="keyword search over a corpus parquet: BM25-style "
@@ -1975,7 +1981,8 @@ def main(argv: list[str] | None = None) -> int:
                               domain_cap=args.domain_cap,
                               domain_col=args.domain_col,
                               tokenizer=args.tokenizer,
-                              langid_mode=args.langid_mode)
+                              langid_mode=args.langid_mode,
+                              html_extract=args.html_extract)
         finally:
             if not preexisting:
                 spark.stop()

@@ -87,6 +87,7 @@ def curate_corpus(
     persists: list | None = None,
     tokenizer: str = "ascii",
     langid_mode: str = "heuristic",
+    html_extract: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the 5-stage curation funnel; returns (curated, funnel) where
     ``curated`` has the annotation columns + ``split`` and ``funnel`` is
@@ -127,6 +128,14 @@ def curate_corpus(
         if c]
 
     input_docs = docs  # funnel's 'input' counts pre-cleaning rows
+
+    # -- 0a0. optional HTML -> text extraction (raw-web ingest) ---------
+    # FIRST of all: every downstream signal (tokens, prose rules,
+    # shingles, LM) must see extracted text, never markup. Map-only
+    # codegen'd regex passes (functions/text.html_to_text).
+    if html_extract:
+        docs = docs.withColumn(text_col,
+                               TX.html_to_text(F.col(text_col)))
 
     # -- 0a. optional C4 heuristic cleaning (Raffel et al. 2020 §2.2) ---
     # raw-page cleaning FIRST: drop non-prose lines (terminal punct, >=5

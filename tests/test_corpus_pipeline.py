@@ -414,3 +414,34 @@ def test_multilingual_funnel_unicode_script_mode(spark):
     # ascii default: the ja/ru docs tokenize empty -> 'und' -> dropped
     curated_a, _ = curate_corpus(docs, languages=("en", "ja"), **kw)
     assert {r["doc_id"] for r in curated_a.collect()} == {1, 2}
+
+
+def test_html_extract_stage_recovers_plain_funnel(spark):
+    """Wrapping every document in an HTML skeleton and running the funnel
+    with html_extract=True must reproduce the plain-text funnel exactly
+    (same survivors, same token counts): extraction runs before every
+    other stage, so downstream signals never see markup."""
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").limit(120)
+    html_docs = docs.withColumn(
+        "text",
+        F.concat(F.lit('<html><head><style>p{x}</style></head>'
+                       '<body><!-- c --><p class="m">'),
+                 F.coalesce("text", F.lit("")),
+                 F.lit('</p><script>var a = 1 < 2;</script></body></html>')))
+    plain, pf = curate_corpus(docs, languages=("en", "und"),
+                              min_quality=0.5, token_band=(5, 100_000))
+    viahtml, hf = curate_corpus(html_docs, languages=("en", "und"),
+                                min_quality=0.5, token_band=(5, 100_000),
+                                html_extract=True)
+    want = {(r.doc_id, r.n_tokens) for r in
+            plain.select("doc_id", "n_tokens").collect()}
+    got = {(r.doc_id, r.n_tokens) for r in
+           viahtml.select("doc_id", "n_tokens").collect()}
+    assert got == want and len(got) > 0
+    # without extraction the markup perturbs the funnel (tag tokens leak
+    # into counts) — proves the stage is load-bearing, not a no-op
+    raw, _ = curate_corpus(html_docs, languages=("en", "und"),
+                           min_quality=0.5, token_band=(5, 100_000))
+    raw_counts = {(r.doc_id, r.n_tokens) for r in
+                  raw.select("doc_id", "n_tokens").collect()}
+    assert raw_counts != want

@@ -24,6 +24,11 @@ Method
 - Stale = some implementing file's last commit is NEWER than the
   entry's last-green driver commit (uncommitted working-tree changes
   count as "now"), or the entry has no green driver row at all.
+- Queries-module refinement: for the entry's own queries_*.py file a
+  timestamp hit only counts if the ENTRY BLOCK (decorator + function +
+  same-file helpers it references, transitively; comment lines and
+  gate= flips normalized away) differs from the gate-round commit —
+  rotation bookkeeping no longer marks the whole catalog stale.
 
 Exit 0 always (it is an audit, not a gate); ``--fail-on-stale`` exits 1
 when the stale set is non-empty. No driver state is written.
@@ -184,6 +189,115 @@ def close_over_imports(files: set[str],
     return seen
 
 
+# --- entry-level change detection inside queries_*.py files -----------
+#
+# File-level timestamps over-trigger for the queries modules: every
+# round's gate rotation touches them (comments + gate= flips), which
+# marked ALL entries stale in r7 even though almost no entry's own
+# registration changed. For the defining queries file we therefore
+# compare the ENTRY BLOCK itself — the @register decorator + function
+# source, plus every top-level binding in the same file the block
+# references (transitively: oracle-building helpers like _bpe_round_sql
+# and SQL fragment constants) — between the last-green round's commit
+# and the working tree. Pure-comment lines and gate= flips are
+# normalized away: they cannot change what the driver verified.
+# Library modules (operators/, functions/, ...) keep timestamp logic:
+# their files change rarely and a within-file map would have to model
+# cross-module call graphs the closure already covers.
+
+_GATE_LINE_RX = re.compile(r"^\s*gate\s*=\s*(True|False)\s*,?\s*$")
+_COMMENT_LINE_RX = re.compile(r"^\s*#")
+
+
+def _normalize_block(src: str) -> str:
+    return "\n".join(
+        ln for ln in src.splitlines()
+        if not _COMMENT_LINE_RX.match(ln) and not _GATE_LINE_RX.match(ln))
+
+
+def _top_level_bindings(tree: ast.Module) -> dict[str, ast.stmt]:
+    out: dict[str, ast.stmt] = {}
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                             ast.ClassDef)):
+            out[node.name] = node
+        elif isinstance(node, ast.Assign):
+            for tgt in node.targets:
+                if isinstance(tgt, ast.Name):
+                    out[tgt.id] = node
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target,
+                                                            ast.Name):
+            out[node.target.id] = node
+    return out
+
+
+def _entry_block_text(filetext: str, entry_name: str) -> str | None:
+    """The registration block for one entry in one queries module's
+    source text: decorator+function segment plus the segments of every
+    same-file top-level binding it references, transitively, in a
+    deterministic order. None when the entry is not in this text (e.g.
+    it did not exist at that commit)."""
+    try:
+        tree = ast.parse(filetext)
+    except SyntaxError:
+        return None
+    target = None
+    for node in tree.body:
+        if not isinstance(node, ast.FunctionDef):
+            continue
+        for dec in node.decorator_list:
+            if isinstance(dec, ast.Call) and dec.args \
+                    and isinstance(dec.args[0], ast.Constant) \
+                    and dec.args[0].value == entry_name:
+                target = node
+                break
+        if target is not None:
+            break
+    if target is None:
+        return None
+    bindings = _top_level_bindings(tree)
+
+    def segment(node: ast.stmt) -> str:
+        start = node.lineno
+        if getattr(node, "decorator_list", None):
+            start = min(d.lineno for d in node.decorator_list)
+        lines = filetext.splitlines()
+        return "\n".join(lines[start - 1:node.end_lineno])
+
+    def names_in(node: ast.stmt) -> set[str]:
+        return {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
+
+    picked: dict[str, ast.stmt] = {}
+    frontier = [target]
+    seen_nodes = {id(target)}
+    while frontier:
+        node = frontier.pop()
+        for nm in names_in(node):
+            dep = bindings.get(nm)
+            if dep is not None and nm not in picked \
+                    and id(dep) != id(target):
+                picked[nm] = dep
+                if id(dep) not in seen_nodes:
+                    seen_nodes.add(id(dep))
+                    frontier.append(dep)
+    parts = [segment(target)]
+    parts += [segment(picked[nm]) for nm in sorted(picked)]
+    return _normalize_block("\n".join(parts))
+
+
+def _text_at_commit(commit_time: int, relfile: str) -> str | None:
+    """File text at the newest commit not after ``commit_time`` (the
+    gate-round commit itself, by construction of round_commit_time)."""
+    try:
+        sha = _git("log", "-1", f"--until=@{commit_time}",
+                   "--format=%H").strip()
+        if not sha:
+            return None
+        return _git("show", f"{sha}:{relfile}")
+    except subprocess.CalledProcessError:
+        return None
+
+
 def last_green_round(name: str) -> int | None:
     best = None
     for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
@@ -233,9 +347,12 @@ def main() -> int:
 
     round_times: dict[int, int | None] = {}
     edges: dict[str, set[str]] = {}
+    cur_text: dict[str, str] = {}
+    old_text: dict[tuple[int, str], str | None] = {}
     report = []
     for name, fn in sorted(qs.items()):
         files = close_over_imports(entry_files(fn), edges)
+        defining = _relpath(inspect.getfile(fn))
         lg = last_green_round(name)
         if lg is not None and lg not in round_times:
             round_times[lg] = round_commit_time(lg)
@@ -243,6 +360,23 @@ def main() -> int:
         newer = sorted(
             f for f in files
             if gate_t is None or last_commit_time(f) > gate_t)
+        # entry-block refinement: a queries-module hit only counts when
+        # THIS entry's registration block (normalized) changed since the
+        # gate commit — rotation comments and sibling entries don't
+        # invalidate a green row
+        if gate_t is not None and defining in newer \
+                and _is_entrypoint(defining):
+            if defining not in cur_text:
+                cur_text[defining] = (REPO / defining).read_text()
+            key = (gate_t, defining)
+            if key not in old_text:
+                old_text[key] = _text_at_commit(gate_t, defining)
+            then = old_text[key]
+            if then is not None:
+                now_block = _entry_block_text(cur_text[defining], name)
+                then_block = _entry_block_text(then, name)
+                if now_block is not None and now_block == then_block:
+                    newer = [f for f in newer if f != defining]
         report.append({
             "entry": name,
             "gated": name in gated,

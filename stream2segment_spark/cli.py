@@ -1146,6 +1146,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="2: add-one bigram (lm_score); 3: stupid-"
                         "backoff trigram (sb_score)")
     p.add_argument("--text-col", default="text")
+    p.add_argument("--tokenizer", default="ascii",
+                   choices=("ascii", "unicode"),
+                   help="token mode for training; recorded in meta.json "
+                        "so lm-score replays it automatically")
     p = sub.add_parser(
         "lm-score",
         help="score a corpus parquet with a trained bigram LM (mean "
@@ -1164,6 +1168,12 @@ def main(argv: list[str] | None = None) -> int:
                         "--model: the saved model's kind wins)")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
+    p.add_argument("--tokenizer", default="ascii",
+                   choices=("ascii", "unicode"),
+                   help="self-scoring token mode (ignored with --model: "
+                        "the saved model's recorded mode wins — scoring "
+                        "with a different tokenizer than training makes "
+                        "every token OOV, a silent mis-score)")
     p = sub.add_parser(
         "compact",
         help="rewrite a parquet table into files of a target size "
@@ -1802,12 +1812,16 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
                 return 2
             if args.order == 3:
-                model = trigram_model(docs, args.text_col)
-                save_trigram_model(model, args.outdir)
+                model = trigram_model(docs, args.text_col,
+                                      tokenizer=args.tokenizer)
+                save_trigram_model(model, args.outdir,
+                                   tokenizer=args.tokenizer)
                 vocab = model[3]
             else:
-                model = bigram_model(docs, args.text_col)
-                save_bigram_model(model, args.outdir)
+                model = bigram_model(docs, args.text_col,
+                                     tokenizer=args.tokenizer)
+                save_bigram_model(model, args.outdir,
+                                  tokenizer=args.tokenizer)
                 vocab = model[2]
             n_bi = model[1].count()
             print(f"trained order-{args.order} LM: vocabulary {vocab} "
@@ -1818,7 +1832,8 @@ def main(argv: list[str] | None = None) -> int:
                 spark.stop()
     if args.cmd == "lm-score":  # no config file: all-flags command
         from stream2segment_spark.functions.lm import (
-            lm_transition_scores, load_lm_model, stupid_backoff_scores)
+            lm_model_tokenizer, lm_transition_scores, load_lm_model,
+            stupid_backoff_scores)
         from stream2segment_spark.session import get_spark
         preexisting = SparkSession.getActiveSession() is not None
         spark = get_spark(app_name="s2s-lm-score")
@@ -1832,9 +1847,14 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             kind = "trigram" if args.order == 3 else "bigram"
             model = None
+            tokenizer = args.tokenizer
             if args.model is not None:
                 try:
                     kind, model = load_lm_model(spark, args.model)
+                    # the model's recorded mode wins: scoring with a
+                    # different tokenizer than training makes every
+                    # token OOV relative to the counts (lm.py:277)
+                    tokenizer = lm_model_tokenizer(args.model)
                 except (OSError, ValueError, KeyError) as exc:
                     print(f"error: cannot load model {args.model!r}: "
                           f"{exc}", file=sys.stderr)
@@ -1843,11 +1863,13 @@ def main(argv: list[str] | None = None) -> int:
             if kind == "trigram":
                 out = stupid_backoff_scores(docs, args.id_col,
                                             args.text_col, model=model,
-                                            persists=persists)
+                                            persists=persists,
+                                            tokenizer=tokenizer)
                 score_col = "sb_score"
             else:
                 out = lm_transition_scores(docs, args.id_col,
-                                           args.text_col, model=model)
+                                           args.text_col, model=model,
+                                           tokenizer=tokenizer)
                 score_col = "lm_score"
             try:
                 out.write.mode("overwrite").parquet(args.outfile)

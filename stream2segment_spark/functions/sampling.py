@@ -327,7 +327,6 @@ def cap_per_group(
         raise ValueError(f"cap must be >= 1, got {cap}")
     from stream2segment_spark.operators.sketch import hash60
     h = hash60(F.col(id_col), seed)
-    src = df
     if salts is not None:
         if salts < 1:
             raise ValueError(f"salts must be >= 1, got {salts}")
@@ -344,5 +343,5 @@ def cap_per_group(
         return (pre.withColumn("__rn", F.row_number().over(w2))
                 .where(F.col("__rn") <= cap).drop("__rn", "__h"))
     w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
-    return (src.withColumn("__rn", F.row_number().over(w))
+    return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= cap).drop("__rn"))

@@ -274,12 +274,16 @@ def doc_fingerprint(text: Column, tokenizer: str = "ascii") -> Column:
     With ``tokenizer='unicode'`` the normalization keeps non-ASCII
     token characters (md5 of the space-joined unicode tokens), so two
     CJK documents no longer collide on the empty fingerprint; the ascii
-    branch is byte-identical to the pre-mode behavior."""
+    branch is byte-identical to the pre-mode behavior. NULL text
+    fingerprints to NULL in BOTH modes (NULL propagates through the
+    tokenizer like through normalized_text) — coalescing to '' in one
+    mode only would merge NULL-text docs with empty-text docs in
+    unicode exact-dedup while ascii keeps them apart."""
     if tokenizer == "ascii":
         return F.md5(normalized_text(text))
     from stream2segment_spark.operators.dedup import get_tokenizer
     tok_expr, _ = get_tokenizer(tokenizer)
-    return F.md5(F.array_join(tok_expr(F.coalesce(text, F.lit(""))), " "))
+    return F.md5(F.array_join(tok_expr(text), " "))
 
 
 # --------------------------------------------------------------------------
@@ -640,40 +644,64 @@ def gopher_quality_signals(df, id_col: str, text_col: str):
 # Extraction passes, in order. Engine-portable by construction: RE2
 # (DuckDB) has no backreferences, so script/style blocks are two separate
 # non-greedy (?is) passes instead of <(script|style)>.*?</\1>; the
-# whitespace class is explicit ([ \t\n\r\f]) because Java \s includes
-# \x0B and RE2 \s does not. Entities decode AFTER tag stripping (an
-# encoded "&lt;script&gt;" must surface as literal text, never execute a
-# second strip), with &amp; LAST (standard order: "&amp;lt;" -> "&lt;").
+# whitespace classes are explicit ([ \t\n\r\f]) because Java \s
+# includes \x0B and RE2 \s does not. Entities decode AFTER tag
+# stripping (an encoded "&lt;script&gt;" must surface as literal text,
+# never execute a second strip), with &amp; LAST (standard order:
+# "&amp;lt;" -> "&lt;").
+#
+# Block-level tags become NEWLINES, not spaces: every line-based stage
+# downstream (C4 line rules, CCNet line dedup, Gopher bullet/ellipsis
+# line metrics) keys on '\n', so an extractor that collapses the line
+# structure makes html_extract + c4_rules drop 100%% of documents
+# (min_lines unreachable on one-line docs). Inline tags still become
+# spaces.
 HTML_STRIP_PATTERNS: tuple[str, ...] = (
     r"(?is)<script[^>]*>.*?</script>",
     r"(?is)<style[^>]*>.*?</style>",
     r"(?s)<!--.*?-->",
-    r"<[^>]*>",
 )
+HTML_BLOCK_TAG = (
+    r"(?i)</?(html|head|body|title|p|div|br|hr|li|ul|ol|h[1-6]|tr|table|"
+    r"thead|tbody|blockquote|pre|section|article|header|footer|figure|"
+    r"figcaption|dl|dt|dd|form|nav|aside)\b[^>]*>")
+HTML_INLINE_TAG = r"<[^>]*>"
 HTML_ENTITIES: tuple[tuple[str, str], ...] = (
     ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
     ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
 )
+# any whitespace run containing a line break -> one '\n'; then spaces
+# collapse; then leading/trailing newlines+spaces strip
+_WS_NEWLINE_RUN = r"[ \t\f]*[\n\r][ \t\n\r\f]*"
+_WS_SPACE_RUN = r"[ \t\f]+"
+_WS_EDGE = r"^[\n ]+|[\n ]+$"
 
 
 def html_to_text(col: Column) -> Column:
-    """Plain text from an HTML document: drop script/style/comment blocks,
-    strip tags, decode the basic named entities, collapse whitespace.
+    """Plain text from an HTML document: drop script/style/comment
+    blocks, turn block-level tags into newlines (line structure is what
+    C4 rules / line dedup / Gopher line metrics consume), strip inline
+    tags to spaces, decode the basic named entities, collapse
+    whitespace (newline runs -> one '\n', space runs -> one ' ').
 
     A regex extractor, not an HTML parser — the standard first-pass web
     ingest shape (boilerplate-line removal afterwards is
     operators/dedup.line_dedup's job). Unterminated script/style blocks
     keep their body text (the non-greedy match finds no close tag; the
-    tag-strip pass still removes the opening tag) — deterministic on
-    both engines. Pure codegen'd expression: runs inside the scan stage,
-    no UDF, no shuffle."""
+    tag passes still remove the opening tag) — deterministic on both
+    engines. Pure codegen'd expression: runs inside the scan stage, no
+    UDF, no shuffle."""
     out = col
     for pat in HTML_STRIP_PATTERNS:
         out = F.regexp_replace(out, pat, " ")
+    out = F.regexp_replace(out, HTML_BLOCK_TAG, "\n")
+    out = F.regexp_replace(out, HTML_INLINE_TAG, " ")
     for ent, rep in HTML_ENTITIES:
         # literal (non-regex) replace on both engines
         out = F.replace(out, F.lit(ent), F.lit(rep))
-    return F.trim(F.regexp_replace(out, r"[ \t\n\r\f]+", " "))
+    out = F.regexp_replace(out, _WS_NEWLINE_RUN, "\n")
+    out = F.regexp_replace(out, _WS_SPACE_RUN, " ")
+    return F.regexp_replace(out, _WS_EDGE, "")
 
 
 def html_to_text_sql(expr: str) -> str:
@@ -682,7 +710,11 @@ def html_to_text_sql(expr: str) -> str:
     out = expr
     for pat in HTML_STRIP_PATTERNS:
         out = f"regexp_replace({out}, '{pat}', ' ', 'g')"
+    out = (f"regexp_replace({out}, '{HTML_BLOCK_TAG}', chr(10), 'g')")
+    out = f"regexp_replace({out}, '{HTML_INLINE_TAG}', ' ', 'g')"
     for ent, rep in HTML_ENTITIES:
         rep_sql = rep.replace("'", "''")
         out = f"replace({out}, '{ent}', '{rep_sql}')"
-    return f"trim(regexp_replace({out}, '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+    out = f"regexp_replace({out}, '{_WS_NEWLINE_RUN}', chr(10), 'g')"
+    out = f"regexp_replace({out}, '{_WS_SPACE_RUN}', ' ', 'g')"
+    return f"regexp_replace({out}, '{_WS_EDGE}', '', 'g')"

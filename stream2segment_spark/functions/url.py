@@ -57,15 +57,12 @@ TWO_LEVEL_SUFFIXES = (
 # contract). translate() maps codepoint-for-codepoint with no locale
 # rules on BOTH engines, lowers exactly A-Z, and passes every other
 # codepoint through untouched — so IDN hosts keep their characters
-# (folding them to spaces would merge distinct hosts).
-ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
-
-
-def ascii_lower(col: Column) -> Column:
-    """Lowercase ASCII A-Z only; 1:1 on every codepoint (engine-portable,
-    unlike full-case-mapping lower())."""
-    return F.translate(col, ASCII_UPPER, ASCII_LOWER)
+# (folding them to spaces would merge distinct hosts). ONE fold rule
+# for the whole engine: this is operators/dedup.unicode_fold, re-used
+# (not re-defined) so the portability-critical mapping cannot drift.
+from stream2segment_spark.operators.dedup import (  # noqa: E402
+    ASCII_LOWERS as ASCII_LOWER, ASCII_UPPERS as ASCII_UPPER,
+    unicode_fold as ascii_lower)
 
 
 def url_scheme(url: Column) -> Column:

@@ -445,3 +445,24 @@ def test_html_extract_stage_recovers_plain_funnel(spark):
     raw_counts = {(r.doc_id, r.n_tokens) for r in
                   raw.select("doc_id", "n_tokens").collect()}
     assert raw_counts != want
+
+
+def test_html_extract_preserves_line_structure_for_c4(spark):
+    """html_extract composed with the line-based C4 rules: block tags
+    become newlines, so a multi-paragraph HTML page still has >= 3
+    prose lines after extraction and survives c4's min_lines — an
+    extractor that collapsed newlines dropped 100% of documents here."""
+    line = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running forward.")
+    html = "".join(f"<p>{line}</p>" for _ in range(4))
+    docs = spark.createDataFrame(
+        [(i, f"<html><body><!-- x -->{html}"
+             f"<script>var a = 1 < 2;</script></body></html>")
+         for i in range(30)],
+        "doc_id long, text string")
+    out, funnel = curate_corpus(
+        docs, languages=("en", "und"), min_quality=0.5,
+        token_band=(5, 100_000), c4_rules=True, html_extract=True)
+    f = funnel.collect()[0]
+    assert f["filtered"] > 0, dict(f.asDict())
+    assert out.count() > 0

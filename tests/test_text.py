@@ -272,16 +272,26 @@ def _py_html_to_text(html: str) -> str:
     """Pure-Python reference replay of the documented pass order."""
     import re
     from stream2segment_spark.functions.text import (
-        HTML_ENTITIES, HTML_STRIP_PATTERNS)
+        HTML_BLOCK_TAG, HTML_ENTITIES, HTML_INLINE_TAG,
+        HTML_STRIP_PATTERNS, _WS_EDGE, _WS_NEWLINE_RUN, _WS_SPACE_RUN)
     out = html
     for pat in HTML_STRIP_PATTERNS:
         out = re.sub(pat, " ", out)
+    out = re.sub(HTML_BLOCK_TAG, "\n", out)
+    out = re.sub(HTML_INLINE_TAG, " ", out)
     for ent, rep in HTML_ENTITIES:
         out = out.replace(ent, rep)
-    return re.sub(r"[ \t\n\r\f]+", " ", out).strip()
+    out = re.sub(_WS_NEWLINE_RUN, "\n", out)
+    out = re.sub(_WS_SPACE_RUN, " ", out)
+    return re.sub(_WS_EDGE, "", out)
 
 
 _HTML_CASES = [
+    # line structure: block tags -> newlines (C4/line-dedup contract)
+    '<p>one</p><p>two</p><div>three</div>',
+    'a<br>b<br/>c',
+    'inline <b>bold</b> and <i>italic</i> stay on one line',
+    '<ul><li>x</li><li>y</li></ul>',
     '<html><body><p>plain text</p></body></html>',
     '<p>Hi &amp; &lt;b&gt; bye</p><script>var a = 1 < 2;</script>',
     '<style type="text/css">p { color: red }</style>kept',
@@ -312,6 +322,15 @@ def test_html_to_text_three_engines(spark):
         "SELECT " + html_to_text_sql("$1"), [h]).fetchone()[0]
         for h in _HTML_CASES]
     assert got_duck == want
+
+
+def test_html_to_text_line_structure_pinned():
+    # block tags become newlines, inline tags become spaces: line-based
+    # downstream stages (C4 min_lines, line dedup) depend on this
+    assert _py_html_to_text('<p>one</p><p>two</p><p>three</p>') \
+        == "one\ntwo\nthree"
+    assert _py_html_to_text('x <b>y</b> z') == "x y z"
+    assert "\n" not in _py_html_to_text('a <span>b</span> c')
 
 
 def test_html_to_text_ordering_pinned():

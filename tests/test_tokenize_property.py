@@ -31,10 +31,36 @@ _EDGE = [
     "Ａ", "ｂ", "１", "K", "Å", "Ω", "😀", "𝐛", "é", "é",
     " ", " ", " ", "\r\n", "\t", "Ⅳ", "ⅳ", "Ⱥ", "ⱥ",
 ]
+# Arbitrary-unicode draws are bounded to codepoints ASSIGNED in every
+# engine's Unicode tables: JDK 17 (Spark regex) ships Unicode 13,
+# CPython 3.11 (the Arrow-stage twins) 14, DuckDB's utf8proc 15+ — a
+# codepoint added in a newer version (hypothesis found U+31350, CJK
+# Ext-H, new in 15.0) is a \p{L} token char on the newest engine and an
+# unassigned separator on the others. That skew is REAL and documented
+# on unicode_word_tokens; the tokenizer contract is over stable
+# scripts, so the property draws from blocks stable since Unicode 13.
+_STABLE_BLOCKS = (
+    (0x0020, 0x007E),    # ASCII
+    (0x00A0, 0x024F),    # Latin-1 + Extended-A/B
+    (0x0370, 0x03FF),    # Greek
+    (0x0400, 0x04FF),    # Cyrillic
+    (0x0590, 0x05F4),    # Hebrew
+    (0x0600, 0x06FF),    # Arabic
+    (0x0900, 0x097F),    # Devanagari
+    (0x0E00, 0x0E5B),    # Thai
+    (0x3040, 0x30FF),    # kana
+    (0x4E00, 0x9FEF),    # CJK unified (BMP, pre-13 extent)
+    (0xAC00, 0xD7A3),    # Hangul syllables
+    (0xFF00, 0xFFEF),    # full/half-width forms
+    (0x1D400, 0x1D7FF),  # math alphanumerics (astral)
+    (0x1F600, 0x1F64F),  # emoji (astral separators)
+)
+_stable_chars = st.one_of(*(
+    st.integers(lo, hi).map(chr) for lo, hi in _STABLE_BLOCKS))
 _texts = st.lists(
     st.one_of(st.sampled_from(_EDGE),
               st.text(alphabet="aA zZ09 .-", min_size=0, max_size=6),
-              st.text(min_size=0, max_size=4)),  # arbitrary unicode
+              st.text(alphabet=_stable_chars, min_size=0, max_size=4)),
     min_size=0, max_size=12).map("".join)
 
 _WORDS_TAIL = ("list_filter(string_split_regex(trim(regexp_replace(lower("

@@ -23,14 +23,17 @@ def load(path: str) -> tuple[dict[str, float], float | None]:
     with open(path) as fh:
         d = json.load(fh)
     qs = d.get("queries")
+    control = d.get("control")
     if not isinstance(qs, dict):          # driver truncated-tail fallback
         import re
-        qs = {k: float(v) for k, v in
-              re.findall(r'"(\w+)":\s*([0-9.]+)', d.get("tail", ""))
+        pairs = re.findall(r'"(\w+)":\s*([0-9.]+)', d.get("tail", ""))
+        qs = {k: float(v) for k, v in pairs
               if k not in ("n", "rc", "cpus", "sf", "value", "control")}
-    control = d.get("control")
+        if control is None:               # control sits in the tail too
+            ctl = [v for k, v in pairs if k == "control"]
+            control = ctl[0] if ctl else None
     return ({k: float(v) for k, v in qs.items()},
-            float(control) if control else None)
+            float(control) if control is not None else None)
 
 
 def main() -> int:
@@ -56,15 +59,18 @@ def main() -> int:
     # prefer it to the median inference (the median conflates genuine
     # broad code changes, e.g. a tokenizer-fold cost on 18 entries,
     # with host load; the control cannot).
-    if old_ctl and new_ctl:
+    if old_ctl is not None and new_ctl is not None and old_ctl > 0 \
+            and new_ctl > 0:
         norm_base = new_ctl / old_ctl
         print(f"control {old_ctl:.2f} -> {new_ctl:.2f} s "
               f"(host component {norm_base:.2f}; "
               f"median catalog ratio {med:.2f})")
     else:
         norm_base = med
-        print(f"no control in {'either' if not (old_ctl or new_ctl) else 'one'}"
-              " artifact; normalizing by median catalog ratio")
+        n_missing = sum(c is None for c in (old_ctl, new_ctl))
+        print(f"no usable control in "
+              f"{'either' if n_missing == 2 else 'one'} artifact; "
+              "normalizing by median catalog ratio")
     med = norm_base
     print(f"{len(common)} common entries; normalizing ratio {med:.2f} "
           f"(uniform-load component)  old-only={sorted(set(old)-set(new))} "

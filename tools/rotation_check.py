@@ -45,6 +45,7 @@ import json
 import re
 import subprocess
 import sys
+import textwrap
 import time
 import types
 from pathlib import Path
@@ -75,10 +76,6 @@ def _relpath(f: str | None) -> str | None:
         return str(p.relative_to(REPO))
     except ValueError:
         return None
-
-
-_LOCAL_IMPORT_RX = re.compile(
-    rf"from ({PKG}[.\w]*) import ([\w, ]+)|import ({PKG}[.\w]*)")
 
 
 def _module_file(dotted: str) -> str | None:
@@ -120,24 +117,32 @@ def entry_files(fn) -> set[str]:
         if mf:
             files.add(mf)
     try:
-        src = inspect.getsource(fn)
+        src = textwrap.dedent(inspect.getsource(fn))
     except OSError:
         src = ""
-    for m in _LOCAL_IMPORT_RX.finditer(src):
-        base, names, plain = m.group(1), m.group(2), m.group(3)
-        if plain:
-            mf = _module_file(plain)
-            if mf:
-                files.add(mf)
-            continue
-        basef = _module_file(base)
-        if basef:
-            files.add(basef)
-        for n in (names or "").split(","):
-            n = n.strip().split(" as ")[0].strip()
-            sub = _module_file(f"{base}.{n}") if n else None
-            if sub:
-                files.add(sub)
+    # ast, not a regex: parenthesized multi-line imports
+    # (`from pkg.mod import (\n    a, b)`) defeated the previous regex,
+    # silently dropping dependencies from the attribution
+    try:
+        body = ast.parse(src)
+    except SyntaxError:
+        body = ast.Module(body=[], type_ignores=[])
+    for node in ast.walk(body):
+        if isinstance(node, ast.ImportFrom) and node.module \
+                and node.module.startswith(PKG):
+            basef = _module_file(node.module)
+            if basef:
+                files.add(basef)
+            for alias in node.names:
+                sub = _module_file(f"{node.module}.{alias.name}")
+                if sub:
+                    files.add(sub)
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.startswith(PKG):
+                    mf = _module_file(alias.name)
+                    if mf:
+                        files.add(mf)
     return {x for x in files if x == defining or x != _REGISTRY_FILE}
 
 

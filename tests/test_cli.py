@@ -628,6 +628,39 @@ def test_lm_train_score_cli_lifecycle(tmp_path, capsys, spark):
     assert t1 == t2 and len(t1) > 0
 
 
+def test_lm_score_replays_model_tokenizer(tmp_path, capsys, spark):
+    """lm-score must score with the tokenizer recorded in the model's
+    meta.json, not the CLI default: a unicode-trained model scored with
+    the ascii tokenizer sees every CJK token as OOV (silent mis-score).
+    Pinned by scoring a CJK corpus against a unicode-trained model and
+    matching the direct unicode-mode scoring."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from stream2segment_spark.functions.lm import lm_transition_scores
+    corpus = tmp_path / "cjk.parquet"
+    texts = ["東京 大阪 東京 京都", "東京 大阪 名古屋", "大阪 東京 大阪"]
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string").write.parquet(str(corpus))
+    model_dir = tmp_path / "lm_uni"
+    rc = cli.main(["lm-train", "-i", str(corpus), "-o", str(model_dir),
+                   "--tokenizer", "unicode"])
+    assert rc == 0
+    out = tmp_path / "scored"
+    rc = cli.main(["lm-score", "-i", str(corpus), "-m", str(model_dir),
+                   "-o", str(out)])
+    assert rc == 0
+    got = {r["doc_id"]: (r["n_trans"], r["lm_score"])
+           for r in spark.read.parquet(str(out)).collect()}
+    docs = spark.read.parquet(str(corpus))
+    want = {r["doc_id"]: (r["n_trans"], r["lm_score"])
+            for r in lm_transition_scores(
+                docs, "doc_id", "text", tokenizer="unicode").collect()}
+    assert got == want
+    # the ascii default would see ZERO transitions on pure-CJK text —
+    # proves the recorded mode is load-bearing, not a pass-through
+    assert any(n > 0 for n, _ in got.values())
+
+
 def test_bpe_apply_cli_roundtrip(tmp_path, capsys, spark):
     """train -> apply lifecycle: the applied segmentation concatenates
     back to the tokenized text, and errors are argued, not raised."""

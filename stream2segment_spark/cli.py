@@ -609,7 +609,9 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
                domain_col: str = "source",
                tokenizer: str = "ascii",
                langid_mode: str = "heuristic",
-               html_extract: bool = False) -> int:
+               html_extract: bool = False,
+               classifier: str | None = None,
+               min_classifier_score: float = 0.5) -> int:
     """'s2s curate': the corpus-curation funnel (beyond-reference,
     examples/corpus_pipeline.curate_corpus) as a CLI: documents parquet
     in -> curated parquet + one funnel JSON line on stdout."""
@@ -627,6 +629,21 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
               file=sys.stderr)
         return 2
     persists: list = []
+    clf_kwargs: dict = {}
+    if classifier is not None:
+        from stream2segment_spark.operators.classifier import (
+            load_classifier)
+        try:
+            model = load_classifier(classifier)
+        except (OSError, ValueError) as exc:
+            print(f"error: cannot load classifier {classifier!r}: "
+                  f"{exc}", file=sys.stderr)
+            return 2
+        clf_kwargs = {
+            "classifier_weights": model["weights"],
+            "min_classifier_score": min_classifier_score,
+            "classifier_tokenizer": model.get("meta", {}).get("tokenizer"),
+        }
     curated, funnel = curate_corpus(
         docs,
         languages=tuple(s for s in languages.split(",") if s),
@@ -645,7 +662,8 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
         mix_strata_col=mix_col, mix_alpha=mix_alpha,
         pack_budget=pack_budget, pack_shards=pack_shards,
         persists=persists, tokenizer=tokenizer,
-        langid_mode=langid_mode, html_extract=html_extract)
+        langid_mode=langid_mode, html_extract=html_extract,
+        **clf_kwargs)
     out = os.path.join(outdir, "curated.parquet")
     # One materialization: the write warms curated's cache, the funnel
     # counts then hit the persisted stage frames instead of re-running
@@ -841,17 +859,22 @@ def cmd_ingest_wet(spark, inpath: str, outfile: str,
 
 def cmd_classify(spark, infile: str, outfile: str, id_col: str,
                  label_col: str, vec_col: str | None, text_col: str | None,
-                 iters: int, lr: float) -> int:
+                 iters: int, lr: float,
+                 weights_out: str | None = None,
+                 tokenizer: str = "ascii") -> int:
     """'s2s classify': train operators/classifier.train_linear_classifier
     on a labeled parquet (vector features, or hash-n-gram embeddings of
     a text column) and write (id, label, score, pred) parquet plus one
-    JSON line with the training accuracy and final weights."""
+    JSON line with the training accuracy and final weights.
+    ``--weights-out`` persists the model (weights + quantization grid +
+    the feature recipe) for later inference: the curate funnel's
+    ``--classifier`` gate and score_with_weights consume it."""
     import json
 
     from pyspark.sql import functions as F
 
     from stream2segment_spark.operators.classifier import (
-        train_linear_classifier)
+        save_classifier, train_linear_classifier)
 
     if (vec_col is None) == (text_col is None):
         print("error: pass exactly one of --vec-col / --text-col",
@@ -864,13 +887,18 @@ def cmd_classify(spark, infile: str, outfile: str, id_col: str,
         print(f"error: {infile} lacks column(s) {sorted(missing)} "
               f"(has: {sorted(df.columns)})", file=sys.stderr)
         return 2
+    feat_meta: dict = {"features": "vector", "vec_col": vec_col}
     if text_col is not None:
         from stream2segment_spark.functions.embeddings import (
             hashed_ngram_embeddings)
         emb = hashed_ngram_embeddings(
-            df.select(id_col, text_col), text_col, id_col)
+            df.select(id_col, text_col), text_col, id_col,
+            tokenizer=tokenizer)
         df = df.select(id_col, label_col).join(emb, id_col)
         vec_col = "embedding"
+        # the recipe inference must replay to reproduce the features
+        feat_meta = {"features": "hashed_ngram", "dim": 64, "n": 3,
+                     "seed": "emb", "tokenizer": tokenizer}
     scored, weights = train_linear_classifier(
         df, id_col, vec_col, label_col, iters=iters, lr=lr)
     scored = scored.persist()
@@ -879,6 +907,8 @@ def cmd_classify(spark, infile: str, outfile: str, id_col: str,
         acc = scored.select(F.avg(
             (F.col("pred") == F.col(label_col)).cast("double"))
             .alias("a")).collect()[0]["a"]
+        if weights_out is not None:
+            save_classifier(weights, weights_out, meta=feat_meta)
         print(json.dumps({"rows": scored.count(),
                           "train_accuracy": round(acc, 4),
                           "weights": weights}))
@@ -1073,6 +1103,12 @@ def main(argv: list[str] | None = None) -> int:
                         "plain text (drop script/style/comments, strip "
                         "tags, decode entities) before every other "
                         "stage")
+    p.add_argument("--classifier", default=None,
+                   help="trained model JSON from 's2s classify "
+                        "--weights-out': hash-embed survivors with the "
+                        "model's recorded token mode and drop docs "
+                        "scoring below --min-classifier-score")
+    p.add_argument("--min-classifier-score", type=float, default=0.5)
     p = sub.add_parser(
         "search",
         help="keyword search over a corpus parquet: BM25-style "
@@ -1314,6 +1350,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lr", type=float, default=0.5,
                    help="learning rate (must be a multiple of 0.25 so "
                         "the update multiply is exact)")
+    p.add_argument("--weights-out", default=None,
+                   help="also save the trained model (weights + "
+                        "feature recipe) as JSON — 's2s curate "
+                        "--classifier' consumes it")
+    p.add_argument("--tokenizer", default="ascii",
+                   choices=("ascii", "unicode"),
+                   help="token mode for --text-col hash embeddings; "
+                        "recorded in the saved model")
     p = sub.add_parser(
         "bpe-apply",
         help="segment a corpus parquet with a trained BPE merge table "
@@ -1708,7 +1752,9 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_classify(spark, args.infile, args.outfile,
                                 args.id_col, args.label_col,
                                 args.vec_col, args.text_col,
-                                args.iters, args.lr)
+                                args.iters, args.lr,
+                                weights_out=args.weights_out,
+                                tokenizer=args.tokenizer)
         finally:
             if not preexisting:
                 spark.stop()
@@ -2004,7 +2050,9 @@ def main(argv: list[str] | None = None) -> int:
                               domain_col=args.domain_col,
                               tokenizer=args.tokenizer,
                               langid_mode=args.langid_mode,
-                              html_extract=args.html_extract)
+                              html_extract=args.html_extract,
+                              classifier=args.classifier,
+                              min_classifier_score=args.min_classifier_score)
         finally:
             if not preexisting:
                 spark.stop()

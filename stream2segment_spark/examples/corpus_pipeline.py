@@ -37,6 +37,11 @@ Optional stages (off by default, enabled by their parameters):
    spans — operators/dedup.duplicated_spans) exceeds the threshold;
 2d. decontamination — ``benchmark``: drop survivors whose 5-shingle
    contamination fraction vs the eval set exceeds ``max_contam_frac``;
+2f. classifier gate — ``classifier_weights``: hash-embed survivors and
+   score under TRAINED quantized weights (operators/classifier), drop
+   below ``min_classifier_score`` (the DCLM/FineWeb model-based gate);
+0a0. HTML extraction — ``html_extract``: functions/text.html_to_text
+   before everything else (raw-web ingest);
 5b. temperature mix — ``mix_strata_col``: rebalance kept counts to
    n^alpha per stratum (deterministic md5 thresholds);
 6. packing      — ``pack_budget``: greedy md5-sharded start-offset
@@ -88,6 +93,9 @@ def curate_corpus(
     tokenizer: str = "ascii",
     langid_mode: str = "heuristic",
     html_extract: bool = False,
+    classifier_weights: "list[int] | None" = None,
+    min_classifier_score: float = 0.5,
+    classifier_tokenizer: "str | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the 5-stage curation funnel; returns (curated, funnel) where
     ``curated`` has the annotation columns + ``split`` and ``funnel`` is
@@ -256,6 +264,32 @@ def curate_corpus(
         fluent = scores.filter(F.col("lm_score") >= min_lm_score) \
                        .select(id_col)
         filtered = filtered.join(fluent, id_col, "left_semi")
+
+    # -- 2f. optional model-based quality floor --------------------------
+    # the DCLM/FineWeb-style gate: hash-embed the survivors with the
+    # funnel's token mode, score under TRAINED quantized weights
+    # (operators/classifier.score_with_weights — train elsewhere, e.g.
+    # curated-vs-raw pseudo-labels via s2s classify --weights-out), drop
+    # below the floor. dim comes from the weight vector, so features
+    # always match the model. Map-only Arrow stage + one semi join.
+    if classifier_weights is not None:
+        from stream2segment_spark.functions.embeddings import (
+            hashed_ngram_embeddings)
+        from stream2segment_spark.operators.classifier import (
+            score_with_weights)
+        # features must be embedded with the MODEL's token mode, not
+        # necessarily the funnel's (a mode mismatch makes every gram
+        # hash to different buckets than training saw — the same
+        # silent-mis-score class the LM fixed in r7); None = funnel mode
+        emb = hashed_ngram_embeddings(
+            filtered.select(id_col, text_col), text_col, id_col,
+            dim=len(classifier_weights),
+            tokenizer=classifier_tokenizer or tokenizer)
+        good = (score_with_weights(emb, id_col, "embedding",
+                                   classifier_weights)
+                .filter(F.col("score") >= min_classifier_score)
+                .select(id_col))
+        filtered = filtered.join(good, id_col, "left_semi")
 
     # -- 2d. optional benchmark decontamination -------------------------
     # drop survivors whose distinct 5-shingle contamination fraction vs

@@ -127,6 +127,21 @@ def train_linear_classifier(
         weights = [
             int(w - _half_away(np.array([lr * (by_pos.get(p, 0) / n)]))[0])
             for p, w in enumerate(weights)]
+    scored = q.select(
+        id_col,
+        F.col("__y").cast("int").alias(label_col),
+        _score_udf(weights, scale, wscale)(F.col("__qx")).alias("score"),
+    ).withColumn("pred", (F.col("score") >= 0.5).cast("int"))
+    # release the training cache (persist-hygiene contract): the
+    # caller's action on `scored` re-quantizes once, a map-only scan
+    q.unpersist()
+    return scored, weights
+
+
+def _score_udf(weights: "list[int]", scale: int, wscale: int):
+    """Arrow-batched scoring under FIXED quantized weights: fast-sigmoid
+    of the normalized integer dot product (shared by the final training
+    scores and standalone inference — one scoring rule, no drift)."""
     w = np.asarray(weights, dtype=np.int64)
     denom = float(scale) * float(wscale)
 
@@ -137,12 +152,60 @@ def train_linear_classifier(
         x = np.stack([np.asarray(v, dtype=np.int64) for v in qx])
         return pd.Series(_fast_sigmoid((x @ w).astype(np.float64) / denom))
 
-    scored = q.select(
+    return _score
+
+
+def score_with_weights(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    weights: "list[int]",
+    scale: int = 1000,
+    wscale: int = 1000,
+) -> DataFrame:
+    """Pure INFERENCE under trained quantized weights: ``(id_col,
+    score, pred)`` for every row with a non-NULL feature vector —
+    train once (:func:`train_linear_classifier`), filter any number of
+    later corpora (the DCLM/FineWeb-style model-based quality gate).
+    ``scale``/``wscale`` must be the training values (persisted by
+    :func:`save_classifier`); scores on the training rows are
+    bit-identical to the ``scored`` frame training returned (same
+    quantization, same scoring UDF). Map-only Arrow stage: no shuffle,
+    no driver traffic beyond the dim-sized weight closure."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    q = (df.where(F.col(vec_col).isNotNull())
+         .select(F.col(id_col),
+                 quantize_vec(F.col(vec_col), scale).alias("__qx")))
+    return (q.select(
         id_col,
-        F.col("__y").cast("int").alias(label_col),
-        _score(F.col("__qx")).alias("score"),
-    ).withColumn("pred", (F.col("score") >= 0.5).cast("int"))
-    # release the training cache (persist-hygiene contract): the
-    # caller's action on `scored` re-quantizes once, a map-only scan
-    q.unpersist()
-    return scored, weights
+        _score_udf(list(weights), scale, wscale)(F.col("__qx"))
+        .alias("score"))
+        .withColumn("pred", (F.col("score") >= 0.5).cast("int")))
+
+
+def save_classifier(weights: "list[int]", path: str, *,
+                    scale: int = 1000, wscale: int = 1000,
+                    meta: "dict | None" = None) -> None:
+    """Persist trained weights + quantization grid (+ caller metadata,
+    e.g. the feature recipe: embedding dim/n-gram order/seed/tokenizer)
+    as one JSON file — like the LM model dirs, a plain format any
+    consumer can read."""
+    import json
+    payload = {"model": "linear-quantized", "weights": list(weights),
+               "scale": int(scale), "wscale": int(wscale),
+               "meta": dict(meta or {})}
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(payload, fh)
+
+
+def load_classifier(path: str) -> dict:
+    """Inverse of :func:`save_classifier`; raises ValueError on a
+    non-classifier file."""
+    import json
+    with open(path, encoding="utf-8") as fh:
+        d = json.load(fh)
+    if d.get("model") != "linear-quantized" or "weights" not in d:
+        raise ValueError(f"{path!r} is not a linear-quantized "
+                         f"classifier file (got: {list(d)})")
+    return d

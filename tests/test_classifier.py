@@ -117,3 +117,103 @@ def test_classify_cli_text_mode_and_validation(spark, tmp_path, capsys):
     # missing column diagnosed
     assert cli_main(["classify", "-i", src, "-o", out,
                      "--label-col", "nope", "--text-col", "text"]) == 2
+
+
+def test_score_with_weights_matches_training_scores(spark):
+    """Inference under the returned weights reproduces training's own
+    scored frame bit-for-bit (same quantization, same scoring UDF)."""
+    from stream2segment_spark.operators.classifier import (
+        score_with_weights, train_linear_classifier)
+    rng = __import__("random").Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], i % 2)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, v array<double>, y int")
+    scored, weights = train_linear_classifier(df, "id", "v", "y", iters=3)
+    want = {r.id: r.score for r in scored.collect()}
+    got = {r.id: r.score for r in
+           score_with_weights(df, "id", "v", weights).collect()}
+    assert got == want
+    # NULL vectors carry no score row; bad weights argued
+    df2 = spark.createDataFrame([(99, None, 0)],
+                                "id long, v array<double>, y int")
+    assert score_with_weights(df2, "id", "v", weights).count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="weights"):
+        score_with_weights(df, "id", "v", [])
+
+
+def test_save_load_classifier_roundtrip(tmp_path):
+    from stream2segment_spark.operators.classifier import (
+        load_classifier, save_classifier)
+    p = str(tmp_path / "clf.json")
+    save_classifier([3, -2, 0], p, scale=500, wscale=2000,
+                    meta={"features": "hashed_ngram", "dim": 3,
+                          "tokenizer": "unicode"})
+    d = load_classifier(p)
+    assert d["weights"] == [3, -2, 0]
+    assert (d["scale"], d["wscale"]) == (500, 2000)
+    assert d["meta"]["tokenizer"] == "unicode"
+    bad = str(tmp_path / "bad.json")
+    open(bad, "w").write('{"model": "other"}')
+    import pytest as _pt
+    with _pt.raises(ValueError, match="linear-quantized"):
+        load_classifier(bad)
+
+
+def test_funnel_classifier_gate_and_cli_lifecycle(spark, tmp_path, capsys):
+    """train (s2s classify --weights-out) -> gate (s2s curate
+    --classifier): junk-labeled docs drop, prose-labeled docs survive;
+    the funnel stage reproduces a direct score+filter."""
+    import json
+
+    from stream2segment_spark.cli import main as cli_main
+    from stream2segment_spark.examples.corpus_pipeline import curate_corpus
+
+    prose = ("the quick brown fox jumps over the lazy dog and it is "
+             "a fine day for running in the field ")
+    junk = "zz xx qq kk ww vv jj zz xx qq kk ww vv jj "
+    train_rows = [(i, (prose if i % 2 else junk) * 3, i % 2)
+                  for i in range(40)]
+    src = str(tmp_path / "train.parquet")
+    spark.createDataFrame(train_rows, "doc_id long, text string, y int") \
+        .write.parquet(src)
+    model = str(tmp_path / "clf.json")
+    rc = cli_main(["classify", "-i", src, "-o",
+                   str(tmp_path / "scored.parquet"),
+                   "--label-col", "y", "--text-col", "text",
+                   "--iters", "4", "--weights-out", model])
+    assert rc == 0
+    capsys.readouterr()
+
+    corpus_rows = [(i, (prose if i < 20 else junk) * 3, "s")
+                   for i in range(40)]
+    corpus = spark.createDataFrame(corpus_rows,
+                                   "doc_id long, text string, source string")
+    weights = json.load(open(model))["weights"]
+    out, funnel = curate_corpus(
+        corpus, languages=("en", "und"), min_quality=0.0,
+        token_band=(1, 100_000), max_top_token_frac=1.0,
+        classifier_weights=weights, min_classifier_score=0.5)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert kept and kept <= set(range(20))       # junk gated out
+    no_gate, _ = curate_corpus(
+        corpus, languages=("en", "und"), min_quality=0.0,
+        token_band=(1, 100_000), max_top_token_frac=1.0)
+    assert no_gate.count() > out.count()         # the gate is load-bearing
+
+    # CLI end-to-end with --classifier
+    corpus_pq = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(corpus_pq)
+    outdir = str(tmp_path / "curated")
+    rc = cli_main(["curate", "-i", corpus_pq, "-o", outdir,
+                   "--languages", "en,und", "--min-quality", "0",
+                   "--min-tokens", "1",
+                   "--classifier", model])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["filtered"] <= 20
+    # bad model path diagnosed, not raised
+    rc = cli_main(["curate", "-i", corpus_pq, "-o", outdir,
+                   "--classifier", str(tmp_path / "nope.json")])
+    assert rc == 2
+    assert "cannot load classifier" in capsys.readouterr().err

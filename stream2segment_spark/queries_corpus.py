@@ -966,6 +966,83 @@ def corpus_quality_classifier(spark, sf_dir):
                          F.round("score", 6).alias("score"), "pred")
 
 
+def _classifier_gate_oracle() -> str:
+    """GD unroll over the TRAIN slice (vec_id %% 3 != 0), then pure
+    inference on the HOLDOUT slice under the final weights — the
+    score_with_weights contract."""
+    s1 = _CLS_SIGMOID.format(z="z")
+    return f"""
+        WITH q AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(round(
+                   CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v
+             FROM embeddings),
+        l AS (SELECT vec_id, v,
+                CASE WHEN v[1] > 0 THEN 1 ELSE 0 END AS y FROM q
+              WHERE vec_id % 3 <> 0),
+        n AS (SELECT count(*) AS n FROM l),
+        dims AS (SELECT unnest(range(1,
+                 (SELECT max(len(v)) FROM l) + 1)) AS pos),
+        g1 AS (SELECT d.pos,
+                 sum(CAST(round((0.5 - y) * v[d.pos], 0) AS BIGINT)) AS s
+               FROM l, dims d GROUP BY d.pos),
+        w1p AS (SELECT pos, CAST(0 - round(
+                  0.5 * (CAST(s AS DOUBLE) / n.n), 0) AS BIGINT) AS wv
+                FROM g1, n),
+        w1 AS (SELECT list(wv ORDER BY pos) AS w FROM w1p),
+        r2 AS (SELECT vec_id, v, y,
+                 {_CLS_SIGMOID.format(
+                     z="(CAST(list_sum(list_transform(range(1, len(v) + 1), "
+                       "i -> w1.w[i] * v[i])) AS DOUBLE) / 1000000.0)")} - y
+                   AS r
+               FROM l, w1),
+        g2 AS (SELECT d.pos,
+                 sum(CAST(round(r * v[d.pos], 0) AS BIGINT)) AS s
+               FROM r2, dims d GROUP BY d.pos),
+        w2p AS (SELECT g2.pos, CAST(w1p.wv - round(
+                  0.5 * (CAST(g2.s AS DOUBLE) / n.n), 0) AS BIGINT) AS wv
+                FROM g2 JOIN w1p USING (pos), n),
+        w2 AS (SELECT list(wv ORDER BY pos) AS w FROM w2p),
+        z3 AS (SELECT q.vec_id,
+                 CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                     i -> w2.w[i] * q.v[i])) AS DOUBLE) / 1000000.0 AS z
+               FROM q, w2 WHERE q.vec_id % 3 = 0)
+        SELECT vec_id, round({s1}, 6) AS score,
+               CASE WHEN {s1} >= 0.5 THEN 1 ELSE 0 END AS pred
+        FROM z3"""
+
+
+@register(
+    "corpus_classifier_gate", _classifier_gate_oracle(),
+    # r7: new entry for the score_with_weights inference path; window
+    # full — deferred (mirror-verified; r8 rotation candidate)
+    gate=False,
+)
+def corpus_classifier_gate(spark, sf_dir):
+    """Train-once / score-elsewhere (operators/classifier
+    .score_with_weights — the model-based corpus gate the funnel's
+    classifier stage applies): two GD iterations on the vec_id %% 3 != 0
+    slice, then PURE INFERENCE on the held-out third under the final
+    quantized weights. The oracle unrolls training over the train slice
+    only and replays the holdout scoring dot products — so the
+    inference path (quantize -> shared scoring UDF) is hash-verified
+    end-to-end, separately from training's own scored frame. Inference
+    is a map-only Arrow stage: no shuffle, weights ship in the task
+    closure."""
+    from stream2segment_spark.operators.classifier import (
+        score_with_weights, train_linear_classifier)
+    emb = load_table(spark, sf_dir, "embeddings")
+    lab = (emb.filter(F.col("vec_id") % 3 != 0)
+           .select("vec_id", "embedding",
+                   (F.round(F.element_at(F.col("embedding"), 1)
+                            .cast("double") * 1000, 0)
+                    .cast("long") > 0).cast("int").alias("y")))
+    _, weights = train_linear_classifier(lab, "vec_id", "embedding", "y",
+                                         iters=2)
+    hold = emb.filter(F.col("vec_id") % 3 == 0)
+    out = score_with_weights(hold, "vec_id", "embedding", weights)
+    return out.select("vec_id", F.round("score", 6).alias("score"),
+                      "pred")
+
 _DIFF_FP = "md5(coalesce(CAST(text AS VARCHAR), ''))"
 
 

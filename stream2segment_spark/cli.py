@@ -1227,6 +1227,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--key", required=True, help="column to profile")
     p.add_argument("--top", type=int, default=10)
     p = sub.add_parser(
+        "rank",
+        help="weighted PageRank over an edge parquet (fixed-point "
+             "integer arithmetic — deterministic across engines and "
+             "partitionings; operators/graph.pagerank_quantized); "
+             "writes id + rank_q + rank parquet (beyond-reference, "
+             "host/domain quality signal)")
+    p.add_argument("-i", "--infile", required=True,
+                   help="edge parquet (src, dst [, weight])")
+    p.add_argument("-o", "--outfile", required=True,
+                   help="output parquet path")
+    p.add_argument("--src", default="src")
+    p.add_argument("--dst", default="dst")
+    p.add_argument("--weight", default=None,
+                   help="edge-weight column (default: unweighted)")
+    p.add_argument("--iterations", type=int, default=10)
+    p = sub.add_parser(
         "layout",
         help="rewrite a parquet table range-clustered by a key (sorted "
              "files with disjoint min/max footer stats, so range "
@@ -1608,6 +1624,45 @@ def main(argv: list[str] | None = None) -> int:
             print(_json.dumps({s: int(counts.get(s, 0)) for s in
                                ("added", "removed", "changed",
                                 "unchanged")}))
+            return 0
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "rank":  # no config file: all-flags command
+        import json as _json
+
+        from pyspark.sql import functions as _F
+
+        from stream2segment_spark.operators.graph import pagerank_quantized
+        from stream2segment_spark.session import get_spark
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-rank")
+        try:
+            df = spark.read.parquet(args.infile)
+            need = [c for c in (args.src, args.dst, args.weight)
+                    if c is not None]
+            missing = [c for c in need if c not in df.columns]
+            if missing:
+                print(f"error: {args.infile} lacks column(s) {missing} "
+                      f"(has: {sorted(df.columns)})", file=sys.stderr)
+                return 2
+            try:
+                ranks = pagerank_quantized(
+                    df, src=args.src, dst=args.dst, weight=args.weight,
+                    iterations=args.iterations)
+            except ValueError as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
+            out = ranks.withColumn(
+                "rank", _F.round(_F.col("rank_q") / _F.lit(1e9), 9))
+            out.write.mode("overwrite").parquet(args.outfile)
+            back = spark.read.parquet(args.outfile)
+            n, top = back.count(), back.orderBy(
+                _F.col("rank_q").desc(), "id").limit(3).collect()
+            print(_json.dumps({
+                "nodes": n, "iterations": args.iterations,
+                "top": [{"id": str(r["id"]), "rank": r["rank"]}
+                        for r in top]}))
             return 0
         finally:
             if not preexisting:

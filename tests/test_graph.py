@@ -137,3 +137,30 @@ def test_pagerank_validation(spark):
         pagerank_quantized(df, damping_num=100, damping_den=100)
     with pytest.raises(ValueError, match="scale"):
         pagerank_quantized(df, scale=0)
+
+
+def test_rank_cli_end_to_end(spark, tmp_path, capsys):
+    import json
+
+    from stream2segment_spark.cli import main as cli_main
+    edges = spark.createDataFrame(
+        [(0, 2, 1), (1, 2, 1), (2, 0, 1)], "src long, dst long, w long")
+    src = str(tmp_path / "edges.parquet")
+    edges.write.parquet(src)
+    out = str(tmp_path / "ranks.parquet")
+    rc = cli_main(["rank", "-i", src, "-o", out, "--weight", "w",
+                   "--iterations", "3"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["nodes"] == 3 and stats["top"][0]["id"] == "2"
+    got = {r.id: r.rank_q for r in spark.read.parquet(out).collect()}
+    want = _pagerank_fixed_point([(0, 2, 1), (1, 2, 1), (2, 0, 1)],
+                                 iterations=3)
+    assert got == want
+    # missing column diagnosed; bad iterations argued
+    assert cli_main(["rank", "-i", src, "-o", out,
+                     "--src", "nope"]) == 2
+    assert "lacks column" in capsys.readouterr().err
+    assert cli_main(["rank", "-i", src, "-o", out,
+                     "--iterations", "0"]) == 2
+    assert "iterations" in capsys.readouterr().err

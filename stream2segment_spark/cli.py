@@ -639,10 +639,27 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
             print(f"error: cannot load classifier {classifier!r}: "
                   f"{exc}", file=sys.stderr)
             return 2
+        meta = model.get("meta", {})
+        # the funnel gate hash-embeds TEXT: a model trained on vector
+        # features (or a non-default hashing recipe the funnel would
+        # not replay) must be rejected, not silently mis-scored
+        feats = meta.get("features", "hashed_ngram")
+        recipe = {"dim": meta.get("dim", len(model["weights"])),
+                  "n": meta.get("n", 3), "seed": meta.get("seed", "emb")}
+        want = {"dim": len(model["weights"]), "n": 3, "seed": "emb"}
+        if feats != "hashed_ngram" or recipe != want:
+            print(f"error: classifier {classifier!r} was trained on "
+                  f"features the curate gate cannot reproduce "
+                  f"(features={feats!r}, recipe={recipe}; the gate "
+                  f"hash-embeds text with {want}) — train with "
+                  f"'s2s classify --text-col'", file=sys.stderr)
+            return 2
         clf_kwargs = {
             "classifier_weights": model["weights"],
             "min_classifier_score": min_classifier_score,
-            "classifier_tokenizer": model.get("meta", {}).get("tokenizer"),
+            "classifier_tokenizer": meta.get("tokenizer"),
+            "classifier_scale": model.get("scale", 1000),
+            "classifier_wscale": model.get("wscale", 1000),
         }
     curated, funnel = curate_corpus(
         docs,
@@ -887,18 +904,27 @@ def cmd_classify(spark, infile: str, outfile: str, id_col: str,
         print(f"error: {infile} lacks column(s) {sorted(missing)} "
               f"(has: {sorted(df.columns)})", file=sys.stderr)
         return 2
+    if weights_out is not None:
+        out_dir = os.path.dirname(weights_out) or "."
+        if not os.path.isdir(out_dir):
+            print(f"error: --weights-out directory {out_dir!r} does "
+                  f"not exist", file=sys.stderr)
+            return 2
     feat_meta: dict = {"features": "vector", "vec_col": vec_col}
     if text_col is not None:
         from stream2segment_spark.functions.embeddings import (
             hashed_ngram_embeddings)
+        # the recipe inference must replay to reproduce the features —
+        # ONE set of values feeds both the embedding call and the
+        # persisted meta (no hand-synced literals)
+        recipe = {"dim": 64, "n": 3, "seed": "emb"}
         emb = hashed_ngram_embeddings(
             df.select(id_col, text_col), text_col, id_col,
-            tokenizer=tokenizer)
+            tokenizer=tokenizer, **recipe)
         df = df.select(id_col, label_col).join(emb, id_col)
         vec_col = "embedding"
-        # the recipe inference must replay to reproduce the features
-        feat_meta = {"features": "hashed_ngram", "dim": 64, "n": 3,
-                     "seed": "emb", "tokenizer": tokenizer}
+        feat_meta = {"features": "hashed_ngram", **recipe,
+                     "tokenizer": tokenizer}
     scored, weights = train_linear_classifier(
         df, id_col, vec_col, label_col, iters=iters, lr=lr)
     scored = scored.persist()
@@ -907,11 +933,18 @@ def cmd_classify(spark, infile: str, outfile: str, id_col: str,
         acc = scored.select(F.avg(
             (F.col("pred") == F.col(label_col)).cast("double"))
             .alias("a")).collect()[0]["a"]
-        if weights_out is not None:
-            save_classifier(weights, weights_out, meta=feat_meta)
         print(json.dumps({"rows": scored.count(),
                           "train_accuracy": round(acc, 4),
                           "weights": weights}))
+        if weights_out is not None:
+            try:
+                save_classifier(weights, weights_out, meta=feat_meta)
+            except OSError as exc:
+                # stats (incl. weights) already printed — the training
+                # run is not lost; argue the save failure
+                print(f"error: cannot save weights to "
+                      f"{weights_out!r}: {exc}", file=sys.stderr)
+                return 2
     finally:
         scored.unpersist()
     return 0

@@ -96,6 +96,8 @@ def curate_corpus(
     classifier_weights: "list[int] | None" = None,
     min_classifier_score: float = 0.5,
     classifier_tokenizer: "str | None" = None,
+    classifier_scale: int = 1000,
+    classifier_wscale: int = 1000,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the 5-stage curation funnel; returns (curated, funnel) where
     ``curated`` has the annotation columns + ``split`` and ``funnel`` is
@@ -286,7 +288,9 @@ def curate_corpus(
             dim=len(classifier_weights),
             tokenizer=classifier_tokenizer or tokenizer)
         good = (score_with_weights(emb, id_col, "embedding",
-                                   classifier_weights)
+                                   classifier_weights,
+                                   scale=classifier_scale,
+                                   wscale=classifier_wscale)
                 .filter(F.col("score") >= min_classifier_score)
                 .select(id_col))
         filtered = filtered.join(good, id_col, "left_semi")

@@ -205,6 +205,9 @@ def load_classifier(path: str) -> dict:
     import json
     with open(path, encoding="utf-8") as fh:
         d = json.load(fh)
+    if not isinstance(d, dict):
+        raise ValueError(f"{path!r} is not a classifier file "
+                         f"(JSON {type(d).__name__}, expected object)")
     if d.get("model") != "linear-quantized" or "weights" not in d:
         raise ValueError(f"{path!r} is not a linear-quantized "
                          f"classifier file (got: {list(d)})")

@@ -217,3 +217,82 @@ def test_funnel_classifier_gate_and_cli_lifecycle(spark, tmp_path, capsys):
                    "--classifier", str(tmp_path / "nope.json")])
     assert rc == 2
     assert "cannot load classifier" in capsys.readouterr().err
+
+
+def test_curate_classifier_grid_and_recipe_guards(spark, tmp_path, capsys):
+    """The curate gate must replay the model's quantization grid and
+    reject models whose feature recipe it cannot reproduce."""
+    import json
+
+    from stream2segment_spark.cli import main as cli_main
+    from stream2segment_spark.operators.classifier import save_classifier
+
+    corpus = str(tmp_path / "c.parquet")
+    words = ("alpha", "beta", "gamma", "delta", "epsilon",
+             "zeta", "eta", "theta", "iota", "kappa")
+    spark.createDataFrame(
+        [(i, f"the quick brown {words[i]} fox jumps over the lazy dog",
+          "s") for i in range(10)],
+        "doc_id long, text string, source string").write.parquet(corpus)
+    outdir = str(tmp_path / "out")
+
+    # vector-trained model: rejected with a diagnostic, not mis-scored
+    vec_model = str(tmp_path / "vec.json")
+    save_classifier([1, 2, 3], vec_model,
+                    meta={"features": "vector", "vec_col": "v"})
+    rc = cli_main(["curate", "-i", corpus, "-o", outdir,
+                   "--classifier", vec_model])
+    assert rc == 2
+    assert "cannot reproduce" in capsys.readouterr().err
+
+    # non-default hashing recipe: rejected too
+    odd = str(tmp_path / "odd.json")
+    save_classifier([1] * 64, odd,
+                    meta={"features": "hashed_ngram", "dim": 64,
+                          "n": 4, "seed": "emb"})
+    rc = cli_main(["curate", "-i", corpus, "-o", outdir,
+                   "--classifier", odd])
+    assert rc == 2
+    assert "cannot reproduce" in capsys.readouterr().err
+
+    # non-dict JSON: diagnosed (ValueError path), no traceback
+    lst = str(tmp_path / "list.json")
+    open(lst, "w").write("[1, 2]")
+    rc = cli_main(["curate", "-i", corpus, "-o", outdir,
+                   "--classifier", lst])
+    assert rc == 2
+    assert "cannot load classifier" in capsys.readouterr().err
+
+    # non-default grid IS threaded: direct funnel call with the grid
+    # recorded by the model must reproduce score_with_weights' floor
+    from stream2segment_spark.examples.corpus_pipeline import curate_corpus
+    from stream2segment_spark.functions.embeddings import (
+        hashed_ngram_embeddings)
+    from stream2segment_spark.operators.classifier import (
+        score_with_weights)
+    docs = spark.read.parquet(corpus)
+    weights = [7] * 64
+    emb = hashed_ngram_embeddings(docs.select("doc_id", "text"),
+                                  "text", "doc_id", dim=64)
+    direct = score_with_weights(emb, "doc_id", "embedding", weights,
+                                scale=100, wscale=100)
+    lo, hi = direct.agg(F.min("score"), F.max("score")).collect()[0]
+    out_hi, _ = curate_corpus(
+        docs, languages=("en", "und"), min_quality=0.0,
+        token_band=(1, 100_000), max_top_token_frac=1.0,
+        classifier_weights=weights, min_classifier_score=hi + 1e-9,
+        classifier_scale=100, classifier_wscale=100)
+    out_lo, _ = curate_corpus(
+        docs, languages=("en", "und"), min_quality=0.0,
+        token_band=(1, 100_000), max_top_token_frac=1.0,
+        classifier_weights=weights, min_classifier_score=lo,
+        classifier_scale=100, classifier_wscale=100)
+    assert out_hi.count() == 0 and out_lo.count() == 10
+
+    # --weights-out into a missing directory: argued up front
+    rc = cli_main(["classify", "-i", corpus, "-o",
+                   str(tmp_path / "s.parquet"), "--label-col", "doc_id",
+                   "--text-col", "text",
+                   "--weights-out", str(tmp_path / "no" / "m.json")])
+    assert rc == 2
+    assert "does not exist" in capsys.readouterr().err

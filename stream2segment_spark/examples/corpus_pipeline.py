@@ -98,12 +98,16 @@ def curate_corpus(
     classifier_tokenizer: "str | None" = None,
     classifier_scale: int = 1000,
     classifier_wscale: int = 1000,
+    audit: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the 5-stage curation funnel; returns (curated, funnel) where
     ``curated`` has the annotation columns + ``split`` and ``funnel`` is
     one row of per-stage survivor counts. Optional stages (module
     docstring) switch on via ``line_max_df`` / ``mix_strata_col`` /
-    ``pack_budget``.
+    ``pack_budget``. ``audit=True`` appends one ``after_<stage>`` count
+    column per ENABLED optional stage to the funnel row (which filter
+    dropped what — the first question when a funnel comes back empty);
+    opt-in because each audit count re-runs that stage's lineage.
 
     Intermediate frames shared by several downstream consumers are
     ``persist()``-ed; pass a list as ``persists`` to receive them so the
@@ -138,6 +142,16 @@ def curate_corpus(
         if c]
 
     input_docs = docs  # funnel's 'input' counts pre-cleaning rows
+    # audit=True: record each OPTIONAL stage's survivor frame so the
+    # funnel row gains one count column per enabled stage (which filter
+    # is doing the dropping — the first question when a funnel comes
+    # back empty). Counting re-runs that stage's lineage: an opt-in
+    # diagnostic cost, not the production default.
+    audit_counts: "list[tuple[str, DataFrame]]" = []
+
+    def _audit(name: str, frame: DataFrame) -> None:
+        if audit:
+            audit_counts.append((name, frame))
 
     # -- 0a0. optional HTML -> text extraction (raw-web ingest) ---------
     # FIRST of all: every downstream signal (tokens, prose rules,
@@ -159,6 +173,7 @@ def curate_corpus(
                          .select(id_col,
                                  F.col("cleaned_text").alias(text_col)),
                       id_col))
+        _audit("c4", docs)
 
     # -- 0a2. optional Gopher doc-quality rules (Rae et al. 2021 A1.1) --
     # document-level drop only (no text rewriting): word-count band,
@@ -168,6 +183,7 @@ def curate_corpus(
         gsig = TX.gopher_quality_signals(docs, id_col, text_col)
         docs = docs.join(gsig.filter(F.col("gopher_keep"))
                          .select(id_col), id_col, "left_semi")
+        _audit("gopher", docs)
 
     # -- 0a3. optional Gopher repetition caps (Rae et al. table A1) -----
     # the paper's thresholds: top-{2,3,4}-gram char fraction <=
@@ -189,6 +205,7 @@ def curate_corpus(
             cond = c if cond is None else (cond & c)
         docs = docs.join(rep.filter(cond).select(id_col),
                          id_col, "left_semi")
+        _audit("gopher_rep", docs)
 
     # -- 0. optional line-level boilerplate removal ---------------------
     if line_max_df is not None:
@@ -200,6 +217,7 @@ def curate_corpus(
         docs = (docs.select(id_col, *strata_keep)
                 .join(cleaned.select(id_col, F.col("cleaned_text")
                                      .alias(text_col)), id_col))
+        _audit("line_dedup", docs)
 
     # -- 0b. optional exact substring REMOVAL (Lee et al. ExactSubstr):
     # cut every cross-document duplicated run of >= cut_dup_substrings
@@ -253,6 +271,7 @@ def curate_corpus(
         keep = spans.filter(F.col("dup_frac") <= max_dup_frac) \
                     .select(id_col)
         filtered = filtered.join(keep, id_col, "left_semi")
+        _audit("dup_frac", filtered)
 
     # -- 2c. optional LM fluency floor (functions/lm.py) ----------------
     # the bigram model trains on the ALREADY language/quality-filtered
@@ -266,6 +285,7 @@ def curate_corpus(
         fluent = scores.filter(F.col("lm_score") >= min_lm_score) \
                        .select(id_col)
         filtered = filtered.join(fluent, id_col, "left_semi")
+        _audit("lm", filtered)
 
     # -- 2f. optional model-based quality floor --------------------------
     # the DCLM/FineWeb-style gate: hash-embed the survivors with the
@@ -294,6 +314,7 @@ def curate_corpus(
                 .filter(F.col("score") >= min_classifier_score)
                 .select(id_col))
         filtered = filtered.join(good, id_col, "left_semi")
+        _audit("classifier", filtered)
 
     # -- 2d. optional benchmark decontamination -------------------------
     # drop survivors whose distinct 5-shingle contamination fraction vs
@@ -306,6 +327,7 @@ def curate_corpus(
         clean = contam.filter(F.col("contam_frac") <= max_contam_frac) \
                       .select(id_col)
         filtered = filtered.join(clean, id_col, "left_semi")
+        _audit("decontam", filtered)
 
     # -- 2e. optional per-domain cap (anti-spam: no single domain may
     # dominate) — deterministic md5-order keep, folded into the funnel's
@@ -314,6 +336,7 @@ def curate_corpus(
         from stream2segment_spark.functions.sampling import cap_per_group
         filtered = cap_per_group(filtered, domain_col, domain_cap,
                                  id_col=id_col)
+        _audit("domain_cap", filtered)
 
     # -- 3. exact dedup (keep lowest id per fingerprint) ----------------
     exact = DD.exact_dedup(filtered, ["fingerprint"], keep="first",
@@ -435,6 +458,7 @@ def curate_corpus(
     if mix_strata_col is not None:
         curated = temperature_sample(curated, id_col, mix_strata_col,
                                      alpha=mix_alpha)
+        _audit("mixed", curated)
 
     # -- 6. optional training-chunk packing -----------------------------
     if pack_budget is not None:
@@ -446,6 +470,11 @@ def curate_corpus(
               .crossJoin(filtered.select(F.count("*").alias("filtered")))
               .crossJoin(exact.select(F.count("*").alias("exact_dedup")))
               .crossJoin(deduped.select(F.count("*").alias("near_dedup"))))
+    # audit columns LAST (the four core counts keep their positions for
+    # existing consumers); names prefixed to never collide with core
+    for name, frame in audit_counts:
+        funnel = funnel.crossJoin(
+            frame.select(F.count("*").alias(f"after_{name}")))
     return curated, funnel
 
 

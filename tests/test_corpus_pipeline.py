@@ -466,3 +466,27 @@ def test_html_extract_preserves_line_structure_for_c4(spark):
     f = funnel.collect()[0]
     assert f["filtered"] > 0, dict(f.asDict())
     assert out.count() > 0
+
+
+def test_audit_mode_reports_per_stage_counts(spark):
+    """audit=True adds one after_<stage> column per ENABLED optional
+    stage, monotone along the pipeline order; audit=False keeps the
+    4-column funnel schema unchanged."""
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").limit(150)
+    _, plain = curate_corpus(docs, languages=("en", "und"),
+                             min_quality=0.5, token_band=(5, 100_000))
+    assert plain.columns == ["input", "filtered", "exact_dedup",
+                             "near_dedup"]
+    _, audited = curate_corpus(
+        docs, languages=("en", "und"), min_quality=0.5,
+        token_band=(5, 100_000), c4_rules=True, gopher_rules=True,
+        max_dup_frac=0.9, mix_strata_col="source", audit=True)
+    row = audited.collect()[0].asDict()
+    assert {"after_c4", "after_gopher", "after_dup_frac",
+            "after_mixed"} <= set(row)
+    # monotone: each stage only narrows
+    assert row["input"] >= row["after_c4"] >= row["after_gopher"]
+    assert row["filtered"] >= row["after_dup_frac"] >= row["exact_dedup"]
+    assert row["near_dedup"] >= row["after_mixed"]
+    # disabled stages contribute no column
+    assert "after_lm" not in row and "after_classifier" not in row

@@ -611,7 +611,8 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
                langid_mode: str = "heuristic",
                html_extract: bool = False,
                classifier: str | None = None,
-               min_classifier_score: float = 0.5) -> int:
+               min_classifier_score: float = 0.5,
+               audit: bool = False) -> int:
     """'s2s curate': the corpus-curation funnel (beyond-reference,
     examples/corpus_pipeline.curate_corpus) as a CLI: documents parquet
     in -> curated parquet + one funnel JSON line on stdout."""
@@ -680,7 +681,7 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
         pack_budget=pack_budget, pack_shards=pack_shards,
         persists=persists, tokenizer=tokenizer,
         langid_mode=langid_mode, html_extract=html_extract,
-        **clf_kwargs)
+        audit=audit, **clf_kwargs)
     out = os.path.join(outdir, "curated.parquet")
     # One materialization: the write warms curated's cache, the funnel
     # counts then hit the persisted stage frames instead of re-running
@@ -1142,6 +1143,10 @@ def main(argv: list[str] | None = None) -> int:
                         "model's recorded token mode and drop docs "
                         "scoring below --min-classifier-score")
     p.add_argument("--min-classifier-score", type=float, default=0.5)
+    p.add_argument("--audit", action="store_true",
+                   help="add an after_<stage> survivor count to the "
+                        "funnel JSON for every enabled optional stage "
+                        "(costs one extra pass per stage)")
     p = sub.add_parser(
         "search",
         help="keyword search over a corpus parquet: BM25-style "
@@ -2140,7 +2145,8 @@ def main(argv: list[str] | None = None) -> int:
                               langid_mode=args.langid_mode,
                               html_extract=args.html_extract,
                               classifier=args.classifier,
-                              min_classifier_score=args.min_classifier_score)
+                              min_classifier_score=args.min_classifier_score,
+                              audit=args.audit)
         finally:
             if not preexisting:
                 spark.stop()

@@ -34,6 +34,31 @@ def hash_bucket(id_col: Column, seed: str = "s2s") -> Column:
     return F.pmod(h, F.lit(BUCKETS))
 
 
+def weighted_sample(
+    df: "DataFrame",
+    id_col: str,
+    weight_col: str,
+    seed: str = "wsample",
+) -> "DataFrame":
+    """Deterministic per-row Bernoulli keep with probability =
+    ``weight_col`` (clamped to [0, 1]): keep iff ``hash_bucket(id) <
+    round(w * BUCKETS)`` — the FineWeb-Edu-style quality-PROPORTIONAL
+    sampler (keep rate rises with the score instead of a hard floor),
+    reproducible across runs/engines/partitionings like every md5-keyed
+    assignment here. NULL weights drop the row (no silent keep of
+    unscored docs). Scan-stage filter: no shuffle, composes with
+    pruning; the DuckDB twin is the documented hash_bucket expression
+    against ``round(w * 10000)``."""
+    b = hash_bucket(F.col(id_col), seed)
+    # explicit NULL guard FIRST: least/greatest IGNORE nulls on both
+    # engines, so a bare clamp would resolve a NULL weight to 1.0 and
+    # silently keep every unscored row — the opposite of the contract
+    w = F.greatest(F.lit(0.0),
+                   F.least(F.lit(1.0), F.col(weight_col).cast("double")))
+    return df.filter(F.col(weight_col).isNotNull()
+                     & (b < F.round(w * BUCKETS, 0)))
+
+
 def split_column(
     id_col: Column,
     fractions: dict[str, float] | None = None,

@@ -24,6 +24,7 @@ from stream2segment_spark.functions.sampling import (
     BUCKETS, temperature_rates, temperature_sample, token_budget_mix)
 from stream2segment_spark.functions.url import (
     ASCII_LOWER as U_ASCII_LO, ASCII_UPPER as U_ASCII_UP)
+from stream2segment_spark.functions import text as TXQ
 from stream2segment_spark.operators import dedup as DD
 from stream2segment_spark.queries_catalog import register
 from stream2segment_spark.queries_text import _WORDS_SQL
@@ -1042,6 +1043,65 @@ def corpus_classifier_gate(spark, sf_dir):
     out = score_with_weights(hold, "vec_id", "embedding", weights)
     return out.select("vec_id", F.round("score", 6).alias("score"),
                       "pred")
+
+@register(
+    "corpus_weighted_sample",
+    # r7: new entry; window full — deferred (mirror-verified; r8
+    # rotation candidate). Keep iff md5 bucket < quality * 10000: the
+    # quality grid is k/8 so every threshold is an exact integer — no
+    # rounding ties cross-engine.
+    f"""WITH t AS (
+          SELECT doc_id, text, {_WORDS_SQL} AS w,
+                 length(regexp_replace(text, '[^!-/:-@\\[-`{{{{-~]', '', 'g'))::DOUBLE
+                   / length(text) AS pr
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 length(text)::DOUBLE AS n,
+                 len(list_filter(w, x -> x IN
+                     ('the','and','of','to','is','in','that','it','a','for',
+                      'on','with','as')))::DOUBLE / len(w) AS sw,
+                 list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w)
+                   AS mwl,
+                 pr
+          FROM t),
+        q AS (SELECT doc_id,
+                 round((
+                   (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 ELSE 0.5 END) +
+                   (CASE WHEN sw >= 0.05 AND sw <= 0.6 THEN 1.0 ELSE 0.5 END) +
+                   (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.5 END) +
+                   (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.5 END)) / 4.0, 4)
+                   AS quality,
+                 CAST('0x' || substr(md5('wsample:' ||
+                      CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000
+                   AS bucket
+              FROM m)
+       SELECT doc_id, quality, bucket FROM q
+       WHERE bucket < round(greatest(0.0, least(1.0, quality)) * 10000, 0)""",
+    gate=False,
+)
+def corpus_weighted_sample(spark, sf_dir):
+    """Score-PROPORTIONAL sampling (functions/sampling.weighted_sample
+    — the FineWeb-Edu-style keep rule: keep probability = the quality
+    score itself, so better documents survive at higher rates instead
+    of a hard floor). Deterministic per-row Bernoulli via the md5
+    bucket, reproducible across runs/engines/partitionings; the oracle
+    replays the quality heuristic, the bucket and the threshold
+    comparison exactly. Pure scan-stage filter: no shuffle, no UDF.
+    Beyond-reference LLM-pipeline capability."""
+    from stream2segment_spark.functions.sampling import (
+        hash_bucket, weighted_sample)
+    from stream2segment_spark.operators.dedup import word_tokens
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "text", word_tokens(F.col("text")).alias("__toks"))
+    scored = staged.select(
+        "doc_id",
+        F.round(TXQ.quality_score(F.col("text"), toks=F.col("__toks")), 4)
+         .alias("quality"),
+        hash_bucket(F.col("doc_id"), "wsample").alias("bucket"))
+    return weighted_sample(scored, "doc_id", "quality", seed="wsample") \
+        .select("doc_id", "quality", "bucket")
 
 _DIFF_FP = "md5(coalesce(CAST(text AS VARCHAR), ''))"
 

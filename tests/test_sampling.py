@@ -279,3 +279,36 @@ def test_cap_per_group_salted_identical(spark):
     b = sorted((r["source"], r["doc_id"]) for r in pre.collect())
     assert a == b and len(a) > 0
     assert plain.columns == pre.columns
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    from pyspark.sql import functions as F
+
+    from stream2segment_spark.functions.sampling import (
+        BUCKETS, hash_bucket, weighted_sample)
+    rows = [(i, [0.0, 0.25, 0.5, 0.75, 1.0][i % 5]) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    kept = weighted_sample(df, "id", "w")
+    got = {r.id for r in kept.collect()}
+    # exact replay: keep iff bucket < round(w * BUCKETS)
+    bk = {r.id: r.b for r in
+          df.select("id", hash_bucket(F.col("id"), "wsample")
+                    .alias("b")).collect()}
+    want = {i for i, w in rows if bk[i] < round(w * BUCKETS)}
+    assert got == want
+    # w=0 keeps nothing, w=1 keeps everything
+    assert not any(i % 5 == 0 for i in got)
+    assert all(i in got for i in range(5000) if i % 5 == 4)
+    # keep rate tracks the weight (md5-uniform buckets)
+    for k, w in ((1, 0.25), (2, 0.5), (3, 0.75)):
+        rate = sum(1 for i in got if i % 5 == k) / 1000
+        assert abs(rate - w) < 0.06, (k, rate)
+    # NULL weights drop the row; clamping pins out-of-range weights
+    df2 = spark.createDataFrame(
+        [(1, None), (2, 7.5), (3, -2.0)], "id long, w double")
+    got2 = {r.id for r in weighted_sample(df2, "id", "w").collect()}
+    assert got2 == {2}
+    # deterministic across partitionings
+    got3 = {r.id for r in
+            weighted_sample(df.repartition(13), "id", "w").collect()}
+    assert got3 == got

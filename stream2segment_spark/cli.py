@@ -633,35 +633,25 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
     clf_kwargs: dict = {}
     if classifier is not None:
         from stream2segment_spark.operators.classifier import (
-            load_classifier)
+            classifier_gate_kwargs, load_classifier)
+        # load_classifier validates shape (weights a non-empty number
+        # list, positive scales); classifier_gate_kwargs validates the
+        # feature recipe and threads dim/n/seed/tokenizer/scales into
+        # the funnel — both raise ValueError -> the exit-2 diagnostic
+        # (the guard itself is library-level now, ADVICE r7)
         try:
             model = load_classifier(classifier)
         except (OSError, ValueError) as exc:
             print(f"error: cannot load classifier {classifier!r}: "
                   f"{exc}", file=sys.stderr)
             return 2
-        meta = model.get("meta", {})
-        # the funnel gate hash-embeds TEXT: a model trained on vector
-        # features (or a non-default hashing recipe the funnel would
-        # not replay) must be rejected, not silently mis-scored
-        feats = meta.get("features", "hashed_ngram")
-        recipe = {"dim": meta.get("dim", len(model["weights"])),
-                  "n": meta.get("n", 3), "seed": meta.get("seed", "emb")}
-        want = {"dim": len(model["weights"]), "n": 3, "seed": "emb"}
-        if feats != "hashed_ngram" or recipe != want:
-            print(f"error: classifier {classifier!r} was trained on "
-                  f"features the curate gate cannot reproduce "
-                  f"(features={feats!r}, recipe={recipe}; the gate "
-                  f"hash-embeds text with {want}) — train with "
-                  f"'s2s classify --text-col'", file=sys.stderr)
+        try:
+            clf_kwargs = classifier_gate_kwargs(
+                model, min_score=min_classifier_score)
+        except ValueError as exc:
+            print(f"error: classifier {classifier!r}: {exc}",
+                  file=sys.stderr)
             return 2
-        clf_kwargs = {
-            "classifier_weights": model["weights"],
-            "min_classifier_score": min_classifier_score,
-            "classifier_tokenizer": meta.get("tokenizer"),
-            "classifier_scale": model.get("scale", 1000),
-            "classifier_wscale": model.get("wscale", 1000),
-        }
     curated, funnel = curate_corpus(
         docs,
         languages=tuple(s for s in languages.split(",") if s),

@@ -96,6 +96,8 @@ def curate_corpus(
     classifier_weights: "list[int] | None" = None,
     min_classifier_score: float = 0.5,
     classifier_tokenizer: "str | None" = None,
+    classifier_ngram: int = 3,
+    classifier_seed: str = "emb",
     classifier_scale: int = 1000,
     classifier_wscale: int = 1000,
     audit: bool = False,
@@ -299,13 +301,18 @@ def curate_corpus(
             hashed_ngram_embeddings)
         from stream2segment_spark.operators.classifier import (
             score_with_weights)
-        # features must be embedded with the MODEL's token mode, not
-        # necessarily the funnel's (a mode mismatch makes every gram
-        # hash to different buckets than training saw — the same
-        # silent-mis-score class the LM fixed in r7); None = funnel mode
+        # features must be embedded with the MODEL's full recipe —
+        # token mode AND n-gram order AND hash seed, not necessarily
+        # the funnel's / the embedding defaults (any recipe mismatch
+        # makes grams hash to different buckets than training saw —
+        # the silent-mis-score class the LM fixed in r7; n/seed
+        # threading per ADVICE r7 — use operators/classifier.
+        # classifier_gate_kwargs to derive all of these from a saved
+        # model file with the recipe guard applied); None = funnel mode
         emb = hashed_ngram_embeddings(
             filtered.select(id_col, text_col), text_col, id_col,
             dim=len(classifier_weights),
+            n=classifier_ngram, seed=classifier_seed,
             tokenizer=classifier_tokenizer or tokenizer)
         good = (score_with_weights(emb, id_col, "embedding",
                                    classifier_weights,

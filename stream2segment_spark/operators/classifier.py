@@ -150,6 +150,11 @@ def _score_udf(weights: "list[int]", scale: int, wscale: int):
         if not len(qx):
             return pd.Series([], dtype="float64")
         x = np.stack([np.asarray(v, dtype=np.int64) for v in qx])
+        if x.shape[1] != w.shape[0]:
+            raise ValueError(
+                f"feature vectors have dim {x.shape[1]} but the model "
+                f"has {w.shape[0]} weights — embed with the model's "
+                f"recorded dim (see save_classifier meta)")
         return pd.Series(_fast_sigmoid((x @ w).astype(np.float64) / denom))
 
     return _score
@@ -211,4 +216,49 @@ def load_classifier(path: str) -> dict:
     if d.get("model") != "linear-quantized" or "weights" not in d:
         raise ValueError(f"{path!r} is not a linear-quantized "
                          f"classifier file (got: {list(d)})")
+    w = d["weights"]
+    if (not isinstance(w, list) or not w
+            or not all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                       for v in w)):
+        raise ValueError(
+            f"{path!r}: 'weights' must be a non-empty list of numbers "
+            f"(got {type(w).__name__}"
+            f"{f' of {len(w)}' if isinstance(w, list) else ''})")
+    for key in ("scale", "wscale"):
+        if key in d and (not isinstance(d[key], int) or d[key] <= 0):
+            raise ValueError(f"{path!r}: {key!r} must be a positive "
+                             f"integer, got {d[key]!r}")
     return d
+
+
+def classifier_gate_kwargs(model: dict, *,
+                           min_score: float = 0.5,
+                           fallback_tokenizer: "str | None" = None) -> dict:
+    """Translate a :func:`load_classifier` payload into the
+    ``curate_corpus`` classifier-gate kwargs, validating that the
+    funnel can REPRODUCE the model's feature recipe (the gate
+    hash-embeds text, so a model trained on other features — or an
+    unrecorded hashing recipe — must be rejected, not silently
+    mis-scored). Library-level so every caller gets the guard, not
+    just the CLI (ADVICE r7)."""
+    meta = model.get("meta", {}) or {}
+    feats = meta.get("features", "hashed_ngram")
+    if feats != "hashed_ngram":
+        raise ValueError(
+            f"trained on features the curate gate cannot reproduce "
+            f"(features={feats!r}; the gate hash-embeds text) — train "
+            f"with 's2s classify --text-col'")
+    dim = meta.get("dim", len(model["weights"]))
+    if dim != len(model["weights"]):
+        raise ValueError(
+            f"classifier meta records dim={dim} but the weight vector "
+            f"has {len(model['weights'])} entries — corrupt model file")
+    return {
+        "classifier_weights": model["weights"],
+        "min_classifier_score": min_score,
+        "classifier_tokenizer": meta.get("tokenizer", fallback_tokenizer),
+        "classifier_ngram": meta.get("n", 3),
+        "classifier_seed": meta.get("seed", "emb"),
+        "classifier_scale": model.get("scale", 1000),
+        "classifier_wscale": model.get("wscale", 1000),
+    }

@@ -185,6 +185,20 @@ def pagerank_quantized(
     w_col = (F.col(weight) if weight is not None else F.lit(1))
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"),
                      w_col.cast("long").alias("__w"))
+    if weight is not None:
+        # NULL / non-positive weights would silently corrupt the ranks
+        # (a zero/negative __outw makes Spark's integer `div` yield
+        # NULL -> the contribution is dropped, while the documented
+        # DuckDB CTE replay ERRORS on division by zero — a cross-engine
+        # divergence in the determinism contract; NULLs vanish inside
+        # sum()). One edge-table scan, host-graph-sized (ADVICE r7).
+        bad = e.where(F.col("__w").isNull() | (F.col("__w") <= 0)).limit(1)
+        if bad.count() > 0:
+            raise ValueError(
+                f"pagerank_quantized: edge weight column {weight!r} "
+                f"contains NULL or non-positive values — filter or "
+                f"re-weight edges first (weights must be positive "
+                f"integers)")
     n = (e.select(F.col("__src").alias(id_col))
          .union(e.select(F.col("__dst").alias(id_col))))
     if nodes is not None:

@@ -99,7 +99,7 @@ def _graph(dfs):
        WHERE event_type NOT IN ('error', 'signup') AND value IS NOT NULL
        UNION ALL
        SELECT 'orderby' AS op, event_id, event_type, value FROM ev
-       WHERE value > 190""",
+       WHERE value > 190""", gate=False,
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
 )
@@ -136,7 +136,7 @@ def selection_predicates(spark, sf_dir):
     # selection_predicates; the freed slot gates corpus_c4_filters.
     # r7 rotation: deferred again (driver-green r1-r3; same in-window
     # coverage argument) — frees the slot that gates text_html_extract.
-    gate=False,
+    
 )
 def selection_dotted_joins(spark, sf_dir):
     """P1/J1: dotted attributes auto-join the relationship path once;
@@ -162,7 +162,7 @@ def selection_dotted_joins(spark, sf_dir):
     # r7 rotation: deferred again (driver-green r1-r3 + judge mirror r6)
     # — never-green entries outrank stale-green refreshes; frees the slot
     # that gates langid_script.
-    gate=False,
+    
 )
 def selection_two_hop(spark, sf_dir):
     """J2-style 2-hop relationship (lineitem->orders->customer), mirroring
@@ -193,6 +193,7 @@ def selection_two_hop(spark, sf_dir):
        FROM lineitem
        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
        GROUP BY l_returnflag, l_linestatus""",
+    gate=False,
 )
 def agg_pricing_summary(spark, sf_dir):
     """A-class groupBy aggregation (TPC-H Q1 shape): partial aggregation
@@ -248,6 +249,7 @@ def agg_stats_pivot(spark, sf_dir):
                    WHEN value > 150 THEN 'high' ELSE 'ok' END AS bucket,
               count(*) AS n
        FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events GROUP BY event_type, bucket""",
+    gate=False,
 )
 def agg_gap_recode(spark, sf_dir):
     """A1/A3: conditional recode before grouping (the reference's
@@ -268,6 +270,7 @@ def agg_gap_recode(spark, sf_dir):
                 row_number() OVER (PARTITION BY user_id, event_type
                                    ORDER BY ts, event_id) AS rn
          FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events) WHERE rn = 1""",
+    gate=False,
 )
 def dedup_keep_first(spark, sf_dir):
     """A6/W1: keep-first-per-natural-key dedup (reference
@@ -286,6 +289,7 @@ def dedup_keep_first(spark, sf_dir):
     """SELECT user_id, event_type, n FROM (
          SELECT user_id, event_type, count(*) AS n
          FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events GROUP BY user_id, event_type) WHERE n > 1""",
+    gate=False,
 )
 def dedup_conflict_counts(spark, sf_dir):
     """A7/A8: suspicious-duplicate detection — groups with >1 member
@@ -346,6 +350,7 @@ def join_semi_prefilter(spark, sf_dir):
        LEFT JOIN (SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS rev
                   FROM lineitem GROUP BY l_orderkey) l
        ON o.o_orderkey = l.l_orderkey""",
+    gate=False,
 )
 def join_mergeupdate(spark, sf_dir):
     """J4: mergeupdate (io/db/pdsql.py:971-1085) — left merge where the
@@ -375,6 +380,7 @@ def join_mergeupdate(spark, sf_dir):
        JOIN nation n ON c.c_nationkey = n.n_nationkey
        JOIN region r ON n.n_regionkey = r.r_regionkey
        GROUP BY r.r_name, n.n_name""",
+    gate=False,
 )
 def join_multihop_rollup(spark, sf_dir):
     """J1/J2 + A9: star-join through 3 broadcast dims, then aggregate.
@@ -496,7 +502,7 @@ def join_download_diff(spark, sf_dir):
                AND (o.o_orderkey % 5 = 0
                     OR o.o_orderdate + INTERVAL 60 DAY
                        >= l.l_shipdate + INTERVAL 1 DAY)) AS valid
-       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""", gate=False,
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
 )
@@ -586,6 +592,7 @@ def setop_family(spark, sf_dir):
               concat_ws('.', l.l_returnflag, l.l_linestatus) AS flag_status
        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
        WHERE l.l_linenumber = 1""",
+    gate=False,
 )
 def scalar_datetime_math(spark, sf_dir):
     """F1-F4/F14: duration_sec (timestamp diff with sub-second precision),
@@ -624,7 +631,7 @@ def scalar_datetime_math(spark, sf_dir):
     # r7 rotation: deferred again (driver-green r1+r2; pure scalar path,
     # F7 stays hash-verified inside spatial_join_traveltime) — frees the
     # slot that gates corpus_search_unicode.
-    gate=False,
+    
 )
 def scalar_great_circle(spark, sf_dir):
     """F7 + F6: spherical great-circle distance (stationsearch.py:157-189)
@@ -645,7 +652,7 @@ def scalar_great_circle(spark, sf_dir):
     "scalar_event_exprs",
     # r6 gate rotation: deferred (driver-green r2+r3+r4+r5) to give
     # plot_downsample its first driver CORRECTNESS row.
-    gate=False,
+    
     oracle="""SELECT event_id,
               CASE WHEN value IS NOT NULL THEN
                 round(least(greatest(3.0 + (30.0 - 3.0) / (7.0 - 3.0)
@@ -710,7 +717,7 @@ def scalar_event_exprs(spark, sf_dir):
     # r7 rotation: deferred again (driver-green r1+r2; P6/F12 stays
     # exercised inside source_nslc_filters' checked path) — frees the
     # slot that gates corpus_pack_unicode.
-    gate=False,
+    
 )
 def scalar_wildcard_like(spark, sf_dir):
     """P6/F12: FDSN wildcard ('Brand?1*') -> SQL LIKE

@@ -65,8 +65,7 @@ _LINES_SQL = """
                HAVING count(DISTINCT doc_id) > 1),
        m AS (SELECT max(L) AS L FROM dup)
        SELECT d.L AS length, d.txt AS text, d.n_docs, d.n_occ
-       FROM dup d JOIN m ON d.L = m.L""",
-    gate=False,
+       FROM dup d JOIN m ON d.L = m.L"""
 )
 def corpus_longest_dup(spark, sf_dir):
     """EXACT longest duplicated token substring(s) across the corpus
@@ -95,7 +94,7 @@ def corpus_longest_dup(spark, sf_dir):
               md5(coalesce(array_to_string(list(l.ln ORDER BY l.pos)
                   FILTER (f.line_df <= 2), chr(10)), '')) AS kept_md5
        FROM l JOIN f USING (ln)
-       GROUP BY l.doc_id""",
+       GROUP BY l.doc_id""", gate=False,
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
 )
@@ -137,8 +136,7 @@ def corpus_line_dedup(spark, sf_dir):
               count(*) AS n_docs,
               CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
               min(doc_id) AS min_id, max(doc_id) AS max_id
-       FROM c GROUP BY shard, chunk_id""",
-    gate=False,
+       FROM c GROUP BY shard, chunk_id"""
 )
 def corpus_pack_chunks(spark, sf_dir):
     """Greedy sequence packing into fixed-token-budget training chunks
@@ -190,8 +188,7 @@ def corpus_pack_chunks(spark, sf_dir):
               coalesce(p.dup_tokens, 0) AS dup_tokens,
               round(coalesce(p.dup_tokens, 0)
                     / greatest(len(t.w), 1), 6) AS dup_frac
-       FROM t LEFT JOIN p USING (doc_id)""",
-    gate=False,
+       FROM t LEFT JOIN p USING (doc_id)"""
 )
 def corpus_substring_dup(spark, sf_dir):
     """Exact substring-duplication analysis (operators/dedup
@@ -246,8 +243,7 @@ def corpus_substring_dup(spark, sf_dir):
               CAST(len(t.w) - coalesce(agg.n_kept, 0) AS BIGINT)
                   AS n_removed,
               coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
-       FROM t LEFT JOIN agg USING (doc_id)""",
-    gate=False,
+       FROM t LEFT JOIN agg USING (doc_id)"""
 )
 def corpus_substring_cut(spark, sf_dir):
     """Exact substring REMOVAL (operators/dedup.cut_duplicated_spans,
@@ -278,8 +274,7 @@ def corpus_substring_cut(spark, sf_dir):
               CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_hapax,
               round(CAST(sum(f.df) AS DOUBLE) / count(*), 6) AS mean_df
-       FROM t JOIN f USING (tok) GROUP BY t.doc_id""",
-    gate=False,
+       FROM t JOIN f USING (tok) GROUP BY t.doc_id"""
 )
 def corpus_token_rarity(spark, sf_dir):
     """Token-rarity quality signal (functions/text.token_rarity): per
@@ -333,8 +328,7 @@ _EMB_COMPS = ", ".join(
              FROM acc GROUP BY doc_id),
        p AS (SELECT doc_id, {_EMB_PIVOT} FROM acc GROUP BY doc_id)
        SELECT t.doc_id, coalesce(n.nnz, 0) AS nnz, {_EMB_COMPS}
-       FROM t LEFT JOIN n USING (doc_id) LEFT JOIN p USING (doc_id)""",
-    gate=False,
+       FROM t LEFT JOIN n USING (doc_id) LEFT JOIN p USING (doc_id)"""
 )
 def text_hash_embedding(spark, sf_dir):
     """Feature-hashing text embeddings (functions/embeddings
@@ -419,7 +413,7 @@ _KM_ASSIGN_SQL = f"""q AS (SELECT vec_id,
        FROM asn""",
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
-    gate=False,
+    
 )
 def cluster_kmeans(spark, sf_dir):
     """Distributed Lloyd k-means over the embedding column
@@ -457,8 +451,7 @@ def cluster_kmeans(spark, sf_dir):
        SELECT vv.vec_id, CAST(vv.cid AS INTEGER) AS cluster_id,
               round(p.ms, 6) AS max_sim_prev,
               coalesce(p.ms >= 0.35, FALSE) AS is_dup
-       FROM vv LEFT JOIN p USING (vec_id)""",
-    gate=False,
+       FROM vv LEFT JOIN p USING (vec_id)"""
 )
 def sim_semantic_dedup(spark, sf_dir):
     """SemDeDup (operators/similarity.semantic_dedup; Abbas et al. 2023):
@@ -498,8 +491,7 @@ def sim_semantic_dedup(spark, sf_dir):
              GROUP BY d.source)
        SELECT r.source, r.n_total, round(r.rate, 6) AS rate,
               coalesce(k.n_kept, 0) AS n_kept
-       FROM r LEFT JOIN k USING (source)""",
-    gate=False,
+       FROM r LEFT JOIN k USING (source)"""
 )
 def corpus_temperature_mix(spark, sf_dir):
     """Temperature source-rebalancing (functions/sampling
@@ -579,8 +571,7 @@ def _bpe_round_sql(r: int) -> str:
        {_bpe_round_sql(4)}
        SELECT word, freq, CAST(len(syms) AS INTEGER) AS n_syms,
               array_to_string(syms, ' ') AS segmentation
-       FROM s4""",
-    gate=False,
+       FROM s4"""
 )
 def corpus_bpe(spark, sf_dir):
     """Distributed BPE tokenizer training (functions/bpe.bpe_train,
@@ -644,6 +635,7 @@ def corpus_bpe(spark, sf_dir):
               CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
               min(doc_id) AS min_id, max(doc_id) AS max_id
        FROM c GROUP BY shard, chunk_id""",
+    gate=False,
 )
 def corpus_pack_bpe(spark, sf_dir):
     """Chunk packing budgeted by TRAINED-TOKENIZER token counts, not
@@ -829,7 +821,7 @@ def corpus_bloom_ingest(spark, sf_dir):
                    AS mix_start
           FROM d)
         SELECT doc_id, source, n_tokens, mix_start
-        FROM w WHERE mix_start < 3000""",
+        FROM w WHERE mix_start < 3000""", gate=False,
     # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
 )
 def corpus_token_mix(spark, sf_dir):
@@ -867,7 +859,7 @@ def corpus_token_mix(spark, sf_dir):
                  AS chunk_text
         FROM e""",
     # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
-    gate=False,
+    
 )
 def corpus_chunking(spark, sf_dir):
     """Overlapping token-window chunking (functions/packing.
@@ -940,7 +932,7 @@ def _classifier_oracle() -> str:
     # freed for an entry whose module changed after its last gate row
     # (tools/rotation_check.py selection)
     # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
-    gate=False,
+    
 )
 def corpus_quality_classifier(spark, sf_dir):
     """Distributed linear quality classifier (operators/classifier.py —
@@ -1016,7 +1008,7 @@ def _classifier_gate_oracle() -> str:
     "corpus_classifier_gate", _classifier_gate_oracle(),
     # r7: new entry for the score_with_weights inference path; window
     # full — deferred (mirror-verified; r8 rotation candidate)
-    gate=False,
+    
 )
 def corpus_classifier_gate(spark, sf_dir):
     """Train-once / score-elsewhere (operators/classifier
@@ -1077,8 +1069,7 @@ def corpus_classifier_gate(spark, sf_dir):
                    AS bucket
               FROM m)
        SELECT doc_id, quality, bucket FROM q
-       WHERE bucket < round(greatest(0.0, least(1.0, quality)) * 10000, 0)""",
-    gate=False,
+       WHERE bucket < round(greatest(0.0, least(1.0, quality)) * 10000, 0)"""
 )
 def corpus_weighted_sample(spark, sf_dir):
     """Score-PROPORTIONAL sampling (functions/sampling.weighted_sample
@@ -1165,8 +1156,7 @@ def corpus_version_diff(spark, sf_dir):
               CAST(row_number() OVER (PARTITION BY shard_id
                                       ORDER BY h, doc_id) - 1
                    AS BIGINT) AS shard_pos
-       FROM a""",
-    gate=False,
+       FROM a"""
 )
 def corpus_shuffle_shards(spark, sf_dir):
     """Deterministic global training shuffle
@@ -1201,7 +1191,7 @@ def corpus_shuffle_shards(spark, sf_dir):
                FROM h)
        SELECT doc_id, source FROM r WHERE rn <= 25""",
     # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
-    gate=False,
+    
 )
 def corpus_domain_cap(spark, sf_dir):
     """Per-source document cap (functions/sampling.cap_per_group): at
@@ -1296,7 +1286,7 @@ SELECT doc_id, url, scheme, host,
 FROM dom"""
 
 
-@register("corpus_url_canonical", _URL_ORACLE, gate=False)
+@register("corpus_url_canonical", _URL_ORACLE)
 def corpus_url_canonical(spark, sf_dir):
     """URL parse + canonicalization + registrable domain
     (functions/url.py) over a deterministic synthetic URL corpus

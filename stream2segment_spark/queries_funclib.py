@@ -452,7 +452,7 @@ def funclib_spectra(spark, sf_dir):
               first_value(event_id) OVER (
                 PARTITION BY user_id
                 ORDER BY ts NULLS FIRST, event_id) AS first_event_id
-       FROM ev""",
+       FROM ev""", gate=False,
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
 )
@@ -487,7 +487,7 @@ def scalar_seed_id(spark, sf_dir):
                        THEN 'DOC:' || coalesce(text, '')
                        ELSE coalesce(text, '') END) AS payload_md5,
               doc_id % 7 != 0 AS has_data
-       FROM documents""",
+       FROM documents""", gate=False,
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
 )
@@ -598,7 +598,7 @@ def _sg_terms(n: int = 64, half: int = 2, order: int = 2) -> str:
               round(t.tsm, 6) AS tsmooth,
               round(sg.sg, 6) AS sgsmooth
        FROM s JOIN t ON s.vec_id = t.vec_id AND s.pos = t.pos
-              JOIN sg ON s.vec_id = sg.vec_id AND s.pos = sg.pos""",
+              JOIN sg ON s.vec_id = sg.vec_id AND s.pos = sg.pos""", gate=False,
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
 )
@@ -691,7 +691,7 @@ _PD_BUCKETS = 16
        UNION ALL
        SELECT 'cumulative' AS op, vec_id, pos, round(y, 6) AS y,
               64 AS n_raw, 0.5 AS dx, 'cumulative' AS label
-       FROM cum_rows""",
+       FROM cum_rows""", gate=False,
     # r6 gate rotation: first driver CORRECTNESS row (window slot freed
     # by scalar_event_exprs, driver-green r2+r3+r4+r5)
 )

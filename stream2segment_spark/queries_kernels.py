@@ -52,6 +52,7 @@ from stream2segment_spark.schema import load_table
               round(s.en, 6) AS energy,
               round(sqrt(s.en / 64), 6) AS rms
        FROM q JOIN s ON q.vec_id = s.vec_id""",
+    gate=False,
 )
 def kernel_metrics(spark, sf_dir):
     """N4 + N6 + energy/RMS in one embeddings-grain entry (the gate caps

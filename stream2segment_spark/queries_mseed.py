@@ -55,6 +55,7 @@ def _encode_udf():
               CAST(((24 + doc_id % 30) * (doc_id % 5 + 1)) % 1000 AS DOUBLE)
                 AS last_sample
        FROM documents""",
+    gate=False,
 )
 def mseed_decode(spark, sf_dir):
     """S7: encode a deterministic two-record blob per id (int32 / Steim1),
@@ -102,7 +103,7 @@ def _quality_blob_udf():
 @register(
     "stream_quality_windows",
     # driver-green r2+r3; deferred for the round-4 corpus_shuffle_shards
-    gate=False,
+    
     oracle="""SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
               AS window_start,
               CASE WHEN event_id % 5 = 4 THEN 'broken'

@@ -69,7 +69,7 @@ def _wav_blob(channels, sample_rate):
     # r7 rotation: deferred again (driver-green r1-r4, the most-verified
     # multimodal entry; the probe UDF plumbing stays exercised in-window
     # by multimodal_frames) — frees the slot that gates corpus_host_rank.
-    gate=False,
+    
 )
 def multimodal_probe(spark, sf_dir):
     """Media metadata probe: build PNG headers for even ids and WAV headers
@@ -95,7 +95,7 @@ def multimodal_probe(spark, sf_dir):
     "multimodal_frames",
     """SELECT doc_id, CAST(u.k AS INT) AS frame_idx, 64 AS frame_len
        FROM documents,
-            LATERAL (SELECT unnest(range(0, ((doc_id % 300) + 32) * 2 // 64, 2)) AS k) u""",
+            LATERAL (SELECT unnest(range(0, ((doc_id % 300) + 32) * 2 // 64, 2)) AS k) u""", gate=False,
     # r4 late rotation: driver-green r2+r3 (multimodal family stays gated
     # via probe/audio/resize/features) — frees the slot gating corpus_search.
 )

@@ -37,7 +37,7 @@ def _order_pyfunc(seg: SegmentView, config: dict):
     """SELECT o_orderkey AS segment_db_id,
               round(o_totalprice * 1.1, 4) AS total_with_tax,
               CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS priority_key
-       FROM orders WHERE o_orderstatus != 'F'""",
+       FROM orders WHERE o_orderstatus != 'F'""", gate=False,
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
 )
@@ -58,6 +58,7 @@ def process_pyfunc_engine(spark, sf_dir):
                count(*) AS n, round(sum(value), 2) AS total_value
         FROM {_TS_EVENTS}
         GROUP BY window_start, event_type""",
+    gate=False,
 )
 def stream_tumbling_stats(spark, sf_dir):
     """§2.10 extension: tumbling-window aggregation, run as a REAL

@@ -27,7 +27,7 @@ from stream2segment_spark.schema import load_table
          FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events)
        WHERE code IS NULL OR code = -1 OR code = -2 OR code = -204
           OR code = 204 OR (code BETWEEN 400 AND 499)
-          OR (code BETWEEN 500 AND 599)""",
+          OR (code BETWEEN 500 AND 599)""", gate=False,
     # r4 late rotation: driver-green r2+r3 (P11 stays gated through
     # join_download_diff's retry mask) — frees the slot gating corpus_bpe.
 )
@@ -77,6 +77,7 @@ def labels_count_join(spark, sf_dir):
               round(sum(o_totalprice), 2) AS total,
               count(DISTINCT o_custkey) AS n_users
        FROM orders GROUP BY o_orderpriority""",
+    gate=False,
 )
 def agg_download_summary(spark, sf_dir):
     """A9: per-run summary report (reference
@@ -130,6 +131,7 @@ def topk_pagination(spark, sf_dir):
          WHERE ts IS NOT NULL
          GROUP BY ROLLUP (event_type, date_trunc('day', CAST(ts AS TIMESTAMP)))
        ) WHERE day IS NOT NULL OR event_type IS NULL""",
+    gate=False,
 )
 def agg_rollup_time(spark, sf_dir):
     """Beyond-reference stats layer (SURVEY §2.4 note): hypertable-style
@@ -175,6 +177,7 @@ def agg_type_stats(spark, sf_dir):
     """SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority
        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
        WHERE l.l_quantity > 45""",
+    gate=False,
 )
 def join_salted_skew(spark, sf_dir):
     """Skew-handling salted join (operators/skew.py): the big side carries
@@ -222,6 +225,7 @@ def agg_cube(spark, sf_dir):
        FROM clicks c
        ASOF LEFT JOIN marks m
          ON c.user_id = m.user_id AND c.ts >= m.ts""",
+    gate=False,
 )
 def join_asof_backward(spark, sf_dir):
     """As-of join (absent from Spark's API; DuckDB's native ASOF JOIN is
@@ -302,7 +306,7 @@ def join_asof_forward(spark, sf_dir):
                    ELSE bt END AS ts_asof
        FROM b JOIN f USING (event_id)""",
     # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
-    gate=False,
+    
 )
 def join_asof_nearest(spark, sf_dir):
     """Nearest as-of join (pandas merge_asof direction='nearest', ties
@@ -337,6 +341,7 @@ def join_asof_nearest(spark, sf_dir):
        SELECT a.event_id, a.user_id, a.s, a.e, b.event_id_r, b.s_r, b.e_r
        FROM a JOIN b ON a.user_id = b.user_id
                     AND a.s < b.e_r AND b.s_r < a.e""",
+    gate=False,
 )
 def join_interval_overlap(spark, sf_dir):
     """Interval-overlap join (banded; operators/asof.py): click windows

@@ -46,6 +46,7 @@ _TOPK_ORACLE = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embed
     "sim_topk",
     # driver-green r2+r3; deferred for the round-4 table_profile
     oracle=_TOPK_ORACLE,
+    gate=False,
 )
 def sim_topk(spark, sf_dir):
     """Exact ANN baseline: mapInPandas matmul + per-partition local
@@ -68,6 +69,7 @@ def sim_topk(spark, sf_dir):
     # name (window slot freed by stream_sessionize, driver-green
     # r3+r4+r5)
     oracle=_TOPK_ORACLE,
+    gate=False,
 )
 def sim_topk_ivf(spark, sf_dir):
     """IVF scale path, separately timed from the brute-force baseline:
@@ -91,7 +93,7 @@ def sim_topk_ivf(spark, sf_dir):
        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
        FROM e a JOIN e b ON a.vec_id < b.vec_id
-       WHERE list_cosine_similarity(a.v, b.v) > 0.4""",
+       WHERE list_cosine_similarity(a.v, b.v) > 0.4""", gate=False,
     # r3 gate rotation: deferred (one of four similarity rows; exact
     # all-pairs stays mirror-green + pytest) — the freed slot gates
     # corpus_line_dedup.
@@ -142,7 +144,7 @@ def _lsh_oracle(num_planes: int = 12, seed: int = 7, threshold: float = 0.4) -> 
     # similarity entry; embedding-LSH semantics stay exercised alongside
     # in-window sim_topk/sim_topk_ivf/sim_pq_adc/sim_pairs_threshold) —
     # frees the slot that gates corpus_pack_bpe.
-    gate=False,
+    
 )
 def sim_lsh_neardup(spark, sf_dir):
     """Random-hyperplane LSH near-dup: bucket join (one shuffle on the
@@ -194,7 +196,7 @@ _PQ_M, _PQ_KSUB, _PQ_DSUB, _PQ_K = 8, 16, 8, 5
                                         ORDER BY d2, vec_id) AS rn
               FROM adc)
         SELECT query_id, vec_id, round(d2, 6) AS adc_dist
-        FROM r WHERE rn <= {_PQ_K}""",
+        FROM r WHERE rn <= {_PQ_K}""", gate=False,
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
 )
@@ -269,7 +271,7 @@ _PQ_REFINE = 4
                round(e2, 6) AS exact_d2
         FROM rr WHERE rn <= {_PQ_K}""",
     # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
-    gate=False,
+    
 )
 def sim_pq_refine(spark, sf_dir):
     """ADC + exact re-rank (IVFADC+R, Jegou et al. 2011 §V —

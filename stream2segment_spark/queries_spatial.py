@@ -60,7 +60,7 @@ FROM pairs WHERE dist <= radius
     "spatial_join_traveltime", _ORACLE,
     # r6 gate rotation: deferred (driver-green r2+r3+r4+r5) to give
     # source_routing its first driver CORRECTNESS row.
-    gate=False)
+    )
 def spatial_join_traveltime(spark, sf_dir):
     """J3+N13: latitude-banded theta join (no cross join: stations bucket
     into floor(lat/band) bands, events explode to the bands their radius

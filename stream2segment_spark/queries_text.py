@@ -300,6 +300,141 @@ def text_analysis_unicode(spark, sf_dir):
         F.size("__wa").alias("n_tokens_ascii"))
 
 
+# --- CJK codepoint-bigram tokenizer entries (r8, VERDICT r7 ask #2) --------
+# Space-free-script splices: one per CJK family (ja / zh / ko / th) plus
+# a mixed Latin+CJK row and the pure-ASCII control slot. The unicode
+# mode makes each space-free sentence ONE token; the cjk mode's
+# codepoint bigrams are what shingles / BM25 / LM n-grams need.
+_CJK_SNIPPETS = (
+    "東京は日本の首都です",
+    "中国的首都是北京市与上海市",
+    "한국의수도는서울입니다",
+    "กรุงเทพมหานครเมืองหลวง",
+    "mixed latin and 漢字かな text",
+    "",
+)
+
+_CJK_CASE_SQL = ("CASE CAST(doc_id % 6 AS INT) "
+                 + " ".join(f"WHEN {i} THEN '{s}'"
+                            for i, s in enumerate(_CJK_SNIPPETS[:-1]))
+                 + " ELSE '' END")
+
+
+@register(
+    "text_analysis_cjk",
+    f"""WITH s AS (SELECT doc_id,
+              concat_ws(' ', coalesce(text, ''), {_CJK_CASE_SQL}) AS text
+            FROM documents),
+       t AS (SELECT doc_id,
+              {DD.cjk_tokens_sql('text')} AS w,
+              {_UWORDS_SQL.format(col='text')} AS wu
+            FROM s)
+       SELECT doc_id,
+              len(w) AS n_tok_cjk,
+              len(wu) AS n_tok_uni,
+              len(list_filter(w, x -> length(x) = 2 AND
+                  regexp_matches(x, '^[{DD.CJK_RANGES}]'))) AS n_bigrams,
+              len(list_distinct(w)) AS n_uniq,
+              md5(array_to_string(w, ' ')) AS stream_md5
+       FROM t""",
+)
+def text_analysis_cjk(spark, sf_dir):
+    """The 'cjk' tokenizer mode (operators/dedup.cjk_word_tokens):
+    runs of space-free-script codepoints (Han/kana/Hangul/Thai/Lao/
+    Khmer/Myanmar, LITERAL BMP ranges — engine-portable where named
+    \\p{script} classes are not) become codepoint BIGRAMS; every other
+    script keeps unicode-mode run tokens. Closes the r7 gap where a
+    space-free CJK sentence was ONE token, degenerating shingles /
+    stopword ratios / BM25 / LM n-grams on exactly the scripts the
+    unicode mode preserves (VERDICT r7 ask #2). n_tok_cjk >> n_tok_uni
+    on the spliced rows proves the segmentation; n_bigrams counts the
+    bigram tokens; the md5 of the ordered token stream is the strong
+    value check (bigram windows are plain substring() calls — no case
+    mapping, so the mode is three-engine portable by the same argument
+    as the unicode fold). All built-ins in the scan stage: no UDF, no
+    shuffle, no join."""
+    docs = load_table(spark, sf_dir, "documents")
+    splice = F.element_at(F.array(*[F.lit(s) for s in _CJK_SNIPPETS]),
+                          (F.col("doc_id") % 6).cast("int") + 1)
+    synth = F.concat_ws(" ", F.coalesce(F.col("text"), F.lit("")), splice)
+    staged = docs.select(
+        "doc_id",
+        DD.cjk_word_tokens(synth).alias("__w"),
+        DD.unicode_word_tokens(synth).alias("__wu"))
+    w = F.col("__w")
+    return staged.select(
+        "doc_id",
+        F.size(w).alias("n_tok_cjk"),
+        F.size("__wu").alias("n_tok_uni"),
+        F.size(F.filter(w, lambda t: (F.length(t) == 2)
+                        & t.rlike(f"^[{DD.CJK_RANGES}]")))
+         .alias("n_bigrams"),
+        F.size(F.array_distinct(w)).alias("n_uniq"),
+        F.md5(F.array_join(w, " ")).alias("stream_md5"))
+
+
+# Deterministic 37-char ASCII->Han mapping for the CJK near-dup entry:
+# translate() is 1:1 per codepoint on every engine, so the mapped
+# corpus is genuinely SPACE-FREE Han text whose near-duplicate
+# structure mirrors the fixture's engineered English near-dups.
+_HAN_SRC = "abcdefghijklmnopqrstuvwxyz0123456789 "
+_HAN_DST = ("一二三四五六七八九十百千万人日月火水木金土"
+            "山川田中大小上下左右東西南北口手")
+
+_NORM_SQL = ("trim(regexp_replace(lower(regexp_replace({col}, "
+             "'[^\\x00-\\x7F]+', ' ', 'g')), '[^a-z0-9]+', ' ', 'g'))")
+
+
+@register(
+    "dedup_cjk_neardup",
+    f"""WITH d AS (SELECT doc_id,
+            translate({_NORM_SQL.format(col='text')},
+                      '{_HAN_SRC}', '{_HAN_DST}') AS t
+          FROM documents),
+        sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+            list_distinct(list_transform(range(1, len(w) - 1),
+            i -> array_to_string(w[i:i+2], ' ')))
+            ELSE [array_to_string(w, ' ')] END AS s
+          FROM (SELECT doc_id, {DD.cjk_tokens_sql('t')} AS w FROM d)),
+        inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM inv a JOIN inv b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               round(len(list_intersect(x.s, y.s))::DOUBLE
+                     / len(list_distinct(list_concat(x.s, y.s))), 6)
+                 AS jaccard
+        FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+        WHERE len(list_intersect(x.s, y.s))::DOUBLE
+              / len(list_distinct(list_concat(x.s, y.s))) >= 0.5""",
+)
+def dedup_cjk_neardup(spark, sf_dir):
+    """MinHash-LSH near-dedup over SPACE-FREE CJK text with the 'cjk'
+    tokenizer: the corpus is mapped to Han codepoints by a 1:1
+    translate() (spaces included — no word boundaries survive), then
+    the production candidates->verify pipeline runs on codepoint-bigram
+    shingles. The oracle is the FULL exact-Jaccard pair set over the
+    same shingles, so LSH recall 1.0 on CJK text is proven, not assumed
+    (the r7 unicode mode found ZERO pairs here: each mapped doc was one
+    giant token, one shingle, no overlap). Same scale shape as
+    dedup_minhash_lsh: signatures map-only, band buckets + verified
+    candidates are the only shuffles, text never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    han = F.translate(DD.normalized_text(F.col("text")),
+                      _HAN_SRC, _HAN_DST)
+    d2 = docs.select("doc_id", han.alias("text"))
+    sigs = DD.add_minhash_maponly(d2, "text", "doc_id", num_hashes=64,
+                                  shingle_k=3, tokenizer="cjk")
+    cands = DD.lsh_candidate_pairs(sigs, "doc_id", num_hashes=64,
+                                   bands=32)
+    out = DD.ngram_jaccard_pairs(d2, "text", "doc_id", shingle_k=3,
+                                 threshold=0.5, candidates=cands,
+                                 tokenizer="cjk")
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
 # Deterministic per-script splice for the script-language-ID entry: one
 # snippet per classification branch (each non-Latin script, the
 # kana-presence ja-override on Han-dominant text, a Latin-dominant
@@ -535,7 +670,7 @@ def dedup_exact_docs(spark, sf_dir):
         label AS (SELECT a, least(min(b), a) AS cluster_id
                   FROM reach GROUP BY a)
         SELECT p.id_a, p.id_b, p.jaccard, l.cluster_id
-        FROM pairs p JOIN label l ON l.a = p.id_a""",
+        FROM pairs p JOIN label l ON l.a = p.id_a""", gate=False,
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
 )
@@ -594,8 +729,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
                    FROM mem)
         SELECT doc_id, n_tokens, cluster_id, canonical_id,
                doc_id = canonical_id AS is_canonical
-        FROM ranked""",
-    gate=False,
+        FROM ranked"""
 )
 def dedup_canonical_best(spark, sf_dir):
     """Canonical-document selection per near-dup cluster
@@ -691,7 +825,7 @@ def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
 
 # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
 # slot for a never-driver-checked entry (VERDICT r4 item #1).
-@register("dedup_simhash", _simhash_oracle())
+@register("dedup_simhash", _simhash_oracle(), gate=False)
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3) via the pigeonhole 4-block
     equi-join (no cross join). The gate variant hashes tokens with md5
@@ -816,8 +950,7 @@ def text_curation(spark, sf_dir):
        SELECT term, doc_id, tf, dl, round(score, 6) AS score,
               CAST(row_number() OVER (PARTITION BY term
                    ORDER BY score DESC, doc_id) AS INTEGER) AS rank
-       FROM s QUALIFY rank <= 10""",
-    gate=False,
+       FROM s QUALIFY rank <= 10"""
 )
 def corpus_search(spark, sf_dir):
     """Inverted-index keyword search (operators/search.search_topk):
@@ -899,8 +1032,7 @@ def corpus_search(spark, sf_dir):
               round(coalesce(a.s / a.n_trans, 0.0), 6) AS lm_score,
               round(coalesce(a3.s / a3.n_trans, 0.0), 6) AS sb_score
        FROM documents d LEFT JOIN agg a USING (doc_id)
-            LEFT JOIN agg3 a3 USING (doc_id)""",
-    gate=False,
+            LEFT JOIN agg3 a3 USING (doc_id)"""
 )
 def corpus_lm_score(spark, sf_dir):
     """Bigram LM fluency scoring (functions/lm.py — CCNet-style quality
@@ -1014,7 +1146,7 @@ def _repetition_oracle() -> str:
         GROUP BY b.doc_id, b.tc"""
 
 
-@register("corpus_repetition", _repetition_oracle(), gate=False)
+@register("corpus_repetition", _repetition_oracle())
 def corpus_repetition(spark, sf_dir):
     """Gopher repetition quality signals (Rae et al. 2021 table A1; the
     repetition half of the RedPajama-v2/Dolma filter set — beyond-
@@ -1083,7 +1215,7 @@ def _c4_oracle() -> str:
         FROM k"""
 
 
-@register("corpus_c4_filters", _c4_oracle(), gate=False)
+@register("corpus_c4_filters", _c4_oracle())
 def corpus_c4_filters(spark, sf_dir):
     """C4 heuristic cleaning (Raffel et al. 2020 §2.2 — beyond-reference
     LLM-pipeline): per-document line-rule survivors (terminal
@@ -1191,7 +1323,7 @@ def _gopher_oracle() -> str:
     # freed for an entry whose module changed after its last gate row
     # (tools/rotation_check.py selection)
     # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
-    gate=False,
+    
 )
 def corpus_gopher_quality(spark, sf_dir):
     """Gopher document-quality rules (Rae et al. 2021 table A1 §A1.1,
@@ -1246,7 +1378,7 @@ def corpus_gopher_quality(spark, sf_dir):
           WHERE rn = 1)
         SELECT DISTINCT doc_id, pos::INT AS pos, h AS fp FROM sel""",
     # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
-    gate=False,
+    
 )
 def corpus_winnowing(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al. SIGMOD 2003 —

@@ -31,6 +31,7 @@ ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
                    ELSE o_totalprice END AS o_totalprice,
               o_orderdate, o_orderpriority
        FROM orders""",
+    gate=False,
 )
 def upsert_latest_wins(spark, sf_dir):
     """K4: MERGE INTO on immutable parquet (reference DbManager buffered
@@ -62,7 +63,7 @@ def upsert_latest_wins(spark, sf_dir):
                         + row_number() OVER (PARTITION BY existing_id IS NULL
                                              ORDER BY c_name)
               END AS id
-       FROM matched""",
+       FROM matched""", gate=False,
     # r4 gate rotation: deferred (driver-green r1+r2+r3) — K5 id-sync
     # stays covered by the upsert family's gated upsert_latest_wins; the
     # freed slot gates corpus_repetition (Gopher repetition signals).
@@ -87,6 +88,7 @@ def upsert_sync_ids(spark, sf_dir):
     "upsert_skip_unchanged",
     oracle="""SELECT o_orderkey, concat(o_orderstatus, 'X') AS o_orderstatus
        FROM orders WHERE o_orderkey % 7 = 0""",
+    gate=False,
 )
 def upsert_skip_unchanged(spark, sf_dir):
     """H15: skip UPDATE when the compared column is unchanged (reference
@@ -118,6 +120,7 @@ _EVENTS_TEXT_COLS = [
               coalesce(event_type, '') AS event_type,
               round(value, 4) AS value
        FROM events""",
+    gate=False,
 )
 def fdsn_text_roundtrip(spark, sf_dir):
     """S1: FDSN '|'-separated text parse (reference
@@ -151,7 +154,7 @@ def fdsn_text_roundtrip(spark, sf_dir):
        FROM ch
        WHERE channel LIKE 'HH%'
          AND NOT regexp_matches(channel, '.*N$')
-         AND sample_rate >= 20""",
+         AND sample_rate >= 20""", gate=False,
     # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
     # slot for a never-driver-checked entry (VERDICT r4 item #1).
 )
@@ -473,7 +476,7 @@ def _routing_case() -> str:
        SELECT p_partkey, network, station, location, channel, datacenter,
               replace(datacenter, '/dataselect/', '/station/')
                 AS station_url
-       FROM routed""",
+       FROM routed""", gate=False,
     # r6 gate rotation: first driver CORRECTNESS row (window slot freed
     # by spatial_join_traveltime, driver-green r2+r3+r4+r5)
 )

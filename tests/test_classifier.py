@@ -245,15 +245,19 @@ def test_curate_classifier_grid_and_recipe_guards(spark, tmp_path, capsys):
     assert rc == 2
     assert "cannot reproduce" in capsys.readouterr().err
 
-    # non-default hashing recipe: rejected too
+    # non-default hashing recipe (n=4, custom seed): THREADED into the
+    # gate, not rejected (ADVICE r7 — the guard used to pin n/seed to
+    # the embedding defaults; now the recipe travels with the model)
     odd = str(tmp_path / "odd.json")
     save_classifier([1] * 64, odd,
                     meta={"features": "hashed_ngram", "dim": 64,
-                          "n": 4, "seed": "emb"})
+                          "n": 4, "seed": "s4"})
     rc = cli_main(["curate", "-i", corpus, "-o", outdir,
-                   "--classifier", odd])
-    assert rc == 2
-    assert "cannot reproduce" in capsys.readouterr().err
+                   "--languages", "en,und", "--min-quality", "0",
+                   "--min-tokens", "1", "--classifier", odd,
+                   "--min-classifier-score", "0"])
+    assert rc == 0
+    capsys.readouterr()
 
     # non-dict JSON: diagnosed (ValueError path), no traceback
     lst = str(tmp_path / "list.json")
@@ -262,6 +266,15 @@ def test_curate_classifier_grid_and_recipe_guards(spark, tmp_path, capsys):
                    "--classifier", lst])
     assert rc == 2
     assert "cannot load classifier" in capsys.readouterr().err
+
+    # malformed weights payload ("weights": 5): load_classifier argues
+    # (exit-2 diagnostic), no TypeError traceback (ADVICE r7)
+    mal = str(tmp_path / "mal.json")
+    open(mal, "w").write('{"model": "linear-quantized", "weights": 5}')
+    rc = cli_main(["curate", "-i", corpus, "-o", outdir,
+                   "--classifier", mal])
+    assert rc == 2
+    assert "non-empty list" in capsys.readouterr().err
 
     # non-default grid IS threaded: direct funnel call with the grid
     # recorded by the model must reproduce score_with_weights' floor
@@ -296,3 +309,98 @@ def test_curate_classifier_grid_and_recipe_guards(spark, tmp_path, capsys):
                    "--weights-out", str(tmp_path / "no" / "m.json")])
     assert rc == 2
     assert "does not exist" in capsys.readouterr().err
+
+
+def test_classifier_gate_kwargs_recipe_threading(spark, tmp_path):
+    """classifier_gate_kwargs is the library-level recipe guard
+    (ADVICE r7): it derives dim/n/seed/tokenizer/grid from the saved
+    model, and the funnel gate embedded with that recipe reproduces a
+    direct n=4/seed='s4' score+filter exactly."""
+    import pytest
+
+    from stream2segment_spark.examples.corpus_pipeline import curate_corpus
+    from stream2segment_spark.functions.embeddings import (
+        hashed_ngram_embeddings)
+    from stream2segment_spark.operators.classifier import (
+        classifier_gate_kwargs, score_with_weights)
+
+    model = {"model": "linear-quantized", "weights": [5] * 32,
+             "scale": 200, "wscale": 300,
+             "meta": {"features": "hashed_ngram", "dim": 32,
+                      "n": 4, "seed": "s4", "tokenizer": "unicode"}}
+    kw = classifier_gate_kwargs(model, min_score=0.4)
+    assert kw == {"classifier_weights": [5] * 32,
+                  "min_classifier_score": 0.4,
+                  "classifier_tokenizer": "unicode",
+                  "classifier_ngram": 4, "classifier_seed": "s4",
+                  "classifier_scale": 200, "classifier_wscale": 300}
+
+    words = ("alpha", "beta", "gamma", "delta", "epsilon",
+             "zeta", "eta", "theta", "iota", "kappa")
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown {words[i]} fox jumps over the lazy dog")
+         for i in range(10)], "doc_id long, text string")
+    emb = hashed_ngram_embeddings(docs, "text", "doc_id", dim=32,
+                                  n=4, seed="s4", tokenizer="unicode")
+    direct = score_with_weights(emb, "doc_id", "embedding", [5] * 32,
+                                scale=200, wscale=300)
+    scores = sorted(r.score for r in direct.collect())
+    floor = scores[len(scores) // 2]  # median as the gate threshold
+    kw["min_classifier_score"] = floor
+    out, _ = curate_corpus(docs, languages=("en", "und"),
+                           min_quality=0.0, token_band=(1, 100_000),
+                           max_top_token_frac=1.0, **kw)
+    want = {r.doc_id for r in direct.filter(F.col("score") >= floor)
+            .select("doc_id").collect()}
+    assert {r.doc_id for r in out.select("doc_id").collect()} == want
+
+    # guard: non-hash features rejected at the library level
+    with pytest.raises(ValueError, match="cannot reproduce"):
+        classifier_gate_kwargs({"weights": [1], "meta":
+                                {"features": "vector"}})
+    # guard: meta dim disagreeing with the weight vector = corrupt file
+    with pytest.raises(ValueError, match="corrupt"):
+        classifier_gate_kwargs({"weights": [1, 2], "meta":
+                                {"features": "hashed_ngram", "dim": 9}})
+
+
+def test_score_with_weights_dim_mismatch_message(spark):
+    """A feature/weight width mismatch surfaces as a clear ValueError
+    message, not an opaque numpy matmul shape error (ADVICE r7)."""
+    import pytest
+
+    from stream2segment_spark.operators.classifier import (
+        score_with_weights)
+    df = spark.createDataFrame([(1, [0.5, 0.5, 0.5])],
+                               "id long, v array<double>")
+    with pytest.raises(Exception, match="dim 3 but the model has 2"):
+        score_with_weights(df, "id", "v", [1, 1]).collect()
+
+
+def test_load_classifier_payload_validation(tmp_path):
+    """Malformed weights / scales raise ValueError (ADVICE r7), so the
+    CLI's except clause maps them to the exit-2 diagnostic."""
+    import json
+
+    import pytest
+
+    from stream2segment_spark.operators.classifier import load_classifier
+
+    def _dump(payload):
+        p = str(tmp_path / "m.json")
+        json.dump(payload, open(p, "w"))
+        return p
+
+    base = {"model": "linear-quantized"}
+    with pytest.raises(ValueError, match="non-empty list"):
+        load_classifier(_dump({**base, "weights": 5}))
+    with pytest.raises(ValueError, match="non-empty list"):
+        load_classifier(_dump({**base, "weights": []}))
+    with pytest.raises(ValueError, match="non-empty list"):
+        load_classifier(_dump({**base, "weights": [1, "x"]}))
+    with pytest.raises(ValueError, match="non-empty list"):
+        load_classifier(_dump({**base, "weights": [True]}))
+    with pytest.raises(ValueError, match="positive integer"):
+        load_classifier(_dump({**base, "weights": [1], "scale": 0}))
+    assert load_classifier(_dump({**base, "weights": [1, -2]}))[
+        "weights"] == [1, -2]

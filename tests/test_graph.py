@@ -164,3 +164,22 @@ def test_rank_cli_end_to_end(spark, tmp_path, capsys):
     assert cli_main(["rank", "-i", src, "-o", out,
                      "--iterations", "0"]) == 2
     assert "iterations" in capsys.readouterr().err
+
+
+def test_pagerank_rejects_bad_edge_weights(spark):
+    """NULL / non-positive weights are rejected up front (ADVICE r7):
+    a zero __outw would make Spark's integer div yield NULL (silently
+    dropped contribution) while the documented DuckDB CTE replay errors
+    on division by zero — a cross-engine divergence, so argue instead."""
+    import pytest
+
+    from stream2segment_spark.operators.graph import pagerank_quantized
+
+    for w in (0, -3, None):
+        df = spark.createDataFrame([(1, 2, 5), (2, 1, w)],
+                                   "src long, dst long, w long")
+        with pytest.raises(ValueError, match="non-positive"):
+            pagerank_quantized(df, iterations=1)
+    # unweighted mode never reads the column: no validation scan
+    df = spark.createDataFrame([(1, 2, 0)], "src long, dst long, w long")
+    assert pagerank_quantized(df, weight=None, iterations=1).count() == 2

@@ -174,3 +174,56 @@ def test_unicode_mode_preserves_nonascii_and_matches_ascii_on_ascii():
     # ascii mode maps İ and the CJK run to separators: only the ASCII
     # remainder of the word survives
     assert py_word_tokens("İstanbul 東京!") == ["stanbul"]
+
+
+# ---------------------------------------------------------------------------
+# 'cjk' tokenizer mode (r8, VERDICT r7 ask #2): runs of space-free-script
+# codepoints become codepoint bigrams; everything else keeps unicode-mode
+# run tokens. Same three-engine contract.
+# ---------------------------------------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_duckdb_cjk_tokens_match_python(text):
+    from stream2segment_spark.operators.dedup import (
+        cjk_tokens_sql, py_cjk_tokens)
+    con = duckdb.connect()
+    got = con.execute(f"SELECT {cjk_tokens_sql('t')} FROM (SELECT ? AS t)",
+                      [text]).fetchone()[0]
+    assert list(got) == py_cjk_tokens(text), repr(text)
+
+
+def test_spark_cjk_tokens_match_python_over_edge_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from stream2segment_spark.operators.dedup import (
+        cjk_word_tokens, py_cjk_tokens)
+    corpus = _edge_corpus() + [
+        "東京は日本の首都です", "中国的首都是北京市", "한국의수도는서울",
+        "กรุงเทพมหานคร", "mixed 漢字かな and latin", "中", "a中b",
+        "日本語abc漢字123",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "id long, text string")
+    got = {r["id"]: list(r["toks"]) for r in df.select(
+        "id", cjk_word_tokens(F.col("text")).alias("toks")).collect()}
+    for i, t in enumerate(corpus):
+        assert got[i] == py_cjk_tokens(t), (i, repr(t))
+
+
+def test_cjk_mode_contract():
+    """Identical to unicode mode on CJK-free text; space-free runs
+    become bigrams (unigram for single chars); mixed tokens split at
+    script boundaries."""
+    from stream2segment_spark.operators.dedup import (
+        py_cjk_tokens, py_unicode_tokens)
+    for t in ("Hello WORLD-42 foo_bar", "Привет МИР", "İstanbul café",
+              "plain ascii 123"):
+        assert py_cjk_tokens(t) == py_unicode_tokens(t), repr(t)
+    assert py_cjk_tokens("東京は首都") == ["東京", "京は", "は首", "首都"]
+    assert py_cjk_tokens("中") == ["中"]
+    assert py_cjk_tokens("a中b") == ["a", "中", "b"]
+    # unicode mode: ONE token per space-free sentence (the degeneration
+    # the cjk mode exists to fix)
+    assert py_unicode_tokens("東京は首都") == ["東京は首都"]

@@ -210,16 +210,6 @@ def close_over_imports(files: set[str],
 # their files change rarely and a within-file map would have to model
 # cross-module call graphs the closure already covers.
 
-_GATE_LINE_RX = re.compile(r"^\s*gate\s*=\s*(True|False)\s*,?\s*$")
-_COMMENT_LINE_RX = re.compile(r"^\s*#")
-
-
-def _normalize_block(src: str) -> str:
-    return "\n".join(
-        ln for ln in src.splitlines()
-        if not _COMMENT_LINE_RX.match(ln) and not _GATE_LINE_RX.match(ln))
-
-
 def _top_level_bindings(tree: ast.Module) -> dict[str, ast.stmt]:
     out: dict[str, ast.stmt] = {}
     for node in tree.body:
@@ -262,13 +252,6 @@ def _entry_block_text(filetext: str, entry_name: str) -> str | None:
         return None
     bindings = _top_level_bindings(tree)
 
-    def segment(node: ast.stmt) -> str:
-        start = node.lineno
-        if getattr(node, "decorator_list", None):
-            start = min(d.lineno for d in node.decorator_list)
-        lines = filetext.splitlines()
-        return "\n".join(lines[start - 1:node.end_lineno])
-
     def names_in(node: ast.stmt) -> set[str]:
         return {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
 
@@ -285,9 +268,18 @@ def _entry_block_text(filetext: str, entry_name: str) -> str | None:
                 if id(dep) not in seen_nodes:
                     seen_nodes.add(id(dep))
                     frontier.append(dep)
-    parts = [segment(target)]
-    parts += [segment(picked[nm]) for nm in sorted(picked)]
-    return _normalize_block("\n".join(parts))
+    # r8: compare ast.unparse'd nodes, not normalized source lines —
+    # comments vanish and the gate kwarg is stripped at the AST level,
+    # so a rotation flip is invisible REGARDLESS of call layout (the
+    # line-level _normalize_block only recognized own-line `gate=False,`
+    # flips; single-line @register(...) entries could not be rotated
+    # without a false-stale).
+    for dec in target.decorator_list:
+        if isinstance(dec, ast.Call):
+            dec.keywords = [k for k in dec.keywords if k.arg != "gate"]
+    parts = [ast.unparse(target)]
+    parts += [ast.unparse(picked[nm]) for nm in sorted(picked)]
+    return "\n".join(parts)
 
 
 def _text_at_commit(commit_time: int, relfile: str) -> str | None:

@@ -609,6 +609,7 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
                domain_col: str = "source",
                tokenizer: str = "ascii",
                langid_mode: str = "heuristic",
+               multilingual_stopwords: bool = False,
                html_extract: bool = False,
                classifier: str | None = None,
                min_classifier_score: float = 0.5,
@@ -619,6 +620,10 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
     import json
 
     from stream2segment_spark.examples.corpus_pipeline import curate_corpus
+
+    def _stopword_tables():
+        from stream2segment_spark.functions.text import STOPWORDS_BY_LANG
+        return STOPWORDS_BY_LANG
 
     docs = spark.read.parquet(infile)
     need = {"doc_id", "text"} | ({mix_col} if mix_col else set()) \
@@ -670,7 +675,10 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
         mix_strata_col=mix_col, mix_alpha=mix_alpha,
         pack_budget=pack_budget, pack_shards=pack_shards,
         persists=persists, tokenizer=tokenizer,
-        langid_mode=langid_mode, html_extract=html_extract,
+        langid_mode=langid_mode,
+        stopword_tables=(_stopword_tables() if multilingual_stopwords
+                         else None),
+        html_extract=html_extract,
         audit=audit, **clf_kwargs)
     out = os.path.join(outdir, "curated.parquet")
     # One materialization: the write warms curated's cache, the funnel
@@ -1112,16 +1120,23 @@ def main(argv: list[str] | None = None) -> int:
                    help="token budget per training chunk")
     p.add_argument("--pack-shards", type=int, default=64)
     p.add_argument("--tokenizer", default="ascii",
-                   choices=("ascii", "unicode"),
+                   choices=("ascii", "unicode", "cjk"),
                    help="token mode for every token-derived stage "
                         "('unicode' keeps CJK/Cyrillic/accented tokens "
-                        "alive in counts, dedup, LM and mixing)")
+                        "alive in counts, dedup, LM and mixing; 'cjk' "
+                        "additionally segments space-free scripts into "
+                        "codepoint bigrams)")
     p.add_argument("--langid", default="heuristic", dest="langid_mode",
                    choices=("heuristic", "script"),
                    help="'script' labels non-Latin text by Unicode "
                         "script (zh/ja/ko/ru/el/ar/he/hi/th) so "
                         "--languages can select them; 'heuristic' is "
                         "the en/de/fr/es stopword-marker ID")
+    p.add_argument("--multilingual-stopwords", action="store_true",
+                   help="key the quality score's stopword term by the "
+                        "row's language (built-in per-language tables, "
+                        "functions/text.STOPWORDS_BY_LANG) instead of "
+                        "the English default")
     p.add_argument("--html", action="store_true", dest="html_extract",
                    help="treat the text column as raw HTML: extract "
                         "plain text (drop script/style/comments, strip "
@@ -2133,6 +2148,8 @@ def main(argv: list[str] | None = None) -> int:
                               domain_col=args.domain_col,
                               tokenizer=args.tokenizer,
                               langid_mode=args.langid_mode,
+                              multilingual_stopwords=(
+                                  args.multilingual_stopwords),
                               html_extract=args.html_extract,
                               classifier=args.classifier,
                               min_classifier_score=args.min_classifier_score,

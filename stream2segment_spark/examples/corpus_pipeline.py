@@ -92,6 +92,7 @@ def curate_corpus(
     persists: list | None = None,
     tokenizer: str = "ascii",
     langid_mode: str = "heuristic",
+    stopword_tables: "dict[str, tuple[str, ...]] | None" = None,
     html_extract: bool = False,
     classifier_weights: "list[int] | None" = None,
     min_classifier_score: float = 0.5,
@@ -243,16 +244,32 @@ def curate_corpus(
         id_col, text_col, *extra,
         tok_expr(F.col(text_col)).alias("__toks"))
     toks = F.col("__toks")
+    lang_expr = (TX.langid_script(F.col(text_col), toks=toks)
+                 if langid_mode == "script"
+                 else TX.langid_heuristic(F.col(text_col), toks=toks))
+    # stopword_tables: langid-keyed quality floor (VERDICT r7 ask #4) —
+    # the stopword term of quality_score selects the ROW's language
+    # table instead of the English default, so non-English survivors
+    # are no longer penalized for lacking English function words. The
+    # lang column is STAGED first: the keyed ratio's per-language CASE
+    # references it once per branch, so inlining the (already large)
+    # langid expression into each branch would square the expression
+    # tree — Catalyst's canonicalizer stack-overflows on it (found by
+    # the integration test).
+    sw_expr = None
+    if stopword_tables is not None:
+        staged = staged.select(id_col, text_col, *extra, "__toks",
+                               lang_expr.alias("__lang"))
+        lang_expr = F.col("__lang")
+        sw_expr = TX.stopword_ratio_by_lang(
+            F.col(text_col), lang_expr, stopword_tables, toks=toks)
     ann = staged.select(
         id_col, text_col, *extra,
         TX.token_count(F.col(text_col), toks=toks).alias("n_tokens"),
         TX.max_token_run(F.col(text_col), toks=toks).alias("max_tok_run"),
-        F.round(TX.quality_score(F.col(text_col), toks=toks), 4)
-         .alias("quality"),
-        (TX.langid_script(F.col(text_col), toks=toks)
-         if langid_mode == "script"
-         else TX.langid_heuristic(F.col(text_col), toks=toks))
-        .alias("lang"),
+        F.round(TX.quality_score(F.col(text_col), toks=toks, sw=sw_expr),
+                4).alias("quality"),
+        lang_expr.alias("lang"),
         TX.doc_fingerprint(F.col(text_col), tokenizer=tokenizer)
         .alias("fingerprint"))
 

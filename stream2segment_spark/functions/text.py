@@ -23,6 +23,80 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 _EN_STOPWORDS = _LANG_MARKERS["en"] + ("a", "for", "on", "with", "as")
 
+# Per-language stopword tables for the langid-keyed quality signals
+# (VERDICT r7 ask #4 — the English-only tuple made the multilingual
+# funnel's quality floor English-biased). Keys are langid labels
+# (langid_heuristic / langid_script outputs); values are tokens IN THE
+# TOKENIZER'S OUTPUT SPACE — which makes the tables tokenizer-dependent
+# by definition: Latin/Cyrillic entries are word tokens (any mode),
+# while zh/ja/ko/th entries are codepoint BIGRAMS because that is what
+# the 'cjk' mode emits for space-free scripts (a single-char function
+# word like 的 never surfaces as its own token inside a run). Small
+# built-in lists (public knowledge; extend freely) — callers can pass
+# their own table to stopword_ratio_by_lang / curate_corpus.
+STOPWORDS_BY_LANG: dict[str, tuple[str, ...]] = {
+    "en": _EN_STOPWORDS,
+    "de": _LANG_MARKERS["de"] + ("mit", "auf", "für", "von", "im"),
+    "fr": _LANG_MARKERS["fr"] + ("dans", "pour", "sur", "pas", "aux"),
+    "es": _LANG_MARKERS["es"] + ("para", "como", "más", "sin", "sobre"),
+    "ru": ("и", "в", "не", "на", "что", "он", "как", "это", "по", "из"),
+    "ja": ("です", "ます", "して", "した", "ない", "こと", "する",
+           "から", "まで", "など"),
+    "zh": ("我们", "这个", "可以", "没有", "一个", "什么", "他们",
+           "因为", "所以", "但是"),
+    "ko": ("입니", "니다", "하는", "있는", "것은", "그리", "에서",
+           "으로", "하고", "했다"),
+    # Thai bigrams are taken from the 'cjk' tokenizer's actual output
+    # over common function words (combining vowel marks are not \p{L},
+    # so runs split at them — 'การ' surfaces as 'กา'/'าร', never as a
+    # 3-char token)
+    "th": ("กา", "าร", "ขอ", "อง", "เป", "ใน", "ให", "ได", "แล", "ละ"),
+}
+
+
+def stopword_count_by_lang(
+    toks: Column,
+    lang: Column,
+    tables: "dict[str, tuple[str, ...]] | None" = None,
+    default_lang: str = "en",
+) -> Column:
+    """Count of stopword tokens under the ROW's language table: a
+    chained CASE over ``lang`` selecting the matching ``tables`` entry,
+    falling back to ``default_lang``'s table for unknown/und labels
+    (the English default preserved — pure-ASCII corpora behave exactly
+    as before). Codegen'd expression, no UDF, no shuffle; each branch
+    is a filter+isin over a literal list, SQL-replayable as
+    ``CASE lang WHEN ... THEN len(list_filter(...)) ... END``."""
+    tables = STOPWORDS_BY_LANG if tables is None else tables
+
+    def _cnt(words: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    expr = _cnt(tables[default_lang])
+    for lg in reversed(list(tables)):   # earlier keys win via later when()
+        if lg != default_lang:
+            expr = F.when(lang == lg, _cnt(tables[lg])).otherwise(expr)
+    return expr
+
+
+def stopword_ratio_by_lang(
+    text: Column,
+    lang: Column,
+    tables: "dict[str, tuple[str, ...]] | None" = None,
+    *,
+    toks: Column | None = None,
+    default_lang: str = "en",
+) -> Column:
+    """:func:`stopword_ratio` keyed by a language column: the stopword
+    table is selected per ROW from ``tables`` (default
+    :data:`STOPWORDS_BY_LANG`). NULL on token-less docs like the
+    unkeyed form. Pass ``toks`` from the tokenizer mode the table was
+    built for (cjk bigram entries need the 'cjk' mode)."""
+    toks = word_tokens(text) if toks is None else toks
+    stop = stopword_count_by_lang(toks, lang, tables,
+                                  default_lang=default_lang)
+    return F.when(F.size(toks) > 0, stop.cast("double") / F.size(toks))
+
 
 def token_count(text: Column, *, toks: Column | None = None) -> Column:
     """Whitespace token count over normalized text.
@@ -72,13 +146,18 @@ def mean_word_length(text: Column, *, toks: Column | None = None) -> Column:
     return F.when(F.size(toks) > 0, total / F.size(toks))
 
 
-def quality_score(text: Column, *, toks: Column | None = None) -> Column:
+def quality_score(text: Column, *, toks: Column | None = None,
+                  sw: Column | None = None) -> Column:
     """Composite [0,1] quality heuristic: length band + stopword presence +
     sane mean word length + low punctuation. Deterministic arithmetic
-    (SQL-expressible for the oracle)."""
+    (SQL-expressible for the oracle). ``sw`` swaps in a precomputed
+    stopword ratio — the langid-keyed
+    :func:`stopword_ratio_by_lang` for multilingual corpora — while the
+    default stays the English table (byte-identical scores on existing
+    pipelines)."""
     n = F.length(text).cast("double")
     length_ok = F.when((n >= 100) & (n <= 20000), 1.0).otherwise(0.5)
-    sw = stopword_ratio(text, toks=toks)
+    sw = stopword_ratio(text, toks=toks) if sw is None else sw
     sw_ok = F.when((sw >= 0.05) & (sw <= 0.6), 1.0).otherwise(0.5)
     mwl = mean_word_length(text, toks=toks)
     mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.5)

@@ -33,9 +33,9 @@ _SHINGLES_SQL = (
     f"FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents))")
 
 
-def _lang_case_sql() -> str:
+def _lang_case_sql(var: str = "w") -> str:
     counts = {
-        lang: ("len(list_filter(w, x -> x IN ("
+        lang: (f"len(list_filter({var}, x -> x IN ("
                + ", ".join(f"'{m}'" for m in markers) + ")))")
         for lang, markers in TX._LANG_MARKERS.items()
     }
@@ -433,6 +433,140 @@ def dedup_cjk_neardup(spark, sf_dir):
                                  tokenizer="cjk")
     return out.select("id_a", "id_b",
                       F.round("jaccard", 6).alias("jaccard"))
+
+
+# --- langid-keyed stopword tables (r8, VERDICT r7 ask #4) -------------------
+# One stopword-bearing splice per built-in table language: the five
+# non-Latin ones label via script ID, the three Latin ones via the
+# marker heuristic fallback; the last slot keeps the original ASCII
+# corpus text (the English-default control). Each splice REPLACES the
+# row text (a script row concatenated onto ASCII soup would stay
+# Latin-dominant, like _SCRIPT_SNIPPETS).
+_STOPW_SNIPPETS = (
+    "Привет мир и в не на что он как это из всё хорошо",
+    "東京は日本の首都です勉強しますからこれはないことです",
+    "我们没有这个可以但是因为所以他们什么一个",
+    "한국의 수도는 서울입니다 그리고 하는 것은 있는 에서 으로",
+    "การความและของในเป็นให้ได้",
+    "der hund und die katze ist nicht ein zu mit auf für von im garten",
+    "le chat et la souris est une que des dans pour sur pas aux amis",
+    "el perro los gatos las es una que por con para como más sin sobre",
+    "",
+)
+
+_STOPW_CASE_SQL = ("CASE CAST(doc_id % 9 AS INT) "
+                   + " ".join(f"WHEN {i} THEN '{s}'"
+                              for i, s in enumerate(_STOPW_SNIPPETS[:-1]))
+                   + " ELSE coalesce(text, '') END")
+
+
+def _stopword_multilang_oracle() -> str:
+    # langid_script replay (same construction as _langid_script_oracle)
+    cnt = {s: ("length(t) - length(regexp_replace(t, "
+               f"'[{r}]', '', 'g'))")
+           for s, r in TX._SCRIPT_RANGES.items()}
+    abbr = {"cyrillic": "ru", "greek": "el", "arabic": "ar",
+            "hebrew": "he", "devanagari": "hi", "han": "zh",
+            "kana": "ja", "hangul": "ko", "thai": "th"}
+    best = "greatest(" + ", ".join(f"c_{s}" for s in abbr) + ")"
+    script_case = ("CASE " + " ".join(
+        f"WHEN c_{s} = best THEN '{abbr[s]}'" for s in abbr)
+        + " ELSE 'und' END")
+    lang_sql = f"""CASE WHEN {best} > c_latin THEN
+                 CASE WHEN ({script_case}) = 'zh' AND c_kana > 0
+                      THEN 'ja' ELSE ({script_case}) END
+               ELSE {_lang_case_sql(var='wa')} END"""
+
+    def _in(words):
+        return ("len(list_filter(w, x -> x IN ("
+                + ", ".join(f"'{x}'" for x in words) + ")))")
+
+    # keyed count: same chained-CASE shape as stopword_count_by_lang
+    # (earlier table keys win; 'en' is also the fallback)
+    keyed = "CASE " + " ".join(
+        f"WHEN lang = '{lg}' THEN {_in(tbl)}"
+        for lg, tbl in TX.STOPWORDS_BY_LANG.items() if lg != "en") \
+        + f" ELSE {_in(TX.STOPWORDS_BY_LANG['en'])} END"
+    en_cnt = _in(TX.STOPWORDS_BY_LANG["en"])
+    punct = ("length(regexp_replace(t, '[^!-/:-@\\[-`{-~]', '', 'g'))"
+             "::DOUBLE / length(t)")
+    return f"""
+        WITH s AS (SELECT doc_id, {_STOPW_CASE_SQL} AS t FROM documents),
+        c AS (SELECT doc_id, t,
+                {cnt['latin']} AS c_latin,
+                {', '.join(f"{cnt[s]} AS c_{s}" for s in abbr)},
+                {DD.cjk_tokens_sql('t')} AS w,
+                {_WORDS_SQL.replace('(text', '(t')} AS wa
+              FROM s),
+        b AS (SELECT *, {best} AS best FROM c),
+        l AS (SELECT *, {lang_sql} AS lang FROM b),
+        k AS (SELECT doc_id, t, w, lang,
+                     {keyed} AS n_stop_keyed,
+                     {en_cnt} AS n_stop_en
+              FROM l),
+        m AS (SELECT *,
+                CASE WHEN len(w) > 0 THEN n_stop_keyed::DOUBLE / len(w)
+                     END AS swk,
+                CASE WHEN len(w) > 0 THEN n_stop_en::DOUBLE / len(w)
+                     END AS swd,
+                CASE WHEN len(w) > 0 THEN
+                  list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w)
+                  END AS mwl,
+                CASE WHEN length(t) > 0 THEN {punct} END AS pr
+              FROM k)
+        SELECT doc_id, lang,
+               CAST(len(w) AS INTEGER) AS n_toks,
+               CAST(n_stop_keyed AS BIGINT) AS n_stop_keyed,
+               round(swk, 6) AS sw_keyed,
+               round(swd, 6) AS sw_default,
+               round((
+                 (CASE WHEN length(t) >= 100 AND length(t) <= 20000
+                       THEN 1.0 ELSE 0.5 END) +
+                 (CASE WHEN swk >= 0.05 AND swk <= 0.6
+                       THEN 1.0 ELSE 0.5 END) +
+                 (CASE WHEN mwl >= 2.0 AND mwl <= 12.0
+                       THEN 1.0 ELSE 0.5 END) +
+                 (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.5 END)) / 4.0, 4)
+                 AS quality_keyed
+        FROM m"""
+
+
+@register("text_stopwords_multilang", _stopword_multilang_oracle())
+def text_stopwords_multilang(spark, sf_dir):
+    """Language-parameterized stopword signals (functions/text.
+    stopword_ratio_by_lang / stopword_count_by_lang, VERDICT r7 ask
+    #4): the stopword term of the quality floor selects the ROW's
+    language table (built-in STOPWORDS_BY_LANG — word tokens for
+    Latin/Cyrillic languages, codepoint BIGRAMS for zh/ja/ko/th to
+    match the 'cjk' tokenizer's output space) with the English table
+    as the fallback, so the multilingual funnel's quality floor is no
+    longer English-biased. sw_keyed vs sw_default pins the divergence
+    per row (identical on the English control rows); quality_keyed is
+    the full composite with the keyed term. Pure chained-CASE
+    expressions over one staged token array: codegen'd, shuffle-free.
+    Wired into curate_corpus via ``stopword_tables=`` and 's2s curate
+    --multilingual-stopwords'."""
+    docs = load_table(spark, sf_dir, "documents")
+    splice = F.element_at(F.array(*[F.lit(s) for s in _STOPW_SNIPPETS]),
+                          (F.col("doc_id") % 9).cast("int") + 1)
+    synth = F.when(splice != "", splice).otherwise(
+        F.coalesce(F.col("text"), F.lit("")))
+    staged = docs.select("doc_id", synth.alias("__t"),
+                         DD.cjk_word_tokens(synth).alias("__w"))
+    t, w = F.col("__t"), F.col("__w")
+    lang = TX.langid_script(t)
+    swk = TX.stopword_ratio_by_lang(t, lang, toks=w)
+    swd = TX.stopword_ratio(t, toks=w)
+    return staged.select(
+        "doc_id",
+        lang.alias("lang"),
+        F.size(w).alias("n_toks"),
+        TX.stopword_count_by_lang(w, lang).cast("long")
+         .alias("n_stop_keyed"),
+        F.round(swk, 6).alias("sw_keyed"),
+        F.round(swd, 6).alias("sw_default"),
+        F.round(TX.quality_score(t, toks=w, sw=swk), 4)
+         .alias("quality_keyed"))
 
 
 # Deterministic per-script splice for the script-language-ID entry: one

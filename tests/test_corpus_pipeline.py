@@ -490,3 +490,61 @@ def test_audit_mode_reports_per_stage_counts(spark):
     assert row["near_dedup"] >= row["after_mixed"]
     # disabled stages contribute no column
     assert "after_lm" not in row and "after_classifier" not in row
+
+
+def test_stopword_tables_unbias_quality_floor(spark):
+    """stopword_tables= keys the quality score's stopword term by the
+    row's language (VERDICT r7 ask #4): a Japanese doc that fails the
+    English-stopword band passes under its own table, so a quality
+    floor that would drop every non-English doc keeps them; English
+    docs score identically with and without the tables (default
+    preserved)."""
+    import stream2segment_spark.functions.text as TX
+
+    en = ("the project and the report is in the archive and it is "
+          "ready to read for everyone on the team this week again "
+          "because the work is done and the plan is good for all")
+    ja = "東京は日本の首都です勉強しますからこれはないことです"
+    # stopword ratio must land INSIDE the 0.05-0.6 band under the ru
+    # table (a pure function-word string overshoots the ceiling)
+    ru = ("Привет мир и в не на что погода хорошая сегодня утром "
+          "дома работа весна")
+    docs = spark.createDataFrame(
+        [(1, en), (2, ja), (3, ru)], "doc_id long, text string")
+    kw = dict(token_band=(3, 1000), neardup_threshold=0.99,
+              tokenizer="cjk", langid_mode="script",
+              languages=("en", "ja", "ru"))
+    # floor at 0.8: needs >= 3 of 4 bands, incl. the stopword band
+    biased, _ = curate_corpus(docs, min_quality=0.8, **kw)
+    keyed, _ = curate_corpus(docs, min_quality=0.8,
+                             stopword_tables=TX.STOPWORDS_BY_LANG, **kw)
+    biased_ids = {r["doc_id"] for r in biased.collect()}
+    keyed_rows = {r["doc_id"]: r for r in keyed.collect()}
+    assert 2 not in biased_ids and 3 not in biased_ids  # EN-bias drops
+    assert set(keyed_rows) == {1, 2, 3}                 # keyed keeps all
+    # English doc scores identically under both configurations
+    q_b = {r["doc_id"]: r["quality"] for r in biased.collect()}
+    assert keyed_rows[1]["quality"] == q_b[1]
+
+
+def test_stopword_count_by_lang_fallback_and_custom_tables(spark):
+    import stream2segment_spark.functions.text as TX
+    from pyspark.sql import functions as F
+
+    from stream2segment_spark.operators.dedup import cjk_word_tokens
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog", "en"),
+         (2, "the cat and the dog", "xx"),       # unknown -> en fallback
+         (3, "der hund und die katze", "de")],
+        "id long, t string, lang string")
+    out = df.select("id", TX.stopword_count_by_lang(
+        cjk_word_tokens(F.col("t")), F.col("lang")).alias("n")).collect()
+    got = {r["id"]: r["n"] for r in out}
+    assert got[1] == got[2] == 3                 # the, and, the
+    assert got[3] == 3                           # der, und, die
+    # custom table overrides the built-in
+    out2 = df.select("id", TX.stopword_count_by_lang(
+        cjk_word_tokens(F.col("t")), F.col("lang"),
+        {"en": ("cat", "dog")}).alias("n")).collect()
+    assert {r["id"]: r["n"] for r in out2}[1] == 2

@@ -610,6 +610,7 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
                tokenizer: str = "ascii",
                langid_mode: str = "heuristic",
                multilingual_stopwords: bool = False,
+               against: str | None = None,
                html_extract: bool = False,
                classifier: str | None = None,
                min_classifier_score: float = 0.5,
@@ -678,6 +679,8 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
         langid_mode=langid_mode,
         stopword_tables=(_stopword_tables() if multilingual_stopwords
                          else None),
+        against=(spark.read.parquet(against) if against is not None
+                 else None),
         html_extract=html_extract,
         audit=audit, **clf_kwargs)
     out = os.path.join(outdir, "curated.parquet")
@@ -1132,6 +1135,12 @@ def main(argv: list[str] | None = None) -> int:
                         "script (zh/ja/ko/ru/el/ar/he/hi/th) so "
                         "--languages can select them; 'heuristic' is "
                         "the en/de/fr/es stopword-marker ID")
+    p.add_argument("--against", default=None, metavar="PARQUET",
+                   help="previously curated corpus parquet: curate "
+                        "only the NEW docs incrementally — drop docs "
+                        "whose fingerprint already exists and docs "
+                        "that near-dup an existing doc (existing docs "
+                        "always win); ids must be disjoint")
     p.add_argument("--multilingual-stopwords", action="store_true",
                    help="key the quality score's stopword term by the "
                         "row's language (built-in per-language tables, "
@@ -2150,6 +2159,7 @@ def main(argv: list[str] | None = None) -> int:
                               langid_mode=args.langid_mode,
                               multilingual_stopwords=(
                                   args.multilingual_stopwords),
+                              against=args.against,
                               html_extract=args.html_extract,
                               classifier=args.classifier,
                               min_classifier_score=args.min_classifier_score,

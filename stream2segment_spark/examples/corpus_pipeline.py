@@ -101,6 +101,7 @@ def curate_corpus(
     classifier_seed: str = "emb",
     classifier_scale: int = 1000,
     classifier_wscale: int = 1000,
+    against: DataFrame | None = None,
     audit: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the 5-stage curation funnel; returns (curated, funnel) where
@@ -366,6 +367,41 @@ def curate_corpus(
     exact = DD.exact_dedup(filtered, ["fingerprint"], keep="first",
                            order=[id_col])
 
+    # -- 3b. incremental mode: dedup NEW docs against an existing
+    # curated corpus (VERDICT r7 ask #6 — the batch analogue of the
+    # streaming LSH-vs-history near-dedup in streaming/corpus.py, and
+    # the corpus-scale shape of the reference's append/diff semantics:
+    # K3 append anti-join in sinks/writers.py, J5 prepare_for_download
+    # in operators/joins.py). ``against`` is the PREVIOUSLY CURATED
+    # corpus (its survivors are pairwise non-near-dup by construction);
+    # new docs drop when (a) their fingerprint already exists
+    # (exact anti-join — one keyed shuffle against the existing
+    # fingerprint set) or (b) they near-dup an existing doc (candidate
+    # pairs over existing + new, existing docs ALWAYS win their
+    # clusters; new-only clusters keep the min new id). When the
+    # existing corpus carries a 'fingerprint' column it is reused;
+    # otherwise it is recomputed map-only with the funnel's tokenizer.
+    # Equals a full-corpus rerun restricted to the new ids whenever
+    # existing ids precede new ids and no new doc links to a DROPPED
+    # old doc without also linking to its surviving canonical (gated:
+    # corpus_funnel_incremental). Ids must be disjoint across the two
+    # frames.
+    if against is not None:
+        if neardup_mode not in ("minhash", "jaccard"):
+            raise ValueError(
+                f"against= supports neardup_mode 'minhash'/'jaccard', "
+                f"got {neardup_mode!r}")
+        if neardup_keep != "first":
+            raise ValueError("against= supports neardup_keep='first' "
+                             "(existing docs always win their clusters)")
+        old = against.select(
+            F.col(id_col), F.col(text_col),
+            (F.col("fingerprint") if "fingerprint" in against.columns
+             else TX.doc_fingerprint(F.col(text_col), tokenizer=tokenizer)
+             ).alias("fingerprint"))
+        exact = exact.join(old.select("fingerprint").distinct(),
+                           "fingerprint", "left_anti")
+
     # -- 4. near-dedup: candidates -> verify -> CC ----------------------
     # 'minhash': MinHash/LSH candidates verified by exact shingle Jaccard
     # (lexical). 'cosine': hashing-trick embeddings -> hyperplane-LSH
@@ -386,7 +422,50 @@ def curate_corpus(
     exact = exact.persist()  # feeds signature build, verify AND anti-join
     if persists is not None:
         persists.append(exact)
-    if neardup_mode == "minhash":
+    if against is not None:
+        # candidates over existing + new; only NEW docs can lose.
+        # Scale shape: the existing corpus contributes one map-only
+        # signature pass + its band keys — it is never re-deduped
+        # against itself (its survivors are pairwise non-dup), and the
+        # pair verify touches only candidate pairs with >= 1 new side
+        # after the band join prunes old-old bands of singleton docs.
+        combined = (exact.select(F.col(id_col), F.col(text_col))
+                    .unionByName(old.select(F.col(id_col),
+                                            F.col(text_col))))
+        if neardup_mode == "minhash":
+            sigs = DD.add_minhash_maponly(combined, text_col, id_col,
+                                          num_hashes=64, shingle_k=3,
+                                          tokenizer=tokenizer)
+            cands = DD.lsh_candidate_pairs(sigs, id_col, num_hashes=64,
+                                           bands=32)
+            pairs = DD.ngram_jaccard_pairs(combined, text_col, id_col,
+                                           shingle_k=3,
+                                           threshold=neardup_threshold,
+                                           candidates=cands,
+                                           persists=persists,
+                                           tokenizer=tokenizer)
+        else:
+            pairs = DD.ngram_jaccard_pairs(combined, text_col, id_col,
+                                           shingle_k=3,
+                                           threshold=neardup_threshold,
+                                           persists=persists,
+                                           tokenizer=tokenizer)
+        cc = connected_components(pairs, "id_a", "id_b")
+        old_ids = old.select(F.col(id_col).alias("id"))
+        # clusters with an existing member: every new member drops;
+        # new-only clusters: keep the min new id (== cluster_id)
+        has_old = cc.join(old_ids, "id", "left_semi") \
+                    .select("cluster_id").distinct()
+        new_members = cc.join(old_ids, "id", "left_anti")
+        losers = (new_members.join(has_old, "cluster_id", "left_semi")
+                  .select("id")
+                  .union(new_members
+                         .join(has_old, "cluster_id", "left_anti")
+                         .filter(F.col("id") != F.col("cluster_id"))
+                         .select("id"))
+                  ).select(F.col("id").alias(id_col))
+        pairs = None   # losers already decided (old-wins keep rule)
+    elif neardup_mode == "minhash":
         sigs = DD.add_minhash_maponly(exact, text_col, id_col,
                                       num_hashes=64, shingle_k=3,
                                       tokenizer=tokenizer)

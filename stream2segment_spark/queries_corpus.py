@@ -1572,3 +1572,139 @@ def corpus_funnel(spark, sf_dir):
     return curated.select("doc_id", "source",
                           F.col("n_tokens").cast("long").alias("n_tokens"),
                           "quality", "split")
+
+
+# --- incremental funnel (r8, VERDICT r7 ask #6) -----------------------------
+# Constant clone page shared across the old/new halves so BOTH
+# incremental paths are non-trivial: exact fingerprints (new clones of
+# an existing page) and near-dup clusters spanning the boundary.
+_INC_CLONE = "key agg row scan slow fast table value part hash"
+_INC_SPLIT = 250   # ids below = the existing corpus; at the sf0.01 gate
+                   # this is exactly half the table
+
+
+def _funnel_incremental_oracle() -> str:
+    from stream2segment_spark.queries_text import _lang_case_sql
+    fold = "lower(regexp_replace({c}, '[^\\x00-\\x7F]+', ' ', 'g'))"
+    words = ("list_filter(string_split_regex(trim(regexp_replace("
+             + fold.format(c="t")
+             + ", '[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0)")
+    en_stops = ("('the','and','of','to','is','in','that','it','a','for',"
+                "'on','with','as')")
+    fingerprint = ("md5(trim(regexp_replace(" + fold.format(c="t")
+                   + ", '[^a-z0-9]+', ' ', 'g')))")
+    bkt = ("CAST('0x' || substr(md5('s2s:' || CAST(doc_id AS VARCHAR)),"
+           " 1, 15) AS BIGINT) % 10000")
+    return f"""
+    WITH RECURSIVE
+    base AS (SELECT doc_id,
+               CASE WHEN doc_id % 11 = 5 THEN '{_INC_CLONE}'
+                    ELSE coalesce(text, '') END AS t
+             FROM documents),
+    ann AS (SELECT doc_id, t, {words} AS w,
+              length(t)::DOUBLE AS n_chars,
+              {fingerprint} AS fingerprint
+            FROM base),
+    met AS (SELECT doc_id, t, w, fingerprint,
+              len(w) AS n_tokens,
+              coalesce((SELECT max(c) FROM
+                  (SELECT count(*) AS c FROM unnest(met0.w) AS u(x)
+                   GROUP BY x) q), 0) AS max_tok_run,
+              round((
+                (CASE WHEN n_chars >= 100 AND n_chars <= 20000
+                      THEN 1.0 ELSE 0.5 END) +
+                (CASE WHEN (CASE WHEN len(w) > 0 THEN
+                       len(list_filter(w, x -> x IN {en_stops}))::DOUBLE
+                       / len(w) END) >= 0.05
+                   AND (CASE WHEN len(w) > 0 THEN
+                       len(list_filter(w, x -> x IN {en_stops}))::DOUBLE
+                       / len(w) END) <= 0.6
+                      THEN 1.0 ELSE 0.5 END) +
+                (CASE WHEN (CASE WHEN len(w) > 0 THEN
+                       list_sum(list_transform(w, x -> len(x)))::DOUBLE
+                       / len(w) END) >= 2.0
+                   AND (CASE WHEN len(w) > 0 THEN
+                       list_sum(list_transform(w, x -> len(x)))::DOUBLE
+                       / len(w) END) <= 12.0
+                      THEN 1.0 ELSE 0.5 END) +
+                (CASE WHEN (CASE WHEN length(t) > 0 THEN
+                       length(regexp_replace(t,
+                         '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE
+                       / length(t) END) <= 0.2
+                      THEN 1.0 ELSE 0.5 END)) / 4.0, 4) AS quality,
+              {_lang_case_sql()} AS lang
+            FROM ann AS met0),
+    filt AS (SELECT * FROM met
+             WHERE lang IN ('en', 'und') AND quality >= 0.6
+               AND n_tokens BETWEEN 5 AND 100000
+               AND max_tok_run <= 0.2 * n_tokens),
+    exact AS (SELECT * FROM filt
+              QUALIFY row_number() OVER
+                (PARTITION BY fingerprint ORDER BY doc_id) = 1),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN
+               list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> array_to_string(w[i:i+2], ' ')))
+             ELSE [array_to_string(w, ' ')] END AS s
+           FROM exact),
+    inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM inv a JOIN inv b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    pairs AS (SELECT id_a, id_b
+              FROM cand JOIN sh x ON x.doc_id = id_a
+                        JOIN sh y ON y.doc_id = id_b
+              WHERE len(list_intersect(x.s, y.s))::DOUBLE
+                    / len(list_distinct(list_concat(x.s, y.s))) >= 0.5),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (SELECT a, b FROM edges
+                    UNION
+                    SELECT r.a, e.b FROM reach r
+                    JOIN edges e ON r.b = e.a),
+    label AS (SELECT a, least(min(b), a) AS cluster_id
+              FROM reach GROUP BY a),
+    dedup AS (SELECT e.* FROM exact e LEFT JOIN label l ON l.a = e.doc_id
+              WHERE coalesce(l.cluster_id, e.doc_id) = e.doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality, lang,
+           CASE WHEN {bkt} < 8000 THEN 'train'
+                WHEN {bkt} < 9000 THEN 'val' ELSE 'test' END AS split
+    FROM dedup
+    WHERE doc_id >= {_INC_SPLIT}"""
+
+
+@register("corpus_funnel_incremental", _funnel_incremental_oracle())
+def corpus_funnel_incremental(spark, sf_dir):
+    """Incremental curation (curate_corpus ``against=`` / 's2s curate
+    --against', VERDICT r7 ask #6): the existing half of the corpus is
+    curated once, then ONLY the new half runs through the funnel,
+    anti-joining exact fingerprints against the existing corpus and
+    near-deduping candidate pairs against it (existing docs always win
+    their clusters; new-only clusters keep the min new id) — the batch
+    analogue of streaming/corpus.py's LSH-vs-history dedup and the
+    corpus-scale shape of the reference's append/diff semantics (K3
+    sinks/writers.py append anti-join; J5 operators/joins.py
+    prepare_for_download, reference download/db/pdsql.py mergeupdate
+    family). The ORACLE is a full-corpus funnel replay restricted to
+    the new ids — the gate therefore proves the incremental contract:
+    new-docs-only curation equals the full rerun on this fixture.
+    Scale shape: the existing corpus is never re-deduped against
+    itself (one map-only signature/fingerprint pass + keyed joins);
+    only new docs shuffle through the verify stage."""
+    from stream2segment_spark.examples.corpus_pipeline import curate_corpus
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.when(F.col("doc_id") % 11 == 5, F.lit(_INC_CLONE)) \
+         .otherwise(F.coalesce(F.col("text"), F.lit("")))
+    derived = docs.select("doc_id", t.alias("text"))
+    cfg = dict(languages=("en", "und"), min_quality=0.6,
+               token_band=(5, 100_000), max_top_token_frac=0.2,
+               neardup_mode="jaccard", neardup_threshold=0.5)
+    old_curated, _ = curate_corpus(
+        derived.filter(F.col("doc_id") < _INC_SPLIT), **cfg)
+    inc, _ = curate_corpus(
+        derived.filter(F.col("doc_id") >= _INC_SPLIT),
+        against=old_curated.select("doc_id", "text", "fingerprint"),
+        **cfg)
+    return inc.select("doc_id",
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "quality", "lang", "split")

@@ -548,3 +548,92 @@ def test_stopword_count_by_lang_fallback_and_custom_tables(spark):
         cjk_word_tokens(F.col("t")), F.col("lang"),
         {"en": ("cat", "dog")}).alias("n")).collect()
     assert {r["id"]: r["n"] for r in out2}[1] == 2
+
+
+def test_against_incremental_dedup(spark):
+    """curate_corpus(against=...): new docs drop on (a) an existing
+    fingerprint, (b) near-dupping an existing doc — existing docs win
+    regardless of id order — while fresh docs survive; new-only
+    near-dup clusters keep the min new id."""
+    base = ("the quick brown fox jumps over the lazy dog and it is "
+            "a fine day for running in the field with friends")
+    old_docs = spark.createDataFrame(
+        [(100, base)], "doc_id long, text string")
+    kw = dict(languages=("en", "und"), min_quality=0.0,
+              token_band=(1, 100_000), max_top_token_frac=1.0,
+              neardup_mode="jaccard", neardup_threshold=0.5)
+    old_curated, _ = curate_corpus(old_docs, **kw)
+    assert old_curated.count() == 1
+    new_docs = spark.createDataFrame(
+        [(1, base),                                     # exact dup (id < old!)
+         (2, base.replace("friends", "family")),        # near-dup of old
+         (3, "a completely different document about spark window "
+             "aggregation and shuffle partitioning at scale"),
+         (4, "a completely different document about spark window "
+             "aggregation and shuffle partitioning at large scale"),
+         ], "doc_id long, text string")
+    inc, funnel = curate_corpus(
+        new_docs, against=old_curated.select("doc_id", "text",
+                                             "fingerprint"), **kw)
+    kept = {r.doc_id for r in inc.select("doc_id").collect()}
+    # 1 exact-dups old, 2 near-dups old (old wins even with larger id),
+    # 3/4 near-dup each other -> min new id 3 survives
+    assert kept == {3}
+    # without against=, 1 and 2 would survive (nothing to collide with)
+    alone, _ = curate_corpus(new_docs, **kw)
+    assert {r.doc_id for r in alone.select("doc_id").collect()} == {1, 3}
+
+
+def test_against_recomputes_missing_fingerprint_and_validates(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again")],
+        "doc_id long, text string")
+    old = spark.createDataFrame(
+        [(50, "the quick brown fox jumps over the lazy dog again")],
+        "doc_id long, text string")        # no fingerprint column
+    kw = dict(languages=("en", "und"), min_quality=0.0,
+              token_band=(1, 100_000), max_top_token_frac=1.0)
+    inc, _ = curate_corpus(docs, against=old, neardup_mode="jaccard",
+                           neardup_threshold=0.5, **kw)
+    assert inc.count() == 0                # fingerprint recomputed
+    with pytest.raises(ValueError, match="against"):
+        curate_corpus(docs, against=old, neardup_mode="semantic", **kw)
+    with pytest.raises(ValueError, match="against"):
+        curate_corpus(docs, against=old, neardup_keep="best", **kw)
+
+
+def test_against_cli_flag(spark, tmp_path, capsys):
+    import json
+
+    from stream2segment_spark.cli import main as cli_main
+
+    base = ("the quick brown fox jumps over the lazy dog and it is "
+            "a fine day for running in the field with friends")
+    old_pq = str(tmp_path / "old.parquet")
+    new_pq = str(tmp_path / "new.parquet")
+    spark.createDataFrame([(1, base, "s")],
+                          "doc_id long, text string, source string") \
+        .write.parquet(old_pq)
+    spark.createDataFrame(
+        [(10, base, "s"),
+         (11, "an entirely different page about catalyst optimizer "
+              "rules and adaptive query execution in modern engines",
+          "s")],
+        "doc_id long, text string, source string").write.parquet(new_pq)
+    out1 = str(tmp_path / "c1")
+    rc = cli_main(["curate", "-i", old_pq, "-o", out1,
+                   "--languages", "en,und", "--min-quality", "0",
+                   "--min-tokens", "1"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli_main(["curate", "-i", new_pq, "-o", str(tmp_path / "c2"),
+                   "--languages", "en,und", "--min-quality", "0",
+                   "--min-tokens", "1",
+                   "--against", out1 + "/curated.parquet"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["output"] == 1            # the exact dup of old dropped
+    back = spark.read.parquet(str(tmp_path / "c2" / "curated.parquet"))
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {11}

@@ -391,9 +391,9 @@ _NORM_SQL = ("trim(regexp_replace(lower(regexp_replace({col}, "
             translate({_NORM_SQL.format(col='text')},
                       '{_HAN_SRC}', '{_HAN_DST}') AS t
           FROM documents),
-        sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
-            list_distinct(list_transform(range(1, len(w) - 1),
-            i -> array_to_string(w[i:i+2], ' ')))
+        sh AS (SELECT doc_id, CASE WHEN len(w) >= 12 THEN
+            list_distinct(list_transform(range(1, len(w) - 10),
+            i -> array_to_string(w[i:i+11], ' ')))
             ELSE [array_to_string(w, ' ')] END AS s
           FROM (SELECT doc_id, {DD.cjk_tokens_sql('t')} AS w FROM d)),
         inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
@@ -424,11 +424,20 @@ def dedup_cjk_neardup(spark, sf_dir):
     han = F.translate(DD.normalized_text(F.col("text")),
                       _HAN_SRC, _HAN_DST)
     d2 = docs.select("doc_id", han.alias("text"))
+    # shingle_k=12 (12 consecutive bigram tokens ~ 13 consecutive
+    # codepoints), NOT the word-mode 3: the mapped alphabet has 37
+    # symbols and word boundaries vanish, so 3-bigram shingles are so
+    # common that LSH banding degenerates — at sf0.1 k=3 put 10.6M of
+    # the 12.5M possible pairs into candidate buckets (~190 s of
+    # verify); k=12 admits 16k candidates for the same 256 verified
+    # pairs (3.6 s). The standard CJK practice: character-n-gram
+    # shingles need a LONGER window than word shingles to carry the
+    # same specificity.
     sigs = DD.add_minhash_maponly(d2, "text", "doc_id", num_hashes=64,
-                                  shingle_k=3, tokenizer="cjk")
+                                  shingle_k=12, tokenizer="cjk")
     cands = DD.lsh_candidate_pairs(sigs, "doc_id", num_hashes=64,
                                    bands=32)
-    out = DD.ngram_jaccard_pairs(d2, "text", "doc_id", shingle_k=3,
+    out = DD.ngram_jaccard_pairs(d2, "text", "doc_id", shingle_k=12,
                                  threshold=0.5, candidates=cands,
                                  tokenizer="cjk")
     return out.select("id_a", "id_b",

@@ -611,6 +611,8 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
                langid_mode: str = "heuristic",
                multilingual_stopwords: bool = False,
                against: str | None = None,
+               against_signatures: str | None = None,
+               write_signatures: bool = False,
                html_extract: bool = False,
                classifier: str | None = None,
                min_classifier_score: float = 0.5,
@@ -635,6 +637,38 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
               f"{sorted(missing)} (has: {sorted(docs.columns)})",
               file=sys.stderr)
         return 2
+    # signature chaining (incremental curation at scale): the persisted
+    # MinHash table lets every later --against batch skip re-tokenizing
+    # the existing corpus (funnel scale contract — batch cost tracks
+    # the new batch, not the corpus)
+    if (write_signatures or against_signatures) \
+            and neardup_mode != "minhash":
+        print("error: --write-signatures/--against-signatures require "
+              "--neardup-mode minhash (signatures exist only on the "
+              "MinHash path)", file=sys.stderr)
+        return 2
+    if against_signatures is not None and against is None:
+        print("error: --against-signatures requires --against (it is "
+              "the signature table OF the existing corpus)",
+              file=sys.stderr)
+        return 2
+    if write_signatures and against is not None \
+            and against_signatures is None:
+        print("error: --write-signatures with --against needs "
+              "--against-signatures to produce the chained table "
+              "(run the first batch with --write-signatures and pass "
+              "its signatures.parquet here)", file=sys.stderr)
+        return 2
+    against_sig_df = None
+    if against_signatures is not None:
+        against_sig_df = spark.read.parquet(against_signatures)
+        sig_missing = {"doc_id", "minhash"} - set(against_sig_df.columns)
+        if sig_missing:
+            print(f"error: {against_signatures} lacks required "
+                  f"column(s) {sorted(sig_missing)} (has: "
+                  f"{sorted(against_sig_df.columns)})", file=sys.stderr)
+            return 2
+    sig_frames: list = []
     persists: list = []
     clf_kwargs: dict = {}
     if classifier is not None:
@@ -681,6 +715,8 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
                          else None),
         against=(spark.read.parquet(against) if against is not None
                  else None),
+        against_signatures=against_sig_df,
+        signatures=(sig_frames if write_signatures else None),
         html_extract=html_extract,
         audit=audit, **clf_kwargs)
     out = os.path.join(outdir, "curated.parquet")
@@ -691,6 +727,20 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
     curated = curated.persist()
     try:
         curated.write.mode("overwrite").parquet(out)
+        if write_signatures and sig_frames:
+            # survivors' signatures (the funnel signed every doc that
+            # entered near-dedup; losers' rows are dropped here), plus
+            # the existing table when chaining — the result is the
+            # complete signature table of the curated corpus, ready to
+            # be the NEXT batch's --against-signatures. Writing reuses
+            # curated's cache; the old table is a parquet passthrough.
+            sig_out = sig_frames[0].join(curated.select("doc_id"),
+                                         "doc_id", "left_semi")
+            if against_sig_df is not None:
+                sig_out = sig_out.unionByName(
+                    against_sig_df.select("doc_id", "minhash"))
+            sig_out.write.mode("overwrite").parquet(
+                os.path.join(outdir, "signatures.parquet"))
         stats = funnel.collect()[0].asDict()
         stats["output"] = curated.count()
         print(json.dumps(stats))
@@ -1141,6 +1191,18 @@ def main(argv: list[str] | None = None) -> int:
                         "whose fingerprint already exists and docs "
                         "that near-dup an existing doc (existing docs "
                         "always win); ids must be disjoint")
+    p.add_argument("--against-signatures", default=None,
+                   metavar="PARQUET",
+                   help="persisted MinHash signature table of the "
+                        "--against corpus (written by a previous "
+                        "--write-signatures run): the existing corpus "
+                        "is then never re-tokenized — the incremental "
+                        "batch cost tracks the NEW batch size")
+    p.add_argument("--write-signatures", action="store_true",
+                   help="also write <outdir>/signatures.parquet "
+                        "(doc_id, minhash) for the curated corpus, "
+                        "ready to be the next batch's "
+                        "--against-signatures (minhash mode only)")
     p.add_argument("--multilingual-stopwords", action="store_true",
                    help="key the quality score's stopword term by the "
                         "row's language (built-in per-language tables, "
@@ -2160,6 +2222,8 @@ def main(argv: list[str] | None = None) -> int:
                               multilingual_stopwords=(
                                   args.multilingual_stopwords),
                               against=args.against,
+                              against_signatures=args.against_signatures,
+                              write_signatures=args.write_signatures,
                               html_extract=args.html_extract,
                               classifier=args.classifier,
                               min_classifier_score=args.min_classifier_score,

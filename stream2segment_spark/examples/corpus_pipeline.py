@@ -102,6 +102,8 @@ def curate_corpus(
     classifier_scale: int = 1000,
     classifier_wscale: int = 1000,
     against: DataFrame | None = None,
+    against_signatures: DataFrame | None = None,
+    signatures: list | None = None,
     audit: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the 5-stage curation funnel; returns (curated, funnel) where
@@ -117,7 +119,18 @@ def curate_corpus(
     ``persist()``-ed; pass a list as ``persists`` to receive them so the
     caller can ``unpersist()`` once ``curated``/``funnel`` have been
     materialized (cmd_curate does; without it the caches live until the
-    session ends)."""
+    session ends).
+
+    Incremental mode (``against=``): ``against_signatures`` optionally
+    supplies the existing corpus's persisted MinHash signature table
+    (``id_col``, ``minhash array<bigint>``; written by a previous
+    ``cmd_curate --write-signatures`` run) so the existing corpus is
+    NEVER re-tokenized — only its band keys are recomputed from the
+    stored signatures (map-only over id+64 longs/doc, no text scan).
+    Pass a list as ``signatures`` to receive the (id, minhash) frame
+    computed for the NEW docs this run (minhash mode only) — semi-join
+    it to the curated survivors and union with the old table to chain
+    the next batch."""
     import stream2segment_spark.functions.text as TX
     from stream2segment_spark.functions.sampling import (
         split_column, temperature_sample)
@@ -381,6 +394,9 @@ def curate_corpus(
     # clusters; new-only clusters keep the min new id). When the
     # existing corpus carries a 'fingerprint' column it is reused;
     # otherwise it is recomputed map-only with the funnel's tokenizer.
+    # Likewise ``against_signatures`` reuses the persisted MinHash
+    # table so the old corpus's text is only ever read for the handful
+    # of candidate-touched docs in the verify stage.
     # Equals a full-corpus rerun restricted to the new ids whenever
     # existing ids precede new ids and no new doc links to a DROPPED
     # old doc without also linking to its surviving canonical (gated:
@@ -399,6 +415,20 @@ def curate_corpus(
             (F.col("fingerprint") if "fingerprint" in against.columns
              else TX.doc_fingerprint(F.col(text_col), tokenizer=tokenizer)
              ).alias("fingerprint"))
+        # ids MUST be disjoint across the two frames: the old-wins keep
+        # rule below is keyed on id, so a new doc reusing an existing id
+        # would be classified as old and could never drop. Fail loudly
+        # (one keyed semi-join + LocalLimit, same shape as the
+        # fingerprint anti-join that follows) instead of silently
+        # corrupting the dedup guarantee.
+        if (exact.select(id_col)
+                .join(old.select(id_col), id_col, "left_semi")
+                .limit(1).count()):
+            raise ValueError(
+                f"against= requires {id_col!r} values disjoint from the "
+                "existing corpus: at least one new document reuses an "
+                "existing id (the old-wins keep rule is id-keyed and "
+                "would silently treat it as already curated)")
         exact = exact.join(old.select("fingerprint").distinct(),
                            "fingerprint", "left_anti")
 
@@ -424,27 +454,77 @@ def curate_corpus(
         persists.append(exact)
     if against is not None:
         # candidates over existing + new; only NEW docs can lose.
-        # Scale shape: the existing corpus contributes one map-only
-        # signature pass + its band keys — it is never re-deduped
-        # against itself (its survivors are pairwise non-dup), and the
-        # pair verify touches only candidate pairs with >= 1 new side
-        # after the band join prunes old-old bands of singleton docs.
+        # Scale shape (minhash mode): batch cost tracks |new|, not
+        # |old| —
+        #   * the existing corpus is never re-tokenized when
+        #     ``against_signatures`` supplies its persisted signature
+        #     table (band keys recompute from id + 64 longs/doc);
+        #   * the band join REQUIRES >= 1 new side structurally
+        #     (streaming/corpus.py's __new-flag predicate), so old-old
+        #     bucket pairs — which boilerplate guarantees at scale —
+        #     never materialize as candidates, let alone reach verify;
+        #   * the exact-Jaccard verify tokenizes only candidate-touched
+        #     docs (semi-join on candidate ids), i.e. O(candidates)
+        #     text, not O(corpus).
+        # Old survivors are pairwise non-near-dup by construction, so
+        # skipping old-old pairs cannot change the verified pair set —
+        # the full-rerun equivalence gate (corpus_funnel_incremental,
+        # corpus_funnel_incr_sigs) still holds.
         combined = (exact.select(F.col(id_col), F.col(text_col))
                     .unionByName(old.select(F.col(id_col),
                                             F.col(text_col))))
         if neardup_mode == "minhash":
-            sigs = DD.add_minhash_maponly(combined, text_col, id_col,
-                                          num_hashes=64, shingle_k=3,
-                                          tokenizer=tokenizer)
-            cands = DD.lsh_candidate_pairs(sigs, id_col, num_hashes=64,
-                                           bands=32)
-            pairs = DD.ngram_jaccard_pairs(combined, text_col, id_col,
-                                           shingle_k=3,
-                                           threshold=neardup_threshold,
-                                           candidates=cands,
-                                           persists=persists,
-                                           tokenizer=tokenizer)
+            sigs_new = DD.add_minhash_maponly(
+                exact, text_col, id_col, num_hashes=64, shingle_k=3,
+                tokenizer=tokenizer)
+            if signatures is not None:
+                signatures.append(sigs_new)
+            if against_signatures is not None:
+                sigs_old = against_signatures.select(
+                    F.col(id_col), F.col("minhash"))
+            else:
+                sigs_old = DD.add_minhash_maponly(
+                    old, text_col, id_col, num_hashes=64, shingle_k=3,
+                    tokenizer=tokenizer)
+            keys = (DD.lsh_band_keys(sigs_new, id_col, num_hashes=64,
+                                     bands=32)
+                    .withColumn("__new", F.lit(True))
+                    .unionByName(
+                        DD.lsh_band_keys(sigs_old, id_col, num_hashes=64,
+                                         bands=32)
+                        .withColumn("__new", F.lit(False))))
+            a, b = keys.alias("a"), keys.alias("b")
+            # candidate = same band bucket, RIGHT side new; order the
+            # pair so the kept doc is the older / lower one (old docs
+            # win their clusters, then lower id within the batch) —
+            # old-old pairs are excluded by the predicate, not filtered
+            # after the fact
+            cands = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                            & (F.col("a.key") == F.col("b.key"))
+                            & F.col("b.__new")
+                            & (~F.col("a.__new")
+                               | (F.col(f"a.{id_col}")
+                                  < F.col(f"b.{id_col}"))))
+                     .select(F.col(f"a.{id_col}").alias("id_a"),
+                             F.col(f"b.{id_col}").alias("id_b"))
+                     .distinct()
+                     .persist())  # feeds the id semi-join AND the verify
+            if persists is not None:
+                persists.append(cands)
+            cand_ids = (cands.select(F.col("id_a").alias(id_col))
+                        .unionByName(cands.select(F.col("id_b")
+                                                  .alias(id_col)))
+                        .distinct())
+            pairs = DD.ngram_jaccard_pairs(
+                combined.join(cand_ids, id_col, "left_semi"),
+                text_col, id_col, shingle_k=3,
+                threshold=neardup_threshold, candidates=cands,
+                persists=persists, tokenizer=tokenizer)
         else:
+            # exact mode: no signatures exist, so finding old<->new
+            # overlaps inherently shingles the old corpus too —
+            # fixture-exact path, O(|old|+|new|) per batch; 'minhash'
+            # is the scale path
             pairs = DD.ngram_jaccard_pairs(combined, text_col, id_col,
                                            shingle_k=3,
                                            threshold=neardup_threshold,
@@ -469,6 +549,8 @@ def curate_corpus(
         sigs = DD.add_minhash_maponly(exact, text_col, id_col,
                                       num_hashes=64, shingle_k=3,
                                       tokenizer=tokenizer)
+        if signatures is not None:
+            signatures.append(sigs)
         cands = DD.lsh_candidate_pairs(sigs, id_col, num_hashes=64,
                                        bands=32)
         pairs = DD.ngram_jaccard_pairs(exact, text_col, id_col,

@@ -66,10 +66,22 @@ def stopword_count_by_lang(
     (the English default preserved — pure-ASCII corpora behave exactly
     as before). Codegen'd expression, no UDF, no shuffle; each branch
     is a filter+isin over a literal list, SQL-replayable as
-    ``CASE lang WHEN ... THEN len(list_filter(...)) ... END``."""
+    ``CASE lang WHEN ... THEN len(list_filter(...)) ... END``.
+
+    Caller-supplied ``tables`` are validated up front (ADVICE r8): a
+    missing ``default_lang`` key or an empty word list would otherwise
+    surface as a bare KeyError / isin TypeError deep in plan build."""
     tables = STOPWORDS_BY_LANG if tables is None else tables
+    if default_lang not in tables:
+        raise ValueError(
+            f"stopword tables lack the default_lang {default_lang!r} "
+            f"entry (the unknown-language fallback); got languages "
+            f"{sorted(tables)}")
 
     def _cnt(words: tuple[str, ...]) -> Column:
+        if not words:
+            # isin() rejects zero args; an empty table = zero stopwords
+            return F.lit(0)
         return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
     expr = _cnt(tables[default_lang])

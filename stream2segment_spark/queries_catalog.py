@@ -100,8 +100,6 @@ def _graph(dfs):
        UNION ALL
        SELECT 'orderby' AS op, event_id, event_type, value FROM ev
        WHERE value > 190""", gate=False,
-    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
-    # slot for a never-driver-checked entry (VERDICT r4 item #1).
 )
 def selection_predicates(spark, sf_dir):
     """P1-P3/O3 in one tagged entry (the gate caps the checked-query count,
@@ -130,13 +128,9 @@ def selection_predicates(spark, sf_dir):
        JOIN part p ON l.l_partkey = p.p_partkey
        WHERE o.o_orderpriority = '1-URGENT'
          AND p.p_size >= 10 AND p.p_size < 20
-         AND l.l_quantity < 25""",
-    # r4 gate rotation (late session): deferred (driver-green r1+r2+r3) —
+         AND l.l_quantity < 25""", gate=False,
     # the exprquery compiler stays covered in-window by
-    # selection_predicates; the freed slot gates corpus_c4_filters.
-    # r7 rotation: deferred again (driver-green r1-r3; same in-window
-    # coverage argument) — frees the slot that gates text_html_extract.
-    
+    # r9 rotation: deferred
 )
 def selection_dotted_joins(spark, sf_dir):
     """P1/J1: dotted attributes auto-join the relationship path once;
@@ -155,14 +149,8 @@ def selection_dotted_joins(spark, sf_dir):
        FROM lineitem l
        JOIN orders o ON l.l_orderkey = o.o_orderkey
        JOIN customer c ON o.o_custkey = c.c_custkey
-       WHERE c.c_mktsegment = 'BUILDING' AND l.l_discount > 0.05""",
-    # r4 late rotation: driver-green r1+r2+r3 (J2 family stays gated via
-    # selection_predicates/selection_dotted_joins) — frees the slot that
-    # gates sim_semantic_dedup.
-    # r7 rotation: deferred again (driver-green r1-r3 + judge mirror r6)
-    # — never-green entries outrank stale-green refreshes; frees the slot
-    # that gates langid_script.
-    
+       WHERE c.c_mktsegment = 'BUILDING' AND l.l_discount > 0.05""", gate=False,
+    # r9 rotation: deferred
 )
 def selection_two_hop(spark, sf_dir):
     """J2-style 2-hop relationship (lineitem->orders->customer), mirroring
@@ -503,8 +491,6 @@ def join_download_diff(spark, sf_dir):
                     OR o.o_orderdate + INTERVAL 60 DAY
                        >= l.l_shipdate + INTERVAL 1 DAY)) AS valid
        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""", gate=False,
-    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
-    # slot for a never-driver-checked entry (VERDICT r4 item #1).
 )
 def pred_epoch_validity(spark, sf_dir):
     """P8: station epoch validity (reference stationsearch.py:84-86)
@@ -627,11 +613,9 @@ def scalar_datetime_math(spark, sf_dir):
                   * cos(radians(((c_custkey * 13) % 360) - 180) - radians(12.5)))), 6)
               AS dist_deg
        FROM customer) SELECT c_custkey, dist_deg,
-              round(dist_deg * 111.19492664455873, 6) AS dist_km FROM d""",
-    # r7 rotation: deferred again (driver-green r1+r2; pure scalar path,
+              round(dist_deg * 111.19492664455873, 6) AS dist_km FROM d""", gate=False,
     # F7 stays hash-verified inside spatial_join_traveltime) — frees the
-    # slot that gates corpus_search_unicode.
-    
+    # r9 rotation: deferred
 )
 def scalar_great_circle(spark, sf_dir):
     """F7 + F6: spherical great-circle distance (stationsearch.py:157-189)
@@ -713,11 +697,9 @@ def scalar_event_exprs(spark, sf_dir):
     # r3 gate rotation: deferred (P6/F12 wildcard->LIKE is exercised
     # inside source_nslc_filters' checked path; still benched)
     "scalar_wildcard_like",
-    oracle="""SELECT p_partkey, p_name FROM part WHERE p_brand LIKE 'Brand_1%'""",
-    # r7 rotation: deferred again (driver-green r1+r2; P6/F12 stays
+    oracle="""SELECT p_partkey, p_name FROM part WHERE p_brand LIKE 'Brand_1%'""", gate=False,
     # exercised inside source_nslc_filters' checked path) — frees the
-    # slot that gates corpus_pack_unicode.
-    
+    # r9 rotation: deferred
 )
 def scalar_wildcard_like(spark, sf_dir):
     """P6/F12: FDSN wildcard ('Brand?1*') -> SQL LIKE

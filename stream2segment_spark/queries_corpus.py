@@ -94,9 +94,8 @@ def corpus_longest_dup(spark, sf_dir):
               md5(coalesce(array_to_string(list(l.ln ORDER BY l.pos)
                   FILTER (f.line_df <= 2), chr(10)), '')) AS kept_md5
        FROM l JOIN f USING (ln)
-       GROUP BY l.doc_id""", gate=False,
-    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
-    # slot for a never-driver-checked entry (VERDICT r4 item #1).
+       GROUP BY l.doc_id"""
+    # r9 rotation: gated
 )
 def corpus_line_dedup(spark, sf_dir):
     """CCNet/RefinedWeb-style line-level boilerplate removal
@@ -410,10 +409,8 @@ _KM_ASSIGN_SQL = f"""q AS (SELECT vec_id,
     "cluster_kmeans",
     f"""WITH {_KM_ASSIGN_SQL}
        SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id, d2 AS dist2
-       FROM asn""",
-    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
-    # slot for a never-driver-checked entry (VERDICT r4 item #1).
-    
+       FROM asn""", gate=False,
+    # r9 rotation: deferred
 )
 def cluster_kmeans(spark, sf_dir):
     """Distributed Lloyd k-means over the embedding column
@@ -634,8 +631,8 @@ def corpus_bpe(spark, sf_dir):
               count(*) AS n_docs,
               CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
               min(doc_id) AS min_id, max(doc_id) AS max_id
-       FROM c GROUP BY shard, chunk_id""",
-    gate=False,
+       FROM c GROUP BY shard, chunk_id"""
+    # r9 rotation: gated
 )
 def corpus_pack_bpe(spark, sf_dir):
     """Chunk packing budgeted by TRAINED-TOKENIZER token counts, not
@@ -821,8 +818,8 @@ def corpus_bloom_ingest(spark, sf_dir):
                    AS mix_start
           FROM d)
         SELECT doc_id, source, n_tokens, mix_start
-        FROM w WHERE mix_start < 3000""", gate=False,
-    # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
+        FROM w WHERE mix_start < 3000"""
+    # r9 rotation: gated
 )
 def corpus_token_mix(spark, sf_dir):
     """Token-budget source mixing (functions/sampling.token_budget_mix —
@@ -858,8 +855,6 @@ def corpus_token_mix(spark, sf_dir):
                coalesce(array_to_string(w[i*12+1 : i*12+16], ' '), '')
                  AS chunk_text
         FROM e""",
-    # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
-    
 )
 def corpus_chunking(spark, sf_dir):
     """Overlapping token-window chunking (functions/packing.
@@ -928,11 +923,6 @@ def _classifier_oracle() -> str:
 
 @register(
     "corpus_quality_classifier", _classifier_oracle(),
-    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
-    # freed for an entry whose module changed after its last gate row
-    # (tools/rotation_check.py selection)
-    # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
-    
 )
 def corpus_quality_classifier(spark, sf_dir):
     """Distributed linear quality classifier (operators/classifier.py —
@@ -1007,8 +997,6 @@ def _classifier_gate_oracle() -> str:
 @register(
     "corpus_classifier_gate", _classifier_gate_oracle(),
     # r7: new entry for the score_with_weights inference path; window
-    # full — deferred (mirror-verified; r8 rotation candidate)
-    
 )
 def corpus_classifier_gate(spark, sf_dir):
     """Train-once / score-elsewhere (operators/classifier
@@ -1190,8 +1178,6 @@ def corpus_shuffle_shards(spark, sf_dir):
                                          ORDER BY h, doc_id) AS rn
                FROM h)
        SELECT doc_id, source FROM r WHERE rn <= 25""",
-    # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
-    
 )
 def corpus_domain_cap(spark, sf_dir):
     """Per-source document cap (functions/sampling.cap_per_group): at
@@ -1708,3 +1694,67 @@ def corpus_funnel_incremental(spark, sf_dir):
     return inc.select("doc_id",
                       F.col("n_tokens").cast("long").alias("n_tokens"),
                       "quality", "lang", "split")
+
+
+    # r9 rotation: deferred
+    # r9 rotation: gated
+@register("corpus_funnel_incr_sigs", _funnel_incremental_oracle())
+def corpus_funnel_incr_sigs(spark, sf_dir):
+    """The SCALE path of incremental curation (VERDICT r8 ask #1):
+    minhash mode with a PERSISTED signature table — the existing
+    corpus is signed once at its own curation time (``signatures``
+    out-param), then every later batch reuses the stored (doc_id,
+    minhash) table via ``against_signatures`` so the old corpus is
+    NEVER re-tokenized; the LSH band join structurally requires >= 1
+    new side (streaming/corpus.py's __new predicate ported to batch —
+    old-old bucket pairs never materialize), and the exact-Jaccard
+    verify tokenizes only candidate-touched docs. Batch cost therefore
+    tracks |new batch|, not |existing corpus| (the shape the reference
+    gets from its J5 semi-join pre-filter,
+    download/modules/segments.py:152-160). The ORACLE is the same
+    full-corpus funnel replay restricted to the new ids as
+    corpus_funnel_incremental — green means the persisted-signature
+    fast path returns EXACTLY what a from-scratch full rerun would
+    (LSH recall over the fixture's verified pairs is total, as proven
+    independently by dedup_minhash_lsh's full-pair-set oracle)."""
+    from stream2segment_spark.examples.corpus_pipeline import curate_corpus
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.when(F.col("doc_id") % 11 == 5, F.lit(_INC_CLONE)) \
+         .otherwise(F.coalesce(F.col("text"), F.lit("")))
+    derived = docs.select("doc_id", t.alias("text"))
+    cfg = dict(languages=("en", "und"), min_quality=0.6,
+               token_band=(5, 100_000), max_top_token_frac=0.2,
+               neardup_mode="minhash", neardup_threshold=0.5)
+    # PRODUCTION SHAPE: the existing corpus and its signature table are
+    # persisted parquet (what cmd_curate --write-signatures emits), and
+    # the incremental batch reads them back — exactly the deployment
+    # contract, and it severs the old corpus's live lineage (its funnel
+    # ran once, at ITS curation time; this batch only scans two small
+    # parquet tables plus the new docs).
+    import shutil
+    import tempfile
+
+    old_sigs: list = []
+    old_curated, _ = curate_corpus(
+        derived.filter(F.col("doc_id") < _INC_SPLIT),
+        signatures=old_sigs, **cfg)
+    tmp = tempfile.mkdtemp(prefix="s2s-incr-sigs-gate-")
+    try:
+        old_curated.select("doc_id", "text", "fingerprint") \
+            .write.mode("overwrite").parquet(f"{tmp}/curated.parquet")
+        old_sigs[0].join(old_curated.select("doc_id"), "doc_id",
+                         "left_semi") \
+            .write.mode("overwrite").parquet(f"{tmp}/signatures.parquet")
+        inc, _ = curate_corpus(
+            derived.filter(F.col("doc_id") >= _INC_SPLIT),
+            against=spark.read.parquet(f"{tmp}/curated.parquet"),
+            against_signatures=spark.read.parquet(
+                f"{tmp}/signatures.parquet"),
+            **cfg)
+        out = inc.select(
+            "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+            "quality", "lang", "split")
+        out = out.localCheckpoint(eager=True)  # materialize before rmtree
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

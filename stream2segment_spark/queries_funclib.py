@@ -453,8 +453,6 @@ def funclib_spectra(spark, sf_dir):
                 PARTITION BY user_id
                 ORDER BY ts NULLS FIRST, event_id) AS first_event_id
        FROM ev""", gate=False,
-    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
-    # slot for a never-driver-checked entry (VERDICT r4 item #1).
 )
 def scalar_seed_id(spark, sf_dir):
     """J11/F14: seed-id build with the stored-value fallback
@@ -488,8 +486,6 @@ def scalar_seed_id(spark, sf_dir):
                        ELSE coalesce(text, '') END) AS payload_md5,
               doc_id % 7 != 0 AS has_data
        FROM documents""", gate=False,
-    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
-    # slot for a never-driver-checked entry (VERDICT r4 item #1).
 )
 def source_sniff(spark, sf_dir):
     """K7 + P4: each document's text is compressed with a per-row method
@@ -599,8 +595,6 @@ def _sg_terms(n: int = 64, half: int = 2, order: int = 2) -> str:
               round(sg.sg, 6) AS sgsmooth
        FROM s JOIN t ON s.vec_id = t.vec_id AND s.pos = t.pos
               JOIN sg ON s.vec_id = sg.vec_id AND s.pos = sg.pos""", gate=False,
-    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
-    # slot for a never-driver-checked entry (VERDICT r4 item #1).
 )
 def funclib_coda_smooth(spark, sf_dir):
     """W4 + N10 building blocks through the REAL kernels on the Arrow
@@ -692,8 +686,6 @@ _PD_BUCKETS = 16
        SELECT 'cumulative' AS op, vec_id, pos, round(y, 6) AS y,
               64 AS n_raw, 0.5 AS dx, 'cumulative' AS label
        FROM cum_rows""", gate=False,
-    # r6 gate rotation: first driver CORRECTNESS row (window slot freed
-    # by scalar_event_exprs, driver-green r2+r3+r4+r5)
 )
 def plot_downsample(spark, sf_dir):
     """X4 via the real producer UDFs (plots.make_producer): the trace

@@ -54,8 +54,8 @@ def _encode_udf():
               0.0 AS first_sample,
               CAST(((24 + doc_id % 30) * (doc_id % 5 + 1)) % 1000 AS DOUBLE)
                 AS last_sample
-       FROM documents""",
-    gate=False,
+       FROM documents"""
+    # r9 rotation: gated
 )
 def mseed_decode(spark, sf_dir):
     """S7: encode a deterministic two-record blob per id (int32 / Steim1),

@@ -64,12 +64,7 @@ def _wav_blob(channels, sample_rate):
               CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bit_depth,
               CASE WHEN doc_id % 2 = 0 THEN 26 ELSE 36 END AS n_bytes
        FROM documents""",
-    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
-    # slot for a never-driver-checked entry (VERDICT r4 item #1).
-    # r7 rotation: deferred again (driver-green r1-r4, the most-verified
     # multimodal entry; the probe UDF plumbing stays exercised in-window
-    # by multimodal_frames) — frees the slot that gates corpus_host_rank.
-    
 )
 def multimodal_probe(spark, sf_dir):
     """Media metadata probe: build PNG headers for even ids and WAV headers
@@ -96,8 +91,6 @@ def multimodal_probe(spark, sf_dir):
     """SELECT doc_id, CAST(u.k AS INT) AS frame_idx, 64 AS frame_len
        FROM documents,
             LATERAL (SELECT unnest(range(0, ((doc_id % 300) + 32) * 2 // 64, 2)) AS k) u""", gate=False,
-    # r4 late rotation: driver-green r2+r3 (multimodal family stays gated
-    # via probe/audio/resize/features) — frees the slot gating corpus_search.
 )
 def multimodal_frames(spark, sf_dir):
     """Video-style frame sampling (every 2nd 64-byte frame) over a raw

@@ -38,8 +38,6 @@ def _order_pyfunc(seg: SegmentView, config: dict):
               round(o_totalprice * 1.1, 4) AS total_with_tax,
               CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS priority_key
        FROM orders WHERE o_orderstatus != 'F'""", gate=False,
-    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
-    # slot for a never-driver-checked entry (VERDICT r4 item #1).
 )
 def process_pyfunc_engine(spark, sf_dir):
     """X1/X2: the per-segment processing engine — mapInPandas pyfunc with

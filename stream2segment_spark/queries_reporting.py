@@ -28,8 +28,6 @@ from stream2segment_spark.schema import load_table
        WHERE code IS NULL OR code = -1 OR code = -2 OR code = -204
           OR code = 204 OR (code BETWEEN 400 AND 499)
           OR (code BETWEEN 500 AND 599)""", gate=False,
-    # r4 late rotation: driver-green r2+r3 (P11 stays gated through
-    # join_download_diff's retry mask) — frees the slot gating corpus_bpe.
 )
 def pred_retry_mask(spark, sf_dir):
     """P11: the retry-policy download_code mask — every selector class
@@ -304,9 +302,8 @@ def join_asof_forward(spark, sf_dir):
               CASE WHEN bt IS NULL THEN ft WHEN ft IS NULL THEN bt
                    WHEN (ft - b.ts) < (b.ts - bt) THEN ft
                    ELSE bt END AS ts_asof
-       FROM b JOIN f USING (event_id)""",
-    # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
-    
+       FROM b JOIN f USING (event_id)""", gate=False,
+    # r9 rotation: deferred
 )
 def join_asof_nearest(spark, sf_dir):
     """Nearest as-of join (pandas merge_asof direction='nearest', ties

@@ -94,8 +94,6 @@ def sim_topk_ivf(spark, sf_dir):
               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
        FROM e a JOIN e b ON a.vec_id < b.vec_id
        WHERE list_cosine_similarity(a.v, b.v) > 0.4""", gate=False,
-    # r3 gate rotation: deferred (one of four similarity rows; exact
-    # all-pairs stays mirror-green + pytest) — the freed slot gates
     # corpus_line_dedup.
 )
 def sim_pairs_threshold(spark, sf_dir):
@@ -139,12 +137,10 @@ def _lsh_oracle(num_planes: int = 12, seed: int = 7, threshold: float = 0.4) -> 
 # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
 # slot for a never-driver-checked entry (VERDICT r4 item #1).
 @register(
-    "sim_lsh_neardup", _lsh_oracle(num_planes=5),
-    # r7 rotation: deferred (driver-green r1-r4, the most-verified
+    "sim_lsh_neardup", _lsh_oracle(num_planes=5), gate=False,
     # similarity entry; embedding-LSH semantics stay exercised alongside
     # in-window sim_topk/sim_topk_ivf/sim_pq_adc/sim_pairs_threshold) —
-    # frees the slot that gates corpus_pack_bpe.
-    
+    # r9 rotation: deferred
 )
 def sim_lsh_neardup(spark, sf_dir):
     """Random-hyperplane LSH near-dup: bucket join (one shuffle on the
@@ -197,8 +193,6 @@ _PQ_M, _PQ_KSUB, _PQ_DSUB, _PQ_K = 8, 16, 8, 5
               FROM adc)
         SELECT query_id, vec_id, round(d2, 6) AS adc_dist
         FROM r WHERE rn <= {_PQ_K}""", gate=False,
-    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
-    # slot for a never-driver-checked entry (VERDICT r4 item #1).
 )
 def sim_pq_adc(spark, sf_dir):
     """Product-quantization ANN (Jegou et al. 2011) with an exact oracle:
@@ -269,9 +263,8 @@ _PQ_REFINE = 4
                FROM ex)
         SELECT query_id, vec_id, round(d2, 6) AS adc_dist,
                round(e2, 6) AS exact_d2
-        FROM rr WHERE rn <= {_PQ_K}""",
-    # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
-    
+        FROM rr WHERE rn <= {_PQ_K}""", gate=False,
+    # r9 rotation: deferred
 )
 def sim_pq_refine(spark, sf_dir):
     """ADC + exact re-rank (IVFADC+R, Jegou et al. 2011 §V —

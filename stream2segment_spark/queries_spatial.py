@@ -57,9 +57,9 @@ FROM pairs WHERE dist <= radius
 
 
 @register(
-    "spatial_join_traveltime", _ORACLE,
-    # r6 gate rotation: deferred (driver-green r2+r3+r4+r5) to give
+    "spatial_join_traveltime", _ORACLE, gate=False,
     # source_routing its first driver CORRECTNESS row.
+    # r9 rotation: deferred
     )
 def spatial_join_traveltime(spark, sf_dir):
     """J3+N13: latitude-banded theta join (no cross join: stations bucket

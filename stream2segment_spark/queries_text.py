@@ -214,8 +214,6 @@ def _html_extract_oracle() -> str:
 @register(
     "text_html_extract",
     _html_extract_oracle(),
-    # r7: new entry, gated (never-green outranks stale-green refresh;
-    # selection_dotted_joins deferred to free the slot)
 )
 def text_html_extract(spark, sf_dir):
     """HTML -> text extraction (functions/text.html_to_text), the web
@@ -648,8 +646,6 @@ def _langid_script_oracle() -> str:
 @register(
     "langid_script",
     _langid_script_oracle(),
-    # r7: new entry, gated (never-green outranks stale-green refresh;
-    # selection_two_hop deferred to free the slot)
 )
 def langid_script(spark, sf_dir):
     """Script-aware language ID (functions/text.langid_script): count
@@ -785,8 +781,6 @@ def corpus_pack_unicode(spark, sf_dir):
               md5(trim(regexp_replace(lower(regexp_replace(text, '[^\\x00-\\x7F]+', ' ', 'g')), '[^a-z0-9]+', ' ', 'g')))
                 AS fingerprint
        FROM documents GROUP BY fingerprint""",
-    # r3 gate rotation: deferred — A6 keep-first stays gate-checked via
-    # dedup_keep_first (events); the freed slot gates cluster_kmeans.
 )
 def dedup_exact_docs(spark, sf_dir):
     """Exact dedup by content fingerprint, keep-first by doc_id
@@ -819,9 +813,8 @@ def dedup_exact_docs(spark, sf_dir):
         label AS (SELECT a, least(min(b), a) AS cluster_id
                   FROM reach GROUP BY a)
         SELECT p.id_a, p.id_b, p.jaccard, l.cluster_id
-        FROM pairs p JOIN label l ON l.a = p.id_a""", gate=False,
-    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
-    # slot for a never-driver-checked entry (VERDICT r4 item #1).
+        FROM pairs p JOIN label l ON l.a = p.id_a"""
+    # r9 rotation: gated
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (threshold 0.5) with inverted-
@@ -923,8 +916,6 @@ def dedup_canonical_best(spark, sf_dir):
         FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
         WHERE len(list_intersect(x.s, y.s))::DOUBLE
               / len(list_distinct(list_concat(x.s, y.s))) >= 0.5""",
-    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
-    # slot for a never-driver-checked entry (VERDICT r4 item #1).
 )
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(64 hashes) + LSH(32 bands of 2 rows) candidates, VERIFIED by
@@ -974,7 +965,8 @@ def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
 
 # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
 # slot for a never-driver-checked entry (VERDICT r4 item #1).
-@register("dedup_simhash", _simhash_oracle(), gate=False)
+    # r9 rotation: gated
+@register("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3) via the pigeonhole 4-block
     equi-join (no cross join). The gate variant hashes tokens with md5
@@ -1036,8 +1028,6 @@ _PII_PHONE = TX.PII_PATTERNS["phone"]
               h.n_shingles, h.n_contam,
               round(h.n_contam / h.n_shingles, 6) AS contam_frac
        FROM pii p JOIN hits h USING (doc_id)""",
-    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
-    # slot for a never-driver-checked entry (VERDICT r4 item #1).
 )
 def text_curation(spark, sf_dir):
     """Training-data curation stage beyond the reference: PII
@@ -1468,11 +1458,6 @@ def _gopher_oracle() -> str:
 
 @register(
     "corpus_gopher_quality", _gopher_oracle(),
-    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
-    # freed for an entry whose module changed after its last gate row
-    # (tools/rotation_check.py selection)
-    # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
-    
 )
 def corpus_gopher_quality(spark, sf_dir):
     """Gopher document-quality rules (Rae et al. 2021 table A1 §A1.1,
@@ -1526,8 +1511,6 @@ def corpus_gopher_quality(spark, sf_dir):
                                AND g.pos BETWEEN w.j AND w.j + 3)
           WHERE rn = 1)
         SELECT DISTINCT doc_id, pos::INT AS pos, h AS fp FROM sel""",
-    # r5 gate rotation: gated this round for its first driver CORRECTNESS row.
-    
 )
 def corpus_winnowing(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al. SIGMOD 2003 —

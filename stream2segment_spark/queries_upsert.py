@@ -64,9 +64,6 @@ def upsert_latest_wins(spark, sf_dir):
                                              ORDER BY c_name)
               END AS id
        FROM matched""", gate=False,
-    # r4 gate rotation: deferred (driver-green r1+r2+r3) — K5 id-sync
-    # stays covered by the upsert family's gated upsert_latest_wins; the
-    # freed slot gates corpus_repetition (Gopher repetition signals).
 )
 def upsert_sync_ids(spark, sf_dir):
     """K5: fetch-or-create surrogate keys (reference syncdf,
@@ -155,8 +152,6 @@ def fdsn_text_roundtrip(spark, sf_dir):
        WHERE channel LIKE 'HH%'
          AND NOT regexp_matches(channel, '.*N$')
          AND sample_rate >= 20""", gate=False,
-    # r5 gate rotation: deferred (driver-green >=2 rounds) to free a
-    # slot for a never-driver-checked entry (VERDICT r4 item #1).
 )
 def source_nslc_filters(spark, sf_dir):
     """S5 + P7: the channel-selection stage of the download — FDSN
@@ -477,8 +472,6 @@ def _routing_case() -> str:
               replace(datacenter, '/dataselect/', '/station/')
                 AS station_url
        FROM routed""", gate=False,
-    # r6 gate rotation: first driver CORRECTNESS row (window slot freed
-    # by spatial_join_traveltime, driver-green r2+r3+r4+r5)
 )
 def source_routing(spark, sf_dir):
     """S6: EIDA routing — the real parse_routing_response on a

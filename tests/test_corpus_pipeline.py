@@ -550,6 +550,25 @@ def test_stopword_count_by_lang_fallback_and_custom_tables(spark):
     assert {r["id"]: r["n"] for r in out2}[1] == 2
 
 
+def test_stopword_tables_validated(spark):
+    """ADVICE r8: custom tables missing the default_lang key raise a
+    named ValueError; an empty word list counts zero instead of
+    throwing isin TypeError."""
+    import pytest
+
+    import stream2segment_spark.functions.text as TX
+    from stream2segment_spark.operators.dedup import word_tokens
+    df = spark.createDataFrame([(1, "the cat and the dog", "en")],
+                               "id long, t string, lang string")
+    toks = word_tokens(F.col("t"))
+    with pytest.raises(ValueError, match="default_lang 'en'"):
+        TX.stopword_count_by_lang(toks, F.col("lang"), {"de": ("und",)})
+    out = df.select(TX.stopword_count_by_lang(
+        toks, F.col("lang"), {"en": (), "de": ("und",)}).alias("n")
+    ).collect()
+    assert out[0]["n"] == 0
+
+
 def test_against_incremental_dedup(spark):
     """curate_corpus(against=...): new docs drop on (a) an existing
     fingerprint, (b) near-dupping an existing doc — existing docs win
@@ -637,3 +656,79 @@ def test_against_cli_flag(spark, tmp_path, capsys):
     assert stats["output"] == 1            # the exact dup of old dropped
     back = spark.read.parquet(str(tmp_path / "c2" / "curated.parquet"))
     assert {r.doc_id for r in back.select("doc_id").collect()} == {11}
+
+
+def test_against_minhash_with_persisted_signatures(spark):
+    """The scale path: minhash incremental mode with a PERSISTED
+    signature table — results equal the jaccard-mode incremental run
+    (old wins exact + near dups; new-only clusters keep min id), and
+    the signatures out-param exposes the new batch's (id, minhash)
+    frame for chaining."""
+    base = ("the quick brown fox jumps over the lazy dog and it is "
+            "a fine day for running in the field with friends")
+    old_docs = spark.createDataFrame(
+        [(100, base)], "doc_id long, text string")
+    kw = dict(languages=("en", "und"), min_quality=0.0,
+              token_band=(1, 100_000), max_top_token_frac=1.0,
+              neardup_mode="minhash", neardup_threshold=0.5)
+    old_sigs: list = []
+    old_curated, _ = curate_corpus(old_docs, signatures=old_sigs, **kw)
+    assert old_curated.count() == 1 and len(old_sigs) == 1
+    sig_tbl = old_sigs[0].join(old_curated.select("doc_id"),
+                               "doc_id", "left_semi")
+    assert sig_tbl.columns == ["doc_id", "minhash"]
+    new_docs = spark.createDataFrame(
+        [(1, base),                                  # exact dup of old
+         (2, base.replace("friends", "family")),     # near-dup of old
+         (3, "a completely different document about spark window "
+             "aggregation and shuffle partitioning at scale"),
+         (4, "a completely different document about spark window "
+             "aggregation and shuffle partitioning at large scale"),
+         ], "doc_id long, text string")
+    new_sigs: list = []
+    inc, _ = curate_corpus(
+        new_docs,
+        against=old_curated.select("doc_id", "text", "fingerprint"),
+        against_signatures=sig_tbl, signatures=new_sigs, **kw)
+    assert {r.doc_id for r in inc.select("doc_id").collect()} == {3}
+    # chaining: new survivors' signatures ∪ old table = next batch's
+    # against_signatures
+    chained = (new_sigs[0].join(inc.select("doc_id"), "doc_id",
+                                "left_semi")
+               .unionByName(sig_tbl))
+    assert ({r.doc_id for r in chained.select("doc_id").collect()}
+            == {3, 100})
+    # a third batch against the chained table: a near-dup of doc 3
+    # (which entered via signatures, never re-tokenized as text except
+    # in the candidate-restricted verify) must drop
+    third = spark.createDataFrame(
+        [(200, "a completely different document about spark window "
+               "aggregation and shuffle partitioning at scale today"),
+         (201, "entirely novel content regarding broadcast joins and "
+               "skew salting strategies for heavy hitter keys")],
+        "doc_id long, text string")
+    curated2 = (old_curated.select("doc_id", "text", "fingerprint")
+                .unionByName(inc.select("doc_id", "text",
+                                        "fingerprint")))
+    inc2, _ = curate_corpus(third, against=curated2,
+                            against_signatures=chained, **kw)
+    assert {r.doc_id for r in inc2.select("doc_id").collect()} == {201}
+
+
+def test_against_rejects_colliding_ids(spark):
+    """ADVICE r8: a new doc reusing an existing id would be silently
+    classified as old by the id-keyed keep rule — must raise."""
+    import pytest
+
+    old = spark.createDataFrame(
+        [(7, "the quick brown fox jumps over the lazy dog again")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(7, "completely unrelated text about adaptive query planning")],
+        "doc_id long, text string")
+    kw = dict(languages=("en", "und"), min_quality=0.0,
+              token_band=(1, 100_000), max_top_token_frac=1.0,
+              neardup_mode="jaccard", neardup_threshold=0.5)
+    with pytest.raises(ValueError, match="disjoint"):
+        curate_corpus(new, against=old, **kw)
+

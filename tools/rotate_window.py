@@ -36,18 +36,64 @@ def _find_register(tree: ast.Module, name: str):
     return None
 
 
-def _flip(path: Path, name: str, gate: bool) -> bool:
+def _clean_tail(text: str, name: str, stamp: str | None) -> str:
+    """Remove rotation-comment / whitespace-only residue between a
+    register() call's last argument and its closing paren, optionally
+    stamping ONE fresh rotation comment there (ADVICE r8: flipped
+    gates left contradictory 'gated this round' comments and blank
+    kwarg lines behind). The region is after the last argument by
+    construction, so no string-literal content is ever touched —
+    rotation_check's ast.unparse block hashes stay stable."""
+    tree = ast.parse(text)
+    dec = _find_register(tree, name)
+    lines = text.splitlines(keepends=True)
+    last = max([*dec.args, *[k.value for k in dec.keywords]],
+               key=lambda n: (n.end_lineno, n.end_col_offset))
+    lo = last.end_lineno               # first candidate line, 0-based
+    hi = dec.end_lineno - 1            # the closing-paren line, 0-based
+    def _is_residue(ln: str) -> bool:
+        s = ln.strip()
+        if not s:
+            return True                # blanked kwarg line
+        if not s.startswith("#"):
+            return False
+        low = s.lower()
+        return any(w in low for w in ("rotation", "gate", "defer",
+                                      "slot", "driver-green"))
+
+    out = []
+    for i, ln in enumerate(lines):
+        if lo <= i < hi and _is_residue(ln):
+            continue                   # residue line: drop
+        if i == hi and stamp is not None:
+            out.append(stamp)
+        out.append(ln)
+    return "".join(out)
+
+
+def _flip(path: Path, name: str, gate: bool,
+          stamp_round: int | None = None) -> bool:
     text = path.read_text()
     tree = ast.parse(text)
     dec = _find_register(tree, name)
     if dec is None:
         return False
+    stamp = (f"    # r{stamp_round} rotation: "
+             f"{'gated' if gate else 'deferred'}\n"
+             if stamp_round is not None else None)
     gate_kw = next((k for k in dec.keywords if k.arg == "gate"), None)
     currently_gated = (gate_kw is None
                        or (isinstance(gate_kw.value, ast.Constant)
                            and gate_kw.value.value is True))
     if currently_gated == gate:
-        print(f"  {name}: already {'gated' if gate else 'deferred'}")
+        # no flip needed — still clean any stale residue in place
+        cleaned = _clean_tail(text, name, None)
+        if cleaned != text:
+            path.write_text(cleaned)
+            print(f"  {name}: already "
+                  f"{'gated' if gate else 'deferred'} (residue cleaned)")
+        else:
+            print(f"  {name}: already {'gated' if gate else 'deferred'}")
         return True
     lines = text.splitlines(keepends=True)
     if gate:
@@ -94,6 +140,7 @@ def _flip(path: Path, name: str, gate: bool) -> bool:
                 else dec.args[-1])
         a_end = offs[last.end_lineno - 1] + last.end_col_offset
         new = seg[:a_end] + ", gate=False" + seg[a_end:]
+    new = _clean_tail(new, name, stamp)
     path.write_text(new)
     print(f"  {name}: -> {'GATED' if gate else 'deferred'} ({path.name})")
     return True
@@ -103,13 +150,18 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--in", dest="into", nargs="*", default=[])
     ap.add_argument("--out", dest="outof", nargs="*", default=[])
+    ap.add_argument("--round", dest="stamp_round", type=int,
+                    default=None,
+                    help="stamp '# rN rotation: gated/deferred' on "
+                         "each flipped entry (old rotation comments "
+                         "are removed either way)")
     args = ap.parse_args()
     files = sorted(PKG_DIR.glob("queries_*.py"))
     missing = []
     for name, gate in ([(n, True) for n in args.into]
                        + [(n, False) for n in args.outof]):
         for path in files:
-            if _flip(path, name, gate):
+            if _flip(path, name, gate, args.stamp_round):
                 break
         else:
             missing.append(name)

@@ -600,7 +600,7 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
                semantic_k: int | None = None,
                min_lm_score: float | None = None,
                c4_rules: bool = False,
-               gopher_rules: bool = False,
+               gopher_rules: "bool | str" = False,
                gopher_repetition: bool = False,
                benchmark: str | None = None,
                max_contam_frac: float = 0.0,
@@ -1121,6 +1121,13 @@ def main(argv: list[str] | None = None) -> int:
                         "et al. 2021 table A1: word-count band, mean "
                         "word length, symbol/bullet/ellipsis shape, "
                         "alpha-word fraction, stopword presence)")
+    p.add_argument("--gopher-multilang", action="store_true",
+                   help="language-split Gopher profiles instead of the "
+                        "English-only rules: word-token scripts keep "
+                        "the paper's word bounds, space-free scripts "
+                        "(zh/ja/ko/th) are judged on codepoint-bigram "
+                        "units with per-language stopword tables "
+                        "(implies --gopher)")
     p.add_argument("--gopher-repetition", action="store_true",
                    help="apply the Gopher repetition caps (top-n-gram "
                         "char fraction, dup-n-gram coverage, dup-line "
@@ -2211,7 +2218,9 @@ def main(argv: list[str] | None = None) -> int:
                               args.mix_col, args.mix_alpha,
                               args.pack_budget, args.pack_shards,
                               args.semantic_k, args.min_lm_score,
-                              args.c4, args.gopher,
+                              args.c4,
+                              ("multilang" if args.gopher_multilang
+                               else args.gopher),
                               args.gopher_repetition,
                               args.benchmark, args.max_contam_frac,
                               neardup_keep=args.neardup_keep,

@@ -67,7 +67,7 @@ def curate_corpus(
     text_col: str = "text",
     languages: tuple[str, ...] = ("en",),
     c4_rules: bool = False,
-    gopher_rules: bool = False,
+    gopher_rules: "bool | str" = False,
     gopher_repetition: bool = False,
     min_quality: float = 0.7,
     token_band: tuple[int, int] = (20, 100_000),
@@ -196,8 +196,19 @@ def curate_corpus(
     # document-level drop only (no text rewriting): word-count band,
     # mean word length, symbol/bullet/ellipsis shape, alpha-word
     # fraction, stopword presence. Map-only semi-join predicate.
+    # gopher_rules="multilang" (VERDICT r8 ask #5) swaps in the
+    # language-split rule profiles (functions/text.GOPHER_PROFILES):
+    # word-token scripts keep the paper's word bounds, space-free
+    # scripts are judged on codepoint-bigram units with per-language
+    # stopword tables — still map-only (langid is a staged per-row
+    # expression; it runs again in the annotate stage below, an
+    # accepted duplicate map pass to keep each stage self-contained).
     if gopher_rules:
-        gsig = TX.gopher_quality_signals(docs, id_col, text_col)
+        if gopher_rules == "multilang":
+            gsig = TX.gopher_quality_signals_by_lang(
+                docs, id_col, text_col, tables=stopword_tables)
+        else:
+            gsig = TX.gopher_quality_signals(docs, id_col, text_col)
         docs = docs.join(gsig.filter(F.col("gopher_keep"))
                          .select(id_col), id_col, "left_semi")
         _audit("gopher", docs)

@@ -643,6 +643,136 @@ GOPHER_STOPWORDS: tuple[str, ...] = (
 GOPHER_BULLETS: tuple[str, ...] = ("•", "-", "*")
 
 
+# Script families for the language-parameterized Gopher rules
+# (VERDICT r8 ask #5): 'word' scripts delimit words with whitespace, so
+# the original Rae et al. table-A1 word-unit bounds apply; 'bigram'
+# scripts (space-free — the 'cjk' tokenizer emits codepoint bigrams)
+# have no words at all, so word-length bounds are meaningless and the
+# unit is the bigram token instead.
+BIGRAM_SCRIPT_LANGS: tuple[str, ...] = ("zh", "ja", "ko", "th")
+
+GOPHER_PROFILES: dict[str, dict] = {
+    "word": dict(min_units=50, max_units=100_000,
+                 min_word_len=3.0, max_word_len=10.0,
+                 max_symbol_ratio=0.1, max_bullet_frac=0.9,
+                 max_ellipsis_frac=0.3, min_alpha_frac=0.8,
+                 min_stopwords=2),
+    # bigram scripts: unit count ~ codepoint count, so the same band
+    # covers comparable document sizes; mean-word-length is skipped
+    # (every unit is 2 codepoints by construction); the per-language
+    # stopword tables hold 10 entries vs GOPHER_STOPWORDS' richer
+    # English set, so one hit suffices as the "is prose" test
+    "bigram": dict(min_units=50, max_units=100_000,
+                   min_word_len=None, max_word_len=None,
+                   max_symbol_ratio=0.1, max_bullet_frac=0.9,
+                   max_ellipsis_frac=0.3, min_alpha_frac=0.8,
+                   min_stopwords=1),
+}
+
+
+def gopher_quality_signals_by_lang(
+        df, id_col: str, text_col: str,
+        lang_col: str | None = None,
+        tables: "dict[str, tuple[str, ...]] | None" = None,
+        profiles: "dict[str, dict] | None" = None):
+    """Language-parameterized :func:`gopher_quality_signals` (VERDICT
+    r8 ask #5 — the English-only prose heuristics were the
+    multilingual funnel's weakest filter): each row's script family
+    picks its rule profile from ``profiles`` (default
+    :data:`GOPHER_PROFILES`), selected by the row's language
+    (``lang_col`` if given, else :func:`langid_script` staged once).
+
+    Family differences vs the English original:
+
+    - the unit is the whitespace word for word scripts but the 'cjk'
+      tokenizer's codepoint-bigram token for ``BIGRAM_SCRIPT_LANGS``
+      (a space-free document is ONE whitespace word — every word rule
+      would misfire);
+    - mean-word-length bounds apply to word scripts only (bigram units
+      are 2 codepoints by construction);
+    - the alphabetic-unit test uses ``[A-Za-z]`` on word units but the
+      union of the literal ``_SCRIPT_RANGES`` blocks on bigram units
+      (Han/kana/hangul/Thai codepoints ARE the letters);
+    - the required-stopword rule counts the ROW's language table
+      (:func:`stopword_count_by_lang` over the 'cjk' tokens — word
+      tokens for spaced scripts, bigrams for space-free ones) instead
+      of the English ``GOPHER_STOPWORDS``, with per-profile minimums.
+
+    Symbol-ratio and bullet/ellipsis line rules are script-agnostic
+    and shared. Output adds ``lang`` and renames the unit columns
+    (``n_units``/``alpha_unit_frac``/``symbol_unit_ratio``); keep is
+    the profile conjunction. MAP-ONLY like the original: every signal
+    is a codegen'd per-row expression over staged arrays."""
+    from stream2segment_spark.operators.dedup import cjk_word_tokens
+    profiles = GOPHER_PROFILES if profiles is None else profiles
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.select(
+        id_col,
+        t.alias("__t"),
+        F.filter(F.split(t, r"\s+"), lambda w: w != "").alias("__words"),
+        cjk_word_tokens(t).alias("__ctoks"),
+        F.split(t, r"\r?\n").alias("__lines"),
+        (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+         .alias("__n_hash"),
+        ((F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+         / F.lit(3)).cast("long").alias("__n_dots"),
+        (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+         .alias("__n_uni"),
+        (F.col(lang_col) if lang_col is not None
+         else langid_script(t)).alias("__lang"),
+    )
+    words, ctoks = F.col("__words"), F.col("__ctoks")
+    lang, lines = F.col("__lang"), F.col("__lines")
+    is_big = lang.isin(*BIGRAM_SCRIPT_LANGS)
+    n_w, n_c = F.size(words).cast("long"), F.size(ctoks).cast("long")
+    n_units = F.when(is_big, n_c).otherwise(n_w)
+    ud = n_units.cast("double")
+    sum_len = F.aggregate(words, F.lit(0).cast("long"),
+                          lambda a, w: a + F.length(w)).cast("double")
+    mean_wl = F.when(~is_big & (n_w > 0),
+                     sum_len / n_w.cast("double")).otherwise(0.0)
+    sym = F.when(n_units > 0,
+                 (F.col("__n_hash") + F.col("__n_dots")
+                  + F.col("__n_uni")).cast("double") / ud).otherwise(0.0)
+    _, n_bullet, n_ell = line_metrics(F.lit(""), lines=lines)
+    n_lines = F.size(lines).cast("double")
+    letters = "".join(_SCRIPT_RANGES.values())
+    alpha_w = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_b = F.size(F.filter(ctoks, lambda w: w.rlike(f"[{letters}]")))
+    alpha = F.when(n_units > 0,
+                   F.when(is_big, alpha_b).otherwise(alpha_w)
+                   .cast("double") / ud).otherwise(0.0)
+    n_stop = stopword_count_by_lang(ctoks, lang, tables).cast("long")
+    out = staged.select(
+        id_col,
+        lang.alias("lang"),
+        n_units.alias("n_units"),
+        mean_wl.alias("mean_word_len"),
+        sym.alias("symbol_unit_ratio"),
+        (n_bullet.cast("double") / n_lines).alias("bullet_line_frac"),
+        (n_ell.cast("double") / n_lines).alias("ellipsis_line_frac"),
+        alpha.alias("alpha_unit_frac"),
+        n_stop.alias("n_stopwords"),
+        is_big.alias("__big"),
+    )
+
+    def _shared(p: dict):
+        return (F.col("n_units").between(p["min_units"], p["max_units"])
+                & (F.col("symbol_unit_ratio") <= p["max_symbol_ratio"])
+                & (F.col("bullet_line_frac") <= p["max_bullet_frac"])
+                & (F.col("ellipsis_line_frac") <= p["max_ellipsis_frac"])
+                & (F.col("alpha_unit_frac") >= p["min_alpha_frac"])
+                & (F.col("n_stopwords") >= p["min_stopwords"]))
+
+    wp, bp = profiles["word"], profiles["bigram"]
+    keep_w = _shared(wp)
+    if wp["min_word_len"] is not None:
+        keep_w = (keep_w & (F.col("mean_word_len") >= wp["min_word_len"])
+                  & (F.col("mean_word_len") <= wp["max_word_len"]))
+    keep = F.when(F.col("__big"), _shared(bp)).otherwise(keep_w)
+    return out.withColumn("gopher_keep", keep).drop("__big")
+
+
 def gopher_quality_signals(df, id_col: str, text_col: str):
     """Per-document Gopher quality signals, one row per input row:
     ``(id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,

@@ -442,6 +442,71 @@ def dedup_cjk_neardup(spark, sf_dir):
                       F.round("jaccard", 6).alias("jaccard"))
 
 
+# --- CJK retrieval (r9, VERDICT r8 ask #3) ----------------------------------
+# The same 1:1 Han mapping as dedup_cjk_neardup makes the corpus
+# genuinely space-free; the QUERY is space-free too (the mapped space
+# is itself a Han codepoint), so 'unicode' mode would one-token it and
+# retrieve nothing — 'cjk' mode segments both sides into codepoint
+# bigrams and BM25 works unchanged over the bigram vocabulary.
+_CJK_QUERY = "join window".translate(str.maketrans(_HAN_SRC, _HAN_DST))
+_CJK_QTERMS = tuple(dict.fromkeys(
+    DD.get_tokenizer("cjk")[1](_CJK_QUERY)))
+_CJK_TERMS_SQL = ", ".join(f"'{t}'" for t in _CJK_QTERMS)
+
+
+@register(
+    "corpus_search_cjk",
+    f"""WITH d AS (SELECT doc_id,
+            translate({_NORM_SQL.format(col='text')},
+                      '{_HAN_SRC}', '{_HAN_DST}') AS t
+          FROM documents),
+       t AS (SELECT doc_id, {DD.cjk_tokens_sql('t')} AS w FROM d),
+       stats AS (SELECT count(*) AS n_docs,
+                  CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl FROM t),
+       hit AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM t),
+       tf AS (SELECT term, doc_id, dl, count(*) AS tf FROM hit
+              WHERE term IN ({_CJK_TERMS_SQL})
+              GROUP BY term, doc_id, dl),
+       df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       s AS (SELECT tf.term, tf.doc_id, tf.tf,
+                    CAST(tf.dl AS INTEGER) AS dl,
+                    ((CAST(n_docs - df AS DOUBLE) + 0.5::DOUBLE)
+                     / (CAST(df AS DOUBLE) + 0.5::DOUBLE))
+                    * ((CAST(tf AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE))
+                       / (CAST(tf AS DOUBLE)
+                          + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE)
+                              + 0.75::DOUBLE * (CAST(tf.dl AS DOUBLE)
+                                                / avgdl)))) AS score
+             FROM tf JOIN df USING (term), stats)
+       SELECT term, doc_id, tf, dl, round(score, 6) AS score,
+              CAST(row_number() OVER (PARTITION BY term
+                   ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+       FROM s QUALIFY rank <= 10""",
+)
+def corpus_search_cjk(spark, sf_dir):
+    """BM25 retrieval over SPACE-FREE CJK text with ``tokenizer='cjk'``
+    (VERDICT r8 ask #3: search accepted the selector but had no CJK
+    gate; corpus_search_unicode's 'unicode' mode one-tokens space-free
+    queries). The corpus is the dedup_cjk_neardup Han mapping; the
+    query is a mapped PHRASE with no delimiters at all — normalize_
+    terms threads it through the same 'cjk' tokenizer as the index, so
+    one query string expands to its codepoint-bigram terms and matches
+    documents wherever the phrase's bigrams occur inside longer runs.
+    Scoring is the identical fixed-order IEEE arithmetic as
+    corpus_search, replayed bit-for-bit by the oracle; top-10 per
+    term, ties by doc_id. Scale shape unchanged: postings filter to
+    the query bigrams BEFORE the shuffle."""
+    from stream2segment_spark.operators.search import search_topk
+    docs = load_table(spark, sf_dir, "documents")
+    han = F.translate(DD.normalized_text(F.col("text")),
+                      _HAN_SRC, _HAN_DST)
+    d2 = docs.select("doc_id", han.alias("text"))
+    out = search_topk(d2, "doc_id", "text", [_CJK_QUERY], k=10,
+                      tokenizer="cjk")
+    return out.select("term", "doc_id", "tf", "dl",
+                      F.round("score", 6).alias("score"), "rank")
+
+
 # --- langid-keyed stopword tables (r8, VERDICT r7 ask #4) -------------------
 # One stopword-bearing splice per built-in table language: the five
 # non-Latin ones label via script ID, the three Latin ones via the
@@ -1454,6 +1519,169 @@ def _gopher_oracle() -> str:
                 AND alpha_word_frac >= 0.8
                 AND n_stopwords >= 2) AS gopher_keep
         FROM f"""
+
+
+def _gopher_multilang_oracle() -> str:
+    """DuckDB replay of functions/text.gopher_quality_signals_by_lang
+    over the mixed-language fixture: langid replay (same construction
+    as _langid_script_oracle), per-row script-family unit selection
+    (whitespace words vs 'cjk' bigram tokens), family-split rules and
+    the keyed stopword CASE."""
+    # langid replay
+    cnt = {s: ("length(t) - length(regexp_replace(t, "
+               f"'[{r}]', '', 'g'))")
+           for s, r in TX._SCRIPT_RANGES.items()}
+    abbr = {"cyrillic": "ru", "greek": "el", "arabic": "ar",
+            "hebrew": "he", "devanagari": "hi", "han": "zh",
+            "kana": "ja", "hangul": "ko", "thai": "th"}
+    best = "greatest(" + ", ".join(f"c_{s}" for s in abbr) + ")"
+    script_case = ("CASE " + " ".join(
+        f"WHEN c_{s} = best THEN '{abbr[s]}'" for s in abbr)
+        + " ELSE 'und' END")
+    lang_sql = f"""CASE WHEN {best} > c_latin THEN
+                 CASE WHEN ({script_case}) = 'zh' AND c_kana > 0
+                      THEN 'ja' ELSE ({script_case}) END
+               ELSE {_lang_case_sql(var='wa')} END"""
+
+    def _in(words):
+        return ("len(list_filter(w, x -> x IN ("
+                + ", ".join(f"'{x}'" for x in words) + ")))")
+
+    keyed = "CASE " + " ".join(
+        f"WHEN lang = '{lg}' THEN {_in(tbl)}"
+        for lg, tbl in TX.STOPWORDS_BY_LANG.items() if lg != "en") \
+        + f" ELSE {_in(TX.STOPWORDS_BY_LANG['en'])} END"
+    letters = "".join(TX._SCRIPT_RANGES.values())
+    wp, bp = TX.GOPHER_PROFILES["word"], TX.GOPHER_PROFILES["bigram"]
+    shared = (
+        "n_units BETWEEN {min_units} AND {max_units} "
+        "AND symbol_unit_ratio <= {max_symbol_ratio} "
+        "AND bullet_line_frac <= {max_bullet_frac} "
+        "AND ellipsis_line_frac <= {max_ellipsis_frac} "
+        "AND alpha_unit_frac >= {min_alpha_frac} "
+        "AND n_stopwords >= {min_stopwords}")
+    keep_w = (shared.format(**wp)
+              + f" AND mean_word_len >= {wp['min_word_len']}"
+              + f" AND mean_word_len <= {wp['max_word_len']}")
+    keep_b = shared.format(**bp)
+    return f"""
+        WITH base AS (SELECT doc_id, {_GOPHML_CASE_SQL} AS t
+                      FROM documents),
+        s AS (
+          SELECT doc_id, t,
+                 list_filter(regexp_split_to_array(t, '\\s+'),
+                             x -> x != '') AS wa,
+                 {DD.cjk_tokens_sql('t')} AS w,
+                 regexp_split_to_array(t, '\\r?\\n') AS lines,
+                 len(t) - len(replace(t, '#', '')) AS n_hash,
+                 (len(t) - len(replace(t, '...', ''))) // 3 AS n_dots,
+                 len(t) - len(replace(t, '…', '')) AS n_uni,
+                 {cnt['latin']} AS c_latin,
+                 {', '.join(f"{cnt[s]} AS c_{s}" for s in abbr)}
+          FROM base),
+        b AS (SELECT *, {best} AS best FROM s),
+        l AS (SELECT *, {lang_sql} AS lang FROM b),
+        m AS (
+          SELECT doc_id, lang,
+                 lang IN ('zh', 'ja', 'ko', 'th') AS big,
+                 (CASE WHEN big THEN len(w) ELSE len(wa) END)::BIGINT
+                   AS n_units,
+                 CASE WHEN NOT big AND len(wa) > 0 THEN
+                   coalesce(list_sum(list_transform(wa, x -> len(x))),
+                            0)::DOUBLE / len(wa)
+                 ELSE 0.0 END AS mean_word_len,
+                 (n_hash + n_dots + n_uni)::DOUBLE AS n_sym,
+                 len(list_filter(lines,
+                     x -> regexp_matches(trim(x), '^[-*•]')))::DOUBLE
+                   AS n_bullet,
+                 len(list_filter(lines,
+                     x -> regexp_matches(trim(x),
+                                         '(\\.\\.\\.|…)$')))::DOUBLE
+                   AS n_ell,
+                 len(lines)::DOUBLE AS n_lines,
+                 (CASE WHEN big THEN len(list_filter(w,
+                          x -> regexp_matches(x, '[{letters}]')))
+                      ELSE len(list_filter(wa,
+                          x -> regexp_matches(x, '[A-Za-z]')))
+                 END)::DOUBLE AS n_alpha,
+                 ({keyed})::BIGINT AS n_stopwords
+          FROM l),
+        f AS (
+          SELECT doc_id, lang, big, n_units, mean_word_len,
+                 CASE WHEN n_units > 0 THEN n_sym / n_units::DOUBLE
+                      ELSE 0.0 END AS symbol_unit_ratio,
+                 n_bullet / n_lines AS bullet_line_frac,
+                 n_ell / n_lines AS ellipsis_line_frac,
+                 CASE WHEN n_units > 0 THEN n_alpha / n_units::DOUBLE
+                      ELSE 0.0 END AS alpha_unit_frac,
+                 n_stopwords
+          FROM m)
+        SELECT doc_id, lang, n_units,
+               round(mean_word_len, 6) AS mean_word_len,
+               round(symbol_unit_ratio, 6) AS symbol_unit_ratio,
+               round(bullet_line_frac, 6) AS bullet_line_frac,
+               round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+               round(alpha_unit_frac, 6) AS alpha_unit_frac,
+               n_stopwords,
+               CASE WHEN big THEN ({keep_b}) ELSE ({keep_w}) END
+                 AS gopher_keep
+        FROM f"""
+
+
+# Mixed-language Gopher fixture: the _STOPW_SNIPPETS splices REPEATED
+# so even-id spliced rows clear the 50-unit floor while odd-id ones
+# fail it (both keep outcomes per language); English rows get a
+# stopword-rich multi-line tail on doc_id%3=0 (rule-7/word-band
+# positives on the word-soup corpus).
+_GOPHML_TAIL = ("we have to be of and that with more text here.\n"
+                "another plain prose line to keep going.")
+_GOPHML_CASE_SQL = (
+    "CASE WHEN doc_id % 9 = 0 THEN coalesce(text, '') || "
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    + ("chr(10) || '" + _GOPHML_TAIL + "'").replace(
+        "\n", "' || chr(10) || '")
+    + " ELSE '' END "
+    "ELSE repeat(CASE CAST(doc_id % 9 AS INT) "
+    + " ".join(f"WHEN {i + 1} THEN '{s} '"
+               for i, s in enumerate(_STOPW_SNIPPETS[:-1]))
+    + " END, CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 1 END) END")
+
+
+@register("corpus_gopher_multilang", _gopher_multilang_oracle())
+def corpus_gopher_multilang(spark, sf_dir):
+    """Language-split Gopher rules (functions/text.
+    gopher_quality_signals_by_lang, VERDICT r8 ask #5): each row's
+    script family picks its profile — word-token scripts keep the Rae
+    et al. word bounds, space-free scripts (zh/ja/ko/th) are judged on
+    codepoint-bigram units with per-language stopword tables, so CJK
+    prose that the English rules would drop on every word-shaped test
+    (one giant 'word', zero [A-Za-z], zero English stopwords) now
+    passes or fails on its own merits. The fixture splices all eight
+    STOPWORDS_BY_LANG languages with both keep outcomes per language
+    (repeat count toggles the unit band). Wired into curate_corpus via
+    gopher_rules='multilang' and 's2s curate --gopher-multilang'.
+    MAP-ONLY like the English entry (plan-asserted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    splice = F.element_at(F.array(*[F.lit(s + " ")
+                                    for s in _STOPW_SNIPPETS[:-1]]),
+                          (F.col("doc_id") % 9).cast("int"))
+    rep = F.when(F.col("doc_id") % 2 == 0, F.lit(8)).otherwise(F.lit(1))
+    t = F.when(F.col("doc_id") % 9 == 0,
+               F.concat(F.coalesce(F.col("text"), F.lit("")),
+                        F.when(F.col("doc_id") % 3 == 0,
+                               F.lit("\n" + _GOPHML_TAIL))
+                        .otherwise(""))) \
+         .otherwise(F.repeat(splice, rep))
+    out = TX.gopher_quality_signals_by_lang(
+        docs.select("doc_id", t.alias("text")), "doc_id", "text")
+    return out.select(
+        "doc_id", "lang", "n_units",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_unit_ratio", 6).alias("symbol_unit_ratio"),
+        F.round("bullet_line_frac", 6).alias("bullet_line_frac"),
+        F.round("ellipsis_line_frac", 6).alias("ellipsis_line_frac"),
+        F.round("alpha_unit_frac", 6).alias("alpha_unit_frac"),
+        "n_stopwords", "gopher_keep")
 
 
 @register(

@@ -550,6 +550,43 @@ def test_stopword_count_by_lang_fallback_and_custom_tables(spark):
     assert {r["id"]: r["n"] for r in out2}[1] == 2
 
 
+def test_gopher_multilang_profiles(spark):
+    """gopher_quality_signals_by_lang: CJK prose passes on bigram
+    units/per-lang stopwords where the English rules drop it; word
+    scripts keep the original bounds; the funnel accepts
+    gopher_rules='multilang'."""
+    import stream2segment_spark.functions.text as TX
+
+    zh = ("我们这个可以没有一个什么他们因为所以但是" * 6)  # space-free, >50 bigrams
+    en_good = ("we have to be of and that with " * 10
+               + "plain prose words keeping the mean length sane")
+    en_short = "too few words"
+    df = spark.createDataFrame(
+        [(1, zh), (2, en_good), (3, en_short)],
+        "doc_id long, text string")
+    sig = {r["doc_id"]: r.asDict() for r in
+           TX.gopher_quality_signals_by_lang(
+               df, "doc_id", "text").collect()}
+    assert sig[1]["lang"] == "zh" and sig[1]["gopher_keep"]
+    assert sig[1]["n_units"] > 50          # bigram units, not 1 word
+    assert sig[1]["mean_word_len"] == 0.0  # skipped for bigram family
+    assert sig[2]["lang"] == "en" and sig[2]["gopher_keep"]
+    assert not sig[3]["gopher_keep"]       # fails the unit band
+    # English-only rules would drop the zh doc on every word test
+    old = {r["doc_id"]: r["gopher_keep"] for r in
+           TX.gopher_quality_signals(df, "doc_id", "text").collect()}
+    assert not old[1]
+    # funnel wiring: multilang keeps the zh doc, english-only drops it
+    kw = dict(languages=("zh", "en", "und"), min_quality=0.0,
+              token_band=(1, 100_000), max_top_token_frac=1.0,
+              neardup_mode="jaccard", neardup_threshold=0.5,
+              tokenizer="cjk", langid_mode="script")
+    ml, _ = curate_corpus(df, gopher_rules="multilang", **kw)
+    assert 1 in {r.doc_id for r in ml.select("doc_id").collect()}
+    en_only, _ = curate_corpus(df, gopher_rules=True, **kw)
+    assert 1 not in {r.doc_id for r in en_only.select("doc_id").collect()}
+
+
 def test_stopword_tables_validated(spark):
     """ADVICE r8: custom tables missing the default_lang key raise a
     named ValueError; an empty word list counts zero instead of

@@ -11,7 +11,14 @@ Steps (each a subprocess, so Spark sessions never clash):
   3. adversarial-unicode fixture build + sweep
   4. permuted (row-order/layout) fixture build + sweep
   5. plan audit over every entry (refreshes PLANSHAPES.json)
-  6. rotation_check staleness report (informational, never fails)
+  6. bench staleness (full runs only; VERDICT r8 ask #4): FAILS when
+     any commit touching perf paths (stream2segment_spark/, bench.py,
+     __spark_entry__.py) postdates the newest BENCH_local_r{N}.json —
+     the r8 artifact shipped a pre-fix 8.08 s row because the final
+     perf commit landed after the bench was recorded. Re-record
+     (min-of-3, quiet host) and commit the bench LAST, or pass
+     --skip-bench-check for mid-session runs.
+  7. rotation_check staleness report (informational, never fails)
 
 Usage:  python tools/release_battery.py [--skip-fixtures] [entry ...]
 Passing entry names restricts the three sweeps (and the plan audit) to
@@ -60,12 +67,55 @@ assert rows is not None and len(qs) >= 100, "driver contract regressed"
 """ % (str(REPO), str(REPO / "__spark_entry__.py"))
 
 
+_PERF_PATHS = ("stream2segment_spark", "bench.py", "__spark_entry__.py")
+
+
+def _bench_stale() -> bool:
+    """True (= FAIL) when perf-touching commits or uncommitted perf
+    edits postdate the newest committed BENCH_local_r{N}.json."""
+    import re
+
+    benches = sorted(
+        REPO.glob("BENCH_local_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)))
+    if not benches:
+        print("no BENCH_local_r*.json found — record one first")
+        return True
+    newest = benches[-1].name
+
+    def _git(*a: str) -> str:
+        return subprocess.run(["git", *a], cwd=REPO, text=True,
+                              capture_output=True).stdout.strip()
+
+    anchor = _git("log", "--format=%H", "-n1", "--", newest)
+    if not anchor:
+        print(f"{newest} is not committed — commit it (recorded on the "
+              "final tree) or re-record")
+        return True
+    later = _git("log", "--format=%h %s", f"{anchor}..HEAD", "--",
+                 *_PERF_PATHS)
+    dirty = _git("status", "--porcelain", "--", *_PERF_PATHS)
+    if later or dirty:
+        if later:
+            print(f"perf-touching commits postdate {newest}:\n{later}")
+        if dirty:
+            print(f"uncommitted perf-path edits:\n{dirty}")
+        print(f"re-record {newest.split('.')[0]} (min-of-3, quiet "
+              "host) AFTER the final perf commit")
+        return True
+    print(f"{newest} is fresh (no perf commits/edits after it)")
+    return False
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("entries", nargs="*",
                     help="restrict sweeps/audit to these entries")
     ap.add_argument("--skip-fixtures", action="store_true",
                     help="only the real-fixture sweep (steps 3-4 off)")
+    ap.add_argument("--skip-bench-check", action="store_true",
+                    help="skip the bench-staleness gate (mid-session "
+                         "runs before the round's bench is recorded)")
     args = ap.parse_args()
     sel = args.entries
 
@@ -94,6 +144,14 @@ def main() -> int:
         if not _run(title, cmd):
             print(f"BATTERY FAILED at: {title}", flush=True)
             return 1
+    # bench staleness gates FULL runs only: entry-restricted runs are
+    # the mid-session fast loop, where perf work is still in flight
+    if not sel and not args.skip_bench_check:
+        print("=== bench staleness ===", flush=True)
+        if _bench_stale():
+            print("BATTERY FAILED at: bench staleness", flush=True)
+            return 1
+        print("=== bench staleness: OK ===\n", flush=True)
     # informational tail — staleness is rotation input, not a gate
     _run("rotation check (informational)",
          [PY, "tools/rotation_check.py"])

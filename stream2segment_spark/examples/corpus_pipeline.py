@@ -518,17 +518,11 @@ def curate_corpus(
                                   < F.col(f"b.{id_col}"))))
                      .select(F.col(f"a.{id_col}").alias("id_a"),
                              F.col(f"b.{id_col}").alias("id_b"))
-                     .distinct()
-                     .persist())  # feeds the id semi-join AND the verify
-            if persists is not None:
-                persists.append(cands)
-            cand_ids = (cands.select(F.col("id_a").alias(id_col))
-                        .unionByName(cands.select(F.col("id_b")
-                                                  .alias(id_col)))
-                        .distinct())
+                     .distinct())
+            # ngram_jaccard_pairs restricts the verify-side tokenize to
+            # candidate-touched ids itself (and persists cands)
             pairs = DD.ngram_jaccard_pairs(
-                combined.join(cand_ids, id_col, "left_semi"),
-                text_col, id_col, shingle_k=3,
+                combined, text_col, id_col, shingle_k=3,
                 threshold=neardup_threshold, candidates=cands,
                 persists=persists, tokenizer=tokenizer)
         else:

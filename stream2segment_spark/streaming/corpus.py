@@ -124,13 +124,10 @@ def ingest_documents_stream(
         texts = ann.select(id_col, text_col)
         if seen is not None:
             texts = texts.unionByName(seen.select(id_col, text_col))
-        # fetch ONLY the candidates' text: without this semi-join the
-        # verify stage would shingle (and persist) the ENTIRE history
-        # corpus per micro-batch — O(corpus) work for O(batch) data
-        cand_ids = (cands.select(F.col("id_a").alias(id_col))
-                    .unionByName(cands.select(F.col("id_b").alias(id_col)))
-                    .distinct())
-        texts = texts.join(cand_ids, id_col, "left_semi")
+        # ngram_jaccard_pairs fetches ONLY the candidates' text itself
+        # (semi-join on candidate ids, r9): the verify stage never
+        # shingles the full history corpus — O(batch) work per
+        # micro-batch
         verified = ngram_jaccard_pairs(
             texts, text_col, id_col, shingle_k=shingle_k,
             threshold=neardup_threshold, candidates=cands)

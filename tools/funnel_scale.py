@@ -151,9 +151,98 @@ def run_stages(spark, docs) -> dict:
     return {"counts": out, "times": times}
 
 
+def run_incremental(spark, base, factors: list[int]) -> dict:
+    """Incremental-batch scale rows (VERDICT r8 ask #1 'done'
+    criterion): curate an existing corpus at 1x and each factor ONCE
+    (prep, untimed), persist curated+signatures to parquet, then time
+    curating a FIXED 1x new batch against each. If the batch cost
+    tracks |new| — the point of the new-side band predicate, the
+    candidate-restricted verify and the persisted signature table —
+    the timed column stays near-flat across old-corpus decades, while
+    the full-rerun column grows with |old|. Three timings per factor:
+
+    - incr_sigs_sec:   against= + against_signatures= (the scale path)
+    - incr_resign_sec: against= only (old re-signed map-only per batch)
+    - full_rerun_sec:  curate_corpus(old ∪ new) from scratch
+
+    The new batch exercises all three drop paths: exact dups of the
+    old clone pages (fingerprint anti-join), near-dups (original text
+    + a short tail -> J >> 0.5, verify + old-wins), and content-
+    divergent survivors."""
+    from pyspark.sql import functions as F
+
+    from stream2segment_spark.examples.corpus_pipeline import curate_corpus
+    cfg = dict(languages=("en",), min_quality=0.6,
+               token_band=(5, 100_000), max_top_token_frac=0.2,
+               neardup_mode="minhash", neardup_threshold=0.5)
+    top = base.agg(F.max("doc_id")).collect()[0][0] + 1
+    max_f = max([1, *factors])
+    # fixed 1x new batch, ids beyond every old corpus
+    shift = top * (max_f + 1)
+    new_batch = base.select(
+        (F.col("doc_id") + shift).alias("doc_id"),
+        F.when(F.col("doc_id") % 11 == 5, F.col("text"))       # exact dup
+         .when(F.col("doc_id") % 7 == 3,                       # near dup
+               F.concat(F.col("text"),
+                        F.lit(" with a short appended tail sentence")))
+         .otherwise(F.regexp_replace("text", r"([a-z]{5,})", "$1zznew"))
+         .alias("text")).persist()
+    new_batch.count()
+    report: dict = {}
+    for f in [1, *factors]:
+        old_path = f"/tmp/s2s_incr_old{f}"
+        if f == 1:
+            old_docs = base
+        else:
+            replicate(spark, base, f).select("doc_id", "text") \
+                .write.mode("overwrite").parquet(old_path + "_docs")
+            old_docs = spark.read.parquet(old_path + "_docs")
+        sigs: list = []
+        curated, _ = curate_corpus(old_docs.select("doc_id", "text"),
+                                   signatures=sigs, **cfg)
+        curated.select("doc_id", "text", "fingerprint") \
+            .write.mode("overwrite").parquet(f"{old_path}_curated")
+        old_curated = spark.read.parquet(f"{old_path}_curated")
+        sigs[0].join(old_curated.select("doc_id"), "doc_id",
+                     "left_semi") \
+            .write.mode("overwrite").parquet(f"{old_path}_sigs")
+        old_sigs = spark.read.parquet(f"{old_path}_sigs")
+        row = {"old_rows": old_curated.count()}
+
+        def timed(key, **kw):
+            persists: list = []
+            t0 = time.time()
+            inc, _ = curate_corpus(new_batch, persists=persists, **kw)
+            row[key.replace("_sec", "_rows")] = inc.count()
+            row[key] = round(time.time() - t0, 2)
+            for fr in persists:
+                fr.unpersist()
+
+        timed("incr_sigs_sec", against=old_curated,
+              against_signatures=old_sigs, **cfg)
+        timed("incr_resign_sec", against=old_curated, **cfg)
+        persists: list = []
+        t0 = time.time()
+        full, _ = curate_corpus(
+            old_docs.select("doc_id", "text").unionByName(new_batch),
+            persists=persists, **cfg)
+        row["full_rerun_rows"] = full.filter(
+            F.col("doc_id") >= shift).count()
+        row["full_rerun_sec"] = round(time.time() - t0, 2)
+        for fr in persists:
+            fr.unpersist()
+        report[str(f)] = row
+        print(f"# old={f}x {row}", flush=True)
+    new_batch.unpersist()
+    return report
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="10,100")
+    ap.add_argument("--incremental", action="store_true",
+                    help="measure the incremental batch (against=) "
+                         "scale rows instead of the composed decades")
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",") if x]
 
@@ -161,6 +250,12 @@ def main() -> int:
     spark = get_spark(app_name="funnel-scale")
     base = derived_prose(spark, SF_BASE).persist()
     base.count()
+
+    if args.incremental:
+        report = run_incremental(spark, base, factors)
+        print(json.dumps(report, indent=1))
+        spark.stop()
+        return 0
 
     def _decade(docs, label):
         out = {"composed": run_composed(spark, docs)}

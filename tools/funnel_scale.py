@@ -243,8 +243,12 @@ def main() -> int:
     ap.add_argument("--incremental", action="store_true",
                     help="measure the incremental batch (against=) "
                          "scale rows instead of the composed decades")
+    ap.add_argument("--modes", default="jaccard,minhash,stages",
+                    help="comma subset of jaccard,minhash,stages — "
+                         "refresh only the columns whose code changed")
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",") if x]
+    modes = set(args.modes.split(","))
 
     from stream2segment_spark.session import get_spark
     spark = get_spark(app_name="funnel-scale")
@@ -258,13 +262,19 @@ def main() -> int:
         return 0
 
     def _decade(docs, label):
-        out = {"composed": run_composed(spark, docs)}
-        print(f"# {label} composed: {out['composed']}", flush=True)
-        out["composed_minhash"] = run_composed(spark, docs, "minhash")
-        print(f"# {label} minhash: {out['composed_minhash']['sec']}s",
-              flush=True)
-        out["stages"] = run_stages(spark, docs)
-        print(f"# {label} stages: {out['stages']['times']}", flush=True)
+        out = {}
+        if "jaccard" in modes:
+            out["composed"] = run_composed(spark, docs)
+            print(f"# {label} composed: {out['composed']}", flush=True)
+        if "minhash" in modes:
+            out["composed_minhash"] = run_composed(spark, docs,
+                                                   "minhash")
+            print(f"# {label} minhash: "
+                  f"{out['composed_minhash']['sec']}s", flush=True)
+        if "stages" in modes:
+            out["stages"] = run_stages(spark, docs)
+            print(f"# {label} stages: {out['stages']['times']}",
+                  flush=True)
         return out
 
     report = {"1": _decade(base, "1x")}
@@ -282,6 +292,8 @@ def main() -> int:
         report[str(f)] = _decade(scaled, f"{f}x")
     import math
     for key in ("composed", "composed_minhash"):
+        if key not in report["1"]:
+            continue
         t1 = report["1"][key]["sec"]
         for f in factors:
             tf = report[str(f)][key]["sec"]

@@ -327,7 +327,8 @@ _EMB_COMPS = ", ".join(
              FROM acc GROUP BY doc_id),
        p AS (SELECT doc_id, {_EMB_PIVOT} FROM acc GROUP BY doc_id)
        SELECT t.doc_id, coalesce(n.nnz, 0) AS nnz, {_EMB_COMPS}
-       FROM t LEFT JOIN n USING (doc_id) LEFT JOIN p USING (doc_id)"""
+       FROM t LEFT JOIN n USING (doc_id) LEFT JOIN p USING (doc_id)""", gate=False
+    # r9 rotation: deferred
 )
 def text_hash_embedding(spark, sf_dir):
     """Feature-hashing text embeddings (functions/embeddings

@@ -1172,12 +1172,12 @@ def corpus_search(spark, sf_dir):
                       F.round("score", 6).alias("score"), "rank")
 
 
-@register(
-    "corpus_lm_score",
-    # r7 rotation: driver-green r4-r6 (freshest possible row); slot
-    # freed for an entry whose module changed after its last gate row
-    # (tools/rotation_check.py selection)
-    f"""WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+def _lm_oracle(toks_select: str) -> str:
+    """DuckDB replay of lm_transition_scores + stupid_backoff_scores,
+    parameterized by the token-table CTE body (word tokens for
+    corpus_lm_score, Han-translated cjk bigram tokens for
+    corpus_lm_cjk) — the LM arithmetic is tokenizer-independent."""
+    return f"""WITH toks AS ({toks_select}),
          uni AS (SELECT w1, count(*) AS cu
                  FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY w1),
          vv AS (SELECT count(*)::BIGINT AS v FROM uni),
@@ -1237,6 +1237,11 @@ def corpus_search(spark, sf_dir):
               round(coalesce(a3.s / a3.n_trans, 0.0), 6) AS sb_score
        FROM documents d LEFT JOIN agg a USING (doc_id)
             LEFT JOIN agg3 a3 USING (doc_id)"""
+
+
+@register(
+    "corpus_lm_score",
+    _lm_oracle(f"SELECT doc_id, {_WORDS_SQL} AS w FROM documents"),
 )
 def corpus_lm_score(spark, sf_dir):
     """Bigram LM fluency scoring (functions/lm.py — CCNet-style quality
@@ -1264,6 +1269,39 @@ def corpus_lm_score(spark, sf_dir):
                              model=(uni, bi, vocab))
     s = stupid_backoff_scores(docs, "doc_id", "text",
                               model=(uni, bi, tri, vocab, total))
+    return b.join(s.select("doc_id", "sb_score"), "doc_id")
+
+
+@register(
+    "corpus_lm_cjk",
+    _lm_oracle(
+        f"SELECT doc_id, {DD.cjk_tokens_sql('t')} AS w FROM "
+        f"(SELECT doc_id, translate({_NORM_SQL.format(col='text')}, "
+        f"'{_HAN_SRC}', '{_HAN_DST}') AS t FROM documents)"),
+)
+def corpus_lm_cjk(spark, sf_dir):
+    """Bigram-LM + stupid-backoff scoring over SPACE-FREE CJK text with
+    ``tokenizer='cjk'`` (closes the last VERDICT r8 ask-#3 loop: dedup,
+    analysis and search had CJK gates, LM scoring accepted the selector
+    untested). Same Han-translated corpus as dedup_cjk_neardup /
+    corpus_search_cjk; the model trains on the corpus's own codepoint
+    bigrams, so transition probabilities are character-level — the
+    standard LM granularity for unsegmented scripts. The oracle is the
+    SAME parameterized SQL body as corpus_lm_score (the arithmetic is
+    tokenizer-independent); only the token CTE differs."""
+    from stream2segment_spark.functions.lm import (
+        lm_transition_scores, stupid_backoff_scores, trigram_model)
+    docs = load_table(spark, sf_dir, "documents")
+    han = F.translate(DD.normalized_text(F.col("text")),
+                      _HAN_SRC, _HAN_DST)
+    d2 = docs.select("doc_id", han.alias("text"))
+    uni, bi, tri, vocab, total = trigram_model(d2, "text",
+                                               tokenizer="cjk")
+    b = lm_transition_scores(d2, "doc_id", "text",
+                             model=(uni, bi, vocab), tokenizer="cjk")
+    s = stupid_backoff_scores(d2, "doc_id", "text",
+                              model=(uni, bi, tri, vocab, total),
+                              tokenizer="cjk")
     return b.join(s.select("doc_id", "sb_score"), "doc_id")
 
 

@@ -658,7 +658,7 @@ def scalar_great_circle(spark, sf_dir):
                    ELSE 0.05 END AS freq_min,
               CAST(to_timestamp(round(epoch(CAST(ts AS TIMESTAMP))))
                    AS TIMESTAMP) AS ts_rounded
-       FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events""",
+       FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events""", gate=False,
 )
 def scalar_event_exprs(spark, sf_dir):
     """F8 + F15/K6 + JSON extraction in one events-grain entry:

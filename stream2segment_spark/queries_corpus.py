@@ -327,8 +327,7 @@ _EMB_COMPS = ", ".join(
              FROM acc GROUP BY doc_id),
        p AS (SELECT doc_id, {_EMB_PIVOT} FROM acc GROUP BY doc_id)
        SELECT t.doc_id, coalesce(n.nnz, 0) AS nnz, {_EMB_COMPS}
-       FROM t LEFT JOIN n USING (doc_id) LEFT JOIN p USING (doc_id)""", gate=False
-    # r9 rotation: deferred
+       FROM t LEFT JOIN n USING (doc_id) LEFT JOIN p USING (doc_id)"""
 )
 def text_hash_embedding(spark, sf_dir):
     """Feature-hashing text embeddings (functions/embeddings
@@ -449,7 +448,7 @@ def cluster_kmeans(spark, sf_dir):
        SELECT vv.vec_id, CAST(vv.cid AS INTEGER) AS cluster_id,
               round(p.ms, 6) AS max_sim_prev,
               coalesce(p.ms >= 0.35, FALSE) AS is_dup
-       FROM vv LEFT JOIN p USING (vec_id)"""
+       FROM vv LEFT JOIN p USING (vec_id)""", gate=False
 )
 def sim_semantic_dedup(spark, sf_dir):
     """SemDeDup (operators/similarity.semantic_dedup; Abbas et al. 2023):

@@ -63,7 +63,7 @@ def _wav_blob(channels, sample_rate):
                    THEN CAST(8000 + (doc_id % 100) * 10 AS INT) END AS sample_rate,
               CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bit_depth,
               CASE WHEN doc_id % 2 = 0 THEN 26 ELSE 36 END AS n_bytes
-       FROM documents""",
+       FROM documents""", gate=False,
     # multimodal entry; the probe UDF plumbing stays exercised in-window
 )
 def multimodal_probe(spark, sf_dir):

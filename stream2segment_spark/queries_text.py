@@ -675,36 +675,56 @@ _SCRIPT_CASE_SQL = ("CASE CAST(doc_id % 12 AS INT) "
                     + " ELSE coalesce(text, '') END")
 
 
-def _langid_script_oracle() -> str:
-    # per-script strip-length counts with the same LITERAL codepoint
-    # ranges as functions/text._SCRIPT_RANGES (literal BMP ranges
-    # behave identically in Java regex and RE2; named \p{script}
-    # classes do not)
+# abbreviation table shared by the langid oracle fragments (same
+# mapping as functions/text.langid_script's script -> label CASE)
+_LANGID_ABBR = {"cyrillic": "ru", "greek": "el", "arabic": "ar",
+                "hebrew": "he", "devanagari": "hi", "han": "zh",
+                "kana": "ja", "hangul": "ko", "thai": "th"}
+
+
+def _langid_ctes_sql(src: str = "s") -> str:
+    """The ``c``/``b`` CTE pair staging per-script strip-length counts,
+    ascii word tokens and the argmax over a source CTE ``src`` holding
+    ``(doc_id, text)`` — with the same LITERAL codepoint ranges as
+    functions/text._SCRIPT_RANGES (literal BMP ranges behave
+    identically in Java regex and RE2; named \\p{script} classes do
+    not). Shared by _langid_script_oracle and the CCNet bucket
+    oracle."""
     cnt = {s: ("length(text) - length(regexp_replace(text, "
                f"'[{r}]', '', 'g'))")
            for s, r in TX._SCRIPT_RANGES.items()}
-    abbr = {"cyrillic": "ru", "greek": "el", "arabic": "ar",
-            "hebrew": "he", "devanagari": "hi", "han": "zh",
-            "kana": "ja", "hangul": "ko", "thai": "th"}
+    abbr = _LANGID_ABBR
     best = "greatest(" + ", ".join(f"c_{s}" for s in abbr) + ")"
-    script_case = ("CASE " + " ".join(
-        f"WHEN c_{s} = best THEN '{abbr[s]}'" for s in abbr)
-        + " ELSE 'und' END")
-    return f"""
-        WITH s AS (SELECT doc_id, {_SCRIPT_CASE_SQL} AS text
-                   FROM documents),
-        c AS (SELECT doc_id, text,
+    return f"""c AS (SELECT doc_id, text,
                 {cnt['latin']} AS c_latin,
                 {', '.join(f"{cnt[s]} AS c_{s}" for s in abbr)},
                 {_WORDS_SQL} AS w
-              FROM s),
-        b AS (SELECT *, {best} AS best FROM c)
-        SELECT doc_id, c_latin AS n_latin, c_han AS n_han,
-               c_kana AS n_kana, c_cyrillic AS n_cyrillic,
-               CASE WHEN best > c_latin THEN
+              FROM {src}),
+        b AS (SELECT *, {best} AS best FROM c)"""
+
+
+def _langid_lang_sql() -> str:
+    """The script-dominant/stopword-fallback ``lang`` CASE expression
+    over the staged ``c_*``/``best``/``w`` columns of
+    :func:`_langid_ctes_sql`'s ``b`` CTE."""
+    abbr = _LANGID_ABBR
+    script_case = ("CASE " + " ".join(
+        f"WHEN c_{s} = best THEN '{abbr[s]}'" for s in abbr)
+        + " ELSE 'und' END")
+    return f"""CASE WHEN best > c_latin THEN
                  CASE WHEN ({script_case}) = 'zh' AND c_kana > 0
                       THEN 'ja' ELSE ({script_case}) END
-               ELSE {_lang_case_sql()} END AS lang
+               ELSE {_lang_case_sql()} END"""
+
+
+def _langid_script_oracle() -> str:
+    return f"""
+        WITH s AS (SELECT doc_id, {_SCRIPT_CASE_SQL} AS text
+                   FROM documents),
+        {_langid_ctes_sql('s')}
+        SELECT doc_id, c_latin AS n_latin, c_han AS n_han,
+               c_kana AS n_kana, c_cyrillic AS n_cyrillic,
+               {_langid_lang_sql()} AS lang
         FROM b"""
 
 
@@ -1172,12 +1192,13 @@ def corpus_search(spark, sf_dir):
                       F.round("score", 6).alias("score"), "rank")
 
 
-def _lm_oracle(toks_select: str) -> str:
-    """DuckDB replay of lm_transition_scores + stupid_backoff_scores,
-    parameterized by the token-table CTE body (word tokens for
-    corpus_lm_score, Han-translated cjk bigram tokens for
-    corpus_lm_cjk) — the LM arithmetic is tokenizer-independent."""
-    return f"""WITH toks AS ({toks_select}),
+def _lm_bigram_ctes(toks_select: str) -> str:
+    """The token-table -> per-doc add-one bigram-LM CTE chain
+    (toks/uni/vv/tr/bi/p/agg) — the shared first half of
+    :func:`_lm_oracle`, also replayed standalone by the CCNet
+    bucketing oracle (corpus_ccnet_buckets scores with the bigram LM
+    only; backoff never enters the bucket decision)."""
+    return f"""toks AS ({toks_select}),
          uni AS (SELECT w1, count(*) AS cu
                  FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY w1),
          vv AS (SELECT count(*)::BIGINT AS v FROM uni),
@@ -1195,7 +1216,15 @@ def _lm_oracle(toks_select: str) -> str:
          agg AS (SELECT doc_id, count(*) AS n_trans,
                         list_reduce(list(p ORDER BY pos),
                                     (a, b) -> a + b) AS s
-                 FROM p GROUP BY doc_id),
+                 FROM p GROUP BY doc_id)"""
+
+
+def _lm_oracle(toks_select: str) -> str:
+    """DuckDB replay of lm_transition_scores + stupid_backoff_scores,
+    parameterized by the token-table CTE body (word tokens for
+    corpus_lm_score, Han-translated cjk bigram tokens for
+    corpus_lm_cjk) — the LM arithmetic is tokenizer-independent."""
+    return f"""WITH {_lm_bigram_ctes(toks_select)},
          tot AS (SELECT sum(len(w))::BIGINT AS n FROM toks),
          tr3 AS (SELECT doc_id, t.pos AS pos, t.a AS a, t.b AS b,
                         t.c AS c
@@ -1788,3 +1817,166 @@ def corpus_winnowing(spark, sf_dir):
     and the dedup relationally, position for position."""
     docs = load_table(spark, sf_dir, "documents")
     return DD.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
+
+
+# --------------------------------------------------------------------------
+# CCNet head/middle/tail bucketing + LSH parameter tuning (r9 additions)
+# --------------------------------------------------------------------------
+
+# varying-length prefixes (NOT fixed snippet replacement — each language
+# needs INTRA-language score variance for the cumulative cut to mean
+# anything) of two non-Latin sentences; substring is codepoint-based in
+# both engines on BMP text
+_CCNET_RU = "Привет мир это тест на русском языке"
+_CCNET_EL = "Αθήνα είναι η πρωτεύουσα της Ελλάδας"
+_CCNET_CASE_SQL = (
+    f"CASE doc_id % 5 WHEN 0 THEN substring('{_CCNET_RU}', 1, "
+    "6 + doc_id % 25) "
+    f"WHEN 1 THEN substring('{_CCNET_EL}', 1, 6 + doc_id % 25) "
+    "ELSE coalesce(text, '') END")
+
+
+def _ccnet_oracle() -> str:
+    toks = ("SELECT doc_id, "
+            + _UWORDS_SQL.format(col="text") + " AS w FROM d0")
+    return f"""WITH d0 AS (SELECT doc_id, {_CCNET_CASE_SQL} AS text
+                   FROM documents),
+        {_lm_bigram_ctes(toks)},
+        sc AS (SELECT d0.doc_id,
+                      round(coalesce(a.s / a.n_trans, 0.0), 6) AS ls
+               FROM d0 LEFT JOIN agg a USING (doc_id)),
+        s AS (SELECT doc_id, text FROM d0),
+        {_langid_ctes_sql('s')},
+        lg AS (SELECT doc_id, {_langid_lang_sql()} AS lang,
+                      length(text)::BIGINT AS wt
+               FROM b),
+        j AS (SELECT sc.doc_id, lg.lang, sc.ls, lg.wt
+              FROM sc JOIN lg USING (doc_id)),
+        grp AS (SELECT lang, ls, sum(wt)::BIGINT AS gw
+                FROM j GROUP BY lang, ls),
+        cw AS (SELECT lang, ls, gw,
+                      sum(gw) OVER (PARTITION BY lang ORDER BY ls DESC
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                      sum(gw) OVER (PARTITION BY lang) AS total
+               FROM grp),
+        bk AS (SELECT lang, ls,
+                      CASE WHEN (cum - gw) * 3 < total THEN 'head'
+                           WHEN (cum - gw) * 3 < 2 * total THEN 'middle'
+                           ELSE 'tail' END AS bucket,
+                      round(CAST(cum AS DOUBLE) / total, 6) AS cum_frac
+               FROM cw)
+        SELECT j.doc_id, j.lang, j.ls AS lm_score, j.wt AS weight,
+               bk.bucket, bk.cum_frac
+        FROM j JOIN bk ON bk.lang = j.lang AND bk.ls = j.ls"""
+
+
+@register("corpus_ccnet_buckets", _ccnet_oracle())
+def corpus_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2019 —
+    functions/buckets.ccnet_buckets): per-language cumulative cut of
+    the bigram-LM fluency distribution, weighted by character volume.
+    The cutoff table is computed over the (lang, quantized score)
+    AGGREGATE — a window over distinct score values, never over the
+    corpus — and broadcast-joined back, so no per-language corpus sort
+    exists at any scale; bucket boundaries are decided in pure integer
+    arithmetic ((cum-w)*3 < total), bit-portable by construction.
+    The fixture splices varying-length Cyrillic/Greek prefixes (intra-
+    language variance, unlike fixed-snippet replacement) so four
+    languages (ru/el + the stopword-heuristic en/und) each get a real
+    per-language curve; space-free scripts would score through the
+    character-level LM instead (corpus_lm_cjk). Beyond-reference
+    LLM-pipeline stage; no seismic counterpart."""
+    from stream2segment_spark.functions.buckets import ccnet_buckets
+    from stream2segment_spark.functions.lm import lm_transition_scores
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    n = (F.lit(6) + (did % 25)).cast("int")
+    synth = (F.when(did % 5 == 0,
+                    F.substring(F.lit(_CCNET_RU), F.lit(1), n))
+              .when(did % 5 == 1,
+                    F.substring(F.lit(_CCNET_EL), F.lit(1), n))
+              .otherwise(F.coalesce(F.col("text"), F.lit(""))))
+    staged = docs.select("doc_id", synth.alias("__t"))
+    t = F.col("__t")
+    staged = staged.select(
+        "doc_id", "__t",
+        TX.langid_script(t).alias("lang"),
+        F.length(t).cast("long").alias("weight"))
+    scored = lm_transition_scores(
+        staged.select("doc_id", F.col("__t").alias("text")),
+        "doc_id", "text", tokenizer="unicode")
+    d = staged.join(scored.select(
+        "doc_id", F.round("lm_score", 6).alias("lm_score")), "doc_id")
+    out = ccnet_buckets(d, "lm_score", lang_col="lang",
+                        weight_col="weight", quantize=6)
+    return out.select("doc_id", "lang", "lm_score", "weight",
+                      "bucket", "cum_frac")
+
+
+# the plan is pure driver-side math over the S-curve integrals; both the
+# Spark expression and the SQL replay below are generated from the SAME
+# (b, r) constants, so the oracle can never drift from the plan
+from stream2segment_spark.operators.lsh_tuning import (  # noqa: E402
+    candidate_probability_sql, lsh_plan)
+
+_LSH_TUNE_B, _LSH_TUNE_R = lsh_plan(0.5, 32)
+
+
+def _lsh_tune_oracle() -> str:
+    p_sql = candidate_probability_sql("jaccard", _LSH_TUNE_B, _LSH_TUNE_R)
+    return f"""WITH dd AS (SELECT doc_id, text FROM documents
+                   WHERE doc_id % 8 = 0),
+        sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+                 list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> array_to_string(w[i:i+2], ' ')))
+                 ELSE [array_to_string(w, ' ')] END AS s
+               FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM dd)),
+        inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM inv a JOIN inv b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        pr AS (SELECT id_a, id_b,
+                      len(list_intersect(x.s, y.s))::DOUBLE
+                        / len(list_distinct(list_concat(x.s, y.s)))
+                        AS jaccard
+               FROM cand JOIN sh x ON x.doc_id = id_a
+                    JOIN sh y ON y.doc_id = id_b),
+        fl AS (SELECT id_a, id_b, jaccard FROM pr
+               WHERE jaccard >= 0.05),
+        pc AS (SELECT id_a, id_b,
+                      CAST(floor(jaccard * 10) AS INT) AS bucket,
+                      {p_sql} AS p
+               FROM fl),
+        ag AS (SELECT bucket, count(*) AS n_pairs,
+                      round(list_reduce(list(p ORDER BY id_a, id_b),
+                                        (a, b) -> a + b), 6) AS exp_cand
+               FROM pc GROUP BY bucket)
+        SELECT CAST({_LSH_TUNE_B} AS INT) AS bands,
+               CAST({_LSH_TUNE_R} AS INT) AS rows_per_band,
+               bucket, n_pairs, exp_cand
+        FROM ag"""
+
+
+@register("dedup_lsh_tune", _lsh_tune_oracle())
+def dedup_lsh_tune(spark, sf_dir):
+    """MinHash-LSH parameter tuning (operators/lsh_tuning): lsh_plan
+    picks the (bands, rows) split of a 32-hash signature minimizing the
+    S-curve's FP+FN mass at threshold 0.5 (deterministic driver-side
+    integrals — nothing distributed), and lsh_tuning_curve validates it
+    against the corpus: exact-Jaccard pairs from a 1-in-8 doc sample
+    (inverted-index candidates, threshold floor 0.05 — below-floor mass
+    is the FP integral's job), bucketed by similarity decile with the
+    expected candidate count under 1-(1-s^r)^b accumulated per bucket
+    via a pair-ordered fold. Multiply chains, never pow: libm pow is
+    not bit-portable, chained * is — the oracle replays every
+    probability bit-for-bit. The curve is what you read BEFORE
+    committing a 100 TB dedup run: exp_cand/n_pairs per decile = recall
+    above threshold, wasted verify work below it."""
+    from stream2segment_spark.operators.lsh_tuning import lsh_tuning_curve
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 8 == 0)
+            .repartition(spark.sparkContext.defaultParallelism))
+    pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                   shingle_k=3, threshold=0.05)
+    return lsh_tuning_curve(pairs, "jaccard", "id_a", "id_b",
+                            b=_LSH_TUNE_B, r=_LSH_TUNE_R)

@@ -721,3 +721,50 @@ def reference_lm_scores(
         model = trigram_model(ref, text_col)
         return stupid_backoff_scores(docs, id_col, text_col, model=model)
     raise ValueError(f"order must be 2 or 3, got {order}")
+
+
+def ccnet_partition(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = None,
+    max_contam_frac: float = 0.0,
+    order: int = 2,
+    curate_kwargs: dict | None = None,
+    quantize: int = 6,
+) -> DataFrame:
+    """The complete CCNet shape (Wenzek et al. 2019) over the engine's
+    gate-checked pieces: language-ID -> decontaminated reference-LM
+    scoring (:func:`reference_lm_scores`: curate -> drop
+    benchmark-contaminated reference docs -> train -> score ALL raw
+    docs) -> per-language head/middle/tail cut of the fluency
+    distribution weighted by character volume
+    (functions/buckets.ccnet_buckets). Returns every input doc with
+    ``lang``, the LM score, ``bucket`` and ``cum_frac`` — downstream
+    training typically keeps head+middle and samples tail.
+
+    ``lang_col`` reuses an existing language column (e.g. the funnel's
+    annotate stage); ``None`` stages ``langid_script`` here. Scale
+    shape: scoring joins vocabulary-sized count tables onto the
+    transition stream; the bucket cutoffs are a window over DISTINCT
+    quantized scores per language, broadcast back — the corpus is
+    never sorted or re-shuffled per language.
+    """
+    from stream2segment_spark.functions.buckets import ccnet_buckets
+    from stream2segment_spark.functions.text import langid_script
+
+    scores = reference_lm_scores(
+        docs, benchmark, id_col=id_col, text_col=text_col,
+        max_contam_frac=max_contam_frac, order=order,
+        curate_kwargs=curate_kwargs)
+    score_col = "lm_score" if order == 2 else "sb_score"
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lang = F.col(lang_col) if lang_col else langid_script(t)
+    staged = docs.select(
+        id_col, text_col, lang.alias("lang"),
+        F.length(t).cast("long").alias("__chars"))
+    d = staged.join(scores.select(id_col, score_col), id_col)
+    out = ccnet_buckets(d, score_col, lang_col="lang",
+                        weight_col="__chars", quantize=quantize)
+    return out.drop("__chars")

@@ -110,10 +110,16 @@ def ccnet_buckets(
     for (p, qd), label in reversed(list(zip(fracs, labels))):
         bucket = F.when(start * qd < p * total, F.lit(label)) \
                   .otherwise(bucket)
+    # a language whose every row weighs 0 (e.g. one empty doc) has no
+    # mass to allocate: its groups keep the last bucket (the integer
+    # rule already yields that) and cum_frac pins to 1.0 instead of
+    # dividing by zero (ANSI mode raises on 0/0)
+    frac = F.when(total == 0, F.lit(1.0)) \
+            .otherwise(F.round(cum / total, 6))
     cuts = grp.select(
         *keys,
         bucket.alias(bucket_col),
-        F.round(cum / total, 6).alias(frac_col))
+        frac.alias(frac_col))
 
     out = base.join(F.broadcast(cuts), on=keys, how="inner")
     return out.drop(_QCOL)

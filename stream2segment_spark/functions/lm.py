@@ -320,9 +320,23 @@ def lm_transition_scores(docs: DataFrame, id_col: str = "doc_id",
     corpus to score candidate text against it — unseen histories and
     transitions fall back to the smoothed floor ``1/V`` via the left
     joins, never drop rows."""
+    explicit_model = model is not None
     if model is None:
         model = bigram_model(docs, text_col, tokenizer=tokenizer)
     uni, bi, vocab = model
+    if explicit_model and vocab == 0:
+        # add-one smoothing divides by cu + V: scoring token-bearing
+        # docs against an EMPTY reference model hits 0/0 mid-job, deep
+        # in the plan (ANSI mode raises there) — fail loudly at the API
+        # instead: an over-filtered reference corpus is an operational
+        # scenario, not a bug here. Self-scoring (model=None) needs no
+        # guard — transitions imply tokens imply vocab > 0, and an
+        # empty self-trained model means zero transitions, which scores
+        # 0.0 through the left join without ever dividing.
+        raise ValueError(
+            "bigram LM model has an empty vocabulary — no tokens "
+            "survived in the training corpus (over-filtered reference? "
+            "see examples.corpus_pipeline.reference_lm_scores)")
     tr = _transitions(docs, text_col, id_col, tokenizer=tokenizer)
     p = (tr.join(bi, ["w1", "w2"], "left")
          .join(uni, ["w1"], "left")

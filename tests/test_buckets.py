@@ -84,3 +84,15 @@ def test_validation_errors(spark):
         ccnet_buckets(df, "s", boundaries=((2, 1), (2, 3)))
     with pytest.raises(ValueError, match="collide"):
         ccnet_buckets(df.withColumn("bucket", F.lit("x")), "s")
+
+
+def test_zero_total_language(spark):
+    # a language whose rows all weigh 0 must not divide by zero: its
+    # rows land in the last bucket with cum_frac pinned to 1.0
+    df = spark.createDataFrame(
+        [(1, "aa", 2.0, 10), (2, "aa", 1.0, 10), (3, "zz", 5.0, 0)],
+        "id long, lang string, s double, w long")
+    out = ccnet_buckets(df, "s", lang_col="lang", weight_col="w")
+    got = {r.id: (r.bucket, r.cum_frac) for r in out.collect()}
+    assert got[3] == ("tail", 1.0)
+    assert got[1][0] == "head"

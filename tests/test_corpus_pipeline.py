@@ -769,3 +769,49 @@ def test_against_rejects_colliding_ids(spark):
     with pytest.raises(ValueError, match="disjoint"):
         curate_corpus(new, against=old, **kw)
 
+
+
+def test_ccnet_partition_end_to_end(spark):
+    """Full CCNet shape: every doc labeled+scored+bucketed; per
+    language the head's mean LM score is >= the tail's (the cut is on
+    the score itself); character-volume weighting and the lang column
+    pass-through both hold."""
+    from stream2segment_spark.examples.corpus_pipeline import (
+        ccnet_partition)
+    base = ("rows and tables join scan merge filter sort group data "
+            "query plan stage task node core disk ram net io cost ")
+    rows = [(i, " ".join(base.split()[: 5 + (i * 7) % 15]) * (1 + i % 3))
+            for i in range(1, 21)] + [(21, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(languages=("en", "und"), min_quality=0.0,
+              token_band=(1, 10_000), neardup_threshold=0.99)
+    out = ccnet_partition(docs, curate_kwargs=kw).collect()
+    assert {r.doc_id for r in out} == set(range(1, 22))
+    assert set(out[0].asDict()) >= {"doc_id", "text", "lang",
+                                    "lm_score", "bucket", "cum_frac"}
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        heads = [r.lm_score for r in rs if r.bucket == "head"]
+        tails = [r.lm_score for r in rs if r.bucket == "tail"]
+        if heads and tails:
+            assert min(heads) >= max(tails), lang
+    # cum_frac reaches 1.0 in every language's worst group
+    for lang, rs in by_lang.items():
+        assert max(r.cum_frac for r in rs) == pytest.approx(1.0)
+
+
+def test_ccnet_partition_existing_lang_col(spark):
+    from stream2segment_spark.examples.corpus_pipeline import (
+        ccnet_partition)
+    docs = spark.createDataFrame(
+        [(i, f"plain sentence number {i} about data tables and rows "
+             f"with enough words to pass filters {i}",
+          "aa" if i % 2 else "bb") for i in range(1, 9)],
+        "doc_id long, text string, mylang string")
+    kw = dict(languages=("en", "und"), min_quality=0.0,
+              token_band=(1, 10_000), neardup_threshold=0.99)
+    out = ccnet_partition(docs, lang_col="mylang",
+                          curate_kwargs=kw).collect()
+    assert {r.lang for r in out} == {"aa", "bb"}

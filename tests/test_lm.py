@@ -144,3 +144,18 @@ def test_lm_model_meta_records_tokenizer(spark, tmp_path):
                       tokenizer="unicode")
     assert lm_model_tokenizer(p_ascii) == "ascii"
     assert lm_model_tokenizer(p_uni) == "unicode"
+
+
+def test_empty_reference_model_raises(spark):
+    """An explicitly-passed EMPTY reference model would divide 0/0 on
+    any token-bearing doc — the API raises up front. Self-scoring an
+    empty-tokenizing corpus stays well-defined (0.0 scores, pinned by
+    test_lm_unicode_tokenizer_scores_cjk's ascii branch)."""
+    from stream2segment_spark.functions.lm import (
+        bigram_model, lm_transition_scores)
+    empty = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    docs = spark.createDataFrame([(2, "real words to score here")],
+                                 "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty vocabulary"):
+        lm_transition_scores(docs, "doc_id", "text",
+                             model=bigram_model(empty))

@@ -801,6 +801,45 @@ def cmd_corr(spark, infile: str, cols: str, scale: int,
     return 0
 
 
+def cmd_lsh_tune(threshold: float, n_perm: int, banded: bool,
+                 fp_weight: float, fn_weight: float,
+                 pairs: str | None = None,
+                 jaccard_col: str = "jaccard", spark=None) -> int:
+    """'s2s lsh-tune': the MinHash-LSH design decision as a command —
+    one JSON line with the chosen (bands, rows) and its S-curve FP/FN
+    mass (pure driver-side math), then, with ``--pairs``, one line per
+    similarity decile of the MEASURED expected-candidate curve
+    (operators/lsh_tuning.lsh_tuning_curve) so the plan is validated
+    against the corpus's own similarity structure before a full run."""
+    import json as _json
+
+    from stream2segment_spark.operators.lsh_tuning import (
+        lsh_error_rates, lsh_plan, lsh_plan_banded, lsh_tuning_curve)
+    try:
+        if banded:
+            b, r = lsh_plan_banded(threshold, n_perm, fp_weight, fn_weight)
+        else:
+            b, r = lsh_plan(threshold, n_perm, fp_weight, fn_weight)
+    except ValueError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+    fp, fn = lsh_error_rates(threshold, b, r)
+    print(_json.dumps({
+        "bands": b, "rows_per_band": r,
+        "p_at_threshold": round(1.0 - (1.0 - threshold ** r) ** b, 6),
+        "fp_mass": round(fp, 6), "fn_mass": round(fn, 6)}))
+    if pairs is not None:
+        df = spark.read.parquet(pairs)
+        if jaccard_col not in df.columns:
+            print(f"error: column {jaccard_col!r} not in {pairs}",
+                  file=sys.stderr)
+            return 2
+        curve = lsh_tuning_curve(df, jaccard_col, b=b, r=r)
+        for row in curve.orderBy("bucket").collect():
+            print(_json.dumps(row.asDict()))
+    return 0
+
+
 def cmd_media_probe(spark, infile: str, content_col: str,
                     id_col: str, outfile: str | None, limit: int) -> int:
     """'s2s media-probe': parse image/audio/video container headers of
@@ -1438,6 +1477,26 @@ def main(argv: list[str] | None = None) -> int:
                         "products must fit int64 — quantized magnitudes "
                         "up to ~3e9) or 'decimal' (unbounded)")
     p = sub.add_parser(
+        "lsh-tune",
+        help="choose MinHash-LSH (bands, rows) for a similarity "
+             "threshold (S-curve FP/FN mass minimization; driver-side "
+             "math only) and optionally validate against a parquet of "
+             "exact-Jaccard pairs")
+    p.add_argument("--threshold", type=float, required=True,
+                   help="design similarity threshold in (0, 1)")
+    p.add_argument("--n-perm", type=int, default=64,
+                   help="signature size / hash budget (default 64)")
+    p.add_argument("--banded", action="store_true",
+                   help="constrain bands * rows == n_perm (the "
+                        "minhash_neardup_pairs banding layout)")
+    p.add_argument("--fp-weight", type=float, default=0.5)
+    p.add_argument("--fn-weight", type=float, default=0.5)
+    p.add_argument("--pairs", default=None,
+                   help="optional parquet of (id_a, id_b, jaccard) "
+                        "pairs: print the measured per-decile expected-"
+                        "candidate curve under the chosen plan")
+    p.add_argument("--jaccard-col", default="jaccard")
+    p = sub.add_parser(
         "ingest-wet",
         help="ingest Common Crawl WARC/WET archive(s) into a documents "
              "parquet (scan-stage expression parse; doc_id derived from "
@@ -1897,6 +1956,21 @@ def main(argv: list[str] | None = None) -> int:
         try:
             return cmd_corr(spark, args.infile, args.cols, args.scale,
                             args.group_by, method=args.method)
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "lsh-tune":  # no config file: all-flags command
+        if args.pairs is None:  # pure driver-side math, no session
+            return cmd_lsh_tune(args.threshold, args.n_perm, args.banded,
+                                args.fp_weight, args.fn_weight)
+        from stream2segment_spark.session import get_spark
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-lsh-tune")
+        try:
+            return cmd_lsh_tune(args.threshold, args.n_perm, args.banded,
+                                args.fp_weight, args.fn_weight,
+                                pairs=args.pairs,
+                                jaccard_col=args.jaccard_col, spark=spark)
         finally:
             if not preexisting:
                 spark.stop()

@@ -36,7 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["lsh_error_rates", "lsh_plan", "candidate_probability",
+__all__ = ["lsh_error_rates", "lsh_plan", "lsh_plan_banded",
+           "candidate_probability",
            "candidate_probability_sql", "lsh_tuning_curve"]
 
 
@@ -82,6 +83,29 @@ def lsh_plan(threshold: float, n_perm: int,
             if best is None or key < best:
                 best = key
                 plan = (b, r)
+    return plan
+
+
+def lsh_plan_banded(threshold: float, num_hashes: int,
+                    fp_weight: float = 0.5, fn_weight: float = 0.5,
+                    steps: int = 1000) -> tuple[int, int]:
+    """Like :func:`lsh_plan` but constrained to ``bands * rows ==
+    num_hashes`` — the layout :func:`operators.dedup.lsh_candidate_pairs`
+    requires (every hash belongs to exactly one band). This is the
+    chooser behind ``minhash_neardup_pairs(bands=None)``."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    best: tuple[float, int] | None = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        fp, fn = lsh_error_rates(threshold, b, num_hashes // b, steps)
+        key = (fp_weight * fp + fn_weight * fn, b)
+        if best is None or key < best:
+            best = key
+            plan = (b, num_hashes // b)
     return plan
 
 

@@ -896,3 +896,36 @@ def test_show_preprocess_only_module_keeps_default_plots(
     raw = app.segment_data(0)
     pp = app.segment_data(0, preprocessed=True)
     assert pp["plots"]["trace"]["y"] != raw["plots"]["trace"]["y"]
+
+
+def test_cli_lsh_tune_plan_only(capsys):
+    import json
+
+    from stream2segment_spark.cli import main
+    rc = main(["lsh-tune", "--threshold", "0.5", "--n-perm", "32"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["bands"] * out["rows_per_band"] <= 32
+    assert 0 < out["p_at_threshold"] < 1
+    assert main(["lsh-tune", "--threshold", "1.5"]) == 2
+
+
+def test_cli_lsh_tune_with_pairs(spark, tmp_path, capsys):
+    import json
+
+    from pyspark.sql import Row
+
+    from stream2segment_spark.cli import main
+    p = tmp_path / "pairs.parquet"
+    spark.createDataFrame(
+        [Row(id_a=1, id_b=2, jaccard=0.9),
+         Row(id_a=1, id_b=3, jaccard=0.2)]).write.parquet(str(p))
+    rc = main(["lsh-tune", "--threshold", "0.5", "--n-perm", "64",
+               "--banded", "--pairs", str(p)])
+    assert rc == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["bands"] * lines[0]["rows_per_band"] == 64
+    buckets = {l["bucket"]: l for l in lines[1:]}
+    assert set(buckets) == {2, 9}
+    assert buckets[9]["n_pairs"] == 1

@@ -31,7 +31,7 @@ def test_error_rates_shape():
     assert fp2 > fp and fn2 < fn
 
 
-def test_plan_validation():
+def test_plan_validation(spark):  # spark: F.lit needs an active session
     with pytest.raises(ValueError, match="threshold"):
         lsh_plan(1.0, 32)
     with pytest.raises(ValueError, match="n_perm"):
@@ -71,3 +71,26 @@ def test_tuning_curve_buckets_and_sums(spark):
     assert out[0].exp_cand == pytest.approx(p(0.05) + p(0.09), abs=1e-6)
     assert out[10].exp_cand == pytest.approx(1.0, abs=1e-9)
     assert out[5].bands == 8 and out[5].rows_per_band == 4
+
+
+def test_plan_banded_divides_and_auto_bands(spark):
+    from stream2segment_spark.operators.dedup import minhash_neardup_pairs
+    from stream2segment_spark.operators.lsh_tuning import lsh_plan_banded
+    for t in (0.3, 0.5, 0.8):
+        b, r = lsh_plan_banded(t, 64)
+        assert b * r == 64
+    # banded plan never beats the unconstrained plan's error
+    b, r = lsh_plan_banded(0.5, 60)
+    fp, fn = lsh_error_rates(0.5, b, r)
+    bu, ru = lsh_plan(0.5, 60)
+    fpu, fnu = lsh_error_rates(0.5, bu, ru)
+    assert 0.5 * fp + 0.5 * fn >= 0.5 * fpu + 0.5 * fnu - 1e-12
+    # bands=None end-to-end: near-identical docs stay pairs
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+         (3, "completely different words entirely here now ok fine")],
+        "doc_id long, text string")
+    out = minhash_neardup_pairs(docs, "text", "doc_id",
+                                bands=None, threshold=0.5).collect()
+    assert {(r_.id_a, r_.id_b) for r_ in out} == {(1, 2)}

@@ -1144,7 +1144,7 @@ def corpus_version_diff(spark, sf_dir):
               CAST(row_number() OVER (PARTITION BY shard_id
                                       ORDER BY h, doc_id) - 1
                    AS BIGINT) AS shard_pos
-       FROM a"""
+       FROM a""", gate=False
 )
 def corpus_shuffle_shards(spark, sf_dir):
     """Deterministic global training shuffle

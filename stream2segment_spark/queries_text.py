@@ -10,6 +10,7 @@ tests/test_dedup.py against exact-Jaccard / exact-Hamming ground truth.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from stream2segment_spark.functions import text as TX
@@ -1980,3 +1981,75 @@ def dedup_lsh_tune(spark, sf_dir):
                                    shingle_k=3, threshold=0.05)
     return lsh_tuning_curve(pairs, "jaccard", "id_a", "id_b",
                             b=_LSH_TUNE_B, r=_LSH_TUNE_R)
+
+
+# decomposed fixture text (combining acute / ring / diaeresis) and its
+# composed NFC twin — SAME visible text, different codepoints; pairs of
+# docs spiked with the two forms must collide on the NFC fingerprint
+# and never on the raw hash
+import unicodedata as _ud  # noqa: E402
+
+_NFC_DEC = "cafe\u0301 resume\u0301 A\u030angstro\u0308m naturally"
+_NFC_COMP = _ud.normalize("NFC", _NFC_DEC)
+assert _NFC_DEC != _NFC_COMP  # the fixture is vacuous otherwise
+
+
+def _nfc_oracle() -> str:
+    return f"""WITH d AS (SELECT doc_id,
+                 CASE doc_id % 6
+                   WHEN 0 THEN 'twin pair ' ||
+                        CAST(doc_id - doc_id % 6 AS VARCHAR) ||
+                        ' {_NFC_DEC}'
+                   WHEN 1 THEN 'twin pair ' ||
+                        CAST(doc_id - doc_id % 6 AS VARCHAR) ||
+                        ' {_NFC_COMP}'
+                   ELSE coalesce(text, '') END AS t
+               FROM documents),
+        n AS (SELECT doc_id, t, nfc_normalize(t) AS nn FROM d)
+        SELECT doc_id,
+               length(t)::BIGINT AS n_raw,
+               length(nn)::BIGINT AS n_nfc,
+               (nn != t) AS changed,
+               md5(t) AS fp_raw,
+               md5(nn) AS fp_nfc,
+               count(*) OVER (PARTITION BY md5(nn))::BIGINT
+                 AS n_same_nfc
+        FROM n"""
+
+
+@register("text_nfc_normalize", _nfc_oracle())
+def text_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization (functions/unicode_norm): composed and
+    decomposed spellings of the same text are different codepoint
+    sequences — every tokenizer='unicode'/'cjk' comparison surface
+    (exact fingerprints, shingles, BM25 terms, LM tokens) would treat
+    them as distinct documents. The entry spikes composed/decomposed
+    TWIN pairs: each pair collides on the NFC fingerprint (n_same_nfc
+    = 2) and never on the raw hash — the normalization-insensitive
+    dedup key. Arrow-batched map-only stage (pandas str.normalize ==
+    Python unicodedata == DuckDB utf8proc nfc_normalize, all UAX #15;
+    the oracle is the third engine of that agreement). The standard
+    first step of multilingual pipelines (CCNet, mC4) before any
+    cross-document comparison; no seismic counterpart."""
+    from stream2segment_spark.functions.unicode_norm import normalize_nfc
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = (did - did % 6).cast("string")
+    synth = (F.when(did % 6 == 0,
+                    F.concat(F.lit("twin pair "), base,
+                             F.lit(" " + _NFC_DEC)))
+              .when(did % 6 == 1,
+                    F.concat(F.lit("twin pair "), base,
+                             F.lit(" " + _NFC_COMP)))
+              .otherwise(F.coalesce(F.col("text"), F.lit(""))))
+    staged = docs.select("doc_id", synth.alias("__t")) \
+                 .withColumn("__n", normalize_nfc(F.col("__t")))
+    w = Window.partitionBy(F.md5(F.col("__n")))
+    return staged.select(
+        "doc_id",
+        F.length("__t").cast("long").alias("n_raw"),
+        F.length("__n").cast("long").alias("n_nfc"),
+        (F.col("__n") != F.col("__t")).alias("changed"),
+        F.md5("__t").alias("fp_raw"),
+        F.md5("__n").alias("fp_nfc"),
+        F.count("*").over(w).alias("n_same_nfc"))

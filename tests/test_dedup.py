@@ -733,3 +733,37 @@ def test_contamination_fractions_string_ids(spark):
     out = {r["doc_id"]: r["contam_frac"] for r in
            contamination_fractions(docs, bench).collect()}
     assert out["d1"] > 0 and out["d2"] == 0.0
+
+
+def test_cjk_astral_han_three_engines(spark):
+    """Astral Han (Ext-B+, U+20000 up) participates in codepoint-bigram
+    tokenization since r9: literal astral ranges in the script class
+    and codepoint substring windows agree across Spark (Java regex /
+    UTF8String), DuckDB (RE2 / utf8proc) and Python — including runs
+    MIXING BMP and astral Han, where bigram windows must straddle the
+    BMP/astral boundary."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from stream2segment_spark.operators.dedup import (
+        cjk_tokens_sql, cjk_word_tokens, py_cjk_tokens)
+    texts = [
+        "\U00020000\U00020001\U00020002",          # pure Ext-B run
+        "東\U00020000京",                  # BMP-astral-BMP run
+        "abc \U00020000\U00020001 xyz",            # astral run in latin
+        "\U00020000",                              # single astral char
+        "\U0003134F\U00030000",                    # Ext-G pair
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, t string")
+    got = {r.id: r.toks for r in df.select(
+        "id", cjk_word_tokens(F.col("t")).alias("toks")).collect()}
+    for i, t in enumerate(texts):
+        py = py_cjk_tokens(t)
+        duck = duckdb.sql(
+            f"SELECT {cjk_tokens_sql('?')} ", params=[t]).fetchone()[0]
+        assert got[i] == py == duck, repr(t)
+    # the mixed run bigrams straddle the boundary
+    assert got[1] == ["東\U00020000", "\U00020000京"]
+    assert got[3] == ["\U00020000"]

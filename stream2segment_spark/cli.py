@@ -614,6 +614,7 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
                against_signatures: str | None = None,
                write_signatures: bool = False,
                html_extract: bool = False,
+               nfc_normalize: bool = False,
                classifier: str | None = None,
                min_classifier_score: float = 0.5,
                audit: bool = False) -> int:
@@ -718,6 +719,7 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
         against_signatures=against_sig_df,
         signatures=(sig_frames if write_signatures else None),
         html_extract=html_extract,
+        nfc_normalize=nfc_normalize,
         audit=audit, **clf_kwargs)
     out = os.path.join(outdir, "curated.parquet")
     # One materialization: the write warms curated's cache, the funnel
@@ -1254,6 +1256,10 @@ def main(argv: list[str] | None = None) -> int:
                         "row's language (built-in per-language tables, "
                         "functions/text.STOPWORDS_BY_LANG) instead of "
                         "the English default")
+    p.add_argument("--nfc", action="store_true", dest="nfc_normalize",
+                   help="NFC-normalize text before every other stage "
+                        "(composed/decomposed twins converge; use with "
+                        "--tokenizer unicode/cjk)")
     p.add_argument("--html", action="store_true", dest="html_extract",
                    help="treat the text column as raw HTML: extract "
                         "plain text (drop script/style/comments, strip "
@@ -2308,6 +2314,7 @@ def main(argv: list[str] | None = None) -> int:
                               against_signatures=args.against_signatures,
                               write_signatures=args.write_signatures,
                               html_extract=args.html_extract,
+                              nfc_normalize=args.nfc_normalize,
                               classifier=args.classifier,
                               min_classifier_score=args.min_classifier_score,
                               audit=args.audit)

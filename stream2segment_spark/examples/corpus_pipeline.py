@@ -94,6 +94,7 @@ def curate_corpus(
     langid_mode: str = "heuristic",
     stopword_tables: "dict[str, tuple[str, ...]] | None" = None,
     html_extract: bool = False,
+    nfc_normalize: bool = False,
     classifier_weights: "list[int] | None" = None,
     min_classifier_score: float = 0.5,
     classifier_tokenizer: "str | None" = None,
@@ -169,6 +170,19 @@ def curate_corpus(
     def _audit(name: str, frame: DataFrame) -> None:
         if audit:
             audit_counts.append((name, frame))
+
+    # -- 0a-1. optional Unicode NFC normalization (multilingual input) --
+    # THE first text transformation when enabled: composed and
+    # decomposed twins must converge before ANY comparison surface
+    # (fingerprints, shingles, BM25/LM tokens) sees the text — the
+    # standard first step of the multilingual pipelines this funnel
+    # models (CCNet/mC4). Arrow map-only stage (functions/unicode_norm);
+    # off by default: the ascii tokenizer strips non-ASCII anyway, so
+    # it only matters with tokenizer='unicode'/'cjk'.
+    if nfc_normalize:
+        from stream2segment_spark.functions.unicode_norm import (
+            normalize_nfc)
+        docs = docs.withColumn(text_col, normalize_nfc(F.col(text_col)))
 
     # -- 0a0. optional HTML -> text extraction (raw-web ingest) ---------
     # FIRST of all: every downstream signal (tokens, prose rules,

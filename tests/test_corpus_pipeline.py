@@ -815,3 +815,32 @@ def test_ccnet_partition_existing_lang_col(spark):
     out = ccnet_partition(docs, lang_col="mylang",
                           curate_kwargs=kw).collect()
     assert {r.lang for r in out} == {"aa", "bb"}
+
+
+def test_funnel_nfc_normalize_merges_twins(spark):
+    """nfc_normalize=True + tokenizer='unicode': composed and
+    decomposed spellings of the same document converge BEFORE the
+    exact-dedup fingerprint, so the funnel keeps one of the pair;
+    without normalization both survive (distinct codepoints)."""
+    from stream2segment_spark.examples.corpus_pipeline import (
+        curate_corpus)
+    body = ("caf\u00e9 press release about data tables and rows "
+            "with enough words to pass every filter easily")
+    dec = body.replace("caf\u00e9", "cafe\u0301")
+    assert dec != body
+    docs = spark.createDataFrame(
+        [(1, body), (2, dec),
+         (3, "another plain document with plenty of ordinary words "
+             "to pass the funnel filters here")],
+        "doc_id long, text string")
+    # neardup_threshold=0.99 isolates the EXACT-dedup stage (the twins
+    # are lexically near-identical, so any real near-dup threshold
+    # would merge them with or without normalization)
+    kw = dict(languages=("en", "und"), min_quality=0.0,
+              token_band=(1, 10_000), tokenizer="unicode",
+              neardup_threshold=0.99)
+    plain, _ = curate_corpus(docs, **kw)
+    assert plain.count() == 3               # twins NOT merged
+    merged, _ = curate_corpus(docs, nfc_normalize=True, **kw)
+    assert merged.count() == 2              # exact dedup caught the pair
+    assert {r.doc_id for r in merged.select("doc_id").collect()} == {1, 3}

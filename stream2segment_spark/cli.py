@@ -1043,6 +1043,40 @@ def cmd_classify(spark, infile: str, outfile: str, id_col: str,
     return 0
 
 
+def cmd_dsir_select(spark, infile: str, target: str, outfile: str,
+                    id_col: str, text_col: str, k: int, buckets: int,
+                    mode: str, method: str, temperature: float,
+                    tokenizer: str = "ascii") -> int:
+    """'s2s dsir-select': DSIR importance resampling (functions/dsir.py
+    — Xie et al. 2023). Scores every document of the raw parquet
+    against the hashed-n-gram profile of the TARGET parquet and writes
+    the selected (id, dsir_score) rows plus one JSON summary line.
+    ``--mode ratio`` is the bit-portable integer contract; ``--mode
+    log`` the paper's log-ratio weights; ``--method gumbel`` samples
+    proportionally to exp(score/T) instead of taking the top-k."""
+    import json
+
+    from stream2segment_spark.functions.dsir import dsir_pipeline
+
+    raw = spark.read.parquet(infile)
+    tgt = spark.read.parquet(target)
+    for name, df in (("raw", raw), ("target", tgt)):
+        missing = {id_col, text_col} - set(df.columns)
+        if missing:
+            print(f"error: {name} parquet lacks column(s) "
+                  f"{sorted(missing)} (has: {sorted(df.columns)})",
+                  file=sys.stderr)
+            return 2
+    out = dsir_pipeline(raw, tgt, id_col, text_col, k, buckets=buckets,
+                        mode=mode, method=method,
+                        temperature=temperature, tokenizer=tokenizer)
+    out.write.mode("overwrite").parquet(outfile)
+    n = spark.read.parquet(outfile).count()
+    print(json.dumps({"selected": n, "k": k, "mode": mode,
+                      "method": method, "buckets": buckets}))
+    return 0
+
+
 def cmd_init(outdir: str) -> int:
     """'s2s init': write editable template files to OUTDIR."""
     import shutil
@@ -1561,6 +1595,35 @@ def main(argv: list[str] | None = None) -> int:
                    help="token mode for --text-col hash embeddings; "
                         "recorded in the saved model")
     p = sub.add_parser(
+        "dsir-select",
+        help="DSIR importance resampling: select the raw-parquet "
+             "documents whose hashed-n-gram profile best matches a "
+             "target parquet (beyond-reference; Xie et al. 2023)")
+    p.add_argument("-i", "--infile", required=True,
+                   help="raw candidate pool parquet (id + text)")
+    p.add_argument("-t", "--target", required=True,
+                   help="target/in-domain corpus parquet (id + text)")
+    p.add_argument("-o", "--outfile", required=True,
+                   help="output parquet path (id + dsir_score)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("-k", type=int, required=True,
+                   help="number of documents to select")
+    p.add_argument("--buckets", type=int, default=4096,
+                   help="hashed n-gram feature buckets")
+    p.add_argument("--mode", default="ratio", choices=("ratio", "log"),
+                   help="'ratio': integer-quantized bit-portable "
+                        "scores; 'log': the paper's log-ratio weights")
+    p.add_argument("--method", default="top", choices=("top", "gumbel"),
+                   help="'top': deterministic top-k; 'gumbel': "
+                        "Gumbel-top-k resampling (needs --mode log "
+                        "scale-wise sane temperatures)")
+    p.add_argument("--temperature", type=float, default=1.0,
+                   help="Gumbel sampling temperature")
+    p.add_argument("--tokenizer", default="ascii",
+                   choices=("ascii", "unicode", "cjk"),
+                   help="token mode for the n-gram features")
+    p = sub.add_parser(
         "bpe-apply",
         help="segment a corpus parquet with a trained BPE merge table "
              "(from 's2s bpe-train') and write doc_id + subword tokens "
@@ -2011,6 +2074,20 @@ def main(argv: list[str] | None = None) -> int:
                                 args.iters, args.lr,
                                 weights_out=args.weights_out,
                                 tokenizer=args.tokenizer)
+        finally:
+            if not preexisting:
+                spark.stop()
+    if args.cmd == "dsir-select":  # no config file: all-flags command
+        from stream2segment_spark.session import get_spark
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="s2s-dsir")
+        try:
+            return cmd_dsir_select(spark, args.infile, args.target,
+                                   args.outfile, args.id_col,
+                                   args.text_col, args.k, args.buckets,
+                                   args.mode, args.method,
+                                   args.temperature,
+                                   tokenizer=args.tokenizer)
         finally:
             if not preexisting:
                 spark.stop()

@@ -1758,3 +1758,59 @@ def corpus_funnel_incr_sigs(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@register(
+    "corpus_dsir_select",
+    # target multinomial = the English documents, raw pool = everything
+    # else; hashed unigram+bigram features (md5 buckets), add-one
+    # smoothed integer-quantized ratio scores, top-50 by importance.
+    # Every quantity is BIGINT arithmetic both engines replay exactly
+    # (functions/dsir.py module docstring for the no-log contract).
+    f"""WITH t AS (SELECT doc_id, lang, {_WORDS_SQL} AS w FROM documents),
+       g AS (SELECT doc_id, lang, unnest(list_concat(w,
+               CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1]) ELSE [] END)) AS gram
+             FROM t),
+       b AS (SELECT doc_id, lang,
+               CAST('0x' || substr(md5('dsir:' || gram), 1, 15) AS BIGINT)
+                 % 4096 AS bucket FROM g),
+       tc AS (SELECT bucket, count(*) AS ct FROM b WHERE lang = 'en'
+              GROUP BY bucket),
+       rc AS (SELECT bucket, count(*) AS cq FROM b WHERE lang <> 'en'
+              GROUP BY bucket),
+       tn AS (SELECT count(*)::BIGINT AS nt FROM b WHERE lang = 'en'),
+       rn AS (SELECT count(*)::BIGINT AS nq FROM b WHERE lang <> 'en'),
+       sc AS (SELECT rc.bucket,
+               (10000::BIGINT * (coalesce(tc.ct, 0) + 1) * (nq + 4096))
+                 // ((rc.cq + 1) * (nt + 4096)) AS bscore
+              FROM rc LEFT JOIN tc USING (bucket), tn, rn),
+       f AS (SELECT doc_id, bucket, count(*) AS cnt FROM b
+             WHERE lang <> 'en' GROUP BY doc_id, bucket),
+       s AS (SELECT d.doc_id,
+               coalesce(sum(f.cnt * sc.bscore), 0)::BIGINT AS dsir_score
+             FROM (SELECT DISTINCT doc_id FROM documents WHERE lang <> 'en') d
+             LEFT JOIN f USING (doc_id) LEFT JOIN sc USING (bucket)
+             GROUP BY d.doc_id)
+       SELECT doc_id, dsir_score FROM s
+       ORDER BY dsir_score DESC, doc_id LIMIT 50""",
+    gate=False,
+)
+def corpus_dsir_select(spark, sf_dir):
+    """DSIR data selection (functions/dsir.dsir_pipeline — Xie et al.
+    2023): hashed unigram+bigram multinomials for a TARGET corpus (the
+    English docs) and the raw pool (the rest), per-bucket importance as
+    the integer-quantized add-one-smoothed probability ratio (no log —
+    bit-portable; the monotone per-feature surrogate documented in the
+    module), per-doc importance = order-free integer sum of
+    count*bucket-score, deterministic top-50. Plan: two map-side-
+    combined feature count shuffles, a 4096-row broadcast score table,
+    one keyed sum, TakeOrderedAndProject — document text never
+    shuffles. Beyond-reference LLM-pipeline capability (model-free
+    in-domain data selection; complements the trained classifier
+    gate)."""
+    from stream2segment_spark.functions.dsir import dsir_pipeline
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    raw = docs.filter(F.col("lang") != "en")
+    return dsir_pipeline(raw, target, "doc_id", "text", 50)

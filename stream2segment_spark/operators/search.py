@@ -349,3 +349,92 @@ def append_to_search_index(docs: DataFrame, id_col: str, text_col: str,
                          ("terms_new", "terms"),
                          ("stats_new", "stats")):
         _fs_swap(spark, f"{path}/{staged}", f"{path}/{live}")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense cosine, fused by Reciprocal Rank Fusion
+# ---------------------------------------------------------------------------
+
+def hybrid_topk_rrf(docs: DataFrame, emb: DataFrame, terms: list[str],
+                    query_vec_id: int, *, id_col: str = "doc_id",
+                    text_col: str = "text", vec_id_col: str = "vec_id",
+                    vec_col: str = "embedding", k: int = 10,
+                    n_sparse: int = 50, n_dense: int = 50,
+                    rrf_k: int = 60, k1: float = 1.2, b: float = 0.75,
+                    tokenizer: str = "ascii") -> DataFrame:
+    """Hybrid sparse+dense retrieval fused with Reciprocal Rank Fusion
+    (Cormack et al., SIGIR 2009): the standard way to combine a BM25
+    keyword list and an embedding nearest-neighbor list without score
+    calibration — only the RANKS enter the fused score
+
+        rrf(d) = 1/(rrf_k + rank_sparse(d)) + 1/(rrf_k + rank_dense(d))
+
+    (terms absent from a list contribute 0). Because ranks are
+    integers, each contribution is one exact IEEE division and the sum
+    is two fixed-order additions — bit-replayable, unlike any
+    min-max/z-score fusion of the raw scores.
+
+    Sparse side: document-level BM25 = the per-term
+    :func:`bm25ish_scores` summed in LEXICOGRAPHIC term order (a
+    conditional aggregate per term, added left-to-right — never a
+    ``sum()`` whose order floats with the partitioning). Dense side:
+    exact cosine top-n for the query vector looked up by
+    ``query_vec_id`` in ``emb`` (the query row itself is excluded).
+    Docs in neither top-n never surface; ranks are 0-sentineled (not
+    NULL) in the output so the int columns stay int across engines.
+
+    Plan/scale shape: the sparse side is the filtered-postings
+    aggregation (query-term filter before the shuffle); the dense side
+    is the mapInPandas matmul with per-partition local top-n (shuffle =
+    n rows, never the corpus); the fusion is a full-outer join of two
+    <= n-row frames, then TakeOrderedAndProject for the final k.
+
+    Returns ``(id_col, sparse_rank, dense_rank, rrf_score, rank)``."""
+    from stream2segment_spark.operators.similarity import (
+        ann_topk_bruteforce)
+    if rrf_k < 1:
+        raise ValueError(f"rrf_k must be >= 1, got {rrf_k}")
+    norm_terms = sorted(set(normalize_terms(terms, tokenizer)))
+    per_term = bm25ish_scores(docs, id_col, text_col, norm_terms,
+                              k1=k1, b=b, tokenizer=tokenizer)
+    # one conditional aggregate per term (each (term, doc) row is
+    # unique, so max == the score), then left-to-right addition in
+    # sorted-term order: the only float ops are exact-replayable
+    aggs = [F.max(F.when(F.col("term") == t, F.col("score")))
+            .alias(f"__s{i}") for i, t in enumerate(norm_terms)]
+    ds = per_term.groupBy(id_col).agg(*aggs)
+    dscore = F.coalesce(F.col("__s0"), F.lit(0.0))
+    for i in range(1, len(norm_terms)):
+        dscore = dscore + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+    ds = ds.select(id_col, dscore.alias("__dscore"))
+    w_s = Window.orderBy(F.col("__dscore").desc(), F.col(id_col).asc())
+    sparse = (ds.withColumn("sparse_rank", F.row_number().over(w_s))
+              .filter(F.col("sparse_rank") <= n_sparse)
+              .select(id_col, "sparse_rank"))
+
+    queries = (emb.filter(F.col(vec_id_col) == query_vec_id)
+               .select(F.col(vec_id_col).alias("query_id"), vec_col))
+    dense_raw = ann_topk_bruteforce(
+        emb, queries, id_col=vec_id_col, vec_col=vec_col,
+        query_id_col="query_id", k=n_dense + 1) \
+        .filter(F.col(vec_id_col) != F.col("query_id"))
+    w_d = Window.orderBy(F.col("cosine").desc(), F.col(vec_id_col).asc())
+    dense = (dense_raw.withColumn("dense_rank", F.row_number().over(w_d))
+             .filter(F.col("dense_rank") <= n_dense)
+             .select(F.col(vec_id_col).alias(id_col), "dense_rank"))
+
+    fused = sparse.join(dense, id_col, "full_outer")
+    rrf = (F.coalesce(F.lit(1.0) / (F.lit(rrf_k)
+                                    + F.col("sparse_rank").cast("double")),
+                      F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (F.lit(rrf_k)
+                                      + F.col("dense_rank").cast("double")),
+                        F.lit(0.0)))
+    w_f = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (fused
+            .select(id_col,
+                    F.coalesce("sparse_rank", F.lit(0)).alias("sparse_rank"),
+                    F.coalesce("dense_rank", F.lit(0)).alias("dense_rank"),
+                    rrf.alias("rrf_score"))
+            .withColumn("rank", F.row_number().over(w_f))
+            .filter(F.col("rank") <= k))

@@ -284,3 +284,84 @@ def sim_pq_refine(spark, sf_dir):
     return out.select("query_id", "vec_id",
                       F.round("adc_dist", 6).alias("adc_dist"),
                       F.round("exact_d2", 6).alias("exact_d2"))
+
+
+def _hybrid_oracle() -> str:
+    from stream2segment_spark.queries_text import _WORDS_SQL
+    # sorted-term addition order matches hybrid_topk_rrf's fixed fold:
+    # join + merge + scan (lexicographic)
+    return f"""WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+       stats AS (SELECT count(*) AS n_docs,
+                  CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl FROM t),
+       hit AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM t),
+       tf AS (SELECT term, doc_id, dl, count(*) AS tf FROM hit
+              WHERE term IN ('join', 'scan', 'merge')
+              GROUP BY term, doc_id, dl),
+       d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       s AS (SELECT tf.term, tf.doc_id,
+                    ((CAST(n_docs - df AS DOUBLE) + 0.5::DOUBLE)
+                     / (CAST(df AS DOUBLE) + 0.5::DOUBLE))
+                    * ((CAST(tf AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE))
+                       / (CAST(tf AS DOUBLE)
+                          + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE)
+                              + 0.75::DOUBLE * (CAST(tf.dl AS DOUBLE)
+                                                / avgdl)))) AS score
+             FROM tf JOIN d USING (term), stats),
+       ds AS (SELECT doc_id,
+                coalesce(max(CASE WHEN term = 'join' THEN score END),
+                         0.0::DOUBLE)
+                + coalesce(max(CASE WHEN term = 'merge' THEN score END),
+                           0.0::DOUBLE)
+                + coalesce(max(CASE WHEN term = 'scan' THEN score END),
+                           0.0::DOUBLE) AS dscore
+              FROM s GROUP BY doc_id),
+       sr AS (SELECT doc_id, row_number() OVER
+                (ORDER BY dscore DESC, doc_id) AS srank
+              FROM ds QUALIFY srank <= 50),
+       e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       dn AS (SELECT e.vec_id AS doc_id,
+                     list_cosine_similarity(e.v, qv) AS c
+              FROM e, q WHERE e.vec_id <> 0),
+       dr AS (SELECT doc_id, row_number() OVER
+                (ORDER BY c DESC, doc_id) AS drank
+              FROM dn QUALIFY drank <= 50),
+       j AS (SELECT coalesce(sr.doc_id, dr.doc_id) AS doc_id,
+                    sr.srank, dr.drank
+             FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id),
+       r AS (SELECT doc_id, srank, drank,
+               coalesce(1.0::DOUBLE / (60 + srank), 0.0::DOUBLE)
+               + coalesce(1.0::DOUBLE / (60 + drank), 0.0::DOUBLE) AS rrf
+             FROM j)
+       SELECT doc_id,
+              CAST(coalesce(srank, 0) AS INTEGER) AS sparse_rank,
+              CAST(coalesce(drank, 0) AS INTEGER) AS dense_rank,
+              round(rrf, 8) AS rrf_score,
+              CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+                   AS INTEGER) AS rank
+       FROM r QUALIFY rank <= 10"""
+
+
+@register(
+    "corpus_search_hybrid",
+    oracle=_hybrid_oracle(),
+    gate=False,
+)
+def corpus_search_hybrid(spark, sf_dir):
+    """Hybrid sparse+dense retrieval fused by Reciprocal Rank Fusion
+    (operators/search.hybrid_topk_rrf — Cormack et al. 2009): BM25
+    doc-level scores (per-term conditional aggregates added in
+    lexicographic term order) ranked against the exact cosine top-50
+    of a query embedding (vec_id 0, doc ids align with vec ids in the
+    fixture), fused as 1/(60+rank) + 1/(60+rank) — rank-only fusion,
+    so every float op is an exact IEEE division/addition both engines
+    replay. Absent-list ranks are 0-sentineled (not NULL) to keep the
+    int columns int across engines. Beyond-reference LLM-pipeline
+    capability (RAG-style retrieval over the curated corpus)."""
+    from stream2segment_spark.operators.search import hybrid_topk_rrf
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = hybrid_topk_rrf(docs, emb, ["join", "scan", "merge"], 0,
+                          k=10, n_sparse=50, n_dense=50)
+    return out.select("doc_id", "sparse_rank", "dense_rank",
+                      F.round("rrf_score", 8).alias("rrf_score"), "rank")

@@ -261,3 +261,78 @@ def test_pre_mode_index_reads_as_ascii(spark, tmp_path):
     assert sorted(r["id"] for r in
                   index_search_topk(spark, path, ["gamma"]).collect()) \
         == [2, 3]
+
+
+# ---------------------------------------------------------------------------
+# Hybrid RRF fusion
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def hybrid_data(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"),
+         (1, "spark join join merge"),
+         (2, "spark scan merge hash"),
+         (3, "nothing relevant here"),
+         (4, "join scan")],
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]),
+         (1, [0.9, 0.1, 0.0]),
+         (2, [0.0, 1.0, 0.0]),
+         (3, [0.95, 0.05, 0.0]),
+         (4, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    return docs, emb
+
+
+def test_hybrid_rrf_matches_hand_fusion(spark, hybrid_data):
+    docs, emb = hybrid_data
+    out = (S.hybrid_topk_rrf(docs, emb, ["join", "scan", "merge"], 0,
+                             k=5, n_sparse=3, n_dense=3)
+           .toPandas().set_index("doc_id").sort_index())
+    # dense ranks vs query 0 (excluding itself): 3 (cos~.997), 1 (~.994),
+    # then 2 and 4 at cosine 0 -> tie broken by id: 2 gets rank 3
+    assert out.loc[3, "dense_rank"] == 1
+    assert out.loc[1, "dense_rank"] == 2
+    # sparse: doc 1 (join x2 + merge), 2 (scan+merge), 4 (join+scan)
+    # all hit; docs 0/3 never — doc 3 is dense-only, doc 0 (the query,
+    # excluded from dense; no sparse hits) is absent entirely
+    assert out.loc[3, "sparse_rank"] == 0     # 0-sentinel, not NULL
+    assert 0 not in out.index
+    assert set(out.index) <= {1, 2, 3, 4}
+    for doc_id, row in out.iterrows():
+        want = 0.0
+        if row["sparse_rank"] > 0:
+            want += 1.0 / (60 + row["sparse_rank"])
+        if row["dense_rank"] > 0:
+            want += 1.0 / (60 + row["dense_rank"])
+        assert row["rrf_score"] == pytest.approx(want, rel=0, abs=0)
+    # fused order is rrf desc, then id
+    ranked = out.sort_values("rank")
+    assert list(ranked["rrf_score"]) == sorted(
+        ranked["rrf_score"], reverse=True)
+    # a doc in BOTH lists outranks a doc in only one at similar ranks
+    assert out.loc[1, "rank"] < out.loc[3, "rank"]
+
+
+def test_hybrid_rrf_query_doc_excluded_and_validation(spark, hybrid_data):
+    docs, emb = hybrid_data
+    out = S.hybrid_topk_rrf(docs, emb, ["alpha"], 0, k=5,
+                            n_sparse=2, n_dense=2).toPandas()
+    # vec 0 is the query: it may enter via the SPARSE list ('alpha'
+    # matches doc 0) but never via the dense list
+    sub = out.set_index("doc_id")
+    if 0 in sub.index:
+        assert sub.loc[0, "dense_rank"] == 0
+    with pytest.raises(ValueError, match="rrf_k"):
+        S.hybrid_topk_rrf(docs, emb, ["alpha"], 0, rrf_k=0)
+
+
+def test_hybrid_rrf_deterministic_across_partitioning(spark, hybrid_data):
+    docs, emb = hybrid_data
+    a = S.hybrid_topk_rrf(docs.repartition(2), emb.repartition(3),
+                          ["join", "scan", "merge"], 0, k=5).collect()
+    b = S.hybrid_topk_rrf(docs.repartition(5), emb.repartition(1),
+                          ["join", "scan", "merge"], 0, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -2053,3 +2053,68 @@ def text_nfc_normalize(spark, sf_dir):
         F.md5("__t").alias("fp_raw"),
         F.md5("__n").alias("fp_nfc"),
         F.count("*").over(w).alias("n_same_nfc"))
+
+
+@register(
+    "dedup_containment",
+    # corpus = documents + derived EXCERPTS (first ceil(n/3) space
+    # tokens of every 7th doc, new id +1000000): a contiguous token
+    # slice's shingles are a subset of the original's, so engineered
+    # containment-1.0 pairs exist that symmetric Jaccard (~1/3) never
+    # flags. The oracle is the FULL exact pair set over any-shared-
+    # shingle candidates, so the prefix-filter candidate generation's
+    # recall 1.0 is proven at the gate (same discipline as
+    # dedup_minhash_lsh).
+    f"""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id,
+                 array_to_string(
+                   (string_split(text, ' '))[1:CAST(
+                      (len(string_split(text, ' ')) + 2) // 3 AS BIGINT)],
+                   ' ') AS text
+          FROM documents
+          WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 12),
+        sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+                 list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> array_to_string(w[i:i+2], ' ')))
+                 ELSE [array_to_string(w, ' ')] END AS s
+               FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM corpus)),
+        inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM inv a JOIN inv b
+                   ON a.shingle = b.shingle AND a.doc_id <> b.doc_id)
+        SELECT id_a, id_b,
+               CAST(len(x.s) AS INTEGER) AS n_a,
+               CAST(len(y.s) AS INTEGER) AS n_b,
+               round(len(list_intersect(x.s, y.s))::DOUBLE
+                     / len(x.s), 6) AS containment
+        FROM cand JOIN sh x ON x.doc_id = id_a
+                  JOIN sh y ON y.doc_id = id_b
+        WHERE len(list_intersect(x.s, y.s))::DOUBLE / len(x.s) >= 0.8""",
+    gate=False,
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment near-dup (operators/dedup.
+    containment_pairs): ordered pairs with |S(A) n S(B)| / |S(A)| >=
+    0.8 — excerpt/quote/subset duplicates that Jaccard-based dedup
+    (and its MinHash approximation) structurally misses. Candidates
+    come from the one-sided rare-first prefix filter with length +
+    positional prunings (guaranteed recall by pigeonhole); the verify
+    is the JVM array_intersect on candidates only. The oracle computes
+    the FULL pair set, so the gate proves recall 1.0. Beyond-reference
+    LLM-pipeline capability."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    w = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    n = F.size(w)
+    exc = (docs.filter((F.col("doc_id") % 7 == 0) & (n >= 12))
+           .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                   F.concat_ws(" ", F.slice(
+                       w, 1, (((n + 2) - F.pmod(n + 2, F.lit(3))) / 3)
+                       .cast("int"))).alias("text")))
+    corpus = docs.select("doc_id", "text").unionByName(exc)
+    out = DD.containment_pairs(corpus, "text", "doc_id",
+                               shingle_k=3, threshold=0.8)
+    return out.select("id_a", "id_b", "n_a", "n_b",
+                      F.round("containment", 6).alias("containment"))

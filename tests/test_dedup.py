@@ -767,3 +767,81 @@ def test_cjk_astral_han_three_engines(spark):
     # the mixed run bigrams straddle the boundary
     assert got[1] == ["東\U00020000", "\U00020000京"]
     assert got[3] == ["\U00020000"]
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment join
+# ---------------------------------------------------------------------------
+
+def _cont_docs(spark):
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    return spark.createDataFrame(
+        [(1, base),                              # the container
+         (2, "alpha beta gamma delta epsilon zeta eta theta"),  # excerpt
+         (3, "unrelated words entirely different content here today"),
+         (4, base),                              # identical to 1
+         (5, "pi rho sigma tau upsilon phi chi psi omega extra")],
+        "doc_id long, text string")              # 5: tail overlap, low C
+
+
+def test_containment_pairs_exact_vs_bruteforce(spark):
+    from stream2segment_spark.operators.dedup import (
+        containment_pairs, get_tokenizer, shingles_from_tokens)
+    import itertools
+
+    docs = _cont_docs(spark)
+    got = {(r.id_a, r.id_b): (r.n_a, r.n_b, r.containment)
+           for r in containment_pairs(
+               docs, "text", "doc_id", shingle_k=3,
+               threshold=0.8).collect()}
+    # brute-force replay in python
+    _, py_toks = get_tokenizer("ascii")
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    sets = {}
+    for did, text in rows.items():
+        toks = py_toks(text)
+        if len(toks) >= 3:
+            sets[did] = {" ".join(toks[i:i + 3])
+                         for i in range(len(toks) - 2)}
+        else:
+            sets[did] = {" ".join(toks)}
+    want = {}
+    for a, b in itertools.permutations(sets, 2):
+        c = len(sets[a] & sets[b]) / len(sets[a])
+        if c >= 0.8:
+            want[(a, b)] = (len(sets[a]), len(sets[b]), c)
+    assert got == want
+    # the engineered shapes: excerpt 2 contained in 1 and 4; identical
+    # docs 1<->4 both directions; never the symmetric-low-overlap 5
+    assert (2, 1) in got and (2, 4) in got
+    assert (1, 4) in got and (4, 1) in got
+    assert not any(5 in p for p in got)
+
+
+def test_containment_dedup_keep_rule(spark):
+    from stream2segment_spark.operators.dedup import containment_dedup
+
+    docs = _cont_docs(spark)
+    kept = {r.doc_id for r in containment_dedup(
+        docs, "text", "doc_id", shingle_k=3, threshold=0.8).collect()}
+    # 2 (excerpt of a bigger doc) drops; of the identical pair 1/4 the
+    # LOWER id survives; 3 and 5 are untouched
+    assert kept == {1, 3, 5}
+
+
+def test_containment_threshold_validation(spark):
+    from stream2segment_spark.operators.dedup import containment_pairs
+    with pytest.raises(ValueError, match="threshold"):
+        containment_pairs(_cont_docs(spark), "text", "doc_id",
+                          threshold=0.0).collect()
+
+
+def test_containment_deterministic_across_partitioning(spark):
+    from stream2segment_spark.operators.dedup import containment_pairs
+    docs = _cont_docs(spark)
+    a = sorted(map(tuple, containment_pairs(
+        docs.repartition(2), "text", "doc_id").collect()))
+    b = sorted(map(tuple, containment_pairs(
+        docs.repartition(7), "text", "doc_id").collect()))
+    assert a == b

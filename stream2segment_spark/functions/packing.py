@@ -125,3 +125,81 @@ def chunk_documents(
         F.col("__c.chunk_idx").alias("chunk_idx"),
         F.col("__c.chunk_toks").alias("chunk_toks"),
         F.size("__c.chunk_toks").alias("n_chunk"))
+
+
+def pack_bestfit(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int = 2048,
+    n_shards: int = 64,
+    seed: str = "pack",
+) -> DataFrame:
+    """Best-fit-decreasing packing: append ``shard`` and ``bin_id``
+    where bins NEVER exceed ``budget`` (the truncation-free packing
+    policy of Ding et al. 2024, "Fewer Truncations Improve Language
+    Modeling") — unlike :func:`pack_greedy`'s start-offset chunks,
+    which overfill by up to one document and force the loader to
+    truncate or buffer.
+
+    Within each md5 shard, documents are taken in (tokens DESC, id ASC)
+    order; each joins the open bin with the SMALLEST remaining capacity
+    that still fits (ties to the lowest bin index), else opens a new
+    bin. A document longer than ``budget`` gets a bin of its own (its
+    remainder is negative, so nothing ever joins it) — callers wanting
+    hard caps split with :func:`chunk_documents` first. NULL token
+    counts pack as 0.
+
+    Deterministic and engine-replayable: the whole loop is integer
+    state keyed by the md5 shard, so a DuckDB recursive CTE replays
+    every placement (the ``corpus_pack_bestfit`` oracle does).
+
+    Scale shape: one shuffle on the shard key, then a per-shard
+    sequential pass inside ``applyInPandas`` (packing is inherently
+    order-dependent; the md5 sharding is what makes it parallel —
+    size ``n_shards`` to the cluster). Per-shard cost is
+    O(docs * open_bins) with the numpy argmin scan; BFD keeps open-bin
+    counts small because tight fills close bins early."""
+    import numpy as np
+    import pandas as pd
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    shard: Column = F.pmod(hash_bucket(F.col(id_col), seed),
+                           F.lit(n_shards)).cast("int")
+    src = df.select(F.col(id_col).alias("__id"),
+                    F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+                    .alias("__tok"),
+                    shard.alias("shard"))
+    bud = int(budget)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["__tok", "__id"], ascending=[False, True],
+            kind="mergesort").reset_index(drop=True)
+        toks = pdf["__tok"].to_numpy()
+        rem = np.empty(len(pdf), dtype=np.int64)  # bin remainders
+        n_bins = 0
+        bins = np.empty(len(pdf), dtype=np.int64)
+        for i, tok in enumerate(toks):
+            fits = rem[:n_bins] >= tok
+            if fits.any():
+                # argmin over masked remainders; np.argmin returns the
+                # FIRST minimum — exactly the lowest-index tie rule
+                masked = np.where(fits, rem[:n_bins], np.iinfo(np.int64).max)
+                j = int(np.argmin(masked))
+                rem[j] -= tok
+                bins[i] = j
+            else:
+                rem[n_bins] = bud - tok
+                bins[i] = n_bins
+                n_bins += 1
+        pdf["bin_id"] = bins
+        return pdf
+
+    out = src.groupBy("shard").applyInPandas(
+        _pack, schema="__id long, __tok long, shard int, bin_id long")
+    return (df.join(out.select(F.col("__id").alias(id_col),
+                               "shard", "bin_id"), id_col))

@@ -1814,3 +1814,79 @@ def corpus_dsir_select(spark, sf_dir):
     target = docs.filter(F.col("lang") == "en")
     raw = docs.filter(F.col("lang") != "en")
     return dsir_pipeline(raw, target, "doc_id", "text", 50)
+
+
+@register(
+    "corpus_pack_bestfit",
+    # budget 256 tokens, 8 md5 shards: the recursive CTE replays every
+    # best-fit placement — (tok DESC, id) order per shard, candidate
+    # bins filtered to remaining >= tok, argmin by (remaining, bin
+    # index) via an order-preserving list_reduce, new bin on no fit
+    # (oversized docs go negative and never admit a second doc).
+    f"""WITH RECURSIVE d0 AS (
+          SELECT doc_id,
+                 coalesce(len({_WORDS_SQL}), 0)::BIGINT AS tok,
+                 CAST((CAST('0x' || substr(md5('pack:' ||
+                      CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                      % 10000) % 8 AS INTEGER) AS shard
+          FROM documents),
+        r AS (SELECT shard, doc_id, tok,
+                row_number() OVER (PARTITION BY shard
+                  ORDER BY tok DESC, doc_id) AS rn
+              FROM d0),
+        st(shard, rn, rem, assigned) AS (
+          SELECT shard, 0, []::BIGINT[],
+                 []::STRUCT(doc_id BIGINT, tok BIGINT, bin BIGINT)[]
+          FROM (SELECT DISTINCT shard FROM r)
+          UNION ALL
+          SELECT st.shard, st.rn + 1,
+            CASE WHEN best.pick IS NOT NULL
+              THEN list_transform(range(1, len(st.rem) + 1),
+                     k -> CASE WHEN k = best.pick
+                          THEN st.rem[k] - r.tok ELSE st.rem[k] END)
+              ELSE list_append(st.rem, 256 - r.tok) END,
+            list_append(st.assigned, {{'doc_id': r.doc_id, 'tok': r.tok,
+              'bin': coalesce(best.pick - 1, len(st.rem))}})
+          FROM st
+          JOIN r ON r.shard = st.shard AND r.rn = st.rn + 1
+          LEFT JOIN LATERAL (
+            SELECT list_filter(list_transform(range(1, len(st.rem) + 1),
+                jj -> {{'r': st.rem[jj], 'j': jj}}),
+                x -> x.r >= r.tok) AS cands
+          ) c ON true
+          LEFT JOIN LATERAL (
+            SELECT CASE WHEN len(c.cands) = 0 THEN NULL
+                   ELSE (list_reduce(c.cands,
+                     (a, b) -> CASE WHEN b.r < a.r OR
+                       (b.r = a.r AND b.j < a.j) THEN b ELSE a END)).j
+                   END AS pick
+          ) best ON true),
+        fin AS (SELECT shard, assigned FROM st
+                WHERE rn = (SELECT max(rn) FROM r r2
+                            WHERE r2.shard = st.shard))
+        SELECT u.a.doc_id AS doc_id, fin.shard,
+               u.a.tok AS n_tok, u.a.bin AS bin_id
+        FROM fin, LATERAL (SELECT unnest(assigned) AS a) u""",
+    gate=False,
+)
+def corpus_pack_bestfit(spark, sf_dir):
+    """Best-fit-decreasing packing (functions/packing.pack_bestfit —
+    Ding et al. 2024): bins never exceed the 256-token budget, unlike
+    start-offset packing's bounded overfill, so loaders never truncate.
+    Per-md5-shard sequential placement inside applyInPandas (packing is
+    inherently order-dependent; sharding is the parallelism), numpy
+    first-argmin = the (remaining, bin index) tie rule. The oracle
+    replays every placement with a recursive CTE whose state is the
+    open-bin remainder list. Beyond-reference LLM-pipeline
+    capability."""
+    from stream2segment_spark.functions.packing import pack_bestfit
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "text",
+        DD.word_tokens(F.col("text")).alias("__toks"))
+    sized = base.select(
+        "doc_id",
+        F.coalesce(TXQ.token_count(F.col("text"), toks=F.col("__toks")),
+                   F.lit(0)).cast("long").alias("n_tok"))
+    out = pack_bestfit(sized, "doc_id", "n_tok", budget=256, n_shards=8)
+    return out.select("doc_id", "shard", "n_tok", "bin_id")

@@ -918,3 +918,80 @@ def test_line_dedup_null_line_elements_dropped_explicitly(spark):
            line_dedup(df, "doc_id", "lines", max_df=1).collect()}
     assert out[1]["n_lines"] == 2 and out[1]["cleaned_text"] == "keep me"
     assert out[3]["n_lines"] == 1 and out[3]["n_kept"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Best-fit-decreasing packing
+# ---------------------------------------------------------------------------
+
+def test_pack_bestfit_never_overfills_and_matches_replay(spark):
+    import hashlib
+
+    from stream2segment_spark.functions.packing import pack_bestfit
+
+    rows = [(i, 1 + (i * 37) % 120) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_bestfit(df, "doc_id", "n_tok", budget=128, n_shards=4)
+    pdf = out.toPandas()
+    # bins never exceed the budget (no doc here is oversized)
+    fills = pdf.groupby(["shard", "bin_id"])["n_tok"].sum()
+    assert (fills <= 128).all()
+    # every doc assigned exactly once
+    assert len(pdf) == 200 and pdf["doc_id"].is_unique
+
+    # python replay of the BFD loop per shard
+    def bucket(i):
+        h = hashlib.md5(f"pack:{i}".encode()).hexdigest()[:15]
+        return (int(h, 16) % 10000) % 4
+
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for i, t in rows:
+        by_shard.setdefault(bucket(i), []).append((t, i))
+    want = {}
+    for sh, docs in by_shard.items():
+        docs.sort(key=lambda x: (-x[0], x[1]))
+        rem: list[int] = []
+        for t, i in docs:
+            fits = [(r, j) for j, r in enumerate(rem) if r >= t]
+            if fits:
+                _, j = min(fits)
+                rem[j] -= t
+            else:
+                j = len(rem)
+                rem.append(128 - t)
+            want[i] = (sh, j)
+    got = {r.doc_id: (r.shard, r.bin_id) for r in out.collect()}
+    assert got == want
+
+
+def test_pack_bestfit_oversized_and_null_tokens(spark):
+    from stream2segment_spark.functions.packing import pack_bestfit
+
+    df = spark.createDataFrame(
+        [(1, 500), (2, 50), (3, None), (4, 60)],
+        "doc_id long, n_tok long")
+    out = pack_bestfit(df, "doc_id", "n_tok", budget=100, n_shards=1)
+    pdf = out.toPandas().set_index("doc_id")
+    # the oversized doc owns its bin — nothing shares it
+    big_bin = pdf.loc[1, "bin_id"]
+    assert (pdf.drop(index=1)["bin_id"] != big_bin).all()
+    # NULL packs as 0 tokens and still lands in a bin
+    assert pdf.loc[3, "bin_id"] >= 0
+    with pytest.raises(ValueError, match="budget"):
+        pack_bestfit(df, "doc_id", "n_tok", budget=0)
+
+
+def test_pack_bestfit_fewer_bins_than_greedy_truncation(spark):
+    """BFD's reason to exist: same docs, bins <= naive id-order fills."""
+    from stream2segment_spark.functions.packing import pack_bestfit
+
+    rows = [(i, t) for i, t in enumerate([90, 80, 70, 30, 20, 10] * 10)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_bestfit(df, "doc_id", "n_tok", budget=100, n_shards=1)
+    pdf = out.toPandas()
+    n_bins = pdf["bin_id"].nunique()
+    total = sum(t for _, t in rows)
+    assert n_bins >= -(-total // 100)          # lower bound: ceil(sum/B)
+    assert n_bins <= 31                        # BFD packs 3000 tokens well
+    fills = pdf.groupby("bin_id")["n_tok"].sum()
+    assert (fills <= 100).all()

@@ -111,3 +111,77 @@ def hashed_ngram_embeddings(
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in df.schema.fields)
     return df.mapInPandas(part, f"{fields}, {out_col} array<double>")
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss signed random projection
+# ---------------------------------------------------------------------------
+
+def rp_signs(in_dim: int, out_dim: int, seed: str = "rp") -> list[list[int]]:
+    """The deterministic {-1, +1} projection matrix as out_dim rows of
+    in_dim signs: sign(i, j) = +1 iff the md5 bucket of ``seed:i:j`` is
+    even (i = input index, j = output index) — the Achlioptas (2003)
+    database-friendly JL variant with the repo's md5 convention, so any
+    engine derives the identical matrix (the gate oracle recomputes it
+    in SQL)."""
+    out: list[list[int]] = []
+    for j in range(out_dim):
+        row = []
+        for i in range(in_dim):
+            h = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:15]
+            row.append(1 if int(h, 16) % 2 == 0 else -1)
+        out.append(row)
+    return out
+
+
+def random_projection(df: DataFrame, vec_col: str, id_col: str,
+                      in_dim: int, out_dim: int, seed: str = "rp",
+                      exact: bool = False) -> DataFrame:
+    """Project ``vec_col`` (array<float/double>, length ``in_dim``) to
+    ``out_dim`` dimensions: y_j = (sum_i x_i * sign(i, j)) / sqrt(out_dim)
+    — the Johnson-Lindenstrauss sketch that preserves pairwise distances
+    within (1 +- eps) for out_dim ~ O(log n / eps^2). The ANN
+    scale-path preprocessor: brute-force/IVF top-k over 16-64 projected
+    dims instead of thousands, exact re-rank on the shortlist
+    (operators/similarity.py composes).
+
+    ``exact=True`` evaluates each component as a position-ordered JVM
+    fold (zip_with + aggregate) — bit-replayable cross-engine (every op
+    is IEEE +,*,/ and one correctly-rounded sqrt), the verification
+    contract. ``exact=False`` (default) runs one Arrow-batched numpy
+    matmul per partition — the production path (matmul summation order
+    is implementation-defined; values agree to float rounding, not
+    bits). Returns ``(id_col, rp)`` with ``rp`` array<double>.
+
+    Scale shape: map-only either way (the sign matrix ships as a
+    literal/closure, never a join); no shuffle, composes with column
+    pruning — the corpus is touched once."""
+    signs = rp_signs(in_dim, out_dim, seed)
+    scale = float(out_dim) ** 0.5
+    if exact:
+        comps = []
+        for j in range(out_dim):
+            srow = F.array(*[F.lit(float(s)) for s in signs[j]])
+            acc = F.aggregate(
+                F.zip_with(F.col(vec_col).cast("array<double>"), srow,
+                           lambda a, s: a * s),
+                F.lit(0.0), lambda a, e: a + e)
+            comps.append(acc / F.sqrt(F.lit(float(out_dim))))
+        return df.select(F.col(id_col), F.array(*comps).alias("rp"))
+
+    mat = np.asarray(signs, dtype=np.float64).T  # (in_dim, out_dim)
+
+    def _proj(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if m.shape[1] != in_dim:
+                raise ValueError(
+                    f"vector length {m.shape[1]} != in_dim {in_dim}")
+            y = (m @ mat) / scale
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "rp": list(y)})
+
+    out_schema = f"{id_col} long, rp array<double>"
+    return df.select(id_col, vec_col).mapInPandas(_proj, out_schema)

@@ -365,3 +365,47 @@ def corpus_search_hybrid(spark, sf_dir):
                           k=10, n_sparse=50, n_dense=50)
     return out.select("doc_id", "sparse_rank", "dense_rank",
                       F.round("rrf_score", 8).alias("rrf_score"), "rank")
+
+
+@register(
+    "sim_random_projection",
+    # dim 64 -> 16; the oracle re-derives the Achlioptas sign matrix
+    # from md5('rp:i:j') parity and replays each component as the same
+    # left-to-right fold (0-prepended list_reduce == F.aggregate's
+    # 0-init), one IEEE division by the correctly-rounded sqrt(16).
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       p AS (SELECT vec_id,
+               list_transform(range(0, 16), j ->
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(range(1, len(v) + 1), i -> v[i] *
+                     (CASE WHEN CAST('0x' || substr(md5('rp:' ||
+                        CAST(i - 1 AS VARCHAR) || ':' ||
+                        CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+                      THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))),
+                   (a, b) -> a + b) / sqrt(16.0::DOUBLE)) AS rp
+             FROM e)
+       SELECT vec_id, round(rp[1], 6) AS r0, round(rp[2], 6) AS r1,
+              round(rp[3], 6) AS r2, round(rp[4], 6) AS r3
+       FROM p""",
+    gate=False,
+)
+def sim_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss signed random projection
+    (functions/embeddings.random_projection, exact path): 64 -> 16
+    dims via the md5-derived Achlioptas {-1,+1} matrix, each component
+    a position-ordered JVM fold so the oracle replays it bit-for-bit.
+    The ANN scale-path preprocessor — distance computations drop 4x in
+    width before any index/shortlist stage; the production numpy-matmul
+    path is pytest-pinned against this exact path. First four
+    components surfaced (the driver compare needs scalar columns)."""
+    from stream2segment_spark.functions.embeddings import (
+        random_projection)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = random_projection(emb, "embedding", "vec_id", 64, 16,
+                            exact=True)
+    return out.select(
+        "vec_id",
+        F.round(F.col("rp")[0], 6).alias("r0"),
+        F.round(F.col("rp")[1], 6).alias("r1"),
+        F.round(F.col("rp")[2], 6).alias("r2"),
+        F.round(F.col("rp")[3], 6).alias("r3"))

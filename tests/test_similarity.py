@@ -86,3 +86,64 @@ def test_pq_topk_adc_empty_queries(spark):
         "vec_id AS query_id", "embedding"), cb, k=3)
     assert out.count() == 0
     assert set(out.columns) == {"query_id", "vec_id", "adc_dist"}
+
+
+# ---------------------------------------------------------------------------
+# JL random projection
+# ---------------------------------------------------------------------------
+
+def test_random_projection_exact_vs_numpy_and_distance_preservation(spark):
+    import numpy as np
+
+    from stream2segment_spark.functions.embeddings import (
+        random_projection, rp_signs)
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    exact = {r.vec_id: np.array(r.rp) for r in random_projection(
+        df, "embedding", "vec_id", 32, 16, exact=True).collect()}
+    fast = {r.vec_id: np.array(r.rp) for r in random_projection(
+        df, "embedding", "vec_id", 32, 16).collect()}
+    # the two paths agree to float rounding (order differs, bits may)
+    for i in range(40):
+        assert np.allclose(exact[i], fast[i], rtol=1e-12, atol=1e-12)
+    # exact path == closed-form matmul with the same sign matrix
+    mat = np.asarray(rp_signs(32, 16), dtype=np.float64).T
+    want = (vecs @ mat) / np.sqrt(16.0)
+    for i in range(40):
+        assert np.allclose(exact[i], want[i], rtol=1e-9, atol=1e-12)
+    # JL property: pairwise distances preserved within a loose eps
+    ratios = []
+    for a in range(0, 20, 3):
+        for b in range(1, 20, 4):
+            if a == b:
+                continue
+            d0 = np.linalg.norm(vecs[a] - vecs[b])
+            d1 = np.linalg.norm(exact[a] - exact[b])
+            ratios.append(d1 / d0)
+    assert 0.5 < min(ratios) and max(ratios) < 1.6
+
+
+def test_random_projection_dim_mismatch_raises(spark):
+    import pytest as _pytest
+
+    from stream2segment_spark.functions.embeddings import (
+        random_projection)
+
+    df = spark.createDataFrame([(0, [1.0, 2.0])],
+                               "vec_id long, embedding array<double>")
+    with _pytest.raises(Exception, match="in_dim"):
+        random_projection(df, "embedding", "vec_id", 8, 4).collect()
+
+
+def test_random_projection_deterministic_and_seeded(spark):
+    from stream2segment_spark.functions.embeddings import rp_signs
+
+    assert rp_signs(16, 4) == rp_signs(16, 4)
+    assert rp_signs(16, 4) != rp_signs(16, 4, seed="other")
+    flat = [s for row in rp_signs(64, 16) for s in row]
+    # balanced-ish signs (md5 parity is uniform)
+    assert 0.4 < sum(1 for s in flat if s == 1) / len(flat) < 0.6

@@ -617,6 +617,9 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
                nfc_normalize: bool = False,
                classifier: str | None = None,
                min_classifier_score: float = 0.5,
+               pack_bestfit: bool = False,
+               dsir_target: str | None = None,
+               dsir_k: int | None = None,
                audit: bool = False) -> int:
     """'s2s curate': the corpus-curation funnel (beyond-reference,
     examples/corpus_pipeline.curate_corpus) as a CLI: documents parquet
@@ -669,6 +672,23 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
                   f"column(s) {sorted(sig_missing)} (has: "
                   f"{sorted(against_sig_df.columns)})", file=sys.stderr)
             return 2
+    if (dsir_target is None) != (dsir_k is None):
+        print("error: --dsir-target and --dsir-k go together",
+              file=sys.stderr)
+        return 2
+    if pack_bestfit and pack_budget is None:
+        print("error: --pack-bestfit needs --pack-budget",
+              file=sys.stderr)
+        return 2
+    dsir_df = None
+    if dsir_target is not None:
+        dsir_df = spark.read.parquet(dsir_target)
+        d_missing = {"doc_id", "text"} - set(dsir_df.columns)
+        if d_missing:
+            print(f"error: {dsir_target} lacks required column(s) "
+                  f"{sorted(d_missing)} (has: {sorted(dsir_df.columns)})",
+                  file=sys.stderr)
+            return 2
     sig_frames: list = []
     persists: list = []
     clf_kwargs: dict = {}
@@ -710,6 +730,8 @@ def cmd_curate(spark, infile: str, outdir: str, languages: str,
         cut_dup_substrings=cut_dup_substrings,
         mix_strata_col=mix_col, mix_alpha=mix_alpha,
         pack_budget=pack_budget, pack_shards=pack_shards,
+        pack_mode=("bestfit" if pack_bestfit else "greedy"),
+        dsir_target=dsir_df, dsir_k=dsir_k,
         persists=persists, tokenizer=tokenizer,
         langid_mode=langid_mode,
         stopword_tables=(_stopword_tables() if multilingual_stopwords
@@ -1213,10 +1235,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--neardup-threshold", type=float, default=None,
                    help="default is mode-specific: 0.7 (minhash Jaccard)\n or 0.95 (cosine — unrelated same-language docs sit near 0.7-0.8)")
     p.add_argument("--neardup-mode", default="minhash",
-                   choices=["minhash", "cosine", "semantic"],
+                   choices=["minhash", "cosine", "semantic",
+                            "containment"],
                    help="lexical MinHash/Jaccard, hashed-embedding "
-                        "cosine near-dup, or SemDeDup (k-means clusters "
-                        "+ within-cluster keep-first)")
+                        "cosine near-dup, SemDeDup (k-means clusters "
+                        "+ within-cluster keep-first), or asymmetric "
+                        "shingle CONTAINMENT (drop excerpts/quotes "
+                        "contained in a larger doc — default threshold "
+                        "0.8)")
     p.add_argument("--semantic-k", type=int, default=None,
                    help="cluster count for --neardup-mode semantic "
                         "(default: corpus_size/4096, the operator's "
@@ -1254,6 +1280,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pack-budget", type=int, default=None,
                    help="token budget per training chunk")
     p.add_argument("--pack-shards", type=int, default=64)
+    p.add_argument("--pack-bestfit", action="store_true",
+                   help="best-fit-decreasing bins that never exceed "
+                        "--pack-budget (truncation-free) instead of "
+                        "start-offset chunks with bounded overfill")
+    p.add_argument("--dsir-target", default=None, metavar="PARQUET",
+                   help="target/in-domain corpus parquet: keep only the "
+                        "--dsir-k survivors with the highest hashed-"
+                        "n-gram importance toward its profile "
+                        "(functions/dsir)")
+    p.add_argument("--dsir-k", type=int, default=None,
+                   help="documents to keep in the DSIR selection stage")
     p.add_argument("--tokenizer", default="ascii",
                    choices=("ascii", "unicode", "cjk"),
                    help="token mode for every token-derived stage "
@@ -2394,6 +2431,9 @@ def main(argv: list[str] | None = None) -> int:
                               nfc_normalize=args.nfc_normalize,
                               classifier=args.classifier,
                               min_classifier_score=args.min_classifier_score,
+                              pack_bestfit=args.pack_bestfit,
+                              dsir_target=args.dsir_target,
+                              dsir_k=args.dsir_k,
                               audit=args.audit)
         finally:
             if not preexisting:

@@ -11,7 +11,9 @@ splits):
 3. exact dedup — keep the lowest doc_id per content fingerprint;
 4. near-dedup — MinHash/LSH candidates verified by exact shingle
    Jaccard, clustered with connected components, keep one canonical doc
-   (min id) per cluster;
+   (min id) per cluster (``neardup_mode``: 'minhash' / exact 'jaccard'
+   / 'cosine' / 'semantic' / asymmetric 'containment' — the last drops
+   excerpts contained in a larger peer, no cluster pass);
 5. split     — deterministic md5-bucket train/val/test assignment.
 
 Optional stages (off by default, enabled by their parameters):
@@ -42,11 +44,15 @@ Optional stages (off by default, enabled by their parameters):
    below ``min_classifier_score`` (the DCLM/FineWeb model-based gate);
 0a0. HTML extraction — ``html_extract``: functions/text.html_to_text
    before everything else (raw-web ingest);
+4c. DSIR selection — ``dsir_target`` + ``dsir_k``: keep the top-k
+   survivors by hashed-n-gram importance toward the target corpus's
+   profile (functions/dsir — model-free in-domain selection);
 5b. temperature mix — ``mix_strata_col``: rebalance kept counts to
    n^alpha per stratum (deterministic md5 thresholds);
 6. packing      — ``pack_budget``: greedy md5-sharded start-offset
    packing into fixed-token-budget training chunks (adds shard/chunk_id
-   columns).
+   columns); ``pack_mode='bestfit'`` swaps in best-fit-decreasing bins
+   that never exceed the budget (bin_id column).
 
 Every stage is a DataFrame -> DataFrame transform: at 100 TB stages 1-2
 fuse into the parquet scan, stage 3 is one hash-partitioned groupBy,
@@ -89,6 +95,7 @@ def curate_corpus(
     mix_alpha: float = 0.5,
     pack_budget: int | None = None,
     pack_shards: int = 64,
+    pack_mode: str = "greedy",
     persists: list | None = None,
     tokenizer: str = "ascii",
     langid_mode: str = "heuristic",
@@ -105,6 +112,9 @@ def curate_corpus(
     against: DataFrame | None = None,
     against_signatures: DataFrame | None = None,
     signatures: list | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
+    dsir_buckets: int = 4096,
     audit: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the 5-stage curation funnel; returns (curated, funnel) where
@@ -473,6 +483,7 @@ def curate_corpus(
     # for unrelated same-language docs)
     if neardup_threshold is None:
         neardup_threshold = (0.95 if neardup_mode in ("cosine", "semantic")
+                             else 0.8 if neardup_mode == "containment"
                              else 0.7)
     exact = exact.persist()  # feeds signature build, verify AND anti-join
     if persists is not None:
@@ -632,6 +643,23 @@ def curate_corpus(
                                    k=k_eff, threshold=neardup_threshold)
             losers = flags.filter(F.col("is_dup")).select(id_col)
         pairs = None
+    elif neardup_mode == "containment":
+        # asymmetric excerpt/quote dedup: drop docs whose shingle set is
+        # contained (>= threshold) in a larger (or equal, lower-id)
+        # peer's — the direction-aware keep rule lives in the pair
+        # shape itself, so no CC/cluster pass is needed (or correct:
+        # containment is not symmetric, so a pair graph would merge a
+        # quote with its source AND everything the source contains)
+        cpairs = DD.containment_pairs(
+            exact, text_col, id_col, shingle_k=3,
+            threshold=neardup_threshold, tokenizer=tokenizer,
+            persists=persists)
+        losers = (cpairs.filter(
+            (F.col("n_b") > F.col("n_a"))
+            | ((F.col("n_b") == F.col("n_a"))
+               & (F.col("id_b") < F.col("id_a"))))
+            .select(F.col("id_a").alias(id_col)).distinct())
+        pairs = None
     else:
         raise ValueError(f"unknown neardup_mode {neardup_mode!r}")
     if pairs is not None:
@@ -654,6 +682,34 @@ def curate_corpus(
     if persists is not None:
         persists.append(deduped)
 
+    # -- 4c. optional DSIR in-domain selection --------------------------
+    if dsir_target is not None:
+        if dsir_k is None:
+            raise ValueError("dsir_target requires dsir_k (how many "
+                             "documents to keep)")
+        # model-free importance selection toward the target profile
+        # (functions/dsir.py): two feature-count shuffles + a
+        # buckets-row broadcast score table; the survivors semi-join so
+        # annotation columns ride through untouched
+        from stream2segment_spark.functions.dsir import (
+            bucket_ratio_scores, dsir_scores, dsir_select,
+            hashed_ngram_features)
+        tf_feats = hashed_ngram_features(
+            dsir_target, id_col, text_col, buckets=dsir_buckets,
+            tokenizer=tokenizer)
+        rf_feats = hashed_ngram_features(
+            deduped, id_col, text_col, buckets=dsir_buckets,
+            tokenizer=tokenizer)
+        bsc = bucket_ratio_scores(tf_feats, rf_feats,
+                                  buckets=dsir_buckets)
+        picked = dsir_select(
+            dsir_scores(deduped, rf_feats, bsc, id_col),
+            id_col, dsir_k).select(id_col)
+        deduped = deduped.join(picked, id_col, "left_semi").persist()
+        if persists is not None:
+            persists.append(deduped)
+        _audit("dsir_selected", deduped)
+
     # -- 5. deterministic split -----------------------------------------
     curated = deduped.withColumn(
         "split", split_column(F.col(id_col), fractions=split_fractions))
@@ -666,9 +722,21 @@ def curate_corpus(
 
     # -- 6. optional training-chunk packing -----------------------------
     if pack_budget is not None:
-        from stream2segment_spark.functions.packing import pack_greedy
-        curated = pack_greedy(curated, id_col, "n_tokens",
-                              budget=pack_budget, n_shards=pack_shards)
+        from stream2segment_spark.functions.packing import (
+            pack_bestfit, pack_greedy)
+        if pack_mode == "greedy":
+            curated = pack_greedy(curated, id_col, "n_tokens",
+                                  budget=pack_budget, n_shards=pack_shards)
+        elif pack_mode == "bestfit":
+            # truncation-free bins (never exceed the budget) at the cost
+            # of a per-shard sequential pass — functions/packing.
+            # pack_bestfit's bin_id replaces chunk_id in the output
+            curated = pack_bestfit(curated, id_col, "n_tokens",
+                                   budget=pack_budget,
+                                   n_shards=pack_shards)
+        else:
+            raise ValueError(f"pack_mode must be 'greedy' or 'bestfit', "
+                             f"got {pack_mode!r}")
 
     funnel = (input_docs.select(F.count("*").alias("input"))
               .crossJoin(filtered.select(F.count("*").alias("filtered")))

@@ -929,3 +929,31 @@ def test_cli_lsh_tune_with_pairs(spark, tmp_path, capsys):
     buckets = {l["bucket"]: l for l in lines[1:]}
     assert set(buckets) == {2, 9}
     assert buckets[9]["n_pairs"] == 1
+
+
+def test_curate_cli_containment_bestfit_dsir(spark, tmp_path, capsys):
+    """The r9 funnel additions from the CLI: containment near-dedup,
+    best-fit packing, DSIR selection — plus their flag validation."""
+    import json
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    tgt = str(tmp_path / "target.parquet")
+    spark.read.parquet(src).filter("doc_id % 5 = 0") \
+        .select("doc_id", "text").write.parquet(tgt)
+    out = tmp_path / "cbd"
+    rc = cli.main([
+        "curate", "-i", src, "-o", str(out),
+        "--languages", "en,und", "--min-quality", "0",
+        "--min-tokens", "1", "--neardup-mode", "containment",
+        "--pack-budget", "64", "--pack-bestfit", "--pack-shards", "4",
+        "--dsir-target", tgt, "--dsir-k", "12"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["near_dedup"] > 0
+    cur = spark.read.parquet(str(out / "curated.parquet"))
+    assert cur.count() == 12 and {"shard", "bin_id"} <= set(cur.columns)
+    # flag validation: dsir pair, bestfit needs budget
+    assert cli.main(["curate", "-i", src, "-o", str(out),
+                     "--dsir-target", tgt]) == 2
+    assert cli.main(["curate", "-i", src, "-o", str(out),
+                     "--pack-bestfit"]) == 2

@@ -844,3 +844,70 @@ def test_funnel_nfc_normalize_merges_twins(spark):
     merged, _ = curate_corpus(docs, nfc_normalize=True, **kw)
     assert merged.count() == 2              # exact dedup caught the pair
     assert {r.doc_id for r in merged.select("doc_id").collect()} == {1, 3}
+
+
+def test_containment_neardup_mode(spark):
+    """neardup_mode='containment': an excerpt whose shingles are a
+    subset of a longer doc's is dropped even though its Jaccard to the
+    source (~1/3) sits far below any lexical threshold."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+            "psi omega one two three four five six")
+    docs = spark.createDataFrame(
+        [(1, base, "en", "s", len(base)),
+         (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+          "en", "s", 58),
+         (3, "totally different content with many other words present "
+             "here today and tomorrow", "en", "s", 80)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out, funnel = curate_corpus(
+        docs, languages=("en", "und"), min_quality=0.0,
+        token_band=(1, 100_000), neardup_mode="containment")
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert kept == {1, 3}          # the excerpt (2) drops
+    f = funnel.collect()[0]
+    assert f["near_dedup"] == 2 and f["exact_dedup"] == 3
+    # minhash at the same corpus keeps the excerpt (Jaccard too low)
+    out2, _ = curate_corpus(
+        docs, languages=("en", "und"), min_quality=0.0,
+        token_band=(1, 100_000), neardup_mode="minhash",
+        neardup_threshold=0.7)
+    assert {r.doc_id for r in out2.select("doc_id").collect()} == \
+        {1, 2, 3}
+
+
+def test_pack_mode_bestfit_stage(spark):
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    out, _ = curate_corpus(
+        docs, languages=("en", "und"), min_quality=0.0,
+        token_band=(1, 100_000), pack_budget=64, pack_shards=4,
+        pack_mode="bestfit")
+    pdf = out.select("shard", "bin_id", "n_tokens").toPandas()
+    assert {"shard", "bin_id"} <= set(pdf.columns)
+    # bins never exceed the budget except single oversized docs
+    fills = pdf.groupby(["shard", "bin_id"]).agg(
+        tot=("n_tokens", "sum"), n=("n_tokens", "size"))
+    bad = fills[(fills["tot"] > 64) & (fills["n"] > 1)]
+    assert bad.empty
+    with pytest.raises(ValueError, match="pack_mode"):
+        curate_corpus(docs, languages=("en", "und"), min_quality=0.0,
+                      token_band=(1, 100_000), pack_budget=64,
+                      pack_mode="nope")
+
+
+def test_dsir_selection_stage(spark):
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    target = docs.filter("doc_id % 5 = 0").select("doc_id", "text")
+    out, funnel = curate_corpus(
+        docs, languages=("en", "und"), min_quality=0.0,
+        token_band=(1, 100_000), dsir_target=target, dsir_k=10,
+        audit=True)
+    f = funnel.collect()[0]
+    assert f["after_dsir_selected"] == 10
+    assert out.count() == 10
+    # annotation columns ride through the semi-join
+    assert {"quality", "split", "n_tokens"} <= set(out.columns)
+    with pytest.raises(ValueError, match="dsir_k"):
+        curate_corpus(docs, languages=("en", "und"), min_quality=0.0,
+                      token_band=(1, 100_000), dsir_target=target)

@@ -370,3 +370,76 @@ def cap_per_group(
     w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= cap).drop("__rn"))
+
+
+def unimax_allocation(counts: list[tuple[str, int]], budget: int,
+                      epochs: int) -> dict[str, int]:
+    """UniMax budget allocation (Chung et al. 2023): give every stratum
+    (language) a UNIFORM share of the budget, capped at ``epochs``
+    passes over its data, redistributing unused share to the rest.
+    Strata are visited in increasing size (ties by name); each gets
+    ``min(epochs * n_s, B_rem DIV L_rem)`` — all integer arithmetic, so
+    the allocation is exact and engine-replayable (the gate oracle
+    replays the scan with a recursive CTE). Driver-side over the
+    stratum list only (bounded: languages, not documents)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if epochs <= 0:
+        raise ValueError(f"epochs must be positive, got {epochs}")
+    todo = sorted(counts, key=lambda x: (x[1], x[0]))
+    alloc: dict[str, int] = {}
+    b_rem = budget
+    for i, (name, n) in enumerate(todo):
+        share = b_rem // (len(todo) - i)
+        alloc[name] = min(epochs * n, share)
+        b_rem -= alloc[name]
+    return alloc
+
+
+def unimax_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    budget: int,
+    epochs: int = 1,
+    seed: str = "unimax",
+) -> DataFrame:
+    """UniMax sampling: select/repeat documents so each stratum
+    contributes exactly its :func:`unimax_allocation` count. Within a
+    stratum, documents rank by (md5 bucket, id) — deterministic across
+    runs/engines/partitionings like every sampler here. When the
+    allocation exceeds the stratum size (epochs > 1), every document
+    repeats ``a_s DIV n_s`` times and the top ``a_s mod n_s`` ranked
+    docs one more — the output carries ``n_copies`` (training loaders
+    repeat; no exploded duplication of text). Rows with a NULL stratum
+    are dropped (no budget can be attributed to them).
+
+    Returns ``df``'s columns + ``n_copies`` (> 0 rows only); the sum of
+    ``n_copies`` per stratum equals the allocation exactly.
+
+    Plan/scale shape: one stratum count aggregate (collected — strata
+    are languages, bounded by contract), one per-stratum window for the
+    md5 rank, a broadcast literal allocation map; the corpus shuffles
+    once on the stratum key."""
+    cdf = (df.filter(F.col(strata_col).isNotNull())
+           .groupBy(strata_col).agg(F.count("*").alias("n")))
+    counts = [(r[strata_col], r["n"]) for r in cdf.collect()]
+    alloc = unimax_allocation(counts, budget, epochs)
+    n_map = dict(counts)
+    alloc_col = F.create_map(
+        *[F.lit(x) for kv in alloc.items() for x in kv])
+    size_col = F.create_map(
+        *[F.lit(x) for kv in n_map.items() for x in kv])
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(F.col(id_col), seed), F.col(id_col))
+    ranked = (df.filter(F.col(strata_col).isNotNull())
+              .withColumn("__rank", F.row_number().over(w) - 1)
+              .withColumn("__a", alloc_col[F.col(strata_col)])
+              .withColumn("__n", size_col[F.col(strata_col)]))
+    base = F.expr("__a div __n")
+    extra = (F.col("__rank") < F.pmod(F.col("__a"), F.col("__n"))) \
+        .cast("int")
+    return (ranked
+            .withColumn("n_copies", (base + extra).cast("int"))
+            .filter(F.col("n_copies") > 0)
+            .drop("__rank", "__a", "__n"))

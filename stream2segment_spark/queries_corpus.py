@@ -1890,3 +1890,57 @@ def corpus_pack_bestfit(spark, sf_dir):
                    F.lit(0)).cast("long").alias("n_tok"))
     out = pack_bestfit(sized, "doc_id", "n_tok", budget=256, n_shards=8)
     return out.select("doc_id", "shard", "n_tok", "bin_id")
+
+
+@register(
+    "corpus_unimax_sample",
+    # budget 400, epochs 2 over the 5-language corpus: every language
+    # hits the uniform 80-doc share; the smallest (fr, 64 docs) repeats
+    # its top-16 md5-ranked docs (n_copies 2) — both allocation regimes
+    # exercised. The recursive CTE replays the increasing-size
+    # allocation scan in the same integer arithmetic.
+    """WITH RECURSIVE c AS (SELECT lang, count(*) AS n FROM documents
+              WHERE lang IS NOT NULL GROUP BY lang),
+       o AS (SELECT lang, n, row_number() OVER (ORDER BY n, lang) AS rn,
+                    count(*) OVER () AS L
+             FROM c),
+       alloc(rn, b_rem, a) AS (
+         SELECT 0, 400::BIGINT, 0::BIGINT
+         UNION ALL
+         SELECT o.rn,
+                alloc.b_rem - least(2 * o.n,
+                                    alloc.b_rem // (o.L - alloc.rn)),
+                least(2 * o.n, alloc.b_rem // (o.L - alloc.rn))
+         FROM alloc JOIN o ON o.rn = alloc.rn + 1),
+       a AS (SELECT o.lang, o.n, alloc.a
+             FROM alloc JOIN o USING (rn) WHERE alloc.rn >= 1),
+       r AS (SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY
+                 CAST('0x' || substr(md5('unimax:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000,
+                 doc_id) - 1 AS rk
+             FROM documents WHERE lang IS NOT NULL)
+       SELECT r.doc_id, r.lang,
+              CAST((a.a // a.n) + CASE WHEN r.rk < a.a % a.n
+                   THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+       FROM r JOIN a USING (lang)
+       WHERE (a.a // a.n) + CASE WHEN r.rk < a.a % a.n
+             THEN 1 ELSE 0 END > 0""",
+    gate=False,
+)
+def corpus_unimax_sample(spark, sf_dir):
+    """UniMax language sampling (functions/sampling.unimax_sample —
+    Chung et al. 2023): uniform per-language budget shares capped at
+    ``epochs`` passes, surplus redistributed to larger languages in one
+    increasing-size scan — the fairer alternative to temperature
+    sampling that never over-repeats low-resource languages. All
+    integer arithmetic (allocation, md5 ranks, copy counts), replayed
+    exactly by the oracle's recursive CTE; docs selected/repeated by
+    (md5, id) rank with the repeat count in ``n_copies``. Plan: one
+    language-count aggregate (collected — languages are bounded), one
+    per-language window, broadcast literal maps. Beyond-reference
+    LLM-pipeline capability."""
+    from stream2segment_spark.functions.sampling import unimax_sample
+    docs = load_table(spark, sf_dir, "documents")
+    out = unimax_sample(docs, "doc_id", "lang", budget=400, epochs=2)
+    return out.select("doc_id", "lang", "n_copies")

@@ -312,3 +312,54 @@ def test_weighted_sample_deterministic_and_proportional(spark):
     got3 = {r.id for r in
             weighted_sample(df.repartition(13), "id", "w").collect()}
     assert got3 == got
+
+
+# ---------------------------------------------------------------------------
+# UniMax
+# ---------------------------------------------------------------------------
+
+def test_unimax_allocation_waterfill():
+    from stream2segment_spark.functions.sampling import unimax_allocation
+
+    # small strata capped at epochs*n, surplus flows to the big one
+    counts = [("a", 10), ("b", 100), ("c", 1000)]
+    alloc = unimax_allocation(counts, budget=600, epochs=2)
+    assert alloc == {"a": 20, "b": 200, "c": 380}
+    assert sum(alloc.values()) == 600
+    # abundant budget: everyone caps at epochs * n
+    alloc = unimax_allocation(counts, budget=10_000, epochs=1)
+    assert alloc == {"a": 10, "b": 100, "c": 1000}
+    # uniform regime: nobody caps
+    alloc = unimax_allocation(counts, budget=30, epochs=5)
+    assert alloc == {"a": 10, "b": 10, "c": 10}
+    import pytest as _p
+    with _p.raises(ValueError, match="epochs"):
+        unimax_allocation(counts, 10, 0)
+    with _p.raises(ValueError, match="budget"):
+        unimax_allocation(counts, -1, 1)
+
+
+def test_unimax_sample_counts_and_repeats(spark):
+    from stream2segment_spark.functions.sampling import (
+        unimax_allocation, unimax_sample)
+
+    rows = ([(i, "small") for i in range(8)]
+            + [(100 + i, "big") for i in range(60)]
+            + [(999, None)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = unimax_sample(df, "doc_id", "lang", budget=40, epochs=3)
+    pdf = out.toPandas()
+    alloc = unimax_allocation([("small", 8), ("big", 60)], 40, 3)
+    got = pdf.groupby("lang")["n_copies"].sum().to_dict()
+    assert got == alloc == {"small": 20, "big": 20}
+    # small repeats: 20 over 8 docs -> base 2, top-4 get 3
+    small = pdf[pdf.lang == "small"]["n_copies"].value_counts().to_dict()
+    assert small == {2: 4, 3: 4}
+    # NULL stratum dropped
+    assert 999 not in set(pdf["doc_id"])
+    # deterministic across partitionings
+    again = unimax_sample(df.repartition(7), "doc_id", "lang",
+                          budget=40, epochs=3).toPandas()
+    a = sorted(map(tuple, pdf[["doc_id", "n_copies"]].values))
+    b = sorted(map(tuple, again[["doc_id", "n_copies"]].values))
+    assert a == b

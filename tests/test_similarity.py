@@ -147,3 +147,39 @@ def test_random_projection_deterministic_and_seeded(spark):
     flat = [s for row in rp_signs(64, 16) for s in row]
     # balanced-ish signs (md5 parity is uniform)
     assert 0.4 < sum(1 for s in flat if s == 1) / len(flat) < 0.6
+
+
+def test_rp_shortlist_recall_vs_exact(spark):
+    """The JL shortlist-refine pipeline recovers most of the exact
+    top-5 at shortlist 32/500 — the recall the projection buys."""
+    import stream2segment_spark.queries_similarity  # registers entries
+    from stream2segment_spark.queries_catalog import queries
+
+    q = queries()["sim_topk_rp"]
+    got = q(spark, "/root/testdata/sf0.001")
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    # exact top-5 per query via brute force
+    from stream2segment_spark.operators.similarity import (
+        ann_topk_bruteforce)
+    from stream2segment_spark.schema import load_table
+    from pyspark.sql import functions as F
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = ann_topk_bruteforce(emb, queries, id_col="vec_id",
+                                vec_col="embedding",
+                                query_id_col="query_id", k=6)
+    ex_by_q = {}
+    for r in exact.collect():
+        if r.vec_id != r.query_id:
+            ex_by_q.setdefault(r.query_id, []).append(
+                (r.cosine, r.vec_id))
+    hits = tot = 0
+    for qid, pairs in ex_by_q.items():
+        top5 = {v for _, v in sorted(pairs, reverse=True)[:5]}
+        hits += len(top5 & by_q.get(qid, set()))
+        tot += len(top5)
+    assert hits / tot >= 0.6   # 16-dim sketch keeps most of the top-5

@@ -488,7 +488,8 @@ def sim_semantic_dedup(spark, sf_dir):
              GROUP BY d.source)
        SELECT r.source, r.n_total, round(r.rate, 6) AS rate,
               coalesce(k.n_kept, 0) AS n_kept
-       FROM r LEFT JOIN k USING (source)"""
+       FROM r LEFT JOIN k USING (source)""", gate=False
+    # r9 rotation: deferred
 )
 def corpus_temperature_mix(spark, sf_dir):
     """Temperature source-rebalancing (functions/sampling
@@ -717,7 +718,8 @@ def _pr_round_sql(r: int) -> str:
        {_pr_round_sql(3)}
        SELECT host, r AS rank_q,
               round(CAST(r AS DOUBLE) / 1e9, 9) AS rank
-       FROM r3""",
+       FROM r3""", gate=False,
+    # r9 rotation: deferred
 )
 def corpus_host_rank(spark, sf_dir):
     """Link-graph quality propagation for web-corpus curation
@@ -922,7 +924,8 @@ def _classifier_oracle() -> str:
 
 
 @register(
-    "corpus_quality_classifier", _classifier_oracle(),
+    "corpus_quality_classifier", _classifier_oracle(), gate=False,
+    # r9 rotation: deferred
 )
 def corpus_quality_classifier(spark, sf_dir):
     """Distributed linear quality classifier (operators/classifier.py —
@@ -995,8 +998,9 @@ def _classifier_gate_oracle() -> str:
 
 
 @register(
-    "corpus_classifier_gate", _classifier_gate_oracle(),
+    "corpus_classifier_gate", _classifier_gate_oracle(), gate=False,
     # r7: new entry for the score_with_weights inference path; window
+    # r9 rotation: deferred
 )
 def corpus_classifier_gate(spark, sf_dir):
     """Train-once / score-elsewhere (operators/classifier
@@ -1177,7 +1181,8 @@ def corpus_shuffle_shards(spark, sf_dir):
                       row_number() OVER (PARTITION BY source
                                          ORDER BY h, doc_id) AS rn
                FROM h)
-       SELECT doc_id, source FROM r WHERE rn <= 25""",
+       SELECT doc_id, source FROM r WHERE rn <= 25""", gate=False,
+    # r9 rotation: deferred
 )
 def corpus_domain_cap(spark, sf_dir):
     """Per-source document cap (functions/sampling.cap_per_group): at
@@ -1793,8 +1798,8 @@ def corpus_funnel_incr_sigs(spark, sf_dir):
              LEFT JOIN f USING (doc_id) LEFT JOIN sc USING (bucket)
              GROUP BY d.doc_id)
        SELECT doc_id, dsir_score FROM s
-       ORDER BY dsir_score DESC, doc_id LIMIT 50""",
-    gate=False,
+       ORDER BY dsir_score DESC, doc_id LIMIT 50"""
+    # r9 rotation: gated
 )
 def corpus_dsir_select(spark, sf_dir):
     """DSIR data selection (functions/dsir.dsir_pipeline — Xie et al.
@@ -1866,8 +1871,8 @@ def corpus_dsir_select(spark, sf_dir):
                             WHERE r2.shard = st.shard))
         SELECT u.a.doc_id AS doc_id, fin.shard,
                u.a.tok AS n_tok, u.a.bin AS bin_id
-        FROM fin, LATERAL (SELECT unnest(assigned) AS a) u""",
-    gate=False,
+        FROM fin, LATERAL (SELECT unnest(assigned) AS a) u"""
+    # r9 rotation: gated
 )
 def corpus_pack_bestfit(spark, sf_dir):
     """Best-fit-decreasing packing (functions/packing.pack_bestfit —
@@ -1925,8 +1930,8 @@ def corpus_pack_bestfit(spark, sf_dir):
                    THEN 1 ELSE 0 END AS INTEGER) AS n_copies
        FROM r JOIN a USING (lang)
        WHERE (a.a // a.n) + CASE WHEN r.rk < a.a % a.n
-             THEN 1 ELSE 0 END > 0""",
-    gate=False,
+             THEN 1 ELSE 0 END > 0"""
+    # r9 rotation: gated
 )
 def corpus_unimax_sample(spark, sf_dir):
     """UniMax language sampling (functions/sampling.unimax_sample —

@@ -54,8 +54,8 @@ def _encode_udf():
               0.0 AS first_sample,
               CAST(((24 + doc_id % 30) * (doc_id % 5 + 1)) % 1000 AS DOUBLE)
                 AS last_sample
-       FROM documents"""
-    # r9 rotation: gated
+       FROM documents""", gate=False
+    # r9 rotation: deferred
 )
 def mseed_decode(spark, sf_dir):
     """S7: encode a deterministic two-record blob per id (int32 / Steim1),
@@ -111,7 +111,8 @@ def _quality_blob_udf():
                    ELSE 'ok' END AS status,
               count(*) AS n
        FROM events WHERE ts IS NOT NULL
-       GROUP BY window_start, status""",
+       GROUP BY window_start, status""", gate=False,
+    # r9 rotation: deferred
 )
 def stream_quality_windows(spark, sf_dir):
     """Streaming waveform-quality stage (streaming/waveforms.py) run in

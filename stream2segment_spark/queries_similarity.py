@@ -344,8 +344,8 @@ def _hybrid_oracle() -> str:
 
 @register(
     "corpus_search_hybrid",
-    oracle=_hybrid_oracle(),
-    gate=False,
+    oracle=_hybrid_oracle()
+    # r9 rotation: gated
 )
 def corpus_search_hybrid(spark, sf_dir):
     """Hybrid sparse+dense retrieval fused by Reciprocal Rank Fusion
@@ -386,8 +386,8 @@ def corpus_search_hybrid(spark, sf_dir):
              FROM e)
        SELECT vec_id, round(rp[1], 6) AS r0, round(rp[2], 6) AS r1,
               round(rp[3], 6) AS r2, round(rp[4], 6) AS r3
-       FROM p""",
-    gate=False,
+       FROM p"""
+    # r9 rotation: gated
 )
 def sim_random_projection(spark, sf_dir):
     """Johnson-Lindenstrauss signed random projection
@@ -458,8 +458,8 @@ def _rp_topk_oracle() -> str:
 
 @register(
     "sim_topk_rp",
-    oracle=_rp_topk_oracle(),
-    gate=False,
+    oracle=_rp_topk_oracle()
+    # r9 rotation: gated
 )
 def sim_topk_rp(spark, sf_dir):
     """ANN with a Johnson-Lindenstrauss shortlist: L2-normalize (on

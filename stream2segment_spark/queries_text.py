@@ -2091,8 +2091,8 @@ def text_nfc_normalize(spark, sf_dir):
                      / len(x.s), 6) AS containment
         FROM cand JOIN sh x ON x.doc_id = id_a
                   JOIN sh y ON y.doc_id = id_b
-        WHERE len(list_intersect(x.s, y.s))::DOUBLE / len(x.s) >= 0.8""",
-    gate=False,
+        WHERE len(list_intersect(x.s, y.s))::DOUBLE / len(x.s) >= 0.8"""
+    # r9 rotation: gated
 )
 def dedup_containment(spark, sf_dir):
     """Asymmetric containment near-dup (operators/dedup.

@@ -490,3 +490,47 @@ def stream_hist_quantiles(spark, sf_dir):
                          ["window_start"])
     return out.select("window_start", "q", "q_bin",
                       F.round("q_value", 6).alias("q_value"))
+
+
+@register(
+    "stream_topk_values",
+    # exact per-hour top-5 users by event count; counts + ranks replay
+    # in SQL (integer counts, ties count DESC then value ASC)
+    f"""WITH c AS (SELECT date_trunc('hour', ts) AS window_start,
+                          user_id AS value, count(*) AS n
+                   FROM {_TS_EVENTS_SK} WHERE user_id IS NOT NULL
+                   GROUP BY 1, 2)
+        SELECT window_start, value, n,
+               CAST(row_number() OVER (PARTITION BY window_start
+                    ORDER BY n DESC, value) AS INTEGER) AS rank
+        FROM c QUALIFY rank <= 5""",
+    gate=False,
+)
+def stream_topk_values(spark, sf_dir):
+    """Streaming exact top-k (heavy hitters with exact counts): per-hour
+    user event counts maintained as a REAL Structured Streaming query
+    (parquet source -> availableNow -> memory sink; associative counts,
+    watermark-evictable state bounded by distinct values per open
+    window — the honest exact-top-k contract; the sketch entries cover
+    the unbounded-cardinality regimes), then collapsed to the top-5 per
+    window with deterministic ties (count DESC, value ASC) — rank is
+    not an incremental aggregate, so it runs on the final table, the
+    same stream-then-collapse split as the HLL/histogram entries. The
+    oracle replays counts and ranks exactly, so the gate proves stream
+    state == batch. Completes the streaming family: exact values
+    (this), approximate distincts (HLL), distributions (histogram)."""
+    from stream2segment_spark.streaming.incremental import (
+        run_stream_to_memory, topk_collapse, windowed_value_counts)
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream_df):
+        from stream2segment_spark.schema import normalize_event_ts
+        return windowed_value_counts(normalize_event_ts(stream_df))
+
+    counts = run_stream_to_memory(
+        spark, sf_dir, raw_schema, transform, "topk_values_gate",
+        path_glob="events.parquet")
+    return (topk_collapse(counts, k=5)
+            .select("window_start", "value", F.col("n").cast("long")
+                    .alias("n"), "rank"))

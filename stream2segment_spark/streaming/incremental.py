@@ -220,3 +220,47 @@ def windowed_hist(
             .agg(F.count(F.lit(1)).alias("cnt"))
             .select(F.col("w.start").alias("window_start"), "bin",
                     "cnt"))
+
+
+def windowed_value_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "24 hours",
+    value_col: str = "user_id",
+) -> DataFrame:
+    """Per-tumbling-window exact value counts — the state side of
+    streaming top-k (heavy hitters with exact counts). The aggregate is
+    a plain associative count on (window, value): Structured Streaming
+    folds late rows in and the watermark evicts closed windows, so
+    state is bounded by DISTINCT VALUES PER OPEN WINDOW — the honest
+    contract (for unbounded-cardinality values use the sketch family:
+    windowed_distinct_approx caps distincts, windowed_hist caps
+    distributions; exact top-k NEEDS the per-value counts). NULL values
+    are excluded (a NULL key would form its own phantom group).
+
+    Works identically on a batch frame (the batch twin for gate
+    checking). Returns ``(window_start, value, n)``; collapse with
+    :func:`topk_collapse`."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (src.where(F.col(value_col).isNotNull())
+            .groupBy(F.window(ts_col, window).alias("w"),
+                     F.col(value_col).alias("value"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "value", "n"))
+
+
+def topk_collapse(counts: DataFrame, k: int = 5) -> DataFrame:
+    """Batch collapse of :func:`windowed_value_counts` output to the
+    top-k values per window (count DESC, value ASC — fully
+    deterministic ties). Rank happens AFTER the streaming aggregate —
+    rank is not an incremental aggregate, so the stream maintains the
+    associative counts and this window ranks the final table (the
+    same stream-then-collapse split as the HLL/histogram entries)."""
+    from pyspark.sql import Window as W
+    w = W.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("value").asc())
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -280,3 +280,40 @@ def test_sessionize_string_keys_and_renamed_col(spark, tmp_path):
     assert out.schema["device_id"].dataType.simpleString() == "string"
     rows = [(r["device_id"], r["n_events"]) for r in out.collect()]
     assert ("devA", 2) in rows          # the closed first session
+
+
+def test_windowed_topk_stream_equals_batch(spark, tmp_path):
+    """Exact top-k counts maintained across micro-batches equal the
+    batch counts (count is associative), and the collapse ranks with
+    deterministic ties."""
+    from stream2segment_spark.streaming.incremental import (
+        topk_collapse, windowed_value_counts)
+    schema = "ts timestamp, user_id long"
+    batches = [
+        [(_ts(0), 1), (_ts(1), 1), (_ts(2), 2), (_ts(61), 9)],
+        [(_ts(3), 1), (_ts(4), 2), (_ts(5), 3), (_ts(6), None)],
+        [(_ts(7), 4), (_ts(62), 9), (_ts(63), 8)],
+    ]
+    src = _write_batches(spark, tmp_path, batches, schema)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    out = windowed_value_counts(stream)
+    name = "topk_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = sorted(map(tuple, spark.table(name).collect()))
+
+    batch_df = spark.createDataFrame(
+        [r for b in batches for r in b], schema)
+    expected = sorted(map(tuple,
+                          windowed_value_counts(batch_df).collect()))
+    assert streamed == expected
+    # collapse: window 1 has counts 1->3, 2->2, 3->1, 4->1 (nulls out);
+    # at k=2 the top is [1, 2]; at k=3 the 1-count TIE breaks to value 3
+    ranked = topk_collapse(spark.table(name), k=3).collect()
+    by_rank = {r.rank: (r.value, r.n) for r in ranked
+               if len([x for x in ranked
+                       if x.window_start == r.window_start]) == 3}
+    assert by_rank == {1: (1, 3), 2: (2, 2), 3: (3, 1)}

@@ -207,13 +207,19 @@ def curate_corpus(
     # words, no javascript) and whole lorem-ipsum/brace/blocklist pages,
     # so the cross-document stages below see prose only. Map-only.
     if c4_rules:
-        strata_keep = carry
-        sig = TX.c4_signals(docs, id_col, text_col)
-        docs = (docs.select(id_col, *strata_keep)
-                .join(sig.filter(F.col("c4_keep"))
-                         .select(id_col,
-                                 F.col("cleaned_text").alias(text_col)),
-                      id_col))
+        # filter the signals frame INLINE (keep_cols carries the strata
+        # through) instead of joining it back to docs on id: the join
+        # form re-evaluated the whole upstream lineage once per branch
+        # (Catalyst shares no subplans across join inputs), compounding
+        # exponentially as optional stages chain — measured as the
+        # dominant cost of the composed funnel at sf0.1 (r9 opt round).
+        # Identical rows/columns: the signals frame is 1:1 with docs and
+        # the old join was an inner equi-join on the unique id.
+        sig = TX.c4_signals(docs, id_col, text_col,
+                            keep_cols=tuple(carry))
+        docs = (sig.filter(F.col("c4_keep"))
+                .select(id_col, *carry,
+                        F.col("cleaned_text").alias(text_col)))
         _audit("c4", docs)
 
     # -- 0a2. optional Gopher doc-quality rules (Rae et al. 2021 A1.1) --
@@ -228,13 +234,22 @@ def curate_corpus(
     # expression; it runs again in the annotate stage below, an
     # accepted duplicate map pass to keep each stage self-contained).
     if gopher_rules:
+        # same linear-lineage shape as the C4 stage: the old left-semi
+        # join against a frame DERIVED from docs recomputed the whole
+        # upstream (including the C4 stage) once per branch; filtering
+        # the signals frame inline with text/strata carried through is
+        # one pass. Downstream only ever reads (id, strata, text), so
+        # dropping other input columns here changes nothing.
+        gkeep = (text_col, *carry)
         if gopher_rules == "multilang":
             gsig = TX.gopher_quality_signals_by_lang(
-                docs, id_col, text_col, tables=stopword_tables)
+                docs, id_col, text_col, tables=stopword_tables,
+                keep_cols=gkeep)
         else:
-            gsig = TX.gopher_quality_signals(docs, id_col, text_col)
-        docs = docs.join(gsig.filter(F.col("gopher_keep"))
-                         .select(id_col), id_col, "left_semi")
+            gsig = TX.gopher_quality_signals(docs, id_col, text_col,
+                                             keep_cols=gkeep)
+        docs = (gsig.filter(F.col("gopher_keep"))
+                .select(id_col, *carry, text_col))
         _audit("gopher", docs)
 
     # -- 0a3. optional Gopher repetition caps (Rae et al. table A1) -----
@@ -456,6 +471,14 @@ def curate_corpus(
         # (one keyed semi-join + LocalLimit, same shape as the
         # fingerprint anti-join that follows) instead of silently
         # corrupting the dedup guarantee.
+        # Persist BEFORE the eager check (r9 opt round): the check
+        # materializes the new batch's full annotate->filter->window
+        # lineage anyway — un-cached, that work was thrown away and
+        # recomputed by every later consumer (anti-join, signatures,
+        # verify). The cache is new-batch-sized.
+        exact = exact.persist()
+        if persists is not None:
+            persists.append(exact)
         if (exact.select(id_col)
                 .join(old.select(id_col), id_col, "left_semi")
                 .limit(1).count()):
@@ -554,12 +577,18 @@ def curate_corpus(
             # exact mode: no signatures exist, so finding old<->new
             # overlaps inherently shingles the old corpus too —
             # fixture-exact path, O(|old|+|new|) per batch; 'minhash'
-            # is the scale path
+            # is the scale path. Candidate pairs are pruned to >= 1
+            # new side BEFORE the exact verify (new_ids= — r9 opt
+            # round): old-old pairs can only merge clusters that each
+            # already hold an old member, so they never change which
+            # new docs drop, and skipping them keeps the VERIFY work
+            # off the existing corpus's internal collision structure.
             pairs = DD.ngram_jaccard_pairs(combined, text_col, id_col,
                                            shingle_k=3,
                                            threshold=neardup_threshold,
                                            persists=persists,
-                                           tokenizer=tokenizer)
+                                           tokenizer=tokenizer,
+                                           new_ids=exact.select(id_col))
         cc = connected_components(pairs, "id_a", "id_b")
         old_ids = old.select(F.col(id_col).alias("id"))
         # clusters with an existing member: every new member drops;

@@ -73,17 +73,31 @@ def _transitions(docs: DataFrame, text_col: str,
 
 def bigram_model(docs: DataFrame, text_col: str = "text",
                  tokenizer: str = "ascii",
+                 persists: list | None = None,
                  ) -> tuple[DataFrame, DataFrame, int]:
     """Train the counts: returns ``(unigrams, bigrams, vocab_size)``
     with ``unigrams = (w1, cu)``, ``bigrams = (w1, w2, cb)``. Both
     frames are lazy and vocabulary-bounded; ``vocab_size`` is the one
-    scalar that crosses the driver."""
+    scalar that crosses the driver.
+
+    ``persists``: when a list is passed, the count frames are persisted
+    (vocabulary-sized — NEVER corpus-sized, so the cache is scale-safe)
+    and appended for the caller to release. Scoring joins each count
+    frame several times; un-cached, every join branch re-tokenizes the
+    whole training corpus (Catalyst shares no subplans across
+    branches). The frames are materialized eagerly (count) so racing
+    downstream branches cannot each recompute the subtree before the
+    cache fills — the sequenced-fill lesson of ngram_jaccard_pairs."""
     tok_expr, _ = get_tokenizer(tokenizer)
     tok = (docs.select(F.explode(tok_expr(
         F.coalesce(F.col(text_col), F.lit("")))).alias("w1")))
     uni = tok.groupBy("w1").agg(F.count("*").alias("cu"))
     bi = (_transitions(docs, text_col, tokenizer=tokenizer)
           .groupBy("w1", "w2").agg(F.count("*").alias("cb")))
+    if persists is not None:
+        uni, bi = uni.persist(), bi.persist()
+        persists.extend([uni, bi])
+        bi.count()  # sequence the cache fill
     vocab = uni.count()
     return uni, bi, vocab
 
@@ -119,11 +133,18 @@ def _context_triples(docs: DataFrame, text_col: str,
 
 def trigram_model(docs: DataFrame, text_col: str = "text",
                   tokenizer: str = "ascii",
+                  persists: list | None = None,
                   ) -> tuple[DataFrame, DataFrame, DataFrame, int, int]:
     """Counts for stupid-backoff scoring: ``(unigrams, bigrams,
     trigrams, vocab_size, total_tokens)`` — unigrams ``(w1, cu)``,
     bigrams ``(w1, w2, cb)``, trigrams ``(w1, w2, w3, ct)``. Two
-    scalars cross the driver; the count tables stay distributed."""
+    scalars cross the driver; the count tables stay distributed.
+
+    ``persists``: persist + eagerly fill the three count frames
+    (vocabulary-sized, scale-safe) and append them for the caller to
+    release — see :func:`bigram_model`. The stupid-backoff scorer joins
+    ``bi`` and ``uni`` TWICE each; un-cached that is six corpus
+    tokenizations in one scoring plan."""
     tok_expr, _ = get_tokenizer(tokenizer)
     tok = (docs.select(F.explode(tok_expr(
         F.coalesce(F.col(text_col), F.lit("")))).alias("w1")))
@@ -135,6 +156,11 @@ def trigram_model(docs: DataFrame, text_col: str = "text",
            .groupBy(F.col("a").alias("w1"), F.col("b").alias("w2"),
                     F.col("c").alias("w3"))
            .agg(F.count("*").alias("ct")))
+    if persists is not None:
+        uni, bi, tri = uni.persist(), bi.persist(), tri.persist()
+        persists.extend([uni, bi, tri])
+        bi.count()
+        tri.count()  # sequence the cache fills
     counts = uni.agg(F.count("*"), F.sum("cu")).collect()[0]
     return uni, bi, tri, int(counts[0]), int(counts[1] or 0)
 
@@ -166,17 +192,14 @@ def stupid_backoff_scores(
     cub/cuc); un-cached, Spark recomputes each branch per join — six
     corpus tokenizations in one self-scored plan. Pass a list as
     ``persists`` to have a self-trained model's count frames persisted
-    (lazily — they fill during the first action) and surfaced for the
-    caller to release, the curate_corpus contract; the gate entry
-    stays persist-free by design (corpus_bpe precedent) at a measured
-    ~2x recompute cost."""
+    and eagerly filled (:func:`trigram_model`) and surfaced for the
+    caller to release, the curate_corpus contract. The gate entries
+    now persist too (r9 opt round — the former persist-free discipline
+    cost a measured ~2x; the pin is vocabulary-sized and the bench/
+    driver clear the session cache between entries)."""
     if model is None:
-        model = trigram_model(docs, text_col, tokenizer=tokenizer)
-        if persists is not None:
-            uni0, bi0, tri0 = model[0].persist(), model[1].persist(), \
-                model[2].persist()
-            persists.extend([uni0, bi0, tri0])
-            model = (uni0, bi0, tri0, model[3], model[4])
+        model = trigram_model(docs, text_col, tokenizer=tokenizer,
+                              persists=persists)
     uni, bi, tri, _vocab, total = model
     tr = _context_triples(docs, text_col, id_col, tokenizer=tokenizer)
     c12 = bi.select(F.col("w1").alias("a"), F.col("w2").alias("b"),
@@ -309,6 +332,7 @@ def lm_transition_scores(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text",
                          model: tuple[DataFrame, DataFrame, int] | None = None,
                          tokenizer: str = "ascii",
+                         persists: list | None = None,
                          ) -> DataFrame:
     """Per-document fluency: ``(id, n_trans, lm_score)`` where
     ``lm_score`` is the mean add-one-smoothed bigram transition
@@ -322,7 +346,8 @@ def lm_transition_scores(docs: DataFrame, id_col: str = "doc_id",
     joins, never drop rows."""
     explicit_model = model is not None
     if model is None:
-        model = bigram_model(docs, text_col, tokenizer=tokenizer)
+        model = bigram_model(docs, text_col, tokenizer=tokenizer,
+                             persists=persists)
     uni, bi, vocab = model
     if explicit_model and vocab == 0:
         # add-one smoothing divides by cu + V: scoring token-bearing

@@ -570,7 +570,8 @@ def c4_kept_lines(text: Column, min_words: int = 5) -> Column:
 
 def c4_signals(df, id_col: str, text_col: str, *, min_words: int = 5,
                min_lines: int = 3,
-               bad_words: tuple[str, ...] = C4_BAD_WORDS):
+               bad_words: tuple[str, ...] = C4_BAD_WORDS,
+               keep_cols: tuple[str, ...] = ()):
     """Per-document C4 cleaning signals, one row per input row:
     ``(id, n_lines, n_kept, kept_frac, has_lorem, has_brace,
     has_bad_word, c4_keep, cleaned_text)``.
@@ -588,7 +589,15 @@ def c4_signals(df, id_col: str, text_col: str, *, min_words: int = 5,
     fused into the parquet scan. The kept-lines array is projected ONCE
     into a staging column so the line filter runs once per row, not once
     per metric (CollapseProject does not inline multi-referenced
-    aliases)."""
+    aliases).
+
+    ``keep_cols``: extra input columns carried through to the output
+    unchanged — callers that would otherwise JOIN the signals back to
+    the input on ``id_col`` (curate_corpus's C4 stage did) can instead
+    filter this frame directly, keeping the lineage LINEAR: the join
+    form re-evaluates the whole upstream subtree once per join branch
+    (Catalyst does not share subplans across branches), which compounds
+    exponentially when funnel stages chain."""
     from functools import reduce
     from operator import or_
 
@@ -599,12 +608,14 @@ def c4_signals(df, id_col: str, text_col: str, *, min_words: int = 5,
     # embedding the expression per contains()
     pre = df.select(
         id_col,
+        *keep_cols,
         F.col(text_col),
         ascii_fold(F.coalesce(F.col(text_col), F.lit("")))
          .alias("__low"))
     low = F.col("__low")
     staged = pre.select(
         id_col,
+        *keep_cols,
         F.col(text_col),
         F.split(F.coalesce(F.col(text_col), F.lit("")), r"\r?\n")
          .alias("__lines"),
@@ -620,6 +631,7 @@ def c4_signals(df, id_col: str, text_col: str, *, min_words: int = 5,
     n_kept = F.size("__kept")
     return staged.select(
         id_col,
+        *keep_cols,
         n_lines.cast("long").alias("n_lines"),
         n_kept.cast("long").alias("n_kept"),
         # exact int/int double division: engine-portable without rounding
@@ -674,7 +686,8 @@ def gopher_quality_signals_by_lang(
         df, id_col: str, text_col: str,
         lang_col: str | None = None,
         tables: "dict[str, tuple[str, ...]] | None" = None,
-        profiles: "dict[str, dict] | None" = None):
+        profiles: "dict[str, dict] | None" = None,
+        keep_cols: tuple[str, ...] = ()):
     """Language-parameterized :func:`gopher_quality_signals` (VERDICT
     r8 ask #5 — the English-only prose heuristics were the
     multilingual funnel's weakest filter): each row's script family
@@ -702,12 +715,15 @@ def gopher_quality_signals_by_lang(
     and shared. Output adds ``lang`` and renames the unit columns
     (``n_units``/``alpha_unit_frac``/``symbol_unit_ratio``); keep is
     the profile conjunction. MAP-ONLY like the original: every signal
-    is a codegen'd per-row expression over staged arrays."""
+    is a codegen'd per-row expression over staged arrays.
+    ``keep_cols`` carries extra input columns through unchanged (the
+    linear-lineage contract — see :func:`c4_signals`)."""
     from stream2segment_spark.operators.dedup import cjk_word_tokens
     profiles = GOPHER_PROFILES if profiles is None else profiles
     t = F.coalesce(F.col(text_col), F.lit(""))
     staged = df.select(
         id_col,
+        *keep_cols,
         t.alias("__t"),
         F.filter(F.split(t, r"\s+"), lambda w: w != "").alias("__words"),
         cjk_word_tokens(t).alias("__ctoks"),
@@ -745,6 +761,7 @@ def gopher_quality_signals_by_lang(
     n_stop = stopword_count_by_lang(ctoks, lang, tables).cast("long")
     out = staged.select(
         id_col,
+        *keep_cols,
         lang.alias("lang"),
         n_units.alias("n_units"),
         mean_wl.alias("mean_word_len"),
@@ -773,7 +790,8 @@ def gopher_quality_signals_by_lang(
     return out.withColumn("gopher_keep", keep).drop("__big")
 
 
-def gopher_quality_signals(df, id_col: str, text_col: str):
+def gopher_quality_signals(df, id_col: str, text_col: str,
+                           keep_cols: tuple[str, ...] = ()):
     """Per-document Gopher quality signals, one row per input row:
     ``(id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
     ellipsis_line_frac, alpha_word_frac, n_stopwords, gopher_keep)``.
@@ -800,11 +818,14 @@ def gopher_quality_signals(df, id_col: str, text_col: str):
     Scale shape: MAP-ONLY — every signal is a codegen'd per-row
     expression; words/lines arrays are projected ONCE into staging
     columns (multi-referenced aliases are not inlined, so the splits
-    run once per row)."""
+    run once per row). ``keep_cols`` carries extra input columns
+    through unchanged (the linear-lineage contract — see
+    :func:`c4_signals`)."""
     from stream2segment_spark.operators.dedup import ascii_fold
     t = F.coalesce(F.col(text_col), F.lit(""))
     staged = df.select(
         id_col,
+        *keep_cols,
         F.filter(F.split(t, r"\s+"), lambda w: w != "").alias("__words"),
         # stopword membership domain: whitespace words of the ASCII-
         # FOLDED text — identical to lower(words) on ASCII input, but
@@ -839,6 +860,7 @@ def gopher_quality_signals(df, id_col: str, text_col: str):
                    n_alpha.cast("double") / wd).otherwise(0.0)
     out = staged.select(
         id_col,
+        *keep_cols,
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
         sym.alias("symbol_word_ratio"),

@@ -30,6 +30,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "id",
     max_iterations: int = 25,
+    small_graph_edges: int = 1 << 20,
 ) -> DataFrame:
     """Cluster label per node: ``(id, cluster_id)`` with ``cluster_id`` =
     the minimum node id in the component (deterministic canonical winner,
@@ -38,6 +39,22 @@ def connected_components(
     ``nodes`` (optional): frame of all node ids; ids with no edge come
     back as singletons (cluster_id = own id). Without it, only ids
     appearing in ``edges`` are labeled.
+
+    ``small_graph_edges``: when the symmetrized-distinct edge count
+    (known for free from the eager cache fill) is at or below this
+    bound, components are computed with a DRIVER-side union-find over
+    the collected edge list instead of the distributed label-
+    propagation loop (r9 opt round). Near-dup pair graphs are tiny
+    relative to their corpora — the loop's per-round jobs (join +
+    aggregate + eager checkpoint + convergence count) plus per-job
+    driver planning dominated the funnel entries' wall time at
+    sf0.1 (~10 jobs for a 378-edge graph). The bound keeps the
+    collect driver-safe by construction (2^20 edges = a few tens of
+    MB — the same bounded-driver-state class as k-means centroids or
+    the BPE argmax); identical labels by definition (min node id per
+    component), so the distributed path remains the behavior above
+    the bound. Pass ``small_graph_edges=0`` to force the distributed
+    loop.
     """
     # sym is re-joined EVERY round: without persist each round recomputes
     # the full upstream pair-generation pipeline (shingling + candidate
@@ -49,6 +66,49 @@ def connected_components(
            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
            .distinct()
            .persist())
+    # Materialize the edge cache EAGERLY before the loop: the first
+    # round's checkpoint job otherwise reads sym through THREE plan
+    # branches (labels, neigh_min's join side, and the join's probe) in
+    # ONE job, racing the lazy cache fill — each branch recomputes the
+    # full upstream pair pipeline (shingle verify for near-dup edges) in
+    # parallel. Measured 10-20 s -> ~4 s on the incremental-funnel CC at
+    # sf0.1 (r9 opt round; the sequenced-fill lesson of
+    # ngram_jaccard_pairs applied to the edge frame). The count also
+    # prices the small-graph fallback for free.
+    n_edges = sym.count()
+    if 0 < n_edges <= small_graph_edges:
+        rows = sym.select("a", "b").collect()
+        sym.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:       # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in rows:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN so the root is always the component's
+                # smallest id — the documented cluster_id contract
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        ids = {a for a, _ in rows} | {b for _, b in rows}
+        out = [(x, find(x)) for x in sorted(ids)]
+        spark = edges.sparkSession
+        a_type = edges.schema[src].dataType.simpleString()
+        labels = spark.createDataFrame(
+            out, f"{id_col} {a_type}, cluster_id {a_type}")
+        if nodes is not None:
+            labels = (nodes.select(F.col(id_col))
+                      .join(labels, id_col, "left")
+                      .select(id_col,
+                              F.coalesce("cluster_id", F.col(id_col))
+                              .alias("cluster_id")))
+        return labels
     labels = (sym.select(F.col("a").alias(id_col)).distinct()
               .withColumn("cluster_id", F.col(id_col)))
 

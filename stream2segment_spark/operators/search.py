@@ -143,7 +143,8 @@ def corpus_stats(docs: DataFrame, id_col: str, text_col: str,
 
 def bm25ish_scores(docs: DataFrame, id_col: str, text_col: str,
                    terms: list[str], k1: float = 1.2, b: float = 0.75,
-                   tokenizer: str = "ascii") -> DataFrame:
+                   tokenizer: str = "ascii",
+                   persists: list | None = None) -> DataFrame:
     """Per-(term, doc) BM25-style scores:
 
         idf   = (N - df + 0.5) / (df + 0.5)        -- rational, no log
@@ -159,14 +160,36 @@ def bm25ish_scores(docs: DataFrame, id_col: str, text_col: str,
     is tokenized once for the postings and once for the global stats,
     and nothing else. (The window's partition is one term's posting
     list — bounded by the most common query term, the usual inverted-
-    index skew contract.)"""
+    index skew contract.)
+
+    The postings and the global stats both need a full tokenize pass;
+    to pay it ONCE the shared pass is staged as a NARROW persisted
+    frame ``(id, dl, query-term hits)`` — id + one int + the handful of
+    matching tokens per doc, never the full token arrays, so the cache
+    stays scale-safe (r9 opt round; ~2x on the CJK search entry, where
+    tokenization is the dominant cost). ``persists`` surfaces the
+    cached frame for release (curate_corpus contract); without it the
+    pin lives until the session cache is cleared."""
     terms = normalize_terms(terms, tokenizer)
     if not terms:
         raise ValueError("bm25ish_scores needs at least one query term "
                          "that survives tokenization")
-    hits = term_postings(docs, id_col, text_col, terms,
-                         tokenizer=tokenizer)
-    stats = corpus_stats(docs, id_col, text_col, tokenizer=tokenizer)
+    tok_expr, _ = get_tokenizer(tokenizer)
+    toks = tok_expr(F.coalesce(F.col(text_col), F.lit("")))
+    staged = (docs.select(F.col(id_col), toks.alias("__toks"))
+              .select(id_col, F.size("__toks").alias("dl"),
+                      F.filter("__toks",
+                               lambda t: t.isin(*terms)).alias("__hits"))
+              .persist())
+    if persists is not None:
+        persists.append(staged)
+    hits = (staged
+            .select(id_col, "dl", F.explode("__hits").alias("term"))
+            .groupBy("term", id_col, "dl")
+            .agg(F.count("*").alias("tf")))
+    stats = staged.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))
     scored = (hits
               .withColumn("df", F.count("*").over(
                   Window.partitionBy("term")))

@@ -586,10 +586,12 @@ def corpus_bpe(spark, sf_dir):
     LLM-pipeline capability (tokenizer training)."""
     from stream2segment_spark.functions.bpe import bpe_train
     docs = load_table(spark, sf_dir, "documents")
-    # persist=False: the entry returns lazily (the driver collects) so it
-    # could never release a cache — 4 rounds of recomputation instead of
-    # a session-lifetime pin (persist-hygiene contract)
-    _, words = bpe_train(docs, "text", 4, persist=False)
+    # persist=True (r9 opt round): the pinned words frame is
+    # VOCABULARY-sized (distinct words x freq x syms — KBs, scale-safe),
+    # while persist=False recomputed round R's full R-deep lineage from
+    # the corpus on every action; the bench/driver clear the session
+    # cache between entries (curate_corpus gate-entry precedent)
+    _, words = bpe_train(docs, "text", 4, persist=True)
     return words.select(
         "word", "freq",
         F.size("syms").cast("int").alias("n_syms"),
@@ -656,9 +658,9 @@ def corpus_pack_bpe(spark, sf_dir):
     from stream2segment_spark.functions.bpe import bpe_train
     from stream2segment_spark.operators.dedup import word_tokens
     docs = load_table(spark, sf_dir, "documents")
-    # persist=False: lazy return (the driver collects), so a cache could
-    # never be released — same persist-hygiene contract as corpus_bpe
-    _, words = bpe_train(docs, "text", 4, persist=False)
+    # persist=True: vocabulary-sized pin, 4 rounds of corpus-deep
+    # recompute saved — same rationale as corpus_bpe (r9 opt round)
+    _, words = bpe_train(docs, "text", 4, persist=True)
     vocab = words.select(
         "word", F.size("syms").cast("long").alias("n_syms"))
     dw = docs.select(

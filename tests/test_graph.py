@@ -51,7 +51,26 @@ def test_chain_propagates_and_cap_raises(spark):
            for r in connected_components(df, max_iterations=15).collect()}
     assert got == {i: 0 for i in range(12)}
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iterations=2)
+        # the cap lives on the distributed loop; small graphs take the
+        # driver union-find fallback, so force the loop to test it
+        connected_components(df, max_iterations=2, small_graph_edges=0)
+
+
+def test_small_graph_fallback_matches_distributed(spark):
+    # r9 opt round: the driver union-find fallback must label exactly
+    # like the distributed loop — min node id per component, including
+    # a multi-component graph with chains and isolated nodes=
+    edges = [(3, 7), (7, 9), (20, 21), (5, 3), (40, 41), (41, 20)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {r.id: r.cluster_id for r in connected_components(df).collect()}
+    slow = {r.id: r.cluster_id for r in connected_components(
+        df, small_graph_edges=0).collect()}
+    assert fast == slow == {3: 3, 5: 3, 7: 3, 9: 3,
+                            20: 20, 21: 20, 40: 20, 41: 20}
+    nodes = spark.range(0, 4).withColumnRenamed("id", "id")
+    with_nodes = {r.id: r.cluster_id for r in connected_components(
+        df, nodes=nodes).collect()}
+    assert with_nodes[0] == 0 and with_nodes[3] == 3
 
 
 def test_no_edges_all_singletons(spark):

@@ -369,13 +369,6 @@ def funclib_spectra(spark, sf_dir):
       complex gains from the same composition code pytest covers
       exact-value, so the gate verifies the Arrow-path application
       end-to-end like rr/wa."""
-    from stream2segment_spark.funclib.ndarrays import (
-        ampspec, argtrim, dfreq, fft, powspec,
-        response_spectrum_nigam_jennings, trim)
-    from stream2segment_spark.funclib.response import remove_response
-    from stream2segment_spark.funclib.traces import (
-        bandpass_zerophase, synth_wood_anderson)
-
     emb = load_table(spark, sf_dir, "embeddings")
     out_schema = ("vec_id long, peak_bin int, dom_freq double, "
                   "peak_amp double, parseval_energy double, "
@@ -386,55 +379,97 @@ def funclib_spectra(spark, sf_dir):
                   "wa_energy double, wa_peakabs double, "
                   "mc_energy double, mc_peakabs double")
 
-    def kernels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        df_hz = dfreq(_N, _DELTA)
-        for pdf in batches:
-            rows = []
-            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
-                if vec is None:     # dirty-data: no waveform, no row
-                    continue
-                x = np.asarray(vec, dtype=np.float64)
-                sp = fft(x)
-                amp = ampspec(sp, signal_is_fft=True)
-                pw = powspec(sp, signal_is_fft=True)
-                peak = int(np.argmax(amp[1:])) + 1
-                parseval = (pw[0] + 2.0 * pw[1:-1].sum() + pw[-1]) / _N
-                minx = (vid % 7) * 0.017
-                maxx = 0.64 - (vid % 5) * 0.011
-                i0, i1 = argtrim(x, _DELTA, minx, maxx)
-                seg = trim(x, _DELTA, minx, maxx)
-                rsp = response_spectrum_nigam_jennings(
-                    x, _DELTA, np.array(_RS_PERIODS), _RS_DAMP)
-                bpx = bandpass_zerophase(x, _DELTA, _BP_FMIN, _BP_FMAX)
-                rrx = remove_response(x, _DELTA, _RR_PAZ, output="VEL",
-                                      water_level_db=_RR_WL_DB)
-                wax = synth_wood_anderson(x, _DELTA)
-                mcx = remove_response(x, _DELTA, _MC_CHAIN, output="VEL",
-                                      water_level_db=_RR_WL_DB)
-                rows.append((vid, peak, round(peak * df_hz, 6),
-                             round(float(amp[peak]), 4),
-                             round(float(parseval), 6), i0, i1,
-                             round(float(seg.sum()) if len(seg) else 0.0, 6),
-                             round(float(rsp["S_a"][0]), 6),
-                             round(float(rsp["S_a"][1]), 6),
-                             round(float(rsp["S_v"][0]), 8),
-                             round(float(rsp["S_v"][1]), 8),
-                             round(float((bpx * bpx).sum()), 6),
-                             round(float(np.abs(bpx).max()), 6),
-                             round(float((rrx * rrx).sum()), 6),
-                             round(float(np.abs(rrx).max()), 6),
-                             round(float((wax * wax).sum()), 4),
-                             round(float(np.abs(wax).max()), 6),
-                             round(float((mcx * mcx).sum()), 6),
-                             round(float(np.abs(mcx).max()), 6)))
-            yield pd.DataFrame(rows, columns=[
-                "vec_id", "peak_bin", "dom_freq", "peak_amp",
-                "parseval_energy", "trim_i0", "trim_i1", "trim_sum",
-                "sa_p1", "sa_p2", "sv_p1", "sv_p2",
-                "bp_energy", "bp_peakabs", "rr_energy", "rr_peakabs",
-                "wa_energy", "wa_peakabs", "mc_energy", "mc_peakabs"])
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _spectra_kernels, out_schema)
 
-    return emb.select("vec_id", "embedding").mapInPandas(kernels, out_schema)
+
+def _spectra_kernels(batches: "Iterator[pd.DataFrame]"):
+    """The Arrow-stage body of funclib_spectra, vectorized ACROSS rows
+    via funclib/batch.py (r9 optimization round, guide §4.2): the
+    per-row form paid ~30 numpy-call dispatches per 64-sample signal —
+    pure Python overhead at this length — where one batched call chain
+    over the stacked (B, 64) matrix does the same float64 arithmetic.
+    Bit-identity with the per-row kernels is pinned primitive-by-
+    primitive in tests/test_funclib_batch.py (exact array_equal) and was
+    A/B-checked end-to-end against the per-row implementation on all
+    three fixture SFs before the switch; the final scalar rounding stays
+    Python's round() exactly as before (np.round's scale-multiply can
+    differ from round() in the last ulp)."""
+    from stream2segment_spark.funclib import batch as BK
+    from stream2segment_spark.funclib.ndarrays import dfreq
+
+    df_hz = dfreq(_N, _DELTA)
+    rs_periods = np.array(_RS_PERIODS)
+    cols = ["vec_id", "peak_bin", "dom_freq", "peak_amp",
+            "parseval_energy", "trim_i0", "trim_i1", "trim_sum",
+            "sa_p1", "sa_p2", "sv_p1", "sv_p2",
+            "bp_energy", "bp_peakabs", "rr_energy", "rr_peakabs",
+            "wa_energy", "wa_peakabs", "mc_energy", "mc_peakabs"]
+
+    def r(vals, nd):
+        return [round(float(v), nd) for v in vals]
+
+    for pdf in batches:
+        embs = pdf["embedding"].to_numpy()
+        keep = np.array([e is not None for e in embs], dtype=bool)
+        if not keep.any():      # dirty-data: no waveform, no row
+            yield pd.DataFrame({c: [] for c in cols})
+            continue
+        vids = pdf["vec_id"].to_numpy()[keep].astype(np.int64)
+        X = np.array([np.asarray(e, dtype=np.float64) for e in embs[keep]])
+
+        sp = BK.fft_batch(X)
+        amp = np.abs(sp)
+        pw = np.square(amp)
+        peak = np.argmax(amp[:, 1:], axis=1) + 1
+        parseval = (pw[:, 0] + 2.0 * pw[:, 1:-1].sum(axis=1)
+                    + pw[:, -1]) / _N
+        # argtrim's ceil/floor index math, vectorized (bounds derive
+        # from vec_id alone; both bounds are non-None so i0/i1 never are)
+        minx = (vids % 7) * 0.017
+        maxx = 0.64 - (vids % 5) * 0.011
+        i0 = np.minimum(np.maximum(
+            0, np.ceil(minx / _DELTA).astype(np.int64)), _N)
+        i1 = np.minimum(np.maximum(
+            0, np.floor(maxx / _DELTA).astype(np.int64) + 1), _N)
+        # trim_sum: group rows by their (i0, i1) window (<= 35 distinct
+        # combos) and sum each group's contiguous slice along axis 1 —
+        # the same pairwise reduction as the per-row 1-D slice sum
+        trim_sum = np.zeros(len(vids))
+        for key in np.unique(i0 * (_N + 1) + i1):
+            a, b = int(key) // (_N + 1), int(key) % (_N + 1)
+            sel = np.flatnonzero((i0 == a) & (i1 == b))
+            if b > a:
+                trim_sum[sel] = X[sel, a:b].sum(axis=1)
+
+        rsp = BK.response_spectrum_nigam_jennings_batch(
+            X, _DELTA, rs_periods, _RS_DAMP)
+        bpx = BK.bandpass_zerophase_batch(X, _DELTA, _BP_FMIN, _BP_FMAX)
+        rrx = BK.remove_response_batch(X, _DELTA, _RR_PAZ, output="VEL",
+                                       water_level_db=_RR_WL_DB)
+        wax = BK.synth_wood_anderson_batch(X, _DELTA)
+        mcx = BK.remove_response_batch(X, _DELTA, _MC_CHAIN, output="VEL",
+                                       water_level_db=_RR_WL_DB)
+        yield pd.DataFrame({
+            "vec_id": vids,
+            "peak_bin": peak,
+            "dom_freq": r(peak * df_hz, 6),
+            "peak_amp": r(amp[np.arange(len(vids)), peak], 4),
+            "parseval_energy": r(parseval, 6),
+            "trim_i0": i0, "trim_i1": i1,
+            "trim_sum": r(trim_sum, 6),
+            "sa_p1": r(rsp["S_a"][:, 0], 6),
+            "sa_p2": r(rsp["S_a"][:, 1], 6),
+            "sv_p1": r(rsp["S_v"][:, 0], 8),
+            "sv_p2": r(rsp["S_v"][:, 1], 8),
+            "bp_energy": r((bpx * bpx).sum(axis=1), 6),
+            "bp_peakabs": r(np.abs(bpx).max(axis=1), 6),
+            "rr_energy": r((rrx * rrx).sum(axis=1), 6),
+            "rr_peakabs": r(np.abs(rrx).max(axis=1), 6),
+            "wa_energy": r((wax * wax).sum(axis=1), 4),
+            "wa_peakabs": r(np.abs(wax).max(axis=1), 6),
+            "mc_energy": r((mcx * mcx).sum(axis=1), 6),
+            "mc_peakabs": r(np.abs(mcx).max(axis=1), 6)})
 
 
 @register(

@@ -1921,9 +1921,13 @@ def corpus_ccnet_buckets(spark, sf_dir):
         "doc_id", "__t",
         TX.langid_script(t).alias("lang"),
         F.length(t).cast("long").alias("weight"))
+    # persists=[]: the self-trained bigram counts are joined by the
+    # scorer and read again for vocab; un-cached, each branch
+    # re-tokenized the synth corpus (~4 passes in one plan) — the
+    # corpus_lm_score persisted-count-table rationale (r9 opt round)
     scored = lm_transition_scores(
         staged.select("doc_id", F.col("__t").alias("text")),
-        "doc_id", "text", tokenizer="unicode")
+        "doc_id", "text", tokenizer="unicode", persists=[])
     d = staged.join(scored.select(
         "doc_id", F.round("lm_score", 6).alias("lm_score")), "doc_id")
     out = ccnet_buckets(d, "lm_score", lang_col="lang",

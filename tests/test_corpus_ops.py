@@ -880,6 +880,34 @@ def test_longest_dup_rolling_probe_agrees_with_md5(spark):
         longest_duplicated_substring(df, "doc_id", "toks", probe="nope")
 
 
+def test_longest_dup_oneshot_path_matches_search_path(spark):
+    """r9 opt round: the one-shot path (small total window count,
+    probe='auto') must return exactly what the binary-search path
+    returns — ties, in-doc repeats, max_len caps and all.
+    oneshot_max_windows=0 forces the search path on the same input."""
+    from stream2segment_spark.operators.dedup import (
+        longest_duplicated_substring)
+    shared_a = "one two three four"
+    shared_b = "red green blue white"
+    rows = [Row(doc_id=0, text=shared_a + " mid " + shared_b),
+            Row(doc_id=1, text=shared_b + " x " + shared_a),
+            Row(doc_id=2, text="p q r p q unrelated"),
+            Row(doc_id=3, text="p q r p q unrelated"),
+            Row(doc_id=4, text="p q r p q unrelated")]
+    df = spark.createDataFrame(rows).select(
+        "doc_id", F.split("text", " ").alias("toks"))
+    for kw in ({}, {"max_len": 3}, {"min_len": 3}, {"max_df": 2}):
+        oneshot = {(r.length, r.text, r.n_docs, r.n_occ) for r in
+                 longest_duplicated_substring(
+                     df, "doc_id", "toks", **kw).collect()}
+        search = {(r.length, r.text, r.n_docs, r.n_occ) for r in
+                  longest_duplicated_substring(
+                      df, "doc_id", "toks", oneshot_max_windows=0,
+                      **kw).collect()}
+        assert oneshot == search, kw
+        assert oneshot, kw
+
+
 def test_longest_dup_window_identity_is_token_sequence(spark):
     """Window identity is the token SEQUENCE, not the joined text: two
     docs whose different token arrays join to the same string ('a b'+

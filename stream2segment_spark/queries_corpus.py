@@ -144,7 +144,7 @@ def corpus_pack_chunks(spark, sf_dir):
     shard window) and no global sort. Beyond-reference LLM-pipeline
     capability. Gate uses budget=256, n_shards=8; at 100 TB n_shards
     scales to the cluster (shards are md5-uniform, skew-free)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     d = docs.select(
         "doc_id",
         F.size(F.split(F.coalesce("text", F.lit("")), " ")).alias("n_tok"))
@@ -498,7 +498,7 @@ def corpus_temperature_mix(spark, sf_dir):
     md5-bucket thresholds — reproducible across runs/engines/
     partitionings. The rates dim is broadcast; the corpus side sees only
     a scan-stage filter. Beyond-reference LLM-pipeline capability."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     rates = temperature_rates(docs, "source", alpha=0.5).persist()
     kept = (temperature_sample(docs, "doc_id", "source", seed="temp",
                                rates=rates)
@@ -585,7 +585,7 @@ def corpus_bpe(spark, sf_dir):
     best pair crosses the driver per round. Beyond-reference
     LLM-pipeline capability (tokenizer training)."""
     from stream2segment_spark.functions.bpe import bpe_train
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     # persist=True (r9 opt round): the pinned words frame is
     # VOCABULARY-sized (distinct words x freq x syms — KBs, scale-safe),
     # while persist=False recomputed round R's full R-deep lineage from
@@ -739,7 +739,7 @@ def corpus_host_rank(spark, sf_dir):
     scalar node count crosses the driver. Beyond-reference LLM-pipeline
     capability (graph signal; complements connected_components)."""
     from stream2segment_spark.operators.graph import pagerank_quantized
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     host = (F.col("doc_id") % 97).cast("long")
     links = F.array(*[((F.col("doc_id") * k + j) % 97).cast("long")
                       for k, j in ((3, 1), (5, 2), (7, 3))])
@@ -785,7 +785,7 @@ def corpus_bloom_ingest(spark, sf_dir):
     oracle."""
     from stream2segment_spark.operators.bloom import (
         bloom_anti_join, build_bloom)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
     bf = build_bloom(corpus.select("doc_id"), "doc_id", fpp=0.3)
@@ -834,7 +834,7 @@ def corpus_token_mix(spark, sf_dir):
     counterpart is corpus_temperature_mix. ONE hash-partitioned window
     per stratum, no global sort; the oracle replays bucket order,
     cumulative token sums and the fill cut exactly (all integers)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     base = docs.select(
         "doc_id", "source",
         F.size(DD.word_tokens(F.coalesce(F.col("text"), F.lit(""))))
@@ -869,7 +869,7 @@ def corpus_chunking(spark, sf_dir):
     explode, zero shuffles (plan-asserted). The oracle replays the
     chunk-count formula and every slice with DuckDB list ranges."""
     from stream2segment_spark.functions.packing import chunk_documents
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents", parallel=False).select(
         "doc_id", DD.word_tokens(F.col("text")).alias("toks"))
     ch = chunk_documents(docs, "doc_id", "toks", window=16, overlap=4)
     return ch.select("doc_id", "chunk_idx", "n_chunk",
@@ -1126,7 +1126,7 @@ def corpus_version_diff(spark, sf_dir):
     Beyond-reference capability (the reference mutates a DB in place;
     no snapshot concept)."""
     from stream2segment_spark.operators.versioning import corpus_diff
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     old = docs.where(F.col("doc_id") % 7 != 0)
     new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
         "text", F.when(F.col("doc_id") % 11 == 0,
@@ -1164,7 +1164,7 @@ def corpus_shuffle_shards(spark, sf_dir):
     as exactly n_shards sorted parquet files. The oracle replays hash,
     shard and the tie-broken position window exactly."""
     from stream2segment_spark.functions.sampling import shuffle_assignment
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     out = shuffle_assignment(docs.select("doc_id"), "doc_id", n_shards=16)
     return out.select("doc_id", "shard_id", "shard_pos")
 
@@ -1196,7 +1196,7 @@ def corpus_domain_cap(spark, sf_dir):
     pre-filter is the documented escalation). The oracle replays hash,
     window order and tie-breaks exactly."""
     from stream2segment_spark.functions.sampling import cap_per_group
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     out = cap_per_group(docs.select("doc_id", "source"), "source", 25,
                         id_col="doc_id", seed="cap")
     return out.select("doc_id", "source")
@@ -1297,7 +1297,10 @@ def corpus_url_canonical(spark, sf_dir):
     endpoints: stream2segment/download/modules/datacenters.py)."""
     from stream2segment_spark.functions import url as U
     from stream2segment_spark.schema import load_table
-    docs = load_table(spark, sf_dir, "documents")
+    # parallel=False: this entry's SCAN-STAGE-ONLY contract (plan_audit
+    # invariant) is the point — URL canonicalization must stay a pure
+    # scan map; an input exchange would void the claim it gates
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     five = (F.col("doc_id") % 5).cast("int")
     synth = (F.when(five == 0, F.concat(
                  F.lit("https://www."), F.col("source"),
@@ -1948,6 +1951,6 @@ def corpus_unimax_sample(spark, sf_dir):
     per-language window, broadcast literal maps. Beyond-reference
     LLM-pipeline capability."""
     from stream2segment_spark.functions.sampling import unimax_sample
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     out = unimax_sample(docs, "doc_id", "lang", budget=400, epochs=2)
     return out.select("doc_id", "lang", "n_copies")

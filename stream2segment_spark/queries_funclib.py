@@ -369,7 +369,7 @@ def funclib_spectra(spark, sf_dir):
       complex gains from the same composition code pytest covers
       exact-value, so the gate verifies the Arrow-path application
       end-to-end like rr/wa."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     out_schema = ("vec_id long, peak_bin int, dom_freq double, "
                   "peak_amp double, parseval_energy double, "
                   "trim_i0 int, trim_i1 int, trim_sum double, "
@@ -535,7 +535,7 @@ def source_sniff(spark, sf_dir):
     from stream2segment_spark.sources.compression import (
         compress_payload, sniff_decompress, sniff_format)
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     methods = ("gzip", "bz2", "zlib", "zip")
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -650,7 +650,7 @@ def funclib_coda_smooth(spark, sf_dir):
     pytest-covered (test_funclib) — a DFT replay already gate-checks the
     spectral path in funclib_spectra."""
     from stream2segment_spark.funclib import udfs as U
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     sm = U.moving_average_udf(5)(F.col("embedding"))
     st = U.sta_lta_udf(4, 16)(F.col("embedding"))
     ts = U.triangsmooth_udf(0.07)(F.col("embedding"))

@@ -70,7 +70,7 @@ def multimodal_probe(spark, sf_dir):
     """Media metadata probe: build PNG headers for even ids and WAV headers
     for odd ids Spark-side, parse them back with the Arrow-batched probe
     UDF (real public-format header parsing; see multimodal.py)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = load_table(spark, sf_dir, "documents", parallel=False).select("doc_id")
     is_png = F.col("doc_id") % 2 == 0
     width = (F.col("doc_id") % 512 + 1).cast("long")
     height = ((F.col("doc_id") * 7) % 512 + 1).cast("long")
@@ -96,7 +96,7 @@ def multimodal_frames(spark, sf_dir):
     """Video-style frame sampling (every 2nd 64-byte frame) over a raw
     container blob of known length — mapInPandas one-row-to-many plumbing
     (UDTF shape); the oracle recomputes the frame indices from the id."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = load_table(spark, sf_dir, "documents", parallel=False).select("doc_id")
     n = (F.col("doc_id") % 300 + 32)
     blob = F.encode(F.repeat(F.lit("ab"), n), "utf-8")  # exactly 2n bytes
     with_blob = docs.withColumn("content", blob)
@@ -135,7 +135,7 @@ def multimodal_audio(spark, sf_dir):
     RMS (integer sum of squares / 2^32, then one IEEE sqrt). The oracle
     recomputes both from the ids alone, so the whole decode path is
     value-checked."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = load_table(spark, sf_dir, "documents", parallel=False).select("doc_id")
     did = F.col("doc_id")
     rate = (8000 + (did % 50) * 20).cast("long")
     samples = [((did * 31 + j * 17) % 65536 - 32768).cast("long")
@@ -196,7 +196,7 @@ def multimodal_resize(spark, sf_dir):
     out(x,y) = src((x*4)//2, (y*4)//2), i.e. flat sources 0/2/8/10), and
     the 4 resized pixels recovered exactly on the 0-255 grid. The oracle
     recomputes them from the id alone."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = load_table(spark, sf_dir, "documents", parallel=False).select("doc_id")
     dec = (docs.withColumn("content", _pgm_blob(F.col("doc_id")))
            .withColumn("img", MM.decode_pixels_udf(strict=True)("content"))
            .withColumn("r", MM.resize_pixels_udf(2, 2, "nearest")(
@@ -243,7 +243,7 @@ def multimodal_image_features(spark, sf_dir):
     total-variation edge energy (sum of |horizontal| + |vertical|
     neighbor differences) of the same 4x4 PGM blobs — every output but
     the mean is an exact integer the oracle recomputes from the id."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = load_table(spark, sf_dir, "documents", parallel=False).select("doc_id")
     dec = (docs.withColumn("content", _pgm_blob(F.col("doc_id")))
            .withColumn("img", MM.decode_pixels_udf(strict=True)("content"))
            .withColumn("f", MM.image_features_udf()(
@@ -282,7 +282,7 @@ def multimodal_audio_features(spark, sf_dir):
     and sum-of-squares on the raw 16-bit grid, RMS — from the same
     deterministic PCM WAV blobs as multimodal_audio; the oracle
     recomputes every value from the id alone."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = load_table(spark, sf_dir, "documents", parallel=False).select("doc_id")
     did = F.col("doc_id")
     rate = (8000 + (did % 50) * 20).cast("long")
     samples = [((did * 31 + j * 17) % 65536 - 32768).cast("long")
@@ -375,7 +375,7 @@ def multimodal_video(spark, sf_dir):
     the entropy-coded sample data stays behind the documented codec
     boundary). Completes the metadata plane for the third modality:
     image (PNG/JPEG/GIF/BMP/PNM), audio (WAV), video (MP4/AVI)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = load_table(spark, sf_dir, "documents", parallel=False).select("doc_id")
     k = F.col("doc_id")
     blob = F.when(k % 2 == 0,
                   _mp4_blob((k % 36000 + 1).cast("int"),

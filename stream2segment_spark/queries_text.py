@@ -858,7 +858,7 @@ def corpus_pack_unicode(spark, sf_dir):
     md5-shard window shape as corpus_pack_chunks."""
     from stream2segment_spark.functions.packing import (
         chunk_summary, pack_greedy)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     splice = F.element_at(F.array(*[F.lit(s) for s in _UNI_SNIPPETS]),
                           (F.col("doc_id") % 6).cast("int") + 1)
     synth = F.concat_ws(" ", F.coalesce(F.col("text"), F.lit("")), splice)
@@ -880,7 +880,7 @@ def corpus_pack_unicode(spark, sf_dir):
 def dedup_exact_docs(spark, sf_dir):
     """Exact dedup by content fingerprint, keep-first by doc_id
     (deterministic winner — reference A6 keep='first' semantics)."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents", parallel=False).select(
         "doc_id", TX.doc_fingerprint(F.col("text")).alias("fingerprint"))
     return DD.exact_dedup(docs, ["fingerprint"], keep="first", order=["doc_id"])
 
@@ -1024,7 +1024,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     SimHash twin). The small parquet arrives as few input splits; the
     compute is per-row heavy, so repartition to the full core count
     first."""
-    docs = load_table(spark, sf_dir, "documents") \
+    docs = load_table(spark, sf_dir, "documents", parallel=False) \
         .repartition(spark.sparkContext.defaultParallelism)
     sigs = DD.add_minhash_maponly(docs, "text", "doc_id", num_hashes=64,
                                   shingle_k=3).persist()
@@ -1068,7 +1068,7 @@ def dedup_simhash(spark, sf_dir):
     (engine-universal) so DuckDB replays the IDENTICAL simhash — bucketing,
     packing and popcount all strongly checked; production keeps the faster
     xxhash64 default (same code path, one parameter)."""
-    docs = load_table(spark, sf_dir, "documents") \
+    docs = load_table(spark, sf_dir, "documents", parallel=False) \
         .repartition(spark.sparkContext.defaultParallelism)
     return DD.simhash_neardup_pairs(docs, "text", "doc_id",
                                     max_hamming=3, blocks=4,
@@ -1133,7 +1133,7 @@ def text_curation(spark, sf_dir):
     here every 20th doc; broadcast probe, one map-side-combined shuffle).
     PII is spiked deterministically from doc_id on both sides since the
     synthetic corpus contains none."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     did = F.col("doc_id")
     base = docs.select(
         "doc_id", F.coalesce("text", F.lit("")).alias("text"))
@@ -1517,7 +1517,7 @@ def corpus_c4_filters(spark, sf_dir):
     DuckDB list lambdas on the same rtrim/right/regex-split semantics.
     Input text is derived multi-line prose (see _C4_MARKERS) so each
     rule has positives and negatives at any SF."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     t = F.concat(
         F.replace(F.coalesce(F.col("text"), F.lit("")),
                   F.lit(" table "), F.lit(".\n")),
@@ -2054,7 +2054,7 @@ def text_nfc_normalize(spark, sf_dir):
     first step of multilingual pipelines (CCNet, mC4) before any
     cross-document comparison; no seismic counterpart."""
     from stream2segment_spark.functions.unicode_norm import normalize_nfc
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     did = F.col("doc_id")
     base = (did - did % 6).cast("string")
     synth = (F.when(did % 6 == 0,

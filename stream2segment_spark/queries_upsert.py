@@ -332,7 +332,7 @@ def source_wet_roundtrip(spark, sf_dir):
 
     from stream2segment_spark.sources.wet import read_wet, to_wet_lines
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     src = docs.select(
         F.concat(F.lit("http://crawl.test/"),
                  F.col("doc_id").cast("string")).alias("uri"),

@@ -22,6 +22,7 @@ upsert operators (``dropDuplicates`` / merge keys).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from datetime import datetime
 from typing import Callable
@@ -329,7 +330,38 @@ def normalize_event_ts(df: DataFrame, cols=("ts",)) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Input-parallelization policy (r9 optimization round, measured by
+# interleaved same-session A/B at sf0.1 — see OPTIMIZATION_r09.md):
+#
+# - _PARALLEL_KEYS: the unique id to hash-partition on when a table IS
+#   parallelized — ids spread evenly, the exchange skips round-robin's
+#   sort-before-repartition pass, and downstream id-keyed joins/
+#   groupBys can REUSE the partitioning instead of re-shuffling
+#   (guide §2.4).
+# - _PARALLEL_TABLES: tables parallelized BY DEFAULT. Only `documents`:
+#   its consumers are per-row text-heavy (tokenizers, regex signal
+#   extraction) and win multiples; `embeddings` is small enough
+#   (fixed-width vectors) that only the per-row numpy kernel entries
+#   win — those opt in with parallel=True — while iterative consumers
+#   (k-means, classifier folds, IVF) LOSE to per-iteration 32-task
+#   scheduling overhead. Iterative documents consumers (BPE rounds,
+#   Bloom folds, PageRank) and blob-synthesis entries opt out with
+#   parallel=False at their call sites for the same reason.
+# - Dimension/fact tables stay as scanned: their consumers are shuffle-
+#   or scheduling-bound and an input exchange would be pure overhead.
+_PARALLEL_KEYS: dict[str, str] = {"documents": "doc_id",
+                                  "embeddings": "vec_id"}
+_PARALLEL_TABLES = frozenset({"documents"})
+
+# Parquet scans split at spark.sql.files.maxPartitionBytes but tasks
+# align to ROW GROUPS, so a single file below this size is always one
+# task no matter the split config (the default 128 MB matches both the
+# session factory and vanilla sessions here).
+_MAX_PARTITION_BYTES = 128 << 20
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               parallel: "bool | None" = None) -> DataFrame:
     """Read one driver parquet table. Plain ``spark.read.parquet`` so
     Catalyst gets pushdown/pruning on the scan; nanosecond timestamp columns
     are normalized to microsecond timestamps.
@@ -338,7 +370,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     one): TIMESTAMP(NANOS) parquet columns make a vanilla session throw
     ``PARQUET_TYPE_ILLEGAL``, so the legacy nanos-as-long conf is set here
     at runtime (it is a runtime-settable SQL conf, idempotent, harmless for
-    micros-typed files)."""
+    micros-typed files).
+
+    ``parallel`` (r9 optimization round, guide §2.5 "input skew:
+    repartition immediately after the read"): ``None`` applies the
+    per-table default (:data:`_PARALLEL_TABLES` — the corpus tables,
+    whose every consumer tokenizes or runs vector kernels per row);
+    ``True``/``False`` force it. When active AND the table is a single
+    file too small to ever produce a second scan task, the frame is
+    repartitioned to the session's default parallelism — hashed on the
+    table's unique id (:data:`_PARALLEL_TABLES`) so the spread is even,
+    deterministic under retries, and reusable by downstream id-keyed
+    operators. Guarded by the actual file layout: a production-scale
+    input (directory of files, or any file large enough to split) is
+    NEVER re-shuffled — the scan already parallelizes it, and the
+    guard keys on layout, not on a tuned constant. Results are
+    partitioning-invariant by contract (the driver re-runs every query
+    at a different core count)."""
     if name in _NANOS_TS_COLS:
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -346,9 +394,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass  # static-conf Spark builds: fall through and hope the
             # session was created with the conf; the read error is clearer
             # than anything we could raise here.
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name in _NANOS_TS_COLS:
         df = normalize_event_ts(df, _NANOS_TS_COLS[name])
+    if parallel is None:
+        parallel = name in _PARALLEL_TABLES
+    if parallel:
+        par = spark.sparkContext.defaultParallelism
+        try:
+            one_task = (os.path.isfile(path)
+                        and os.path.getsize(path) < _MAX_PARTITION_BYTES)
+        except OSError:
+            one_task = False
+        if one_task and par > 1:
+            from pyspark.sql import functions as F  # keep module import-light
+            key = _PARALLEL_KEYS.get(name)
+            df = (df.repartition(par, F.col(key))
+                  if key in df.columns else df.repartition(par))
     return df
 
 

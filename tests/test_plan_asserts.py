@@ -15,13 +15,30 @@ upgrade changed them:
 from __future__ import annotations
 
 import re
+from contextlib import contextmanager
 
 import pytest
 
 import __spark_entry__ as entry_mod
+import stream2segment_spark.schema as schema_mod
 from tests.conftest import SF_DIR_SMOKE
 
 QUERIES = entry_mod.queries()
+
+
+@contextmanager
+def raw_scan():
+    """Disable load_table's fixture-layout input parallelization (r9
+    optimization round) for OPERATOR-shape assertions: these tests pin
+    what the operator itself adds to the plan (exchanges, Python
+    stages), and the input-parallelize exchange — present only for
+    single-small-file fixture layouts — is not the operator's."""
+    saved = schema_mod._PARALLEL_TABLES
+    schema_mod._PARALLEL_TABLES = {}
+    try:
+        yield
+    finally:
+        schema_mod._PARALLEL_TABLES = saved
 
 
 def _optimized(df) -> str:
@@ -131,7 +148,7 @@ def test_kmeans_assignment_is_scan_stage(spark):
     shuffles of the algorithm are the per-iteration centroid updates)."""
     from stream2segment_spark.operators.clustering import kmeans_quantized
     from stream2segment_spark.schema import load_table
-    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings", parallel=False)
     assigned, _ = kmeans_quantized(emb, "vec_id", "embedding", k=2, iters=1)
     plan = _physical(assigned)
     assert "Exchange" not in plan, plan
@@ -140,7 +157,8 @@ def test_kmeans_assignment_is_scan_stage(spark):
 def test_hash_embedding_is_map_only(spark):
     """The featurizer is one Arrow stage fused into the scan: zero
     exchanges — raw text to embeddings without a shuffle."""
-    plan = _physical(QUERIES["text_hash_embedding"](spark, SF_DIR_SMOKE))
+    with raw_scan():
+        plan = _physical(QUERIES["text_hash_embedding"](spark, SF_DIR_SMOKE))
     assert "Exchange" not in plan, plan
 
 
@@ -204,12 +222,16 @@ def test_corpus_search_filters_before_shuffle(spark):
     at corpus scale the postings build is a filtered map + one keyed
     combine, not a full-corpus explode-then-filter."""
     plan = _optimized(QUERIES["corpus_search"](spark, SF_DIR_SMOKE))
-    # the term list appears as an array_contains/IN filter under the
-    # generate (explode) input, not as a post-shuffle Filter on term
-    gen = plan.split("Generate", 1)[1]
-    # the explode input is filter(__toks, x IN (...)) — the IN sits
-    # inside the Generate, not in a Filter above it
-    assert re.search(r"explode\(filter\(.* IN \(", "Generate" + gen), plan
+    # r9 opt shape: the query-term filter is computed ONCE into the
+    # staged persisted (id, dl, __hits) frame — the explode reads the
+    # staged hits column, and the cached build plan computes it as
+    # filter(__toks, x IN (...)) directly over the scan projection, so
+    # only matching tokens ever reach the postings explode/shuffle
+    assert re.search(r"Generate explode\(__hits", plan), plan
+    assert re.search(r"filter\(__toks.*? IN \(", plan), plan
+    # the staged frame is cached: one tokenize pass feeds both the
+    # postings aggregate and the corpus-stats aggregate
+    assert plan.count("InMemoryRelation") >= 2, plan
     phys = _physical(QUERIES["corpus_search"](spark, SF_DIR_SMOKE))
     # partial (map-side) + final aggregation pair for the tf groupBy
     assert phys.count("HashAggregate") >= 2, phys
@@ -230,20 +252,25 @@ def test_lm_scores_tokenize_once_per_branch(spark):
     unigrams, bigrams) each tokenize exactly once — referencing the
     tokenizer inside the pair HOF lambda instead of a staged column
     re-tokenized the text PER ELEMENT (measured 15 s -> 2.3 s at
-    sf0.1). The full gate entry adds the stupid-backoff side whose
-    uni/bi frames are each JOINED twice: persist-free by design, its
-    plan re-derives them per join (9 tokenizes total, pinned below so
-    an accidental regression past the known shape still fails)."""
+    sf0.1). The full gate entry PERSISTS its count tables (r9 opt
+    round): each cached build tokenizes once at fill time, and the
+    optimized plan's split() count reflects the cached builds' printed
+    subtrees (7 InMemoryRelations at the current shape) plus the
+    transition streams — pinned loosely below so a regression past the
+    known shape (e.g. a dropped persist re-deriving counts per join)
+    still fails."""
     from stream2segment_spark.functions.lm import lm_transition_scores
     from stream2segment_spark.schema import load_table
-    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    docs = load_table(spark, SF_DIR_SMOKE, "documents", parallel=False)
     plan = _optimized(lm_transition_scores(docs))
     n_split = len(re.findall(r"\bsplit\(", plan))
     assert n_split == 3, f"text parsed {n_split}x in plan:\n{plan}"
     entry_plan = _optimized(QUERIES["corpus_lm_score"](spark,
                                                        SF_DIR_SMOKE))
+    # the count tables must actually be cached (the persists contract)
+    assert entry_plan.count("InMemoryRelation") >= 4, entry_plan
     n_entry = len(re.findall(r"\bsplit\(", entry_plan))
-    assert n_entry <= 9, f"text parsed {n_entry}x in entry plan"
+    assert n_entry <= 16, f"text parsed {n_entry}x in entry plan"
 
 
 def test_lm_bigram_counts_partial_aggregate(spark):
@@ -253,7 +280,7 @@ def test_lm_bigram_counts_partial_aggregate(spark):
     pair counts and shuffling every raw transition."""
     from stream2segment_spark.functions.lm import bigram_model
     from stream2segment_spark.schema import load_table
-    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    docs = load_table(spark, SF_DIR_SMOKE, "documents", parallel=False)
     uni, bi, _ = bigram_model(docs, "text")
     for frame in (uni, bi):
         plan = _physical(frame)
@@ -285,7 +312,8 @@ def test_repetition_signals_map_only(spark):
     """All eleven Gopher repetition signals are per-document local: ONE
     Arrow mapInPandas stage fused with the scan, zero Exchange — the
     explode+groupBy alternative would shuffle ~9x the token count."""
-    plan = _physical(QUERIES["corpus_repetition"](spark, SF_DIR_SMOKE))
+    with raw_scan():
+        plan = _physical(QUERIES["corpus_repetition"](spark, SF_DIR_SMOKE))
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan, plan
 
@@ -310,7 +338,9 @@ def test_bloom_ingest_never_shuffles_corpus(spark):
 def test_gopher_quality_map_only(spark):
     """Gopher doc-quality rules are pure codegen'd per-row expressions:
     zero Exchange, zero Python boundary."""
-    plan = _physical(QUERIES["corpus_gopher_quality"](spark, SF_DIR_SMOKE))
+    with raw_scan():
+        plan = _physical(QUERIES["corpus_gopher_quality"](spark,
+                                                          SF_DIR_SMOKE))
     assert "Exchange" not in plan, plan
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
 
@@ -326,8 +356,9 @@ def test_chunking_map_only(spark):
 def test_classifier_scoring_map_only(spark):
     """Scoring with trained weights is scan + Arrow UDF: zero Exchange
     (training jobs already ran; the returned frame must not shuffle)."""
-    plan = _physical(QUERIES["corpus_quality_classifier"](
-        spark, SF_DIR_SMOKE))
+    with raw_scan():
+        plan = _physical(QUERIES["corpus_quality_classifier"](
+            spark, SF_DIR_SMOKE))
     assert "Exchange" not in plan, plan
 
 

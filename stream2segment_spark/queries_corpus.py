@@ -77,7 +77,10 @@ def corpus_longest_dup(spark, sf_dir):
     SQL and picks the max duplicated length — exact value parity, no
     sampling. Complements corpus_substring_dup (per-doc duplication
     mass) with corpus-level duplication depth."""
-    docs = load_table(spark, sf_dir, "documents")
+    # parallel=False (r9 opt, interleaved A/B sf0.1: 1.90 s off vs
+    # 2.25 s on): the length sweep is many small jobs; the input
+    # exchange is per-job overhead, not per-row win
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     toked = docs.select("doc_id",
                         DD.word_tokens(F.col("text")).alias("__t"))
     return DD.longest_duplicated_substring(
@@ -657,7 +660,9 @@ def corpus_pack_bpe(spark, sf_dir):
     Beyond-reference LLM-pipeline capability."""
     from stream2segment_spark.functions.bpe import bpe_train
     from stream2segment_spark.operators.dedup import word_tokens
-    docs = load_table(spark, sf_dir, "documents")
+    # parallel=False (r9 opt A/B: 2.71 s off vs 3.13 s on): iterative
+    # BPE rounds = many small jobs, like corpus_bpe
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     # persist=True: vocabulary-sized pin, 4 rounds of corpus-deep
     # recompute saved — same rationale as corpus_bpe (r9 opt round)
     _, words = bpe_train(docs, "text", 4, persist=True)
@@ -1890,7 +1895,8 @@ def corpus_pack_bestfit(spark, sf_dir):
     open-bin remainder list. Beyond-reference LLM-pipeline
     capability."""
     from stream2segment_spark.functions.packing import pack_bestfit
-    docs = load_table(spark, sf_dir, "documents")
+    # parallel=False (r9 opt A/B: 0.63 s off vs 0.77 s on)
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     base = docs.select(
         "doc_id", "text",
         DD.word_tokens(F.col("text")).alias("__toks"))

@@ -359,7 +359,9 @@ def corpus_search_hybrid(spark, sf_dir):
     int columns int across engines. Beyond-reference LLM-pipeline
     capability (RAG-style retrieval over the curated corpus)."""
     from stream2segment_spark.operators.search import hybrid_topk_rrf
-    docs = load_table(spark, sf_dir, "documents")
+    # parallel=False (r9 opt A/B: 1.17 s off vs 1.51 s on; see
+    # corpus_search_unicode)
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     emb = load_table(spark, sf_dir, "embeddings")
     out = hybrid_topk_rrf(docs, emb, ["join", "scan", "merge"], 0,
                           k=10, n_sparse=50, n_dense=50)

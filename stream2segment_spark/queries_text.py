@@ -418,7 +418,10 @@ def dedup_cjk_neardup(spark, sf_dir):
     giant token, one shingle, no overlap). Same scale shape as
     dedup_minhash_lsh: signatures map-only, band buckets + verified
     candidates are the only shuffles, text never all-pairs."""
-    docs = load_table(spark, sf_dir, "documents") \
+    # parallel=False (r9 opt A/B: 3.35 s off vs 4.13 s on): the
+    # explicit round-robin repartition below already spreads the scan;
+    # the policy exchange would just double it
+    docs = load_table(spark, sf_dir, "documents", parallel=False) \
         .repartition(spark.sparkContext.defaultParallelism)
     han = F.translate(DD.normalized_text(F.col("text")),
                       _HAN_SRC, _HAN_DST)
@@ -809,7 +812,10 @@ def corpus_search_unicode(spark, sf_dir):
     threading); scores use the identical fixed-order IEEE arithmetic as
     corpus_search, replayed bit-for-bit by the oracle."""
     from stream2segment_spark.operators.search import search_topk
-    docs = load_table(spark, sf_dir, "documents")
+    # parallel=False (r9 opt A/B: 0.72 s off vs 1.35 s on): the staged
+    # query-hits frame is narrow and persisted; the BM25 aggregates are
+    # scheduling-bound, not per-row-bound
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     splice = F.element_at(F.array(*[F.lit(s) for s in _UNI_SNIPPETS]),
                           (F.col("doc_id") % 6).cast("int") + 1)
     synth = docs.select(
@@ -1195,7 +1201,9 @@ def corpus_search(spark, sf_dir):
     bit-for-bit. Top-10 per term, ties by doc_id. Beyond-reference
     LLM-pipeline capability (corpus inspection / retrieval)."""
     from stream2segment_spark.operators.search import search_topk
-    docs = load_table(spark, sf_dir, "documents")
+    # parallel=False (r9 opt A/B: 0.49 s off vs 0.60 s on; see
+    # corpus_search_unicode)
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     out = search_topk(docs, "doc_id", "text",
                       ["join", "scan", "merge"], k=10)
     return out.select("term", "doc_id", "tf", "dl",
@@ -1907,7 +1915,9 @@ def corpus_ccnet_buckets(spark, sf_dir):
     LLM-pipeline stage; no seismic counterpart."""
     from stream2segment_spark.functions.buckets import ccnet_buckets
     from stream2segment_spark.functions.lm import lm_transition_scores
-    docs = load_table(spark, sf_dir, "documents")
+    # parallel=False (r9 opt A/B: 3.73 s off vs 4.62 s on): dominated
+    # by the persisted LM count builds + keyed joins, not per-row maps
+    docs = load_table(spark, sf_dir, "documents", parallel=False)
     did = F.col("doc_id")
     n = (F.lit(6) + (did % 25)).cast("int")
     synth = (F.when(did % 5 == 0,

@@ -178,10 +178,31 @@ def quality_score(text: Column, *, toks: Column | None = None,
     return (length_ok + sw_ok + mwl_ok + pr_ok) / 4.0
 
 
+def _bind_once(cols: "dict[str, Column]", logic) -> Column:
+    """Evaluate ``cols`` exactly once per row and hand them to ``logic``
+    as fields of a bound struct (r9 optimization round).
+
+    An argmax-by-CASE expression tree references each candidate count in
+    the ``greatest`` AND in every WHEN branch; whole-stage codegen's
+    subexpression elimination does not rescue references inside
+    conditional branches, so an expensive subexpression (a regex count,
+    a token filter) is re-EVALUATED once per reference — measured 3.7x
+    on langid_script at sf0.1. ``transform`` over a one-element struct
+    array binds the computed struct to a lambda variable: the fields are
+    computed once (codegen'd, in the array literal), and every lambda
+    reference is a field read. ``logic`` receives the bound struct and
+    returns the result Column; the single-element ``get(..., 0)`` is
+    total by construction."""
+    s = F.struct(*[c.alias(k) for k, c in cols.items()])
+    return F.get(F.transform(F.array(s), logic), 0)
+
+
 def langid_heuristic(text: Column, *, toks: Column | None = None) -> Column:
     """Marker-stopword-count language ID over {en,de,fr,es}, 'und'
     (undetermined) when no markers hit. Deterministic tie-break by fixed
-    language order (en, de, fr, es)."""
+    language order (en, de, fr, es). Marker counts are bound once per
+    row (:func:`_bind_once`) — the decision CASE references each count
+    several times, and the token filters are per-row O(tokens)."""
     toks = word_tokens(text) if toks is None else toks
 
     # NB: no default args in higher-order-fn lambdas — pyspark binds a
@@ -189,14 +210,24 @@ def langid_heuristic(text: Column, *, toks: Column | None = None) -> Column:
     def _isin(markers):
         return lambda t: t.isin(*markers)
 
-    counts = {lang: F.size(F.filter(toks, _isin(markers)))
-              for lang, markers in _LANG_MARKERS.items()}
-    best = F.greatest(*counts.values())
-    expr = F.lit("und")
-    # reversed so earlier languages win ties via later when() precedence
-    for lang in reversed(list(_LANG_MARKERS)):
-        expr = F.when((best > 0) & (counts[lang] == best), lang).otherwise(expr)
-    return expr
+    def _outer(b):
+        counts = {lang: F.size(F.filter(b["toks"], _isin(markers)))
+                  for lang, markers in _LANG_MARKERS.items()}
+
+        def _decide(c):
+            best = F.greatest(*[c[lang] for lang in _LANG_MARKERS])
+            expr = F.lit("und")
+            # reversed so earlier languages win ties via later when()
+            for lang in reversed(list(_LANG_MARKERS)):
+                expr = F.when((best > 0) & (c[lang] == best),
+                              lang).otherwise(expr)
+            return expr
+
+        return _bind_once(counts, _decide)
+
+    # outer bind stages the token array (one tokenize), inner bind the
+    # four marker counts (one filter pass each)
+    return _bind_once({"toks": toks}, _outer)
 
 
 # Unicode script blocks as LITERAL codepoint ranges, not named
@@ -226,8 +257,12 @@ def script_count(text: Column, script: str) -> Column:
     (x, '[ranges]', '', 'g'))`` with the same literal ranges."""
     ranges = _SCRIPT_RANGES[script]
     t = F.coalesce(text, F.lit(""))
-    return (F.length(t)
-            - F.length(F.regexp_replace(t, f"[{ranges}]", "")))
+    # regexp_count of a single-codepoint class == codepoints in ranges
+    # (each matching char is one non-overlapping match) — same value as
+    # the strip-and-length-diff, without allocating the stripped copy
+    # of the document per script (r9 opt: 10 counts 0.74 s -> 0.57 s at
+    # sf0.1; value equality verified corpus-wide on both fixtures)
+    return F.regexp_count(t, F.lit(f"[{ranges}]"))
 
 
 def langid_script(text: Column, *, toks: Column | None = None) -> Column:
@@ -247,15 +282,24 @@ def langid_script(text: Column, *, toks: Column | None = None) -> Column:
     lang_of = {"cyrillic": "ru", "greek": "el", "arabic": "ar",
                "hebrew": "he", "devanagari": "hi", "han": "zh",
                "kana": "ja", "hangul": "ko", "thai": "th"}
-    best = F.greatest(*(counts[s] for s in lang_of))
-    expr = F.lit("und")
-    for s in reversed(list(lang_of)):   # earlier keys win ties
-        expr = F.when(counts[s] == best, lang_of[s]).otherwise(expr)
-    # Han-dominant with ANY kana = Japanese (kanji-heavy prose)
-    expr = F.when((expr == F.lit("zh")) & (counts["kana"] > 0),
-                  F.lit("ja")).otherwise(expr)
-    return F.when(best > counts["latin"], expr).otherwise(
-        langid_heuristic(text, toks=toks))
+    heur = langid_heuristic(text, toks=toks)
+
+    def _decide(c):
+        best = F.greatest(*(c[s] for s in lang_of))
+        expr = F.lit("und")
+        for s in reversed(list(lang_of)):   # earlier keys win ties
+            expr = F.when(c[s] == best, lang_of[s]).otherwise(expr)
+        # Han-dominant with ANY kana = Japanese (kanji-heavy prose)
+        expr = F.when((expr == F.lit("zh")) & (c["kana"] > 0),
+                      F.lit("ja")).otherwise(expr)
+        # heur is an outer-scope expression referenced once: evaluated
+        # per row only when the otherwise branch is taken, as before
+        return F.when(best > c["latin"], expr).otherwise(heur)
+
+    # ten script counts bound once per row (see _bind_once: the CASE
+    # chain + greatest reference each count ~3x, and each count is a
+    # full-text regex pass)
+    return _bind_once(counts, _decide)
 
 
 def max_token_run(text: Column, *, toks: Column | None = None) -> Column:

@@ -167,15 +167,26 @@ def quality_score(text: Column, *, toks: Column | None = None,
     :func:`stopword_ratio_by_lang` for multilingual corpora — while the
     default stays the English table (byte-identical scores on existing
     pipelines)."""
-    n = F.length(text).cast("double")
-    length_ok = F.when((n >= 100) & (n <= 20000), 1.0).otherwise(0.5)
-    sw = stopword_ratio(text, toks=toks) if sw is None else sw
-    sw_ok = F.when((sw >= 0.05) & (sw <= 0.6), 1.0).otherwise(0.5)
-    mwl = mean_word_length(text, toks=toks)
-    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.5)
-    pr = punct_ratio(text)
-    pr_ok = F.when(pr <= 0.2, 1.0).otherwise(0.5)
-    return (length_ok + sw_ok + mwl_ok + pr_ok) / 4.0
+    # band inputs bound once per row (see _bind_once): each band tests
+    # its input twice, and sw/mwl are token-array folds, pr a regex pass
+    cols = {
+        "n": F.length(text).cast("double"),
+        "sw": stopword_ratio(text, toks=toks) if sw is None else sw,
+        "mwl": mean_word_length(text, toks=toks),
+        "pr": punct_ratio(text),
+    }
+
+    def _score(b):
+        length_ok = F.when((b["n"] >= 100) & (b["n"] <= 20000),
+                           1.0).otherwise(0.5)
+        sw_ok = F.when((b["sw"] >= 0.05) & (b["sw"] <= 0.6),
+                       1.0).otherwise(0.5)
+        mwl_ok = F.when((b["mwl"] >= 2.0) & (b["mwl"] <= 12.0),
+                        1.0).otherwise(0.5)
+        pr_ok = F.when(b["pr"] <= 0.2, 1.0).otherwise(0.5)
+        return (length_ok + sw_ok + mwl_ok + pr_ok) / 4.0
+
+    return _bind_once(cols, _score)
 
 
 def _bind_once(cols: "dict[str, Column]", logic) -> Column:

@@ -55,8 +55,10 @@ def test_text_analysis_tokenizes_once(spark):
     # each staged once — any higher count means a metric re-parses
     n_split = len(re.findall(r"\bsplit\(", plan))
     assert n_split == 2, f"text parsed {n_split}x in plan:\n{plan}"
-    # the bigram build (slice+concat transform) must also appear once
-    assert plan.count("transform(") == 1, plan
+    # the bigram build (transform over a token-index sequence) must
+    # appear once; bare transform( also matches the _bind_once
+    # single-evaluation wrappers (r9 opt), so pin the sequence form
+    assert plan.count("transform(sequence(") == 1, plan
 
 
 def test_topk_pagination_is_local_topk(spark):

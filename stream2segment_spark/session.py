@@ -23,6 +23,13 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Shuffle/persist/broadcast block codec (r9 optimization round,
+    # guide §2.3): zstd's ratio beats lz4's speed even locally once an
+    # entry moves real shuffle or checkpoint bytes — separate-process
+    # A/B at sf0.1: corpus_funnel_incremental 18.1/19.2 s (lz4) vs
+    # 16.1/14.8 s (zstd), ccnet −10%, small-shuffle entries noise. At
+    # cluster scale the byte saving also cuts network time (§2.2).
+    "spark.io.compression.codec": "zstd",
     # Arrow for pandas UDFs / toPandas: columnar batches instead of pickled rows.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",

@@ -726,11 +726,18 @@ def curate_corpus(
         tf_feats = hashed_ngram_features(
             dsir_target, id_col, text_col, buckets=dsir_buckets,
             tokenizer=tokenizer)
+        # persisted + eagerly filled: rf_feats feeds the score table AND
+        # the per-doc sum — uncached each consumer re-tokenizes the
+        # dedup survivors (r9 opt round; narrow (id, bucket, cnt) ints)
         rf_feats = hashed_ngram_features(
             deduped, id_col, text_col, buckets=dsir_buckets,
-            tokenizer=tokenizer)
+            tokenizer=tokenizer).persist()
+        if persists is not None:
+            persists.append(rf_feats)
+        rf_feats.count()
         bsc = bucket_ratio_scores(tf_feats, rf_feats,
-                                  buckets=dsir_buckets)
+                                  buckets=dsir_buckets,
+                                  persists=persists)
         picked = dsir_select(
             dsir_scores(deduped, rf_feats, bsc, id_col),
             id_col, dsir_k).select(id_col)

@@ -110,6 +110,7 @@ def bucket_ratio_scores(
     buckets: int = DEFAULT_BUCKETS,
     scale: int = DEFAULT_SCALE,
     mode: str = "ratio",
+    persists: "list | None" = None,
 ) -> DataFrame:
     """Per-bucket importance score table ``(bucket, bscore)`` from two
     :func:`hashed_ngram_features` frames. Only buckets that occur in
@@ -121,15 +122,28 @@ def bucket_ratio_scores(
     (module docstring). ``mode='log'``: double
     ``ln((ct+1)/(Nt+B)) - ln((cq+1)/(Nq+B))`` — the paper's weight.
 
-    The totals ``Nt``/``Nq`` are one-row aggregates cross-joined in
-    (broadcast); the score table itself is at most ``buckets`` rows —
-    always broadcastable downstream."""
+    The totals ``Nt``/``Nq`` are derived from the per-bucket count
+    tables (``sum over buckets of ct`` IS the total feature count), so
+    each input is aggregated — and its corpus tokenized — exactly ONCE:
+    the grouped tables are at most ``buckets`` rows, persisted and
+    eagerly filled (sequenced fill, the ngram_jaccard_pairs lesson),
+    where re-deriving the totals from the raw feature frames would
+    re-run both corpus tokenize passes (r9 opt round; guide §5/§1.2
+    step 1). Pass a list as ``persists`` to receive the two cached
+    frames; without it they stay cached until the session ends (the
+    gate/bench clear the session cache between entries)."""
     if mode not in ("ratio", "log"):
         raise ValueError(f"mode must be 'ratio' or 'log', got {mode!r}")
-    tcnt = target_feats.groupBy("bucket").agg(F.sum("cnt").alias("ct"))
-    rcnt = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("cq"))
-    tn = target_feats.agg(F.sum("cnt").cast("long").alias("nt"))
-    rn = raw_feats.agg(F.sum("cnt").cast("long").alias("nq"))
+    tcnt = (target_feats.groupBy("bucket").agg(F.sum("cnt").alias("ct"))
+            .persist())
+    rcnt = (raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("cq"))
+            .persist())
+    if persists is not None:
+        persists.extend((tcnt, rcnt))
+    tcnt.count()
+    rcnt.count()
+    tn = tcnt.agg(F.sum("ct").cast("long").alias("nt"))
+    rn = rcnt.agg(F.sum("cq").cast("long").alias("nq"))
     joined = (rcnt.join(F.broadcast(tcnt), "bucket", "left")
               .crossJoin(F.broadcast(tn)).crossJoin(F.broadcast(rn))
               .select("bucket",
@@ -239,18 +253,28 @@ def dsir_pipeline(
     temperature: float = 1.0,
     tokenizer: str = "ascii",
     seed: str = "dsir",
+    persists: "list | None" = None,
 ) -> DataFrame:
     """End-to-end DSIR: features for both corpora -> bucket score table
     -> per-doc importance -> select k. Returns ``(id_col, dsir_score)``
-    for the selected documents."""
+    for the selected documents.
+
+    The raw feature frame feeds BOTH the score table and the per-doc
+    sum, so it is persisted and eagerly filled (narrow (id, bucket,
+    cnt) ints — far smaller than the text it derives from) — without
+    the cache the raw corpus is tokenized once per consumer (r9 opt
+    round). ``persists`` surfaces the caches like curate_corpus."""
     tf = hashed_ngram_features(target_df, id_col, text_col,
                                buckets=buckets, tokenizer=tokenizer,
                                seed=seed)
     rf = hashed_ngram_features(raw_df, id_col, text_col,
                                buckets=buckets, tokenizer=tokenizer,
-                               seed=seed)
+                               seed=seed).persist()
+    if persists is not None:
+        persists.append(rf)
+    rf.count()
     bs = bucket_ratio_scores(tf, rf, buckets=buckets, scale=scale,
-                             mode=mode)
+                             mode=mode, persists=persists)
     sc = dsir_scores(raw_df, rf, bs, id_col, mode=mode)
     return dsir_select(sc, id_col, k, method=method,
                        temperature=temperature, seed=f"{seed}-gumbel")

@@ -159,15 +159,23 @@ def random_projection(df: DataFrame, vec_col: str, id_col: str,
     signs = rp_signs(in_dim, out_dim, seed)
     scale = float(out_dim) ** 0.5
     if exact:
-        comps = []
-        for j in range(out_dim):
-            srow = F.array(*[F.lit(float(s)) for s in signs[j]])
-            acc = F.aggregate(
+        # one transform() over a single nested-array literal instead of
+        # out_dim unrolled aggregate expressions (out_dim x in_dim
+        # literal nodes): the per-component fold is the identical
+        # left-to-right zip_with+aggregate (same IEEE +,*,/ sequence —
+        # exceptAll-verified bit-equal both directions), but the
+        # expression tree shrinks from ~2k nodes to one literal + one
+        # HOF, which removes the Catalyst analyze/canonicalize cost that
+        # dominated sim_topk_rp / sim_random_projection (r9 opt round)
+        matlit = F.lit([[float(s) for s in row] for row in signs])
+        rp = F.transform(
+            matlit,
+            lambda srow: F.aggregate(
                 F.zip_with(F.col(vec_col).cast("array<double>"), srow,
                            lambda a, s: a * s),
                 F.lit(0.0), lambda a, e: a + e)
-            comps.append(acc / F.sqrt(F.lit(float(out_dim))))
-        return df.select(F.col(id_col), F.array(*comps).alias("rp"))
+            / F.sqrt(F.lit(float(out_dim))))
+        return df.select(F.col(id_col), rp.alias("rp"))
 
     mat = np.asarray(signs, dtype=np.float64).T  # (in_dim, out_dim)
 

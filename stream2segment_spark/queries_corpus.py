@@ -658,14 +658,20 @@ def corpus_pack_bpe(spark, sf_dir):
     cartesian); doc counts are a map-side-combined groupBy; packing adds
     the one shard-window shuffle corpus_pack_chunks already documents.
     Beyond-reference LLM-pipeline capability."""
-    from stream2segment_spark.functions.bpe import bpe_train
+    from stream2segment_spark.functions.bpe import bpe_train_collected
     from stream2segment_spark.operators.dedup import word_tokens
     # parallel=False (r9 opt A/B: 2.71 s off vs 3.13 s on): iterative
     # BPE rounds = many small jobs, like corpus_bpe
     docs = load_table(spark, sf_dir, "documents", parallel=False)
-    # persist=True: vocabulary-sized pin, 4 rounds of corpus-deep
-    # recompute saved — same rationale as corpus_bpe (r9 opt round)
-    _, words = bpe_train(docs, "text", 4, persist=True)
+    # bpe_train_collected (r9 opt round): HERE training is an
+    # ingredient (the gated subject is BPE-budgeted packing; the
+    # distributed trainer keeps its own gate, corpus_bpe), so use the
+    # production trainer — one distributed corpus pass for the
+    # vocabulary, then the merge loop on the collected vocab-bounded
+    # table (functions/bpe docstring; pytest pins collected ==
+    # distributed merge-for-merge). Drops the 4 per-round job+shuffle
+    # round-trips from this entry.
+    _, words = bpe_train_collected(docs, "text", 4)
     vocab = words.select(
         "word", F.size("syms").cast("long").alias("n_syms"))
     dw = docs.select(

@@ -162,19 +162,29 @@ def random_projection(df: DataFrame, vec_col: str, id_col: str,
         # one transform() over a single nested-array literal instead of
         # out_dim unrolled aggregate expressions (out_dim x in_dim
         # literal nodes): the per-component fold is the identical
-        # left-to-right zip_with+aggregate (same IEEE +,*,/ sequence —
+        # left-to-right zip_with+aggregate (same IEEE +,*,*/ sequence —
         # exceptAll-verified bit-equal both directions), but the
-        # expression tree shrinks from ~2k nodes to one literal + one
-        # HOF, which removes the Catalyst analyze/canonicalize cost that
-        # dominated sim_topk_rp / sim_random_projection (r9 opt round)
+        # expression tree shrinks from ~2k nodes to one literal + two
+        # HOFs, which removes the Catalyst analyze/canonicalize cost
+        # that dominated sim_topk_rp / sim_random_projection (r9 opt
+        # round). The input vector is BOUND ONCE per row (the
+        # functions/text._bind_once shape): referencing vec_col directly
+        # inside the matrix-row lambda would let CollapseProject inline
+        # whatever expression produced it — its textual "referenced
+        # once" test is blind to HOF re-execution, so a derived input
+        # (e.g. sim_topk_rp's normalize fold) would re-run out_dim times
+        # per row (measured 20 s vs 0.9 s at sf0.1); the old unrolled
+        # form was only protected by tripping the collapse guard's
+        # multi-reference test with its 32 textual references.
         matlit = F.lit([[float(s) for s in row] for row in signs])
-        rp = F.transform(
+        bound = F.array(F.struct(
+            F.col(vec_col).cast("array<double>").alias("v")))
+        rp = F.get(F.transform(bound, lambda b: F.transform(
             matlit,
             lambda srow: F.aggregate(
-                F.zip_with(F.col(vec_col).cast("array<double>"), srow,
-                           lambda a, s: a * s),
+                F.zip_with(b["v"], srow, lambda a, s: a * s),
                 F.lit(0.0), lambda a, e: a + e)
-            / F.sqrt(F.lit(float(out_dim))))
+            / F.sqrt(F.lit(float(out_dim))))), 0)
         return df.select(F.col(id_col), rp.alias("rp"))
 
     mat = np.asarray(signs, dtype=np.float64).T  # (in_dim, out_dim)

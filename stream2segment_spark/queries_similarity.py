@@ -500,8 +500,17 @@ def sim_topk_rp(spark, sf_dir):
         "vec_id",
         F.transform("__v", lambda x: x / F.col("__n"))
         .alias("embedding"))
+    # persist + sequence the fill: the projected frame feeds the query
+    # side, the 5-query nested-loop join's stream side AND the shortlist
+    # window — un-cached, CollapseProject inlines the rp expression into
+    # the join and re-evaluates the 32-component fold once per (query,
+    # doc) pair (measured 31 s vs 1.4 s at sf0.1 after the r9 literal-
+    # matrix rewrite shrank the expression below Catalyst's inline-size
+    # guard; the old 2k-node tree was accidentally protected by its own
+    # bulk). Narrow (id + 32 doubles) — scale-safe.
     proj = random_projection(emb, "embedding", "vec_id", 64, 32,
-                             exact=True)
+                             exact=True).persist()
+    proj.count()
     qp = (proj.filter(F.col("vec_id") < 5)
           .select(F.col("vec_id").alias("query_id"),
                   F.col("rp").alias("qrp")))

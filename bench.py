@@ -110,6 +110,22 @@ def main() -> None:
 
     control_post = control_run()
     total = round(sum(timings.values()), 4)
+    # Artifact-robustness line (r10, VERDICT r9 ask #6): a COMPACT
+    # summary printed before the full per-query line, so a capture that
+    # truncates the (multi-KB) full line still carries the round's
+    # total and control. Additive only — the full line below stays the
+    # LAST line and is unchanged in shape, so existing parsers that
+    # read the final line keep working; the summary duplicates values,
+    # it never replaces them.
+    print(json.dumps({
+        "metric": "total_query_wall_sec_summary",
+        "value": total,
+        "unit": "sec",
+        "control": min(control_pre, control_post),
+        "control_spread": [control_pre, control_post],
+        "n_queries": len(timings),
+        "sf": sf,
+    }))
     # "control" sits BEFORE "queries" so a tail-truncated artifact (the
     # driver has recorded those) still carries it. min(pre, post): the
     # host component this run could have run at; the spread shows drift.

@@ -1089,10 +1089,20 @@ def cmd_dsir_select(spark, infile: str, target: str, outfile: str,
                   f"{sorted(missing)} (has: {sorted(df.columns)})",
                   file=sys.stderr)
             return 2
+    # receive the pipeline's cached frames and release them once the
+    # write has materialized (ADVICE r9: without this a long-lived
+    # session leaks the persisted feature/count frames) — the same
+    # pattern as cmd_curate's persists handling
+    persists: list = []
     out = dsir_pipeline(raw, tgt, id_col, text_col, k, buckets=buckets,
                         mode=mode, method=method,
-                        temperature=temperature, tokenizer=tokenizer)
-    out.write.mode("overwrite").parquet(outfile)
+                        temperature=temperature, tokenizer=tokenizer,
+                        persists=persists)
+    try:
+        out.write.mode("overwrite").parquet(outfile)
+    finally:
+        for frame in persists:
+            frame.unpersist()
     n = spark.read.parquet(outfile).count()
     print(json.dumps({"selected": n, "k": k, "mode": mode,
                       "method": method, "buckets": buckets}))

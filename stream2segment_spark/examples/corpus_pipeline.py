@@ -143,6 +143,7 @@ def curate_corpus(
     it to the curated survivors and union with the old table to chain
     the next batch."""
     import stream2segment_spark.functions.text as TX
+    from stream2segment_spark.functions.plan import opt_barrier
     from stream2segment_spark.functions.sampling import (
         split_column, temperature_sample)
     from stream2segment_spark.operators import dedup as DD
@@ -217,9 +218,16 @@ def curate_corpus(
         # the old join was an inner equi-join on the unique id.
         sig = TX.c4_signals(docs, id_col, text_col,
                             keep_cols=tuple(carry))
+        # opt_barrier on the stage output (r10 opt round): without it,
+        # predicate pushdown substitutes cleaned_text's DEFINING
+        # expression into every downstream reference (Gopher stages
+        # reference the stage text 6+ times) and the composed chain
+        # re-derives the C4 line filter up to 40x in one plan —
+        # functions/plan.py has the measured plan diff.
         docs = (sig.filter(F.col("c4_keep"))
                 .select(id_col, *carry,
-                        F.col("cleaned_text").alias(text_col)))
+                        opt_barrier(F.col("cleaned_text"))
+                        .alias(text_col)))
         _audit("c4", docs)
 
     # -- 0a2. optional Gopher doc-quality rules (Rae et al. 2021 A1.1) --
@@ -304,9 +312,14 @@ def curate_corpus(
 
     # -- 1. annotate (single tokenizer pass; see functions/text.py) -----
     extra = carry
+    # opt_barrier (r10): the stage-2 filter below references quality /
+    # n_tokens / max_tok_run / lang, all folds over __toks — pushdown
+    # would substitute the tokenizer expression into the pushed
+    # condition (4 copies) and keep walking it down through the C4 /
+    # Gopher stage projections (see functions/plan.py).
     staged = docs.select(
         id_col, text_col, *extra,
-        tok_expr(F.col(text_col)).alias("__toks"))
+        opt_barrier(tok_expr(F.col(text_col))).alias("__toks"))
     toks = F.col("__toks")
     lang_expr = (TX.langid_script(F.col(text_col), toks=toks)
                  if langid_mode == "script"

@@ -222,14 +222,23 @@ def bloom_anti_join(new_df: DataFrame, corpus_df: DataFrame, key_col: str,
 
     Pass a prebuilt ``bloom`` (steady-state ingestion maintains one via
     :func:`or_bloom`); otherwise one is built from ``corpus_df`` here.
-    """
+
+    Plan shape (r10 opt round): the maybe-key set is probed on a
+    KEYS-ONLY projection of ``new_df`` (narrow — the payload columns
+    never enter the broadcast-build branch), and the output is ONE
+    ``left_anti`` of the full rows against the broadcast true-dup set.
+    The earlier definite/maybes union evaluated the probe UDF over the
+    full-payload frame on two filter branches and unioned them back;
+    output is bit-identical (``true_dups`` is a subset of the maybe
+    keys, and bloom has no false negatives, so anti-joining ALL rows
+    against it keeps exactly definite + rescued rows), with one
+    broadcast hash probe per row instead of a second full Python probe
+    pass."""
     if bloom is None:
         bloom = build_bloom(corpus_df, key_col, fpp=fpp)
-    probed = might_contain(new_df, key_col, bloom, out_col="__maybe")
-    definite = probed.filter(~F.col("__maybe")).drop("__maybe")
-    maybes = probed.filter(F.col("__maybe")).drop("__maybe")
-    maybe_keys = maybes.select(key_col).distinct()
+    maybe_keys = (might_contain(new_df.select(key_col).distinct(),
+                                key_col, bloom, out_col="__maybe")
+                  .filter(F.col("__maybe")).drop("__maybe"))
     true_dups = corpus_df.select(key_col).join(
         F.broadcast(maybe_keys), key_col, "left_semi").distinct()
-    rescued = maybes.join(F.broadcast(true_dups), key_col, "left_anti")
-    return definite.unionByName(rescued)
+    return new_df.join(F.broadcast(true_dups), key_col, "left_anti")

@@ -4,6 +4,13 @@ The exact paths (brute-force top-k, threshold pairs) have DuckDB oracles
 via list_cosine_similarity; the LSH bucket path gets a *generated* oracle —
 the hyperplanes are deterministic literals, so the same bucket computation
 is emitted as SQL.
+
+Cache contract (ADVICE r9): entries here may ``persist()`` narrow
+intermediate frames inside their own plan (e.g. sim_topk_rp's projected
+frame) and do NOT unpersist them — the bench harness and the gate
+mirror call ``spark.catalog.clearCache()`` between entries, which is
+the documented release point. A long-lived session invoking these
+query functions directly should clear the cache (or unpersist) itself.
 """
 
 from __future__ import annotations

@@ -127,7 +127,53 @@ def test_random_projection_exact_vs_numpy_and_distance_preservation(spark):
     assert 0.5 < min(ratios) and max(ratios) < 1.6
 
 
-def test_random_projection_dim_mismatch_raises(spark):
+def test_random_projection_exact_bit_equality_and_bind_sentinel(spark):
+    """ADVICE r9: the exact path's documented contract is BIT-replay
+    (==, not allclose) — pin it against a driver-side left-to-right
+    zip/fold replay in pure Python (IEEE doubles, same op order) — and
+    pin the array(struct()) bind-once plan shape that protects a
+    DERIVED input from CollapseProject's HOF re-execution trap (a Spark
+    upgrade could silently remove either)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from stream2segment_spark.functions.embeddings import (
+        random_projection, rp_signs)
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(12, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(12)],
+        "vec_id long, embedding array<double>")
+    signs = rp_signs(8, 4)
+    got = {r.vec_id: list(r.rp) for r in random_projection(
+        df, "embedding", "vec_id", 8, 4, exact=True).collect()}
+    scale = math.sqrt(4.0)
+    for i in range(12):
+        v = [float(x) for x in vecs[i]]
+        for j, srow in enumerate(signs):
+            acc = 0.0
+            for a, s in zip(v, srow):   # left-to-right fold, like
+                acc = acc + (a * float(s))  # aggregate(zip_with(*), +)
+            assert got[i][j] == acc / scale, (i, j)   # BIT equality
+
+    # plan-shape sentinel: with a DERIVED input (a per-row fold), the
+    # exact path must keep the bind-once shape — the derived expression
+    # evaluated once per row inside array(struct(...)), every matrix-row
+    # reference a lambda field read. If a future Catalyst rule collapses
+    # through the bind, the marker count / pattern changes and this
+    # test flags the re-execution trap before a bench does.
+    derived = df.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: x * F.lit(1234.5678)).alias("embedding"))
+    plan = random_projection(
+        derived, "embedding", "vec_id", 8, 4,
+        exact=True)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("1234.5678") == 1, plan
+    assert "struct(v" in plan or "named_struct" in plan, plan
     import pytest as _pytest
 
     from stream2segment_spark.functions.embeddings import (

@@ -845,3 +845,36 @@ def test_containment_deterministic_across_partitioning(spark):
     b = sorted(map(tuple, containment_pairs(
         docs.repartition(7), "text", "doc_id").collect()))
     assert a == b
+
+
+def test_shingle_arrays_maponly_bit_equal_jvm(spark):
+    """r10 opt round: the Arrow-batch shingle builder that feeds
+    ngram_jaccard_pairs / containment_pairs must reproduce the JVM
+    shingles_from_tokens expression EXACTLY — same strings, same
+    first-occurrence order, same whole-doc fallback, same NULL-text
+    routing — across all three tokenizer modes."""
+    from pyspark.sql import functions as F
+
+    from stream2segment_spark.operators import dedup as DD
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog the quick brown"),
+        (1, "short doc"),
+        (2, None),
+        (3, ""),
+        (4, "Tab\tand\nnewline  spacing!! 123 mixed-CASE Tokens"),
+        (5, "東京は日本の首都です and latin text mixed 北京市 run"),
+        (6, "İstanbul DIŞ ünïcode Ñ čĆž Привет мир" * 3),
+        (7, "a b a b a b a b a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for mode in ("ascii", "unicode", "cjk"):
+        tok_expr, _ = DD.get_tokenizer(mode)
+        for k in (3, 12):
+            jvm = {r.doc_id: r.sh for r in df.select(
+                "doc_id",
+                DD.shingles_from_tokens(tok_expr(F.col("text")), k)
+                .alias("sh")).collect()}
+            arrow = {r.doc_id: r.sh for r in DD.shingle_arrays_maponly(
+                df, "text", "doc_id", k, tokenizer=mode).collect()}
+            assert jvm == arrow, (mode, k)

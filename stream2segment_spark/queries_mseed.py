@@ -41,7 +41,21 @@ def _blob_for_id(doc_id: int) -> bytes:
 def _encode_udf():
     @F.pandas_udf("binary")
     def _udf(ids: pd.Series) -> pd.Series:
-        return pd.Series([_blob_for_id(int(i)) for i in ids])
+        # _blob_for_id depends on the id only through %5 / %30 / %4 / %2,
+        # so blobs repeat with period lcm = 60: encode each residue once
+        # per batch instead of per row (r10 opt round — the per-row
+        # encode_record calls were ~all of this stage's Python time;
+        # test_mseed.py pins the periodicity so an edit to _blob_for_id
+        # that breaks it fails loudly). Identical bytes per id.
+        cache: dict[int, bytes] = {}
+        out = []
+        for i in ids:
+            r = int(i) % 60
+            b = cache.get(r)
+            if b is None:
+                b = cache[r] = _blob_for_id(r)
+            out.append(b)
+        return pd.Series(out)
     return _udf
 
 
@@ -78,25 +92,31 @@ def mseed_decode(spark, sf_dir):
         F.element_at("ch.samples", -1).alias("last_sample"))
 
 
+def _quality_blob_for_residue(r: int) -> bytes:
+    """The quality-fixture blob for ``id % 5 == r`` — three variants
+    total (broken / gapped / ok); shared by the UDF and the periodicity
+    test."""
+    if r == 4:
+        return b"broken!!" * 8
+    gap = 2 if r == 3 else 0
+    vals = np.arange(20, dtype=np.int64)
+    rec1 = MS.encode_record("SY", "APE", "", "HHZ", _T0, 100.0,
+                            vals[:10], encoding=3)
+    rec2 = MS.encode_record(
+        "SY", "APE", "", "HHZ",
+        _T0 + timedelta(seconds=(10 + gap) / 100.0), 100.0,
+        vals[10:], encoding=3, seq=2)
+    return rec1 + rec2
+
+
 def _quality_blob_udf():
     @F.pandas_udf("binary")
     def _udf(ids: pd.Series) -> pd.Series:
-        out = []
-        for i in ids:
-            i = int(i)
-            if i % 5 == 4:
-                out.append(b"broken!!" * 8)
-                continue
-            gap = 2 if i % 5 == 3 else 0
-            vals = np.arange(20, dtype=np.int64)
-            rec1 = MS.encode_record("SY", "APE", "", "HHZ", _T0, 100.0,
-                                    vals[:10], encoding=3)
-            rec2 = MS.encode_record(
-                "SY", "APE", "", "HHZ",
-                _T0 + timedelta(seconds=(10 + gap) / 100.0), 100.0,
-                vals[10:], encoding=3, seq=2)
-            out.append(rec1 + rec2)
-        return pd.Series(out)
+        # blob depends on id % 5 only (3 variants): build each once per
+        # batch, index per row (r10 opt round — the per-row
+        # encode_record calls dominated the encode stage). Same bytes.
+        blobs = {r: _quality_blob_for_residue(r) for r in range(5)}
+        return pd.Series([blobs[int(i) % 5] for i in ids])
     return _udf
 
 

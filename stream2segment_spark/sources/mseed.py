@@ -369,21 +369,38 @@ def unpack_mseed_udf(window_start: datetime | None = None,
     downstream column prune cannot reach inside the UDF."""
     @F.pandas_udf(f"array<struct<{RESULT_DDL}>>")
     def _udf(blobs: pd.Series) -> pd.Series:
+        # bounded per-batch memo on the raw bytes (r10 opt round):
+        # decoding is a pure function of the blob, and real feeds carry
+        # repeated blobs (retried downloads, constant fixtures, station
+        # heartbeats) — decode each distinct blob once per batch. The
+        # cap bounds memory for the all-distinct case, where the only
+        # overhead is one bytes-hash per row (~ns/KB).
+        cache: dict[bytes, list] = {}
         out = []
+
+        def decode(raw: bytes):
+            try:
+                return unpack_blob(raw, window_start, window_end,
+                                   include_samples)
+            except (MSeedError, ValueError, struct.error,
+                    IndexError, ZeroDivisionError) as exc:
+                return [{
+                    "seed_id": None, "sample_rate": None, "start_time": None,
+                    "end_time": None, "n_samples": None,
+                    "max_gap_overlap_ratio": None, "samples": None,
+                    "error": str(exc)}]
+
         for b in blobs:
             if b is None:
                 out.append(None)
                 continue
-            try:
-                out.append(unpack_blob(bytes(b), window_start, window_end,
-                                       include_samples))
-            except (MSeedError, ValueError, struct.error,
-                    IndexError, ZeroDivisionError) as exc:
-                out.append([{
-                    "seed_id": None, "sample_rate": None, "start_time": None,
-                    "end_time": None, "n_samples": None,
-                    "max_gap_overlap_ratio": None, "samples": None,
-                    "error": str(exc)}])
+            raw = bytes(b)
+            hit = cache.get(raw)
+            if hit is None:
+                hit = decode(raw)
+                if len(cache) < 4096:
+                    cache[raw] = hit
+            out.append(hit)
         return pd.Series(out)
     return _udf
 

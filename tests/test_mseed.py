@@ -227,3 +227,19 @@ def test_little_endian_record_decodes():
     rec, nxt = parse_record(blob, 0)
     assert nxt == 512 and rec.sample_rate == 100.0
     assert list(rec.samples) == [3.0, -1.0, 4.0, 1.0, -5.0]
+
+
+def test_fixture_blob_periodicity_pins_encode_cache():
+    """r10 opt round: the encode UDFs build each residue's blob once
+    per batch — valid only while _blob_for_id depends on the id purely
+    through %5/%30/%4/%2 (period 60) and the quality blob through %5.
+    If an edit breaks the periodicity, this fails before any gate does."""
+    from stream2segment_spark.queries_mseed import (
+        _blob_for_id, _quality_blob_for_residue)
+
+    for i in (0, 1, 7, 59, 60, 61, 119, 3001, 987654321):
+        assert _blob_for_id(i) == _blob_for_id(i % 60), i
+    # and the three quality variants are what the status oracle expects
+    assert _quality_blob_for_residue(4) == b"broken!!" * 8
+    assert _quality_blob_for_residue(0) == _quality_blob_for_residue(1)
+    assert _quality_blob_for_residue(3) != _quality_blob_for_residue(0)

@@ -295,8 +295,18 @@ def merge_events_stations(
     dist = great_circle_distance_deg(
         F.col("e.latitude"), F.col("e.longitude"),
         F.col("s.latitude"), F.col("s.longitude"))
+    # cheap necessary pre-filter BEFORE the ~20-trig-op great-circle
+    # term (r10 opt round): cos(dist) = sinφ1·sinφ2 + cosφ1·cosφ2·cosΔλ
+    # <= cos(φ1-φ2), so dist >= |Δlat| and dist <= r implies
+    # |Δlat| <= r — the test can never drop a true pair, and the And
+    # short-circuits the trig for the band-candidates it rejects
+    # (measured at sf0.1: 1.63M band candidates -> 0.59M reach the trig,
+    # 0.32M survive).
+    lat_near = (F.abs(F.col("e.latitude") - F.col("s.latitude"))
+                <= F.col("e.__radius"))
     cond = ((F.col("e.__latb") == F.col("s.__latb"))
             & (F.col("e.__lonb") == F.col("s.__lonb"))
+            & lat_near
             & (dist <= F.col("e.__radius")))
     if check_epoch:
         cond = cond & epoch_valid(F.col("e.time"),

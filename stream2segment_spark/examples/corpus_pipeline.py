@@ -351,12 +351,18 @@ def curate_corpus(
         .alias("fingerprint"))
 
     # -- 2. filter ------------------------------------------------------
+    # opt_barrier on the CONDITION (r10): a deterministic condition
+    # referencing the annotate columns is pushed below ann's projection
+    # with the quality/lang/run-fold expressions substituted in — every
+    # row then pays the folds once for the pushed condition and
+    # survivors once more in the projection. Non-pushable, the filter
+    # reads ann's outputs as attributes: one evaluation per row total.
     lo, hi = token_band
-    filtered = ann.filter(
+    filtered = ann.filter(opt_barrier(
         F.col("lang").isin(*languages)
         & (F.col("quality") >= min_quality)
         & F.col("n_tokens").between(lo, hi)
-        & (F.col("max_tok_run") <= max_top_token_frac * F.col("n_tokens")))
+        & (F.col("max_tok_run") <= max_top_token_frac * F.col("n_tokens"))))
 
     # -- 2b. optional substring-duplication cut -------------------------
     if max_dup_frac is not None:

@@ -183,7 +183,14 @@ def lsh_bucket_neardup(
         den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
         return pd.Series(num / den)
 
-    return (pairs.withColumn("cosine", _cos(F.col("va"), F.col("vb")))
+    # asNondeterministic (guide §4.4, r10): the threshold filter on the
+    # UDF column is otherwise pushed below the projection WITH a second
+    # copy of the UDF — the r9 plan shows two ArrowEvalPython nodes with
+    # identical arguments, i.e. every candidate pair paid the cosine
+    # twice. The function is pure; the marker only stops the optimizer
+    # from duplicating it. Values unchanged.
+    cos_nd = _cos.asNondeterministic()
+    return (pairs.withColumn("cosine", cos_nd(F.col("va"), F.col("vb")))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
 
@@ -260,7 +267,12 @@ def ivf_assign_udf(centroids: np.ndarray):
         x = np.array([np.asarray(v, dtype=float) for v in vecs])
         x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(x @ cents.T, axis=1).astype("int32"))
-    return _udf
+    # asNondeterministic (guide §4.4, r10): the cell column becomes a
+    # join key, and the optimizer's inferred isnotnull(cell) filter was
+    # pushed below the projection WITH a second copy of the UDF (two
+    # identical ArrowEvalPython nodes in the r9 sim_topk_ivf plan). The
+    # function is pure; the marker only stops the duplication.
+    return _udf.asNondeterministic()
 
 
 def ivf_probe_cells_udf(centroids: np.ndarray, nprobe: int):

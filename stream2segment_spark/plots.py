@@ -81,7 +81,12 @@ def make_producer(label: str, transform, dx_fn=None, n_buckets: int = 512,
                 "label": label,
             })
         return pd.DataFrame(rows)
-    return _udf
+    # asNondeterministic (guide §4.4, r10): consumers explode p.y and
+    # read the sibling struct fields — the generator/field-extraction
+    # split let the optimizer place TWO identical ArrowEvalPython nodes
+    # per producer (plot_downsample's r9 plan ran every producer twice
+    # per row). The producer is pure; the marker stops the duplication.
+    return _udf.asNondeterministic()
 
 
 def plot_producers(n_buckets: int = 512, preprocess=None):

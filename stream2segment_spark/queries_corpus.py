@@ -1085,16 +1085,23 @@ def corpus_weighted_sample(spark, sf_dir):
     replays the quality heuristic, the bucket and the threshold
     comparison exactly. Pure scan-stage filter: no shuffle, no UDF.
     Beyond-reference LLM-pipeline capability."""
+    from stream2segment_spark.functions.plan import opt_barrier
     from stream2segment_spark.functions.sampling import (
         hash_bucket, weighted_sample)
     from stream2segment_spark.operators.dedup import word_tokens
     docs = load_table(spark, sf_dir, "documents")
     staged = docs.select(
         "doc_id", "text", word_tokens(F.col("text")).alias("__toks"))
+    # opt_barrier (r10): weighted_sample's keep FILTER references
+    # quality — pushdown would substitute the full quality expression
+    # (and through it the tokenizer, once per fold reference) below the
+    # staged projects and evaluate it twice per row; interleaved A/B
+    # 1.04 s -> 0.35 s at sf0.1 (functions/plan.py)
     scored = staged.select(
         "doc_id",
-        F.round(TXQ.quality_score(F.col("text"), toks=F.col("__toks")), 4)
-         .alias("quality"),
+        opt_barrier(
+            F.round(TXQ.quality_score(F.col("text"), toks=F.col("__toks")),
+                    4)).alias("quality"),
         hash_bucket(F.col("doc_id"), "wsample").alias("bucket"))
     return weighted_sample(scored, "doc_id", "quality", seed="wsample") \
         .select("doc_id", "quality", "bucket")

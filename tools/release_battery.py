@@ -75,8 +75,12 @@ def _bench_stale() -> bool:
     edits postdate the newest committed BENCH_local_r{N}.json."""
     import re
 
+    # exact round artifacts only: session-scoped companions like
+    # BENCH_local_r10_before.json (r10 baseline snapshot) must not be
+    # picked as "the" round artifact the staleness anchor tracks
     benches = sorted(
-        REPO.glob("BENCH_local_r*.json"),
+        (p for p in REPO.glob("BENCH_local_r*.json")
+         if re.fullmatch(r"BENCH_local_r\d+\.json", p.name)),
         key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)))
     if not benches:
         print("no BENCH_local_r*.json found — record one first")
